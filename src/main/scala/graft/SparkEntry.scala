@@ -1,13 +1,100 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator family from SURVEY.md §2 (plus the training-data-pipeline
+  * extensions) is exposed as a named query over the driver's parquet tables,
+  * with an equivalent DuckDB SQL oracle where the semantics are
+  * SQL-expressible. Streaming/stateful operators are additionally covered
+  * by ScalaTest suites (they cannot be oracle-checked through a batch
+  * parquet dump).
+  *
+  * Cross-engine determinism: double aggregates go through exact DECIMAL
+  * sums (see graft.functions.StableNum) so results are bit-identical to the
+  * DuckDB oracle regardless of partitioning/parallelism.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.pricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> ((s, d) => Relational.pricingSummary(s, d)),
+    "q02_filter_project"  -> ((s, d) => Relational.filterProject(s, d)),
+    "q03_join_agg"        -> ((s, d) => Relational.joinAgg(s, d)),
+    "q04_month_user_count" -> ((s, d) => Relational.monthUserCount(s, d)),
+    "q05_member_otm"      -> ((s, d) => Relational.memberOTM(s, d)),
+    "q06_self_join"       -> ((s, d) => Relational.selfJoinPairs(s, d)),
+    "q20_topk_orders"     -> ((s, d) => Relational.topKOrders(s, d)),
+    "q21_distinct"        -> ((s, d) => Relational.distinctPairs(s, d)),
+    "q22_set_ops"         -> ((s, d) => Relational.unionEndpoints(s, d)),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
+        |  sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_base_price,
+        |  sum(l_extendedprice::DECIMAL(18,2) * (1.0 - l_discount)::DECIMAL(18,2))::DOUBLE AS sum_disc_price,
+        |  sum(l_quantity::DECIMAL(18,2))::DOUBLE / count(l_quantity) AS avg_qty,
+        |  sum(l_discount::DECIMAL(18,4))::DOUBLE / count(l_discount) AS avg_disc,
+        |  count(*) AS cnt
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events
+        |WHERE event_type IN ('click','purchase') AND value BETWEEN 50.0 AND 150.0""".stripMargin,
+    "q03_join_agg" ->
+      """SELECT n_name,
+        |  sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q04_month_user_count" ->
+      """SELECT strftime(ts, '%Y-%m') AS month, user_id, count(*) AS cnt
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q05_member_otm" ->
+      """WITH counts AS (
+        |  SELECT strftime(ts, '%Y-%m') AS month, user_id, count(*) AS cnt
+        |  FROM events WHERE event_type <> 'error' GROUP BY 1, 2)
+        |SELECT month, user_id, cnt FROM (
+        |  SELECT month, user_id, cnt,
+        |         rank() OVER (PARTITION BY month ORDER BY cnt DESC) AS rnk
+        |  FROM counts)
+        |WHERE rnk = 1""".stripMargin,
+    "q06_self_join" ->
+      """SELECT c.l_returnflag AS child_flag, p.l_returnflag AS parent_flag,
+        |       count(*) AS cnt
+        |FROM lineitem c
+        |JOIN lineitem p
+        |  ON c.l_orderkey = p.l_orderkey AND c.l_linenumber = p.l_linenumber + 1
+        |GROUP BY 1, 2""".stripMargin,
+    "q20_topk_orders" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 10""".stripMargin,
+    "q21_distinct" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+    "q22_set_ops" ->
+      """SELECT DISTINCT nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  UNION ALL
+        |  SELECT s_nationkey AS nationkey FROM supplier)""".stripMargin,
+  )
 }

@@ -1,0 +1,38 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated parquet star schema (TESTDATA.md).
+  *
+  * All engine queries take a scale-factor directory and read one parquet
+  * file per table. Parquet gives Catalyst column pruning + predicate
+  * pushdown at the scan for free — at 100 TB these scans are the dominant
+  * cost, so every query should project/filter as early as possible and let
+  * the optimizer push it into the scan (verify via `.explain("formatted")`:
+  * `PushedFilters` / `ReadSchema`).
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(spark: SparkSession, d: String): DataFrame    = table(spark, d, "region")
+  def nation(spark: SparkSession, d: String): DataFrame    = table(spark, d, "nation")
+  def customer(spark: SparkSession, d: String): DataFrame  = table(spark, d, "customer")
+  def supplier(spark: SparkSession, d: String): DataFrame  = table(spark, d, "supplier")
+  def part(spark: SparkSession, d: String): DataFrame      = table(spark, d, "part")
+  def orders(spark: SparkSession, d: String): DataFrame    = table(spark, d, "orders")
+  def lineitem(spark: SparkSession, d: String): DataFrame  = table(spark, d, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as raw long
+    * (legacy conf, runtime-settable) and convert to TimestampType (micros,
+    * truncating — same truncation DuckDB applies at us precision).
+    */
+  def events(spark: SparkSession, d: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+  def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
+  def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
+}

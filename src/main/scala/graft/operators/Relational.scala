@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.Tables._
+import graft.functions.StableNum._
+
+/** Batch relational operators — the reference's DataSet/Table-API surface
+  * re-expressed over the driver's star schema.
+  *
+  * Reference shapes covered (SURVEY.md §2):
+  *  - group-aggregate with hand-rolled count → hash agg
+  *    (dataset_java/mail_count/MailCount.java:60,86-107)
+  *  - month-key projection (MailCount.java:69-81)
+  *  - argmax-per-group with tie preservation
+  *    (table_java/memberotm/MemberOTMonth.java:74-78)
+  *  - self-join on a parent pointer (dataset_java/reply_graph/ReplyGraph.java:65-66)
+  *  - bot-address exclusion filter (ReplyGraph.java:59-62)
+  *  - distinct (dataset_preparation/MBoxParser.java:79-80)
+  *  - vertex set = union of edge endpoints
+  *    (gelly_java/PageRankWithEdgeWeights.java:78-83)
+  *
+  * Scale notes: every aggregate here is a partial+final hash aggregate
+  * (one shuffle on the group key); joins against small dimensions
+  * (nation/region, 25/5 rows) are explicitly broadcast so the fact scan
+  * never shuffles for them. Filters are plain column predicates so
+  * Catalyst pushes them into the parquet scan.
+  */
+object Relational {
+
+  /** TPC-H Q1-shaped pricing summary: wide hash aggregate over the fact
+    * table. Map-side partial agg collapses 600 k rows (or 100 TB) to
+    * |returnflag × linestatus| groups per partition before the shuffle.
+    */
+  def pricingSummary(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    lineitem(spark, d)
+      .filter($"l_shipdate" >= lit("1995-01-01").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        stableSum($"l_quantity").as("sum_qty"),
+        stableSum($"l_extendedprice").as("sum_base_price"),
+        stableProdSum($"l_extendedprice", lit(1.0) - $"l_discount").as("sum_disc_price"),
+        stableAvg($"l_quantity").as("avg_qty"),
+        stableAvg($"l_discount", scale = 4).as("avg_disc"),
+        count(lit(1)).as("cnt"))
+  }
+
+  /** RideCleansing analog (datastream_java/basics/RideCleansing.java:68-76):
+    * predicate filter + projection. Both reach the parquet scan as
+    * PushedFilters / ReadSchema — the 100 TB version reads only 4 columns
+    * and skips row groups via min/max stats.
+    */
+  def filterProject(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    events(spark, d)
+      .filter($"event_type".isin("click", "purchase") && $"value".between(50.0, 150.0))
+      .select($"event_id", $"user_id", $"event_type", $"value")
+  }
+
+  /** Revenue per nation: fact ⋈ dims with explicit broadcast of the small
+    * sides. orders⋈customer shuffles on the key once; nation (25 rows) is
+    * broadcast so no extra exchange appears.
+    */
+  def joinAgg(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    orders(spark, d)
+      .join(customer(spark, d), $"o_custkey" === $"c_custkey")
+      .join(broadcast(nation(spark, d)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(stableSum($"o_totalprice").as("revenue"), count(lit(1)).as("n_orders"))
+  }
+
+  /** MailCount analog (dataset_java/mail_count/MailCount.java:49-107):
+    * month-key projection + two-column group count.
+    */
+  def monthUserCount(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    events(spark, d)
+      .select(date_format($"ts", "yyyy-MM").as("month"), $"user_id")
+      .groupBy($"month", $"user_id")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** MemberOTMonth analog (table_java/memberotm/MemberOTMonth.java:64-81):
+    * argmax-per-group keeping ties — `rank` (not `row_number`) over a
+    * window, exactly the reference's max-join tie semantics (SURVEY §7.4.3).
+    * One shuffle for the count, one for the window partition — Spark reuses
+    * the hash partitioning on `month` between them (no second exchange).
+    */
+  def memberOTM(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val counts = events(spark, d)
+      .filter($"event_type" =!= "error") // bot-filter shape (ReplyGraph.java:59-62)
+      .select(date_format($"ts", "yyyy-MM").as("month"), $"user_id")
+      .groupBy($"month", $"user_id")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy($"month").orderBy($"cnt".desc)
+    counts
+      .withColumn("rnk", rank().over(w))
+      .filter($"rnk" === 1)
+      .select($"month", $"user_id", $"cnt")
+  }
+
+  /** ReplyGraph-shaped self-join (dataset_java/reply_graph/ReplyGraph.java:65-66):
+    * child.parentPointer = parent.id with disambiguating aliases, then a
+    * group-count of the resulting pairs (ReplyGraph.java:69-71). Here the
+    * "reply" pointer is the previous line number within an order. The
+    * self-join co-partitions both sides on l_orderkey (single shuffle key),
+    * which also holds at 100 TB since lines of one order are bounded.
+    */
+  def selfJoinPairs(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val li = lineitem(spark, d).select($"l_orderkey", $"l_linenumber", $"l_returnflag")
+    val child  = li.as("c")
+    val parent = li.as("p")
+    child
+      .join(parent,
+        $"c.l_orderkey" === $"p.l_orderkey" &&
+          $"c.l_linenumber" === $"p.l_linenumber" + 1)
+      .groupBy($"c.l_returnflag".as("child_flag"), $"p.l_returnflag".as("parent_flag"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Top-k per group (generalization of the reference's argmax, k=10):
+    * rank over a window partitioned by the group. At scale this is the
+    * canonical "local top-k then global top-k" — Spark's WindowExec sorts
+    * within partitions after one shuffle on o_orderpriority.
+    */
+  def topKOrders(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    orders(spark, d)
+      .select($"o_orderpriority", $"o_orderkey", $"o_totalprice")
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 10)
+  }
+
+  /** Distinct pairs (MBoxParser.java:79-80 `distinct(0)` analog). */
+  def distinctPairs(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    events(spark, d).select($"user_id", $"event_type").distinct()
+  }
+
+  /** Vertex-set construction — union of edge endpoints, distinct
+    * (gelly_java/PageRankWithEdgeWeights.java:78-83). Union is a no-shuffle
+    * concat; the distinct is the one hash exchange.
+    */
+  def unionEndpoints(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    customer(spark, d).select($"c_nationkey".as("nationkey"))
+      .union(supplier(spark, d).select($"s_nationkey".as("nationkey")))
+      .distinct()
+  }
+}
