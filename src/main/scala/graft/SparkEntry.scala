@@ -34,7 +34,29 @@ object SparkEntry {
     "q20_topk_orders"     -> ((s, d) => Relational.topKOrders(s, d)),
     "q21_distinct"        -> ((s, d) => Relational.distinctPairs(s, d)),
     "q22_set_ops"         -> ((s, d) => Relational.unionEndpoints(s, d)),
+    "q07_tfidf"           -> ((s, d) => Text.tfIdf(s, d)),
+    "q08_doc_frequency"   -> ((s, d) => Text.docFrequency(s, d)),
+    "q17_lang_id"         -> ((s, d) => Text.langId(s, d)),
+    "q18_quality_score"   -> ((s, d) => Text.qualityScore(s, d)),
+    "q19_token_stats"     -> ((s, d) => Text.tokenStats(s, d)),
+    "q26_fingerprint"     -> ((s, d) => Text.fingerprint(s, d)),
+    "q27_rolling_fp"      -> ((s, d) => Text.rollingFp(s, d)),
   )
+
+  /** The reference stop list / lang markers as DuckDB literals — generated
+    * from the same Scala constants the Spark side uses, so the oracle can
+    * never drift from the engine.
+    */
+  private def sqlList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("[", ",", "]")
+  private def stopList = sqlList(graft.functions.TextFunctions.StopWords)
+  private def markerValues: String = graft.functions.TextFunctions.LangMarkers
+    .flatMap { case (l, ws) => ws.map(w => s"('$l','$w')") }.mkString(",")
+  private val cleanToksCte =
+    s"""toks AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |         t -> regexp_full_match(t, '[a-z]+') AND NOT list_contains($stopList, t)) AS ws
+       |  FROM documents)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -96,5 +118,54 @@ object SparkEntry {
         |  SELECT c_nationkey AS nationkey FROM customer
         |  UNION ALL
         |  SELECT s_nationkey AS nationkey FROM supplier)""".stripMargin,
+    "q07_tfidf" ->
+      s"""WITH $cleanToksCte,
+         |ex AS (SELECT doc_id, unnest(ws) AS word FROM toks),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM ex GROUP BY 1, 2),
+         |df AS (SELECT word, count(*) AS df FROM
+         |        (SELECT DISTINCT doc_id, word FROM ex) GROUP BY 1),
+         |n AS (SELECT count(*)::DOUBLE AS n FROM documents)
+         |SELECT tf.doc_id, tf.word, tf.tf * ((SELECT n FROM n) / df.df) AS tfidf
+         |FROM tf JOIN df USING (word)""".stripMargin,
+    "q08_doc_frequency" ->
+      s"""WITH $cleanToksCte,
+         |ex AS (SELECT DISTINCT doc_id, word FROM
+         |        (SELECT doc_id, unnest(ws) AS word FROM toks))
+         |SELECT word, count(*) AS df FROM ex GROUP BY 1""".stripMargin,
+    "q17_lang_id" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+         |            FROM documents),
+         |m(mlang, w) AS (VALUES $markerValues),
+         |scores AS (SELECT doc_id, mlang, count(*) AS c
+         |           FROM tok JOIN m USING (w) GROUP BY 1, 2),
+         |best AS (SELECT doc_id, mlang, c,
+         |                row_number() OVER (PARTITION BY doc_id
+         |                                   ORDER BY c DESC, mlang ASC) AS rn
+         |         FROM scores)
+         |SELECT d.doc_id, coalesce(b.mlang, 'und') AS lang_pred,
+         |       coalesce(b.c, 0) AS n_markers
+         |FROM documents d
+         |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)""".stripMargin,
+    "q18_quality_score" ->
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ws
+         |           FROM documents),
+         |s AS (SELECT doc_id, len(ws)::BIGINT AS n_tokens,
+         |  len(list_filter(ws, x -> list_contains($stopList, x)))::BIGINT AS n_stop,
+         |  len(list_filter(ws, x -> regexp_full_match(x, '[a-z]+')))::BIGINT AS n_alpha,
+         |  list_sum(list_transform(ws, x -> strlen(x)))::BIGINT AS sum_tok_len
+         |  FROM t)
+         |SELECT doc_id, n_tokens, n_stop, n_alpha,
+         |       n_stop::DOUBLE / n_tokens AS stop_ratio,
+         |       sum_tok_len::DOUBLE / n_tokens AS mean_tok_len,
+         |       n_alpha::DOUBLE / n_tokens AS alpha_ratio
+         |FROM s""".stripMargin,
+    "q19_token_stats" ->
+      """SELECT doc_id, len(ws)::BIGINT AS ws_tokens,
+        |  list_sum(list_transform(ws, w -> floor((strlen(w)+3)/4)::BIGINT))::BIGINT AS bpe_tokens
+        |FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws
+        |      FROM documents)""".stripMargin,
+    "q26_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents""".stripMargin,
   )
 }

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables._
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over the `documents` table — the reference's
+  * mail-corpus batch family (MailTFIDF, MailCount tokenizing flatMaps)
+  * plus the training-data-pipeline text ops (language ID, quality scoring,
+  * token budgeting, fingerprinting).
+  *
+  * Scale design: tokenization is all higher-order column functions
+  * evaluated in the scan stage; the only shuffles are the group-bys on
+  * (doc_id, word) / word. The word dictionary after stop-wording is tiny
+  * relative to the corpus, so DF-side joins are broadcast — the TF side
+  * (the big one) never moves twice.
+  */
+object Text {
+
+  /** Tokenized view shared by the operators: (doc_id, ws[]). */
+  private def tokenized(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, d).select($"doc_id", cleanTokens($"text").as("ws"))
+  }
+
+  /** TF-IDF with the reference's exact no-logarithm formula
+    * tf * (N / df) (dataset_java/tf_idf/MailTFIDF.java:214-233; SURVEY
+    * §7.4.2). Mirrors the reference's two-action lifecycle: `count()` is a
+    * separate job whose scalar is closed over (MailTFIDF.java:74), with
+    * the one deliberate improvement of caching the tokenized input
+    * (SURVEY §3.2). The DF side is broadcast (it is bounded by vocabulary
+    * size); the TF aggregation is the single fact shuffle.
+    */
+  def tfIdf(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val toks = tokenized(spark, d).cache()
+    val n = toks.count() // eager scalar, reference A3 shape
+    val exploded = toks.select($"doc_id", explode($"ws").as("word"))
+    val tf = exploded.groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+    val df = exploded.select($"doc_id", $"word").distinct()
+      .groupBy($"word").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "word")
+      .select($"doc_id", $"word", ($"tf" * (lit(n.toDouble) / $"df")).as("tfidf"))
+  }
+
+  /** Document frequency per word (MailTFIDF.java:77-81 A2 shape). */
+  def docFrequency(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    tokenized(spark, d)
+      .select($"doc_id", explode($"ws").as("word"))
+      .distinct()
+      .groupBy($"word").agg(count(lit(1)).as("df"))
+  }
+
+  /** Stopword-profile language ID: score each language by marker-word
+    * hits, argmax with deterministic tie-break (count desc, lang asc),
+    * 'und' when nothing matches. The marker table is a literal inline
+    * relation — broadcast, never shuffled.
+    */
+  def langId(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val markers = LangMarkers
+      .flatMap { case (lang, ws) => ws.map(w => (lang, w)) }
+      .toDF("mlang", "w")
+    val toks = documents(spark, d)
+      .select($"doc_id", explode(tokens($"text")).as("w"))
+    val scores = toks.join(broadcast(markers), "w")
+      .groupBy($"doc_id", $"mlang").agg(count(lit(1)).as("c"))
+    val best = scores
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"c".desc, $"mlang".asc)))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"mlang", $"c")
+    documents(spark, d).select($"doc_id")
+      .join(best, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"mlang", lit("und")).as("lang_pred"),
+        coalesce($"c", lit(0L)).as("n_markers"))
+  }
+
+  /** Per-document quality scores: token counts, stop-word ratio, mean
+    * token length — the length/punct/stopword-ratio heuristics of large
+    * corpus filtering, all codegen'd column math (no shuffle at all:
+    * embarrassingly parallel over the scan).
+    */
+  def qualityScore(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val stop = typedLit(StopWords)
+    documents(spark, d)
+      .select($"doc_id", tokens($"text").as("ws"), $"n_chars")
+      .select(
+        $"doc_id",
+        size($"ws").cast("long").as("n_tokens"),
+        size(filter($"ws", t => array_contains(stop, t))).cast("long").as("n_stop"),
+        size(filter($"ws", t => t.rlike("^[a-z]+$"))).cast("long").as("n_alpha"),
+        tokenSum($"ws", length(_)).as("sum_tok_len"),
+        $"n_chars")
+      .select(
+        $"doc_id", $"n_tokens", $"n_stop", $"n_alpha",
+        ($"n_stop".cast("double") / $"n_tokens").as("stop_ratio"),
+        ($"sum_tok_len".cast("double") / $"n_tokens").as("mean_tok_len"),
+        ($"n_alpha".cast("double") / $"n_tokens").as("alpha_ratio"))
+  }
+
+  /** Token-budget stats: whitespace token count + BPE-ish subword piece
+    * budget (ceil(len/4) per word).
+    */
+  def tokenStats(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, d)
+      .select($"doc_id", tokens($"text").as("ws"))
+      .select(
+        $"doc_id",
+        size($"ws").cast("long").as("ws_tokens"),
+        tokenSum($"ws", bpePieces).as("bpe_tokens"))
+  }
+
+  /** Content fingerprint: md5 over whitespace-normalized lowercase text
+    * (cross-engine form; the rolling-hash form is
+    * TextFunctions.rollingFingerprint, test-verified).
+    */
+  def fingerprint(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, d).select($"doc_id", md5Fingerprint($"text").as("fp"))
+  }
+
+  /** Rolling-hash fingerprint (order-sensitive polynomial hash over the
+    * clean token stream). No SQL oracle (engine-specific hash); exposed as
+    * a rows-only query and property-tested in RollingFingerprintSpec.
+    */
+  def rollingFp(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, d)
+      .select($"doc_id", rollingFingerprint(cleanTokens($"text")).as("rolling_fp"))
+  }
+}
