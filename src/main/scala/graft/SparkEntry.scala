@@ -41,6 +41,17 @@ object SparkEntry {
     "q19_token_stats"     -> ((s, d) => Text.tokenStats(s, d)),
     "q26_fingerprint"     -> ((s, d) => Text.fingerprint(s, d)),
     "q27_rolling_fp"      -> ((s, d) => Text.rollingFp(s, d)),
+    "q10_window_sliding"  -> ((s, d) => Windowed.slidingCounts(s, d)),
+    "q11_window_tumbling" -> ((s, d) => Windowed.tumblingUserCounts(s, d)),
+    "q28_sessionize"      -> ((s, d) => Windowed.sessionize(s, d)),
+    "q12_regression_origin" -> ((s, d) => Regression.slopePerKey(s, d)),
+    "q09_dedup_exact"     -> ((s, d) => Dedup.exact(s, d)),
+    "q16_jaccard_neardup" -> ((s, d) => Dedup.jaccardPairs(s, d)),
+    "q15_minhash_lsh"     -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "q23_simhash"         -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "q14_knn_cosine"      -> ((s, d) => Similarity.knnBruteForce(s, d)),
+    "q25_embed_neardup"   -> ((s, d) => Similarity.embeddingNearDup(s, d)),
+    "q29_ann_lsh"         -> ((s, d) => Similarity.annLsh(s, d)),
   )
 
   /** The reference stop list / lang markers as DuckDB literals — generated
@@ -167,5 +178,83 @@ object SparkEntry {
     "q26_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
+    "q10_window_sliding" ->
+      """WITH w AS (
+        |  SELECT time_bucket(INTERVAL '6 hours', ts) - to_hours(6*k) AS ws,
+        |         event_type, value
+        |  FROM events, (VALUES (0),(1),(2),(3)) t(k))
+        |SELECT epoch(ws)::BIGINT AS w_start,
+        |       epoch(ws + INTERVAL '1 day')::BIGINT AS w_end,
+        |       event_type, count(*) AS cnt,
+        |       sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
+        |FROM w GROUP BY 1, 2, 3 HAVING count(*) >= 20""".stripMargin,
+    "q11_window_tumbling" ->
+      """SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS w_start,
+        |       user_id, count(*) AS cnt,
+        |       sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q28_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu, value FROM events),
+        |g AS (SELECT *, CASE WHEN tsu - lag(tsu) OVER
+        |        (PARTITION BY user_id ORDER BY tsu, event_id) > 1800000000
+        |        THEN 1 ELSE 0 END AS gap FROM e),
+        |s AS (SELECT *, sum(gap) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS session_seq FROM g)
+        |SELECT user_id, session_seq::BIGINT AS session_seq, count(*) AS n_events,
+        |       min(tsu) AS session_start_us,
+        |       max(tsu) - min(tsu) AS duration_us,
+        |       sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
+        |FROM s GROUP BY 1, 2""".stripMargin,
+    "q12_regression_origin" ->
+      """SELECT l_suppkey,
+        |  CASE WHEN sxx > 0.0 THEN sxy / sxx ELSE -1.0 END AS slope, n
+        |FROM (SELECT l_suppkey,
+        |  sum(l_quantity::DECIMAL(18,2) * l_extendedprice::DECIMAL(18,2))::DOUBLE AS sxy,
+        |  sum(l_quantity::DECIMAL(18,2) * l_quantity::DECIMAL(18,2))::DOUBLE AS sxx,
+        |  count(*) AS n
+        |  FROM lineitem GROUP BY 1)""".stripMargin,
+    "q09_dedup_exact" ->
+      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+        |       min(doc_id) AS canonical_id, count(*) AS n_docs
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q16_jaccard_neardup" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |              FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM toks, unnest(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS inter
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT x, y, inter::DOUBLE / (sa.sz + sb.sz - inter) AS jac
+        |FROM inter JOIN sizes sa ON x = sa.doc_id JOIN sizes sb ON y = sb.doc_id
+        |WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.5""".stripMargin,
+    "q14_knn_cosine" ->
+      """WITH ex AS (SELECT vec_id, round(unnest(embedding)::DOUBLE * 10000000)::BIGINT AS v,
+        |                   unnest(range(len(embedding))) AS i FROM embeddings),
+        |n2 AS (SELECT vec_id, sum(v*v)::DOUBLE AS n2 FROM ex GROUP BY 1),
+        |dots AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id, sum(a.v*b.v)::DOUBLE AS dot
+        |         FROM ex a JOIN ex b ON a.i = b.i AND b.vec_id <> a.vec_id
+        |         WHERE a.vec_id < 10 GROUP BY 1, 2),
+        |cosx AS (SELECT q_id, n_id, dot / (sqrt(qa.n2) * sqrt(qb.n2)) AS cos
+        |         FROM dots JOIN n2 qa ON q_id = qa.vec_id
+        |                   JOIN n2 qb ON n_id = qb.vec_id)
+        |SELECT q_id, n_id, cos, rnk FROM (
+        |  SELECT q_id, n_id, cos,
+        |         row_number() OVER (PARTITION BY q_id
+        |                            ORDER BY cos DESC, n_id ASC) AS rnk
+        |  FROM cosx)
+        |WHERE rnk <= 5""".stripMargin,
+    "q25_embed_neardup" ->
+      """WITH ex AS (SELECT vec_id, round(unnest(embedding)::DOUBLE * 10000000)::BIGINT AS v,
+        |                   unnest(range(len(embedding))) AS i FROM embeddings),
+        |n2 AS (SELECT vec_id, sum(v*v)::DOUBLE AS n2 FROM ex GROUP BY 1),
+        |dots AS (SELECT a.vec_id AS x, b.vec_id AS y, sum(a.v*b.v)::DOUBLE AS dot
+        |         FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+        |         GROUP BY 1, 2)
+        |SELECT x, y, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cos
+        |FROM dots JOIN n2 na ON x = na.vec_id JOIN n2 nb ON y = nb.vec_id
+        |WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.4""".stripMargin,
   )
 }

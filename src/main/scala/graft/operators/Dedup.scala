@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables._
+import graft.functions.Hashing._
+import graft.functions.TextFunctions._
+
+/** Deduplication operators over `documents` — exact, n-gram-Jaccard,
+  * MinHash+LSH, and SimHash. The driver's corpus carries 25 planted
+  * near-duplicate pairs (Jaccard ≥ 0.5, background ≤ ~0.1), so 0.5 is the
+  * operating threshold throughout.
+  *
+  * Scale ladder (each step trades exactness for join size):
+  *  1. exact: hash-groupBy on a content fingerprint — one shuffle,
+  *     linear, the 100 TB default.
+  *  2. exact Jaccard: shingle-inverted-index self-join — complete but
+  *     candidate count grows with shared-shingle frequency; the oracle
+  *     gold standard at test SFs.
+  *  3. MinHash+LSH: candidates only where a band collides (cost tracks
+  *     duplicate density, not corpus²), then exact Jaccard re-check on
+  *     the candidates — the 100 TB near-dup path.
+  *  4. SimHash: 64-bit sketch + pigeonhole banding for Hamming ≤ 3.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash (A7 `distinct(0)` shape,
+    * dataset_preparation/MBoxParser.java:79-80): canonical doc = min id
+    * per fingerprint; emits groups with their duplicate count.
+    */
+  def exact(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, d)
+      .select($"doc_id", md5Fingerprint($"text").as("fp"))
+      .groupBy($"fp")
+      .agg(min($"doc_id").as("canonical_id"), count(lit(1)).as("n_docs"))
+  }
+
+  private def docShingles(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, d)
+      .select($"doc_id", explode(shingles(tokens($"text"), 3)).as("s"))
+  }
+
+  /** Exact 3-gram-shingle Jaccard near-dup pairs (threshold 0.5) via the
+    * inverted-index self-join: |∩| from the shingle join, |∪| from
+    * per-doc distinct-shingle counts. jac is an exact int ratio — no FP
+    * rounding concerns.
+    */
+  def jaccardPairs(spark: SparkSession, d: String, threshold: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val sh = docShingles(spark, d).cache()
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"),
+        $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("x"), $"b.doc_id".as("y"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "x").withColumnRenamed("sz", "szx"), "x")
+      .join(sizes.withColumnRenamed("doc_id", "y").withColumnRenamed("sz", "szy"), "y")
+      .select($"x", $"y",
+        ($"inter".cast("double") / ($"szx" + $"szy" - $"inter")).as("jac"))
+      .filter($"jac" >= threshold)
+  }
+
+  /** MinHash + LSH near-dup detection: k=64 hashes, 32 bands × 2 rows
+    * (P[collide] = 1-(1-j²)³² ⇒ ~0.9999 at j = 0.5, ~0.08 at j = 0.05),
+    * exact-Jaccard re-check on the candidates. Same output shape as
+    * jaccardPairs; recall < 1 is theoretically possible, so this query is
+    * rows-only-checked by the driver and recall-tested against
+    * jaccardPairs in DedupSpec.
+    */
+  def minhashLsh(spark: SparkSession, d: String, threshold: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val sig = documents(spark, d)
+      .select($"doc_id", minhashSignature(shingles(tokens($"text"), 3), 64).as("sig"))
+    val bands = sig.select($"doc_id", posexplode(bandKeys($"sig", 64, 2)))
+      .select($"doc_id", $"pos".as("band"), $"col".as("key"))
+    val candidates = bands.as("a").join(bands.as("b"),
+        $"a.band" === $"b.band" && $"a.key" === $"b.key" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("x"), $"b.doc_id".as("y"))
+      .distinct()
+    // exact re-check restricted to candidates
+    val sh = docShingles(spark, d).cache()
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    val inter = candidates
+      .join(sh.as("a"), $"x" === $"a.doc_id")
+      .join(sh.as("b"), $"y" === $"b.doc_id" && $"a.s" === $"b.s")
+      .groupBy($"x", $"y").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "x").withColumnRenamed("sz", "szx"), "x")
+      .join(sizes.withColumnRenamed("doc_id", "y").withColumnRenamed("sz", "szy"), "y")
+      .select($"x", $"y",
+        ($"inter".cast("double") / ($"szx" + $"szy" - $"inter")).as("jac"))
+      .filter($"jac" >= threshold)
+  }
+
+  /** SimHash near-dup pairs: 64-bit sketch, pigeonhole banding on 16-bit
+    * chunks (complete for Hamming ≤ 3), Hamming re-check. Rows-only
+    * (engine-specific hash); sketch locality is property-tested.
+    */
+  def simhashPairs(spark: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
+    import spark.implicits._
+    val sk = documents(spark, d)
+      .select($"doc_id", simhash(cleanTokens($"text")).as("sk"))
+    val bands = sk.select($"doc_id", $"sk", explode(hammingBands($"sk")).as("hb"))
+      .select($"doc_id", $"sk", $"hb.band".as("band"), $"hb.key".as("key"))
+    bands.as("a").join(bands.as("b"),
+        $"a.band" === $"b.band" && $"a.key" === $"b.key" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("x"), $"b.doc_id".as("y"),
+        hamming($"a.sk", $"b.sk").as("dist"))
+      .distinct()
+      .filter($"dist" <= maxHamming)
+  }
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables._
+import graft.functions.VectorFunctions._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Two paths, as a 100 TB pipeline needs both:
+  *  - brute-force top-k: broadcast the (small) query set against the full
+  *    corpus scan — exact, one pass, no shuffle of the corpus; the
+  *    baseline and the oracle-checked query.
+  *  - random-hyperplane LSH buckets: corpus hashed once into signature
+  *    buckets; only bucket-mates are scored. Sub-linear candidate sets at
+  *    the cost of recall; rows-only checked, recall-tested vs brute force.
+  *
+  * All cosines use exact fixed-point inner sums (VectorFunctions) so
+  * scores and hence rankings are engine/partitioning-independent.
+  */
+object Similarity {
+
+  private def corpusWithNorm(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    embeddings(spark, d).select($"vec_id", $"embedding", norm2Q($"embedding").as("n2"))
+  }
+
+  /** Exact cosine top-k (k=5) for queries vec_id < 10 against the whole
+    * corpus. The query side is broadcast; the corpus is scanned once
+    * (BroadcastNestedLoopJoin), then a per-query top-k window.
+    */
+  def knnBruteForce(spark: SparkSession, d: String, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val corpus = corpusWithNorm(spark, d)
+    val queries = corpus.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"n2".as("q_n2"))
+    val scored = corpus.join(broadcast(queries), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("n_id"),
+        cosineFromParts(dotQ($"q_emb", $"embedding"), $"q_n2", $"n2").as("cos"))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id".asc)))
+      .filter($"rnk" <= k)
+  }
+
+  /** All-pairs embedding near-dup: pairs with cosine ≥ threshold. With the
+    * driver's corpus the threshold 0.4 sits above the random-pair p99.9
+    * (~0.375), so output is sparse. Quadratic — the LSH variant is the
+    * scale path; this is the exact oracle-checked form.
+    */
+  def embeddingNearDup(spark: SparkSession, d: String, threshold: Double = 0.4): DataFrame = {
+    import spark.implicits._
+    val c = corpusWithNorm(spark, d)
+    val a = c.select($"vec_id".as("x"), $"embedding".as("ea"), $"n2".as("na"))
+    val b = c.select($"vec_id".as("y"), $"embedding".as("eb"), $"n2".as("nb"))
+    a.join(b, $"x" < $"y")
+      .select($"x", $"y", cosineFromParts(dotQ($"ea", $"eb"), $"na", $"nb").as("cos"))
+      .filter($"cos" >= threshold)
+  }
+
+  /** Random-hyperplane LSH ANN: 12-bit signature from deterministic
+    * pseudo-random planes (plane weights derived from xxhash64(p, dim),
+    * uniform in [-1, 1)), bucket join, exact cosine within buckets,
+    * top-k per query. Rows-only; recall vs knnBruteForce is asserted in
+    * SimilaritySpec.
+    */
+  def annLsh(spark: SparkSession, d: String, k: Int = 5, nPlanes: Int = 12): DataFrame = {
+    import spark.implicits._
+    def planeDot(emb: org.apache.spark.sql.Column, p: org.apache.spark.sql.Column) =
+      aggregate(
+        zip_with(emb, sequence(lit(0), size(emb) - 1), (x, i) =>
+          x.cast("double") * ((pmod(xxhash64(p, i), lit(2000000L)).cast("double") / 1000000.0) - 1.0)),
+        lit(0.0), (acc, v) => acc + v)
+    def signature(emb: org.apache.spark.sql.Column) =
+      aggregate(
+        transform(sequence(lit(0), lit(nPlanes - 1)), p =>
+          when(planeDot(emb, p) > 0, lit(1L)).otherwise(lit(0L))),
+        lit(0L), (acc, v) => acc * 2 + v)
+
+    val c = corpusWithNorm(spark, d).withColumn("sig", signature($"embedding"))
+    val queries = c.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"n2".as("q_n2"), $"sig".as("q_sig"))
+    val scored = c.join(broadcast(queries), $"sig" === $"q_sig" && $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("n_id"),
+        cosineFromParts(dotQ($"q_emb", $"embedding"), $"q_n2", $"n2").as("cos"))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id".asc)))
+      .filter($"rnk" <= k)
+  }
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables._
+import graft.functions.StableNum._
+
+/** Event-time window operators over the `events` stream table — the
+  * PopularPlaces sliding-window family (datastream_java/windows/
+  * PopularPlaces.java:77-148) in its batch form. The identical
+  * `window(...)` grouping expressions run unchanged under Structured
+  * Streaming with `withWatermark` (see graft.streaming) — SURVEY §7.2.2's
+  * "isolate window semantics from streaming semantics" step.
+  *
+  * Scale: `window()` is a generator + hash aggregate — one shuffle on
+  * (window, key); Spark's partial aggregation collapses rows map-side
+  * first. The reference's non-incremental full-window re-iteration
+  * (RideCounter) is replaced by incremental agg for free (SURVEY §4).
+  */
+object Windowed {
+
+  /** Sliding event-time window (1 day / 6 h) count + exact value sum per
+    * event type, with the popularity threshold ≥ 20
+    * (PopularPlaces.java:58,83-88). Emits unix-second window bounds
+    * (`window.getEnd` shape, PopularPlaces.java:139).
+    */
+  def slidingCounts(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    events(spark, d)
+      .groupBy(window($"ts", "1 day", "6 hours").as("w"), $"event_type")
+      .agg(count(lit(1)).as("cnt"), stableSum($"value").as("sum_value"))
+      .filter($"cnt" >= 20)
+      .select(unix_timestamp($"w.start").as("w_start"),
+        unix_timestamp($"w.end").as("w_end"),
+        $"event_type", $"cnt", $"sum_value")
+  }
+
+  /** Tumbling 1-hour window per user — the degenerate sliding case
+    * (SURVEY §2.6 note).
+    */
+  def tumblingUserCounts(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    events(spark, d)
+      .groupBy(window($"ts", "1 hour").as("w"), $"user_id")
+      .agg(count(lit(1)).as("cnt"), stableSum($"value").as("sum_value"))
+      .select(unix_timestamp($"w.start").as("w_start"), $"user_id", $"cnt", $"sum_value")
+  }
+
+  /** Sessionization: split each user's event stream at >30 min gaps via
+    * lag + running sum of gap markers — the standard scalable formulation
+    * (one shuffle on user_id; both window functions reuse the same sort).
+    * Timestamps compared in integer microseconds for cross-engine parity.
+    */
+  def sessionize(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"tsu", $"event_id")
+    events(spark, d)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("tsu"), $"value")
+      .withColumn("gap",
+        when($"tsu" - lag($"tsu", 1).over(byUser) > lit(1800L * 1000000L), 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum($"gap").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_seq")
+      .agg(count(lit(1)).as("n_events"),
+        min($"tsu").as("session_start_us"),
+        (max($"tsu") - min($"tsu")).as("duration_us"),
+        stableSum($"value").as("sum_value"))
+  }
+}
