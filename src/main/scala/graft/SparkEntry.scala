@@ -52,7 +52,45 @@ object SparkEntry {
     "q14_knn_cosine"      -> ((s, d) => Similarity.knnBruteForce(s, d)),
     "q25_embed_neardup"   -> ((s, d) => Similarity.embeddingNearDup(s, d)),
     "q29_ann_lsh"         -> ((s, d) => Similarity.annLsh(s, d)),
+    "q13_pagerank"        -> ((s, d) => Graph.pageRank(s, d)),
+    "q24_grid_cells"      -> ((s, d) => GeoQueries.gridCells(s, d)),
+    "q30_cells_on_way"    -> ((s, d) => GeoQueries.cellsOnWayQuery(s, d)),
   )
+
+  /** Unrolled fixed-iteration PageRank oracle (DuckDB has no iterative
+    * DataFrame loop; 10 chained CTEs replicate the loop exactly —
+    * contribution sums quantized to 1e14-scaled integers in both engines,
+    * so ranks are bit-identical).
+    */
+  private def pagerankSql(iters: Int): String = {
+    val base =
+      """WITH edges AS (
+        |  SELECT c_nationkey AS src, s_nationkey AS dst, count(*) AS w
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2),
+        |outs AS (SELECT src, sum(w) AS sumout FROM edges GROUP BY 1),
+        |prob AS (SELECT edges.src, edges.dst,
+        |                edges.w::DOUBLE / outs.sumout::DOUBLE AS p
+        |         FROM edges JOIN outs ON edges.src = outs.src),
+        |verts AS (SELECT DISTINCT id FROM
+        |          (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+        |nn AS (SELECT count(*)::DOUBLE AS n FROM verts),
+        |r0 AS (SELECT id, 1.0::DOUBLE AS rank FROM verts)""".stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      s""",
+         |r$i AS (SELECT v.id,
+         |    0.85::DOUBLE * coalesce(c.s, 0.0::DOUBLE)
+         |      + 0.15::DOUBLE / (SELECT n FROM nn) AS rank
+         |  FROM verts v LEFT JOIN (
+         |    SELECT p.dst, sum(round((r.rank * p.p) * 1e14)::BIGINT)::DOUBLE / 1e14 AS s
+         |    FROM r${i - 1} r JOIN prob p ON r.id = p.src GROUP BY 1) c
+         |  ON v.id = c.dst)""".stripMargin
+    }.mkString
+    base + iterCtes + s"\nSELECT id AS nationkey, rank FROM r$iters"
+  }
 
   /** The reference stop list / lang markers as DuckDB literals — generated
     * from the same Scala constants the Spark side uses, so the oracle can
@@ -256,5 +294,33 @@ object SparkEntry {
         |SELECT x, y, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cos
         |FROM dots JOIN n2 na ON x = na.vec_id JOIN n2 nb ON y = nb.vec_id
         |WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.4""".stripMargin,
+    "q13_pagerank" -> pagerankSql(10),
+    "q24_grid_cells" ->
+      """SELECT * FROM (
+        |WITH pts AS (SELECT event_id,
+        |  -74.06::DOUBLE + (event_id % 40)::DOUBLE * 0.01::DOUBLE AS lon1,
+        |  40.49::DOUBLE + ((event_id // 7) % 53)::DOUBLE * 0.01::DOUBLE AS lat1,
+        |  -74.05::DOUBLE + ((event_id // 11) % 35)::DOUBLE * 0.01::DOUBLE AS lon2,
+        |  40.5::DOUBLE + ((event_id // 13) % 50)::DOUBLE * 0.01::DOUBLE AS lat2
+        |  FROM events),
+        |nyc AS (SELECT * FROM pts
+        |  WHERE NOT (lon1 > -73.7 OR lon1 < -74.05)
+        |    AND NOT (lat1 > 41.0 OR lat1 < 40.5)
+        |    AND NOT (lon2 > -73.7 OR lon2 < -74.05)
+        |    AND NOT (lat2 > 41.0 OR lat2 < 40.5)),
+        |cells AS (SELECT *,
+        |  floor((abs(-74.05::DOUBLE) - abs(lon1)) / 0.0014::DOUBLE)::INT
+        |    + 250 * floor((41.0::DOUBLE - lat1) / 0.00125::DOUBLE)::INT AS cell
+        |  FROM nyc)
+        |SELECT event_id, cell,
+        |  (-((abs(-74.05::DOUBLE) - ((cell % 250) * 0.0014::DOUBLE)
+        |      - (0.0014::DOUBLE / 2))::REAL))::REAL AS center_lon,
+        |  (41.0::DOUBLE - (((cell - (cell % 250)) / 250) * 0.00125::DOUBLE)
+        |      - (0.00125::DOUBLE / 2))::REAL AS center_lat,
+        |  round(110.25::DOUBLE * sqrt((lat1 - lat2) * (lat1 - lat2)
+        |      + ((lon1 - lon2) * cos(lat2)) * ((lon1 - lon2) * cos(lat2))), 7) AS dist,
+        |  trunc(degrees(atan2(lat2 - lat1, (lon2 - lon1) * cos(lat1))))::INT + 179 AS dir
+        |FROM cells
+        |) WHERE dist > 0.001""".stripMargin,
   )
 }

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables._
+
+/** Weighted PageRank as an iterative DataFrame loop — the Gelly exercise
+  * (gelly_java/PageRankWithEdgeWeights.java) re-expressed Spark-first
+  * (no GraphFrames jar in this environment; SURVEY §2.9).
+  *
+  * Pipeline, mirroring the reference exactly:
+  *  1. edge build: trade graph customer-nation → supplier-nation, weight =
+  *     co-occurrence count (our edge list; the reference reads a file).
+  *  2. out-weight sums per source (A8, `reduceOnEdges(SumWeight, OUT)`,
+  *     gelly_java :86-88 — Java twin is canonical, the Scala twin's
+  *     first-value bug is documented, not ported; SURVEY §7.4.5).
+  *  3. transition probabilities w/sumOut (J4, `joinWithEdgesOnSource`,
+  *     :91-100).
+  *  4. fixed-iteration PR, damping 0.85 (:47): rank' = d·Σ_in(rank·p) +
+  *     (1−d)/N, seeded 1.0 (Gelly's simplified PR; SURVEY §2.9 G2).
+  *
+  * Scale notes: each iteration is ranks⋈edges (shuffle on src) + agg on
+  * dst; `localCheckpoint` every iteration truncates the growing lineage —
+  * the one place Catalyst gives no help (SURVEY §4). Contribution sums are
+  * quantized to 1e-14-scaled longs so ranks stay bit-identical across
+  * engines/partitionings (they feed a hash-compare; Σ ≤ N·1e14 ≪ 2^53).
+  */
+object Graph {
+
+  /** Edges (src, dst, w): nation-to-nation trade intensity. The 4-way
+    * fact join shuffles on o_custkey/l_orderkey; customer and supplier
+    * dims are broadcast.
+    */
+  def tradeEdges(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    lineitem(spark, d).select($"l_orderkey", $"l_suppkey")
+      .join(orders(spark, d).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(customer(spark, d).select($"c_custkey", $"c_nationkey")),
+        $"o_custkey" === $"c_custkey")
+      .join(broadcast(supplier(spark, d).select($"s_suppkey", $"s_nationkey")),
+        $"l_suppkey" === $"s_suppkey")
+      .groupBy($"c_nationkey".as("src"), $"s_nationkey".as("dst"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  def pageRank(spark: SparkSession, d: String, iterations: Int = 10,
+      damping: Double = 0.85): DataFrame = {
+    import spark.implicits._
+    val edges = tradeEdges(spark, d).cache()
+    // A8: per-source sum of outgoing weights (Java-canonical semantics)
+    val outSums = edges.groupBy($"src").agg(sum($"w").as("sumOut"))
+    // J4: transition probability = w / sumOut (exact-long inputs: one
+    // correctly-rounded division, deterministic everywhere)
+    val prob = edges.join(outSums, "src")
+      .select($"src", $"dst", ($"w".cast("double") / $"sumOut".cast("double")).as("p"))
+      .cache()
+    // G1: vertex set = distinct edge endpoints, seeded rank 1.0
+    val vertices = edges.select($"src".as("id"))
+      .union(edges.select($"dst".as("id"))).distinct().cache()
+    val n = vertices.count().toDouble
+
+    var ranks = vertices.select($"id", lit(1.0).as("rank"))
+    for (_ <- 1 to iterations) {
+      val contribs = ranks.join(prob, $"id" === $"src")
+        .groupBy($"dst")
+        // quantized-exact contribution sum: deterministic under any
+        // aggregation order (see scaladoc)
+        .agg((sum(round(($"rank" * $"p") * 1e14).cast("long")).cast("double") / 1e14).as("s"))
+      ranks = vertices
+        .join(contribs, $"id" === $"dst", "left")
+        .select($"id", (lit(damping) * coalesce($"s", lit(0.0)) + lit((1 - damping) / n)).as("rank"))
+        .localCheckpoint() // cut lineage each superstep
+    }
+    ranks.select($"id".as("nationkey"), $"rank")
+  }
+}
