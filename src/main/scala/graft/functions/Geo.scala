@@ -70,6 +70,40 @@ object Geo {
     */
   def directionBucket(angle: Column): Column = (angle / 45).cast("int")
 
+  // ---- plain-Scala forms (for typed Dataset ops / stateful streaming;
+  // same semantics as the column forms above) ----
+
+  def isInNYC(lon: Float, lat: Float): Boolean =
+    !(lon > LonEast || lon < LonWest) && !(lat > LatNorth || lat < LatSouth)
+
+  def mapToGridCell(lon: Float, lat: Float): Int = {
+    val xIndex = math.floor((math.abs(LonWest) - math.abs(lon)) / DeltaLon).toInt
+    val yIndex = math.floor((LatNorth - lat) / DeltaLat).toInt
+    xIndex + (yIndex * GridX)
+  }
+
+  def cellCenterLon(cell: Int): Float =
+    (math.abs(LonWest) - ((cell % GridX) * DeltaLon) - (DeltaLon / 2)).toFloat * -1.0f
+
+  def cellCenterLat(cell: Int): Float = {
+    val xIndex = cell % GridX
+    val yIndex = (cell - xIndex) / GridX
+    (LatNorth - (yIndex * DeltaLat) - (DeltaLat / 2)).toFloat
+  }
+
+  def euclideanDistance(lon1: Float, lat1: Float, lon2: Float, lat2: Float): Double = {
+    val x = lat1.toDouble - lat2.toDouble
+    val y = (lon1.toDouble - lon2.toDouble) * math.cos(lat2.toDouble)
+    DegLen * math.sqrt(x * x + y * y)
+  }
+
+  def directionAngle(startLon: Float, startLat: Float,
+      destLon: Float, destLat: Float): Int = {
+    val x = destLat.toDouble - startLat.toDouble
+    val y = (destLon.toDouble - startLon.toDouble) * math.cos(startLat.toDouble)
+    math.toDegrees(math.atan2(x, y)).toInt + 179
+  }
+
   /** Segment rasterization onto the grid (GeoUtils.java:95-161): the
     * slope-walk from cell(p1) to cell(p2), emitted as an array of cell
     * ids (a table function via explode). Expressed with a sequence over

@@ -60,31 +60,48 @@ object Similarity {
       .filter($"cos" >= threshold)
   }
 
-  /** Random-hyperplane LSH ANN: 12-bit signature from deterministic
-    * pseudo-random planes (plane weights derived from xxhash64(p, dim),
-    * uniform in [-1, 1)), bucket join, exact cosine within buckets,
-    * top-k per query. Rows-only; recall vs knnBruteForce is asserted in
-    * SimilaritySpec.
+  /** Multi-table random-hyperplane LSH ANN: L hash tables of `nPlanes`
+    * sign bits each (plane weights derived deterministically from
+    * xxhash64(table, plane, dim), uniform in [-1, 1)); a corpus vector is
+    * a candidate if it shares ANY (table, signature) bucket with the
+    * query; candidates are scored exactly and top-k'd per query.
+    * Rows-only checked; candidate-scoring agreement with knnBruteForce is
+    * asserted in SimilaritySpec.
+    *
+    * Scale: the corpus is hashed once (L×nPlanes fused plane dots in one
+    * codegen'd projection), then the join is a hash partition on the
+    * bucket key — candidate volume tracks bucket density, not corpus².
     */
-  def annLsh(spark: SparkSession, d: String, k: Int = 5, nPlanes: Int = 12): DataFrame = {
+  def annLsh(spark: SparkSession, d: String, k: Int = 5,
+      nPlanes: Int = 6, nTables: Int = 8): DataFrame = {
     import spark.implicits._
-    def planeDot(emb: org.apache.spark.sql.Column, p: org.apache.spark.sql.Column) =
+    def planeDot(emb: org.apache.spark.sql.Column, t: org.apache.spark.sql.Column,
+        p: org.apache.spark.sql.Column) =
       aggregate(
         zip_with(emb, sequence(lit(0), size(emb) - 1), (x, i) =>
-          x.cast("double") * ((pmod(xxhash64(p, i), lit(2000000L)).cast("double") / 1000000.0) - 1.0)),
+          x.cast("double") *
+            ((pmod(xxhash64(t, p, i), lit(2000000L)).cast("double") / 1000000.0) - 1.0)),
         lit(0.0), (acc, v) => acc + v)
-    def signature(emb: org.apache.spark.sql.Column) =
-      aggregate(
-        transform(sequence(lit(0), lit(nPlanes - 1)), p =>
-          when(planeDot(emb, p) > 0, lit(1L)).otherwise(lit(0L))),
-        lit(0L), (acc, v) => acc * 2 + v)
+    // per-table signature array: sigs[t] = fold of sign bits over planes
+    def signatures(emb: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0), lit(nTables - 1)), t =>
+        aggregate(
+          transform(sequence(lit(0), lit(nPlanes - 1)), p =>
+            when(planeDot(emb, t, p) > 0, lit(1L)).otherwise(lit(0L))),
+          lit(0L), (acc, v) => acc * 2 + v))
 
-    val c = corpusWithNorm(spark, d).withColumn("sig", signature($"embedding"))
-    val queries = c.filter($"vec_id" < 10)
-      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"n2".as("q_n2"), $"sig".as("q_sig"))
-    val scored = c.join(broadcast(queries), $"sig" === $"q_sig" && $"vec_id" =!= $"q_id")
-      .select($"q_id", $"vec_id".as("n_id"),
-        cosineFromParts(dotQ($"q_emb", $"embedding"), $"q_n2", $"n2").as("cos"))
+    val c = corpusWithNorm(spark, d).withColumn("sigs", signatures($"embedding"))
+    val buckets = c.select($"vec_id", $"embedding", $"n2",
+      posexplode($"sigs").as(Seq("tbl", "sig")))
+    val queries = buckets.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"n2".as("q_n2"),
+        $"tbl".as("q_tbl"), $"sig".as("q_sig"))
+    val candidates = buckets.join(broadcast(queries),
+        $"tbl" === $"q_tbl" && $"sig" === $"q_sig" && $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("n_id"), $"q_emb", $"embedding", $"q_n2", $"n2")
+      .dropDuplicates("q_id", "n_id") // a pair may collide in several tables
+    val scored = candidates.select($"q_id", $"n_id",
+      cosineFromParts(dotQ($"q_emb", $"embedding"), $"q_n2", $"n2").as("cos"))
     scored
       .withColumn("rnk", row_number().over(
         Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id".asc)))

@@ -1,0 +1,64 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.TaxiRide
+
+/** Taxi-ride source (reference S1/S2: TaxiRideSource and
+  * CheckpointedTaxiRideSource under datastream_java/sources/).
+  *
+  * The reference's replay sources mix three concerns that Spark separates
+  * (SURVEY §2.1):
+  *  - parsing the gzipped CSV → here, as a *column-expression* parser
+  *    that stays inside WholeStageCodegen (scale path) plus the typed
+  *    `TaxiRide.fromString` for tests;
+  *  - serving-speed / artificial out-of-orderness → a test-harness
+  *    generator (graft.streaming.Replay), not an engine operator;
+  *  - watermarking → `withWatermark` on the event-time column (Spark owns
+  *    the watermark clock); checkpoint/restore (S2) is engine-level via
+  *    `writeStream.option("checkpointLocation", ...)` — a replayable file
+  *    source gives exactly-once resume with no per-source offset code.
+  */
+object TaxiSource {
+
+  /** Column-level parser: lines → typed ride columns + eventTime.
+    * Handles the START/END time-field swap and blank-coordinate → 0.0f
+    * (TaxiRide.java:97-130) entirely in codegen'd expressions.
+    */
+  def parseLines(lines: DataFrame): DataFrame = {
+    val t = split(col("value"), ",")
+    def coord(i: Int) =
+      when(length(element_at(t, i)) === 0, lit(0.0f))
+        .otherwise(element_at(t, i).cast("float"))
+    val isStart = element_at(t, 2) === "START"
+    val time1 = to_timestamp(element_at(t, 3), TaxiRide.TimePattern)
+    val time2 = to_timestamp(element_at(t, 4), TaxiRide.TimePattern)
+    lines.select(
+      element_at(t, 1).cast("long").as("rideId"),
+      isStart.as("isStart"),
+      when(isStart, time1).otherwise(time2).as("startTime"),
+      when(isStart, time2).otherwise(time1).as("endTime"),
+      coord(5).as("startLon"), coord(6).as("startLat"),
+      coord(7).as("endLon"), coord(8).as("endLat"),
+      element_at(t, 9).cast("short").as("passengerCnt"))
+      .withColumn("eventTime", when(col("isStart"), col("startTime")).otherwise(col("endTime")))
+  }
+
+  /** Batch scan of a (optionally gzipped) taxi CSV file → typed rides.
+    * `spark.read.text` decompresses .gz transparently; at scale the
+    * parse is a single codegen'd projection over the scan.
+    */
+  def readRides(spark: SparkSession, path: String): Dataset[TaxiRide] = {
+    import spark.implicits._
+    parseLines(spark.read.text(path)).drop("eventTime").as[TaxiRide]
+  }
+
+  /** Streaming scan of a directory of taxi CSV files (file-drip source):
+    * the Structured-Streaming replacement for the reference's
+    * SourceFunction replay — files appearing in `dir` become micro-batches
+    * with exactly-once tracking.
+    */
+  def streamRides(spark: SparkSession, dir: String): DataFrame =
+    parseLines(spark.readStream.text(dir))
+}

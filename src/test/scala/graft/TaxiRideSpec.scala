@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.TaxiRide
+import graft.sources.TaxiSource
+
+class TaxiRideSpec extends AnyFunSuite {
+
+  val startLine = "1,START,2013-01-01 00:00:00,1970-01-01 00:00:00,-73.99,40.75,-73.98,40.74,1"
+  val endLine   = "1,END,2013-01-01 00:05:00,2013-01-01 00:00:00,-73.99,40.75,-73.98,40.74,1"
+
+  test("fromString applies the START/END time swap (TaxiRide.java:104-117)") {
+    val s = TaxiRide.fromString(startLine)
+    assert(s.isStart)
+    assert(TaxiRide.fmt(s.startTime) == "2013-01-01 00:00:00")
+    assert(TaxiRide.fmt(s.endTime) == "1970-01-01 00:00:00")
+
+    val e = TaxiRide.fromString(endLine)
+    assert(!e.isStart)
+    assert(TaxiRide.fmt(e.startTime) == "2013-01-01 00:00:00") // swapped back
+    assert(TaxiRide.fmt(e.endTime) == "2013-01-01 00:05:00")
+    assert(e.eventTime == e.endTime)
+    assert(s.eventTime == s.startTime)
+  }
+
+  test("serde round-trips both event types") {
+    assert(TaxiRide.fromString(startLine).toCsvString == startLine)
+    assert(TaxiRide.fromString(endLine).toCsvString == endLine)
+  }
+
+  test("blank coordinates parse to 0.0f, not null (TaxiRide.java:119-122)") {
+    val r = TaxiRide.fromString("5,START,2013-01-01 00:04:00,1970-01-01 00:00:00,,,-73.98,40.74,1")
+    assert(r.startLon == 0.0f && r.startLat == 0.0f)
+    assert(r.endLon == -73.98f)
+  }
+
+  test("file scan parses the fixture, column parser == scala parser") {
+    val spark = TestSpark.spark
+    val path = getClass.getResource("/taxi_rides.csv").getPath
+    val rides = TaxiSource.readRides(spark, path).collect().sortBy(r => (r.rideId, !r.isStart))
+    assert(rides.length == 12)
+
+    val lines = scala.io.Source.fromFile(path).getLines().toSeq
+    val expected = lines.map(TaxiRide.fromString).sortBy(r => (r.rideId, !r.isStart))
+    assert(rides.toSeq == expected)
+    // blank-coordinate ride
+    assert(rides.filter(_.rideId == 5).forall(_.startLon == 0.0f))
+  }
+}
