@@ -55,6 +55,7 @@ object SparkEntry {
     "q13_pagerank"        -> ((s, d) => Graph.pageRank(s, d)),
     "q24_grid_cells"      -> ((s, d) => GeoQueries.gridCells(s, d)),
     "q30_cells_on_way"    -> ((s, d) => GeoQueries.cellsOnWayQuery(s, d)),
+    "q31_multimodal"      -> ((s, d) => graft.multimodal.Multimodal.featureSummary(s, d)),
   )
 
   /** Unrolled fixed-iteration PageRank oracle (DuckDB has no iterative
@@ -322,5 +323,13 @@ object SparkEntry {
         |  trunc(degrees(atan2(lat2 - lat1, (lon2 - lon1) * cos(lat1))))::INT + 179 AS dir
         |FROM cells
         |) WHERE dist > 0.001""".stripMargin,
+    "q31_multimodal" ->
+      """WITH f AS (SELECT doc_id, strlen(text) AS n_bytes,
+        |                  (n_chars % 64 + 1)::INT AS width FROM documents),
+        |g AS (SELECT doc_id, n_bytes, width,
+        |             ((n_bytes + width - 1) // width)::INT AS height FROM f)
+        |SELECT (width % 8) AS width_bucket, count(*) AS n,
+        |       sum(n_bytes)::BIGINT AS total_bytes, max(height) AS max_height
+        |FROM g GROUP BY 1""".stripMargin,
   )
 }

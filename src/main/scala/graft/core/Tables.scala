@@ -15,6 +15,17 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Redistribute a small-but-compute-heavy table across the cluster.
+    * The driver's testdata files are single-row-group parquet —
+    * unsplittable, so every scan is one task and per-row-expensive
+    * operators (sketches, vector math) serialize onto one core. One
+    * round-robin shuffle of a few MB buys full parallelism. Real
+    * multi-file tables at scale get scan parallelism from layout and can
+    * skip this; it never changes results.
+    */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   def region(spark: SparkSession, d: String): DataFrame    = table(spark, d, "region")
   def nation(spark: SparkSession, d: String): DataFrame    = table(spark, d, "nation")
   def customer(spark: SparkSession, d: String): DataFrame  = table(spark, d, "customer")
@@ -33,6 +44,6 @@ object Tables {
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
   }
-  def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
-  def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
+  def documents(spark: SparkSession, d: String): DataFrame = spread(table(spark, d, "documents"))
+  def embeddings(spark: SparkSession, d: String): DataFrame = spread(table(spark, d, "embeddings"))
 }

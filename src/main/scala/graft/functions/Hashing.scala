@@ -16,20 +16,42 @@ import org.apache.spark.sql.functions._
 object Hashing {
 
   /** Distinct n-gram word shingles of a token array; empty when the doc
-    * has fewer than n tokens (sequence() would go descending otherwise).
+    * has fewer than n tokens.
+    *
+    * Built as a zip of n shifted slices rather than indexed element_at
+    * lookups: HOF lambdas are interpreted (no codegen), and a
+    * non-attribute child of an expression inside a lambda is RE-EVALUATED
+    * on every iteration — an element_at(tokenize(text), i) formulation
+    * re-tokenizes the document O(n·|doc|) times. zip_with/slice evaluate
+    * each argument once per row.
     */
-  def shingles(toks: Column, n: Int = 3): Column =
-    when(size(toks) >= n,
-      array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)), i =>
-        concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*))))
+  def shingles(toks: Column, n: Int = 3): Column = {
+    val len = size(toks) - (n - 1)
+    val joined = (2 to n).foldLeft(slice(toks, lit(1), len)) { (acc, j) =>
+      zip_with(acc, slice(toks, lit(j), len), (a, b) => concat_ws(" ", a, b))
+    }
+    when(size(toks) >= n, array_distinct(joined))
       .otherwise(array().cast("array<string>"))
+  }
 
   /** MinHash signature: k permutations simulated as seeded xxhash64
     * (hash of (perm-index, shingle)); sig[i] = min over shingles.
+    *
+    * Single-pass fold over the shingles with an elementwise-min
+    * accumulator — the transpose (per-permutation array_min over a
+    * re-derived shingle array) re-evaluates the shingle expression k
+    * times per row (see shingles()). Docs with no shingles get the
+    * all-MaxValue signature; their band collisions are discarded by the
+    * exact-Jaccard re-check.
     */
   def minhashSignature(shingleArr: Column, k: Int = 64): Column =
-    transform(sequence(lit(0), lit(k - 1)), i =>
-      array_min(transform(shingleArr, s => xxhash64(i, s))))
+    aggregate(
+      shingleArr,
+      array_repeat(lit(Long.MaxValue), k),
+      (acc, s) => zip_with(
+        acc,
+        transform(sequence(lit(0), lit(k - 1)), i => xxhash64(i, s)),
+        (a, h) => least(a, h)))
 
   /** LSH band keys of a MinHash signature: bands of `r` rows, each band
     * reduced to one 64-bit key = xxhash64(bandIdx, sig rows...). Emits an
@@ -40,17 +62,24 @@ object Hashing {
       xxhash64((b +: (0 until r).map(j => element_at(sig, b * r + j + 1))): _*))
 
   /** 64-bit SimHash of a token array: bit k is the sign of the per-bit
-    * vote sum over token hashes. Computed as a fold over 64 bit
-    * positions of codegen'd bit tests — one pass over the tokens per doc.
+    * vote sum over token hashes. Single pass over the tokens with a
+    * 64-long vote-vector accumulator (64 separate per-bit aggregates
+    * would re-evaluate the token-hash expression 64× per row — see
+    * shingles() on interpreted-HOF re-evaluation).
     */
   def simhash(toks: Column): Column = {
-    val hashes = transform(toks, t => xxhash64(t))
-    val bits = (0 until 64).map { k =>
-      val vote = aggregate(hashes, lit(0L), (acc, h) =>
-        acc + when(shiftright(h, k).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L << k)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+    val powers = typedLit((0 until 64).map(k => 1L << k))
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0L), 64),
+      (acc, t) => zip_with(
+        acc,
+        transform(powers, p =>
+          when(xxhash64(t).bitwiseAND(p) =!= 0L, lit(1L)).otherwise(lit(-1L))),
+        (a, v) => a + v))
+    aggregate(
+      zip_with(votes, powers, (v, p) => when(v > 0, p).otherwise(lit(0L))),
+      lit(0L), _ + _)
   }
 
   /** Hamming distance between two 64-bit sketches. */

@@ -22,9 +22,17 @@ object VectorFunctions {
 
   private def quant(x: Column): Column = round(x.cast("double") * Scale).cast("long")
 
+  /** Quantize a float array to 1e7-scaled longs — materialize this once
+    * per vector before joins, so the per-pair dot is pure long math.
+    */
+  def quantize(a: Column): Column = transform(a, x => quant(x))
+
+  /** Dot product of two PRE-quantized long arrays. */
+  def dotPreQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), _ + _)
+
   /** Exact quantized dot product of two float arrays, as long. */
-  def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => quant(x) * quant(y)), lit(0L), _ + _)
+  def dotQ(a: Column, b: Column): Column = dotPreQ(quantize(a), quantize(b))
 
   /** Exact quantized squared L2 norm, as long. */
   def norm2Q(a: Column): Column = dotQ(a, a)

@@ -73,8 +73,12 @@ object Dedup {
     */
   def minhashLsh(spark: SparkSession, d: String, threshold: Double = 0.5): DataFrame = {
     import spark.implicits._
+    // cache = collapse barrier: band extraction must reference the
+    // materialized signature column, not re-derive it per band lambda
+    // (interpreted HOFs re-evaluate non-attribute children — Hashing.scala)
     val sig = documents(spark, d)
       .select($"doc_id", minhashSignature(shingles(tokens($"text"), 3), 64).as("sig"))
+      .cache()
     val bands = sig.select($"doc_id", posexplode(bandKeys($"sig", 64, 2)))
       .select($"doc_id", $"pos".as("band"), $"col".as("key"))
     val candidates = bands.as("a").join(bands.as("b"),
@@ -104,6 +108,7 @@ object Dedup {
     import spark.implicits._
     val sk = documents(spark, d)
       .select($"doc_id", simhash(cleanTokens($"text")).as("sk"))
+      .cache() // collapse barrier, as in minhashLsh
     val bands = sk.select($"doc_id", $"sk", explode(hammingBands($"sk")).as("hb"))
       .select($"doc_id", $"sk", $"hb.band".as("band"), $"hb.key".as("key"))
     bands.as("a").join(bands.as("b"),

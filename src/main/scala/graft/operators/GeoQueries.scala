@@ -47,15 +47,34 @@ object GeoQueries {
   }
 
   /** Segment rasterization (mapToGridCellsOnWay, GeoUtils.java:95-161) as
-    * a table function: explode the per-ride cell array. Rows-only checked
-    * (our rasterization is a linear-interpolation re-expression of the
-    * reference's slope-walk, exercised + bounds-tested in GeoSpec).
+    * a table function. Rows-only checked (our rasterization is a
+    * linear-interpolation re-expression of the reference's slope-walk,
+    * exercised + bounds-tested in GeoSpec).
+    *
+    * Shape: endpoints → explode(sequence(0, steps)) → column math. The
+    * generator materializes the per-row endpoint values as attributes, so
+    * the per-step interpolation is cheap codegen'd arithmetic — the
+    * array-building HOF form (Geo.cellsOnWay) re-evaluates the endpoint
+    * expressions per step in interpreted mode (~60× slower here).
     */
   def cellsOnWayQuery(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     points(spark, d)
       .filter(isInNYC($"lon1", $"lat1") && isInNYC($"lon2", $"lat2"))
       .select($"event_id",
-        explode(cellsOnWay($"lon1", $"lat1", $"lon2", $"lat2")).as("cell"))
+        floor((lit(74.05) - abs($"lon1")) / 0.0014).cast("int").as("x1"),
+        floor((lit(41.0) - $"lat1") / 0.00125).cast("int").as("y1"),
+        floor((lit(74.05) - abs($"lon2")) / 0.0014).cast("int").as("x2"),
+        floor((lit(41.0) - $"lat2") / 0.00125).cast("int").as("y2"))
+      .withColumn("dx", $"x2" - $"x1")
+      .withColumn("dy", $"y2" - $"y1")
+      .withColumn("steps", greatest(abs($"dx"), abs($"dy")))
+      .select($"event_id", $"x1", $"y1", $"dx", $"dy", $"steps",
+        explode(sequence(lit(0), $"steps")).as("i"))
+      .withColumn("fx",
+        when($"steps" === 0, lit(0.0)).otherwise($"i".cast("double") / $"steps".cast("double")))
+      .select($"event_id",
+        (($"x1" + round($"fx" * $"dx").cast("int")) +
+          lit(250) * ($"y1" + round($"fx" * $"dy").cast("int"))).as("cell"))
   }
 }

@@ -13,18 +13,27 @@ import graft.functions.VectorFunctions._
   *  - brute-force top-k: broadcast the (small) query set against the full
   *    corpus scan — exact, one pass, no shuffle of the corpus; the
   *    baseline and the oracle-checked query.
-  *  - random-hyperplane LSH buckets: corpus hashed once into signature
-  *    buckets; only bucket-mates are scored. Sub-linear candidate sets at
-  *    the cost of recall; rows-only checked, recall-tested vs brute force.
+  *  - multi-table random-hyperplane LSH buckets: corpus hashed once;
+  *    only bucket-mates are scored. Sub-linear candidate sets at the cost
+  *    of recall; rows-only checked, consistency-tested vs brute force.
   *
-  * All cosines use exact fixed-point inner sums (VectorFunctions) so
-  * scores and hence rankings are engine/partitioning-independent.
+  * All cosines use exact quantized-integer inner products
+  * (VectorFunctions) so scores — and hence rankings — are
+  * engine/partitioning-independent. Vectors are quantized ONCE and
+  * cached; the per-pair work in the quadratic joins is pure long
+  * multiply-add.
   */
 object Similarity {
 
+  /** (vec_id, embedding, qemb = quantized longs, n2 = exact squared norm),
+    * cached: every similarity operator joins against this twice.
+    */
   private def corpusWithNorm(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    embeddings(spark, d).select($"vec_id", $"embedding", norm2Q($"embedding").as("n2"))
+    embeddings(spark, d)
+      .select($"vec_id", $"embedding", quantize($"embedding").as("qemb"))
+      .withColumn("n2", dotPreQ($"qemb", $"qemb"))
+      .cache()
   }
 
   /** Exact cosine top-k (k=5) for queries vec_id < 10 against the whole
@@ -35,10 +44,10 @@ object Similarity {
     import spark.implicits._
     val corpus = corpusWithNorm(spark, d)
     val queries = corpus.filter($"vec_id" < 10)
-      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"n2".as("q_n2"))
+      .select($"vec_id".as("q_id"), $"qemb".as("q_qemb"), $"n2".as("q_n2"))
     val scored = corpus.join(broadcast(queries), $"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id".as("n_id"),
-        cosineFromParts(dotQ($"q_emb", $"embedding"), $"q_n2", $"n2").as("cos"))
+        cosineFromParts(dotPreQ($"q_qemb", $"qemb"), $"q_n2", $"n2").as("cos"))
     scored
       .withColumn("rnk", row_number().over(
         Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id".asc)))
@@ -53,10 +62,10 @@ object Similarity {
   def embeddingNearDup(spark: SparkSession, d: String, threshold: Double = 0.4): DataFrame = {
     import spark.implicits._
     val c = corpusWithNorm(spark, d)
-    val a = c.select($"vec_id".as("x"), $"embedding".as("ea"), $"n2".as("na"))
-    val b = c.select($"vec_id".as("y"), $"embedding".as("eb"), $"n2".as("nb"))
+    val a = c.select($"vec_id".as("x"), $"qemb".as("qa"), $"n2".as("na"))
+    val b = c.select($"vec_id".as("y"), $"qemb".as("qb"), $"n2".as("nb"))
     a.join(b, $"x" < $"y")
-      .select($"x", $"y", cosineFromParts(dotQ($"ea", $"eb"), $"na", $"nb").as("cos"))
+      .select($"x", $"y", cosineFromParts(dotPreQ($"qa", $"qb"), $"na", $"nb").as("cos"))
       .filter($"cos" >= threshold)
   }
 
@@ -66,11 +75,11 @@ object Similarity {
     * a candidate if it shares ANY (table, signature) bucket with the
     * query; candidates are scored exactly and top-k'd per query.
     * Rows-only checked; candidate-scoring agreement with knnBruteForce is
-    * asserted in SimilaritySpec.
+    * asserted in DedupSimilaritySpec.
     *
     * Scale: the corpus is hashed once (L×nPlanes fused plane dots in one
-    * codegen'd projection), then the join is a hash partition on the
-    * bucket key — candidate volume tracks bucket density, not corpus².
+    * projection), then the join is a hash partition on the bucket key —
+    * candidate volume tracks bucket density, not corpus².
     */
   def annLsh(spark: SparkSession, d: String, k: Int = 5,
       nPlanes: Int = 6, nTables: Int = 8): DataFrame = {
@@ -91,17 +100,17 @@ object Similarity {
           lit(0L), (acc, v) => acc * 2 + v))
 
     val c = corpusWithNorm(spark, d).withColumn("sigs", signatures($"embedding"))
-    val buckets = c.select($"vec_id", $"embedding", $"n2",
+    val buckets = c.select($"vec_id", $"qemb", $"n2",
       posexplode($"sigs").as(Seq("tbl", "sig")))
     val queries = buckets.filter($"vec_id" < 10)
-      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"n2".as("q_n2"),
+      .select($"vec_id".as("q_id"), $"qemb".as("q_qemb"), $"n2".as("q_n2"),
         $"tbl".as("q_tbl"), $"sig".as("q_sig"))
     val candidates = buckets.join(broadcast(queries),
         $"tbl" === $"q_tbl" && $"sig" === $"q_sig" && $"vec_id" =!= $"q_id")
-      .select($"q_id", $"vec_id".as("n_id"), $"q_emb", $"embedding", $"q_n2", $"n2")
+      .select($"q_id", $"vec_id".as("n_id"), $"q_qemb", $"qemb", $"q_n2", $"n2")
       .dropDuplicates("q_id", "n_id") // a pair may collide in several tables
     val scored = candidates.select($"q_id", $"n_id",
-      cosineFromParts(dotQ($"q_emb", $"embedding"), $"q_n2", $"n2").as("cos"))
+      cosineFromParts(dotPreQ($"q_qemb", $"qemb"), $"q_n2", $"n2").as("cos"))
     scored
       .withColumn("rnk", row_number().over(
         Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id".asc)))

@@ -54,6 +54,31 @@ object TaxiSource {
     parseLines(spark.read.text(path)).drop("eventTime").as[TaxiRide]
   }
 
+  /** convertTrips.sh (P12, src/main/scripts/convertTrips.sh:19): one raw
+    * trip → two event rows — START with placeholder end time
+    * 1970-01-01 00:00:00, END with real times — globally ordered by event
+    * time. The shell sort -S 4G becomes a distributed orderBy (range
+    * partition + sort, SURVEY §2.7).
+    */
+  def tripsToEvents(trips: DataFrame): DataFrame = {
+    val placeholder = lit("1970-01-01 00:00:00").cast("timestamp")
+    val start = struct(
+      lit(true).as("isStart"), col("startTime").as("eventTime"),
+      col("startTime"), placeholder.as("endTime"))
+    val end = struct(
+      lit(false).as("isStart"), col("endTime").as("eventTime"),
+      col("startTime"), col("endTime"))
+    trips
+      .select(col("rideId"), explode(array(start, end)).as("ev"),
+        col("startLon"), col("startLat"), col("endLon"), col("endLat"),
+        col("passengerCnt"))
+      .select(col("rideId"), col("ev.isStart").as("isStart"),
+        col("ev.startTime").as("startTime"), col("ev.endTime").as("endTime"),
+        col("startLon"), col("startLat"), col("endLon"), col("endLat"),
+        col("passengerCnt"), col("ev.eventTime").as("eventTime"))
+      .orderBy(col("eventTime"))
+  }
+
   /** Streaming scan of a directory of taxi CSV files (file-drip source):
     * the Structured-Streaming replacement for the reference's
     * SourceFunction replay — files appearing in `dir` become micro-batches

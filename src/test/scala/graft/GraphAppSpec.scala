@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.apps.PageRankWithEdgeWeights.pageRankOnEdges
+import graft.sources.TaxiSource
+
+class GraphAppSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("PageRank on a strongly-connected 5-vertex digraph (FIXTURES.md §3)") {
+    import spark.implicits._
+    // every vertex has >=1 in and >=1 out edge (the reference's own
+    // prerequisite, gelly_java/PageRankWithEdgeWeights.java:38-41)
+    val edges = Seq(
+      ("a", "b", 1.0), ("b", "c", 2.0), ("c", "d", 1.0), ("d", "e", 3.0),
+      ("e", "a", 1.0), ("a", "c", 1.0), ("c", "a", 2.0), ("d", "b", 1.0)
+    ).toDF("src", "dst", "weight")
+    val ranks = pageRankOnEdges(edges, 20)
+      .as[(String, Double)].collect().toMap
+    assert(ranks.size == 5)
+    // seeded at 1.0 per vertex (reference semantics), total rank decays
+    // geometrically toward the fixed point 1: Σ_t = 0.85^t·5 + (1−0.85^t)
+    val expectedSum = math.pow(0.85, 20) * 5 + (1 - math.pow(0.85, 20))
+    assert(math.abs(ranks.values.sum - expectedSum) < 1e-9, ranks)
+    // vertex c receives weight from a (prob 1/2) and b (prob 1) — more
+    // central than e which only receives d's 3/4 share
+    assert(ranks("c") > ranks("e"), ranks)
+    assert(ranks.values.forall(_ > 0))
+  }
+
+  test("tripsToEvents: one trip row becomes ordered START/END events (P12)") {
+    import spark.implicits._
+    val trips = Seq(
+      (1L, java.sql.Timestamp.valueOf("2013-01-01 00:00:00"),
+        java.sql.Timestamp.valueOf("2013-01-01 00:10:00"),
+        -73.98f, 40.75f, -73.9f, 40.8f, 1.toShort),
+      (2L, java.sql.Timestamp.valueOf("2013-01-01 00:05:00"),
+        java.sql.Timestamp.valueOf("2013-01-01 00:07:00"),
+        -73.97f, 40.76f, -73.91f, 40.81f, 2.toShort)
+    ).toDF("rideId", "startTime", "endTime", "startLon", "startLat",
+      "endLon", "endLat", "passengerCnt")
+    val events = TaxiSource.tripsToEvents(trips).collect()
+    assert(events.length == 4)
+    // globally ordered by event time: start1, start2, end2, end1
+    assert(events.map(r => (r.getAs[Long]("rideId"), r.getAs[Boolean]("isStart"))).toSeq ==
+      Seq((1L, true), (2L, true), (2L, false), (1L, false)))
+    // START rows carry the placeholder end time
+    val start1 = events(0)
+    assert(start1.getAs[java.sql.Timestamp]("endTime") ==
+      java.sql.Timestamp.valueOf("1970-01-01 00:00:00"))
+  }
+}
