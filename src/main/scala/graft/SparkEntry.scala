@@ -56,7 +56,45 @@ object SparkEntry {
     "q24_grid_cells"      -> ((s, d) => GeoQueries.gridCells(s, d)),
     "q30_cells_on_way"    -> ((s, d) => GeoQueries.cellsOnWayQuery(s, d)),
     "q31_multimodal"      -> ((s, d) => graft.multimodal.Multimodal.featureSummary(s, d)),
+    "q32_dedup_clusters"  -> ((s, d) => Dedup.dedupClusters(s, d)),
+    "q33_salted_agg"      -> ((s, d) => Relational.saltedAgg(s, d)),
+    "q34_asof_join"       -> ((s, d) => Relational.asofJoin(s, d)),
+    "q35_member_otd"      -> ((s, d) => Relational.memberOTDay(s, d)),
   )
+
+  /** Unrolled min-label-propagation oracle for dedup clusters (mirrors
+    * Dedup.dedupClusters' loop; near-dup components are shallow so 5
+    * supersteps are exhaustive on this corpus).
+    */
+  private def dedupClustersSql(iters: Int): String = {
+    val base =
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |              FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM toks, unnest(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS inter
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT x, y
+        |          FROM inter JOIN sizes sa ON x = sa.doc_id
+        |                     JOIN sizes sb ON y = sb.doc_id
+        |          WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.5),
+        |edges AS (SELECT x, y FROM pairs UNION ALL SELECT y AS x, x AS y FROM pairs),
+        |l0 AS (SELECT doc_id, doc_id AS label FROM documents)""".stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      s""",
+         |l$i AS (SELECT l.doc_id,
+         |    least(l.label, coalesce(m.nlabel, l.label)) AS label
+         |  FROM l${i - 1} l LEFT JOIN (
+         |    SELECT e.x, min(p.label) AS nlabel
+         |    FROM edges e JOIN l${i - 1} p ON e.y = p.doc_id GROUP BY 1) m
+         |  ON l.doc_id = m.x)""".stripMargin
+    }.mkString
+    base + iterCtes +
+      s"\nSELECT label AS cluster_id, count(*) AS cluster_size FROM l$iters GROUP BY 1"
+  }
 
   /** Unrolled fixed-iteration PageRank oracle (DuckDB has no iterative
     * DataFrame loop; 10 chained CTEs replicate the loop exactly —
@@ -331,5 +369,34 @@ object SparkEntry {
         |SELECT (width % 8) AS width_bucket, count(*) AS n,
         |       sum(n_bytes)::BIGINT AS total_bytes, max(height) AS max_height
         |FROM g GROUP BY 1""".stripMargin,
+    "q32_dedup_clusters" -> dedupClustersSql(5),
+    "q33_salted_agg" ->
+      """SELECT event_type, count(*) AS cnt,
+        |       sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
+    "q34_asof_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+        |                  epoch_us(ts) AS tsu FROM events),
+        |w AS (SELECT *,
+        |  last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pcv,
+        |  last_value(CASE WHEN event_type = 'click' THEN tsu END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pct
+        |  FROM e)
+        |SELECT user_id, event_id, tsu,
+        |       coalesce(pcv, -1.0) AS prev_click_value,
+        |       coalesce(pct, -1) AS prev_click_tsu
+        |FROM w WHERE event_type = 'purchase'""".stripMargin,
+    "q35_member_otd" ->
+      """WITH counts AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day, user_id, count(*) AS cnt
+        |  FROM events WHERE event_type <> 'error' GROUP BY 1, 2)
+        |SELECT day, user_id, cnt FROM (
+        |  SELECT day, user_id, cnt,
+        |         rank() OVER (PARTITION BY day ORDER BY cnt DESC) AS rnk
+        |  FROM counts)
+        |WHERE rnk = 1""".stripMargin,
   )
 }

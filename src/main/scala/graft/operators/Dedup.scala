@@ -100,6 +100,36 @@ object Dedup {
       .filter($"jac" >= threshold)
   }
 
+  /** Near-dup CLUSTERS from the pair graph: connected components by
+    * iterative min-label propagation (each doc adopts the smallest doc_id
+    * reachable through near-dup edges), then one canonical doc per
+    * cluster — what a dedup pipeline actually emits. Fixed iteration
+    * count (like the PageRank loop, SURVEY §2.9); near-dup components
+    * are tiny (pairs/triangles), so 5 supersteps are exhaustive at any
+    * corpus size where near-dup chains stay shallow.
+    *
+    * Scale: per superstep one shuffle join labels⋈edges + a min-agg;
+    * the label table is |docs|, edges are the sparse near-dup pairs.
+    */
+  def dedupClusters(spark: SparkSession, d: String,
+      threshold: Double = 0.5, iterations: Int = 5): DataFrame = {
+    import spark.implicits._
+    val pairs = jaccardPairs(spark, d, threshold).select($"x", $"y")
+    // undirected edges, both directions
+    val edges = pairs.union(pairs.select($"y".as("x"), $"x".as("y"))).cache()
+    var labels = documents(spark, d).select($"doc_id", $"doc_id".as("label"))
+    for (_ <- 1 to iterations) {
+      val neighborMin = edges.join(labels, $"y" === $"doc_id")
+        .groupBy($"x").agg(min($"label").as("nlabel"))
+      labels = labels.join(neighborMin, $"doc_id" === $"x", "left")
+        .select($"doc_id",
+          least($"label", coalesce($"nlabel", $"label")).as("label"))
+        .localCheckpoint()
+    }
+    labels.groupBy($"label".as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+  }
+
   /** SimHash near-dup pairs: 64-bit sketch, pigeonhole banding on 16-bit
     * chunks (complete for Hamming ≤ 3), Hamming re-check. Rows-only
     * (engine-specific hash); sketch locality is property-tested.

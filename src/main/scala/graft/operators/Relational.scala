@@ -138,6 +138,66 @@ object Relational {
       .filter($"rnk" <= 10)
   }
 
+  /** Skew-safe two-stage aggregation: salt the (few, hot) group keys
+    * across `salts` buckets, pre-aggregate per (key, salt), then combine.
+    * Results are identical to the plain groupBy (counts/decimal sums are
+    * associative); the first shuffle spreads each hot key over `salts`
+    * reducers — the standard defense when one key holds a double-digit
+    * share of 100 TB. (events has 5 hot event_type keys — exactly that
+    * shape at scale.)
+    */
+  def saltedAgg(spark: SparkSession, d: String, salts: Int = 16): DataFrame = {
+    import spark.implicits._
+    events(spark, d)
+      .withColumn("salt", pmod(xxhash64($"event_id"), lit(salts)))
+      .groupBy($"event_type", $"salt")
+      .agg(count(lit(1)).as("pcnt"), stableSum($"value").as("psum"))
+      .groupBy($"event_type")
+      .agg(sum($"pcnt").as("cnt"), stableSum($"psum").as("sum_value"))
+  }
+
+  /** As-of join on the event stream: each purchase is joined to the same
+    * user's most recent prior click (a time-series join the reference
+    * lacks; builder-prompt custom-operator family). Composed from
+    * built-ins — preference (a) of the custom-op ladder: one shuffle on
+    * user_id, a window sort, `last_value(ignoreNulls)` carries the
+    * latest click forward; no custom SparkPlan needed because the
+    * semantics ARE expressible relationally.
+    */
+  def asofJoin(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"tsu", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(spark, d)
+      .select($"user_id", $"event_id", $"event_type", $"value",
+        unix_micros($"ts").as("tsu"))
+      .withColumn("prev_click_value",
+        last(when($"event_type" === "click", $"value"), ignoreNulls = true).over(w))
+      .withColumn("prev_click_tsu",
+        last(when($"event_type" === "click", $"tsu"), ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"tsu",
+        coalesce($"prev_click_value", lit(-1.0)).as("prev_click_value"),
+        coalesce($"prev_click_tsu", lit(-1L)).as("prev_click_tsu"))
+  }
+
+  /** Daily argmax with ties — the MemberOTMonth shape (J3) at day grain
+    * (the events table spans one month, so month grain yields one row).
+    */
+  def memberOTDay(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val counts = events(spark, d)
+      .filter($"event_type" =!= "error")
+      .select(date_format($"ts", "yyyy-MM-dd").as("day"), $"user_id")
+      .groupBy($"day", $"user_id")
+      .agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn("rnk", rank().over(
+        Window.partitionBy($"day").orderBy($"cnt".desc)))
+      .filter($"rnk" === 1)
+      .select($"day", $"user_id", $"cnt")
+  }
+
   /** Distinct pairs (MBoxParser.java:79-80 `distinct(0)` analog). */
   def distinctPairs(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
