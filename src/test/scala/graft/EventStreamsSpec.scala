@@ -1,0 +1,60 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+class EventStreamsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  def ts(s: String) = Timestamp.valueOf(s)
+
+  test("sliding window agg fires on watermark in append mode (q10 logic, streaming)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStreams.slidingCounts(input.toDF())
+      .writeStream.format("memory").queryName("ev_sliding").outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts("2024-01-01 00:05:00"), 1, "click", 10.0),
+        Event(2, ts("2024-01-01 00:20:00"), 2, "click", 5.0),
+        Event(3, ts("2024-01-01 00:10:00"), 1, "view", 1.0)) // out of order
+      query.processAllAvailable()
+      assert(spark.table("ev_sliding").count() == 0) // watermark behind window ends
+      input.addData(Event(9, ts("2024-01-01 03:00:00"), 3, "view", 0.0))
+      query.processAllAvailable()
+      val rows = spark.table("ev_sliding")
+        .as[(Long, String, Long, Double)].collect().toSet
+      // window [00:00,01:00) per type: click cnt=2 sum=15, view cnt=1 sum=1
+      assert(rows.exists { case (_, t, c, s) => t == "click" && c == 2 && s == 15.0 })
+      assert(rows.exists { case (_, t, c, s) => t == "view" && c == 1 && s == 1.0 })
+      // sliding windows: the 00:05 click appears in the 4 windows covering it
+      assert(rows.count { case (_, t, _, _) => t == "click" } >= 4)
+    } finally query.stop()
+  }
+
+  test("keyed running totals carry state across micro-batches (update mode)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStreams.runningUserTotals(input.toDS())
+      .writeStream.format("memory").queryName("ev_totals").outputMode("update").start()
+    try {
+      input.addData(Event(1, ts("2024-01-01 00:00:00"), 7, "click", 2.5))
+      query.processAllAvailable()
+      input.addData(
+        Event(2, ts("2024-01-01 00:01:00"), 7, "click", 1.5),
+        Event(3, ts("2024-01-01 00:02:00"), 8, "view", 4.0))
+      query.processAllAvailable()
+      val latest = spark.table("ev_totals")
+        .as[(Long, Long, Double)].collect()
+        .groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
+      assert(latest(7L) == ((7L, 2L, 4.0))) // state carried: 2 events, 2.5+1.5
+      assert(latest(8L) == ((8L, 1L, 4.0)))
+    } finally query.stop()
+  }
+}
