@@ -60,6 +60,9 @@ object SparkEntry {
     "q33_salted_agg"      -> ((s, d) => Relational.saltedAgg(s, d)),
     "q34_asof_join"       -> ((s, d) => Relational.asofJoin(s, d)),
     "q35_member_otd"      -> ((s, d) => Relational.memberOTDay(s, d)),
+    "q36_distinct_stats"  -> ((s, d) => Relational.distinctStats(s, d)),
+    "q37_rollup"          -> ((s, d) => Relational.rollupCounts(s, d)),
+    "q38_percentiles"     -> ((s, d) => Relational.percentiles(s, d)),
   )
 
   /** Unrolled min-label-propagation oracle for dedup clusters (mirrors
@@ -398,5 +401,20 @@ object SparkEntry {
         |         rank() OVER (PARTITION BY day ORDER BY cnt DESC) AS rnk
         |  FROM counts)
         |WHERE rnk = 1""".stripMargin,
+    "q36_distinct_stats" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |       count(*) AS n_events
+        |FROM events GROUP BY 1""".stripMargin,
+    "q37_rollup" ->
+      """SELECT coalesce(event_type, 'ALL') AS event_type,
+        |       coalesce(user_id::VARCHAR, 'ALL') AS user_id,
+        |       count(*) AS cnt,
+        |       sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
+        |FROM events GROUP BY ROLLUP (event_type, user_id)""".stripMargin,
+    "q38_percentiles" ->
+      """SELECT event_type,
+        |       quantile_cont(value, 0.5) AS p50,
+        |       quantile_cont(value, 0.9) AS p90
+        |FROM events GROUP BY 1""".stripMargin,
   )
 }

@@ -204,6 +204,46 @@ object Relational {
     events(spark, d).select($"user_id", $"event_type").distinct()
   }
 
+  /** Distinct-aggregate + approximate sketch side by side: exact
+    * count(DISTINCT) (expands to a two-phase agg) and HLL
+    * approx_count_distinct (one pass, mergeable — the 100 TB default;
+    * engine-specific sketch, so it is exercised here but only the exact
+    * column is oracle-compared via q36's SQL).
+    */
+  def distinctStats(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    events(spark, d)
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n_users"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** Rollup (grouping-sets family): per (event_type, user) counts with
+    * subtotal and grand-total rows; rollup keys are coalesced to 'ALL'
+    * so the oracle compare has no null-vs-NaN ambiguity.
+    */
+  def rollupCounts(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    events(spark, d)
+      .rollup($"event_type", $"user_id")
+      .agg(count(lit(1)).as("cnt"), stableSum($"value").as("sum_value"))
+      .select(coalesce($"event_type", lit("ALL")).as("event_type"),
+        coalesce($"user_id".cast("string"), lit("ALL")).as("user_id"),
+        $"cnt", $"sum_value")
+  }
+
+  /** Exact percentiles per group (continuous interpolation — the
+    * sort-based exact form; at 100 TB swap in approx_percentile's
+    * mergeable sketch, same API shape).
+    */
+  def percentiles(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    events(spark, d)
+      .groupBy($"event_type")
+      .agg(percentile($"value", lit(0.5)).as("p50"),
+        percentile($"value", lit(0.9)).as("p90"))
+  }
+
   /** Vertex-set construction — union of edge endpoints, distinct
     * (gelly_java/PageRankWithEdgeWeights.java:78-83). Union is a no-shuffle
     * concat; the distinct is the one hash exchange.
