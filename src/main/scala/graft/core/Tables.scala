@@ -26,6 +26,22 @@ object Tables {
   def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** Register every testdata table as a temp view so the whole surface
+    * is reachable from `spark.sql(...)` — the Table-API layer of the
+    * reference IS Spark SQL natively (SURVEY §1.1).
+    */
+  def registerViews(spark: SparkSession, sfDir: String): Unit =
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { name =>
+      val df = name match {
+        case "events"               => events(spark, sfDir)
+        case "documents"            => documents(spark, sfDir)
+        case "embeddings"           => embeddings(spark, sfDir)
+        case other                  => table(spark, sfDir, other)
+      }
+      df.createOrReplaceTempView(name)
+    }
+
   def region(spark: SparkSession, d: String): DataFrame    = table(spark, d, "region")
   def nation(spark: SparkSession, d: String): DataFrame    = table(spark, d, "nation")
   def customer(spark: SparkSession, d: String): DataFrame  = table(spark, d, "customer")

@@ -107,6 +107,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(TaxiStreams.RegSums(0, 0.0, 0.0).predict(1.0).isNaN)
   }
 
+  test("checkpointed restart resumes exactly-once (S2/W6)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    val (inDir, outDir, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+    new java.io.File(inDir).mkdirs()
+
+    def writeBatch(name: String, rides: Seq[TaxiRide]): Unit = {
+      val f = new java.io.File(s"$inDir/$name")
+      val w = new java.io.PrintWriter(f)
+      rides.foreach(r => w.println(r.toCsvString))
+      w.close()
+    }
+    def startQuery() = {
+      val rides = graft.sources.TaxiSource.streamRides(spark, inDir)
+      TaxiStreams.cleanse(rides)
+        .select($"rideId", $"isStart", $"eventTime")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    }
+
+    writeBatch("part1.csv", popularRides.take(10))
+    val q1 = startQuery()
+    q1.processAllAvailable(); q1.stop()
+    // restart from the same checkpoint with new data arrived
+    writeBatch("part2.csv", popularRides.slice(10, 25))
+    val q2 = startQuery()
+    q2.processAllAvailable(); q2.stop()
+
+    val out = spark.read.parquet(outDir).select("rideId").as[Long].collect()
+    // every NYC ride exactly once — no replays of part1, no gaps
+    assert(out.sorted.toSeq == (1L to 25L), out.sorted.toSeq)
+  }
+
   test("Replay: bounded delay keeps out-of-orderness within the bound (S1)") {
     val rides = popularRides.sortBy(_.eventTime.getTime)
     val replayed = Replay.withBoundedDelay(rides, maxDelaySecs = 60, seed = 7L)
