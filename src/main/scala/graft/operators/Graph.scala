@@ -46,7 +46,7 @@ object Graph {
   }
 
   def pageRank(spark: SparkSession, d: String, iterations: Int = 10,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85, teleport: Double = 0.15): DataFrame = {
     import spark.implicits._
     val edges = tradeEdges(spark, d).cache()
     // A8: per-source sum of outgoing weights (Java-canonical semantics)
@@ -70,7 +70,10 @@ object Graph {
         .agg((sum(round(($"rank" * $"p") * 1e14).cast("long")).cast("double") / 1e14).as("s"))
       ranks = vertices
         .join(contribs, $"id" === $"dst", "left")
-        .select($"id", (lit(damping) * coalesce($"s", lit(0.0)) + lit((1 - damping) / n)).as("rank"))
+        // teleport as the explicit 0.15 literal, NOT (1 - damping): the
+        // latter is 0.15000000000000002 in doubles and the oracle's
+        // 0.15::DOUBLE would differ by 1 ulp on in-edge-less vertices
+        .select($"id", (lit(damping) * coalesce($"s", lit(0.0)) + lit(teleport / n)).as("rank"))
         .localCheckpoint() // cut lineage each superstep
     }
     ranks.select($"id".as("nationkey"), $"rank")
