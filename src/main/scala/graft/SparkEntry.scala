@@ -63,6 +63,7 @@ object SparkEntry {
     "q36_distinct_stats"  -> ((s, d) => Relational.distinctStats(s, d)),
     "q37_rollup"          -> ((s, d) => Relational.rollupCounts(s, d)),
     "q38_percentiles"     -> ((s, d) => Relational.percentiles(s, d)),
+    "q39_ann_ivf"         -> ((s, d) => Similarity.annIvf(s, d)),
   )
 
   /** Unrolled min-label-propagation oracle for dedup clusters (mirrors

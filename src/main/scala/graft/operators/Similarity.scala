@@ -69,6 +69,52 @@ object Similarity {
       .filter($"cos" >= threshold)
   }
 
+  /** IVF (inverted-file) ANN: a deterministic coarse quantizer — the
+    * first `nLists` corpus vectors serve as centroids (a real deployment
+    * trains k-means; determinism matters more here) — assigns every
+    * vector to its nearest centroid by exact cosine; queries probe the
+    * `nProbe` nearest lists and are scored exactly against only those
+    * lists' members.
+    *
+    * Scale: assignment is one broadcast pass over the corpus (centroids
+    * are tiny); the probe join is a hash partition on list id, touching
+    * nProbe/nLists of the corpus per query — the standard
+    * recall-vs-fanout dial. Rows-only checked; scoring agreement and
+    * recall are asserted in DedupSimilaritySpec.
+    */
+  def annIvf(spark: SparkSession, d: String, k: Int = 5,
+      nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val c = corpusWithNorm(spark, d)
+    val centroids = c.filter($"vec_id" < nLists)
+      .select($"vec_id".as("list_id"), $"qemb".as("c_qemb"), $"n2".as("c_n2"))
+    def nearestLists(src: DataFrame, n: Int): DataFrame =
+      src.crossJoin(broadcast(centroids))
+        .select($"vec_id", $"list_id",
+          cosineFromParts(dotPreQ($"qemb", $"c_qemb"), $"n2", $"c_n2").as("ccos"))
+        .withColumn("crnk", row_number().over(
+          Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"list_id".asc)))
+        .filter($"crnk" <= n)
+        .select($"vec_id", $"list_id")
+    // corpus assignment: nearest single list per vector
+    val assigned = c.join(nearestLists(c, 1), "vec_id")
+    // queries probe their nProbe nearest lists
+    val queries = c.filter($"vec_id" < 10)
+    val qSide = queries
+      .select($"vec_id".as("q_id"), $"qemb".as("q_qemb"), $"n2".as("q_n2"))
+      .join(nearestLists(queries, nProbe)
+        .select($"vec_id".as("q_id"), $"list_id".as("p_list")), "q_id")
+    val scored = assigned.join(broadcast(qSide),
+        $"list_id" === $"p_list" && $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("n_id"),
+        cosineFromParts(dotPreQ($"q_qemb", $"qemb"), $"q_n2", $"n2").as("cos"))
+      .dropDuplicates("q_id", "n_id")
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id".asc)))
+      .filter($"rnk" <= k)
+  }
+
   /** Multi-table random-hyperplane LSH ANN: L hash tables of `nPlanes`
     * sign bits each (plane weights derived deterministically from
     * xxhash64(table, plane, dim), uniform in [-1, 1)); a corpus vector is

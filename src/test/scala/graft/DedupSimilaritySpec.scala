@@ -59,6 +59,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(perQuery.values.forall(_ <= 5))
   }
 
+  test("IVF-ANN candidates score identically to brute force, recall > 0") {
+    import spark.implicits._
+    val brute = Similarity.knnBruteForce(spark, sf, k = 500)
+      .select($"q_id", $"n_id", $"cos").as[(Long, Long, Double)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    val bruteTop5 = Similarity.knnBruteForce(spark, sf, k = 5)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.annIvf(spark, sf)
+      .select($"q_id", $"n_id", $"cos").as[(Long, Long, Double)].collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (q, n, c) =>
+      assert(brute((q, n)) == c, s"cosine mismatch for ($q,$n)")
+    }
+    val hits = ivf.map(t => (t._1, t._2)).toSet intersect bruteTop5
+    assert(hits.nonEmpty, "IVF should recover at least some true top-5 neighbors")
+  }
+
   test("rolling fingerprint is deterministic and order-sensitive") {
     import spark.implicits._
     val fps = Text.rollingFp(spark, sf).as[(Long, Long)].collect().toMap
