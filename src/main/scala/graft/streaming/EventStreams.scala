@@ -36,6 +36,16 @@ object EventStreams {
       .select(unix_timestamp(col("w.start")).as("w_start"),
         col("event_type"), col("cnt"), col("sum_value"))
 
+  /** Streaming exact dedup: first occurrence per event_id wins;
+    * watermarked so the dedup state is garbage-collected once an id can
+    * no longer arrive (the unbounded-state answer for 100 TB streams —
+    * state size is bounded by ids per watermark horizon, not by history).
+    */
+  def dedupStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Per-user running totals — keyed mutable state in Update mode (the
     * W4 ValueState shape on the events stream): every batch emits the
     * updated (user, n, total) after folding that batch's events.

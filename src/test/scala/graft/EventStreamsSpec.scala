@@ -37,6 +37,27 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming dedup keeps the first occurrence per id (watermarked state)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStreams.dedupStream(input.toDF())
+      .select("event_id", "value")
+      .writeStream.format("memory").queryName("ev_dedup").outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts("2024-01-01 00:00:00"), 1, "click", 1.0),
+        Event(1, ts("2024-01-01 00:00:30"), 1, "click", 99.0), // dup id
+        Event(2, ts("2024-01-01 00:01:00"), 2, "view", 2.0))
+      query.processAllAvailable()
+      input.addData(Event(1, ts("2024-01-01 00:02:00"), 1, "click", 77.0)) // dup again
+      query.processAllAvailable()
+      val rows = spark.table("ev_dedup").as[(Long, Double)].collect().toMap
+      assert(rows.keySet == Set(1L, 2L))
+      assert(rows(1L) == 1.0) // first occurrence won
+    } finally query.stop()
+  }
+
   test("keyed running totals carry state across micro-batches (update mode)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
