@@ -64,6 +64,7 @@ object SparkEntry {
     "q37_rollup"          -> ((s, d) => Relational.rollupCounts(s, d)),
     "q38_percentiles"     -> ((s, d) => Relational.percentiles(s, d)),
     "q39_ann_ivf"         -> ((s, d) => Similarity.annIvf(s, d)),
+    "q40_anti_join"       -> ((s, d) => Relational.antiSemiJoin(s, d)),
   )
 
   /** Unrolled min-label-propagation oracle for dedup clusters (mirrors
@@ -417,5 +418,9 @@ object SparkEntry {
         |       quantile_cont(value, 0.5) AS p50,
         |       quantile_cont(value, 0.9) AS p90
         |FROM events GROUP BY 1""".stripMargin,
+    "q40_anti_join" ->
+      """SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        |  AND user_id NOT IN
+        |    (SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 190)""".stripMargin,
   )
 }

@@ -204,6 +204,21 @@ object Relational {
     events(spark, d).select($"user_id", $"event_type").distinct()
   }
 
+  /** Semi/anti joins (EXISTS / NOT EXISTS): users who clicked but never
+    * made a large (>190) purchase. Beyond the reference's inner-equi-join-only surface
+    * (SURVEY §2.4 note) — both plan as existence joins with no
+    * duplication of the probe side.
+    */
+  def antiSemiJoin(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val clicks = events(spark, d).filter($"event_type" === "click")
+      .select($"user_id").distinct()
+    val bigPurchases = events(spark, d)
+      .filter($"event_type" === "purchase" && $"value" > 190.0)
+      .select($"user_id")
+    clicks.join(bigPurchases, Seq("user_id"), "left_anti")
+  }
+
   /** Distinct-aggregate + approximate sketch side by side: exact
     * count(DISTINCT) (expands to a two-phase agg) and HLL
     * approx_count_distinct (one pass, mergeable — the 100 TB default;
