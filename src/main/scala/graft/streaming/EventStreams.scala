@@ -46,6 +46,29 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream attribution join (beyond the reference's surface —
+    * SURVEY §2.6 notes it has none): each purchase joins the same user's
+    * clicks from the preceding hour. Both sides are watermarked and the
+    * join carries an event-time range predicate, so Spark bounds the
+    * buffered state on each side — the scalable form of stream-stream
+    * correlation (state ∝ watermark horizon, not history).
+    */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+      watermark: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("value").as("click_value"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("p_ts"), col("c_ts"), col("click_value"), col("purchase_value"))
+  }
+
   /** Per-user running totals — keyed mutable state in Update mode (the
     * W4 ValueState shape on the events stream): every batch emits the
     * updated (user, n, total) after folding that batch's events.

@@ -58,6 +58,32 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("stream-stream attribution join matches clicks within the hour window") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val query = EventStreams.attributionJoin(clicks.toDF(), purchases.toDF())
+      .select("purchase_id", "click_value")
+      .writeStream.format("memory").queryName("ev_attr").outputMode("append").start()
+    try {
+      clicks.addData(
+        Event(1, ts("2024-01-01 09:30:00"), 7, "click", 1.0),   // in window
+        Event(2, ts("2024-01-01 08:30:00"), 7, "click", 2.0),   // too old
+        Event(3, ts("2024-01-01 09:45:00"), 8, "click", 3.0))   // other user
+      purchases.addData(Event(10, ts("2024-01-01 10:00:00"), 7, "purchase", 50.0))
+      query.processAllAvailable()
+      // push watermarks forward so the joined rows finalize
+      clicks.addData(Event(98, ts("2024-01-01 12:00:00"), 9, "click", 0.0))
+      purchases.addData(Event(99, ts("2024-01-01 12:00:00"), 9, "purchase", 0.0))
+      query.processAllAvailable()
+      val rows = spark.table("ev_attr").as[(Long, Double)].collect().toSet
+      assert(rows.contains((10L, 1.0)))         // the in-window click
+      assert(!rows.exists(_._2 == 2.0))         // >1h before purchase
+      assert(!rows.exists(_._2 == 3.0))         // different user
+    } finally query.stop()
+  }
+
   test("keyed running totals carry state across micro-batches (update mode)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
