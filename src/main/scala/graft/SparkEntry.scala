@@ -65,6 +65,7 @@ object SparkEntry {
     "q38_percentiles"     -> ((s, d) => Relational.percentiles(s, d)),
     "q39_ann_ivf"         -> ((s, d) => Similarity.annIvf(s, d)),
     "q40_anti_join"       -> ((s, d) => Relational.antiSemiJoin(s, d)),
+    "q41_session_window"  -> ((s, d) => Windowed.sessionWindows(s, d)),
   )
 
   /** Unrolled min-label-propagation oracle for dedup clusters (mirrors
@@ -422,5 +423,17 @@ object SparkEntry {
       """SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
         |  AND user_id NOT IN
         |    (SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 190)""".stripMargin,
+    // oracle derives the same 30-min-gap sessions from first principles
+    // (lag + running sum) — cross-checks Spark's native session_window
+    "q41_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu, value FROM events),
+        |g AS (SELECT *, CASE WHEN tsu - lag(tsu) OVER
+        |        (PARTITION BY user_id ORDER BY tsu, event_id) > 1800000000
+        |        THEN 1 ELSE 0 END AS gap FROM e),
+        |s AS (SELECT *, sum(gap) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS session_seq FROM g)
+        |SELECT user_id, min(tsu) AS session_start_us, count(*) AS n_events,
+        |       sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
+        |FROM s GROUP BY user_id, session_seq""".stripMargin,
   )
 }

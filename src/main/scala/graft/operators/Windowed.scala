@@ -48,6 +48,23 @@ object Windowed {
       .select(unix_timestamp($"w.start").as("w_start"), $"user_id", $"cnt", $"sum_value")
   }
 
+  /** Native session windows (session_window generator): 30-min-gap
+    * sessions per user via Spark's built-in session aggregation — the
+    * same sessions the lag+running-sum formulation (sessionize) derives
+    * relationally; the DuckDB oracle uses the relational form, so this
+    * query cross-checks Spark's native operator against first principles.
+    * The same expression runs under Structured Streaming with a
+    * watermark (state merges sessions incrementally).
+    */
+  def sessionWindows(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    events(spark, d)
+      .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n_events"), stableSum($"value").as("sum_value"))
+      .select($"user_id", unix_micros($"w.start").as("session_start_us"),
+        $"n_events", $"sum_value")
+  }
+
   /** Sessionization: split each user's event stream at >30 min gaps via
     * lag + running sum of gap markers — the standard scalable formulation
     * (one shuffle on user_id; both window functions reuse the same sort).
