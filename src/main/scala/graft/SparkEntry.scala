@@ -66,6 +66,7 @@ object SparkEntry {
     "q39_ann_ivf"         -> ((s, d) => Similarity.annIvf(s, d)),
     "q40_anti_join"       -> ((s, d) => Relational.antiSemiJoin(s, d)),
     "q41_session_window"  -> ((s, d) => Windowed.sessionWindows(s, d)),
+    "q42_curation_pipeline" -> ((s, d) => Pipeline.curateCorpus(s, d)),
   )
 
   /** Unrolled min-label-propagation oracle for dedup clusters (mirrors
@@ -435,5 +436,36 @@ object SparkEntry {
         |SELECT user_id, min(tsu) AS session_start_us, count(*) AS n_events,
         |       sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
         |FROM s GROUP BY user_id, session_seq""".stripMargin,
+    // full curation pipeline re-derived from scratch: quality gate,
+    // md5 exact-dedup canonical, 3-gram Jaccard>=0.5 near-dup removal,
+    // per-lang doc count + BPE token budget
+    "q42_curation_pipeline" ->
+      """WITH toksr AS (SELECT doc_id, lang,
+        |         regexp_split_to_array(lower(text), '\s+') AS w,
+        |         md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |       FROM documents),
+        |q AS (SELECT * FROM toksr WHERE len(w) >= 30),
+        |canon AS (SELECT fp, min(doc_id) AS keep_id FROM q GROUP BY 1),
+        |exact_kept AS (SELECT q.doc_id, q.lang, q.w
+        |               FROM q JOIN canon ON q.doc_id = canon.keep_id),
+        |sh AS (SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |        FROM documents) tw,
+        |       unnest(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS inter
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |losers AS (SELECT DISTINCT y AS doc_id
+        |           FROM inter JOIN sizes sa ON x = sa.doc_id
+        |                      JOIN sizes sb ON y = sb.doc_id
+        |           WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.5),
+        |curated AS (SELECT * FROM exact_kept
+        |            WHERE doc_id NOT IN (SELECT doc_id FROM losers))
+        |SELECT lang, count(*) AS n_docs,
+        |       sum(list_sum(list_transform(w,
+        |           x -> floor((strlen(x)+3)/4)::BIGINT)))::BIGINT AS bpe_tokens
+        |FROM curated GROUP BY 1""".stripMargin,
   )
 }

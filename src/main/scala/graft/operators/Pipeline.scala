@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables._
+import graft.functions.TextFunctions._
+
+/** The capstone composite: a complete corpus-curation pipeline — what
+  * this engine exists to run at 100 TB — as one declarative plan:
+  *
+  *   1. quality gate: keep docs with ≥ 30 whitespace tokens;
+  *   2. exact dedup: canonical = min doc_id per md5 content fingerprint;
+  *   3. near-dup removal: drop the higher-id side of every 3-gram
+  *      Jaccard ≥ 0.5 pair (Dedup.jaccardPairs — at scale swap in
+  *      minhashLsh, same output contract);
+  *   4. emit the curated per-language doc counts and BPE token budget.
+  *
+  * Every stage reuses an independently-oracle-verified operator; the
+  * composed DuckDB oracle re-derives the whole pipeline from scratch.
+  * Catalyst sees one plan: the quality filter pushes into the scan, the
+  * near-dup anti-join is a broadcast (sparse pair set), and the final
+  * aggregate is the only wide shuffle.
+  */
+object Pipeline {
+
+  def curateCorpus(spark: SparkSession, d: String,
+      minTokens: Int = 30, jaccardThreshold: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val docs = documents(spark, d)
+      .select($"doc_id", $"lang", tokens($"text").as("ws"),
+        md5Fingerprint($"text").as("fp"))
+      .filter(size($"ws") >= minTokens)
+    // exact dedup: keep the smallest doc_id of each identical-content group
+    val canonical = docs.groupBy($"fp").agg(min($"doc_id").as("keep_id"))
+    val exactKept = docs.join(canonical, docs("doc_id") === canonical("keep_id"))
+      .select($"doc_id", $"lang", $"ws")
+    // near-dup removal: drop the y side of every near-dup pair
+    val nearDupLosers = Dedup.jaccardPairs(spark, d, jaccardThreshold)
+      .select($"y".as("doc_id")).distinct()
+    val curated = exactKept.join(broadcast(nearDupLosers), Seq("doc_id"), "left_anti")
+    curated
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        tokenSumAgg($"ws").as("bpe_tokens"))
+  }
+
+  /** Σ over docs of Σ over tokens of ceil(len/4) — exact long math. */
+  private def tokenSumAgg(ws: org.apache.spark.sql.Column) =
+    sum(aggregate(ws, lit(0L), (acc, t) => acc + bpePieces(t).cast("long")))
+}
