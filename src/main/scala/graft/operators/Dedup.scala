@@ -118,12 +118,19 @@ object Dedup {
     // undirected edges, both directions
     val edges = pairs.union(pairs.select($"y".as("x"), $"x".as("y"))).cache()
     var labels = documents(spark, d).select($"doc_id", $"doc_id".as("label"))
+    // shrink the iteration-state partitioning (see Graph.pageRank): the
+    // label table is |docs| rows, far below one row per shuffle partition
+    // at test scale
+    val nDocs = labels.count()
+    val statePartitions = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism, (nDocs / 10000L).toInt + 1))
     for (_ <- 1 to iterations) {
       val neighborMin = edges.join(labels, $"y" === $"doc_id")
         .groupBy($"x").agg(min($"label").as("nlabel"))
-      labels = labels.join(neighborMin, $"doc_id" === $"x", "left")
+      labels = labels.join(broadcast(neighborMin), $"doc_id" === $"x", "left")
         .select($"doc_id",
           least($"label", coalesce($"nlabel", $"label")).as("label"))
+        .coalesce(statePartitions)
         .localCheckpoint()
     }
     labels.groupBy($"label".as("cluster_id"))

@@ -61,6 +61,13 @@ object Graph {
       .union(edges.select($"dst".as("id"))).distinct().cache()
     val n = vertices.count().toDouble
 
+    // iteration-state partitioning: the rank table is orders of magnitude
+    // smaller than the edge data, so shrink it between supersteps (a real
+    // deployment sizes this to |V| / target-partition-rows; 32 shuffle
+    // partitions of a 25-row table is pure task overhead)
+    val statePartitions = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism, n.toInt / 1000 + 1))
+
     var ranks = vertices.select($"id", lit(1.0).as("rank"))
     for (_ <- 1 to iterations) {
       val contribs = ranks.join(prob, $"id" === $"src")
@@ -74,6 +81,7 @@ object Graph {
         // latter is 0.15000000000000002 in doubles and the oracle's
         // 0.15::DOUBLE would differ by 1 ulp on in-edge-less vertices
         .select($"id", (lit(damping) * coalesce($"s", lit(0.0)) + lit(teleport / n)).as("rank"))
+        .coalesce(statePartitions)
         .localCheckpoint() // cut lineage each superstep
     }
     ranks.select($"id".as("nationkey"), $"rank")
