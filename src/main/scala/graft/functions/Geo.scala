@@ -70,6 +70,14 @@ object Geo {
     */
   def directionBucket(angle: Column): Column = (angle / 45).cast("int")
 
+  /** Test-data generators (GeoUtils.java:199-211) — uniform samples in
+    * the NYC bbox; data-gen helpers, not engine functions (SURVEY §2.8).
+    */
+  def randomNYCLon(rand: scala.util.Random): Float =
+    (LonEast - ((math.abs(LonWest) - math.abs(LonEast)) * rand.nextFloat())).toFloat
+  def randomNYCLat(rand: scala.util.Random): Float =
+    (LatSouth + ((LatNorth - LatSouth) * rand.nextFloat())).toFloat
+
   // ---- plain-Scala forms (for typed Dataset ops / stateful streaming;
   // same semantics as the column forms above) ----
 

@@ -54,6 +54,23 @@ object TaxiSource {
     parseLines(spark.read.text(path)).drop("eventTime").as[TaxiRide]
   }
 
+  /** Ride identity is by rideId only in the reference
+    * (TaxiRide.java:132-141 equals/hashCode) — "any dedup of rides is
+    * dedup by id" (SURVEY §1.2). The case class compares all fields, so
+    * id-identity dedup is an explicit operator.
+    */
+  def dropDuplicateRides(rides: Dataset[TaxiRide]): Dataset[TaxiRide] =
+    rides.dropDuplicates("rideId", "isStart") // one START + one END per id
+
+  /** Inverse of Sinks.kafkaShaped (the TaxiRideSchema deserializer half,
+    * datastream_java/utils/TaxiRideSchema.java:31-38): (key, value)
+    * payloads → typed rides via the same codegen column parser.
+    */
+  def fromKafkaShaped(payloads: DataFrame): Dataset[TaxiRide] = {
+    import payloads.sparkSession.implicits._
+    parseLines(payloads.select(col("value"))).drop("eventTime").as[TaxiRide]
+  }
+
   /** convertTrips.sh (P12, src/main/scripts/convertTrips.sh:19): one raw
     * trip → two event rows — START with placeholder end time
     * 1970-01-01 00:00:00, END with real times — globally ordered by event

@@ -35,6 +35,34 @@ class TaxiRideSpec extends AnyFunSuite {
     assert(r.endLon == -73.98f)
   }
 
+  test("kafka-shaped payloads deserialize back to identical rides (K2 both halves)") {
+    val spark = TestSpark.spark
+    val path = getClass.getResource("/taxi_rides.csv").getPath
+    val rides = TaxiSource.readRides(spark, path)
+    val back = TaxiSource.fromKafkaShaped(graft.sources.Sinks.kafkaShaped(rides))
+      .collect().sortBy(r => (r.rideId, !r.isStart))
+    assert(back.toSeq == rides.collect().sortBy(r => (r.rideId, !r.isStart)).toSeq)
+  }
+
+  test("dropDuplicateRides dedups by (rideId, isStart) identity") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val r = TaxiRide.fromString(startLine)
+    val dup = r.copy(passengerCnt = 9) // differs in payload, same identity
+    val out = TaxiSource.dropDuplicateRides(Seq(r, dup, r).toDS()).collect()
+    assert(out.length == 1 && out(0).rideId == 1)
+  }
+
+  test("random NYC points land inside the bbox (GeoUtils.java:199-211)") {
+    val rand = new scala.util.Random(42)
+    (1 to 100).foreach { _ =>
+      val lon = graft.functions.Geo.randomNYCLon(rand)
+      val lat = graft.functions.Geo.randomNYCLat(rand)
+      assert(lon >= -74.05f && lon <= -73.7f, lon)
+      assert(lat >= 40.5f && lat <= 41.0f, lat)
+    }
+  }
+
   test("file scan parses the fixture, column parser == scala parser") {
     val spark = TestSpark.spark
     val path = getClass.getResource("/taxi_rides.csv").getPath
