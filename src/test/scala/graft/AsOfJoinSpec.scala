@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.plans.AsOf
+
+class AsOfJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("custom as-of join exec: hand-checked small case") {
+    import spark.implicits._
+    val purchases = Seq((7L, 100L, "p1"), (7L, 200L, "p2"), (8L, 150L, "p3"))
+      .toDF("user", "t", "tag")
+    val clicks = Seq((7L, 90L, 1.0), (7L, 150L, 2.0), (9L, 10L, 9.9))
+      .toDF("cuser", "ct", "cv")
+    val out = AsOf.asofJoin(purchases, clicks, "user", "cuser", "t", "ct")
+      .select($"tag", $"cv").as[(String, Option[Double])].collect().toMap
+    assert(out("p1").contains(1.0))  // click@90 <= 100
+    assert(out("p2").contains(2.0))  // click@150 is latest <= 200
+    assert(out("p3").isEmpty)        // user 8 has no clicks
+  }
+
+  test("custom as-of join matches the window-based formulation on events") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.01"
+    val ev = Tables.events(spark, d)
+      .select($"user_id", $"event_id", $"event_type", $"value",
+        unix_micros($"ts").as("tsu"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"tsu")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"tsu".as("c_tsu"), $"value".as("c_value"))
+    val custom = AsOf.asofJoin(purchases, clicks, "user_id", "c_user", "tsu", "c_tsu")
+      .select($"event_id",
+        coalesce($"c_value", lit(-1.0)).as("prev_click_value"),
+        coalesce($"c_tsu", lit(-1L)).as("prev_click_tsu"))
+      .as[(Long, Double, Long)].collect().map { case (id, v, t) => id -> ((v, t)) }.toMap
+
+    val windowed = graft.operators.Relational.asofJoin(spark, d)
+      .select($"event_id", $"prev_click_value", $"prev_click_tsu")
+      .as[(Long, Double, Long)].collect().map { case (id, v, t) => id -> ((v, t)) }.toMap
+
+    assert(custom.keySet == windowed.keySet)
+    // the window form is strict (< current event); the as-of form is <=.
+    // clicks never share a timestamp with a purchase in this data, so
+    // the two agree exactly:
+    custom.foreach { case (id, vt) => assert(windowed(id) == vt, s"event $id") }
+  }
+}
