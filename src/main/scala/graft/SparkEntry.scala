@@ -67,6 +67,7 @@ object SparkEntry {
     "q40_anti_join"       -> ((s, d) => Relational.antiSemiJoin(s, d)),
     "q41_session_window"  -> ((s, d) => Windowed.sessionWindows(s, d)),
     "q42_curation_pipeline" -> ((s, d) => Pipeline.curateCorpus(s, d)),
+    "q43_asof_custom"     -> ((s, d) => Relational.asofJoinCustom(s, d)),
   )
 
   /** Unrolled min-label-propagation oracle for dedup clusters (mirrors
@@ -467,5 +468,22 @@ object SparkEntry {
         |       sum(list_sum(list_transform(w,
         |           x -> floor((strlen(x)+3)/4)::BIGINT)))::BIGINT AS bpe_tokens
         |FROM curated GROUP BY 1""".stripMargin,
+    // same derivation as q34 — the custom AsOfJoinExec must reproduce the
+    // relational as-of semantics exactly
+    "q43_asof_custom" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+        |                  epoch_us(ts) AS tsu FROM events),
+        |w AS (SELECT *,
+        |  last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pcv,
+        |  last_value(CASE WHEN event_type = 'click' THEN tsu END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pct
+        |  FROM e)
+        |SELECT user_id, event_id, tsu,
+        |       coalesce(pcv, -1.0) AS prev_click_value,
+        |       coalesce(pct, -1) AS prev_click_tsu
+        |FROM w WHERE event_type = 'purchase'""".stripMargin,
   )
 }

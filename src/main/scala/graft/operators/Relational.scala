@@ -181,6 +181,27 @@ object Relational {
         coalesce($"prev_click_tsu", lit(-1L)).as("prev_click_tsu"))
   }
 
+  /** The as-of join again, through the CUSTOM physical operator
+    * (graft.plans.AsOfJoinExec — LogicalPlan + Strategy + sort-merge
+    * exec). Same output contract as asofJoin, so it shares q34's oracle
+    * shape: the two formulations are cross-checked in AsOfJoinSpec and
+    * both hash-match the same DuckDB derivation.
+    */
+  def asofJoinCustom(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, d)
+      .select($"user_id", $"event_id", $"event_type", $"value",
+        unix_micros($"ts").as("tsu"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"tsu")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"tsu".as("c_tsu"), $"value".as("c_value"))
+    graft.plans.AsOf.asofJoin(purchases, clicks, "user_id", "c_user", "tsu", "c_tsu")
+      .select($"user_id", $"event_id", $"tsu",
+        coalesce($"c_value", lit(-1.0)).as("prev_click_value"),
+        coalesce($"c_tsu", lit(-1L)).as("prev_click_tsu"))
+  }
+
   /** Daily argmax with ties — the MemberOTMonth shape (J3) at day grain
     * (the events table spans one month, so month grain yields one row).
     */
