@@ -68,6 +68,7 @@ object SparkEntry {
     "q41_session_window"  -> ((s, d) => Windowed.sessionWindows(s, d)),
     "q42_curation_pipeline" -> ((s, d) => Pipeline.curateCorpus(s, d)),
     "q43_asof_custom"     -> ((s, d) => Relational.asofJoinCustom(s, d)),
+    "q44_approx_stats"    -> ((s, d) => Relational.approxStats(s, d)),
   )
 
   /** Unrolled min-label-propagation oracle for dedup clusters (mirrors

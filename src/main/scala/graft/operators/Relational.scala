@@ -240,11 +240,10 @@ object Relational {
     clicks.join(bigPurchases, Seq("user_id"), "left_anti")
   }
 
-  /** Distinct-aggregate + approximate sketch side by side: exact
-    * count(DISTINCT) (expands to a two-phase agg) and HLL
-    * approx_count_distinct (one pass, mergeable — the 100 TB default;
-    * engine-specific sketch, so it is exercised here but only the exact
-    * column is oracle-compared via q36's SQL).
+  /** Exact distinct-aggregate: count(DISTINCT) expands to a two-phase
+    * agg (distinct shuffle then count). The approximate one-pass sketch
+    * forms live in approxStats (rows-only — sketches are
+    * engine-specific).
     */
   def distinctStats(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
@@ -252,6 +251,20 @@ object Relational {
       .groupBy($"event_type")
       .agg(countDistinct($"user_id").as("n_users"),
         count(lit(1)).as("n_events"))
+  }
+
+  /** Approximate aggregates — the mergeable-sketch forms that replace
+    * their exact counterparts at 100 TB: HLL++ approx_count_distinct
+    * (one pass, no distinct shuffle) and KLL-style approx_percentile.
+    * Rows-only checked (sketch internals are engine-specific);
+    * ApproxSpec bounds their error against the exact answers.
+    */
+  def approxStats(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    events(spark, d)
+      .groupBy($"event_type")
+      .agg(approx_count_distinct($"user_id").as("approx_users"),
+        approx_percentile($"value", lit(0.5), lit(1000)).as("approx_p50"))
   }
 
   /** Rollup (grouping-sets family): per (event_type, user) counts with
