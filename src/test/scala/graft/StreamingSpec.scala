@@ -94,6 +94,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(out(2L) == 10)
   }
 
+  test("transformWithState variant produces the same predictions (streaming)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val rides = Seq(
+      TaxiRide(1, isStart = true, ts("2013-01-01 00:00:00"), placeholder,
+        -73.98f, 40.75f, -73.90f, 40.80f, 1),
+      TaxiRide(1, isStart = false, ts("2013-01-01 00:00:00"), ts("2013-01-01 00:10:00"),
+        -73.98f, 40.75f, -73.90f, 40.80f, 1),
+      TaxiRide(2, isStart = true, ts("2013-01-01 00:15:00"), placeholder,
+        -73.98f, 40.75f, -73.90f, 40.80f, 1))
+    // transformWithState needs the RocksDB provider (column families)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[TaxiRide]
+    val query = TaxiStreams.travelTimePredictionTws(input.toDS())
+      .writeStream.format("memory").queryName("tws_pred").outputMode("append").start()
+    try {
+      input.addData(rides: _*)
+      query.processAllAvailable()
+      val out = spark.table("tws_pred").as[(Long, Int)].collect().toMap
+      assert(out(1L) == -1 && out(2L) == 10)
+    } finally {
+      query.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("RegSums == commons-math SimpleRegression(false) (oracle, SURVEY §5.1)") {
     val points = Seq((1.0, 2.1), (2.0, 3.9), (3.0, 6.2), (4.5, 9.1), (0.5, 0.9))
     val oracle = new SimpleRegression(false)
