@@ -69,6 +69,8 @@ object SparkEntry {
     "q42_curation_pipeline" -> ((s, d) => Pipeline.curateCorpus(s, d)),
     "q43_asof_custom"     -> ((s, d) => Relational.asofJoinCustom(s, d)),
     "q44_approx_stats"    -> ((s, d) => Relational.approxStats(s, d)),
+    "q45_intersect"       -> ((s, d) => Relational.intersectUsers(s, d)),
+    "q46_except"          -> ((s, d) => Relational.exceptUsers(s, d)),
   )
 
   /** Unrolled min-label-propagation oracle for dedup clusters (mirrors
@@ -486,5 +488,13 @@ object SparkEntry {
         |       coalesce(pcv, -1.0) AS prev_click_value,
         |       coalesce(pct, -1) AS prev_click_tsu
         |FROM w WHERE event_type = 'purchase'""".stripMargin,
+    "q45_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'""".stripMargin,
+    "q46_except" ->
+      """SELECT user_id FROM events WHERE event_type = 'view'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'signup' AND value > 180""".stripMargin,
   )
 }

@@ -293,6 +293,27 @@ object Relational {
         percentile($"value", lit(0.9)).as("p90"))
   }
 
+  /** INTERSECT: users active in both clicks and purchases (set-semantic
+    * intersection — plans as a left-semi over distincts).
+    */
+  def intersectUsers(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    events(spark, d).filter($"event_type" === "click").select($"user_id")
+      .intersect(
+        events(spark, d).filter($"event_type" === "purchase").select($"user_id"))
+  }
+
+  /** EXCEPT: users who viewed but never made a high-value signup (set difference —
+    * plans as a left-anti over distincts).
+    */
+  def exceptUsers(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    events(spark, d).filter($"event_type" === "view").select($"user_id")
+      .except(events(spark, d)
+        .filter($"event_type" === "signup" && $"value" > 180.0)
+        .select($"user_id"))
+  }
+
   /** Vertex-set construction — union of edge endpoints, distinct
     * (gelly_java/PageRankWithEdgeWeights.java:78-83). Union is a no-shuffle
     * concat; the distinct is the one hash exchange.
