@@ -157,6 +157,59 @@ object SparkEntry {
        |         t -> regexp_full_match(t, '[a-z]+') AND NOT list_contains($stopList, t)) AS ws
        |  FROM documents)""".stripMargin
 
+  /** DuckDB mirror of graft.functions.Hashing.md5Bits32: unsigned 32-bit
+    * value of md5-hex chars [from, from+8) as BIGINT — the cross-engine
+    * token-hash primitive behind the simhash/rolling-fp/ANN-LSH oracles.
+    */
+  private def md5Bits32Sql(expr: String, from: Int): String =
+    s"""list_sum(list_transform(range($from, ${from + 8}), j ->
+       |  (strpos('0123456789abcdef', substr(md5($expr), j::INT, 1)) - 1)::BIGINT
+       |  * (1::BIGINT << (4 * (${from + 7} - j)::INT))))::BIGINT""".stripMargin
+
+  /** The exact 3-gram-Jaccard pair derivation (q16's oracle body) — also
+    * the expected output of the MinHash-LSH path: banding at 32×2 has
+    * miss probability ~1e-4 per true pair at j = 0.5 and the exact
+    * re-check makes precision 1, so recall 1 ⇒ row-identical results
+    * (asserted to hold on this corpus at sf0.001/0.01/0.1; a regression
+    * that drops a band or breaks a signature loses a pair and fails the
+    * hash compare).
+    */
+  private val jaccardPairsSql =
+    """WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+      |              FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, s FROM (
+      |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |  FROM toks, unnest(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3)),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS inter
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT x, y, inter::DOUBLE / (sa.sz + sb.sz - inter) AS jac
+      |FROM inter JOIN sizes sa ON x = sa.doc_id JOIN sizes sb ON y = sb.doc_id
+      |WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.5""".stripMargin
+
+  /** Shared quantized-embedding CTEs (q14's oracle prelude). */
+  private val embedCtes =
+    """ex AS (SELECT vec_id, round(unnest(embedding)::DOUBLE * 10000000)::BIGINT AS e,
+      |              unnest(range(len(embedding))) AS i FROM embeddings),
+      |n2 AS (SELECT vec_id, sum(e*e)::DOUBLE AS n2 FROM ex GROUP BY 1)""".stripMargin
+
+  /** Exact re-scoring + top-k tail over a `cand(q_id, n_id)` CTE. */
+  private def rescoreTopKSql(k: Int): String =
+    s"""dq AS (SELECT c.q_id, c.n_id, sum(a.e * b.e)::DOUBLE AS dot
+       |       FROM cand c JOIN ex a ON a.vec_id = c.q_id
+       |                   JOIN ex b ON b.vec_id = c.n_id AND b.i = a.i
+       |       GROUP BY 1, 2),
+       |cosx AS (SELECT q_id, n_id, dot / (sqrt(qa.n2) * sqrt(qb.n2)) AS cos
+       |         FROM dq JOIN n2 qa ON q_id = qa.vec_id
+       |                 JOIN n2 qb ON n_id = qb.vec_id)
+       |SELECT q_id, n_id, cos, rnk FROM (
+       |  SELECT q_id, n_id, cos,
+       |         row_number() OVER (PARTITION BY q_id
+       |                            ORDER BY cos DESC, n_id ASC) AS rnk
+       |  FROM cosx)
+       |WHERE rnk <= $k""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
@@ -266,6 +319,41 @@ object SparkEntry {
     "q26_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
+    // full simhash re-derivation: md5-derived 64-bit token hashes →
+    // per-bit ±1 vote sums → sign bits → brute-force Hamming ≤ 3 pairs
+    // (the engine's pigeonhole banding is complete for d ≤ 3, so the
+    // candidate-generation shortcut emits exactly this set)
+    "q23_simhash" ->
+      s"""WITH $cleanToksCte,
+         |tok AS (SELECT doc_id, unnest(ws) AS t FROM toks),
+         |th AS (SELECT doc_id,
+         |  ${md5Bits32Sql("t", 1)} AS hi,
+         |  ${md5Bits32Sql("t", 9)} AS lo
+         |  FROM tok),
+         |votes AS (SELECT doc_id, k,
+         |  sum(CASE WHEN (CASE WHEN k < 32 THEN (lo >> k::INT) & 1
+         |                      ELSE (hi >> (k - 32)::INT) & 1 END) = 1
+         |      THEN 1 ELSE -1 END) AS vote
+         |  FROM th, range(64) kk(k) GROUP BY 1, 2),
+         |skv AS (SELECT doc_id,
+         |  list(CASE WHEN vote > 0 THEN 1 ELSE 0 END ORDER BY k) AS bl
+         |  FROM votes GROUP BY 1),
+         |sk AS (SELECT d.doc_id, coalesce(s.bl, list_transform(range(64), z -> 0)) AS bl
+         |       FROM documents d LEFT JOIN skv s USING (doc_id))
+         |SELECT a.doc_id AS x, b.doc_id AS y,
+         |  list_sum(list_transform(range(1, 65), k ->
+         |    CASE WHEN a.bl[k::INT] <> b.bl[k::INT] THEN 1 ELSE 0 END))::INT AS dist
+         |FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+         |WHERE list_sum(list_transform(range(1, 65), k ->
+         |    CASE WHEN a.bl[k::INT] <> b.bl[k::INT] THEN 1 ELSE 0 END)) <= 3""".stripMargin,
+    // rolling polynomial fingerprint: fold (h*31 + md5_32(token)) mod 2^57
+    "q27_rolling_fp" ->
+      s"""WITH $cleanToksCte
+         |SELECT doc_id,
+         |  list_reduce(list_prepend(0::BIGINT, list_transform(ws, t ->
+         |    ${md5Bits32Sql("t", 1)})),
+         |    (acc, x) -> (acc * 31 + x) % 144115188075855872)::BIGINT AS rolling_fp
+         |FROM toks""".stripMargin,
     "q10_window_sliding" ->
       """WITH w AS (
         |  SELECT time_bucket(INTERVAL '6 hours', ts) - to_hours(6*k) AS ws,
@@ -305,19 +393,11 @@ object SparkEntry {
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
         |       min(doc_id) AS canonical_id, count(*) AS n_docs
         |FROM documents GROUP BY 1""".stripMargin,
-    "q16_jaccard_neardup" ->
-      """WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
-        |              FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, s FROM (
-        |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-        |  FROM toks, unnest(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3)),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-        |inter AS (SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS inter
-        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |          GROUP BY 1, 2)
-        |SELECT x, y, inter::DOUBLE / (sa.sz + sb.sz - inter) AS jac
-        |FROM inter JOIN sizes sa ON x = sa.doc_id JOIN sizes sb ON y = sb.doc_id
-        |WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.5""".stripMargin,
+    "q16_jaccard_neardup" -> jaccardPairsSql,
+    // LSH path: candidates from banded MinHash, exact Jaccard re-check ⇒
+    // expected rows = the exact pair set (recall-1 contract, see
+    // jaccardPairsSql scaladoc)
+    "q15_minhash_lsh" -> jaccardPairsSql,
     "q14_knn_cosine" ->
       """WITH ex AS (SELECT vec_id, round(unnest(embedding)::DOUBLE * 10000000)::BIGINT AS v,
         |                   unnest(range(len(embedding))) AS i FROM embeddings),
@@ -344,6 +424,46 @@ object SparkEntry {
         |SELECT x, y, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cos
         |FROM dots JOIN n2 na ON x = na.vec_id JOIN n2 nb ON y = nb.vec_id
         |WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.4""".stripMargin,
+    // full hyperplane-LSH re-derivation: md5-derived integer plane
+    // weights (mirrors plans.Hyperplanes.weight exactly) → integer sign
+    // bits → per-table signatures → bucket candidates → exact re-score
+    "q29_ann_lsh" ->
+      s"""WITH w AS (SELECT t, p, i,
+         |  (${md5Bits32Sql("t || ',' || p || ',' || i", 1)} - 2147483648) AS v
+         |  FROM range(8) tt(t), range(6) pp(p), range(64) ii(i)),
+         |$embedCtes,
+         |dots AS (SELECT vec_id, t, p, sum(e * v)::BIGINT AS dot
+         |         FROM ex JOIN w USING (i) GROUP BY 1, 2, 3),
+         |sigs AS (SELECT vec_id, t,
+         |         sum(CASE WHEN dot > 0 THEN 1::BIGINT << (5 - p)::INT
+         |             ELSE 0 END)::BIGINT AS sig
+         |         FROM dots GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS n_id
+         |         FROM sigs a JOIN sigs b
+         |           ON a.t = b.t AND a.sig = b.sig AND b.vec_id <> a.vec_id
+         |         WHERE a.vec_id < 10),
+         |${rescoreTopKSql(5)}""".stripMargin,
+    // full IVF re-derivation: deterministic centroids (vec_id < 16),
+    // exact-cosine assignment, 4-probe query fan-out, exact re-score
+    "q39_ann_ivf" ->
+      s"""WITH $embedCtes,
+         |cc AS (SELECT a.vec_id, c.vec_id AS list_id, sum(a.e * c.e)::DOUBLE AS dot
+         |       FROM ex a JOIN ex c ON c.vec_id < 16 AND c.i = a.i GROUP BY 1, 2),
+         |ccos AS (SELECT cc.vec_id, cc.list_id,
+         |                dot / (sqrt(na.n2) * sqrt(nc.n2)) AS ccos
+         |         FROM cc JOIN n2 na ON cc.vec_id = na.vec_id
+         |                 JOIN n2 nc ON cc.list_id = nc.vec_id),
+         |rk AS (SELECT vec_id, list_id,
+         |       row_number() OVER (PARTITION BY vec_id
+         |                          ORDER BY ccos DESC, list_id ASC) AS crnk
+         |       FROM ccos),
+         |assigned AS (SELECT vec_id, list_id FROM rk WHERE crnk = 1),
+         |probes AS (SELECT vec_id AS q_id, list_id AS p_list
+         |           FROM rk WHERE crnk <= 4 AND vec_id < 10),
+         |cand AS (SELECT DISTINCT p.q_id, a.vec_id AS n_id
+         |         FROM probes p JOIN assigned a
+         |           ON a.list_id = p.p_list AND a.vec_id <> p.q_id),
+         |${rescoreTopKSql(5)}""".stripMargin,
     "q13_pagerank" -> pagerankSql(10),
     "q24_grid_cells" ->
       """SELECT * FROM (
@@ -381,6 +501,40 @@ object SparkEntry {
         |       sum(n_bytes)::BIGINT AS total_bytes, max(height) AS max_height
         |FROM g GROUP BY 1""".stripMargin,
     "q32_dedup_clusters" -> dedupClustersSql(5),
+    // mirror of GeoQueries.cellsOnWayQuery: same synthesized endpoints as
+    // q24, same cell-index math, unnest(range(0, steps)) ≙ Spark's
+    // explode(sequence(0, steps)), identical double interpolation + round
+    "q30_cells_on_way" ->
+      """WITH pts AS (SELECT event_id,
+        |  -74.06::DOUBLE + (event_id % 40)::DOUBLE * 0.01::DOUBLE AS lon1,
+        |  40.49::DOUBLE + ((event_id // 7) % 53)::DOUBLE * 0.01::DOUBLE AS lat1,
+        |  -74.05::DOUBLE + ((event_id // 11) % 35)::DOUBLE * 0.01::DOUBLE AS lon2,
+        |  40.5::DOUBLE + ((event_id // 13) % 50)::DOUBLE * 0.01::DOUBLE AS lat2
+        |  FROM events),
+        |nyc AS (SELECT * FROM pts
+        |  WHERE NOT (lon1 > -73.7 OR lon1 < -74.05)
+        |    AND NOT (lat1 > 41.0 OR lat1 < 40.5)
+        |    AND NOT (lon2 > -73.7 OR lon2 < -74.05)
+        |    AND NOT (lat2 > 41.0 OR lat2 < 40.5)),
+        |seg AS (SELECT event_id,
+        |  floor((74.05::DOUBLE - abs(lon1)) / 0.0014::DOUBLE)::INT AS x1,
+        |  floor((41.0::DOUBLE - lat1) / 0.00125::DOUBLE)::INT AS y1,
+        |  floor((74.05::DOUBLE - abs(lon2)) / 0.0014::DOUBLE)::INT AS x2,
+        |  floor((41.0::DOUBLE - lat2) / 0.00125::DOUBLE)::INT AS y2
+        |  FROM nyc),
+        |st AS (SELECT event_id, x1, y1, x2 - x1 AS dx, y2 - y1 AS dy,
+        |       greatest(abs(x2 - x1), abs(y2 - y1)) AS steps FROM seg)
+        |SELECT event_id,
+        |  (x1 + round(fx * dx)::INT) + 250 * (y1 + round(fx * dy)::INT) AS cell
+        |FROM (SELECT *, CASE WHEN steps = 0 THEN 0.0
+        |                     ELSE i::DOUBLE / steps::DOUBLE END AS fx
+        |      FROM st, unnest(range(0, steps + 1)) AS t(i))""".stripMargin,
+    // sketch error-bound contract: booleans must all be TRUE (see
+    // Relational.approxStats scaladoc)
+    "q44_approx_stats" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       TRUE AS hll_in_bound, TRUE AS p50_in_bound
+        |FROM events GROUP BY 1""".stripMargin,
     "q33_salted_agg" ->
       """SELECT event_type, count(*) AS cnt,
         |       sum(value::DECIMAL(18,2))::DOUBLE AS sum_value

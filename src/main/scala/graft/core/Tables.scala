@@ -15,16 +15,22 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** Redistribute a small-but-compute-heavy table across the cluster.
-    * The driver's testdata files are single-row-group parquet —
-    * unsplittable, so every scan is one task and per-row-expensive
-    * operators (sketches, vector math) serialize onto one core. One
-    * round-robin shuffle of a few MB buys full parallelism. Real
-    * multi-file tables at scale get scan parallelism from layout and can
-    * skip this; it never changes results.
+  /** Redistribute a small-but-compute-heavy table across the cluster —
+    * but ONLY when the scan itself is under-parallel. The driver's
+    * testdata files are single-row-group parquet — unsplittable, so every
+    * scan is one task and per-row-expensive operators (sketches, vector
+    * math) serialize onto one core; one round-robin shuffle of a few MB
+    * buys full parallelism. A real multi-file table at scale already has
+    * ≥ cluster-parallelism input splits, and injecting an unconditional
+    * full shuffle into a 100 TB scan would be the bottleneck — so the
+    * repartition is gated on the scan's actual partition count (plan
+    * compilation only; no job runs). Never changes results.
     */
-  def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  def spread(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= math.max(1, par / 2)) df
+    else df.repartition(par)
+  }
 
   /** Register every testdata table as a temp view so the whole surface
     * is reachable from `spark.sql(...)` — the Table-API layer of the
@@ -60,6 +66,10 @@ object Tables {
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
   }
-  def documents(spark: SparkSession, d: String): DataFrame = spread(table(spark, d, "documents"))
-  def embeddings(spark: SparkSession, d: String): DataFrame = spread(table(spark, d, "embeddings"))
+  // memoized: the spread-probe (scan partition count) runs once per
+  // session+dir, and every operator composes over the same plan object
+  def documents(spark: SparkSession, d: String): DataFrame =
+    Memo(spark, cache = false, "documents", d)(spread(table(spark, d, "documents")))
+  def embeddings(spark: SparkSession, d: String): DataFrame =
+    Memo(spark, cache = false, "embeddings", d)(spread(table(spark, d, "embeddings")))
 }

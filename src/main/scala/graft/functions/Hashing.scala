@@ -61,21 +61,42 @@ object Hashing {
     transform(sequence(lit(0), lit(k / r - 1)), b =>
       xxhash64((b +: (0 until r).map(j => element_at(sig, b * r + j + 1))): _*))
 
+  /** Unsigned 32-bit value of md5 hex chars [from, from+8) as a long —
+    * the cross-engine token hash primitive: DuckDB mirrors it with
+    * per-nibble strpos arithmetic over the same md5 hex string, so every
+    * sketch built on it is oracle-checkable (round 1 used xxhash64, which
+    * no other engine can reproduce).
+    */
+  def md5Bits32(t: Column, from: Int): Column =
+    conv(substring(md5(t), from, 8), 16, 10).cast("long")
+
+  /** 64-bit md5-derived token hash: (hi32 << 32) | lo32 of the first 16
+    * hex nibbles. Bit k (weight 2^k) = bit k of lo for k<32, bit k-32 of
+    * hi otherwise — the form the DuckDB oracle extracts without 64-bit
+    * unsigned arithmetic.
+    */
+  def md5Hash64(t: Column): Column =
+    shiftleft(md5Bits32(t, 1), 32).bitwiseOR(md5Bits32(t, 9))
+
   /** 64-bit SimHash of a token array: bit k is the sign of the per-bit
     * vote sum over token hashes. Single pass over the tokens with a
     * 64-long vote-vector accumulator (64 separate per-bit aggregates
     * would re-evaluate the token-hash expression 64× per row — see
-    * shingles() on interpreted-HOF re-evaluation).
+    * shingles() on interpreted-HOF re-evaluation). Token hashes are
+    * md5-derived (md5Hash64) and materialized as an array argument of the
+    * fold, so the per-bit lambda sees a bound value: one md5 per token,
+    * 64 bit-ANDs per token — and the whole sketch is reproducible in the
+    * DuckDB oracle (SparkEntry q23).
     */
   def simhash(toks: Column): Column = {
     val powers = typedLit((0 until 64).map(k => 1L << k))
     val votes = aggregate(
-      toks,
+      transform(toks, t => md5Hash64(t)),
       array_repeat(lit(0L), 64),
-      (acc, t) => zip_with(
+      (acc, h) => zip_with(
         acc,
         transform(powers, p =>
-          when(xxhash64(t).bitwiseAND(p) =!= 0L, lit(1L)).otherwise(lit(-1L))),
+          when(h.bitwiseAND(p) =!= 0L, lit(1L)).otherwise(lit(-1L))),
         (a, v) => a + v))
     aggregate(
       zip_with(votes, powers, (v, p) => when(v > 0, p).otherwise(lit(0L))),

@@ -51,15 +51,18 @@ object TextFunctions {
   def bpePieces(tok: Column): Column = floor((length(tok) + lit(3)) / lit(4))
 
   /** Deterministic polynomial rolling hash over a token array (document
-    * fingerprinting): h = fold((h * 31 + xxhash64(token)) mod 2^57).
+    * fingerprinting): h = fold((h * 31 + md5_32(token)) mod 2^57).
     * Modular form keeps every intermediate below 2^62 so it is safe under
     * Spark's ANSI overflow checking; order-sensitive by construction.
-    * Not SQL-oracle-expressible (engine-specific xxhash64); verified by
-    * ScalaTest.
+    * The token hash is the md5-derived 32-bit value (Hashing.md5Bits32),
+    * so the whole fold is mirrored by a DuckDB list_reduce oracle
+    * (SparkEntry q27) — round 1's xxhash64 form was engine-specific and
+    * therefore rows-only.
     */
   def rollingFingerprint(toks: Column): Column = {
     val m = lit(1L << 57)
-    aggregate(toks, lit(0L), (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), m), m))
+    aggregate(transform(toks, t => Hashing.md5Bits32(t, 1)),
+      lit(0L), (acc, h) => pmod(acc * lit(31L) + h, m))
   }
 
   /** Content fingerprint with a cross-engine oracle: md5 of

@@ -12,20 +12,24 @@ import graft.functions.TextFunctions._
   *   1. quality gate: keep docs with ≥ 30 whitespace tokens;
   *   2. exact dedup: canonical = min doc_id per md5 content fingerprint;
   *   3. near-dup removal: drop the higher-id side of every 3-gram
-  *      Jaccard ≥ 0.5 pair (Dedup.jaccardPairs — at scale swap in
-  *      minhashLsh, same output contract);
+  *      Jaccard ≥ 0.5 pair — the pair generator is a parameter and
+  *      DEFAULTS to the scale path (Dedup.minhashLsh: band-bucketed
+  *      candidates, exact re-check); pass Dedup.jaccardPairs for the
+  *      exact-gold form;
   *   4. emit the curated per-language doc counts and BPE token budget.
   *
   * Every stage reuses an independently-oracle-verified operator; the
   * composed DuckDB oracle re-derives the whole pipeline from scratch.
   * Catalyst sees one plan: the quality filter pushes into the scan, the
-  * near-dup anti-join is a broadcast (sparse pair set), and the final
-  * aggregate is the only wide shuffle.
+  * near-dup anti-join strategy is left to the planner/AQE (the loser set
+  * is O(near-dup docs) — sparse, but not provably broadcastable at
+  * 100 TB), and the final aggregate is the only wide shuffle.
   */
 object Pipeline {
 
   def curateCorpus(spark: SparkSession, d: String,
-      minTokens: Int = 30, jaccardThreshold: Double = 0.5): DataFrame = {
+      minTokens: Int = 30, jaccardThreshold: Double = 0.5,
+      pairGen: (SparkSession, String, Double) => DataFrame = Dedup.minhashLsh): DataFrame = {
     import spark.implicits._
     val docs = documents(spark, d)
       .select($"doc_id", $"lang", tokens($"text").as("ws"),
@@ -36,9 +40,9 @@ object Pipeline {
     val exactKept = docs.join(canonical, docs("doc_id") === canonical("keep_id"))
       .select($"doc_id", $"lang", $"ws")
     // near-dup removal: drop the y side of every near-dup pair
-    val nearDupLosers = Dedup.jaccardPairs(spark, d, jaccardThreshold)
+    val nearDupLosers = pairGen(spark, d, jaccardThreshold)
       .select($"y".as("doc_id")).distinct()
-    val curated = exactKept.join(broadcast(nearDupLosers), Seq("doc_id"), "left_anti")
+    val curated = exactKept.join(nearDupLosers, Seq("doc_id"), "left_anti")
     curated
       .groupBy($"lang")
       .agg(count(lit(1)).as("n_docs"),

@@ -256,15 +256,32 @@ object Relational {
   /** Approximate aggregates — the mergeable-sketch forms that replace
     * their exact counterparts at 100 TB: HLL++ approx_count_distinct
     * (one pass, no distinct shuffle) and KLL-style approx_percentile.
-    * Rows-only checked (sketch internals are engine-specific);
-    * ApproxSpec bounds their error against the exact answers.
+    * Sketch VALUES are engine-specific, so the query emits its
+    * error-bound CONTRACT instead: per group, the exact row count plus
+    * booleans asserting each sketch landed inside its published bound
+    * (HLL++ at rsd 0.05 → |err| ≤ 3·rsd; percentile at accuracy 1000 →
+    * approx p50 within the exact [p47, p53] rank window). The DuckDB
+    * oracle states the same contract as literal TRUEs over the exact
+    * aggregates — a sketch regression (bias, merge bug, wrong rsd) flips
+    * a boolean and fails the hash compare. ApproxSpec additionally bounds
+    * the raw errors in-test.
     */
   def approxStats(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    events(spark, d)
-      .groupBy($"event_type")
-      .agg(approx_count_distinct($"user_id").as("approx_users"),
+    val e = events(spark, d)
+    val approx = e.groupBy($"event_type")
+      .agg(approx_count_distinct($"user_id", 0.05).as("approx_users"),
         approx_percentile($"value", lit(0.5), lit(1000)).as("approx_p50"))
+    val exact = e.groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("exact_users"),
+        count(lit(1)).as("n_events"),
+        percentile($"value", lit(0.47)).as("p47"),
+        percentile($"value", lit(0.53)).as("p53"))
+    approx.join(exact, "event_type")
+      .select($"event_type", $"n_events",
+        (abs($"approx_users" - $"exact_users") <=
+          $"exact_users" * 0.15).as("hll_in_bound"),
+        ($"approx_p50" >= $"p47" && $"approx_p50" <= $"p53").as("p50_in_bound"))
   }
 
   /** Rollup (grouping-sets family): per (event_type, user) counts with

@@ -28,13 +28,13 @@ object Similarity {
   /** (vec_id, embedding, qemb = quantized longs, n2 = exact squared norm),
     * cached: every similarity operator joins against this twice.
     */
-  private def corpusWithNorm(spark: SparkSession, d: String): DataFrame = {
-    import spark.implicits._
-    embeddings(spark, d)
-      .select($"vec_id", $"embedding", quantize($"embedding").as("qemb"))
-      .withColumn("n2", dotPreQ($"qemb", $"qemb"))
-      .cache()
-  }
+  private def corpusWithNorm(spark: SparkSession, d: String): DataFrame =
+    graft.core.Memo(spark, cache = true, "corpusWithNorm", d) {
+      import spark.implicits._
+      embeddings(spark, d)
+        .select($"vec_id", $"embedding", quantize($"embedding").as("qemb"))
+        .withColumn("n2", dotPreQ($"qemb", $"qemb"))
+    }
 
   /** Exact cosine top-k (k=5) for queries vec_id < 10 against the whole
     * corpus. The query side is broadcast; the corpus is scanned once
@@ -116,36 +116,29 @@ object Similarity {
   }
 
   /** Multi-table random-hyperplane LSH ANN: L hash tables of `nPlanes`
-    * sign bits each (plane weights derived deterministically from
-    * xxhash64(table, plane, dim), uniform in [-1, 1)); a corpus vector is
-    * a candidate if it shares ANY (table, signature) bucket with the
-    * query; candidates are scored exactly and top-k'd per query.
-    * Rows-only checked; candidate-scoring agreement with knnBruteForce is
-    * asserted in DedupSimilaritySpec.
+    * sign bits each; a corpus vector is a candidate if it shares ANY
+    * (table, signature) bucket with the query; candidates are scored
+    * exactly and top-k'd per query.
     *
-    * Scale: the corpus is hashed once (L×nPlanes fused plane dots in one
-    * projection), then the join is a hash partition on the bucket key —
-    * candidate volume tracks bucket density, not corpus².
+    * The plane weights are a deterministic md5-derived INTEGER matrix
+    * materialized once on the driver (plans.Hyperplanes) and the whole
+    * projection is one native codegen'd expression over the pre-quantized
+    * vector — round 1 re-derived every weight per row through interpreted
+    * HOFs (~3k hash evals/row, the q29 bench hot spot). Integer signs
+    * also make the signatures engine-exact, so the ENTIRE pipeline
+    * (weights → signatures → buckets → exact re-score → top-k) is
+    * mirrored by a DuckDB oracle (SparkEntry q29).
+    *
+    * Scale: the corpus is hashed once in the scan stage, then the join is
+    * a hash partition on the bucket key — candidate volume tracks bucket
+    * density, not corpus².
     */
   def annLsh(spark: SparkSession, d: String, k: Int = 5,
       nPlanes: Int = 6, nTables: Int = 8): DataFrame = {
     import spark.implicits._
-    def planeDot(emb: org.apache.spark.sql.Column, t: org.apache.spark.sql.Column,
-        p: org.apache.spark.sql.Column) =
-      aggregate(
-        zip_with(emb, sequence(lit(0), size(emb) - 1), (x, i) =>
-          x.cast("double") *
-            ((pmod(xxhash64(t, p, i), lit(2000000L)).cast("double") / 1000000.0) - 1.0)),
-        lit(0.0), (acc, v) => acc + v)
-    // per-table signature array: sigs[t] = fold of sign bits over planes
-    def signatures(emb: org.apache.spark.sql.Column) =
-      transform(sequence(lit(0), lit(nTables - 1)), t =>
-        aggregate(
-          transform(sequence(lit(0), lit(nPlanes - 1)), p =>
-            when(planeDot(emb, t, p) > 0, lit(1L)).otherwise(lit(0L))),
-          lit(0L), (acc, v) => acc * 2 + v))
-
-    val c = corpusWithNorm(spark, d).withColumn("sigs", signatures($"embedding"))
+    import graft.plans.HyperplaneSigs.hyperplaneSigs
+    val c = corpusWithNorm(spark, d)
+      .withColumn("sigs", hyperplaneSigs($"qemb", nTables, nPlanes))
     val buckets = c.select($"vec_id", $"qemb", $"n2",
       posexplode($"sigs").as(Seq("tbl", "sig")))
     val queries = buckets.filter($"vec_id" < 10)

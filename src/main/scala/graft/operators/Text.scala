@@ -19,11 +19,14 @@ import graft.functions.TextFunctions._
   */
 object Text {
 
-  /** Tokenized view shared by the operators: (doc_id, ws[]). */
-  private def tokenized(spark: SparkSession, d: String): DataFrame = {
-    import spark.implicits._
-    documents(spark, d).select($"doc_id", cleanTokens($"text").as("ws"))
-  }
+  /** Tokenized view shared by the operators: (doc_id, ws[]), memo-cached
+    * once per session+dir (tfIdf runs two actions over it).
+    */
+  private def tokenized(spark: SparkSession, d: String): DataFrame =
+    graft.core.Memo(spark, cache = true, "cleanTokenized", d) {
+      import spark.implicits._
+      documents(spark, d).select($"doc_id", cleanTokens($"text").as("ws"))
+    }
 
   /** TF-IDF with the reference's exact no-logarithm formula
     * tf * (N / df) (dataset_java/tf_idf/MailTFIDF.java:214-233; SURVEY
@@ -35,7 +38,7 @@ object Text {
     */
   def tfIdf(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val toks = tokenized(spark, d).cache()
+    val toks = tokenized(spark, d)
     val n = toks.count() // eager scalar, reference A3 shape
     val exploded = toks.select($"doc_id", explode($"ws").as("word"))
     val tf = exploded.groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))

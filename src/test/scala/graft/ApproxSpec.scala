@@ -1,7 +1,9 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.core.Tables
 import graft.operators.Relational
 
 class ApproxSpec extends AnyFunSuite {
@@ -14,14 +16,29 @@ class ApproxSpec extends AnyFunSuite {
       .as[(String, Long, Long)].collect().map(t => t._1 -> t._2).toMap
     val exactP50 = Relational.percentiles(spark, sf)
       .select($"event_type", $"p50").as[(String, Double)].collect().toMap
-    val approx = Relational.approxStats(spark, sf)
+    // raw sketch values (the query itself now emits the bound contract)
+    val approx = Tables.events(spark, sf).groupBy($"event_type")
+      .agg(approx_count_distinct($"user_id", 0.05).as("u"),
+        approx_percentile($"value", lit(0.5), lit(1000)).as("p"))
       .as[(String, Long, Double)].collect()
     assert(approx.nonEmpty)
     approx.foreach { case (t, users, p50) =>
-      // HLL++ default rsd 5%
+      // HLL++ rsd 5%
       assert(math.abs(users - exact(t)).toDouble / exact(t) < 0.1, s"$t users")
       // KLL with accuracy 1000 on ~2000 rows/group: within a few percent
       assert(math.abs(p50 - exactP50(t)) / math.max(1.0, exactP50(t)) < 0.05, s"$t p50")
+    }
+  }
+
+  test("q44 emits the bound contract: all booleans TRUE") {
+    import spark.implicits._
+    val rows = Relational.approxStats(spark, sf)
+      .as[(String, Long, Boolean, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, n, hllOk, p50Ok) =>
+      assert(n > 0, s"$t n_events")
+      assert(hllOk, s"$t hll_in_bound")
+      assert(p50Ok, s"$t p50_in_bound")
     }
   }
 }
