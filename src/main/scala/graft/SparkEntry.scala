@@ -55,6 +55,7 @@ object SparkEntry {
     "q13_pagerank"        -> ((s, d) => Graph.pageRank(s, d)),
     "q24_grid_cells"      -> ((s, d) => GeoQueries.gridCells(s, d)),
     "q30_cells_on_way"    -> ((s, d) => GeoQueries.cellsOnWayQuery(s, d)),
+    "q49_cells_on_way_exact" -> ((s, d) => GeoQueries.cellsOnWayExactQuery(s, d)),
     "q31_multimodal"      -> ((s, d) => graft.multimodal.Multimodal.featureSummary(s, d)),
     "q32_dedup_clusters"  -> ((s, d) => Dedup.dedupClusters(s, d)),
     "q33_salted_agg"      -> ((s, d) => Relational.saltedAgg(s, d)),
@@ -529,6 +530,64 @@ object SparkEntry {
         |FROM (SELECT *, CASE WHEN steps = 0 THEN 0.0
         |                     ELSE i::DOUBLE / steps::DOUBLE END AS fx
         |      FROM st, unnest(range(0, steps + 1)) AS t(i))""".stripMargin,
+    // the reference slope-walk (GeoUtils.java:95-161) re-derived as a
+    // recursive CTE: one recursion level per walk step, identical int and
+    // double arithmetic to plans.SlopeWalk (incl. the +1e-8 slope
+    // denominator and the negative-branch double-step quirk); terminates
+    // on this domain (exhaustively scanned, max 619 steps)
+    "q49_cells_on_way_exact" ->
+      """WITH RECURSIVE pts AS (SELECT event_id,
+        |  -74.06::DOUBLE + (event_id % 40)::DOUBLE * 0.01::DOUBLE AS lon1,
+        |  40.49::DOUBLE + ((event_id // 7) % 53)::DOUBLE * 0.01::DOUBLE AS lat1,
+        |  -74.05::DOUBLE + ((event_id // 11) % 35)::DOUBLE * 0.01::DOUBLE AS lon2,
+        |  40.5::DOUBLE + ((event_id // 13) % 50)::DOUBLE * 0.01::DOUBLE AS lat2
+        |  FROM events),
+        |nyc AS (SELECT * FROM pts
+        |  WHERE NOT (lon1 > -73.7 OR lon1 < -74.05)
+        |    AND NOT (lat1 > 41.0 OR lat1 < 40.5)
+        |    AND NOT (lon2 > -73.7 OR lon2 < -74.05)
+        |    AND NOT (lat2 > 41.0 OR lat2 < 40.5)),
+        |cellxy AS (SELECT event_id,
+        |  floor((74.05::DOUBLE - abs(lon1)) / 0.0014::DOUBLE)::INT AS x1,
+        |  floor((41.0::DOUBLE - lat1) / 0.00125::DOUBLE)::INT AS y1,
+        |  floor((74.05::DOUBLE - abs(lon2)) / 0.0014::DOUBLE)::INT AS x2,
+        |  floor((41.0::DOUBLE - lat2) / 0.00125::DOUBLE)::INT AS y2
+        |  FROM nyc),
+        |seg AS (SELECT event_id,
+        |  CASE WHEN x1 <= x2 THEN x1 ELSE x2 END AS sx,
+        |  CASE WHEN x1 <= x2 THEN y1 ELSE y2 END AS sy,
+        |  CASE WHEN x1 <= x2 THEN x2 ELSE x1 END AS ex,
+        |  CASE WHEN x1 <= x2 THEN y2 ELSE y1 END AS ey,
+        |  ((CASE WHEN x1 <= x2 THEN y2 ELSE y1 END)
+        |    - (CASE WHEN x1 <= x2 THEN y1 ELSE y2 END))::DOUBLE
+        |   / (((CASE WHEN x1 <= x2 THEN x2 ELSE x1 END)
+        |    - (CASE WHEN x1 <= x2 THEN x1 ELSE x2 END))::DOUBLE
+        |      + 0.00000001::DOUBLE) AS slope
+        |  FROM cellxy),
+        |walk AS (
+        |  SELECT event_id, sx, sy, ex, ey, slope, sx AS cx, sy AS cy FROM seg
+        |  UNION ALL
+        |  SELECT event_id, sx, sy, ex, ey, slope,
+        |    CASE WHEN slope > 0 THEN
+        |      CASE WHEN yy > cy - 0.05 AND yy < cy + 0.05 THEN cx + 1
+        |           WHEN yy < cy THEN cx + 1 ELSE cx END
+        |    ELSE
+        |      CASE WHEN yy > cy - 0.05 AND yy < cy + 0.05 THEN cx + 2
+        |           WHEN yy > cy THEN cx + 1 ELSE cx END
+        |    END AS cx,
+        |    CASE WHEN slope > 0 THEN
+        |      CASE WHEN yy > cy - 0.05 AND yy < cy + 0.05 THEN cy + 1
+        |           WHEN yy < cy THEN cy ELSE cy + 1 END
+        |    ELSE
+        |      CASE WHEN yy > cy - 0.05 AND yy < cy + 0.05 THEN cy - 1
+        |           WHEN yy > cy THEN cy ELSE cy - 1 END
+        |    END AS cy
+        |  FROM (SELECT *,
+        |          (cx - sx + 0.5::DOUBLE) * slope + sy
+        |            + (CASE WHEN slope > 0 THEN -0.5 ELSE 0.5 END)::DOUBLE AS yy
+        |        FROM walk
+        |        WHERE cx < ex OR cy <> ey) s)
+        |SELECT event_id, cx + 250 * cy AS cell FROM walk""".stripMargin,
     // sketch error-bound contract: booleans must all be TRUE (see
     // Relational.approxStats scaladoc)
     "q44_approx_stats" ->

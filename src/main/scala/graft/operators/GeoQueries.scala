@@ -46,10 +46,39 @@ object GeoQueries {
       .filter($"dist" > 0.001)
   }
 
+  /** Shared (event_id, x1, y1, x2, y2) cell-coordinate endpoints of the
+    * NYC-filtered synthesized segments.
+    */
+  private def segments(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    points(spark, d)
+      .filter(isInNYC($"lon1", $"lat1") && isInNYC($"lon2", $"lat2"))
+      .select($"event_id",
+        floor((lit(74.05) - abs($"lon1")) / 0.0014).cast("int").as("x1"),
+        floor((lit(41.0) - $"lat1") / 0.00125).cast("int").as("y1"),
+        floor((lit(74.05) - abs($"lon2")) / 0.0014).cast("int").as("x2"),
+        floor((lit(41.0) - $"lat2") / 0.00125).cast("int").as("y2"))
+  }
+
+  /** Segment rasterization with the reference's EXACT slope-walk
+    * semantics (GeoUtils.java:95-161, quirks included) — a native
+    * codegen'd table function (plans.SlopeWalkExpr), oracle-checked
+    * against a DuckDB recursive-CTE re-derivation of the same walk
+    * (SparkEntry q49) and property-tested against a direct transcription
+    * of the Java source in GeoSpec.
+    */
+  def cellsOnWayExactQuery(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    segments(spark, d)
+      .select($"event_id",
+        explode(graft.plans.SlopeWalkCells.cellsOnWayExact(
+          $"x1", $"y1", $"x2", $"y2")).as("cell"))
+  }
+
   /** Segment rasterization (mapToGridCellsOnWay, GeoUtils.java:95-161) as
-    * a table function. Rows-only checked (our rasterization is a
-    * linear-interpolation re-expression of the reference's slope-walk,
-    * exercised + bounds-tested in GeoSpec).
+    * a table function — the cheap LINEAR-INTERPOLATION approximation
+    * (differs from the reference walk on steep segments; q49 is the
+    * faithful port). Oracle-checked via the DuckDB unnest(range) mirror.
     *
     * Shape: endpoints → explode(sequence(0, steps)) → column math. The
     * generator materializes the per-row endpoint values as attributes, so
@@ -59,13 +88,7 @@ object GeoQueries {
     */
   def cellsOnWayQuery(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    points(spark, d)
-      .filter(isInNYC($"lon1", $"lat1") && isInNYC($"lon2", $"lat2"))
-      .select($"event_id",
-        floor((lit(74.05) - abs($"lon1")) / 0.0014).cast("int").as("x1"),
-        floor((lit(41.0) - $"lat1") / 0.00125).cast("int").as("y1"),
-        floor((lit(74.05) - abs($"lon2")) / 0.0014).cast("int").as("x2"),
-        floor((lit(41.0) - $"lat2") / 0.00125).cast("int").as("y2"))
+    segments(spark, d)
       .withColumn("dx", $"x2" - $"x1")
       .withColumn("dy", $"y2" - $"y1")
       .withColumn("steps", greatest(abs($"dx"), abs($"dy")))

@@ -86,4 +86,72 @@ class GeoSpec extends AnyFunSuite {
     assert(df.last == Geo.mapToGridCell(-73.96f, 40.76f))
     assert(df.nonEmpty)
   }
+
+  /** Direct transcription of GeoUtils.java:107-160 (the reference
+    * slope-walk, quirks included) — the SPEC the native SlopeWalkExpr is
+    * property-tested against. Kept deliberately line-for-line with the
+    * Java source, independent of the engine implementation.
+    */
+  private def referenceWalk(x1: Int, y1: Int, x2: Int, y2: Int): Seq[Int] = {
+    var startX = 0; var startY = 0; var endX = 0; var endY = 0
+    if (x1 <= x2) { startX = x1; startY = y1; endX = x2; endY = y2 }
+    else { startX = x2; startY = y2; endX = x1; endY = y1 }
+    val slope = (endY - startY) / ((endX - startX) + 0.00000001)
+    var curX = startX
+    var curY = startY
+    val cellIds = scala.collection.mutable.ArrayBuffer[Int](curX + (curY * 250))
+    while (curX < endX || curY != endY) {
+      if (slope > 0) {
+        val y = (curX - startX + 0.5) * slope + startY - 0.5
+        if (y > curY - 0.05 && y < curY + 0.05) { curX += 1; curY += 1 }
+        else if (y < curY) { curX += 1 }
+        else { curY += 1 }
+      } else {
+        val y = (curX - startX + 0.5) * slope + startY + 0.5
+        if (y > curY - 0.05 && y < curY + 0.05) { curX += 1; curY -= 1 }
+        if (y > curY) { curX += 1 }
+        else { curY -= 1 }
+      }
+      cellIds += curX + (curY * 250)
+    }
+    cellIds.toSeq
+  }
+
+  test("property: SlopeWalkExpr == reference walk on random NYC segments") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // cell coordinate domain of the NYC bbox: x in [0, 250], y in [0, 400]
+    val segs = Seq.tabulate(500) { i =>
+      (i, rnd.nextInt(251), rnd.nextInt(401), rnd.nextInt(251), rnd.nextInt(401))
+    }
+    val got = segs.toDF("id", "x1", "y1", "x2", "y2")
+      .select($"id", graft.plans.SlopeWalkCells.cellsOnWayExact(
+        $"x1", $"y1", $"x2", $"y2").as("cells"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Int](1)).toMap
+    segs.foreach { case (id, x1, y1, x2, y2) =>
+      val expect = referenceWalk(x1, y1, x2, y2)
+      assert(got(id) == expect, s"seg ($x1,$y1)->($x2,$y2)")
+      // the defensive cap in SlopeWalk must never bind on NYC segments
+      assert(expect.length <= 4 * (math.abs(x2 - x1) + math.abs(y2 - y1)) + 64)
+    }
+  }
+
+  test("slope walk differs from linear interpolation on steep segments") {
+    // documents WHY q49 exists next to q30: the reference walker is not
+    // linear interpolation
+    def interp(x1: Int, y1: Int, x2: Int, y2: Int): Seq[Int] = {
+      val steps = math.max(math.abs(x2 - x1), math.abs(y2 - y1))
+      (0 to steps).map { i =>
+        val fx = if (steps == 0) 0.0 else i.toDouble / steps
+        (x1 + math.round(fx * (x2 - x1)).toInt) +
+          250 * (y1 + math.round(fx * (y2 - y1)).toInt)
+      }
+    }
+    val steep = Seq((0, 0, 2, 20), (0, 20, 2, 0), (5, 3, 7, 40), (0, 0, 3, 17))
+    val diffs = steep.count { case (a, b, c, d) =>
+      referenceWalk(a, b, c, d).toSet != interp(a, b, c, d).toSet
+    }
+    assert(diffs > 0, "expected the walker to diverge from interpolation somewhere")
+  }
 }
