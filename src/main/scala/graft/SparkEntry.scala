@@ -56,6 +56,8 @@ object SparkEntry {
     "q24_grid_cells"      -> ((s, d) => GeoQueries.gridCells(s, d)),
     "q30_cells_on_way"    -> ((s, d) => GeoQueries.cellsOnWayQuery(s, d)),
     "q49_cells_on_way_exact" -> ((s, d) => GeoQueries.cellsOnWayExactQuery(s, d)),
+    "q47_popular_places"  -> ((s, d) => StreamProjections.popularPlacesBatch(s, d)),
+    "q48_prediction_slopes" -> ((s, d) => StreamProjections.predictionSlopesBatch(s, d)),
     "q31_multimodal"      -> ((s, d) => graft.multimodal.Multimodal.featureSummary(s, d)),
     "q32_dedup_clusters"  -> ((s, d) => Dedup.dedupClusters(s, d)),
     "q33_salted_agg"      -> ((s, d) => Relational.saltedAgg(s, d)),
@@ -588,6 +590,75 @@ object SparkEntry {
         |        FROM walk
         |        WHERE cx < ex OR cy <> ey) s)
         |SELECT event_id, cx + 250 * cy AS cell FROM walk""".stripMargin,
+    // PopularPlaces batch projection: same synthesized rides, q10's
+    // proven sliding-window alignment, q24's center math
+    "q47_popular_places" ->
+      """WITH pts AS (SELECT event_id, ts, (event_id % 2 = 0) AS is_start,
+        |  -74.06::DOUBLE + (event_id % 40)::DOUBLE * 0.01::DOUBLE AS lon1,
+        |  40.49::DOUBLE + ((event_id // 7) % 53)::DOUBLE * 0.01::DOUBLE AS lat1,
+        |  -74.05::DOUBLE + ((event_id // 11) % 35)::DOUBLE * 0.01::DOUBLE AS lon2,
+        |  40.5::DOUBLE + ((event_id // 13) % 50)::DOUBLE * 0.01::DOUBLE AS lat2
+        |  FROM events),
+        |nyc AS (SELECT * FROM pts
+        |  WHERE NOT (lon1 > -73.7 OR lon1 < -74.05)
+        |    AND NOT (lat1 > 41.0 OR lat1 < 40.5)
+        |    AND NOT (lon2 > -73.7 OR lon2 < -74.05)
+        |    AND NOT (lat2 > 41.0 OR lat2 < 40.5)),
+        |cells AS (SELECT ts, is_start,
+        |  CASE WHEN is_start
+        |    THEN floor((74.05::DOUBLE - abs(lon1)) / 0.0014::DOUBLE)::INT
+        |         + 250 * floor((41.0::DOUBLE - lat1) / 0.00125::DOUBLE)::INT
+        |    ELSE floor((74.05::DOUBLE - abs(lon2)) / 0.0014::DOUBLE)::INT
+        |         + 250 * floor((41.0::DOUBLE - lat2) / 0.00125::DOUBLE)::INT
+        |  END AS cell FROM nyc),
+        |w AS (SELECT time_bucket(INTERVAL '6 hours', ts) - to_hours(6*k) AS ws,
+        |             cell, is_start
+        |      FROM cells, (VALUES (0),(1),(2),(3)) t(k)),
+        |c AS (SELECT ws, cell, is_start, count(*) AS cnt
+        |      FROM w GROUP BY 1, 2, 3 HAVING count(*) >= 3)
+        |SELECT
+        |  (-((abs(-74.05::DOUBLE) - ((cell % 250) * 0.0014::DOUBLE)
+        |      - (0.0014::DOUBLE / 2))::REAL))::REAL AS lon,
+        |  (41.0::DOUBLE - (((cell - (cell % 250)) / 250) * 0.00125::DOUBLE)
+        |      - (0.00125::DOUBLE / 2))::REAL AS lat,
+        |  ws + INTERVAL '1 day' AS window_end, is_start, cnt
+        |FROM c""".stripMargin,
+    // TravelTimePrediction final model state: the keyed-state fold's
+    // quantized sums re-derived as plain integer aggregates (direction is
+    // dest -> start, the reference's quirk)
+    "q48_prediction_slopes" ->
+      """WITH pts AS (SELECT event_id, value,
+        |  -74.06::DOUBLE + (event_id % 40)::DOUBLE * 0.01::DOUBLE AS lon1,
+        |  40.49::DOUBLE + ((event_id // 7) % 53)::DOUBLE * 0.01::DOUBLE AS lat1,
+        |  -74.05::DOUBLE + ((event_id // 11) % 35)::DOUBLE * 0.01::DOUBLE AS lon2,
+        |  40.5::DOUBLE + ((event_id // 13) % 50)::DOUBLE * 0.01::DOUBLE AS lat2
+        |  FROM events),
+        |nyc AS (SELECT * FROM pts
+        |  WHERE NOT (lon1 > -73.7 OR lon1 < -74.05)
+        |    AND NOT (lat1 > 41.0 OR lat1 < 40.5)
+        |    AND NOT (lon2 > -73.7 OR lon2 < -74.05)
+        |    AND NOT (lat2 > 41.0 OR lat2 < 40.5)),
+        |obs AS (SELECT
+        |  floor((74.05::DOUBLE - abs(lon1)) / 0.0014::DOUBLE)::INT
+        |    + 250 * floor((41.0::DOUBLE - lat1) / 0.00125::DOUBLE)::INT AS cell,
+        |  ((trunc(degrees(atan2(lat1 - lat2, (lon1 - lon2) * cos(lat2))))::INT + 179)
+        |    // 45)::INT AS bucket,
+        |  round((110.25::DOUBLE * sqrt((lat1 - lat2) * (lat1 - lat2)
+        |      + ((lon1 - lon2) * cos(lat2)) * ((lon1 - lon2) * cos(lat2))))
+        |    * (110.25::DOUBLE * sqrt((lat1 - lat2) * (lat1 - lat2)
+        |      + ((lon1 - lon2) * cos(lat2)) * ((lon1 - lon2) * cos(lat2))))
+        |    * 1000000000.0::DOUBLE)::BIGINT AS xx,
+        |  round((110.25::DOUBLE * sqrt((lat1 - lat2) * (lat1 - lat2)
+        |      + ((lon1 - lon2) * cos(lat2)) * ((lon1 - lon2) * cos(lat2))))
+        |    * value * 1000000000.0::DOUBLE)::BIGINT AS xy
+        |  FROM nyc
+        |  WHERE 110.25::DOUBLE * sqrt((lat1 - lat2) * (lat1 - lat2)
+        |      + ((lon1 - lon2) * cos(lat2)) * ((lon1 - lon2) * cos(lat2))) > 0.001)
+        |SELECT cell, bucket,
+        |  CASE WHEN sum(xx) > 0 THEN sum(xy)::DOUBLE / sum(xx)::DOUBLE
+        |       ELSE -1.0 END AS slope,
+        |  count(*) AS n
+        |FROM obs GROUP BY 1, 2""".stripMargin,
     // sketch error-bound contract: booleans must all be TRUE (see
     // Relational.approxStats scaladoc)
     "q44_approx_stats" ->

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.core.Tables._
+import graft.functions.Geo
+import graft.streaming.TaxiStreams
+
+/** Batch-mode projections of the streaming family onto the driver's
+  * oracle scoreboard (VERDICT r1 item 6): the SAME transforms that run
+  * under Structured Streaming (TaxiStreams), driven by deterministic
+  * ride-shaped rows synthesized from `events` — so the W1/W4 semantics
+  * get CORRECTNESS rows, not just ScalaTest coverage.
+  *
+  * Rides are synthesized exactly like GeoQueries' points (integer math
+  * from event_id, mirrored in the DuckDB oracles), with `ts` as event
+  * time and `event_id % 2 = 0` as the START flag.
+  */
+object StreamProjections {
+
+  /** Ride-shaped rows for TaxiStreams: start/end coordinates from the
+    * q24 synthesis, eventTime = ts, alternating START/END.
+    */
+  private def syntheticRides(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    events(spark, d).select(
+      $"event_id",
+      $"ts".as("eventTime"),
+      ($"event_id" % 2 === 0).as("isStart"),
+      $"value",
+      (lit(-74.06) + ($"event_id" % 40).cast("double") * 0.01).as("startLon"),
+      (lit(40.49) + (expr("event_id div 7") % 53).cast("double") * 0.01).as("startLat"),
+      (lit(-74.05) + (expr("event_id div 11") % 35).cast("double") * 0.01).as("endLon"),
+      (lit(40.5) + (expr("event_id div 13") % 50).cast("double") * 0.01).as("endLat"))
+  }
+
+  /** PopularPlaces (W1+P2+P4+P5 composition,
+    * datastream_java/windows/PopularPlaces.java:52-97) in batch mode:
+    * cleanse → branching grid cell → sliding window count → threshold →
+    * cell centers. Window geometry matches q10's proven alignment
+    * (1 day / 6 hours); the threshold is scaled to the synthetic ride
+    * density. Output columns lowercased for the oracle compare.
+    */
+  def popularPlacesBatch(spark: SparkSession, d: String,
+      threshold: Long = 3): DataFrame = {
+    import spark.implicits._
+    TaxiStreams.popularPlaces(syntheticRides(spark, d), threshold,
+        size = "1 day", slide = "6 hours")
+      .select($"lon", $"lat", $"windowEnd".as("window_end"),
+        $"isStart".as("is_start"), $"cnt")
+  }
+
+  /** TravelTimePrediction's FINAL per-key model state (W4/W5,
+    * datastream_java/state/TravelTimePrediction.java:120-164) in batch
+    * mode, exercising the real keyed-state operator: rides grouped by
+    * (start cell, direction bucket) through flatMapGroupsWithState, each
+    * group folding its observations into the no-intercept regression
+    * sums and emitting the trained slope at group end.
+    *
+    * Sums are accumulated as 1e9-quantized longs so the fold is
+    * order-independent (batch iterators carry no ordering guarantee, and
+    * a 100 TB shuffle certainly doesn't) and exactly reproducible by the
+    * DuckDB oracle's integer SUM. Direction is computed dest → start —
+    * the reference's quirk (TravelTimePrediction.java:133).
+    */
+  def predictionSlopesBatch(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val obs = syntheticRides(spark, d)
+      .filter(Geo.isInNYC($"startLon", $"startLat") && Geo.isInNYC($"endLon", $"endLat"))
+      .select(
+        Geo.mapToGridCell($"startLon", $"startLat").as("cell"),
+        Geo.directionBucket(Geo.directionAngle(
+          $"endLon", $"endLat", $"startLon", $"startLat")).as("bucket"),
+        Geo.euclideanDistance($"startLon", $"startLat", $"endLon", $"endLat").as("dist"),
+        $"value")
+      // zero-length rides: direction is atan2 of ±0 noise terms, whose
+      // sign conventions differ across engines — and a 0-distance
+      // observation trains nothing (xx = xy = 0). Same cut as q24.
+      .filter($"dist" > 0.001)
+      .select($"cell", $"bucket",
+        round($"dist" * $"dist" * 1e9).cast("long").as("xx"),
+        round($"dist" * $"value" * 1e9).cast("long").as("xy"))
+      .as[(Int, Int, Long, Long)]
+    obs.groupByKey { case (cell, bucket, _, _) => (cell, bucket) }
+      .flatMapGroupsWithState[(Long, Long, Long), (Int, Int, Double, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((cell, bucket), rows, state: GroupState[(Long, Long, Long)]) =>
+          var (sxx, sxy, n) = state.getOption.getOrElse((0L, 0L, 0L))
+          rows.foreach { case (_, _, xx, xy) => sxx += xx; sxy += xy; n += 1 }
+          state.update((sxx, sxy, n))
+          val slope = if (sxx > 0) sxy.toDouble / sxx.toDouble else -1.0
+          Iterator((cell, bucket, slope, n))
+      }
+      .toDF("cell", "bucket", "slope", "n")
+  }
+}
