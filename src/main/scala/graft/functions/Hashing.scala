@@ -34,24 +34,16 @@ object Hashing {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** MinHash signature: k permutations simulated as seeded xxhash64
-    * (hash of (perm-index, shingle)); sig[i] = min over shingles.
-    *
-    * Single-pass fold over the shingles with an elementwise-min
-    * accumulator — the transpose (per-permutation array_min over a
-    * re-derived shingle array) re-evaluates the shingle expression k
-    * times per row (see shingles()). Docs with no shingles get the
-    * all-MaxValue signature; their band collisions are discarded by the
-    * exact-Jaccard re-check.
+  /** MinHash signature: k simulated permutations; sig[i] = min over
+    * shingles of the i-th derived hash. Native codegen expression
+    * (plans.MinHashSigExpr): one byte-hash per shingle + k cheap mixes,
+    * replacing the interpreted HOF fold that evaluated k hash expression
+    * trees per shingle (the round-1 dedup-family hot spot). Docs with no
+    * shingles get the all-MaxValue signature; their band collisions are
+    * discarded by the exact-Jaccard re-check.
     */
   def minhashSignature(shingleArr: Column, k: Int = 64): Column =
-    aggregate(
-      shingleArr,
-      array_repeat(lit(Long.MaxValue), k),
-      (acc, s) => zip_with(
-        acc,
-        transform(sequence(lit(0), lit(k - 1)), i => xxhash64(i, s)),
-        (a, h) => least(a, h)))
+    graft.plans.MinHashSigs.minhashSig(shingleArr, k)
 
   /** LSH band keys of a MinHash signature: bands of `r` rows, each band
     * reduced to one 64-bit key = xxhash64(bandIdx, sig rows...). Emits an

@@ -59,6 +59,14 @@ case class AsOfJoinExec(
     val rTime = BindReferences.bindReference(rightTime, right.output)
     val rightWidth = right.output.size
     val schema = output
+    // typed comparators for the declared key/time types — keys can be
+    // string, int, decimal…, not just long (round-1 limitation); the
+    // ordering matches the SortOrder the planner inserts, so the merge
+    // invariants hold for every orderable type
+    val keyOrd = org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(leftKey.dataType)
+    val timeOrd = org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(leftTime.dataType)
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       // bind against the nullability-adjusted output (right side emits a
@@ -69,26 +77,41 @@ case class AsOfJoinExec(
       val nullRight = new GenericInternalRow(rightWidth)
       val rBuf = rIter.buffered
 
-      var matchKey: Long = 0L
+      var matchKey: Any = null
       var hasMatch = false
       var matchRow: InternalRow = null
 
       lIter.map { lRow =>
-        val k = lKey.eval(lRow).asInstanceOf[Long]
-        val t = lTime.eval(lRow).asInstanceOf[Long]
-        if (hasMatch && matchKey != k) { hasMatch = false; matchRow = null }
-        // advance the right side up to (k, t), keeping the last row seen
-        var advancing = true
-        while (advancing && rBuf.hasNext) {
-          val head = rBuf.head
-          val hk = rKey.eval(head).asInstanceOf[Long]
-          val ht = rTime.eval(head).asInstanceOf[Long]
-          if (hk < k || (hk == k && ht <= t)) {
-            val consumed = rBuf.next()
-            if (hk == k) { matchRow = consumed.copy(); matchKey = k; hasMatch = true }
-          } else advancing = false
+        val k = lKey.eval(lRow)
+        val t = lTime.eval(lRow)
+        if (k == null || t == null) {
+          // SQL-equality semantics: a null key or time matches nothing.
+          // No state change: null-keyed left rows sort first, so no
+          // tracked match exists yet anyway.
+          proj(joined(lRow, nullRight))
+        } else {
+          if (hasMatch && keyOrd.compare(matchKey, k) != 0) {
+            hasMatch = false; matchRow = null
+          }
+          // advance the right side up to (k, t), keeping the last row
+          // seen; null-keyed/timed right rows sort first (Ascending =
+          // nulls first) and are consumed unmatched
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val head = rBuf.head
+            val hk = rKey.eval(head)
+            val ht = rTime.eval(head)
+            if (hk == null || ht == null) { rBuf.next() }
+            else {
+              val c = keyOrd.compare(hk, k)
+              if (c < 0 || (c == 0 && timeOrd.compare(ht, t) <= 0)) {
+                val consumed = rBuf.next()
+                if (c == 0) { matchRow = consumed.copy(); matchKey = k; hasMatch = true }
+              } else advancing = false
+            }
+          }
+          proj(joined(lRow, if (hasMatch) matchRow else nullRight))
         }
-        proj(joined(lRow, if (hasMatch) matchRow else nullRight))
       }
     }
   }
@@ -109,7 +132,8 @@ object AsOfStrategy extends SparkStrategy {
 
 object AsOf {
   /** DataFrame API: asofJoin(left, right, key, time) — key/time columns
-    * must be long-typed (cast upstream); right columns appear nullable.
+    * may be any orderable type (string, int, long, decimal, timestamp…);
+    * null keys/times match nothing; right columns appear nullable.
     */
   def asofJoin(leftDf: DataFrame, rightDf: DataFrame,
       leftKey: String, rightKey: String,

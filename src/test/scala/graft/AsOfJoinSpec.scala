@@ -22,6 +22,42 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out("p3").isEmpty)        // user 8 has no clicks
   }
 
+  test("string keys and null key/time rows") {
+    import spark.implicits._
+    // nullable string keys + nullable times on both sides
+    val left = Seq(
+      (Some("a"), Some(100L), "l1"),
+      (Some("a"), Some(50L), "l2"),
+      (Some("b"), Some(10L), "l3"),
+      (None: Option[String], Some(10L), "l4"), // null key -> no match
+      (Some("a"), None: Option[Long], "l5")    // null time -> no match
+    ).toDF("k", "t", "tag")
+    val right = Seq(
+      (Some("a"), Some(60L), 1.0),
+      (Some("a"), Some(99L), 2.0),
+      (Some("c"), Some(1L), 3.0),
+      (None: Option[String], Some(5L), 4.0),   // null key: consumed, never matched
+      (Some("a"), None: Option[Long], 5.0)     // null time: consumed, never matched
+    ).toDF("rk", "rt", "rv")
+    val out = AsOf.asofJoin(left, right, "k", "rk", "t", "rt")
+      .select($"tag", $"rv").as[(String, Option[Double])].collect().toMap
+    assert(out("l1").contains(2.0)) // latest a-click <= 100 is rt=99
+    assert(out("l2").isEmpty)       // no right a-row <= 50
+    assert(out("l3").isEmpty)       // no b rows on the right
+    assert(out("l4").isEmpty)       // null key matches nothing
+    assert(out("l5").isEmpty)       // null time matches nothing
+  }
+
+  test("int keys (non-long orderable type)") {
+    import spark.implicits._
+    val left = Seq((1, 10L, "x"), (2, 10L, "y")).toDF("k", "t", "tag")
+    val right = Seq((1, 5L, 7.5)).toDF("rk", "rt", "rv")
+    val out = AsOf.asofJoin(left, right, "k", "rk", "t", "rt")
+      .select($"tag", $"rv").as[(String, Option[Double])].collect().toMap
+    assert(out("x").contains(7.5))
+    assert(out("y").isEmpty)
+  }
+
   test("custom as-of join matches the window-based formulation on events") {
     import spark.implicits._
     val d = "/root/testdata/sf0.01"

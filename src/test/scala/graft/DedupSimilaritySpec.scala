@@ -84,4 +84,59 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // 500 distinct docs → no mass collisions
     assert(fps.values.toSet.size > 450)
   }
+
+  /** Synthesized corpus at 50× the sf0.001 document count: `n` base docs
+    * of 40 random-vocab tokens plus `planted` near-dup twins (a 5-token
+    * contiguous mutation ⇒ 3-gram Jaccard ≈ 0.69, comfortably over the
+    * 0.5 threshold). Written as a documents.parquet dir so the real
+    * operators run unmodified.
+    */
+  private def synthCorpus(n: Int, planted: Int, seed: Int): String = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    def word() = s"w${rnd.nextInt(5000)}"
+    val base = Seq.tabulate(n)(i => (i.toLong, Seq.fill(40)(word())))
+    val twins = Seq.tabulate(planted) { j =>
+      val (bid, toks) = base(j * (n / planted))
+      val mutated = toks.zipWithIndex.map { case (t, p) =>
+        if (p >= 10 && p < 15) s"m${seed}x${j}x$p" else t
+      }
+      ((n + j).toLong, mutated)
+    }
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-synth-$seed").toString
+    (base ++ twins).map { case (id, toks) => (id, toks.mkString(" ")) }
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("scale rehearsal: LSH candidate volume tracks planted-dup density, not corpus size") {
+    import spark.implicits._
+    val n = 25000 // 50× the sf0.001 documents table
+    val d1 = synthCorpus(n, planted = 250, seed = 1) // 1% dup density
+    val d2 = synthCorpus(n, planted = 500, seed = 2) // 2% dup density
+    val c1 = Dedup.minhashCandidates(spark, d1).count()
+    val c2 = Dedup.minhashCandidates(spark, d2).count()
+    // candidates ∝ planted pairs — NOT corpus² (which would be 3·10^8):
+    // near-complete recall of the planted pairs plus a tiny random
+    // band-collision background
+    assert(c1 >= 225 && c1 <= 600, s"1% density: $c1 candidates")
+    assert(c2 >= 450 && c2 <= 1200, s"2% density: $c2 candidates")
+    val ratio = c2.toDouble / c1.toDouble
+    assert(ratio > 1.4 && ratio < 3.0, s"candidate growth $ratio should track density 2×")
+    // the full LSH pipeline on the rehearsal corpus: every planted twin
+    // pair survives the exact re-check at threshold 0.5
+    val pairs = Dedup.minhashLsh(spark, d1).select($"x", $"y")
+      .as[(Long, Long)].collect().toSet
+    val plantedPairs = Seq.tabulate(250) { j =>
+      val bid = (j * (n / 250)).toLong
+      (math.min(bid, (n + j).toLong), math.max(bid, (n + j).toLong))
+    }.toSet
+    assert(plantedPairs.subsetOf(pairs),
+      s"missing ${(plantedPairs -- pairs).size} planted pairs")
+    // clusters through the default (LSH) pair generator: each twin pair
+    // collapses into one cluster → exactly n clusters remain
+    val clusters = Dedup.dedupClusters(spark, d1).count()
+    assert(clusters == n, s"clusters $clusters != $n")
+  }
 }
