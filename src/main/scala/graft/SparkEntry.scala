@@ -74,6 +74,12 @@ object SparkEntry {
     "q44_approx_stats"    -> ((s, d) => Relational.approxStats(s, d)),
     "q45_intersect"       -> ((s, d) => Relational.intersectUsers(s, d)),
     "q46_except"          -> ((s, d) => Relational.exceptUsers(s, d)),
+    "q50_normalize"       -> ((s, d) => Text.normalizeAdjacent(s, d)),
+    "q51_repetition"      -> ((s, d) => Text.repetitionStats(s, d)),
+    "q52_hash_split"      -> ((s, d) => Sampling.hashSplit(s, d)),
+    "q53_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
+    "q54_domain_mixture"  -> ((s, d) => Sampling.domainMixture(s, d)),
+    "q55_semantic_dedup"  -> ((s, d) => Similarity.semanticDedup(s, d)),
   )
 
   /** Unrolled min-label-propagation oracle for dedup clusters (mirrors
@@ -780,5 +786,77 @@ object SparkEntry {
       """SELECT user_id FROM events WHERE event_type = 'view'
         |EXCEPT
         |SELECT user_id FROM events WHERE event_type = 'signup' AND value > 180""".stripMargin,
+    // adjacent-duplicate-token collapse: DuckDB's positional list_filter
+    // lambda (1-based i, ws[i-1] = previous element) ≙ Spark's positional
+    // filter HOF (0-based i, element_at(ws, i) = previous element)
+    "q50_normalize" ->
+      """WITH toks AS (SELECT doc_id,
+        |  regexp_split_to_array(lower(text), '\s+') AS ws FROM documents),
+        |k AS (SELECT doc_id, ws,
+        |  list_filter(ws, (t, i) -> i = 1 OR ws[i-1] <> t) AS kept FROM toks)
+        |SELECT doc_id, array_to_string(kept, ' ') AS norm_text,
+        |       (len(ws) - len(kept))::BIGINT AS n_collapsed
+        |FROM k""".stripMargin,
+    "q51_repetition" ->
+      """WITH toks AS (SELECT doc_id,
+        |  regexp_split_to_array(lower(text), '\s+') AS ws FROM documents),
+        |tc AS (SELECT doc_id, w, count(*) AS c
+        |       FROM (SELECT doc_id, unnest(ws) AS w FROM toks) GROUP BY 1, 2),
+        |ts AS (SELECT doc_id, sum(c) AS n, max(c) AS maxc,
+        |              sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dupc
+        |       FROM tc GROUP BY 1),
+        |bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS b
+        |       FROM toks, unnest(range(1, len(ws))) AS t(i) WHERE len(ws) >= 2),
+        |bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+        |bs AS (SELECT doc_id, sum(c) AS bn,
+        |              sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS bdup
+        |       FROM bc GROUP BY 1)
+        |SELECT ts.doc_id, n::BIGINT AS n_tokens,
+        |       maxc::DOUBLE / n::DOUBLE AS top_token_frac,
+        |       dupc::DOUBLE / n::DOUBLE AS dup_token_frac,
+        |       coalesce(bdup::DOUBLE / bn::DOUBLE, 0.0::DOUBLE) AS dup_bigram_frac
+        |FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id""".stripMargin,
+    "q52_hash_split" ->
+      s"""SELECT doc_id, bucket,
+         |  CASE WHEN bucket < 80 THEN 'train'
+         |       WHEN bucket < 90 THEN 'validation'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id,
+         |  ${md5Bits32Sql("'split:' || doc_id::VARCHAR", 1)} % 100 AS bucket
+         |  FROM documents)""".stripMargin,
+    "q53_stratified_sample" ->
+      s"""WITH b AS (SELECT doc_id, lang,
+         |  ${md5Bits32Sql("'strat:' || doc_id::VARCHAR", 1)} % 100 AS h
+         |  FROM documents),
+         |r AS (SELECT doc_id, lang,
+         |  row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS smp_rank
+         |  FROM b),
+         |t AS (SELECT min(c) AS t FROM
+         |      (SELECT count(*) AS c FROM documents GROUP BY lang))
+         |SELECT doc_id, lang, smp_rank::BIGINT AS smp_rank
+         |FROM r, t WHERE smp_rank <= t.t""".stripMargin,
+    "q54_domain_mixture" ->
+      """WITH g AS (SELECT lang, source, count(*) AS n_docs,
+        |                  sum(n_chars)::BIGINT AS n_chars
+        |           FROM documents GROUP BY 1, 2),
+        |t AS (SELECT sum(n_docs)::BIGINT AS total, count(*) AS n_groups FROM g)
+        |SELECT lang, source, n_docs, n_chars,
+        |       n_docs::DOUBLE / total::DOUBLE AS frac,
+        |       (1.0::DOUBLE / n_groups::DOUBLE)
+        |         / (n_docs::DOUBLE / total::DOUBLE) AS weight
+        |FROM g, t""".stripMargin,
+    // q25's exact pair derivation + greedy keep-lowest-id winner rule
+    "q55_semantic_dedup" ->
+      """WITH ex AS (SELECT vec_id, round(unnest(embedding)::DOUBLE * 10000000)::BIGINT AS v,
+        |                   unnest(range(len(embedding))) AS i FROM embeddings),
+        |n2 AS (SELECT vec_id, sum(v*v)::DOUBLE AS n2 FROM ex GROUP BY 1),
+        |dots AS (SELECT a.vec_id AS x, b.vec_id AS y, sum(a.v*b.v)::DOUBLE AS dot
+        |         FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+        |         GROUP BY 1, 2),
+        |pairs AS (SELECT x, y FROM dots
+        |          JOIN n2 na ON x = na.vec_id JOIN n2 nb ON y = nb.vec_id
+        |          WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.4)
+        |SELECT e.vec_id, e.label FROM embeddings e
+        |WHERE e.vec_id NOT IN (SELECT y FROM pairs)""".stripMargin,
   )
 }

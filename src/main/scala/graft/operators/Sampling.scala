@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables._
+import graft.functions.Hashing
+
+/** Deterministic sampling / splitting / mixture planning over the
+  * `documents` table — the corpus-assembly side of a training-data
+  * pipeline: train/val/test carving, per-stratum downsampling, and
+  * domain re-weighting.
+  *
+  * Everything is HASH-deterministic (md5 of the doc id, mirrored exactly
+  * by the DuckDB oracles): the sample a doc lands in is a pure function
+  * of the doc, independent of partitioning, cluster size, row order, or
+  * re-runs — the property that matters when a 100 TB corpus is
+  * re-materialized incrementally and membership must not drift. No
+  * rand(); rand() is partition-order-dependent in any engine.
+  */
+object Sampling {
+
+  /** 0..99 bucket from the md5 of the decimal doc id — the shared
+    * primitive of split/sample. A salt string keeps independent uses
+    * (split vs sample) uncorrelated.
+    */
+  private def hashBucket(idCol: org.apache.spark.sql.Column, salt: String) =
+    pmod(Hashing.md5Bits32(concat(lit(salt), idCol.cast("string")), 1), lit(100L))
+
+  /** Deterministic 80/10/10 train/validation/test split.
+    * One scan-stage projection — no shuffle, no state; adding documents
+    * never moves an existing document between splits.
+    */
+  def hashSplit(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, d)
+      .select($"doc_id", hashBucket($"doc_id", "split:").as("bucket"))
+      .select($"doc_id", $"bucket",
+        when($"bucket" < 80, "train")
+          .when($"bucket" < 90, "validation")
+          .otherwise("test").as("split"))
+  }
+
+  /** Stratified downsampling to the rarest language: within each lang,
+    * rank docs by (hash, doc_id) and keep the first `min-lang-count` —
+    * equal-sized per-language strata with hash-deterministic membership
+    * (the "balance the language mix" pass).
+    *
+    * Scale: one shuffle on lang for the rank window plus a broadcast of
+    * the single-row global minimum. Per-lang partitions are the skew
+    * point at corpus scale — langs are few and large — so a real run
+    * ranks within (lang, bucket-of-hash) sub-strata; semantics here are
+    * the exact single-window form the oracle can mirror.
+    */
+  def stratifiedSample(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val docs = documents(spark, d)
+    val ranked = docs
+      .select($"doc_id", $"lang", hashBucket($"doc_id", "strat:").as("h"))
+      .withColumn("smp_rank", row_number().over(
+        Window.partitionBy($"lang").orderBy($"h", $"doc_id")))
+    val target = docs.groupBy($"lang").agg(count(lit(1)).as("c"))
+      .agg(min($"c").as("t"))
+    ranked.join(broadcast(target))
+      .filter($"smp_rank" <= $"t")
+      .select($"doc_id", $"lang", $"smp_rank".cast("long").as("smp_rank"))
+  }
+
+  /** Domain-mixture plan: per (lang, source) doc/char counts, the
+    * group's share of the corpus, and the sampling weight that would
+    * flatten the mixture to uniform across groups — weight =
+    * (1/G) / frac, the multiplier applied to each group's sampling rate
+    * in a mixture-rebalancing pass (cf. the domain-weighting step of
+    * public LLM data recipes).
+    *
+    * Scale: one aggregation shuffle down to G = |lang × source| rows,
+    * then a broadcast of the 1-row total. The weight math happens on G
+    * rows — nothing beyond the first agg touches the corpus.
+    */
+  def domainMixture(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val g = documents(spark, d).groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars"))
+    val tot = g.agg(sum($"n_docs").as("total"), count(lit(1)).as("n_groups"))
+    g.join(broadcast(tot))
+      .select($"lang", $"source", $"n_docs", $"n_chars",
+        ($"n_docs".cast("double") / $"total").as("frac"),
+        ((lit(1.0) / $"n_groups") / ($"n_docs".cast("double") / $"total")).as("weight"))
+  }
+}

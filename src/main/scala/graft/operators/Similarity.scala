@@ -133,6 +133,65 @@ object Similarity {
     * a hash partition on the bucket key — candidate volume tracks bucket
     * density, not corpus².
     */
+  /** Embedding near-dup pairs via hyperplane-LSH bucket candidates +
+    * exact re-check — the sub-quadratic analog of `embeddingNearDup`,
+    * same output contract (x < y, cos ≥ threshold) restricted to pairs
+    * that collide in ≥ 1 of the `nTables` hash tables.
+    *
+    * Recall is governed by the similarity of the true pairs:
+    * p(table) = (1 − acos(cos)/π)^nPlanes, recall = 1 − (1 − p)^nTables.
+    * At cos ≈ 0.9 the defaults give > 99 % recall; at this corpus's
+    * planted cos ≈ 0.4–0.5 hyperplane LSH is the wrong tool at ANY
+    * affordable table count (p ≈ 0.06/table) — which is why
+    * `semanticDedup`'s oracle form stays exact and the LSH form is the
+    * high-threshold scale path (recall measured in DedupSimilaritySpec).
+    *
+    * Scale: corpus hashed once in the scan stage; candidate join is hash
+    * partitioned on (table, signature); exact scoring touches only
+    * bucket-mates.
+    */
+  def embeddingNearDupLsh(spark: SparkSession, d: String,
+      threshold: Double = 0.4, nPlanes: Int = 4, nTables: Int = 16): DataFrame = {
+    import spark.implicits._
+    import graft.plans.HyperplaneSigs.hyperplaneSigs
+    val c = corpusWithNorm(spark, d)
+      .withColumn("sigs", hyperplaneSigs($"qemb", nTables, nPlanes))
+    val buckets = c.select($"vec_id", $"qemb", $"n2",
+      posexplode($"sigs").as(Seq("tbl", "sig")))
+    val candidates = buckets.as("a").join(buckets.as("b"),
+        $"a.tbl" === $"b.tbl" && $"a.sig" === $"b.sig" &&
+          $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("x"), $"b.vec_id".as("y"),
+        $"a.qemb".as("qa"), $"b.qemb".as("qb"), $"a.n2".as("na"), $"b.n2".as("nb"))
+      .dropDuplicates("x", "y")
+    candidates
+      .select($"x", $"y", cosineFromParts(dotPreQ($"qa", $"qb"), $"na", $"nb").as("cos"))
+      .filter($"cos" >= threshold)
+  }
+
+  /** Semantic (embedding-space) dedup: drop every vector that is the
+    * HIGHER id of some near-dup pair — the greedy keep-lowest-id winner
+    * rule, the decision stage on top of a near-dup pair source. Output is
+    * the kept corpus (vec_id, label).
+    *
+    * Parameterized over the pair generator (verdict-r1 pattern: the
+    * composite must ride the declared ladder, not hardwire one rung):
+    * `embeddingNearDup` (exact, quadratic — the oracle form and the
+    * default here because this corpus's near-dups sit at cos ≈ 0.4 where
+    * hyperplane LSH cannot reach full recall; see embeddingNearDupLsh)
+    * or `embeddingNearDupLsh` for high-threshold corpus-scale runs.
+    * The anti-join is a hash join on vec_id; the loser side is ∝ dup
+    * density — never force-broadcast.
+    */
+  def semanticDedup(spark: SparkSession, d: String, threshold: Double = 0.4,
+      pairGen: (SparkSession, String, Double) => DataFrame =
+        embeddingNearDup(_, _, _)): DataFrame = {
+    import spark.implicits._
+    val losers = pairGen(spark, d, threshold).select($"y".as("vec_id")).distinct()
+    embeddings(spark, d).select($"vec_id", $"label")
+      .join(losers, Seq("vec_id"), "left_anti")
+  }
+
   def annLsh(spark: SparkSession, d: String, k: Int = 5,
       nPlanes: Int = 6, nTables: Int = 8): DataFrame = {
     import spark.implicits._

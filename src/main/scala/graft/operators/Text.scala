@@ -139,4 +139,58 @@ object Text {
     documents(spark, d)
       .select($"doc_id", rollingFingerprint(cleanTokens($"text")).as("rolling_fp"))
   }
+
+  /** Text normalization: lowercase, whitespace-collapse, and collapse
+    * runs of ADJACENT duplicate tokens ("table table part" → "table
+    * part") — the cheap, order-preserving cleanup pass a crawl corpus
+    * gets before dedup (repeated-boilerplate stutter). Pure scan-stage
+    * column math: the positional `filter` HOF keeps token i iff it
+    * differs from token i-1, then re-joins. No shuffle at all.
+    */
+  def normalizeAdjacent(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, d)
+      .select($"doc_id", tokens($"text").as("ws"))
+      .select($"doc_id", $"ws",
+        filter($"ws", (t, i) =>
+          i === lit(0) || element_at($"ws", i) =!= t).as("kept"))
+      .select($"doc_id",
+        array_join($"kept", " ").as("norm_text"),
+        (size($"ws") - size($"kept")).cast("long").as("n_collapsed"))
+  }
+
+  /** Gopher-style repetition signals per document: top-token fraction,
+    * fraction of token occurrences whose token repeats, and the same for
+    * adjacent bigrams — the standard "repetitious document" quality
+    * gates of large-corpus filtering (Rae et al. 2021, see PAPERS.md).
+    *
+    * Scale: two (doc_id, gram) count aggregations — each one shuffle,
+    * map-side combined, key cardinality ∝ corpus tokens. Ratios are
+    * exact-integer divisions done identically by the oracle.
+    */
+  def repetitionStats(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val toks = documents(spark, d).select($"doc_id", tokens($"text").as("ws"))
+    val tokCounts = toks.select($"doc_id", explode($"ws").as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+    val tokStats = tokCounts.groupBy($"doc_id").agg(
+      sum($"c").as("n"), max($"c").as("maxc"),
+      sum(when($"c" > 1, $"c").otherwise(0L)).as("dupc"))
+    // adjacent bigrams, duplicates preserved: positions 1..len-1 (1-based)
+    val bigrams = toks.select($"doc_id",
+      when(size($"ws") >= 2,
+        transform(sequence(lit(1), size($"ws") - 1),
+          i => concat_ws(" ", element_at($"ws", i), element_at($"ws", i + 1))))
+      .otherwise(array().cast("array<string>")).as("bg"))
+    val bgCounts = bigrams.select($"doc_id", explode($"bg").as("b"))
+      .groupBy($"doc_id", $"b").agg(count(lit(1)).as("c"))
+    val bgStats = bgCounts.groupBy($"doc_id").agg(
+      sum($"c").as("bn"), sum(when($"c" > 1, $"c").otherwise(0L)).as("bdup"))
+    tokStats.join(bgStats, Seq("doc_id"), "left").select(
+      $"doc_id",
+      $"n".cast("long").as("n_tokens"),
+      ($"maxc".cast("double") / $"n").as("top_token_frac"),
+      ($"dupc".cast("double") / $"n").as("dup_token_frac"),
+      coalesce($"bdup".cast("double") / $"bn", lit(0.0)).as("dup_bigram_frac"))
+  }
 }
