@@ -80,6 +80,9 @@ object SparkEntry {
     "q53_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
     "q54_domain_mixture"  -> ((s, d) => Sampling.domainMixture(s, d)),
     "q55_semantic_dedup"  -> ((s, d) => Similarity.semanticDedup(s, d)),
+    "q56_chunking"        -> ((s, d) => Text.chunk(s, d)),
+    "q57_seq_packing"     -> ((s, d) => Sampling.packSequences(s, d)),
+    "q58_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
   )
 
   /** Unrolled min-label-propagation oracle for dedup clusters (mirrors
@@ -858,5 +861,37 @@ object SparkEntry {
         |          WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.4)
         |SELECT e.vec_id, e.label FROM embeddings e
         |WHERE e.vec_id NOT IN (SELECT y FROM pairs)""".stripMargin,
+    // sliding 32-token window, stride 24: range(0, len, 24) ≙ Spark's
+    // explode(sequence(0, len-1, 24)); list_slice is 1-based inclusive
+    "q56_chunking" ->
+      """WITH toks AS (SELECT doc_id,
+        |  regexp_split_to_array(lower(text), '\s+') AS ws FROM documents)
+        |SELECT doc_id, (start // 24)::BIGINT AS chunk_id,
+        |  array_to_string(list_slice(ws, start + 1, least(start + 32, len(ws))), ' ')
+        |    AS chunk_text,
+        |  least(32, len(ws) - start)::BIGINT AS n_tokens
+        |FROM toks, unnest(range(0, len(ws), 24)) AS t(start)""".stripMargin,
+    "q57_seq_packing" ->
+      """WITH n AS (SELECT doc_id, source,
+        |  list_sum(list_transform(regexp_split_to_array(lower(text), '\s+'),
+        |    w -> floor((strlen(w)+3)/4)::BIGINT))::BIGINT AS n_toks
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_toks,
+        |  sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+        |  FROM n)
+        |SELECT doc_id, source, n_toks,
+        |  ((cum - n_toks) // 2048)::BIGINT AS pack_id,
+        |  ((cum - n_toks) % 2048)::BIGINT AS pack_offset
+        |FROM c""".stripMargin,
+    // exact integer sums at the shared 1e7 quantization scale, divided
+    // back out with the same parenthesization as the engine
+    "q58_label_centroids" ->
+      """WITH ex AS (SELECT label,
+        |  round(unnest(embedding)::DOUBLE * 10000000)::BIGINT AS q,
+        |  unnest(range(len(embedding))) AS i FROM embeddings)
+        |SELECT label, i::BIGINT AS i,
+        |  (sum(q)::DOUBLE / 10000000.0) / count(*)::DOUBLE AS mean
+        |FROM ex GROUP BY label, i""".stripMargin,
   )
 }

@@ -88,4 +88,31 @@ object Sampling {
         ($"n_docs".cast("double") / $"total").as("frac"),
         ((lit(1.0) / $"n_groups") / ($"n_docs".cast("double") / $"total")).as("weight"))
   }
+
+  /** Sequence-packing plan: lay documents end-to-end (in doc_id order,
+    * independently within each `source` shard) into fixed
+    * `budget`-token context windows; a doc's pack is where its first
+    * token lands. The deterministic contiguous-packing layout used when
+    * materializing pretraining batches — every (doc → pack, offset)
+    * assignment is a pure function of the corpus.
+    *
+    * Scale: one shuffle on the shard key for the running-sum window.
+    * Shards (sources/files) are the packing unit precisely so no global
+    * total order is needed — each shard's window sorts locally; skewed
+    * shards split by adding a hash sub-key to the partition.
+    */
+  def packSequences(spark: SparkSession, d: String, budget: Int = 2048): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TextFunctions.{tokens, tokenSum, bpePieces}
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(spark, d)
+      .select($"doc_id", $"source",
+        tokenSum(tokens($"text"), bpePieces).as("n_toks"))
+      .withColumn("cum", sum($"n_toks").over(w))
+      .select($"doc_id", $"source", $"n_toks",
+        // `div` = exact long floor-division (Column./ would be double)
+        expr(s"(cum - n_toks) div $budget").as("pack_id"),
+        pmod($"cum" - $"n_toks", lit(budget.toLong)).as("pack_offset"))
+  }
 }

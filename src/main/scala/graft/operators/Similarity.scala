@@ -192,6 +192,29 @@ object Similarity {
       .join(losers, Seq("vec_id"), "left_anti")
   }
 
+  /** Per-label centroid, flat (label, i, mean) rows: the exact mean of
+    * each embedding dimension over the label's vectors — the
+    * class-prototype computation behind semantic clustering diagnostics
+    * (and the k-means update step, were one iterating). Sums are exact
+    * quantized longs, so the mean — one integer-exact sum divided by one
+    * count — is partitioning-independent; the 1e7 quantization scale is
+    * divided back out.
+    *
+    * Scale: posexplode fans each vector into dims rows in the scan stage;
+    * one shuffle on (label, i) with map-side partial sums. At extreme
+    * dims, aggregate on the array form (element-wise long-array sum) to
+    * avoid the fan-out — same result, same single shuffle.
+    */
+  def labelCentroids(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    embeddings(spark, d)
+      .select($"label", posexplode(quantize($"embedding")).as(Seq("i", "q")))
+      .groupBy($"label", $"i")
+      .agg(sum($"q").as("qsum"), count(lit(1)).as("n"))
+      .select($"label", $"i".cast("long").as("i"),
+        (($"qsum".cast("double") / lit(1e7)) / $"n").as("mean"))
+  }
+
   def annLsh(spark: SparkSession, d: String, k: Int = 5,
       nPlanes: Int = 6, nTables: Int = 8): DataFrame = {
     import spark.implicits._

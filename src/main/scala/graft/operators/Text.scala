@@ -193,4 +193,23 @@ object Text {
       ($"dupc".cast("double") / $"n").as("dup_token_frac"),
       coalesce($"bdup".cast("double") / $"bn", lit(0.0)).as("dup_bigram_frac"))
   }
+
+  /** Sliding-window chunking: split each document's token stream into
+    * fixed-size chunks of `chunkSize` tokens advancing by `stride`
+    * (overlap = chunkSize − stride) — the context-window preparation
+    * step before tokenizer packing. One explode in the scan stage, no
+    * shuffle; output volume = tokens/stride per doc.
+    */
+  def chunk(spark: SparkSession, d: String,
+      chunkSize: Int = 32, stride: Int = 24): DataFrame = {
+    import spark.implicits._
+    documents(spark, d)
+      .select($"doc_id", tokens($"text").as("ws"))
+      .select($"doc_id", $"ws",
+        explode(sequence(lit(0), size($"ws") - 1, lit(stride))).as("start"))
+      .select($"doc_id",
+        ($"start" / stride).cast("long").as("chunk_id"),
+        array_join(slice($"ws", $"start" + 1, lit(chunkSize)), " ").as("chunk_text"),
+        least(lit(chunkSize), size($"ws") - $"start").cast("long").as("n_tokens"))
+  }
 }

@@ -116,4 +116,63 @@ class CurationOpsSpec extends AnyFunSuite {
       .select($"vec_id").as[Long].collect().toSet
     assert(kept.subsetOf(keptLsh), "LSH variant must never drop a non-duplicate")
   }
+
+  test("chunk windows tile every document with the declared stride/overlap") {
+    import spark.implicits._
+    val chunks = Text.chunk(spark, sf, chunkSize = 32, stride = 24)
+      .as[(Long, Long, String, Long)].collect()
+    val byDoc = chunks.groupBy(_._1)
+    val nToks = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.lower($"text"), "\\s+")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    byDoc.foreach { case (id, cs) =>
+      val n = nToks(id)
+      // chunk count = number of stride starts below n
+      assert(cs.length == (n + 23) / 24, s"doc $id: ${cs.length} chunks for $n tokens")
+      // chunk ids are 0..k-1; every chunk except possibly the last is full
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._2).sameElements(0L until cs.length.toLong))
+      sorted.dropRight(1).foreach { c =>
+        assert(c._4 == 32 || n - c._2 * 24 < 32, s"doc $id chunk ${c._2} short")
+      }
+      // token conservation at the text level: each chunk's text has
+      // n_tokens tokens
+      sorted.foreach(c => assert(c._3.split(" ").length == c._4))
+    }
+  }
+
+  test("packSequences lays docs contiguously within each source shard") {
+    import spark.implicits._
+    val rows = Sampling.packSequences(spark, sf, budget = 2048)
+      .as[(Long, String, Long, Long, Long)].collect()
+    rows.groupBy(_._2).foreach { case (_, shard) =>
+      val inOrder = shard.sortBy(_._1)
+      var cum = 0L
+      inOrder.foreach { case (_, _, n, packId, off) =>
+        assert(packId == cum / 2048, s"pack id mismatch at cum $cum")
+        assert(off == cum % 2048, s"offset mismatch at cum $cum")
+        cum += n
+      }
+    }
+  }
+
+  test("labelCentroids matches a driver-side exact mean") {
+    import spark.implicits._
+    val cents = Similarity.labelCentroids(spark, sf)
+      .as[(Int, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    val raw = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"label", $"embedding").as[(Int, Seq[Float])].collect()
+    raw.groupBy(_._1).foreach { case (label, vs) =>
+      val dims = vs.head._2.length
+      val exact = (0 until dims).map { i =>
+        vs.map(v => math.round(v._2(i).toDouble * 1e7)).sum.toDouble / 1e7 / vs.length
+      }
+      exact.zip(cents(label)).foreach { case (e, c) =>
+        assert(math.abs(e - c) < 1e-12, s"label $label centroid drift")
+      }
+    }
+  }
 }
