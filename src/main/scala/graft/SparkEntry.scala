@@ -83,6 +83,14 @@ object SparkEntry {
     "q56_chunking"        -> ((s, d) => Text.chunk(s, d)),
     "q57_seq_packing"     -> ((s, d) => Sampling.packSequences(s, d)),
     "q58_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
+    "q59_decontaminate"   -> ((s, d) => Contamination.decontaminate(s, d)),
+    "q60_pii_scan"        -> ((s, d) => Text.piiScan(s, d)),
+    "q61_boilerplate"     -> ((s, d) => Contamination.boilerplate(s, d)),
+    "q62_kmeans"          -> ((s, d) => Similarity.kmeansAssign(s, d)),
+    "q63_split_leakage"   -> ((s, d) => Sampling.splitLeakage(s, d)),
+    "q64_bpe_pairs"       -> ((s, d) => Text.bpePairCounts(s, d)),
+    "q65_mixture_materialize" -> ((s, d) => Sampling.materializeMixture(s, d)),
+    "q66_centroid_outliers" -> ((s, d) => Similarity.centroidOutliers(s, d)),
   )
 
   /** Unrolled min-label-propagation oracle for dedup clusters (mirrors
@@ -152,6 +160,36 @@ object SparkEntry {
          |  ON v.id = c.dst)""".stripMargin
     }.mkString
     base + iterCtes + s"\nSELECT id AS nationkey, rank FROM r$iters"
+  }
+
+  /** Unrolled Lloyd's-k-means oracle (mirrors Similarity.kmeansAssign:
+    * `iters` assignment rounds, `iters − 1` centroid updates, all exact
+    * integer math at the 1e7 quantization scale — the assignment
+    * trajectory is bit-identical across engines).
+    */
+  private def kmeansSql(k: Int, iters: Int): String = {
+    val base =
+      s"""WITH ex AS (SELECT vec_id, round(unnest(embedding)::DOUBLE * 10000000)::BIGINT AS q,
+         |                   unnest(range(len(embedding))) AS i FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, i, q AS cq FROM ex WHERE vec_id < $k)""".stripMargin
+    val steps = (1 to iters).map { j =>
+      val assign =
+        s""",
+           |d$j AS (SELECT e.vec_id, c.cid, sum((e.q - c.cq) * (e.q - c.cq))::BIGINT AS dist
+           |        FROM ex e JOIN c${j - 1} c ON e.i = c.i GROUP BY 1, 2),
+           |a$j AS (SELECT vec_id, cid, dist FROM (
+           |          SELECT vec_id, cid, dist,
+           |                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+           |          FROM d$j) WHERE rn = 1)""".stripMargin
+      val update = if (j < iters)
+        s""",
+           |c$j AS (SELECT a.cid, e.i, round(sum(e.q)::DOUBLE / count(*))::BIGINT AS cq
+           |        FROM ex e JOIN a$j a ON e.vec_id = a.vec_id GROUP BY 1, 2)""".stripMargin
+      else ""
+      assign + update
+    }.mkString
+    base + steps +
+      s"\nSELECT vec_id, cid::BIGINT AS cluster, dist AS dist2 FROM a$iters"
   }
 
   /** The reference stop list / lang markers as DuckDB literals — generated
@@ -893,5 +931,127 @@ object SparkEntry {
         |SELECT label, i::BIGINT AS i,
         |  (sum(q)::DOUBLE / 10000000.0) / count(*)::DOUBLE AS mean
         |FROM ex GROUP BY label, i""".stripMargin,
+    // 5-gram overlap vs the deterministic 5% eval bucket; docs with < 5
+    // tokens re-enter with n_overlap = 0 via the left join
+    "q59_decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w,
+         |  ${md5Bits32Sql("'eval:' || doc_id::VARCHAR", 1)} % 100 AS b FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, b, s FROM (
+         |  SELECT doc_id, b,
+         |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS s
+         |  FROM toks, unnest(range(1, len(w)-3)) AS t(i) WHERE len(w) >= 5)),
+         |ev AS (SELECT DISTINCT s FROM sh WHERE b < 5),
+         |ov AS (SELECT sh.doc_id, count(*) AS n FROM sh JOIN ev ON sh.s = ev.s
+         |       WHERE sh.b >= 5 GROUP BY 1)
+         |SELECT t.doc_id, coalesce(ov.n, 0)::BIGINT AS n_overlap,
+         |       coalesce(ov.n, 0) > 0 AS contaminated
+         |FROM toks t LEFT JOIN ov ON t.doc_id = ov.doc_id WHERE t.b >= 5""".stripMargin,
+    // the exact same patterns Spark runs (TextFunctions.PiiPatterns) —
+    // kept in the Java/RE2-shared regex subset; 'g' = replace all
+    "q60_pii_scan" -> {
+      import graft.functions.TextFunctions.PiiPatterns
+      val counts = PiiPatterns.map { case (k, p) =>
+        s"len(regexp_extract_all(text, '$p'))::BIGINT AS n_$k"
+      }.mkString(",\n|       ")
+      val redacted = PiiPatterns.foldLeft("text") { case (acc, (k, p)) =>
+        s"regexp_replace($acc, '$p', '<${k.toUpperCase}>', 'g')"
+      }
+      s"""SELECT doc_id,
+         |       $counts,
+         |       strlen($redacted)::BIGINT AS redacted_len
+         |FROM documents""".stripMargin
+    },
+    "q61_boilerplate" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |              FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM toks, unnest(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3)),
+        |df AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+        |nd AS (SELECT count(*) AS n FROM documents),
+        |b AS (SELECT s FROM df, nd WHERE df >= ceil(0.01 * n)),
+        |pd AS (SELECT sh.doc_id, count(*) AS n_shingles,
+        |              sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS n_boiler
+        |       FROM sh LEFT JOIN b ON sh.s = b.s GROUP BY 1)
+        |SELECT doc_id, n_shingles::BIGINT AS n_shingles, n_boiler::BIGINT AS n_boiler,
+        |       n_boiler::DOUBLE / n_shingles::DOUBLE AS boiler_frac FROM pd""".stripMargin,
+    "q62_kmeans" -> kmeansSql(8, 3),
+    // q16's exact pair derivation × q52's split map: near-dup pairs that
+    // straddle split boundaries
+    "q63_split_leakage" ->
+      s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+         |              FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, s FROM (
+         |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+         |  FROM toks, unnest(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3)),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS inter
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |pairs AS (SELECT x, y
+         |          FROM inter JOIN sizes sa ON x = sa.doc_id
+         |                     JOIN sizes sb ON y = sb.doc_id
+         |          WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.5),
+         |sp AS (SELECT doc_id,
+         |  CASE WHEN bucket < 80 THEN 'train'
+         |       WHEN bucket < 90 THEN 'validation'
+         |       ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |    ${md5Bits32Sql("'split:' || doc_id::VARCHAR", 1)} % 100 AS bucket
+         |    FROM documents))
+         |SELECT least(a.split, b.split) AS split_a,
+         |       greatest(a.split, b.split) AS split_b,
+         |       count(*)::BIGINT AS n_pairs
+         |FROM pairs JOIN sp a ON pairs.x = a.doc_id
+         |           JOIN sp b ON pairs.y = b.doc_id
+         |GROUP BY 1, 2""".stripMargin,
+    "q64_bpe_pairs" ->
+      """WITH wc AS (SELECT w, count(*) AS n FROM (
+        |    SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        |    FROM documents) GROUP BY 1)
+        |SELECT substr(w, i::INT, 2) AS pair, sum(n)::BIGINT AS cnt
+        |FROM wc, unnest(range(1, strlen(w))) AS t(i)
+        |WHERE strlen(w) >= 2
+        |GROUP BY 1""".stripMargin,
+    // stochastic-rounded copy counts from the q54 weights, decided by the
+    // doc's own md5 bucket — deterministic in both engines
+    "q65_mixture_materialize" ->
+      s"""WITH g AS (SELECT lang, source, count(*) AS n_docs FROM documents GROUP BY 1, 2),
+         |t AS (SELECT sum(n_docs)::BIGINT AS total, count(*) AS n_groups FROM g),
+         |w AS (SELECT lang, source,
+         |        (1.0::DOUBLE / n_groups::DOUBLE)
+         |          / (n_docs::DOUBLE / total::DOUBLE) AS weight FROM g, t),
+         |dc AS (SELECT d.doc_id, d.lang, d.source, w.weight,
+         |         CASE WHEN ${md5Bits32Sql("'mix:' || doc_id::VARCHAR", 1)} % 100
+         |                   < round((w.weight - floor(w.weight)) * 100)::BIGINT
+         |              THEN 1 ELSE 0 END AS extra
+         |       FROM documents d JOIN w ON d.lang = w.lang AND d.source = w.source),
+         |nc AS (SELECT doc_id, lang, source,
+         |              least(floor(weight)::BIGINT + extra, 10) AS n_copies FROM dc)
+         |SELECT doc_id, lang, source, unnest(range(1, n_copies + 1))::BIGINT AS copy_id
+         |FROM nc WHERE n_copies >= 1""".stripMargin,
+    // centroid components re-quantized via the k-means update formula,
+    // cosine in the exact cosineFromParts parenthesization
+    "q66_centroid_outliers" ->
+      """WITH ex AS (SELECT vec_id, label,
+        |  round(unnest(embedding)::DOUBLE * 10000000)::BIGINT AS q,
+        |  unnest(range(len(embedding))) AS i FROM embeddings),
+        |n2 AS (SELECT vec_id, sum(q*q)::BIGINT AS n2 FROM ex GROUP BY 1),
+        |cent AS (SELECT label, i, round(sum(q)::DOUBLE / count(*))::BIGINT AS cq
+        |         FROM ex GROUP BY 1, 2),
+        |cn2 AS (SELECT label, sum(cq*cq)::BIGINT AS cn2 FROM cent GROUP BY 1),
+        |dots AS (SELECT e.vec_id, e.label, sum(e.q * c.cq)::BIGINT AS dot
+        |         FROM ex e JOIN cent c ON e.label = c.label AND e.i = c.i
+        |         GROUP BY 1, 2),
+        |sc AS (SELECT d.vec_id, d.label,
+        |         d.dot::DOUBLE / (sqrt(n2.n2::DOUBLE) * sqrt(cn2.cn2::DOUBLE)) AS ccos
+        |       FROM dots d JOIN n2 ON d.vec_id = n2.vec_id
+        |                   JOIN cn2 ON d.label = cn2.label),
+        |sz AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1),
+        |r AS (SELECT vec_id, label, ccos,
+        |        row_number() OVER (PARTITION BY label ORDER BY ccos, vec_id) AS rn
+        |      FROM sc)
+        |SELECT r.vec_id, r.label, r.ccos, (r.rn <= ceil(0.05 * sz.n)) AS outlier
+        |FROM r JOIN sz ON r.label = sz.label""".stripMargin,
   )
 }

@@ -70,4 +70,25 @@ object TextFunctions {
     */
   def md5Fingerprint(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  /** PII patterns, deliberately kept in the regex subset Java and RE2
+    * share (no lookaround/backrefs) so the DuckDB oracle runs the exact
+    * same patterns: email, dotted/dashed US phone, IPv4-ish, SSN-ish.
+    * Order matters for redaction: phone before IP (a dotted phone
+    * contains an IP-shaped substring; replacement tokens contain no
+    * digits, so earlier passes can't create later matches).
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}",
+    "phone" -> "\\d{3}[-.]\\d{3}[-.]\\d{4}",
+    "ssn"   -> "\\d{3}-\\d{2}-\\d{4}",
+    "ip"    -> "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}")
+
+  /** Replace every PII match with `<KIND>` tokens, applying the patterns
+    * in declaration order.
+    */
+  def piiRedact(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (acc, (kind, pat)) =>
+      regexp_replace(acc, pat, s"<${kind.toUpperCase}>")
+    }
 }

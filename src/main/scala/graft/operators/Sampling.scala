@@ -115,4 +115,53 @@ object Sampling {
         expr(s"(cum - n_toks) div $budget").as("pack_id"),
         pmod($"cum" - $"n_toks", lit(budget.toLong)).as("pack_offset"))
   }
+
+  /** Split-contamination audit: near-duplicate pairs (exact 3-gram
+    * Jaccard ≥ 0.5, the q16 pair source) that straddle hashSplit's
+    * train/validation/test boundaries — the "is my test split leaked
+    * into train" check that must run after any split of a corpus with
+    * near-dups. Output: pair counts per unordered split pair (the
+    * diagonal = within-split dups, off-diagonal = leakage).
+    *
+    * Scale: rides the memoized pair build (∝ dup density via the LSH
+    * ladder at corpus scale); the split map is a projection joined twice
+    * on doc_id; the final aggregate is ≤ 6 rows.
+    */
+  def splitLeakage(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val sp = hashSplit(spark, d).select($"doc_id", $"split")
+    Dedup.jaccardPairs(spark, d)
+      .join(sp.select($"doc_id".as("x"), $"split".as("sx")), "x")
+      .join(sp.select($"doc_id".as("y"), $"split".as("sy")), "y")
+      .select(least($"sx", $"sy").as("split_a"), greatest($"sx", $"sy").as("split_b"))
+      .groupBy($"split_a", $"split_b")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** Materialize the domain-mixture plan: fan each document out into
+    * `n_copies` rows where n_copies = ⌊weight⌋ plus one more with
+    * probability frac(weight), decided by the doc's own md5 bucket —
+    * deterministic stochastic rounding, capped at `cap` (the standard
+    * max-upsampling guard). Downsampled groups (weight < 1) keep a
+    * weight-sized deterministic subset; upsampled groups repeat docs.
+    *
+    * Scale: the G-row weight table broadcasts onto the corpus scan and
+    * the fan-out is a scan-stage explode — zero shuffles end to end;
+    * output volume = Σ n_copies ≈ corpus size by construction (the
+    * rebalance preserves total mass).
+    */
+  def materializeMixture(spark: SparkSession, d: String, cap: Int = 10): DataFrame = {
+    import spark.implicits._
+    val w = domainMixture(spark, d).select($"lang", $"source", $"weight")
+    documents(spark, d).select($"doc_id", $"lang", $"source")
+      .join(broadcast(w), Seq("lang", "source"))
+      .withColumn("extra",
+        when(hashBucket($"doc_id", "mix:") <
+          round(($"weight" - floor($"weight")) * 100).cast("long"), 1L).otherwise(0L))
+      .withColumn("n_copies",
+        least(floor($"weight").cast("long") + $"extra", lit(cap.toLong)))
+      .filter($"n_copies" >= 1L)
+      .select($"doc_id", $"lang", $"source",
+        explode(sequence(lit(1L), $"n_copies")).as("copy_id"))
+  }
 }

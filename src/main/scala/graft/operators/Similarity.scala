@@ -215,6 +215,98 @@ object Similarity {
         (($"qsum".cast("double") / lit(1e7)) / $"n").as("mean"))
   }
 
+  /** Lloyd's k-means over the quantized embedding corpus: `iters`
+    * assignment rounds with `iters − 1` centroid updates between them,
+    * seeded by the k lowest vec_ids (deterministic init — the property
+    * that matters for a hash-compared result; k-means++ would trade it
+    * for quality). Output: (vec_id, cluster, dist2) against the final
+    * centroids.
+    *
+    * Everything is exact integer math at the shared 1e7 quantization
+    * scale: distances are exact long sums (‖a‖² + ‖c‖² − 2⟨a,c⟩ via the
+    * native QuantizedDot expression), updated centroid components are
+    * round(sum/count) re-quantized to longs — so assignments, and hence
+    * the whole trajectory, are partitioning- and engine-independent
+    * (the DuckDB oracle unrolls the same three rounds as chained CTEs).
+    *
+    * Scale: the classic Spark k-means shape (MLlib does the same) — the
+    * k×dims centroid matrix is collected to the driver each round
+    * (bounded by k·dims, NOT by data) and re-broadcast as literals, so
+    * assignment is a scan-stage argmin over literal arrays with no join
+    * at all, and the update is one map-side-combined (cluster, dim)
+    * aggregation per round.
+    */
+  def kmeansAssign(spark: SparkSession, d: String,
+      k: Int = 8, iters: Int = 3): DataFrame = {
+    import spark.implicits._
+    val c = corpusWithNorm(spark, d)
+
+    def assign(cents: Array[(Long, Seq[Long])]): DataFrame = {
+      val opts = cents.sortBy(_._1).map { case (cid, q) =>
+        val c2 = q.map(x => x * x).sum
+        struct(
+          ($"n2" - lit(2L) * dotPreQ($"qemb", typedLit(q)) + lit(c2)).as("dist2"),
+          lit(cid).as("cluster"))
+      }
+      c.select($"vec_id", $"qemb", array_min(array(opts: _*)).as("best"))
+        .select($"vec_id", $"qemb",
+          $"best".getField("cluster").as("cluster"),
+          $"best".getField("dist2").as("dist2"))
+    }
+
+    var cents: Array[(Long, Seq[Long])] = c.filter($"vec_id" < k)
+      .select($"vec_id", $"qemb").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+    for (_ <- 1 until iters) {
+      val rows = assign(cents)
+        .select($"cluster", posexplode($"qemb").as(Seq("i", "q")))
+        .groupBy($"cluster", $"i")
+        .agg(round(sum($"q").cast("double") / count(lit(1))).cast("long").as("cq"))
+        .collect()
+      cents = rows.groupBy(_.getLong(0)).map { case (cid, rs) =>
+        (cid, rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq)
+      }.toArray
+    }
+    assign(cents).select($"vec_id", $"cluster", $"dist2")
+  }
+
+  /** Per-label centroid-distance outlier flagging: each vector's cosine
+    * to its label's centroid, with the `frac` least-similar vectors per
+    * label flagged — the embedding-space mislabel/quality filter that
+    * runs after labeling a corpus. Centroid components are re-quantized
+    * longs (round(sum/count), the k-means update formula) so the cosine
+    * is the exact-integer cosineFromParts contract.
+    *
+    * Scale: one (label, dim) aggregation builds the centroid matrix
+    * (bounded by labels·dims → broadcast); scoring is a scan-stage
+    * broadcast join; the per-label rank window is the only corpus
+    * shuffle, on a key with labels-many partitions — at real skew the
+    * rank threshold would come from an approx quantile of ccos instead.
+    */
+  def centroidOutliers(spark: SparkSession, d: String,
+      frac: Double = 0.05): DataFrame = {
+    import spark.implicits._
+    val cent = embeddings(spark, d)
+      .select($"label", posexplode(quantize($"embedding")).as(Seq("i", "q")))
+      .groupBy($"label", $"i")
+      .agg(round(sum($"q").cast("double") / count(lit(1))).cast("long").as("cq"))
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"i", $"cq"))).as("ps"))
+      .select($"label", transform($"ps", p => p.getField("cq")).as("cqemb"))
+      .withColumn("cn2", dotPreQ($"cqemb", $"cqemb"))
+    val sz = embeddings(spark, d).groupBy($"label").agg(count(lit(1)).as("n"))
+    corpusWithNorm(spark, d)
+      .join(embeddings(spark, d).select($"vec_id", $"label"), "vec_id")
+      .join(broadcast(cent), "label")
+      .select($"vec_id", $"label",
+        cosineFromParts(dotPreQ($"qemb", $"cqemb"), $"n2", $"cn2").as("ccos"))
+      .join(broadcast(sz), "label")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"label").orderBy($"ccos".asc, $"vec_id".asc)))
+      .select($"vec_id", $"label", $"ccos",
+        ($"rn" <= ceil(lit(frac) * $"n")).as("outlier"))
+  }
+
   def annLsh(spark: SparkSession, d: String, k: Int = 5,
       nPlanes: Int = 6, nTables: Int = 8): DataFrame = {
     import spark.implicits._

@@ -194,6 +194,50 @@ object Text {
       coalesce($"bdup".cast("double") / $"bn", lit(0.0)).as("dup_bigram_frac"))
   }
 
+  /** First BPE-training step: corpus-weighted counts of adjacent
+    * character pairs. Words are counted once (the word-frequency table is
+    * the classic BPE compression trick — pair counts are Σ over distinct
+    * words of freq × in-word occurrences), then each distinct word fans
+    * out into its length−1 overlapping 2-char substrings.
+    *
+    * Scale: the word-frequency aggregation is the only corpus shuffle
+    * (map-side combined, key space = vocabulary); the pair explode and
+    * final aggregate run over the vocabulary, which is corpus-sublinear
+    * by Heaps' law. Iterating merges would re-run this over a
+    * symbol-array column — each merge step is the same one-aggregate
+    * shape.
+    */
+  def bpePairCounts(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val wordFreq = documents(spark, d)
+      .select(explode(tokens($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("n"))
+    wordFreq.filter(length($"w") >= 2)
+      .select($"n", explode(transform(
+        sequence(lit(1), length($"w") - 1),
+        i => $"w".substr(i, lit(2)))).as("pair"))
+      .groupBy($"pair").agg(sum($"n").as("cnt"))
+  }
+
+  /** PII scan + redaction: per-document counts of email / phone / SSN /
+    * IPv4 pattern matches and the length of the redacted text — the
+    * privacy-filtering pass of a corpus pipeline. Pure scan-stage regex
+    * column math, no shuffle; patterns live in TextFunctions.PiiPatterns
+    * (a regex subset Java and RE2 agree on, so the oracle runs them
+    * verbatim). The synthetic corpus contains no PII — counts are
+    * exercised on adversarial strings in CurationOpsSpec; this query
+    * proves the cross-engine regex/count/redact parity.
+    */
+  def piiScan(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val counts = PiiPatterns.map { case (kind, pat) =>
+      regexp_count($"text", lit(pat)).cast("long").as(s"n_$kind")
+    }
+    documents(spark, d)
+      .select($"doc_id" +: counts :+
+        length(piiRedact($"text")).cast("long").as("redacted_len"): _*)
+  }
+
   /** Sliding-window chunking: split each document's token stream into
     * fixed-size chunks of `chunkSize` tokens advancing by `stride`
     * (overlap = chunkSize − stride) — the context-window preparation

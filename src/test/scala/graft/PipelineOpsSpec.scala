@@ -1,0 +1,140 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Contamination, Dedup, Sampling, Similarity, Text}
+
+/** The contamination / clustering / tokenizer-prep operator family
+  * (q59–q66). Each has a full DuckDB oracle; these tests pin the
+  * engine-side invariants the hash compare can't express — PII regexes
+  * against adversarial strings the synthetic corpus lacks, Lloyd's
+  * monotonicity, conservation laws between operators.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("decontaminate covers exactly the non-eval docs, flag ⇔ overlap") {
+    import spark.implicits._
+    val out = Contamination.decontaminate(spark, sf)
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.length < 500 && out.length > 400) // ~5% withheld as eval
+    out.foreach { case (id, n, flag) =>
+      assert(n >= 0 && flag == (n > 0), s"doc $id n=$n flag=$flag")
+    }
+  }
+
+  test("boilerplate fractions are consistent and dictionary is honest") {
+    import spark.implicits._
+    val rows = Contamination.boilerplate(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, b, f) =>
+      assert(b <= n && math.abs(f - b.toDouble / n) < 1e-15, s"doc $id")
+    }
+    // the word-soup corpus repeats trigrams across docs — some must flag
+    assert(rows.exists(_._3 > 0), "no boilerplate found in a stuttering corpus")
+  }
+
+  test("piiScan counts and redacts adversarial strings") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "contact bob.smith+spam@example.co.uk or 555-123-4567 now"),
+      (2L, "ssn 123-45-6789 from host 10.0.255.1 and 192.168.1.1"),
+      (3L, "no pii here at all"),
+      (4L, "dotted phone 555.123.4567 is not an ip")
+    ).toDF("doc_id", "text")
+    val counts = graft.functions.TextFunctions.PiiPatterns.map { case (k, p) =>
+      regexp_count($"text", lit(p)).cast("long").as(s"n_$k")
+    }
+    val out = df.select($"doc_id" +: counts :+
+        graft.functions.TextFunctions.piiRedact($"text").as("red"): _*)
+      .as[(Long, Long, Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 1L, 1L, 0L, 0L,
+      "contact <EMAIL> or <PHONE> now")))
+    assert(out(1) == ((2L, 0L, 0L, 1L, 2L,
+      "ssn <SSN> from host <IP> and <IP>")))
+    assert(out(2) == ((3L, 0L, 0L, 0L, 0L, "no pii here at all")))
+    // dotted phone consumed by the earlier phone pass, not the IP pass
+    assert(out(3) == ((4L, 0L, 1L, 0L, 0L,
+      "dotted phone <PHONE> is not an ip")))
+    // corpus query runs clean (all-zero counts on the synthetic corpus)
+    val corpus = Text.piiScan(spark, sf)
+    assert(corpus.agg(sum($"n_email") + sum($"n_phone")).head().getLong(0) == 0L)
+  }
+
+  test("kmeans assigns every vector to a seed cluster, Lloyd's improves") {
+    import spark.implicits._
+    val total = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    val a3 = Similarity.kmeansAssign(spark, sf, k = 8, iters = 3)
+      .as[(Long, Long, Long)].collect()
+    assert(a3.length == total)
+    assert(a3.map(_._2).toSet.subsetOf((0L until 8L).toSet))
+    a3.foreach { case (_, _, d2) => assert(d2 >= 0L) }
+    val a1 = Similarity.kmeansAssign(spark, sf, k = 8, iters = 1)
+      .as[(Long, Long, Long)].collect()
+    val (s1, s3) = (a1.map(_._3).sum, a3.map(_._3).sum)
+    // centroid re-quantization can cost a rounding hair; never 1% at dim 64
+    assert(s3 <= s1 + s1 / 100, s"Lloyd's regressed: iter1 $s1 → iter3 $s3")
+  }
+
+  test("centroidOutliers flags exactly the ceil(5%) per label") {
+    import spark.implicits._
+    val rows = Similarity.centroidOutliers(spark, sf)
+      .as[(Long, Int, Double, Boolean)].collect()
+    val byLabel = rows.groupBy(_._2)
+    byLabel.foreach { case (label, rs) =>
+      val expect = math.ceil(0.05 * rs.length).toLong
+      assert(rs.count(_._4) == expect, s"label $label")
+      rs.foreach { case (_, _, c, _) => assert(c >= -1.0 && c <= 1.0) }
+      // flagged cosines never exceed unflagged ones
+      val fMax = rs.filter(_._4).map(_._3).max
+      val uMin = rs.filterNot(_._4).map(_._3).min
+      assert(fMax <= uMin, s"label $label outlier ordering broken")
+    }
+  }
+
+  test("splitLeakage partitions the exact pair set") {
+    import spark.implicits._
+    val nPairs = Dedup.jaccardPairs(spark, sf).count()
+    val cells = Sampling.splitLeakage(spark, sf)
+      .as[(String, String, Long)].collect()
+    assert(cells.map(_._3).sum == nPairs)
+    val valid = Set("train", "validation", "test")
+    cells.foreach { case (a, b, n) =>
+      assert(valid(a) && valid(b) && a <= b && n > 0)
+    }
+  }
+
+  test("materializeMixture copies obey the weight law") {
+    import spark.implicits._
+    val w = Sampling.domainMixture(spark, sf)
+      .select($"lang", $"source", $"weight")
+      .as[(String, String, Double)].collect()
+      .map { case (l, s, wt) => (l, s) -> wt }.toMap
+    val copies = Sampling.materializeMixture(spark, sf)
+      .groupBy($"doc_id", $"lang", $"source")
+      .agg(count(lit(1)).as("n"), max($"copy_id").as("mx"))
+      .as[(Long, String, String, Long, Long)].collect()
+    copies.foreach { case (id, l, s, n, mx) =>
+      val wt = w((l, s))
+      val base = math.floor(wt).toLong
+      assert(n == mx, s"doc $id copy_ids not 1..n")
+      assert(n == math.min(base, 10) || n == math.min(base + 1, 10),
+        s"doc $id got $n copies for weight $wt")
+    }
+  }
+
+  test("bpePairCounts conserves total pair mass") {
+    import spark.implicits._
+    val words = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(lower($"text"), "\\s+")).as("w"))
+      .as[String].collect()
+    val expected = words.filter(_.length >= 2).map(_.length - 1L).sum
+    val pairs = Text.bpePairCounts(spark, sf).as[(String, Long)].collect()
+    assert(pairs.map(_._2).sum == expected)
+    pairs.foreach { case (p, n) => assert(p.length == 2 && n > 0) }
+  }
+}
