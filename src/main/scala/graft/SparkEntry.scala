@@ -91,6 +91,11 @@ object SparkEntry {
     "q64_bpe_pairs"       -> ((s, d) => Text.bpePairCounts(s, d)),
     "q65_mixture_materialize" -> ((s, d) => Sampling.materializeMixture(s, d)),
     "q66_centroid_outliers" -> ((s, d) => Similarity.centroidOutliers(s, d)),
+    "q67_ann_ivf_kmeans"  -> ((s, d) => Similarity.annIvfKmeans(s, d)),
+    "q68_substring_dup"   -> ((s, d) => Dedup.substringDupCoverage(s, d)),
+    "q69_surprisal"       -> ((s, d) => Text.surprisal(s, d)),
+    "q70_shard_plan"      -> ((s, d) =>
+      Sharding.shardPlan(s, d).select("doc_id", "lang", "source", "shard")),
   )
 
   /** Unrolled min-label-propagation oracle for dedup clusters (mirrors
@@ -190,6 +195,27 @@ object SparkEntry {
     }.mkString
     base + steps +
       s"\nSELECT vec_id, cid::BIGINT AS cluster, dist AS dist2 FROM a$iters"
+  }
+
+  /** Lloyd-trained centroid CTE chain over embedCtes' `ex(vec_id, e, i)`
+    * rows: c0 = seed (k lowest vec_ids), then `updates` rounds of
+    * exact-L2 assign (kd/ka) + re-quantized-mean update (c1..c_updates) —
+    * the training trajectory of Similarity.lloydCentroids, bit-exact.
+    */
+  private def kmeansCentroidCtes(k: Int, updates: Int): String = {
+    val c0 = s"c0 AS (SELECT vec_id AS cid, i, e AS cq FROM ex WHERE vec_id < $k)"
+    val steps = (1 to updates).map { j =>
+      s""",
+         |kd$j AS (SELECT x.vec_id, c.cid, sum((x.e - c.cq) * (x.e - c.cq))::BIGINT AS dist
+         |         FROM ex x JOIN c${j - 1} c ON x.i = c.i GROUP BY 1, 2),
+         |ka$j AS (SELECT vec_id, cid FROM (
+         |           SELECT vec_id, cid,
+         |                  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |           FROM kd$j) WHERE rn = 1),
+         |c$j AS (SELECT a.cid, x.i, round(sum(x.e)::DOUBLE / count(*))::BIGINT AS cq
+         |        FROM ex x JOIN ka$j a ON x.vec_id = a.vec_id GROUP BY 1, 2)""".stripMargin
+    }.mkString
+    c0 + steps
   }
 
   /** The reference stop list / lang markers as DuckDB literals — generated
@@ -1053,5 +1079,61 @@ object SparkEntry {
         |      FROM sc)
         |SELECT r.vec_id, r.label, r.ccos, (r.rn <= ceil(0.05 * sz.n)) AS outlier
         |FROM r JOIN sz ON r.label = sz.label""".stripMargin,
+    // full IVF pipeline with the Lloyd-trained quantizer: training
+    // trajectory (2 updates) + L2 assignment + 3-probe + exact rescore
+    "q67_ann_ivf_kmeans" ->
+      s"""WITH $embedCtes,
+         |${kmeansCentroidCtes(8, 2)},
+         |ad AS (SELECT x.vec_id, c.cid, sum((x.e - c.cq) * (x.e - c.cq))::BIGINT AS dist
+         |       FROM ex x JOIN c2 c ON x.i = c.i GROUP BY 1, 2),
+         |adr AS (SELECT vec_id, cid,
+         |               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |        FROM ad),
+         |asg AS (SELECT vec_id, cid FROM adr WHERE rn = 1),
+         |qp AS (SELECT vec_id AS q_id, cid FROM adr WHERE vec_id < 10 AND rn <= 3),
+         |cand AS (SELECT qp.q_id, a.vec_id AS n_id
+         |         FROM qp JOIN asg a ON qp.cid = a.cid AND a.vec_id <> qp.q_id),
+         |${rescoreTopKSql(5)}""".stripMargin,
+    // positional 10-grams (dups kept), cross-doc df >= 2 filter, then the
+    // interval-union sweep via one running-max window — both engines run
+    // the identical integer sweep
+    "q68_substring_dup" ->
+      s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+         |              FROM documents),
+         |pg AS (SELECT doc_id, i AS p,
+         |         ${(0 until 10).map(j => s"w[i+$j]").mkString(" || ' ' || ")} AS s
+         |       FROM toks, unnest(range(1, len(w)-8)) AS t(i) WHERE len(w) >= 10),
+         |dupg AS (SELECT s FROM (
+         |           SELECT s, count(DISTINCT doc_id) AS df FROM pg GROUP BY 1)
+         |         WHERE df >= 2),
+         |occ AS (SELECT doc_id, p FROM pg JOIN dupg USING (s)),
+         |sw AS (SELECT doc_id, p,
+         |         max(p + 9) OVER (PARTITION BY doc_id ORDER BY p
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |       FROM occ),
+         |cv AS (SELECT doc_id,
+         |         sum(greatest(0, (p + 9) - greatest(coalesce(prev_end, 0), p - 1)))::BIGINT
+         |           AS covered
+         |       FROM sw GROUP BY 1)
+         |SELECT t.doc_id, len(t.w)::BIGINT AS n_tokens,
+         |       coalesce(cv.covered, 0)::BIGINT AS covered_tokens,
+         |       coalesce(cv.covered, 0)::DOUBLE / len(t.w)::DOUBLE AS dup_frac
+         |FROM toks t LEFT JOIN cv ON t.doc_id = cv.doc_id""".stripMargin,
+    // per-word surprisal quantized to 1e6 once per vocab entry; document
+    // sums are exact integer adds
+    "q69_surprisal" ->
+      """WITH tk AS (SELECT doc_id,
+        |  unnest(regexp_split_to_array(lower(text), '\s+')) AS w FROM documents),
+        |wc AS (SELECT w, count(*) AS c FROM tk GROUP BY 1),
+        |tot AS (SELECT sum(c)::BIGINT AS t FROM wc),
+        |s AS (SELECT w, round((-log2(c::DOUBLE / t::DOUBLE)) * 1000000.0)::BIGINT AS sq
+        |      FROM wc, tot)
+        |SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(sq)::BIGINT AS bits_q,
+        |       sum(sq)::DOUBLE / (count(*)::DOUBLE * 1000000.0) AS mean_surprisal
+        |FROM tk JOIN s USING (w) GROUP BY 1""".stripMargin,
+    "q70_shard_plan" ->
+      s"""SELECT doc_id, lang, source,
+         |  ${md5Bits32Sql("'shard:' || doc_id::VARCHAR", 1)} % 8 AS shard
+         |FROM documents""".stripMargin,
   )
 }

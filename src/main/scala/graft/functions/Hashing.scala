@@ -25,12 +25,19 @@ object Hashing {
     * re-tokenizes the document O(n·|doc|) times. zip_with/slice evaluate
     * each argument once per row.
     */
-  def shingles(toks: Column, n: Int = 3): Column = {
+  def shingles(toks: Column, n: Int = 3): Column =
+    array_distinct(shinglesAll(toks, n))
+
+  /** All n-gram shingles in order, duplicates KEPT — element k (1-based)
+    * is the gram starting at token k. The positional form exact-substring
+    * coverage needs (`shingles` is the distinct set-semantics view).
+    */
+  def shinglesAll(toks: Column, n: Int): Column = {
     val len = size(toks) - (n - 1)
     val joined = (2 to n).foldLeft(slice(toks, lit(1), len)) { (acc, j) =>
       zip_with(acc, slice(toks, lit(j), len), (a, b) => concat_ws(" ", a, b))
     }
-    when(size(toks) >= n, array_distinct(joined))
+    when(size(toks) >= n, joined)
       .otherwise(array().cast("array<string>"))
   }
 

@@ -204,4 +204,45 @@ object Dedup {
       .distinct()
       .filter($"dist" <= maxHamming)
   }
+
+  /** Exact-substring duplication coverage (the token-span form of
+    * suffix-array dedup — Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better"; PAPERS.md): for every document, how
+    * many of its tokens sit inside an `n`-gram that also occurs in some
+    * OTHER document. Positional n-grams (duplicates kept), a
+    * cross-document frequency filter, then a per-document interval-union
+    * sweep — contribution of occurrence at p = (p+n−1) − max(furthest
+    * end so far, p−1), clamped at 0 — via one running-max window.
+    *
+    * Scale: the gram table is corpus-sized (one row per token, like the
+    * shingle index); the df filter is one map-side-combined aggregate;
+    * the sweep windows partition by doc_id — bounded state, no skew
+    * (docs are bounded). A true suffix-array build would replace the
+    * fixed n with maximal matches; the fixed-n form is the standard
+    * distributed approximation.
+    */
+  def substringDupCoverage(spark: SparkSession, d: String, n: Int = 10): DataFrame = {
+    import spark.implicits._
+    val toks = documents(spark, d).select($"doc_id", tokens($"text").as("ws"))
+    val pg = toks.select($"doc_id",
+        posexplode(shinglesAll($"ws", n)).as(Seq("p0", "s")))
+      .select($"doc_id", ($"p0" + 1).as("p"), $"s")
+    val dupGrams = pg.select($"doc_id", $"s").distinct()
+      .groupBy($"s").agg(count(lit(1)).as("df"))
+      .filter($"df" >= 2).select($"s")
+    val occ = pg.join(dupGrams, "s").select($"doc_id", $"p")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"p")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val covered = occ
+      .withColumn("prev_end", max($"p" + (n - 1)).over(w))
+      .select($"doc_id", greatest(lit(0),
+        ($"p" + lit(n - 1)) - greatest(coalesce($"prev_end", lit(0)), $"p" - 1)).as("add"))
+      .groupBy($"doc_id").agg(sum($"add").as("covered"))
+    toks.select($"doc_id", size($"ws").cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens",
+        coalesce($"covered", lit(0L)).cast("long").as("covered_tokens"),
+        (coalesce($"covered", lit(0L)).cast("double") / $"n_tokens").as("dup_frac"))
+  }
 }

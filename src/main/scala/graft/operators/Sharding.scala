@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables._
+import graft.functions.Hashing
+
+/** Training-shard materialization — the write path of the corpus
+  * pipeline. Documents are assigned to shards by the same
+  * partition-independent md5 primitive as hashSplit (membership is a
+  * pure function of the doc, so incremental re-materialization never
+  * moves a document), laid out one directory per shard with rows sorted
+  * by doc_id inside each file.
+  *
+  * Scale: one hash-partition shuffle to co-locate each shard, a local
+  * in-partition sort (no global order — the packing unit is the shard,
+  * exactly like packSequences), then a parallel parquet write. Shard
+  * count sizes files for the trainer's reader (e.g. ~1 GB each at
+  * corpus scale); the `shard=` directory layout gives readers
+  * partition pruning for free.
+  */
+object Sharding {
+
+  /** Deterministic shard id 0..nShards-1 from the md5 of the doc id. */
+  def shardOf(idCol: org.apache.spark.sql.Column, nShards: Int) =
+    pmod(Hashing.md5Bits32(concat(lit("shard:"), idCol.cast("string")), 1),
+      lit(nShards.toLong))
+
+  /** The shard plan: every doc with its shard assignment — the
+    * column-level contract `writeShards` materializes.
+    */
+  def shardPlan(spark: SparkSession, d: String, nShards: Int = 8): DataFrame = {
+    import spark.implicits._
+    documents(spark, d)
+      .select($"doc_id", $"text", $"lang", $"source",
+        shardOf($"doc_id", nShards).as("shard"))
+  }
+
+  /** Materialize the shards: one directory per shard id, doc_id-sorted
+    * within each partition's file.
+    */
+  def writeShards(spark: SparkSession, d: String, outDir: String,
+      nShards: Int = 8): Unit =
+    shardPlan(spark, d, nShards)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("shard")
+      .parquet(outDir)
+}

@@ -239,26 +239,43 @@ object Similarity {
   def kmeansAssign(spark: SparkSession, d: String,
       k: Int = 8, iters: Int = 3): DataFrame = {
     import spark.implicits._
-    val c = corpusWithNorm(spark, d)
+    val cents = lloydCentroids(spark, d, k, iters - 1)
+    assignTo(corpusWithNorm(spark, d), cents)
+      .select($"vec_id", $"cluster", $"dist2")
+  }
 
-    def assign(cents: Array[(Long, Seq[Long])]): DataFrame = {
-      val opts = cents.sortBy(_._1).map { case (cid, q) =>
-        val c2 = q.map(x => x * x).sum
-        struct(
-          ($"n2" - lit(2L) * dotPreQ($"qemb", typedLit(q)) + lit(c2)).as("dist2"),
-          lit(cid).as("cluster"))
-      }
-      c.select($"vec_id", $"qemb", array_min(array(opts: _*)).as("best"))
-        .select($"vec_id", $"qemb",
-          $"best".getField("cluster").as("cluster"),
-          $"best".getField("dist2").as("dist2"))
+  /** Exact-L2 argmin assignment of every corpus vector against a literal
+    * centroid array: per-row struct-min over k (dist², cid) options —
+    * scan-stage, no join, deterministic ties by lowest cid.
+    */
+  private def assignTo(c: DataFrame, cents: Array[(Long, Seq[Long])]): DataFrame = {
+    import c.sparkSession.implicits._
+    val opts = cents.sortBy(_._1).map { case (cid, q) =>
+      val c2 = q.map(x => x * x).sum
+      struct(
+        ($"n2" - lit(2L) * dotPreQ($"qemb", typedLit(q)) + lit(c2)).as("dist2"),
+        lit(cid).as("cluster"))
     }
+    c.select($"vec_id", $"qemb", $"n2", array_min(array(opts: _*)).as("best"))
+      .select($"vec_id", $"qemb", $"n2",
+        $"best".getField("cluster").as("cluster"),
+        $"best".getField("dist2").as("dist2"))
+  }
 
+  /** Lloyd's trainer: seed with the k lowest vec_ids, run `updates`
+    * (assign → re-quantized-mean) rounds, return the centroid matrix —
+    * k·dims longs on the driver, the bounded collect MLlib's KMeans also
+    * does each round.
+    */
+  private def lloydCentroids(spark: SparkSession, d: String,
+      k: Int, updates: Int): Array[(Long, Seq[Long])] = {
+    import spark.implicits._
+    val c = corpusWithNorm(spark, d)
     var cents: Array[(Long, Seq[Long])] = c.filter($"vec_id" < k)
       .select($"vec_id", $"qemb").collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1)))
-    for (_ <- 1 until iters) {
-      val rows = assign(cents)
+    for (_ <- 1 to updates) {
+      val rows = assignTo(c, cents)
         .select($"cluster", posexplode($"qemb").as(Seq("i", "q")))
         .groupBy($"cluster", $"i")
         .agg(round(sum($"q").cast("double") / count(lit(1))).cast("long").as("cq"))
@@ -267,7 +284,50 @@ object Similarity {
         (cid, rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq)
       }.toArray
     }
-    assign(cents).select($"vec_id", $"cluster", $"dist2")
+    cents
+  }
+
+  /** IVF ANN with a TRAINED coarse quantizer: the inverted lists come
+    * from Lloyd's k-means (lloydCentroids) instead of annIvf's
+    * first-k-vectors stub — the production IVF construction. Corpus
+    * vectors are assigned to their exact-L2-nearest centroid; queries
+    * probe the `nProbe` nearest lists and are scored exactly (quantized
+    * cosine) against only those lists' members.
+    *
+    * Scale: training cost is `updates` scan+agg rounds (centroid matrix
+    * driver-bounded); assignment and probe selection are scan-stage
+    * argmins over literal centroids — no join; the candidate join hash
+    * partitions on list id and touches ~nProbe/nLists of the corpus per
+    * query. Whole pipeline (training trajectory included) is mirrored by
+    * the DuckDB oracle.
+    */
+  def annIvfKmeans(spark: SparkSession, d: String, k: Int = 5,
+      nLists: Int = 8, nProbe: Int = 3, updates: Int = 2): DataFrame = {
+    import spark.implicits._
+    val cents = lloydCentroids(spark, d, nLists, updates)
+    val c = corpusWithNorm(spark, d)
+    val opts = cents.sortBy(_._1).map { case (cid, q) =>
+      val c2 = q.map(x => x * x).sum
+      struct(
+        ($"n2" - lit(2L) * dotPreQ($"qemb", typedLit(q)) + lit(c2)).as("dist2"),
+        lit(cid).as("cid"))
+    }
+    val ranked = c.select($"vec_id", $"qemb", $"n2",
+      array_sort(array(opts: _*)).as("ds"))
+    val assigned = ranked.select($"vec_id", $"qemb", $"n2",
+      element_at($"ds", 1).getField("cid").as("list_id"))
+    val qp = ranked.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"qemb".as("q_qemb"), $"n2".as("q_n2"),
+        explode(slice($"ds", 1, nProbe)).as("p"))
+      .select($"q_id", $"q_qemb", $"q_n2", $"p".getField("cid").as("p_list"))
+    val scored = assigned.join(broadcast(qp),
+        $"list_id" === $"p_list" && $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("n_id"),
+        cosineFromParts(dotPreQ($"q_qemb", $"qemb"), $"q_n2", $"n2").as("cos"))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id".asc)))
+      .filter($"rnk" <= k)
   }
 
   /** Per-label centroid-distance outlier flagging: each vector's cosine

@@ -238,6 +238,37 @@ object Text {
         length(piiRedact($"text")).cast("long").as("redacted_len"): _*)
   }
 
+  /** Unigram-LM surprisal scoring: the corpus is its own language model
+    * (p(w) = count/total) and each document reports its total and mean
+    * per-token surprisal in bits — the cheap perplexity-style quality
+    * signal (unusually-high surprisal = noise/garble, unusually-low =
+    * degenerate repetition). Per-WORD surprisal is quantized to a 1e6
+    * integer once per vocabulary entry, so document sums are exact
+    * integer adds — partitioning-independent and oracle-checkable (the
+    * only FP step, one log2 per vocab word, is far from any rounding
+    * boundary at 1e-6 resolution).
+    *
+    * Scale: one vocabulary aggregate (map-side combined), the scalar
+    * total as a driver value (the reference's A3 closed-over-count
+    * shape), a broadcast of the vocab-sized score table back onto the
+    * token stream, one (doc_id) aggregate.
+    */
+  def surprisal(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val tk = documents(spark, d).select($"doc_id", explode(tokens($"text")).as("w"))
+    val wc = tk.groupBy($"w").agg(count(lit(1)).as("c"))
+    val total = wc.agg(sum($"c")).head().getLong(0)
+    val scores = wc.select($"w",
+      round((-log2($"c".cast("double") / lit(total.toDouble))) * lit(1000000.0))
+        .cast("long").as("sq"))
+    tk.join(broadcast(scores), "w")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum($"sq").as("bits_q"))
+      .select($"doc_id", $"n_tokens", $"bits_q",
+        ($"bits_q".cast("double") / ($"n_tokens".cast("double") * lit(1000000.0)))
+          .as("mean_surprisal"))
+  }
+
   /** Sliding-window chunking: split each document's token stream into
     * fixed-size chunks of `chunkSize` tokens advancing by `stride`
     * (overlap = chunkSize − stride) — the context-window preparation

@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Contamination, Dedup, Sampling, Similarity, Text}
+import graft.operators.{Contamination, Dedup, Sampling, Sharding, Similarity, Text}
 
 /** The contamination / clustering / tokenizer-prep operator family
   * (q59–q66). Each has a full DuckDB oracle; these tests pin the
@@ -124,6 +124,83 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(n == mx, s"doc $id copy_ids not 1..n")
       assert(n == math.min(base, 10) || n == math.min(base + 1, 10),
         s"doc $id got $n copies for weight $wt")
+    }
+  }
+
+  test("annIvfKmeans returns exact-cosine top-k within probed lists") {
+    import spark.implicits._
+    val ivf = Similarity.annIvfKmeans(spark, sf)
+      .as[(Long, Long, Double, Int)].collect()
+    val brute = Similarity.knnBruteForce(spark, sf)
+      .as[(Long, Long, Double, Int)].collect()
+      .map { case (q, n, c, _) => (q, n) -> c }.toMap
+    assert(ivf.nonEmpty)
+    // every reported cosine equals the exact brute-force cosine when the
+    // same pair appears there (scoring is exact; only candidate
+    // generation is approximate)
+    ivf.foreach { case (q, n, c, rnk) =>
+      assert(rnk >= 1 && rnk <= 5)
+      brute.get((q, n)).foreach(bc => assert(bc == c, s"pair ($q,$n)"))
+    }
+    // trained quantizer must keep decent recall on the planted corpus
+    val hits = ivf.count { case (q, n, _, _) => brute.contains((q, n)) }
+    assert(hits >= brute.size / 2, s"recall ${hits}/${brute.size} too low")
+  }
+
+  test("substringDupCoverage bounds and near-dup visibility") {
+    import spark.implicits._
+    val rows = Dedup.substringDupCoverage(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.length == 500)
+    rows.foreach { case (id, n, cov, f) =>
+      assert(cov >= 0 && cov <= n, s"doc $id covered $cov of $n")
+      assert(cov == 0 || cov >= 10, s"doc $id covered $cov < gram length")
+      assert(math.abs(f - cov.toDouble / n) < 1e-15)
+    }
+    // planted near-dup docs share 10-token spans — coverage must see them
+    assert(rows.count(_._3 > 0) >= 10, "planted near-dups invisible")
+  }
+
+  test("surprisal sums are exact integer recompositions") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", split(lower($"text"), "\\s+").as("ws"))
+      .as[(Long, Seq[String])].collect()
+    val counts = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = counts.values.sum.toDouble
+    val sq = counts.map { case (w, c) =>
+      w -> math.round(-(math.log(c / total) / math.log(2.0)) * 1000000.0) }
+    val out = Text.surprisal(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.length == 500)
+    out.foreach { case (id, n, bits, mean) =>
+      val ws = docs.find(_._1 == id).get._2
+      assert(n == ws.length)
+      assert(bits == ws.map(sq).sum, s"doc $id bits mismatch")
+      assert(mean > 0 && mean < 30)
+    }
+  }
+
+  test("writeShards materializes the shard plan sorted and partitioned") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    Sharding.writeShards(spark, sf, out, nShards = 8)
+    // shard= directory per non-empty shard, readable with pruning
+    val back = spark.read.parquet(out)
+    assert(back.count() == 500)
+    // membership matches the deterministic plan exactly
+    val plan = Sharding.shardPlan(spark, sf).select($"doc_id", $"shard")
+      .as[(Long, Long)].collect().toMap
+    val got = back.select($"doc_id", $"shard".cast("long"))
+      .as[(Long, Long)].collect()
+    got.foreach { case (id, s) => assert(plan(id) == s, s"doc $id in wrong shard") }
+    // within each shard file, rows come back doc_id-sorted
+    val byFile = back
+      .select(input_file_name().as("f"), $"doc_id")
+      .as[(String, Long)].collect().groupBy(_._1)
+    byFile.foreach { case (f, rows) =>
+      val ids = rows.map(_._2)
+      assert(ids.sameElements(ids.sorted), s"unsorted shard file $f")
     }
   }
 
