@@ -256,7 +256,11 @@ object Text {
   def surprisal(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val tk = documents(spark, d).select($"doc_id", explode(tokens($"text")).as("w"))
-    val wc = tk.groupBy($"w").agg(count(lit(1)).as("c"))
+    // vocab-sized; cached so the eager total and the score table share
+    // one tokenization pass
+    val wc = graft.core.Memo(spark, cache = true, "vocabCounts", d) {
+      tk.groupBy($"w").agg(count(lit(1)).as("c"))
+    }
     val total = wc.agg(sum($"c")).head().getLong(0)
     val scores = wc.select($"w",
       round((-log2($"c".cast("double") / lit(total.toDouble))) * lit(1000000.0))
