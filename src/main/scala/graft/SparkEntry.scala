@@ -96,6 +96,9 @@ object SparkEntry {
     "q69_surprisal"       -> ((s, d) => Text.surprisal(s, d)),
     "q70_shard_plan"      -> ((s, d) =>
       Sharding.shardPlan(s, d).select("doc_id", "lang", "source", "shard")),
+    "q71_incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)),
+    "q72_tokenize_ids"    -> ((s, d) => Text.tokenizeIds(s, d)),
+    "q73_bigram_lm"       -> ((s, d) => Text.bigramLm(s, d)),
   )
 
   /** Unrolled min-label-propagation oracle for dedup clusters (mirrors
@@ -1135,5 +1138,58 @@ object SparkEntry {
       s"""SELECT doc_id, lang, source,
          |  ${md5Bits32Sql("'shard:' || doc_id::VARCHAR", 1)} % 8 AS shard
          |FROM documents""".stripMargin,
+    // incoming 10% slice checked against the existing 90% only — exact
+    // fingerprint semi-join + asymmetric shingle-index probe
+    "q71_incremental_dedup" ->
+      s"""WITH b AS (SELECT doc_id, text,
+         |  ${md5Bits32Sql("'incr:' || doc_id::VARCHAR", 1)} % 100 AS bk FROM documents),
+         |inc AS (SELECT doc_id, text FROM b WHERE bk >= 90),
+         |ex AS (SELECT doc_id, text FROM b WHERE bk < 90),
+         |ed AS (SELECT DISTINCT i.doc_id FROM
+         |  (SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+         |   FROM inc) i
+         |  JOIN (SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+         |        FROM ex) e USING (fp)),
+         |ish AS (SELECT DISTINCT doc_id, s FROM (
+         |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+         |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w FROM inc) t,
+         |       unnest(range(1, len(w)-1)) AS u(i) WHERE len(w) >= 3)),
+         |esh AS (SELECT DISTINCT doc_id, s FROM (
+         |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+         |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w FROM ex) t,
+         |       unnest(range(1, len(w)-1)) AS u(i) WHERE len(w) >= 3)),
+         |isz AS (SELECT doc_id, count(*) AS sz FROM ish GROUP BY 1),
+         |esz AS (SELECT doc_id, count(*) AS sz FROM esh GROUP BY 1),
+         |nd AS (SELECT DISTINCT p.x FROM (
+         |    SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS inter
+         |    FROM ish a JOIN esh b ON a.s = b.s GROUP BY 1, 2) p
+         |  JOIN isz ON p.x = isz.doc_id JOIN esz ON p.y = esz.doc_id
+         |  WHERE inter::DOUBLE / (isz.sz + esz.sz - inter) >= 0.5)
+         |SELECT inc.doc_id,
+         |  (ed.doc_id IS NOT NULL) AS exact_dup,
+         |  (nd.x IS NOT NULL) AS near_dup,
+         |  (ed.doc_id IS NULL AND nd.x IS NULL) AS keep
+         |FROM inc LEFT JOIN ed ON inc.doc_id = ed.doc_id
+         |         LEFT JOIN nd ON inc.doc_id = nd.x""".stripMargin,
+    // frequency-ranked vocabulary ids (1 = most frequent, ties lexical)
+    "q72_tokenize_ids" ->
+      """WITH toks AS (SELECT doc_id,
+        |  regexp_split_to_array(lower(text), '\s+') AS ws FROM documents),
+        |tk AS (SELECT doc_id, i AS pos, ws[i] AS w
+        |       FROM toks, unnest(range(1, len(ws)+1)) AS t(i)),
+        |wc AS (SELECT w, count(*) AS c FROM tk GROUP BY 1),
+        |v AS (SELECT w, row_number() OVER (ORDER BY c DESC, w) AS token_id FROM wc)
+        |SELECT tk.doc_id, tk.pos::BIGINT AS pos, v.token_id::BIGINT AS token_id
+        |FROM tk JOIN v USING (w)""".stripMargin,
+    "q73_bigram_lm" ->
+      """WITH toks AS (SELECT regexp_split_to_array(lower(text), '\s+') AS w
+        |              FROM documents),
+        |bg AS (SELECT w[i] AS w1, w[i+1] AS w2
+        |       FROM toks, unnest(range(1, len(w))) AS t(i) WHERE len(w) >= 2),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM c12 GROUP BY 1)
+        |SELECT c12.w1, c12.w2, c12.c12, c1.c1,
+        |       c12.c12::DOUBLE / c1.c1::DOUBLE AS p
+        |FROM c12 JOIN c1 USING (w1)""".stripMargin,
   )
 }

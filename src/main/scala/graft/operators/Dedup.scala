@@ -221,6 +221,55 @@ object Dedup {
     * fixed n with maximal matches; the fixed-n form is the standard
     * distributed approximation.
     */
+  /** Incremental-ingest dedup — the operational pattern at corpus scale:
+    * a new batch (a deterministic 10 % slice here) is checked against the
+    * EXISTING corpus only, never against itself or existing-vs-existing.
+    * Each incoming doc reports an exact-duplicate flag (fingerprint
+    * semi-join), a near-duplicate flag (3-gram Jaccard ≥ `threshold`
+    * against existing docs only), and the resulting keep decision.
+    *
+    * Scale: the asymmetry is the point — cost is ∝ |incoming| × collision
+    * density, not |corpus|²: the incoming shingle set probes the existing
+    * inverted index as a hash join; the existing side never self-joins.
+    * In production the existing index (fingerprints + shingle→doc) is a
+    * materialized table maintained across ingests; here both sides derive
+    * from the same documents scan.
+    */
+  def incrementalDedup(spark: SparkSession, d: String,
+      threshold: Double = 0.5, newPct: Int = 10): DataFrame = {
+    import spark.implicits._
+    val b = documents(spark, d).select($"doc_id", $"text",
+      pmod(graft.functions.Hashing.md5Bits32(
+        concat(lit("incr:"), $"doc_id".cast("string")), 1), lit(100L)).as("bk"))
+    val incoming = b.filter($"bk" >= (100 - newPct))
+    val existing = b.filter($"bk" < (100 - newPct))
+    // exact: fingerprint semi-join
+    val exactDups = incoming.select($"doc_id", md5Fingerprint($"text").as("fp"))
+      .join(existing.select(md5Fingerprint($"text").as("fp")).distinct(), "fp")
+      .select($"doc_id").distinct()
+    // near: incoming shingles probe the existing inverted index
+    def sh(df: DataFrame) = df.select($"doc_id",
+      explode(shingles(tokens($"text"), 3)).as("s"))
+    val inSh = sh(incoming)
+    val exSh = sh(existing)
+    val inSz = inSh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    val exSz = exSh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    val nearDups = inSh.select($"doc_id".as("x"), $"s")
+      .join(exSh.select($"doc_id".as("y"), $"s"), "s")
+      .groupBy($"x", $"y").agg(count(lit(1)).as("inter"))
+      .join(inSz.select($"doc_id".as("x"), $"sz".as("sx")), "x")
+      .join(exSz.select($"doc_id".as("y"), $"sz".as("sy")), "y")
+      .filter($"inter".cast("double") / ($"sx" + $"sy" - $"inter") >= threshold)
+      .select($"x".as("doc_id")).distinct()
+    incoming.select($"doc_id")
+      .join(exactDups.withColumn("e", lit(true)), Seq("doc_id"), "left")
+      .join(nearDups.withColumn("n", lit(true)), Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"e", lit(false)).as("exact_dup"),
+        coalesce($"n", lit(false)).as("near_dup"),
+        (!coalesce($"e", lit(false)) && !coalesce($"n", lit(false))).as("keep"))
+  }
+
   def substringDupCoverage(spark: SparkSession, d: String, n: Int = 10): DataFrame = {
     import spark.implicits._
     val toks = documents(spark, d).select($"doc_id", tokens($"text").as("ws"))

@@ -273,6 +273,58 @@ object Text {
           .as("mean_surprisal"))
   }
 
+  /** Tokenizer application: map every token to its integer id under a
+    * frequency-ranked vocabulary (id 1 = most frequent; ties broken
+    * lexicographically) — the text→ids step before packing. Output is the
+    * exploded (doc_id, pos, token_id) stream.
+    *
+    * Scale: the vocabulary is corpus-sublinear (Heaps' law), so the
+    * ranking window — global, single-partition by construction — runs
+    * over a table that fits one node even at 100 TB corpus scale, and the
+    * id table broadcasts back onto the token stream: the corpus itself is
+    * never shuffled (real tokenizers ship the vocab as a file — same
+    * shape, the broadcast IS the vocab file).
+    */
+  def tokenizeIds(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val tk = documents(spark, d)
+      .select($"doc_id", posexplode(tokens($"text")).as(Seq("p0", "w")))
+    val vocab = graft.core.Memo(spark, cache = true, "vocabCounts", d) {
+      documents(spark, d).select($"doc_id", explode(tokens($"text")).as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("c"))
+    }.withColumn("token_id", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy($"c".desc, $"w".asc)))
+    tk.join(broadcast(vocab.select($"w", $"token_id")), "w")
+      .select($"doc_id", ($"p0" + 1).cast("long").as("pos"),
+        $"token_id".cast("long").as("token_id"))
+  }
+
+  /** Bigram-LM training: conditional next-token probabilities
+    * p(w2 | w1) = c(w1 w2) / c(w1 ·) from adjacent-pair counts — the
+    * first non-trivial LM a corpus pipeline fits (and the smoothing-free
+    * core of n-gram contamination scoring). Probability is one exact
+    * integer ratio in a single division — engine-independent.
+    *
+    * Scale: one (w1, w2) aggregation, map-side combined, key space =
+    * observed bigram vocabulary (sublinear); the w1 marginal reuses the
+    * pair counts — no second corpus pass.
+    */
+  def bigramLm(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val bg = documents(spark, d)
+      .select($"doc_id", tokens($"text").as("ws"))
+      .select(explode(when(size($"ws") >= 2,
+        zip_with(slice($"ws", lit(1), size($"ws") - 1), slice($"ws", lit(2), size($"ws") - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("p"))
+      .select($"p.w1".as("w1"), $"p.w2".as("w2"))
+    val c12 = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy($"w1").agg(sum($"c12").as("c1"))
+    c12.join(c1, "w1")
+      .select($"w1", $"w2", $"c12", $"c1",
+        ($"c12".cast("double") / $"c1").as("p"))
+  }
+
   /** Sliding-window chunking: split each document's token stream into
     * fixed-size chunks of `chunkSize` tokens advancing by `stride`
     * (overlap = chunkSize − stride) — the context-window preparation

@@ -1,0 +1,58 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.CurationStream
+import graft.streaming.CurationStream.{Admitted, StreamDoc}
+
+/** The continuous-ingest curation pipeline: scan-stage quality gate,
+  * watermark-bounded content dedup, keyed per-source budget admission —
+  * the streaming twin of operators.Pipeline.curateCorpus.
+  */
+class CurationStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  def ts(s: String) = Timestamp.valueOf(s)
+
+  test("gate, content-dedup, and budget admission compose end to end") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[StreamDoc]
+    val query = CurationStream.curate(input.toDF(), budget = 20L)
+      .writeStream.format("memory").queryName("cur_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        StreamDoc(1, ts("2024-01-01 00:00:00"),
+          "alpha beta gamma delta epsilon zeta", "web"),
+        // top-token fraction 0.9 > 0.8 → gated
+        StreamDoc(2, ts("2024-01-01 00:01:00"),
+          "spam spam spam spam spam spam spam spam spam ham", "web"),
+        // 2 tokens < 5 → gated
+        StreamDoc(3, ts("2024-01-01 00:02:00"), "too short", "web"),
+        // exact content dup of doc 1 under a new id → deduped
+        StreamDoc(4, ts("2024-01-01 00:03:00"),
+          "alpha beta gamma delta epsilon zeta", "web"),
+        StreamDoc(5, ts("2024-01-01 00:04:00"),
+          "one two three four five six seven eight nine ten eleven twelve", "web"))
+      query.processAllAvailable()
+      input.addData(
+        // web used 18 < 20 → admitted (takes it to 24)
+        StreamDoc(6, ts("2024-01-01 00:10:00"), "aa bb cc dd ee ff", "web"),
+        // web used 24 ≥ 20 → rejected
+        StreamDoc(7, ts("2024-01-01 00:11:00"), "gg hh ii jj kk ll", "web"),
+        // fresh source, fresh budget
+        StreamDoc(8, ts("2024-01-01 00:12:00"), "mm nn oo pp qq rr ss", "news"))
+      query.processAllAvailable()
+      val rows = spark.table("cur_stream").as[Admitted].collect()
+        .map(a => a.doc_id -> a).toMap
+      assert(rows.keySet == Set(1L, 5L, 6L, 8L), rows.keySet.toString)
+      assert(rows(1L) == Admitted(1, "web", 6, 6))
+      assert(rows(5L) == Admitted(5, "web", 12, 18))
+      assert(rows(6L) == Admitted(6, "web", 6, 24))
+      assert(rows(8L) == Admitted(8, "news", 7, 7))
+    } finally query.stop()
+  }
+}

@@ -204,6 +204,60 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("incrementalDedup checks incoming against existing only") {
+    import spark.implicits._
+    val out = Dedup.incrementalDedup(spark, sf)
+      .as[(Long, Boolean, Boolean, Boolean)].collect()
+    // ~10% slice
+    assert(out.length > 20 && out.length < 90, s"${out.length} incoming")
+    out.foreach { case (id, e, n, keep) =>
+      assert(keep == (!e && !n), s"doc $id flag algebra")
+    }
+    // the planted near-dup pairs make some incoming docs collide
+    // with the existing corpus across the bucket boundary... unless the
+    // 10% slice misses all of them — assert only the non-degenerate
+    // direction that must always hold: most incoming docs survive
+    assert(out.count(_._4) > out.length / 2, "most incoming docs must be kept")
+  }
+
+  test("tokenizeIds round-trips the token stream through the vocab") {
+    import spark.implicits._
+    val ids = Text.tokenizeIds(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", split(lower($"text"), "\\s+").as("ws"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(ids.length == docs.values.map(_.length).sum)
+    // ids are dense 1..V
+    val v = ids.map(_._3).distinct.sorted
+    assert(v.head == 1L && v.last == v.length)
+    // frequency-ranked: id 1 is the corpus's most frequent word
+    val freq = docs.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val id2w = ids.map(_._3).distinct.map { tid =>
+      tid -> { val (d0, p0, _) = ids.find(_._3 == tid).get; docs(d0)(p0.toInt - 1) }
+    }.toMap
+    assert(freq(id2w(1L)) == freq.values.max)
+    // positional decode matches the original text everywhere
+    ids.foreach { case (d0, p, tid) =>
+      assert(docs(d0)(p.toInt - 1) == id2w(tid), s"doc $d0 pos $p")
+    }
+  }
+
+  test("bigramLm conditionals sum to one per context") {
+    import spark.implicits._
+    val rows = Text.bigramLm(spark, sf)
+      .as[(String, String, Long, Long, Double)].collect()
+    rows.groupBy(_._1).foreach { case (w1, rs) =>
+      assert(rs.map(_._3).sum == rs.head._4, s"marginal mismatch for '$w1'")
+      assert(math.abs(rs.map(_._5).sum - 1.0) < 1e-9, s"p sum for '$w1'")
+    }
+    val nBigrams = spark.read.parquet(s"$sf/documents.parquet")
+      .select(split(lower($"text"), "\\s+").as("ws"))
+      .as[Seq[String]].collect()
+      .map(ws => math.max(ws.length - 1, 0).toLong).sum
+    assert(rows.map(_._3).sum == nBigrams)
+  }
+
   test("bpePairCounts conserves total pair mass") {
     import spark.implicits._
     val words = spark.read.parquet(s"$sf/documents.parquet")
