@@ -139,4 +139,61 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val clusters = Dedup.dedupClusters(spark, d1).count()
     assert(clusters == n, s"clusters $clusters != $n")
   }
+
+  /** Driver-side mirror of Hashing.md5Bits32(concat(salt, id), 1) % 100 —
+    * the deterministic bucket the incremental/split operators key on.
+    */
+  private def md5Bucket(salt: String, id: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$salt$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16) % 100
+  }
+
+  test("scale rehearsal: incremental dedup flags exactly the cross-boundary twins") {
+    import spark.implicits._
+    val n = 25000
+    val planted = 500
+    val d = synthCorpus(n, planted, seed = 3)
+    val out = Dedup.incrementalDedup(spark, d)
+      .as[(Long, Boolean, Boolean, Boolean)].collect()
+    val incoming = (0L until (n + planted)).filter(md5Bucket("incr:", _) >= 90).toSet
+    assert(out.length == incoming.size, "one decision per incoming doc")
+    // expected near-dups: a twin-pair member that is incoming while its
+    // partner is existing (twins share 35 of 45 distinct-ish tokens →
+    // jaccard well over 0.5)
+    val pairs = Seq.tabulate(planted)(j => ((j * (n / planted)).toLong, (n + j).toLong))
+    val expectNear = pairs.flatMap { case (a, b) =>
+      Seq(a).filter(x => incoming(x) && !incoming(b)) ++
+        Seq(b).filter(x => incoming(x) && !incoming(a))
+    }.toSet
+    val gotNear = out.filter(_._3).map(_._1).toSet
+    assert(expectNear.subsetOf(gotNear),
+      s"missing ${(expectNear -- gotNear).size} cross-boundary twins")
+    // random 40-token docs over a 5000-word vocab produce no accidental
+    // near-dups and every text is distinct → no exact dups, few extras
+    assert(out.count(_._2) == 0, "unexpected exact dups")
+    assert(gotNear.size <= expectNear.size + 5, "near-dup false positives")
+  }
+
+  test("scale rehearsal: substring coverage isolates the planted shared spans") {
+    import spark.implicits._
+    val n = 25000
+    val planted = 250
+    val d = synthCorpus(n, planted, seed = 4)
+    val rows = Dedup.substringDupCoverage(spark, d)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.length == n + planted)
+    val twinIds = Seq.tabulate(planted) { j =>
+      Seq((j * (n / planted)).toLong, (n + j).toLong) }.flatten.toSet
+    // twins share tokens 1..10 and 16..40 (1-based): every 10-gram inside
+    // those runs is cross-doc duplicated → covered = 10 + 25 = 35 of 40
+    rows.filter(r => twinIds(r._1)).foreach { case (id, ntk, cov, _) =>
+      assert(ntk == 40L, s"doc $id")
+      assert(cov >= 35L, s"doc $id covered $cov < 35")
+    }
+    // the random background has essentially no repeated 10-grams
+    val background = rows.filterNot(r => twinIds(r._1))
+    assert(background.count(_._3 > 0) <= 5,
+      "random background should have ~no duplicated 10-gram spans")
+  }
 }

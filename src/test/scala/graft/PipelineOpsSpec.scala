@@ -258,6 +258,40 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.map(_._3).sum == nBigrams)
   }
 
+  test("text-family operators survive degenerate documents") {
+    import spark.implicits._
+    // empty, whitespace-only, single-token, all-repeat, and tiny docs —
+    // shapes the synthetic corpus never produces
+    val dir = java.nio.file.Files.createTempDirectory("graft_degen").toString
+    Seq(
+      (0L, "", "en", "src0", 0L),
+      (1L, "   ", "en", "src0", 3L),
+      (2L, "solo", "de", "src1", 4L),
+      (3L, "a a a a a a", "en", "src1", 11L),
+      (4L, "x y", "es", "src0", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val textQueries = Seq(
+      "q09_dedup_exact", "q16_jaccard_neardup", "q18_quality_score",
+      "q19_token_stats", "q50_normalize", "q51_repetition", "q52_hash_split",
+      "q56_chunking", "q57_seq_packing", "q59_decontaminate",
+      "q61_boilerplate", "q64_bpe_pairs", "q68_substring_dup",
+      "q69_surprisal", "q72_tokenize_ids", "q73_bigram_lm")
+    textQueries.foreach { name =>
+      val rows = SparkEntry.queries(name)(spark, dir).collect()
+      assert(rows != null, name)
+      // no NaN/Inf leaks out of any ratio column
+      rows.foreach { r =>
+        (0 until r.length).foreach { i =>
+          r.get(i) match {
+            case x: Double => assert(!x.isNaN && !x.isInfinite, s"$name col $i")
+            case _ =>
+          }
+        }
+      }
+    }
+  }
+
   test("bpePairCounts conserves total pair mass") {
     import spark.implicits._
     val words = spark.read.parquet(s"$sf/documents.parquet")
