@@ -99,6 +99,8 @@ object SparkEntry {
     "q71_incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)),
     "q72_tokenize_ids"    -> ((s, d) => Text.tokenizeIds(s, d)),
     "q73_bigram_lm"       -> ((s, d) => Text.bigramLm(s, d)),
+    "q74_calibrated_filter" -> ((s, d) => Text.calibratedFilter(s, d)),
+    "q75_pack_materialize" -> ((s, d) => Sampling.materializePacks(s, d)),
   )
 
   /** Unrolled min-label-propagation oracle for dedup clusters (mirrors
@@ -1191,5 +1193,35 @@ object SparkEntry {
         |SELECT c12.w1, c12.w2, c12.c12, c1.c1,
         |       c12.c12::DOUBLE / c1.c1::DOUBLE AS p
         |FROM c12 JOIN c1 USING (w1)""".stripMargin,
+    // q69's surprisal scores + a corpus-median keep band
+    "q74_calibrated_filter" ->
+      """WITH tk AS (SELECT doc_id,
+        |  unnest(regexp_split_to_array(lower(text), '\s+')) AS w FROM documents),
+        |wc AS (SELECT w, count(*) AS c FROM tk GROUP BY 1),
+        |tot AS (SELECT sum(c)::BIGINT AS t FROM wc),
+        |s AS (SELECT w, round((-log2(c::DOUBLE / t::DOUBLE)) * 1000000.0)::BIGINT AS sq
+        |      FROM wc, tot),
+        |sc AS (SELECT doc_id,
+        |         sum(sq)::DOUBLE / (count(*)::DOUBLE * 1000000.0) AS mean_surprisal
+        |       FROM tk JOIN s USING (w) GROUP BY 1),
+        |m AS (SELECT quantile_cont(mean_surprisal, 0.5) AS med FROM sc)
+        |SELECT doc_id, mean_surprisal, med,
+        |       (abs(mean_surprisal - med) <= 0.2 * med) AS keep
+        |FROM sc, m""".stripMargin,
+    // q57's pack assignment + ordered concatenation per pack, emitted as
+    // md5 (the verifiable contract for the assembled training example)
+    "q75_pack_materialize" ->
+      """WITH n AS (SELECT doc_id, source, text,
+        |  list_sum(list_transform(regexp_split_to_array(lower(text), '\s+'),
+        |    w -> floor((strlen(w)+3)/4)::BIGINT))::BIGINT AS n_toks
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, text, n_toks,
+        |  sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+        |  FROM n)
+        |SELECT source, ((cum - n_toks) // 2048)::BIGINT AS pack_id,
+        |       count(*)::BIGINT AS n_docs, sum(n_toks)::BIGINT AS n_tokens,
+        |       md5(string_agg(text, ' <eod> ' ORDER BY doc_id)) AS pack_md5
+        |FROM c GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -116,26 +116,59 @@ object Sampling {
         pmod($"cum" - $"n_toks", lit(budget.toLong)).as("pack_offset"))
   }
 
-  /** Split-contamination audit: near-duplicate pairs (exact 3-gram
-    * Jaccard ≥ 0.5, the q16 pair source) that straddle hashSplit's
-    * train/validation/test boundaries — the "is my test split leaked
-    * into train" check that must run after any split of a corpus with
-    * near-dups. Output: pair counts per unordered split pair (the
-    * diagonal = within-split dups, off-diagonal = leakage).
+  /** Split-contamination audit: near-duplicate pairs that straddle
+    * hashSplit's train/validation/test boundaries — the "is my test
+    * split leaked into train" check that must run after any split of a
+    * corpus with near-dups. Output: pair counts per unordered split pair
+    * (the diagonal = within-split dups, off-diagonal = leakage).
     *
-    * Scale: rides the memoized pair build (∝ dup density via the LSH
-    * ladder at corpus scale); the split map is a projection joined twice
-    * on doc_id; the final aggregate is ≤ 6 rows.
+    * The pair generator is a parameter, like every composite on the
+    * dedup ladder: default `Dedup.minhashLsh` (band-bucketed candidates
+    * + exact re-check — identical output to the exact form on this
+    * corpus, sub-quadratic at scale); pass `Dedup.jaccardPairs` for the
+    * exact/oracle-gold build. Both are memo-shared with q15/q16/q32.
+    *
+    * Scale: pair volume ∝ dup density; the split map is a projection
+    * joined twice on doc_id; the final aggregate is ≤ 6 rows.
     */
-  def splitLeakage(spark: SparkSession, d: String): DataFrame = {
+  def splitLeakage(spark: SparkSession, d: String,
+      threshold: Double = 0.5,
+      pairGen: (SparkSession, String, Double) => DataFrame = Dedup.minhashLsh): DataFrame = {
     import spark.implicits._
     val sp = hashSplit(spark, d).select($"doc_id", $"split")
-    Dedup.jaccardPairs(spark, d)
+    pairGen(spark, d, threshold)
       .join(sp.select($"doc_id".as("x"), $"split".as("sx")), "x")
       .join(sp.select($"doc_id".as("y"), $"split".as("sy")), "y")
       .select(least($"sx", $"sy").as("split_a"), greatest($"sx", $"sy").as("split_b"))
       .groupBy($"split_a", $"split_b")
       .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** Materialize the packs: concatenate each pack's member documents
+    * (membership = where the doc's first token lands, from
+    * `packSequences`) in doc_id order with an end-of-document marker —
+    * the training-example assembly step. The concatenation is emitted as
+    * its md5 plus counts (the full text would be the payload in
+    * production; the hash is the verifiable contract).
+    *
+    * Scale: one shuffle on the (source) pack window (shared with
+    * packSequences), then one (source, pack_id) aggregate;
+    * order-sensitivity is confined to the array_sort of each pack's
+    * bounded member list (≤ budget/min-doc-tokens docs).
+    */
+  def materializePacks(spark: SparkSession, d: String,
+      budget: Int = 2048): DataFrame = {
+    import spark.implicits._
+    val packs = packSequences(spark, d, budget)
+      .join(documents(spark, d).select($"doc_id", $"text"), "doc_id")
+    packs.groupBy($"source", $"pack_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_toks").as("n_tokens"),
+        array_sort(collect_list(struct($"doc_id", $"text"))).as("members"))
+      .select($"source", $"pack_id", $"n_docs", $"n_tokens",
+        md5(array_join(transform($"members", m => m.getField("text")),
+          " <eod> ")).as("pack_md5"))
   }
 
   /** Materialize the domain-mixture plan: fan each document out into

@@ -325,6 +325,29 @@ object Text {
         ($"c12".cast("double") / $"c1").as("p"))
   }
 
+  /** Corpus-calibrated quality filter: instead of a hand-picked
+    * constant, the keep-band derives from the corpus itself — documents
+    * whose mean surprisal sits within ±20 % of the corpus MEDIAN pass
+    * (drops both garble — too surprising — and degenerate repetition —
+    * too predictable). The adaptive-threshold pattern every production
+    * filter uses, as one declarative plan.
+    *
+    * Scale: the median is one exact-percentile aggregate down to a
+    * single row, broadcast back over the score stream — at corpus scale
+    * swap in approx_percentile and re-oracle the band edges; the
+    * comparison itself is scan-stage.
+    */
+  def calibratedFilter(spark: SparkSession, d: String,
+      band: Double = 0.2): DataFrame = {
+    import spark.implicits._
+    val scores = surprisal(spark, d).select($"doc_id", $"mean_surprisal")
+    val med = scores.agg(
+      percentile($"mean_surprisal", lit(0.5)).as("med"))
+    scores.join(broadcast(med))
+      .select($"doc_id", $"mean_surprisal", $"med",
+        (abs($"mean_surprisal" - $"med") <= lit(band) * $"med").as("keep"))
+  }
+
   /** Sliding-window chunking: split each document's token stream into
     * fixed-size chunks of `chunkSize` tokens advancing by `stride`
     * (overlap = chunkSize − stride) — the context-window preparation

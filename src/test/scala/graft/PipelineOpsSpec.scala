@@ -258,6 +258,44 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.map(_._3).sum == nBigrams)
   }
 
+  test("calibratedFilter band derives from the corpus median") {
+    import spark.implicits._
+    val rows = Text.calibratedFilter(spark, sf)
+      .as[(Long, Double, Double, Boolean)].collect()
+    assert(rows.length == 500)
+    val meds = rows.map(_._3).distinct
+    assert(meds.length == 1)
+    val med = meds.head
+    // the median splits the scores
+    val scores = rows.map(_._2).sorted
+    assert(med >= scores(249) && med <= scores(250))
+    rows.foreach { case (id, ms, _, keep) =>
+      assert(keep == (math.abs(ms - med) <= 0.2 * med), s"doc $id")
+    }
+    // a ±20% band around the median keeps a solid majority
+    assert(rows.count(_._4) > 250, "band unexpectedly narrow")
+  }
+
+  test("materializePacks concatenation hash is reproducible") {
+    import spark.implicits._
+    val packs = Sampling.materializePacks(spark, sf)
+      .as[(String, Long, Long, Long, String)].collect()
+    assert(packs.nonEmpty)
+    // doc mass conservation: every doc lands in exactly one pack
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"source", $"text").as[(Long, String, String)].collect()
+    assert(packs.map(_._3).sum == docs.length)
+    // recompute one pack's md5 on the driver from packSequences membership
+    val asg = Sampling.packSequences(spark, sf)
+      .as[(Long, String, Long, Long, Long)].collect()
+    val (src, pid) = (packs.head._1, packs.head._2)
+    val memberIds = asg.filter(a => a._2 == src && a._4 == pid).map(_._1).sorted
+    val text = memberIds.map(id => docs.find(_._1 == id).get._3).mkString(" <eod> ")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect = md.digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(packs.head._5 == expect, s"pack ($src,$pid) md5 mismatch")
+  }
+
   test("text-family operators survive degenerate documents") {
     import spark.implicits._
     // empty, whitespace-only, single-token, all-repeat, and tiny docs —
