@@ -78,16 +78,23 @@ object Hashing {
     shiftleft(md5Bits32(t, 1), 32).bitwiseOR(md5Bits32(t, 9))
 
   /** 64-bit SimHash of a token array: bit k is the sign of the per-bit
-    * vote sum over token hashes. Single pass over the tokens with a
-    * 64-long vote-vector accumulator (64 separate per-bit aggregates
-    * would re-evaluate the token-hash expression 64× per row — see
-    * shingles() on interpreted-HOF re-evaluation). Token hashes are
-    * md5-derived (md5Hash64) and materialized as an array argument of the
-    * fold, so the per-bit lambda sees a bound value: one md5 per token,
-    * 64 bit-ANDs per token — and the whole sketch is reproducible in the
-    * DuckDB oracle (SparkEntry q23).
+    * vote sum over md5-derived token hashes (md5Hash64), reproducible in
+    * the DuckDB oracle (SparkEntry q23). Native codegen expression
+    * (plans.SimHashExpr): one md5 + 64 bit ops per token in a tight
+    * generated loop — the HOF reference form below paid ~130 interpreted
+    * lambda dispatches and two array allocations per token (the last
+    * interpreted sketch hot path). Bit-identical to the HOF form
+    * (asserted in DedupSimilaritySpec).
     */
-  def simhash(toks: Column): Column = {
+  def simhash(toks: Column): Column = graft.plans.SimHashes.simhash64(toks)
+
+  /** Interpreted HOF reference implementation of `simhash` — kept as the
+    * cross-check the native expression is asserted against: a single
+    * fold with a 64-long vote-vector accumulator (64 separate per-bit
+    * aggregates would re-evaluate the token-hash expression 64× per row —
+    * see shingles() on interpreted-HOF re-evaluation).
+    */
+  def simhashHof(toks: Column): Column = {
     val powers = typedLit((0 until 64).map(k => 1L << k))
     val votes = aggregate(
       transform(toks, t => md5Hash64(t)),

@@ -140,6 +140,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(clusters == n, s"clusters $clusters != $n")
   }
 
+  test("native simhash64 is bit-identical to the HOF reference") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.cleanTokens
+    val both = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id",
+        graft.functions.Hashing.simhash(cleanTokens($"text")).as("native"),
+        graft.functions.Hashing.simhashHof(cleanTokens($"text")).as("hof"))
+      .as[(Long, Long, Long)].collect()
+    assert(both.length == 500)
+    both.foreach { case (id, n, h) => assert(n == h, s"doc $id sketch drift") }
+    // degenerate inputs too: empty array, empty-string token, unicode
+    val edge = Seq(Seq.empty[String], Seq(""), Seq("日本語", "a"))
+      .toDF("ws")
+      .select(graft.functions.Hashing.simhash($"ws").as("native"),
+        graft.functions.Hashing.simhashHof($"ws").as("hof"))
+      .as[(Long, Long)].collect()
+    edge.foreach { case (n, h) => assert(n == h) }
+  }
+
   /** Driver-side mirror of Hashing.md5Bits32(concat(salt, id), 1) % 100 —
     * the deterministic bucket the incremental/split operators key on.
     */
