@@ -76,9 +76,10 @@ object Dedup {
   /** MinHash + LSH near-dup detection: k=64 hashes, 32 bands × 2 rows
     * (P[collide] = 1-(1-j²)³² ⇒ ~0.9999 at j = 0.5, ~0.08 at j = 0.05),
     * exact-Jaccard re-check on the candidates. Same output shape as
-    * jaccardPairs; recall < 1 is theoretically possible, so this query is
-    * rows-only-checked by the driver and recall-tested against
-    * jaccardPairs in DedupSpec.
+    * jaccardPairs; banding miss probability is ~1e-4 per true pair at
+    * j = 0.5, so the q15 oracle IS the exact pair set (row-identical at
+    * every tested SF) and recall is additionally asserted against
+    * jaccardPairs in DedupSimilaritySpec.
     */
   /** The band-collision candidate stage of MinHash-LSH, exposed as its
     * own operator: (x, y) doc pairs sharing ≥ 1 of the 32 two-row bands.

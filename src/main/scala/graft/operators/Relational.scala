@@ -242,8 +242,9 @@ object Relational {
 
   /** Exact distinct-aggregate: count(DISTINCT) expands to a two-phase
     * agg (distinct shuffle then count). The approximate one-pass sketch
-    * forms live in approxStats (rows-only — sketches are
-    * engine-specific).
+    * forms live in approxStats (sketches are engine-specific, so its
+    * q44 oracle checks error bounds against exact values rather than
+    * sketch internals).
     */
   def distinctStats(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._

@@ -15,7 +15,8 @@ import graft.functions.VectorFunctions._
   *    baseline and the oracle-checked query.
   *  - multi-table random-hyperplane LSH buckets: corpus hashed once;
   *    only bucket-mates are scored. Sub-linear candidate sets at the cost
-  *    of recall; rows-only checked, consistency-tested vs brute force.
+  *    of recall; the md5-derived plane matrix makes the ENTIRE pipeline
+  *    oracle-checkable (q29), and recall is tested vs brute force.
   *
   * All cosines use exact quantized-integer inner products
   * (VectorFunctions) so scores — and hence rankings — are

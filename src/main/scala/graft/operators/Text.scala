@@ -131,8 +131,9 @@ object Text {
   }
 
   /** Rolling-hash fingerprint (order-sensitive polynomial hash over the
-    * clean token stream). No SQL oracle (engine-specific hash); exposed as
-    * a rows-only query and property-tested in RollingFingerprintSpec.
+    * clean token stream). Built on md5-derived token hashes since round 2,
+    * so the q27 oracle replays the exact fold as a DuckDB list_reduce;
+    * order sensitivity is property-tested in DedupSimilaritySpec.
     */
   def rollingFp(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
