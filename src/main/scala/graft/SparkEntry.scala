@@ -101,6 +101,7 @@ object SparkEntry {
     "q73_bigram_lm"       -> ((s, d) => Text.bigramLm(s, d)),
     "q74_calibrated_filter" -> ((s, d) => Text.calibratedFilter(s, d)),
     "q75_pack_materialize" -> ((s, d) => Sampling.materializePacks(s, d)),
+    "q76_corpus_report"   -> ((s, d) => Text.corpusReport(s, d)),
   )
 
   /** Unrolled min-label-propagation oracle for dedup clusters (mirrors
@@ -1223,5 +1224,21 @@ object SparkEntry {
         |       count(*)::BIGINT AS n_docs, sum(n_toks)::BIGINT AS n_tokens,
         |       md5(string_agg(text, ' <eod> ' ORDER BY doc_id)) AS pack_md5
         |FROM c GROUP BY 1, 2""".stripMargin,
+    // the one-pass per-source datasheet: exact counts/sums/distincts +
+    // exact median of the normalized mean token length
+    "q76_corpus_report" ->
+      """WITH per AS (SELECT source, lang, n_chars,
+        |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+        |  list_sum(list_transform(regexp_split_to_array(lower(text), '\s+'),
+        |    w -> floor((strlen(w)+3)/4)::BIGINT))::BIGINT AS bpe,
+        |  strlen(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))::DOUBLE
+        |    / len(regexp_split_to_array(lower(text), '\s+'))::DOUBLE AS mtl
+        |  FROM documents)
+        |SELECT source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS n_chars,
+        |       sum(bpe)::BIGINT AS bpe_tokens,
+        |       count(DISTINCT lang)::BIGINT AS n_langs,
+        |       (count(*) - count(DISTINCT fp))::BIGINT AS n_exact_dups,
+        |       quantile_cont(mtl, 0.5) AS p50_mean_tok_len
+        |FROM per GROUP BY 1""".stripMargin,
   )
 }

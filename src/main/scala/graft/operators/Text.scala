@@ -326,6 +326,36 @@ object Text {
         ($"c12".cast("double") / $"c1").as("p"))
   }
 
+  /** Per-source corpus datasheet — the one-query report a pipeline run
+    * publishes: volume (docs, chars, BPE-budget tokens), diversity
+    * (languages, exact-duplicate docs via distinct fingerprints), and a
+    * quality marker (median mean-token-length). Every column is an exact
+    * aggregate (counts, integer sums, count distinct, exact percentile)
+    * so the datasheet is reproducible and oracle-checked.
+    *
+    * Scale: one pass over the corpus into a |sources|-row result; the
+    * distinct-fingerprint count is the only expansion (two-phase
+    * distinct agg) — at extreme scale it downgrades to approx_count_
+    * distinct with an error-bound oracle like q44.
+    */
+  def corpusReport(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, d)
+      .select($"source", $"lang", $"n_chars",
+        md5Fingerprint($"text").as("fp"),
+        tokenSum(tokens($"text"), bpePieces).as("bpe"),
+        (length(regexp_replace(trim(lower($"text")), "\\s+", " ")).cast("double") /
+          size(tokens($"text"))).as("mtl"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("n_chars"),
+        sum($"bpe").as("bpe_tokens"),
+        countDistinct($"lang").as("n_langs"),
+        (count(lit(1)) - countDistinct($"fp")).as("n_exact_dups"),
+        percentile($"mtl", lit(0.5)).as("p50_mean_tok_len"))
+  }
+
   /** Corpus-calibrated quality filter: instead of a hand-picked
     * constant, the keep-band derives from the corpus itself — documents
     * whose mean surprisal sits within ±20 % of the corpus MEDIAN pass

@@ -296,6 +296,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(packs.head._5 == expect, s"pack ($src,$pid) md5 mismatch")
   }
 
+  test("corpusReport aggregates reconcile with the raw table") {
+    import spark.implicits._
+    val report = Text.corpusReport(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Double)].collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"source", $"lang", $"n_chars", $"text")
+      .as[(String, String, Long, String)].collect()
+    assert(report.map(_._2).sum == docs.length)
+    assert(report.map(_._3).sum == docs.map(_._3).sum)
+    val bySource = docs.groupBy(_._1)
+    report.foreach { case (src, nDocs, _, _, nLangs, nDups, p50) =>
+      val rows = bySource(src)
+      assert(nDocs == rows.length, src)
+      assert(nLangs == rows.map(_._2).distinct.length, src)
+      assert(nDups >= 0 && nDups < nDocs, src)
+      assert(p50 > 0, src)
+    }
+  }
+
   test("text-family operators survive degenerate documents") {
     import spark.implicits._
     // empty, whitespace-only, single-token, all-repeat, and tiny docs —
