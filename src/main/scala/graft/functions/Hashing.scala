@@ -16,23 +16,30 @@ import org.apache.spark.sql.functions._
 object Hashing {
 
   /** Distinct n-gram word shingles of a token array; empty when the doc
-    * has fewer than n tokens.
-    *
-    * Built as a zip of n shifted slices rather than indexed element_at
-    * lookups: HOF lambdas are interpreted (no codegen), and a
-    * non-attribute child of an expression inside a lambda is RE-EVALUATED
-    * on every iteration — an element_at(tokenize(text), i) formulation
-    * re-tokenizes the document O(n·|doc|) times. zip_with/slice evaluate
-    * each argument once per row.
+    * has fewer than n tokens. Native codegen expression
+    * (plans.WordShinglesExpr) — one tight loop per row; first-occurrence
+    * order, exactly array_distinct(shinglesAllHof).
     */
   def shingles(toks: Column, n: Int = 3): Column =
-    array_distinct(shinglesAll(toks, n))
+    graft.plans.WordShinglesOps.wordShingles(toks, n, distinct = true)
 
   /** All n-gram shingles in order, duplicates KEPT — element k (1-based)
     * is the gram starting at token k. The positional form exact-substring
     * coverage needs (`shingles` is the distinct set-semantics view).
     */
-  def shinglesAll(toks: Column, n: Int): Column = {
+  def shinglesAll(toks: Column, n: Int): Column =
+    graft.plans.WordShinglesOps.wordShingles(toks, n, distinct = false)
+
+  /** Interpreted HOF reference for `shinglesAll` — kept as the
+    * cross-check the native expression is asserted against. Built as a
+    * zip of n shifted slices rather than indexed element_at lookups:
+    * HOF lambdas are interpreted (no codegen), and a non-attribute child
+    * of an expression inside a lambda is RE-EVALUATED on every
+    * iteration — an element_at(tokenize(text), i) formulation
+    * re-tokenizes the document O(n·|doc|) times. zip_with/slice evaluate
+    * each argument once per row.
+    */
+  def shinglesAllHof(toks: Column, n: Int): Column = {
     val len = size(toks) - (n - 1)
     val joined = (2 to n).foldLeft(slice(toks, lit(1), len)) { (acc, j) =>
       zip_with(acc, slice(toks, lit(j), len), (a, b) => concat_ws(" ", a, b))

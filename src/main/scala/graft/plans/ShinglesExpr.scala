@@ -1,0 +1,86 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native word-shingling: the n-gram join of a token array in one
+  * generated call, replacing the interpreted zip_with/slice chain
+  * (n − 1 lambda-dispatched zips, each allocating an intermediate array
+  * and re-concatenating prefixes — the dominant cost of the dedup
+  * family's shared shingle build). Output order and values are
+  * bit-identical to the HOF form: element k (1-based) is the space-join
+  * of tokens k..k+n−1; the distinct variant keeps first-occurrence
+  * order exactly like `array_distinct`. Equality vs the HOF reference is
+  * asserted in DedupSimilaritySpec.
+  */
+object WordShingles {
+  private val Space = UTF8String.fromString(" ")
+
+  /** Hot path — called once per row from generated code. */
+  def shingles(toks: ArrayData, n: Int, distinct: Boolean): ArrayData = {
+    val cnt = toks.numElements()
+    if (cnt < n) return new GenericArrayData(Array.empty[Any])
+    val m = cnt - n + 1
+    val parts = new Array[UTF8String](n)
+    if (!distinct) {
+      val out = new Array[Any](m)
+      var i = 0
+      while (i < m) {
+        var j = 0
+        while (j < n) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+        out(i) = UTF8String.concatWs(Space, parts: _*)
+        i += 1
+      }
+      new GenericArrayData(out)
+    } else {
+      val seen = new java.util.LinkedHashSet[UTF8String](m * 2)
+      var i = 0
+      while (i < m) {
+        var j = 0
+        while (j < n) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+        seen.add(UTF8String.concatWs(Space, parts: _*))
+        i += 1
+      }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = it.next(); k += 1 }
+      new GenericArrayData(out)
+    }
+  }
+}
+
+case class WordShinglesExpr(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_shingles requires array<string>, got $other")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override protected def nullSafeEval(a: Any): Any =
+    WordShingles.shingles(a.asInstanceOf[ArrayData], n, distinct)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.plans.WordShingles.shingles($a, $n, $distinct)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordShinglesOps {
+  def wordShingles(toks: Column, n: Int, distinct: Boolean): Column =
+    ColumnBridge.column(
+      WordShinglesExpr(ColumnBridge.expression(toks), n, distinct))
+}

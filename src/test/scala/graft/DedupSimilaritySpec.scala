@@ -140,6 +140,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(clusters == n, s"clusters $clusters != $n")
   }
 
+  test("native word_shingles is bit-identical to the HOF reference") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.tokens
+    import graft.functions.Hashing
+    val both = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id",
+        Hashing.shinglesAll(tokens($"text"), 3).as("nat"),
+        Hashing.shinglesAllHof(tokens($"text"), 3).as("hof"),
+        Hashing.shingles(tokens($"text"), 3).as("natd"),
+        array_distinct(Hashing.shinglesAllHof(tokens($"text"), 3)).as("hofd"))
+      .as[(Long, Seq[String], Seq[String], Seq[String], Seq[String])].collect()
+    assert(both.length == 500)
+    both.foreach { case (id, n, h, nd, hd) =>
+      assert(n == h, s"doc $id positional drift")
+      assert(nd == hd, s"doc $id distinct drift")
+    }
+    // degenerate: shorter than n, exactly n, 5-gram width
+    val edge = Seq(Seq("a"), Seq("a", "b", "c"), Seq("a", "b", "c", "d", "e", "f"))
+      .toDF("ws")
+      .select(Hashing.shinglesAll($"ws", 5).as("nat"),
+        Hashing.shinglesAllHof($"ws", 5).as("hof"))
+      .as[(Seq[String], Seq[String])].collect()
+    edge.foreach { case (n, h) => assert(n == h) }
+  }
+
   test("native simhash64 is bit-identical to the HOF reference") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
