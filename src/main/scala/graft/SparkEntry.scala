@@ -102,6 +102,8 @@ object SparkEntry {
     "q74_calibrated_filter" -> ((s, d) => Text.calibratedFilter(s, d)),
     "q75_pack_materialize" -> ((s, d) => Sampling.materializePacks(s, d)),
     "q76_corpus_report"   -> ((s, d) => Text.corpusReport(s, d)),
+    "q77_bigram_surprisal" -> ((s, d) => Text.bigramSurprisal(s, d)),
+    "q78_crossmodal_quality" -> ((s, d) => Similarity.crossModalQuality(s, d)),
   )
 
   /** Unrolled min-label-propagation oracle for dedup clusters (mirrors
@@ -1240,5 +1242,53 @@ object SparkEntry {
         |       (count(*) - count(DISTINCT fp))::BIGINT AS n_exact_dups,
         |       quantile_cont(mtl, 0.5) AS p50_mean_tok_len
         |FROM per GROUP BY 1""".stripMargin,
+    // q73's LM + 1e6-quantized per-bigram surprisal, exact doc sums
+    "q77_bigram_surprisal" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |              FROM documents),
+        |bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        |       FROM toks, unnest(range(1, len(w))) AS t(i) WHERE len(w) >= 2),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM c12 GROUP BY 1),
+        |s AS (SELECT c12.w1, c12.w2,
+        |        round((-log2(c12.c12::DOUBLE / c1.c1::DOUBLE)) * 1000000.0)::BIGINT AS sq
+        |      FROM c12 JOIN c1 USING (w1)),
+        |pd AS (SELECT bg.doc_id, count(*) AS n_bigrams, sum(s.sq)::BIGINT AS bits_q
+        |       FROM bg JOIN s ON bg.w1 = s.w1 AND bg.w2 = s.w2 GROUP BY 1)
+        |SELECT d.doc_id, coalesce(pd.n_bigrams, 0)::BIGINT AS n_bigrams,
+        |       coalesce(pd.bits_q, 0)::BIGINT AS bits_q,
+        |       coalesce(pd.bits_q::DOUBLE / (pd.n_bigrams::DOUBLE * 1000000.0), 0.0)
+        |         AS mean_bigram_surprisal
+        |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id""".stripMargin,
+    // q18's stop_ratio × q66's centroid-cosine outlier flag, fused on id
+    "q78_crossmodal_quality" ->
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ws
+         |           FROM documents),
+         |tq AS (SELECT doc_id,
+         |  len(list_filter(ws, x -> list_contains($stopList, x)))::DOUBLE / len(ws)
+         |    AS stop_ratio FROM t),
+         |ex AS (SELECT vec_id, label,
+         |  round(unnest(embedding)::DOUBLE * 10000000)::BIGINT AS q,
+         |  unnest(range(len(embedding))) AS i FROM embeddings),
+         |n2 AS (SELECT vec_id, sum(q*q)::BIGINT AS n2 FROM ex GROUP BY 1),
+         |cent AS (SELECT label, i, round(sum(q)::DOUBLE / count(*))::BIGINT AS cq
+         |         FROM ex GROUP BY 1, 2),
+         |cn2 AS (SELECT label, sum(cq*cq)::BIGINT AS cn2 FROM cent GROUP BY 1),
+         |dots AS (SELECT e.vec_id, e.label, sum(e.q * c.cq)::BIGINT AS dot
+         |         FROM ex e JOIN cent c ON e.label = c.label AND e.i = c.i
+         |         GROUP BY 1, 2),
+         |sc AS (SELECT d.vec_id, d.label,
+         |         d.dot::DOUBLE / (sqrt(n2.n2::DOUBLE) * sqrt(cn2.cn2::DOUBLE)) AS ccos
+         |       FROM dots d JOIN n2 ON d.vec_id = n2.vec_id
+         |                   JOIN cn2 ON d.label = cn2.label),
+         |sz AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1),
+         |r AS (SELECT vec_id, label, ccos,
+         |        row_number() OVER (PARTITION BY label ORDER BY ccos, vec_id) AS rn
+         |      FROM sc)
+         |SELECT r.vec_id AS doc_id, r.label, tq.stop_ratio, r.ccos,
+         |       (r.rn <= ceil(0.05 * sz.n)) AS outlier,
+         |       (NOT (r.rn <= ceil(0.05 * sz.n)) AND tq.stop_ratio >= 0.01) AS keep
+         |FROM r JOIN sz ON r.label = sz.label
+         |       JOIN tq ON r.vec_id = tq.doc_id""".stripMargin,
   )
 }

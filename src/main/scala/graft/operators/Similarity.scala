@@ -368,6 +368,29 @@ object Similarity {
         ($"rn" <= ceil(lit(frac) * $"n")).as("outlier"))
   }
 
+  /** Cross-modal quality fusion: join the TEXT quality signals
+    * (stop-word ratio) with the EMBEDDING-space signal (cosine to the
+    * label centroid, per-label outlier flag) for every document that has
+    * an embedding — the CLIP-score-style "do the modalities agree"
+    * filter: keep docs that are neither embedding outliers nor
+    * stop-word-free word salads.
+    *
+    * Scale: both inputs are one-pass derivations; the fusion is a single
+    * hash join on the id (both sides already partition-friendly); the
+    * decision column is scan-stage boolean math.
+    */
+  def crossModalQuality(spark: SparkSession, d: String,
+      minStopRatio: Double = 0.01): DataFrame = {
+    import spark.implicits._
+    val text = Text.qualityScore(spark, d)
+      .select($"doc_id", $"stop_ratio")
+    val emb = centroidOutliers(spark, d)
+      .select($"vec_id".as("doc_id"), $"label", $"ccos", $"outlier")
+    text.join(emb, "doc_id")
+      .select($"doc_id", $"label", $"stop_ratio", $"ccos", $"outlier",
+        (!$"outlier" && $"stop_ratio" >= minStopRatio).as("keep"))
+  }
+
   def annLsh(spark: SparkSession, d: String, k: Int = 5,
       nPlanes: Int = 6, nTables: Int = 8): DataFrame = {
     import spark.implicits._

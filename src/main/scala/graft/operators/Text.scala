@@ -326,6 +326,42 @@ object Text {
         ($"c12".cast("double") / $"c1").as("p"))
   }
 
+  /** Bigram-contextual surprisal per document: mean −log₂ p(w2 | w1)
+    * over the document's adjacent pairs under the corpus bigram LM
+    * (q73) — the contextual upgrade of the unigram signal (q69): word
+    * salads score high here even when their unigram mix looks normal.
+    * Per-BIGRAM surprisal is quantized to a 1e6 integer once per
+    * observed pair, so document sums are exact integer adds.
+    *
+    * Scale: the LM table is the observed-bigram vocabulary (sublinear),
+    * broadcast onto the pair stream; one (doc_id) aggregate; docs with
+    * fewer than two tokens re-enter with zero mass via the left join.
+    */
+  def bigramSurprisal(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val docBg = documents(spark, d)
+      .select($"doc_id", tokens($"text").as("ws"))
+      .select($"doc_id", explode(when(size($"ws") >= 2,
+        zip_with(slice($"ws", lit(1), size($"ws") - 1), slice($"ws", lit(2), size($"ws") - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("p"))
+      .select($"doc_id", $"p.w1".as("w1"), $"p.w2".as("w2"))
+    val scores = bigramLm(spark, d).select($"w1", $"w2",
+      round((-log2($"c12".cast("double") / $"c1")) * lit(1000000.0))
+        .cast("long").as("sq"))
+    val perDoc = docBg.join(broadcast(scores), Seq("w1", "w2"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"sq").as("bits_q"))
+    documents(spark, d).select($"doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
+        coalesce($"bits_q", lit(0L)).as("bits_q"),
+        coalesce($"bits_q".cast("double") /
+          ($"n_bigrams".cast("double") * lit(1000000.0)), lit(0.0))
+          .as("mean_bigram_surprisal"))
+  }
+
   /** Per-source corpus datasheet — the one-query report a pipeline run
     * publishes: volume (docs, chars, BPE-budget tokens), diversity
     * (languages, exact-duplicate docs via distinct fingerprints), and a

@@ -296,6 +296,42 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(packs.head._5 == expect, s"pack ($src,$pid) md5 mismatch")
   }
 
+  test("bigramSurprisal recomposes from the bigram LM exactly") {
+    import spark.implicits._
+    val lm = Text.bigramLm(spark, sf)
+      .as[(String, String, Long, Long, Double)].collect()
+      .map { case (w1, w2, c12, c1, _) =>
+        (w1, w2) -> math.round(-(math.log(c12.toDouble / c1) / math.log(2.0)) * 1000000.0)
+      }.toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", split(lower($"text"), "\\s+").as("ws"))
+      .as[(Long, Seq[String])].collect()
+    val out = Text.bigramSurprisal(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.length == 500)
+    out.foreach { case (id, n, bits, mean) =>
+      val ws = docs.find(_._1 == id).get._2
+      val pairs = ws.sliding(2).filter(_.length == 2).map(p => (p(0), p(1))).toSeq
+      assert(n == pairs.length, s"doc $id")
+      assert(bits == pairs.map(lm).sum, s"doc $id bits")
+      if (n > 0) assert(math.abs(mean - bits.toDouble / (n * 1000000.0)) < 1e-12)
+    }
+  }
+
+  test("crossModalQuality fuses both signals with honest keep algebra") {
+    import spark.implicits._
+    val rows = Similarity.crossModalQuality(spark, sf)
+      .as[(Long, Int, Double, Double, Boolean, Boolean)].collect()
+    val nEmb = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(rows.length == nEmb)
+    rows.foreach { case (id, _, sr, _, outlier, keep) =>
+      assert(keep == (!outlier && sr >= 0.01), s"doc $id")
+    }
+    // both rejection reasons must actually fire somewhere on this corpus
+    assert(rows.exists(r => r._5), "no embedding outliers")
+    assert(rows.exists(r => !r._6), "filter kept everything")
+  }
+
   test("corpusReport aggregates reconcile with the raw table") {
     import spark.implicits._
     val report = Text.corpusReport(spark, sf)
