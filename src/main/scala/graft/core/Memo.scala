@@ -11,20 +11,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * each privately, so a bench run re-cached identical plans per query
   * ("Asked to cache already cached data" spam in BENCH_r01.json) and paid
   * the build repeatedly. Memoizing the *DataFrame object* per
-  * (application, key) means one `.cache()` call and one materialization
+  * (session, key) means one `.cache()` call and one materialization
   * per lineage per session — warning-free, and every query after the
   * first reuses the in-memory columnar form.
   *
-  * Keys include the Spark applicationId so a fresh session (new Verify /
-  * Bench process) never sees DataFrames bound to a stopped context.
+  * Keys use `spark.sessionUUID`, which is unique per SparkSession even
+  * when two sessions share one SparkContext (`newSession()`) — an
+  * applicationId key would hand session B a DataFrame bound to session
+  * A's state (confs, temp views). Entries whose underlying context has
+  * stopped are swept on the next touch, so DataFrames of finished
+  * Verify/Bench sessions don't accumulate for the JVM lifetime.
   * Entries are small derived tables (sketches, signatures, token arrays)
   * — bounded by the corpus; the blocks themselves live in Spark's block
   * manager under its normal LRU eviction.
   */
 object Memo {
-  private val memo = new ConcurrentHashMap[String, DataFrame]()
+  private val memo = new ConcurrentHashMap[String, (SparkSession, DataFrame)]()
 
-  /** Memoize the plan object per (app, key), building at most once per
+  /** Memoize the plan object per (session, key), building at most once per
     * session (modulo a benign race: two threads may build the same cheap
     * plan; one wins the map). `cache=true` additionally marks the plan
     * for storage — callers share one cached lineage instead of each
@@ -32,16 +36,32 @@ object Memo {
     */
   def apply(spark: SparkSession, cache: Boolean, key: String*)(
       build: => DataFrame): DataFrame = {
-    val k = (spark.sparkContext.applicationId +: cache.toString +: key).mkString(" ")
+    sweep()
+    // identityHashCode: unique per SparkSession INSTANCE (sessionUUID is
+    // classic-only API); applicationId keeps keys readable in a debugger
+    val sessionKey =
+      s"${spark.sparkContext.applicationId}@${System.identityHashCode(spark)}"
+    val k = (sessionKey +: cache.toString +: key).mkString(" ")
     val hit = memo.get(k)
-    if (hit ne null) hit
+    if (hit ne null) hit._2
     else {
       // build OUTSIDE computeIfAbsent: builders recurse into other memoized
       // loaders (docShingles → documents), which would deadlock inside a
       // single-bin compute
       val built = if (cache) build.cache() else build
-      val prev = memo.putIfAbsent(k, built)
-      if (prev ne null) prev else built
+      val prev = memo.putIfAbsent(k, (spark, built))
+      if (prev ne null) prev._2 else built
+    }
+  }
+
+  /** Drop entries whose session's context has stopped — their cached
+    * blocks are gone with the context; holding the DataFrames would pin
+    * dead plans (and their session state) for the JVM lifetime.
+    */
+  private def sweep(): Unit = {
+    val it = memo.entrySet().iterator()
+    while (it.hasNext) {
+      if (it.next().getValue._1.sparkContext.isStopped) it.remove()
     }
   }
 }

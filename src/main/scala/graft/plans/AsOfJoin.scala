@@ -106,7 +106,16 @@ case class AsOfJoinExec(
               val c = keyOrd.compare(hk, k)
               if (c < 0 || (c == 0 && timeOrd.compare(ht, t) <= 0)) {
                 val consumed = rBuf.next()
-                if (c == 0) { matchRow = consumed.copy(); matchKey = k; hasMatch = true }
+                if (c == 0) {
+                  // copy BOTH retained values: the row (its UnsafeRow buffer
+                  // is reused by the sorter) AND the key — a UTF8String /
+                  // Decimal / Binary key points into that same reused memory,
+                  // so an uncopied matchKey can spuriously compare equal to
+                  // a later key under spill and emit a stale matchRow
+                  matchRow = consumed.copy()
+                  matchKey = InternalRow.copyValue(k)
+                  hasMatch = true
+                }
               } else advancing = false
             }
           }

@@ -38,12 +38,18 @@ object MinHashSig {
     z ^ (z >>> 31)
   }
 
-  /** Hot path — called once per row from generated code. */
+  /** Hot path — called once per row from generated code. Null array
+    * elements are skipped (the interpreted HOF form this replaces was
+    * null-tolerant; tokens()/shingles() never emit them, but this is a
+    * user-facing function surface).
+    */
   def sig(shingles: ArrayData, k: Int): ArrayData = {
     val out = Array.fill(k)(Long.MaxValue)
     val n = shingles.numElements()
     var j = 0
     while (j < n) {
+      if (shingles.isNullAt(j)) { j += 1 }
+      else {
       val s = shingles.getUTF8String(j)
       val h = org.apache.spark.unsafe.hash.Murmur3_x86_32
         .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42)
@@ -57,6 +63,7 @@ object MinHashSig {
         i += 1
       }
       j += 1
+      }
     }
     new GenericArrayData(out)
   }

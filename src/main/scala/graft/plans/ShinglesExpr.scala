@@ -22,9 +22,21 @@ import org.apache.spark.unsafe.types.UTF8String
 object WordShingles {
   private val Space = UTF8String.fromString(" ")
 
-  /** Hot path — called once per row from generated code. */
+  /** Hot path — called once per row from generated code. Null array
+    * elements are dropped before windowing (a null token never appears
+    * inside a shingle; the remaining tokens close ranks) — tokens()
+    * never emits nulls, but this is a user-facing function surface and
+    * must not NPE on one.
+    */
   def shingles(toks: ArrayData, n: Int, distinct: Boolean): ArrayData = {
-    val cnt = toks.numElements()
+    val raw = toks.numElements()
+    var cnt = 0
+    val dense = new Array[UTF8String](raw)
+    var r = 0
+    while (r < raw) {
+      if (!toks.isNullAt(r)) { dense(cnt) = toks.getUTF8String(r); cnt += 1 }
+      r += 1
+    }
     if (cnt < n) return new GenericArrayData(Array.empty[Any])
     val m = cnt - n + 1
     val parts = new Array[UTF8String](n)
@@ -33,7 +45,7 @@ object WordShingles {
       var i = 0
       while (i < m) {
         var j = 0
-        while (j < n) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+        while (j < n) { parts(j) = dense(i + j); j += 1 }
         out(i) = UTF8String.concatWs(Space, parts: _*)
         i += 1
       }
@@ -43,7 +55,7 @@ object WordShingles {
       var i = 0
       while (i < m) {
         var j = 0
-        while (j < n) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+        while (j < n) { parts(j) = dense(i + j); j += 1 }
         seen.add(UTF8String.concatWs(Space, parts: _*))
         i += 1
       }

@@ -27,13 +27,18 @@ object SimHash {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  /** Hot path — called once per row from generated code. */
+  /** Hot path — called once per row from generated code. Null array
+    * elements are skipped (they contribute no votes), matching the
+    * null-tolerant interpreted form this replaces.
+    */
   def sketch(toks: ArrayData): Long = {
     val votes = new Array[Int](64)
     val md = digest.get()
     val n = toks.numElements()
     var j = 0
     while (j < n) {
+      if (toks.isNullAt(j)) { j += 1 }
+      else {
       md.reset()
       val bytes = md.digest(toks.getUTF8String(j).getBytes)
       val hi = ((bytes(0) & 0xFFL) << 24) | ((bytes(1) & 0xFFL) << 16) |
@@ -47,6 +52,7 @@ object SimHash {
         k += 1
       }
       j += 1
+      }
     }
     var res = 0L
     var k = 0

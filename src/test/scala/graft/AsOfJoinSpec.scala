@@ -58,6 +58,33 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out("y").isEmpty)
   }
 
+  test("string keys at volume: merge matches a brute-force oracle") {
+    import spark.implicits._
+    // deterministic pseudo-random fixture — many string keys, interleaved
+    // key changes, so the retained matchKey is compared against fresh keys
+    // thousands of times (the copyValue path)
+    def gen(n: Int, salt: Int) = (0 until n).map { i =>
+      val h = (i * 2654435761L + salt) & 0x7fffffffL
+      // time = i keeps right-side (key, time) pairs unique -> no tie
+      // nondeterminism in the expected answer
+      (s"user_${h % 97}", i.toLong, i.toLong)
+    }
+    val left = gen(5000, 1).toDF("k", "t", "id")
+    val right = gen(3000, 2).map { case (k, t, id) => (k, t, id.toDouble) }
+      .toDF("rk", "rt", "rv")
+    val got = AsOf.asofJoin(left, right, "k", "rk", "t", "rt")
+      .select($"id", $"rv").as[(Long, Option[Double])].collect().toMap
+    // brute force: latest right row with same key and rt <= t
+    val rightRows = gen(3000, 2).map { case (k, t, id) => (k, t, id.toDouble) }
+    val byKey = rightRows.groupBy(_._1).map { case (k, rs) =>
+      k -> rs.sortBy(_._2)
+    }
+    gen(5000, 1).foreach { case (k, t, id) =>
+      val expect = byKey.get(k).flatMap(_.reverseIterator.find(_._2 <= t)).map(_._3)
+      assert(got(id) == expect, s"left id=$id k=$k t=$t")
+    }
+  }
+
   test("custom as-of join matches the window-based formulation on events") {
     import spark.implicits._
     val d = "/root/testdata/sf0.01"

@@ -186,6 +186,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     edge.foreach { case (n, h) => assert(n == h) }
   }
 
+  test("native sketch expressions tolerate null array elements") {
+    import spark.implicits._
+    import graft.functions.Hashing
+    // a null token must be skipped, not NPE — the interpreted forms these
+    // expressions replaced were null-tolerant (ADVICE r2)
+    val withNulls = Seq(
+      (1L, Seq(Some("a"), None, Some("b"), Some("c"), Some("d"))),
+      (2L, Seq(None: Option[String], None, None)),
+      (3L, Seq(Some("a"), Some("b"), Some("c"), Some("d")))
+    ).toDF("id", "ws")
+    val dense = Seq(
+      (1L, Seq("a", "b", "c", "d")),
+      (2L, Seq.empty[String]),
+      (3L, Seq("a", "b", "c", "d"))
+    ).toDF("id", "ws")
+    def run(df: org.apache.spark.sql.DataFrame) = df
+      .select($"id",
+        Hashing.simhash($"ws").as("sh"),
+        Hashing.minhashSignature($"ws", 8).as("mh"),
+        Hashing.shinglesAll($"ws", 3).as("sg"))
+      .as[(Long, Long, Seq[Long], Seq[String])].collect().sortBy(_._1)
+    // nulls dropped == same result as the pre-compacted arrays
+    assert(run(withNulls).toSeq == run(dense).toSeq)
+  }
+
   /** Driver-side mirror of Hashing.md5Bits32(concat(salt, id), 1) % 100 —
     * the deterministic bucket the incremental/split operators key on.
     */
