@@ -920,19 +920,30 @@ object SparkEntry {
         |       (1.0::DOUBLE / n_groups::DOUBLE)
         |         / (n_docs::DOUBLE / total::DOUBLE) AS weight
         |FROM g, t""".stripMargin,
-    // q25's exact pair derivation + greedy keep-lowest-id winner rule
+    // the IVF-blocked pair derivation (semanticDedup's default pairGen):
+    // Lloyd-trained quantizer (2 updates, the q67 trajectory), 4-probe
+    // multi-assignment, probe-set-intersection candidates (self-join),
+    // exact quantized re-score, then the greedy keep-lowest-id rule
     "q55_semantic_dedup" ->
-      """WITH ex AS (SELECT vec_id, round(unnest(embedding)::DOUBLE * 10000000)::BIGINT AS v,
-        |                   unnest(range(len(embedding))) AS i FROM embeddings),
-        |n2 AS (SELECT vec_id, sum(v*v)::DOUBLE AS n2 FROM ex GROUP BY 1),
-        |dots AS (SELECT a.vec_id AS x, b.vec_id AS y, sum(a.v*b.v)::DOUBLE AS dot
-        |         FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
-        |         GROUP BY 1, 2),
-        |pairs AS (SELECT x, y FROM dots
-        |          JOIN n2 na ON x = na.vec_id JOIN n2 nb ON y = nb.vec_id
-        |          WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.4)
-        |SELECT e.vec_id, e.label FROM embeddings e
-        |WHERE e.vec_id NOT IN (SELECT y FROM pairs)""".stripMargin,
+      s"""WITH $embedCtes,
+         |${kmeansCentroidCtes(8, 2)},
+         |ad AS (SELECT x.vec_id, c.cid, sum((x.e - c.cq) * (x.e - c.cq))::BIGINT AS dist
+         |       FROM ex x JOIN c2 c ON x.i = c.i GROUP BY 1, 2),
+         |pr AS (SELECT vec_id, cid FROM (
+         |         SELECT vec_id, cid,
+         |                row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |         FROM ad) WHERE rn <= 4),
+         |cand AS (SELECT DISTINCT p.vec_id AS x, b.vec_id AS y
+         |         FROM pr p JOIN pr b ON p.cid = b.cid AND p.vec_id < b.vec_id),
+         |dots AS (SELECT c.x, c.y, sum(a.e * b.e)::DOUBLE AS dot
+         |         FROM cand c JOIN ex a ON a.vec_id = c.x
+         |                     JOIN ex b ON b.vec_id = c.y AND b.i = a.i
+         |         GROUP BY 1, 2),
+         |pairs AS (SELECT x, y FROM dots
+         |          JOIN n2 na ON x = na.vec_id JOIN n2 nb ON y = nb.vec_id
+         |          WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.4)
+         |SELECT e.vec_id, e.label FROM embeddings e
+         |WHERE e.vec_id NOT IN (SELECT y FROM pairs)""".stripMargin,
     // sliding 32-token window, stride 24: range(0, len, 24) ≙ Spark's
     // explode(sequence(0, len-1, 24)); list_slice is 1-based inclusive
     "q56_chunking" ->

@@ -170,23 +170,76 @@ object Similarity {
       .filter($"cos" >= threshold)
   }
 
+  /** IVF-blocked embedding near-dup pairs: the sub-quadratic pair
+    * generator for the LOW-similarity regime where hyperplane LSH has a
+    * recall wall (p ≈ 0.06/table at cos ≈ 0.4 — see embeddingNearDupLsh).
+    * IVF blocking has no such wall: near-dup pairs are L2-close, so they
+    * land in the same or adjacent Voronoi cells of a Lloyd-trained coarse
+    * quantizer regardless of their absolute cosine.
+    *
+    * Construction: train `nLists` centroids (lloydCentroids — the same
+    * trajectory as annIvfKmeans, driver-bounded k·dims collect), rank
+    * every vector's lists by exact L2 in the scan stage (literal-argsort,
+    * no join), multi-assign every vector to its `nProbe` nearest lists,
+    * then candidates = pairs whose probe sets INTERSECT (a self-join on
+    * list id, normalized to x < y). Multi-assignment on both sides is
+    * what closes the Voronoi-boundary gap: a near-dup pair split across
+    * two cells still shares its second-choice lists. Candidates are
+    * re-scored with the exact quantized cosine and filtered at
+    * `threshold` — same (x, y, cos) contract as `embeddingNearDup`,
+    * restricted to IVF-blocked pairs.
+    *
+    * Scale: the candidate self-join hash-partitions on list id; total
+    * volume is nProbe²·N²/nLists — sub-quadratic with nLists ∝ √N (the
+    * production dial; nProbe trades recall for fanout), vs the exact
+    * form's N². Everything is integer-exact, so the whole pipeline
+    * (training included) is mirrored by the q55 DuckDB oracle; recall vs
+    * the exact pair set is asserted in DedupSimilaritySpec.
+    */
+  def embeddingNearDupIvf(spark: SparkSession, d: String,
+      threshold: Double = 0.4, nLists: Int = 8, nProbe: Int = 4,
+      updates: Int = 2): DataFrame = {
+    import spark.implicits._
+    val cents = lloydCentroids(spark, d, nLists, updates)
+    val c = corpusWithNorm(spark, d)
+    val opts = cents.sortBy(_._1).map { case (cid, q) =>
+      val c2 = q.map(x => x * x).sum
+      struct(
+        ($"n2" - lit(2L) * dotPreQ($"qemb", typedLit(q)) + lit(c2)).as("dist2"),
+        lit(cid).as("cid"))
+    }
+    val probes = c.select($"vec_id", $"qemb", $"n2",
+        array_sort(array(opts: _*)).as("ds"))
+      .select($"vec_id", $"qemb", $"n2",
+        explode(transform(slice($"ds", 1, nProbe), p => p.getField("cid")))
+          .as("list_id"))
+    probes.as("p").join(probes.as("b"),
+        $"p.list_id" === $"b.list_id" && $"p.vec_id" < $"b.vec_id")
+      .select($"p.vec_id".as("x"), $"b.vec_id".as("y"),
+        cosineFromParts(dotPreQ($"p.qemb", $"b.qemb"), $"p.n2", $"b.n2").as("cos"))
+      .dropDuplicates("x", "y")
+      .filter($"cos" >= threshold)
+  }
+
   /** Semantic (embedding-space) dedup: drop every vector that is the
     * HIGHER id of some near-dup pair — the greedy keep-lowest-id winner
     * rule, the decision stage on top of a near-dup pair source. Output is
     * the kept corpus (vec_id, label).
     *
     * Parameterized over the pair generator (verdict-r1 pattern: the
-    * composite must ride the declared ladder, not hardwire one rung):
-    * `embeddingNearDup` (exact, quadratic — the oracle form and the
-    * default here because this corpus's near-dups sit at cos ≈ 0.4 where
-    * hyperplane LSH cannot reach full recall; see embeddingNearDupLsh)
-    * or `embeddingNearDupLsh` for high-threshold corpus-scale runs.
+    * composite must ride the declared ladder, not hardwire one rung).
+    * The DEFAULT is `embeddingNearDupIvf` — the sub-quadratic blocking
+    * that works at LOW thresholds (this corpus's near-dups sit at
+    * cos ≈ 0.4, where hyperplane LSH cannot reach recall; k-means/IVF
+    * blocking can, because near-dups are L2-close). `embeddingNearDup`
+    * remains the exact/oracle-gold rung (q25) and
+    * `embeddingNearDupLsh` the high-threshold alternative.
     * The anti-join is a hash join on vec_id; the loser side is ∝ dup
     * density — never force-broadcast.
     */
   def semanticDedup(spark: SparkSession, d: String, threshold: Double = 0.4,
       pairGen: (SparkSession, String, Double) => DataFrame =
-        embeddingNearDup(_, _, _)): DataFrame = {
+        embeddingNearDupIvf(_, _, _)): DataFrame = {
     import spark.implicits._
     val losers = pairGen(spark, d, threshold).select($"y".as("vec_id")).distinct()
     embeddings(spark, d).select($"vec_id", $"label")

@@ -76,6 +76,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(hits.nonEmpty, "IVF should recover at least some true top-5 neighbors")
   }
 
+  test("IVF pair generator: full recall of exact near-dups at threshold 0.4") {
+    import spark.implicits._
+    // the low-cos regime where hyperplane LSH has a recall wall — IVF
+    // blocking doesn't (near-dups are L2-close ⇒ same/adjacent Voronoi
+    // cells), so it is semanticDedup's default pair generator (VERDICT r2)
+    val exact = Similarity.embeddingNearDup(spark, sf)
+      .select($"x", $"y", $"cos").as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val ivf = Similarity.embeddingNearDupIvf(spark, sf)
+      .select($"x", $"y", $"cos").as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(exact.nonEmpty, "fixture should contain planted semantic dups")
+    // precision 1: every IVF pair is an exact pair with the identical score
+    ivf.foreach { case (k, c) =>
+      assert(exact.get(k).contains(c), s"IVF pair $k not exact or score drift")
+    }
+    // CurationOpsSpec's semanticDedup equality demands full recall on this
+    // fixture (nProbe=4 of 8 lists closes every Voronoi-boundary split)
+    assert(ivf.size == exact.size,
+      s"IVF recall ${ivf.size}/${exact.size} — missed ${exact.keySet -- ivf.keySet}")
+  }
+
   test("rolling fingerprint is deterministic and order-sensitive") {
     import spark.implicits._
     val fps = Text.rollingFp(spark, sf).as[(Long, Long)].collect().toMap
