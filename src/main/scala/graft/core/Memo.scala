@@ -15,18 +15,44 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * per lineage per session — warning-free, and every query after the
   * first reuses the in-memory columnar form.
   *
-  * Keys use `spark.sessionUUID`, which is unique per SparkSession even
-  * when two sessions share one SparkContext (`newSession()`) — an
-  * applicationId key would hand session B a DataFrame bound to session
-  * A's state (confs, temp views). Entries whose underlying context has
-  * stopped are swept on the next touch, so DataFrames of finished
-  * Verify/Bench sessions don't accumulate for the JVM lifetime.
-  * Entries are small derived tables (sketches, signatures, token arrays)
-  * — bounded by the corpus; the blocks themselves live in Spark's block
-  * manager under its normal LRU eviction.
+  * Keys use a per-session UUID minted on first touch (weak identity map
+  * below) — unique per SparkSession INSTANCE even when two sessions share
+  * one SparkContext (`newSession()`); an applicationId key would hand
+  * session B a DataFrame bound to session A's state (confs, temp views),
+  * and `System.identityHashCode` is not guaranteed collision-free across
+  * live objects. Entries whose underlying context has stopped are swept
+  * on the next touch, so DataFrames of finished Verify/Bench sessions
+  * don't accumulate for the JVM lifetime.
+  *
+  * A session discarded mid-flight while its context stays alive remains
+  * pinned until `release(spark)` — unavoidable while the map holds
+  * DataFrames, because a Dataset strongly references its SparkSession
+  * (holding the session "weakly" next to its own DataFrames would never
+  * collect). Long-lived apps cycling `newSession()` should call
+  * `release` when done with a session; entries are small derived tables
+  * (sketches, signatures, token arrays) — bounded by the corpus; the
+  * blocks themselves live in Spark's block manager under its normal LRU
+  * eviction and are dropped eagerly by `release`.
   */
 object Memo {
   private val memo = new ConcurrentHashMap[String, (SparkSession, DataFrame)]()
+
+  // Weak identity keys (SparkSession doesn't override equals): a UUID per
+  // session instance, collision-free for the JVM lifetime. The weak key
+  // costs nothing — memo values pin the session until sweep/release — but
+  // guarantees a re-used heap address can never alias a dead session's key.
+  private val sessionIds =
+    new java.util.WeakHashMap[SparkSession, String]()
+
+  private def sessionId(spark: SparkSession): String =
+    sessionIds.synchronized {
+      var id = sessionIds.get(spark)
+      if (id eq null) {
+        id = java.util.UUID.randomUUID().toString
+        sessionIds.put(spark, id)
+      }
+      id
+    }
 
   /** Memoize the plan object per (session, key), building at most once per
     * session (modulo a benign race: two threads may build the same cheap
@@ -37,11 +63,7 @@ object Memo {
   def apply(spark: SparkSession, cache: Boolean, key: String*)(
       build: => DataFrame): DataFrame = {
     sweep()
-    // identityHashCode: unique per SparkSession INSTANCE (sessionUUID is
-    // classic-only API); applicationId keeps keys readable in a debugger
-    val sessionKey =
-      s"${spark.sparkContext.applicationId}@${System.identityHashCode(spark)}"
-    val k = (sessionKey +: cache.toString +: key).mkString(" ")
+    val k = (sessionId(spark) +: cache.toString +: key).mkString(" ")
     val hit = memo.get(k)
     if (hit ne null) hit._2
     else {
@@ -62,6 +84,22 @@ object Memo {
     val it = memo.entrySet().iterator()
     while (it.hasNext) {
       if (it.next().getValue._1.sparkContext.isStopped) it.remove()
+    }
+  }
+
+  /** Evict one session's entries, unpersisting their cached blocks — the
+    * hook for apps that discard sessions (`newSession()`) while the
+    * shared context keeps running, where sweep() can't tell the session
+    * is gone (the memo's own DataFrames keep it reachable).
+    */
+  def release(spark: SparkSession): Unit = {
+    val it = memo.entrySet().iterator()
+    while (it.hasNext) {
+      val (s, df) = it.next().getValue
+      if (s eq spark) {
+        if (!s.sparkContext.isStopped) df.unpersist(blocking = false)
+        it.remove()
+      }
     }
   }
 }

@@ -13,20 +13,30 @@ import org.apache.spark.unsafe.types.UTF8String
   * generated call, replacing the interpreted zip_with/slice chain
   * (n − 1 lambda-dispatched zips, each allocating an intermediate array
   * and re-concatenating prefixes — the dominant cost of the dedup
-  * family's shared shingle build). Output order and values are
+  * family's shared shingle build). For null-free input (all graft
+  * tokenizers — tokens() never emits nulls) output order and values are
   * bit-identical to the HOF form: element k (1-based) is the space-join
   * of tokens k..k+n−1; the distinct variant keeps first-occurrence
   * order exactly like `array_distinct`. Equality vs the HOF reference is
   * asserted in DedupSimilaritySpec.
+  *
+  * Null elements are a DELIBERATE divergence from the HOF form: the
+  * native expression compacts nulls away before windowing (a shingle is
+  * always n real tokens), whereas the HOF chain windows over raw
+  * positions and lets `concat_ws` drop nulls inside each window —
+  * yielding short (even empty) shingles around a null. The compact-first
+  * semantic is the user-facing contract; the spec pins it by comparing
+  * null-bearing input against the pre-compacted equivalent.
   */
 object WordShingles {
   private val Space = UTF8String.fromString(" ")
 
   /** Hot path — called once per row from generated code. Null array
     * elements are dropped before windowing (a null token never appears
-    * inside a shingle; the remaining tokens close ranks) — tokens()
-    * never emits nulls, but this is a user-facing function surface and
-    * must not NPE on one.
+    * inside a shingle; the remaining tokens close ranks — see the class
+    * doc for how this deliberately differs from the HOF chain's
+    * window-then-concat_ws null handling). tokens() never emits nulls,
+    * but this is a user-facing function surface and must not NPE on one.
     */
   def shingles(toks: ArrayData, n: Int, distinct: Boolean): ArrayData = {
     val raw = toks.numElements()

@@ -17,9 +17,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * Token hashes are the SAME md5-derived 64-bit values as
   * `Hashing.md5Hash64` — md5 bytes 0–3 as the high word, 4–7 as the low
   * word, exactly `(conv(substr(md5,1,8),16,10) << 32) | conv(substr(
-  * md5,9,8),16,10)` — so sketches are bit-identical to the HOF form and
-  * the DuckDB oracle's re-derivation (SparkEntry q23). Equality against
-  * the HOF reference is asserted in DedupSimilaritySpec.
+  * md5,9,8),16,10)` — so for null-free token arrays (all graft
+  * tokenizers) sketches are bit-identical to the HOF form and the DuckDB
+  * oracle's re-derivation (SparkEntry q23). Equality against the HOF
+  * reference is asserted in DedupSimilaritySpec.
   */
 object SimHash {
   private val digest = new ThreadLocal[java.security.MessageDigest] {
@@ -28,8 +29,13 @@ object SimHash {
   }
 
   /** Hot path — called once per row from generated code. Null array
-    * elements are skipped (they contribute no votes), matching the
-    * null-tolerant interpreted form this replaces.
+    * elements are skipped (they contribute no votes). This is a
+    * DELIBERATE semantic choice, not HOF parity: the HOF chain's
+    * `when(bit-and = 1, +1).otherwise(-1)` gives a null token a −1 vote
+    * on every bit (the null comparison falls to the otherwise branch) —
+    * an accident we don't reproduce. Tokenizers never emit nulls, so the
+    * two agree on every real pipeline input; the spec pins the skip
+    * semantic by comparing null-bearing input to its pre-compacted form.
     */
   def sketch(toks: ArrayData): Long = {
     val votes = new Array[Int](64)
