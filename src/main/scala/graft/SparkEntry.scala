@@ -104,13 +104,53 @@ object SparkEntry {
     "q76_corpus_report"   -> ((s, d) => Text.corpusReport(s, d)),
     "q77_bigram_surprisal" -> ((s, d) => Text.bigramSurprisal(s, d)),
     "q78_crossmodal_quality" -> ((s, d) => Similarity.crossModalQuality(s, d)),
+    "q79_bpe_train"       -> ((s, d) => Text.bpeTrain(s, d)),
+    "q80_report_approx"   -> ((s, d) => Text.corpusReportApprox(s, d)),
+    "q81_calibrated_approx" -> ((s, d) => Text.calibratedFilterApprox(s, d)),
+    "q82_canonical_docs"  -> ((s, d) => Dedup.canonicalDocs(s, d)),
   )
+
+  /** Unrolled BPE-training oracle: `nMerges` chained (pair-count →
+    * argmax → string-replace merge) CTE steps over '|'-framed symbol
+    * strings — mirrors Text.bpeTrain step for step (the q62 unrolled-
+    * trajectory pattern). `replace` shares the left-to-right
+    * non-overlapping contract across both engines.
+    */
+  private def bpeTrainSql(nMerges: Int): String = {
+    val base =
+      """WITH w0 AS (
+        |  SELECT regexp_replace(w, '(.)', '|\1|', 'g') AS s, count(*) AS n
+        |  FROM (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        |        FROM documents)
+        |  WHERE regexp_full_match(w, '[a-z]+') AND strlen(w) >= 2
+        |  GROUP BY 1)""".stripMargin
+    val steps = (1 to nMerges).map { j =>
+      val merge = if (j < nMerges)
+        s""",
+           |w$j AS (SELECT replace(w.s, '|' || b.lsym || '||' || b.rsym || '|',
+           |                       '|' || b.lsym || b.rsym || '|') AS s, w.n
+           |        FROM w${j - 1} w, b$j b)""".stripMargin
+      else ""
+      s""",
+         |pc$j AS (SELECT sy[i] AS lsym, sy[i+1] AS rsym, sum(n)::BIGINT AS cnt
+         |         FROM (SELECT n, string_split(trim(s, '|'), '||') AS sy
+         |               FROM w${j - 1}),
+         |              unnest(range(1, len(sy))) AS t(i)
+         |         GROUP BY 1, 2),
+         |b$j AS (SELECT lsym, rsym, cnt FROM pc$j
+         |        ORDER BY cnt DESC, lsym, rsym LIMIT 1)""".stripMargin + merge
+    }.mkString
+    val out = (1 to nMerges).map { j =>
+      s"SELECT $j::BIGINT AS step, lsym, rsym, lsym || rsym AS merged, cnt FROM b$j"
+    }.mkString("\n", "\nUNION ALL ", "")
+    base + steps + out
+  }
 
   /** Unrolled min-label-propagation oracle for dedup clusters (mirrors
     * Dedup.dedupClusters' loop; near-dup components are shallow so 5
     * supersteps are exhaustive on this corpus).
     */
-  private def dedupClustersSql(iters: Int): String = {
+  private def dedupLabelCtes(iters: Int): String = {
     val base =
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
         |              FROM documents),
@@ -136,9 +176,26 @@ object SparkEntry {
          |    FROM edges e JOIN l${i - 1} p ON e.y = p.doc_id GROUP BY 1) m
          |  ON l.doc_id = m.x)""".stripMargin
     }.mkString
-    base + iterCtes +
-      s"\nSELECT label AS cluster_id, count(*) AS cluster_size FROM l$iters GROUP BY 1"
+    base + iterCtes
   }
+
+  private def dedupClustersSql(iters: Int): String =
+    dedupLabelCtes(iters) +
+      s"\nSELECT label AS cluster_id, count(*) AS cluster_size FROM l$iters GROUP BY 1"
+
+  /** Survivorship oracle: the label CTE chain plus a per-cluster argmax
+    * (n_chars desc, doc_id asc) — mirrors Dedup.canonicalDocs.
+    */
+  private def canonicalDocsSql(iters: Int): String =
+    dedupLabelCtes(iters) +
+      s""",
+         |r AS (SELECT l.label, l.doc_id, d.n_chars,
+         |        row_number() OVER (PARTITION BY l.label
+         |                           ORDER BY d.n_chars DESC, l.doc_id) AS rn
+         |      FROM l$iters l JOIN documents d ON l.doc_id = d.doc_id),
+         |sz AS (SELECT label, count(*) AS cluster_size FROM l$iters GROUP BY 1)
+         |SELECT r.label AS cluster_id, r.doc_id AS canonical_doc, sz.cluster_size
+         |FROM r JOIN sz ON r.label = sz.label WHERE rn = 1""".stripMargin
 
   /** Unrolled fixed-iteration PageRank oracle (DuckDB has no iterative
     * DataFrame loop; 10 chained CTEs replicate the loop exactly —
@@ -1301,5 +1358,17 @@ object SparkEntry {
          |       (NOT (r.rn <= ceil(0.05 * sz.n)) AND tq.stop_ratio >= 0.01) AS keep
          |FROM r JOIN sz ON r.label = sz.label
          |       JOIN tq ON r.vec_id = tq.doc_id""".stripMargin,
+    "q79_bpe_train" -> bpeTrainSql(3),
+    // sketch error-bound contracts (the q44 pattern): booleans must all be
+    // TRUE — see Text.corpusReportApprox / calibratedFilterApprox scaladocs
+    "q80_report_approx" ->
+      """SELECT source, count(*) AS n_docs,
+        |       TRUE AS fp_in_bound, TRUE AS p50_in_bound
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q81_calibrated_approx" ->
+      """SELECT count(*) AS n_docs,
+        |       TRUE AS med_in_bound, TRUE AS keep_in_bound
+        |FROM documents""".stripMargin,
+    "q82_canonical_docs" -> canonicalDocsSql(5),
   )
 }

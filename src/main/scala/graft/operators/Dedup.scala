@@ -155,6 +155,21 @@ object Dedup {
       threshold: Double = 0.5, iterations: Int = 5,
       pairGen: (SparkSession, String, Double) => DataFrame = minhashLsh): DataFrame = {
     import spark.implicits._
+    dedupLabels(spark, d, threshold, iterations, pairGen)
+      .groupBy($"label".as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+  }
+
+  /** The per-document cluster-label ASSIGNMENT behind `dedupClusters` —
+    * (doc_id, label) for every doc: propagated min-labels on the
+    * edge-induced subgraph, identity labels for singletons (one
+    * anti-join). Exposed so downstream consumers (cluster counting,
+    * canonical-doc survivorship) share one propagation.
+    */
+  def dedupLabels(spark: SparkSession, d: String,
+      threshold: Double = 0.5, iterations: Int = 5,
+      pairGen: (SparkSession, String, Double) => DataFrame = minhashLsh): DataFrame = {
+    import spark.implicits._
     val pairs = pairGen(spark, d, threshold).select($"x", $"y")
     // undirected edges, both directions
     val edges = pairs.union(pairs.select($"y".as("x"), $"x".as("y"))).cache()
@@ -177,13 +192,34 @@ object Dedup {
         .localCheckpoint()
     }
     edges.unpersist() // labels are localCheckpointed — lineage is cut
-    val components = labels.groupBy($"label".as("cluster_id"))
-      .agg(count(lit(1)).as("cluster_size"))
     // singletons: docs untouched by any pair — one anti-join, no iteration
     val singletons = documents(spark, d).select($"doc_id")
       .join(labels.select($"doc_id"), Seq("doc_id"), "left_anti")
-      .select($"doc_id".as("cluster_id"), lit(1L).as("cluster_size"))
-    components.union(singletons)
+      .select($"doc_id", $"doc_id".as("label"))
+    labels.union(singletons)
+  }
+
+  /** Dedup SURVIVORSHIP: one canonical document per near-dup cluster —
+    * keep the most complete copy (longest text by n_chars, ties to the
+    * smallest doc_id), the standard "keep longest" rule a dedup pipeline
+    * applies when it materializes the deduplicated corpus. Output:
+    * (cluster_id, canonical_doc, cluster_size).
+    *
+    * Scale: rides `dedupLabels` (labels ∝ corpus, propagation state ∝
+    * dup density); the argmax is ONE map-side-combinable aggregate —
+    * min(struct(−n_chars, doc_id)) — not a rank window: no per-cluster
+    * sort, one shuffle on label.
+    */
+  def canonicalDocs(spark: SparkSession, d: String,
+      threshold: Double = 0.5, iterations: Int = 5,
+      pairGen: (SparkSession, String, Double) => DataFrame = minhashLsh): DataFrame = {
+    import spark.implicits._
+    dedupLabels(spark, d, threshold, iterations, pairGen)
+      .join(documents(spark, d).select($"doc_id", $"n_chars"), "doc_id")
+      .groupBy($"label".as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        min(struct((-$"n_chars").as("neg_chars"), $"doc_id".as("id"))).as("best"))
+      .select($"cluster_id", $"best.id".as("canonical_doc"), $"cluster_size")
   }
 
   /** SimHash near-dup pairs: 64-bit sketch, pigeonhole banding on 16-bit

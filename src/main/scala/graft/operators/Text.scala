@@ -220,6 +220,63 @@ object Text {
       .groupBy($"pair").agg(sum($"n").as("cnt"))
   }
 
+  /** The BPE TRAINING LOOP — `nMerges` full merge steps over the corpus
+    * word-frequency table (the iterative extension of `bpePairCounts`,
+    * whose scaladoc sketches exactly this shape): each step counts
+    * corpus-weighted adjacent symbol pairs, picks the most frequent pair
+    * (count desc, then left/right symbol asc — the q05 tie-break
+    * pattern), and applies the merge to every word left-to-right
+    * non-overlapping. Output is the merge trajectory
+    * (step, lsym, rsym, merged, cnt) — the learned vocabulary additions.
+    *
+    * Words are '|'-framed symbol strings ("abc" → "|a||b||c|"), so one
+    * merge step is ONE literal string `replace` — and "scan left-to-right,
+    * consume non-overlapping matches" is precisely the replace contract
+    * both engines share, making the whole trajectory engine-independent
+    * (the DuckDB oracle unrolls the same steps as chained CTEs, the q62
+    * trajectory pattern). Only [a-z]+ words train (standard BPE
+    * pre-tokenization; also what makes the '|' frame collision-free).
+    *
+    * Scale: the word-frequency aggregation is the only corpus shuffle;
+    * each merge step is a vocabulary-sized aggregate (map-side combined,
+    * corpus-sublinear by Heaps' law) plus a single-row argmax collect —
+    * the driver holds one (pair, count) row per step, the lloydCentroids
+    * trajectory shape. Per-step word tables are cached; they are
+    * vocab-sized and session-bounded.
+    *
+    * Iterative-refinement precedent in the reference:
+    * gelly_java/PageRankWithEdgeWeights.java:103-104.
+    */
+  def bpeTrain(spark: SparkSession, d: String, nMerges: Int = 3): DataFrame = {
+    import spark.implicits._
+    var words = documents(spark, d)
+      .select(explode(tokens($"text")).as("w"))
+      .filter($"w".rlike("^[a-z]+$") && length($"w") >= 2)
+      .groupBy($"w").agg(count(lit(1)).as("n"))
+      .select(regexp_replace($"w", "(.)", "|$1|").as("s"), $"n")
+      .cache()
+    val bests = (1 to nMerges).map { j =>
+      val sy = split($"s".substr(lit(2), length($"s") - 2), "\\|\\|")
+      val pc = words
+        .select($"n", sy.as("sy"))
+        .select($"n", explode(transform(sequence(lit(1), size($"sy") - 1),
+          i => struct(element_at($"sy", i).as("l"),
+            element_at($"sy", i + 1).as("r")))).as("p"))
+        .groupBy($"p.l".as("lsym"), $"p.r".as("rsym"))
+        .agg(sum($"n").as("cnt"))
+      val stepRow = pc.orderBy($"cnt".desc, $"lsym".asc, $"rsym".asc).limit(1)
+        .select(lit(j.toLong).as("step"), $"lsym", $"rsym",
+          concat($"lsym", $"rsym").as("merged"), $"cnt")
+      // driver-bounded: exactly one (pair, count) row crosses per step
+      val best = stepRow.collect()(0)
+      val (l, r) = (best.getString(1), best.getString(2))
+      words = words.select(
+        replace($"s", lit(s"|$l||$r|"), lit(s"|$l$r|")).as("s"), $"n").cache()
+      stepRow
+    }
+    bests.reduce(_ union _)
+  }
+
   /** PII scan + redaction: per-document counts of email / phone / SSN /
     * IPv4 pattern matches and the length of the redacted text — the
     * privacy-filtering pass of a corpus pipeline. Pure scan-stage regex
@@ -274,28 +331,56 @@ object Text {
           .as("mean_surprisal"))
   }
 
-  /** Tokenizer application: map every token to its integer id under a
-    * frequency-ranked vocabulary (id 1 = most frequent; ties broken
-    * lexicographically) — the text→ids step before packing. Output is the
-    * exploded (doc_id, pos, token_id) stream.
+  /** Frequency-ranked vocabulary (id 1 = most frequent; ties broken
+    * lexicographically), ranked with a DISTRIBUTED two-phase rank: range-
+    * partition the vocab on the rank order, row_number within each range,
+    * then add per-range offsets (the range sizes, collected to the driver —
+    * bounded by the partition count, the A3 closed-over-scalar shape).
+    * Equivalent to `row_number() OVER (ORDER BY c DESC, w)` but with no
+    * single-partition Exchange anywhere in the plan: the vocabulary is
+    * corpus-sublinear (Heaps' law) yet still billions of rows at 100 TB —
+    * sublinear ≠ one node.
     *
-    * Scale: the vocabulary is corpus-sublinear (Heaps' law), so the
-    * ranking window — global, single-partition by construction — runs
-    * over a table that fits one node even at 100 TB corpus scale, and the
-    * id table broadcasts back onto the token stream: the corpus itself is
-    * never shuffled (real tokenizers ship the vocab as a file — same
-    * shape, the broadcast IS the vocab file).
+    * The range-partitioned table is memoized+cached so the offset job and
+    * the ranking plan observe one partitioning snapshot (range boundaries
+    * are sampled from the input; caching pins them).
+    */
+  def rankedVocab(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val parted = graft.core.Memo(spark, cache = true, "vocabRanged", d) {
+      graft.core.Memo(spark, cache = true, "vocabCounts", d) {
+        documents(spark, d).select($"doc_id", explode(tokens($"text")).as("w"))
+          .groupBy($"w").agg(count(lit(1)).as("c"))
+      }.repartitionByRange(spark.sparkContext.defaultParallelism, $"c".desc, $"w".asc)
+        .withColumn("pid", spark_partition_id())
+    }
+    val sizes = parted.groupBy($"pid").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets: Map[Int, Long] = sizes.map(_._1)
+      .zip(sizes.scanLeft(0L)(_ + _._2)).toMap
+    parted
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"pid").orderBy($"c".desc, $"w".asc)))
+      .select($"w", $"c",
+        ($"rn".cast("long") + element_at(typedLit(offsets), $"pid")).as("token_id"))
+  }
+
+  /** Tokenizer application: map every token to its integer id under the
+    * frequency-ranked vocabulary (`rankedVocab`) — the text→ids step
+    * before packing. Output is the exploded (doc_id, pos, token_id)
+    * stream.
+    *
+    * Scale: the rank itself is the distributed two-phase form (see
+    * rankedVocab); the id table broadcasts back onto the token stream, so
+    * the corpus itself is never shuffled (real tokenizers ship the vocab
+    * as a file — same shape, the broadcast IS the vocab file).
     */
   def tokenizeIds(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val tk = documents(spark, d)
       .select($"doc_id", posexplode(tokens($"text")).as(Seq("p0", "w")))
-    val vocab = graft.core.Memo(spark, cache = true, "vocabCounts", d) {
-      documents(spark, d).select($"doc_id", explode(tokens($"text")).as("w"))
-        .groupBy($"w").agg(count(lit(1)).as("c"))
-    }.withColumn("token_id", row_number().over(
-      org.apache.spark.sql.expressions.Window.orderBy($"c".desc, $"w".asc)))
-    tk.join(broadcast(vocab.select($"w", $"token_id")), "w")
+    tk.join(broadcast(rankedVocab(spark, d).select($"w", $"token_id")), "w")
       .select($"doc_id", ($"p0" + 1).cast("long").as("pos"),
         $"token_id".cast("long").as("token_id"))
   }
@@ -392,6 +477,38 @@ object Text {
         percentile($"mtl", lit(0.5)).as("p50_mean_tok_len"))
   }
 
+  /** The 100 TB form of `corpusReport`'s two expansion cells: the exact
+    * distinct-fingerprint count downgrades to approx_count_distinct
+    * (HLL++) and the exact median mean-token-length to approx_percentile
+    * (KLL) — both MERGEABLE sketches (map-side combined, no per-group
+    * value buffering). Like q44, the emitted columns are the sketch
+    * ERROR-BOUND CONTRACT, not the raw estimates: booleans asserting each
+    * estimate sits inside the exact rank/cardinality band, which is what
+    * an engine-independent oracle can pin (the exact-side probes are the
+    * verification harness, not the operator — a production run samples
+    * them).
+    */
+  def corpusReportApprox(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val base = documents(spark, d).select($"source",
+      md5Fingerprint($"text").as("fp"),
+      (length(regexp_replace(trim(lower($"text")), "\\s+", " ")).cast("double") /
+        size(tokens($"text"))).as("mtl"))
+    val approx = base.groupBy($"source").agg(
+      approx_count_distinct($"fp", 0.05).as("approx_fps"),
+      approx_percentile($"mtl", lit(0.5), lit(1000)).as("approx_p50"))
+    val exact = base.groupBy($"source").agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct($"fp").as("exact_fps"),
+      percentile($"mtl", lit(0.47)).as("p47"),
+      percentile($"mtl", lit(0.53)).as("p53"))
+    approx.join(exact, "source")
+      .select($"source", $"n_docs",
+        (abs($"approx_fps" - $"exact_fps") <=
+          $"exact_fps" * 0.15).as("fp_in_bound"),
+        ($"approx_p50" >= $"p47" && $"approx_p50" <= $"p53").as("p50_in_bound"))
+  }
+
   /** Corpus-calibrated quality filter: instead of a hand-picked
     * constant, the keep-band derives from the corpus itself — documents
     * whose mean surprisal sits within ±20 % of the corpus MEDIAN pass
@@ -413,6 +530,46 @@ object Text {
     scores.join(broadcast(med))
       .select($"doc_id", $"mean_surprisal", $"med",
         (abs($"mean_surprisal" - $"med") <= lit(band) * $"med").as("keep"))
+  }
+
+  /** The 100 TB form of `calibratedFilter`: the corpus median comes from
+    * approx_percentile (mergeable KLL sketch — no all-values buffer)
+    * instead of the exact sort-based percentile. Because the approx
+    * median moves within its rank-error band, per-document keep flags
+    * near the band edge are not engine-pinnable — so, like q44, the
+    * output is the ERROR-BOUND CONTRACT: the approx median must sit in
+    * the exact p47..p53 band, and the approx keep COUNT must sit between
+    * the keep counts of the band's extreme medians. For any median m in
+    * [p47, p53], the keep interval [(1−band)m, (1+band)m] contains
+    * [(1−band)·p53, (1+band)·p47] and is contained in
+    * [(1−band)·p47, (1+band)·p53] — those two counts bracket every
+    * admissible keep count, so the booleans are exactly TRUE whenever the
+    * sketch honors its rank guarantee. The exact percentiles are the
+    * verification probe (sampled at production scale), not the operator.
+    */
+  def calibratedFilterApprox(spark: SparkSession, d: String,
+      band: Double = 0.2): DataFrame = {
+    import spark.implicits._
+    val scores = surprisal(spark, d).select($"doc_id", $"mean_surprisal")
+    val med = scores.agg(
+      approx_percentile($"mean_surprisal", lit(0.5), lit(1000)).as("amed"),
+      percentile($"mean_surprisal", lit(0.47)).as("p47"),
+      percentile($"mean_surprisal", lit(0.53)).as("p53"))
+    scores.join(broadcast(med))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max($"amed" >= $"p47" && $"amed" <= $"p53").as("med_in_bound"),
+        sum(when(abs($"mean_surprisal" - $"amed") <= lit(band) * $"amed",
+          1L).otherwise(0L)).as("keep_approx"),
+        sum(when($"mean_surprisal" >= lit(1 - band) * $"p53" &&
+          $"mean_surprisal" <= lit(1 + band) * $"p47",
+          1L).otherwise(0L)).as("keep_lo"),
+        sum(when($"mean_surprisal" >= lit(1 - band) * $"p47" &&
+          $"mean_surprisal" <= lit(1 + band) * $"p53",
+          1L).otherwise(0L)).as("keep_hi"))
+      .select($"n_docs", $"med_in_bound",
+        ($"keep_lo" <= $"keep_approx" &&
+          $"keep_approx" <= $"keep_hi").as("keep_in_bound"))
   }
 
   /** Sliding-window chunking: split each document's token stream into

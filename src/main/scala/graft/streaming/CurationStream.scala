@@ -59,24 +59,116 @@ object CurationStream {
     * continuous pipeline). Batch arrivals are folded in doc_id order so
     * admission is deterministic regardless of partition arrival order.
     * State is one long per source — bounded by |sources|.
+    *
+    * Docs are projected to (doc_id, tokens) BEFORE grouping, so the
+    * per-(source, micro-batch) sort materializes 16-byte tuples, never
+    * document text. A hot source in a huge micro-batch still buffers its
+    * batch's metadata on one executor — `budgetAdmissionOrdered` is the
+    * state-store-backed form that bounds that too.
     */
   def budgetAdmission(docs: Dataset[StreamDoc], budget: Long): Dataset[Admitted] = {
     import docs.sparkSession.implicits._
     docs
-      .groupByKey(_.source)
+      .map(d0 => (d0.doc_id, d0.source,
+        d0.text.toLowerCase.split("\\s+").length.toLong))
+      .groupByKey(_._2)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (source: String, batch: Iterator[StreamDoc], state: GroupState[Long]) =>
+        (source: String, batch: Iterator[(Long, String, Long)],
+         state: GroupState[Long]) =>
           var used = state.getOption.getOrElse(0L)
-          val out = batch.toSeq.sortBy(_.doc_id).flatMap { d0 =>
-            val n = d0.text.toLowerCase.split("\\s+").length.toLong
+          val out = batch.toSeq.sortBy(_._1).flatMap { case (id, _, n) =>
             if (used < budget) {
               used += n
-              Some(Admitted(d0.doc_id, source, n, used))
+              Some(Admitted(id, source, n, used))
             } else None
           }
           state.update(used)
           out.iterator
       }
+  }
+
+  /** A buffered admission candidate: doc metadata only, never text. */
+  case class PendingDoc(doc_id: Long, n_tokens: Long, ts_ms: Long)
+
+  /** Event-time-ordered budget admission on the Spark 4
+    * `transformWithState` surface — the bounded-memory form of
+    * `budgetAdmission`: arrivals are appended ONE ROW AT A TIME into a
+    * state-store-backed ListState (RocksDB at scale — never a heap
+    * materialization of the micro-batch), and an event-time timer flushes
+    * matured rows (ts ≤ watermark) in (ts, doc_id) order against the
+    * budget. Admission therefore folds in GLOBAL event-time order, not
+    * per-micro-batch arrival order: the admitted set depends only on the
+    * data, not on how arrivals happened to batch — the stronger
+    * determinism contract (the trade: output waits for the watermark,
+    * like every event-time-ordered operator).
+    *
+    * The flush sorts only rows matured since the previous flush —
+    * bounded by source rate × watermark horizon, the same state bound
+    * the watermark already imposes; unflushed rows stay in the store.
+    */
+  class BudgetProcessor(budget: Long) extends
+      org.apache.spark.sql.streaming.StatefulProcessor[String, StreamDoc, Admitted] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState,
+      TTLConfig, TimeMode, TimerValues, ValueState}
+
+    @transient private var used: ValueState[Long] = _
+    @transient private var pending: ListState[PendingDoc] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      used = getHandle.getValueState[Long](
+        "budgetUsed", Encoders.scalaLong, TTLConfig.NONE)
+      pending = getHandle.getListState[PendingDoc](
+        "pending", Encoders.product[PendingDoc], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[StreamDoc],
+        timerValues: TimerValues): Iterator[Admitted] = {
+      rows.foreach { d0 =>
+        pending.appendValue(PendingDoc(d0.doc_id,
+          d0.text.toLowerCase.split("\\s+").length.toLong, d0.ts.getTime))
+      }
+      // fire as soon as the watermark next advances; matured rows flush then
+      getHandle.registerTimer(timerValues.getCurrentWatermarkInMs() + 1)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Admitted] = {
+      val wm = timerValues.getCurrentWatermarkInMs()
+      val (ready, still) = pending.get().toArray.partition(_.ts_ms <= wm)
+      if (still.nonEmpty) { pending.clear(); pending.put(still) }
+      else pending.clear()
+      if (still.nonEmpty)
+        getHandle.registerTimer(still.map(_.ts_ms).min)
+      var u = if (used.exists()) used.get() else 0L
+      val out = ready.sortBy(p => (p.ts_ms, p.doc_id)).flatMap { p =>
+        if (u < budget) {
+          u += p.n_tokens
+          Some(Admitted(p.doc_id, key, p.n_tokens, u))
+        } else None
+      }
+      used.update(u)
+      out.iterator
+    }
+  }
+
+  /** `budgetAdmission` on the transformWithState runtime (see
+    * BudgetProcessor). Input must carry an event-time watermark; one is
+    * applied here for standalone use (idempotent under curate's own).
+    * Needs the RocksDB state store provider (value + list state + timers
+    * = multiple column families) — the production transformWithState
+    * configuration; HDFS-backed state raises UNSUPPORTED_FEATURE.
+    */
+  def budgetAdmissionOrdered(docs: Dataset[StreamDoc], budget: Long,
+      watermark: String = "10 minutes"): Dataset[Admitted] = {
+    import docs.sparkSession.implicits._
+    docs
+      .withWatermark("ts", watermark)
+      .groupByKey(_.source)
+      .transformWithState(new BudgetProcessor(budget),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
   }
 
   /** The composed continuous pipeline: gate → content-dedup → budget. */

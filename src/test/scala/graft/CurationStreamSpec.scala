@@ -55,4 +55,51 @@ class CurationStreamSpec extends AnyFunSuite {
       assert(rows(8L) == Admitted(8, "news", 7, 7))
     } finally query.stop()
   }
+
+  test("ordered admission folds a skewed out-of-order batch in event-time order") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // value + list state + timers = multiple column families → RocksDB
+    // provider (the production choice for transformWithState anyway)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[StreamDoc]
+    val query = CurationStream
+      .budgetAdmissionOrdered(input.toDS(), budget = 20L, watermark = "1 minute")
+      .writeStream.format("memory").queryName("cur_ordered")
+      .outputMode("append").start()
+    try {
+      val base = ts("2024-01-01 00:00:00").getTime
+      // one hot source floods a single micro-batch, arriving in REVERSE
+      // doc order — rows buffer into list state one at a time and the
+      // admission fold must still run in (ts, doc_id) order
+      val hot = (500 to 1 by -1).map { i =>
+        StreamDoc(i.toLong, new Timestamp(base + i * 1000L), "tok tok tok", "web")
+      }
+      input.addData(hot: _*)
+      query.processAllAvailable()
+      // the first watermark advance (maxTs − 1 min) already matures docs
+      // 1..440 and the timer batch flushes them: the budget prefix is out
+      assert(spark.table("cur_ordered").count() == 7)
+      input.addData(StreamDoc(9999, new Timestamp(base + 3600 * 1000L),
+        "probe probe probe probe", "other"))
+      query.processAllAvailable()
+      val rows = spark.table("cur_ordered").as[Admitted].collect()
+        .filter(_.source == "web").sortBy(_.doc_id)
+      // 3 tokens per doc, budget 20: docs 1..7 admitted (used 3,6,…,21),
+      // doc 8 onward rejected — the event-time prefix, not arrival order
+      assert(rows.map(_.doc_id).toSeq == (1L to 7L), rows.mkString(", "))
+      assert(rows.map(_.budget_used).toSeq == (1 to 7).map(_ * 3L))
+      val plan = TestSpark.streamingPlan(query)
+      assert(plan.contains("TransformWithState"), plan)
+    } finally {
+      query.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }

@@ -55,6 +55,10 @@ class EventStreamsSpec extends AnyFunSuite {
       val rows = spark.table("ev_dedup").as[(Long, Double)].collect().toMap
       assert(rows.keySet == Set(1L, 2L))
       assert(rows(1L) == 1.0) // first occurrence won
+      // runtime plumbing: dedup state must be the watermark-GC'd variant,
+      // not the unbounded dropDuplicates state
+      val plan = TestSpark.streamingPlan(query)
+      assert(plan.contains("StreamingDeduplicateWithinWatermark"), plan)
     } finally query.stop()
   }
 

@@ -29,6 +29,46 @@ class GraphAppSpec extends AnyFunSuite {
     assert(ranks.values.forall(_ > 0))
   }
 
+  test("pageRankConverged: tol=0 is superstep-identical to the oracle loop") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val fixed = graft.operators.Graph.pageRank(spark, sf, iterations = 10)
+      .as[(Long, Double)].collect().toMap
+    // tol=0 never fires the exit: 10 rounds of the same quantized-exact
+    // math must be BIT-identical to the fixed-iteration form
+    val conv = graft.operators.Graph
+      .pageRankConverged(spark, sf, maxIterations = 10, tol = 0.0)
+      .as[(Long, Double)].collect().toMap
+    assert(conv == fixed, s"$conv vs $fixed")
+  }
+
+  test("pageRankConverged stops at a genuine fixed point of the PR equation") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    // the reference's PR variant decays total mass from |V| toward 1, so
+    // the exit fires when the chain has actually settled, ~50+ rounds on
+    // this graph (NOT at iteration 10 — the early exit is a different,
+    // stronger stopping contract than the q13 snapshot)
+    val tol = 1e-3
+    val r = graft.operators.Graph
+      .pageRankConverged(spark, sf, maxIterations = 200, tol = tol)
+      .as[(Long, Double)].collect().toMap
+    // residual check against an independent in-JVM power step:
+    // ‖F(r) − r‖₁ ≤ damping·tol when the loop exited on delta ≤ tol
+    val edges = graft.operators.Graph.tradeEdges(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    val outSum = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val n = r.size.toDouble
+    val contrib = edges.groupBy(_._2).view.mapValues(_.map { case (s, _, w) =>
+      r(s) * (w.toDouble / outSum(s))
+    }.sum).toMap
+    val residual = r.keys.map { id =>
+      val next = 0.85 * contrib.getOrElse(id, 0.0) + 0.15 / n
+      math.abs(next - r(id))
+    }.sum
+    assert(residual <= tol, s"residual $residual > $tol")
+  }
+
   test("tripsToEvents: one trip row becomes ordered START/END events (P12)") {
     import spark.implicits._
     val trips = Seq(

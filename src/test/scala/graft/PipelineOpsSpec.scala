@@ -243,6 +243,87 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeTrain reproduces an independent in-JVM BPE trainer, step for step") {
+    import spark.implicits._
+    val got = Text.bpeTrain(spark, sf, nMerges = 3)
+      .as[(Long, String, String, String, Long)].collect().sortBy(_._1)
+    // independent reference trainer: plain Scala, no string-replace trick
+    var words: Map[Vector[String], Long] = spark.read
+      .parquet(s"$sf/documents.parquet")
+      .select(explode(split(lower($"text"), "\\s+")).as("w"))
+      .as[String].collect()
+      .filter(w => w.matches("[a-z]+") && w.length >= 2)
+      .groupBy(identity).map { case (w, ws) =>
+        w.map(_.toString).toVector -> ws.length.toLong
+      }
+    val expect = (1 to 3).map { step =>
+      val counts = words.toSeq.flatMap { case (syms, n) =>
+        syms.zip(syms.tail).map(p => p -> n)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val ((l, r), cnt) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+      // left-to-right non-overlapping merge
+      words = words.map { case (syms, n) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += l + r; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        (out.result(), n)
+      }
+      (step.toLong, l, r, l + r, cnt)
+    }
+    assert(got.toSeq == expect, s"got ${got.toSeq} expected $expect")
+  }
+
+  test("approx-percentile variants honor their error-bound contracts") {
+    import spark.implicits._
+    val report = Text.corpusReportApprox(spark, sf)
+      .as[(String, Long, Boolean, Boolean)].collect()
+    assert(report.length == 20 && report.forall(r => r._3 && r._4), report.mkString(", "))
+    val cal = Text.calibratedFilterApprox(spark, sf)
+      .as[(Long, Boolean, Boolean)].collect()
+    assert(cal.length == 1 && cal.head._1 == 500L && cal.head._2 && cal.head._3,
+      cal.mkString(", "))
+  }
+
+  test("canonicalDocs picks the longest member of each cluster") {
+    import spark.implicits._
+    val labels = Dedup.dedupLabels(spark, sf)
+      .as[(Long, Long)].collect().groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val chars = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"n_chars").as[(Long, Long)].collect().toMap
+    val got = Dedup.canonicalDocs(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == labels.size)
+    got.foreach { case (cid, canon, size) =>
+      val members = labels(cid)
+      assert(members.size.toLong == size, s"cluster $cid size")
+      assert(members.contains(canon), s"cluster $cid canonical not a member")
+      val maxChars = members.map(chars).max
+      assert(chars(canon) == maxChars, s"cluster $cid: canonical not longest")
+      // deterministic tie-break: smallest doc_id among the longest
+      assert(canon == members.filter(m => chars(m) == maxChars).min)
+    }
+  }
+
+  test("rankedVocab: two-phase rank equals the global rank, no single-partition exchange") {
+    import spark.implicits._
+    val rv = Text.rankedVocab(spark, sf)
+    // the whole point of the two-phase form: nothing funnels the vocab
+    // through one partition
+    val plan = rv.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+    val got = rv.select($"w", $"token_id").as[(String, Long)].collect().toMap
+    val freq = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(lower($"text"), "\\s+")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c")).as[(String, Long)].collect()
+    val expect = freq.sortBy { case (w, c) => (-c, w) }.zipWithIndex
+      .map { case ((w, _), i) => w -> (i + 1L) }.toMap
+    assert(got == expect)
+  }
+
   test("bigramLm conditionals sum to one per context") {
     import spark.implicits._
     val rows = Text.bigramLm(spark, sf)

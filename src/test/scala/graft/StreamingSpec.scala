@@ -74,6 +74,11 @@ class StreamingSpec extends AnyFunSuite {
       query.processAllAvailable()
       assert(spark.table("popular").count() == 3)
       assert(spark.table("popular").select("cnt").as[Long].collect().forall(_ == 25))
+      // runtime plumbing the batch projection (q47) can't pin: the window
+      // aggregate runs against versioned state with watermark-driven GC
+      val plan = TestSpark.streamingPlan(query)
+      assert(plan.contains("StateStoreSave"), plan)
+      assert(plan.contains("EventTimeWatermark"), plan)
     } finally query.stop()
   }
 
