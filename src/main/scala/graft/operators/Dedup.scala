@@ -168,7 +168,19 @@ object Dedup {
     */
   def dedupLabels(spark: SparkSession, d: String,
       threshold: Double = 0.5, iterations: Int = 5,
-      pairGen: (SparkSession, String, Double) => DataFrame = minhashLsh): DataFrame = {
+      pairGen: (SparkSession, String, Double) => DataFrame = minhashLsh): DataFrame =
+    // one propagation per (dir, params, generator) per session: cluster
+    // counting (q32) and survivorship (q82) share the superstep work.
+    // cache=false — the loop's localCheckpoints already materialize it;
+    // the lambda's class name keys the generator identity per call site
+    graft.core.Memo(spark, cache = false, "dedupLabels", d,
+      threshold.toString, iterations.toString, pairGen.getClass.getName) {
+      dedupLabelsUncached(spark, d, threshold, iterations, pairGen)
+    }
+
+  private def dedupLabelsUncached(spark: SparkSession, d: String,
+      threshold: Double, iterations: Int,
+      pairGen: (SparkSession, String, Double) => DataFrame): DataFrame = {
     import spark.implicits._
     val pairs = pairGen(spark, d, threshold).select($"x", $"y")
     // undirected edges, both directions
