@@ -108,7 +108,42 @@ object SparkEntry {
     "q80_report_approx"   -> ((s, d) => Text.corpusReportApprox(s, d)),
     "q81_calibrated_approx" -> ((s, d) => Text.calibratedFilterApprox(s, d)),
     "q82_canonical_docs"  -> ((s, d) => Dedup.canonicalDocs(s, d)),
+    "q83_interp_surprisal" -> ((s, d) => Text.interpSurprisal(s, d)),
+    "q84_dsir_weights"    -> ((s, d) => Text.dsirWeights(s, d)),
+    "q85_ngram_novelty"   -> ((s, d) => Dedup.ngramNovelty(s, d)),
   )
+
+  /** Jelinek-Mercer interpolation oracle: λ and 1−λ are emitted from the
+    * same Scala doubles the engine closes over (1−0.7 is
+    * 0.30000000000000004 in IEEE — printing the Scala value keeps both
+    * engines on the identical literal), and the mix uses the identical
+    * operation order so the 1e6 quantization sees the same double.
+    */
+  private def interpSurprisalSql(lambda: Double): String = {
+    val l2 = 1 - lambda
+    s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+       |              FROM documents),
+       |bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+       |       FROM toks, unnest(range(1, len(w))) AS t(i) WHERE len(w) >= 2),
+       |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+       |c1 AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM c12 GROUP BY 1),
+       |u AS (SELECT w, count(*) AS cu FROM (
+       |        SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+       |        FROM documents) GROUP BY 1),
+       |t AS (SELECT sum(cu)::BIGINT AS total FROM u),
+       |s AS (SELECT c12.w1, c12.w2,
+       |        round((-log2($lambda * (c12.c12::DOUBLE / c1.c1::DOUBLE) +
+       |                     $l2 * (u.cu::DOUBLE / t.total::DOUBLE)))
+       |              * 1000000.0)::BIGINT AS sq
+       |      FROM c12 JOIN c1 USING (w1) JOIN u ON c12.w2 = u.w, t),
+       |pd AS (SELECT bg.doc_id, count(*) AS n_bigrams, sum(s.sq)::BIGINT AS bits_q
+       |       FROM bg JOIN s ON bg.w1 = s.w1 AND bg.w2 = s.w2 GROUP BY 1)
+       |SELECT d.doc_id, coalesce(pd.n_bigrams, 0)::BIGINT AS n_bigrams,
+       |       coalesce(pd.bits_q, 0)::BIGINT AS bits_q,
+       |       coalesce(pd.bits_q::DOUBLE / (pd.n_bigrams::DOUBLE * 1000000.0), 0.0)
+       |         AS mean_interp_surprisal
+       |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id""".stripMargin
+  }
 
   /** Unrolled BPE-training oracle: `nMerges` chained (pair-count →
     * argmax → string-replace merge) CTE steps over '|'-framed symbol
@@ -1370,5 +1405,41 @@ object SparkEntry {
         |       TRUE AS med_in_bound, TRUE AS keep_in_bound
         |FROM documents""".stripMargin,
     "q82_canonical_docs" -> canonicalDocsSql(5),
+    "q83_interp_surprisal" -> interpSurprisalSql(0.7),
+    // DSIR log importance ratio: add-one-smoothed target unigram LM over
+    // the corpus vocabulary vs the raw corpus LM, quantized per word
+    "q84_dsir_weights" ->
+      """WITH tk AS (SELECT doc_id, lang,
+        |              unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        |            FROM documents),
+        |u AS (SELECT w, count(*) AS c FROM tk GROUP BY 1),
+        |tc AS (SELECT w, count(*) AS ct FROM tk WHERE lang = 'en' GROUP BY 1),
+        |v AS (SELECT u.w, u.c, coalesce(tc.ct, 0)::BIGINT AS ct
+        |      FROM u LEFT JOIN tc USING (w)),
+        |sc AS (SELECT count(*)::BIGINT AS vs, sum(ct)::BIGINT AS tt,
+        |              sum(c)::BIGINT AS total FROM v),
+        |s AS (SELECT v.w,
+        |        round((log2((v.ct + 1)::DOUBLE / (sc.tt + sc.vs)::DOUBLE) -
+        |               log2(v.c::DOUBLE / sc.total::DOUBLE))
+        |              * 1000000.0)::BIGINT AS sq
+        |      FROM v, sc)
+        |SELECT tk.doc_id, count(*) AS n_tokens, sum(s.sq)::BIGINT AS logratio_q,
+        |       (sum(s.sq)::DOUBLE / 1000000.0) AS log_ratio
+        |FROM tk JOIN s USING (w) GROUP BY 1""".stripMargin,
+    // first-occurrence novelty over the q16 shingle construction
+    "q85_ngram_novelty" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |              FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM toks, unnest(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3)),
+        |f AS (SELECT s, min(doc_id) AS fd FROM sh GROUP BY 1),
+        |pd AS (SELECT sh.doc_id, count(*) AS n_grams,
+        |         sum(CASE WHEN f.fd = sh.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel
+        |       FROM sh JOIN f USING (s) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(pd.n_grams, 0)::BIGINT AS n_grams,
+        |       coalesce(pd.n_novel, 0)::BIGINT AS n_novel,
+        |       coalesce(pd.n_novel::DOUBLE / pd.n_grams, 0.0) AS novelty
+        |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id""".stripMargin,
   )
 }

@@ -234,6 +234,35 @@ object Dedup {
       .select($"cluster_id", $"best.id".as("canonical_doc"), $"cluster_size")
   }
 
+  /** Per-document n-gram NOVELTY against everything ingested before it:
+    * the fraction of a doc's distinct 3-gram shingles whose FIRST corpus
+    * occurrence (min doc_id — ingest order) is this doc. The
+    * temporal/incremental view of duplication a crawl pipeline tracks —
+    * a novelty collapse flags a scraped-content loop long before pair
+    * enumeration would. Docs with fewer than 3 tokens have no grams and
+    * re-enter with zeros.
+    *
+    * Scale: rides the memoized shingle table (q15/q16/q32 share it); one
+    * (gram → min doc_id) aggregate over the gram vocabulary, one hash
+    * join back on gram, one (doc_id) aggregate — all map-side
+    * combinable, nothing quadratic.
+    */
+  def ngramNovelty(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val sh = docShingles(spark, d).distinct()
+    val first = sh.groupBy($"s").agg(min($"doc_id").as("first_doc"))
+    val perDoc = sh.join(first, "s")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+    documents(spark, d).select($"doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_grams", lit(0L)).as("n_grams"),
+        coalesce($"n_novel", lit(0L)).as("n_novel"),
+        coalesce($"n_novel".cast("double") / $"n_grams", lit(0.0)).as("novelty"))
+  }
+
   /** SimHash near-dup pairs: 64-bit sketch, pigeonhole banding on 16-bit
     * chunks (complete for Hamming ≤ 3), Hamming re-check. Rows-only
     * (engine-specific hash); sketch locality is property-tested.

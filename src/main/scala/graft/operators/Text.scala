@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables._
@@ -445,6 +445,97 @@ object Text {
         coalesce($"bits_q".cast("double") /
           ($"n_bigrams".cast("double") * lit(1000000.0)), lit(0.0))
           .as("mean_bigram_surprisal"))
+  }
+
+  /** Jelinek-Mercer INTERPOLATED bigram surprisal: mean −log₂ of
+    * p(w2|w1) = λ·p_bigram(w2|w1) + (1−λ)·p_unigram(w2) over each
+    * document's adjacent pairs — the smoothing upgrade of q77 (a raw
+    * bigram LM assigns unseen-context mass badly; every practical n-gram
+    * scorer interpolates with the lower order). Per observed pair the
+    * probability is two exact integer ratios mixed with literal λ in a
+    * fixed operation order both engines reproduce, then quantized to a
+    * 1e6 integer once per pair type — document sums stay exact adds.
+    *
+    * Scale: the LM tables are the observed bigram/unigram vocabularies
+    * (corpus-sublinear), joined once at pair-type granularity and
+    * broadcast onto the pair stream; one (doc_id) aggregate.
+    */
+  def interpSurprisal(spark: SparkSession, d: String,
+      lambda: Double = 0.7): DataFrame = {
+    import spark.implicits._
+    val wc = graft.core.Memo(spark, cache = true, "vocabCounts", d) {
+      documents(spark, d).select($"doc_id", explode(tokens($"text")).as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("c"))
+    }
+    val total = wc.agg(sum($"c")).head().getLong(0)
+    val scores = bigramLm(spark, d)
+      .join(broadcast(wc.select($"w".as("w2"), $"c".as("cu"))), "w2")
+      .select($"w1", $"w2",
+        round((-log2(lit(lambda) * ($"c12".cast("double") / $"c1") +
+          lit(1 - lambda) * ($"cu".cast("double") / lit(total.toDouble))))
+          * lit(1000000.0)).cast("long").as("sq"))
+    val docBg = documents(spark, d)
+      .select($"doc_id", tokens($"text").as("ws"))
+      .select($"doc_id", explode(when(size($"ws") >= 2,
+        zip_with(slice($"ws", lit(1), size($"ws") - 1), slice($"ws", lit(2), size($"ws") - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("p"))
+      .select($"doc_id", $"p.w1".as("w1"), $"p.w2".as("w2"))
+    val perDoc = docBg.join(broadcast(scores), Seq("w1", "w2"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"sq").as("bits_q"))
+    documents(spark, d).select($"doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
+        coalesce($"bits_q", lit(0L)).as("bits_q"),
+        coalesce($"bits_q".cast("double") /
+          ($"n_bigrams".cast("double") * lit(1000000.0)), lit(0.0))
+          .as("mean_interp_surprisal"))
+  }
+
+  /** DSIR-style importance weights for TARGET-DOMAIN resampling (Xie et
+    * al. 2023, "Data Selection for Language Models via Importance
+    * Resampling"): each document's log importance ratio
+    * Σ_tokens log₂ p_target(w) − log₂ p_corpus(w) under two unigram LMs —
+    * the feature DSIR thresholds/samples on (DSIR hashes n-grams; the
+    * unigram form is the honest single-table simplification). The target
+    * LM is the `targetLang` slice with add-one smoothing over the CORPUS
+    * vocabulary (every corpus word scores finitely); the corpus LM is the
+    * raw frequency ratio. Per-vocab-word scores quantize to 1e6 integers
+    * once — document sums are exact adds, so ranking and selection are
+    * engine- and partitioning-independent.
+    *
+    * Scale: two vocabulary aggregates (one filtered), two driver scalars
+    * (the A3 closed-over-count shape), one broadcast of the vocab-sized
+    * score table onto the token stream, one (doc_id) aggregate.
+    */
+  def dsirWeights(spark: SparkSession, d: String,
+      targetLang: String = "en"): DataFrame = {
+    import spark.implicits._
+    val tk = documents(spark, d)
+      .select($"doc_id", $"lang", explode(tokens($"text")).as("w"))
+    val wc = graft.core.Memo(spark, cache = true, "vocabCounts", d) {
+      documents(spark, d).select($"doc_id", explode(tokens($"text")).as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("c"))
+    }
+    val tc = tk.filter($"lang" === targetLang)
+      .groupBy($"w").agg(count(lit(1)).as("ct"))
+    val total = wc.agg(sum($"c")).head().getLong(0)
+    val vocabAndTarget = wc.join(tc, Seq("w"), "left")
+      .select($"w", $"c", coalesce($"ct", lit(0L)).as("ct"))
+    val Row(vocabSize: Long, targetTotal: Long) = vocabAndTarget
+      .agg(count(lit(1)), sum($"ct")).head()
+    val scores = vocabAndTarget.select($"w",
+      round((log2(($"ct" + 1).cast("double") /
+          lit((targetTotal + vocabSize).toDouble)) -
+        log2($"c".cast("double") / lit(total.toDouble)))
+        * lit(1000000.0)).cast("long").as("sq"))
+    tk.join(broadcast(scores), "w")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum($"sq").as("logratio_q"))
+      .select($"doc_id", $"n_tokens", $"logratio_q",
+        ($"logratio_q".cast("double") / lit(1000000.0)).as("log_ratio"))
   }
 
   /** Per-source corpus datasheet — the one-query report a pipeline run

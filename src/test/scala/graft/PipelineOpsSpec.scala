@@ -308,6 +308,78 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("interpSurprisal: JM smoothing only ever lowers the bigram surprisal bound") {
+    import spark.implicits._
+    val raw = Text.bigramSurprisal(spark, sf)
+      .select($"doc_id", $"n_bigrams", $"mean_bigram_surprisal")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val jm = Text.interpSurprisal(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(jm.length == raw.size)
+    val slack = -math.log(0.7) / math.log(2) + 1e-6 // −log₂λ + quantization
+    jm.foreach { case (id, n, _, m) =>
+      assert(n == raw(id)._2, s"doc $id bigram count")
+      // p_JM ≥ λ·p_bigram ⇒ surprisal_JM ≤ surprisal_bigram − log₂λ
+      assert(m <= raw(id)._3 + slack, s"doc $id: $m vs ${raw(id)._3}")
+    }
+  }
+
+  test("dsirWeights matches a full driver recomputation and separates the target domain") {
+    import spark.implicits._
+    val got = Text.dsirWeights(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"lang", split(lower($"text"), "\\s+").as("ws"))
+      .as[(Long, String, Seq[String])].collect()
+    val corpus = docs.flatMap(_._3)
+    val c = corpus.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val ct = docs.filter(_._2 == "en").flatMap(_._3)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val (total, vs) = (corpus.length.toLong, c.size.toLong)
+    // NOT c.keys.map(...).sum — Set.map dedups equal counts before summing
+    val tt = ct.values.sum
+    val sq = c.map { case (w, cw) =>
+      // HALF_UP like Spark's round (math.round differs on negative .5s)
+      w -> BigDecimal((log2((ct.getOrElse(w, 0L) + 1).toDouble / (tt + vs)) -
+        log2(cw.toDouble / total)) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    docs.foreach { case (id, _, ws) =>
+      val expect = ws.map(sq).sum
+      assert(got(id)._3 == expect, s"doc $id logratio_q")
+      assert(got(id)._2 == ws.length.toLong)
+    }
+    // the point of the feature: target-domain docs score higher on average
+    val (en, other) = docs.partition(_._2 == "en")
+    def avg(ds: Array[(Long, String, Seq[String])]) =
+      ds.map(d0 => got(d0._1)._4).sum / ds.length
+    assert(avg(en) > avg(other), s"${avg(en)} vs ${avg(other)}")
+  }
+  private def log2(x: Double) = math.log(x) / math.log(2)
+
+  test("ngramNovelty: every distinct gram is novel exactly once, corpus-wide") {
+    import spark.implicits._
+    val rows = Dedup.ngramNovelty(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.length == 500)
+    rows.foreach { case (id, n, nov, frac) =>
+      assert(nov >= 0 && nov <= n, s"doc $id")
+      assert(n == 0 || math.abs(frac - nov.toDouble / n) < 1e-12)
+    }
+    // conservation: Σ n_novel = |distinct grams|; earliest gram-bearing
+    // doc is 100% novel
+    val grams = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", split(lower($"text"), "\\s+").as("ws"))
+      .as[(Long, Seq[String])].collect()
+      .map { case (id, ws) => id -> ws.sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet }
+    val allGrams = grams.flatMap(_._2).toSet
+    assert(rows.map(_._3).sum == allGrams.size.toLong)
+    val firstDoc = grams.filter(_._2.nonEmpty).minBy(_._1)._1
+    val fr = rows.find(_._1 == firstDoc).get
+    assert(fr._3 == fr._2 && fr._4 == 1.0, s"first doc $firstDoc fully novel")
+  }
+
   test("rankedVocab: two-phase rank equals the global rank, no single-partition exchange") {
     import spark.implicits._
     val rv = Text.rankedVocab(spark, sf)
