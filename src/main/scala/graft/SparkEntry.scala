@@ -111,6 +111,7 @@ object SparkEntry {
     "q83_interp_surprisal" -> ((s, d) => Text.interpSurprisal(s, d)),
     "q84_dsir_weights"    -> ((s, d) => Text.dsirWeights(s, d)),
     "q85_ngram_novelty"   -> ((s, d) => Dedup.ngramNovelty(s, d)),
+    "q86_cc_converged"    -> ((s, d) => Dedup.dedupClustersConverged(s, d)),
   )
 
   /** Jelinek-Mercer interpolation oracle: λ and 1−λ are emitted from the
@@ -1441,5 +1442,9 @@ object SparkEntry {
         |       coalesce(pd.n_novel, 0)::BIGINT AS n_novel,
         |       coalesce(pd.n_novel::DOUBLE / pd.n_grams, 0.0) AS novelty
         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id""".stripMargin,
+    // converged propagation == the 5-step contract on this corpus: planted
+    // dup components have diameter <= 2 (see dedupLabelsConverged scaladoc;
+    // the deep-chain divergence case is spec-tested on synthetic edges)
+    "q86_cc_converged" -> dedupClustersSql(5),
   )
 }

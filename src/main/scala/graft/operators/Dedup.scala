@@ -234,6 +234,66 @@ object Dedup {
       .select($"cluster_id", $"best.id".as("canonical_doc"), $"cluster_size")
   }
 
+  /** `dedupLabels` with a CONVERGENCE stop instead of a fixed superstep
+    * count: propagate until no label changes (or `maxIterations`). Min-
+    * label propagation moves a component's minimum one hop per superstep,
+    * so the fixed-count form silently under-merges any component whose
+    * diameter exceeds the count — fine for planted pair/triple dups
+    * (diameter ≤ 2, why q32's 5-step contract holds), wrong for the
+    * chained near-dup runs a real crawl produces (A≈B≈C≈…, each pair
+    * above threshold, ends far apart). This form is the 100 TB-safe
+    * default: DedupSimilaritySpec proves it on a 21-deep chain where the
+    * 5-step loop leaves the far end unmerged. The change count is one
+    * |labels|-row aggregate per superstep (the pageRankConverged shape).
+    */
+  def dedupLabelsConverged(spark: SparkSession, d: String,
+      threshold: Double = 0.5, maxIterations: Int = 50,
+      pairGen: (SparkSession, String, Double) => DataFrame = minhashLsh): DataFrame = {
+    import spark.implicits._
+    val pairs = pairGen(spark, d, threshold).select($"x", $"y")
+    val edges = pairs.union(pairs.select($"y".as("x"), $"x".as("y"))).cache()
+    var labels = edges.select($"x".as("doc_id")).distinct()
+      .select($"doc_id", $"doc_id".as("label"))
+    val nNodes = labels.count()
+    val statePartitions = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism, (nNodes / 10000L).toInt + 1))
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIterations) {
+      val neighborMin = edges.join(labels, $"y" === $"doc_id")
+        .groupBy($"x").agg(min($"label").as("nlabel"))
+      val next = labels.join(neighborMin, $"doc_id" === $"x", "left")
+        .select($"doc_id",
+          least($"label", coalesce($"nlabel", $"label")).as("label"))
+        .coalesce(statePartitions)
+        .localCheckpoint()
+      changed = next.select($"doc_id", $"label".as("next_label"))
+        .join(labels.select($"doc_id", $"label".as("prev_label")), "doc_id")
+        .filter($"next_label" =!= $"prev_label").count()
+      labels = next
+      it += 1
+    }
+    edges.unpersist()
+    val singletons = documents(spark, d).select($"doc_id")
+      .join(labels.select($"doc_id"), Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"doc_id".as("label"))
+    labels.union(singletons)
+  }
+
+  /** `dedupClusters` on the converged propagation — true connected
+    * components regardless of chain depth. Same output contract as q32;
+    * on corpora whose components are shallower than q32's 5 supersteps
+    * (this corpus, by construction) the two agree exactly.
+    */
+  def dedupClustersConverged(spark: SparkSession, d: String,
+      threshold: Double = 0.5, maxIterations: Int = 50,
+      pairGen: (SparkSession, String, Double) => DataFrame = minhashLsh): DataFrame = {
+    import spark.implicits._
+    dedupLabelsConverged(spark, d, threshold, maxIterations, pairGen)
+      .groupBy($"label".as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+  }
+
   /** Per-document n-gram NOVELTY against everything ingested before it:
     * the fraction of a doc's distinct 3-gram shingles whose FIRST corpus
     * occurrence (min doc_id — ingest order) is this doc. The

@@ -289,4 +289,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(background.count(_._3 > 0) <= 5,
       "random background should have ~no duplicated 10-gram spans")
   }
+
+  test("converged propagation merges deep chains the fixed-count loop cannot") {
+    import spark.implicits._
+    import org.apache.spark.sql.{DataFrame, SparkSession}
+    // a 21-node near-dup CHAIN (A≈B≈C≈…): min-label propagation moves the
+    // minimum one hop per superstep, so the q32 fixed-5 contract leaves
+    // the far end unmerged — the convergence stop must not
+    val base = 1000000L
+    val chain = (0 until 20).map(i => (base + i, base + i + 1)).toDF("x", "y")
+    val gen = (_: SparkSession, _: String, _: Double) => chain
+    val fixed = Dedup.dedupLabels(spark, sf, pairGen = gen)
+      .filter($"doc_id" >= base).as[(Long, Long)].collect().toMap
+    val conv = Dedup.dedupLabelsConverged(spark, sf, pairGen = gen)
+      .filter($"doc_id" >= base).as[(Long, Long)].collect().toMap
+    assert(conv.keySet == fixed.keySet && conv.size == 21)
+    assert(conv.values.toSet == Set(base), s"one true component: $conv")
+    assert(fixed.values.toSet.size > 1,
+      "fixed-5 must under-merge the 21-chain (else this test is vacuous)")
+    // on the real corpus (shallow planted dups) the two agree exactly —
+    // the q86 oracle contract
+    val a = Dedup.dedupClusters(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    val b = Dedup.dedupClustersConverged(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b, "converged == 5-step on shallow components")
+  }
 }
