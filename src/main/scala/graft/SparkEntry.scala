@@ -112,6 +112,7 @@ object SparkEntry {
     "q84_dsir_weights"    -> ((s, d) => Text.dsirWeights(s, d)),
     "q85_ngram_novelty"   -> ((s, d) => Dedup.ngramNovelty(s, d)),
     "q86_cc_converged"    -> ((s, d) => Dedup.dedupClustersConverged(s, d)),
+    "q87_cc_star"         -> ((s, d) => Dedup.dedupClustersStar(s, d)),
   )
 
   /** Jelinek-Mercer interpolation oracle: λ and 1−λ are emitted from the
@@ -1446,5 +1447,7 @@ object SparkEntry {
     // dup components have diameter <= 2 (see dedupLabelsConverged scaladoc;
     // the deep-chain divergence case is spec-tested on synthetic edges)
     "q86_cc_converged" -> dedupClustersSql(5),
+    // true CC again (big-star/small-star) — same oracle contract as q86
+    "q87_cc_star" -> dedupClustersSql(5),
   )
 }

@@ -294,6 +294,28 @@ object Dedup {
       .agg(count(lit(1)).as("cluster_size"))
   }
 
+  /** `dedupClusters` on the big-star/small-star CC primitive
+    * (Graph.connectedComponentsStar) — O(log n) ROUNDS instead of the
+    * propagation loop's O(diameter) supersteps: the variant that holds
+    * when near-dup chains are not just deep but astronomically deep
+    * (every round halves path lengths). Same output contract as
+    * q32/q86; GraphAppSpec property-tests the primitive against an
+    * in-JVM union-find on random graphs.
+    */
+  def dedupClustersStar(spark: SparkSession, d: String,
+      threshold: Double = 0.5,
+      pairGen: (SparkSession, String, Double) => DataFrame = minhashLsh): DataFrame = {
+    import spark.implicits._
+    val labels = Graph.connectedComponentsStar(
+      pairGen(spark, d, threshold).select($"x", $"y"))
+    val components = labels.groupBy($"component".as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val singletons = documents(spark, d).select($"doc_id")
+      .join(labels.select($"id".as("doc_id")), Seq("doc_id"), "left_anti")
+      .select($"doc_id".as("cluster_id"), lit(1L).as("cluster_size"))
+    components.union(singletons)
+  }
+
   /** Per-document n-gram NOVELTY against everything ingested before it:
     * the fraction of a doc's distinct 3-gram shingles whose FIRST corpus
     * occurrence (min doc_id — ingest order) is this doc. The

@@ -145,4 +145,71 @@ object Graph {
     vertices.unpersist()
     ranks.select($"id".as("nationkey"), $"rank")
   }
+
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR rounds
+    * (Kiveris et al. 2014, "Connected Components in MapReduce and
+    * Beyond") — the O(log n)-round algorithm that replaces min-label
+    * propagation's O(diameter) supersteps: each round hangs every node
+    * under the minimum of its neighborhood, halving path lengths, so a
+    * million-link chain converges in ~20 rounds instead of a million.
+    *
+    * Per round: large-star points every neighbor v > u at
+    * m = min(Γ(u) ∪ {u}); small-star points every neighbor v ≤ u (and u)
+    * at the minimum of that set. Both are one groupBy-min plus one join
+    * back onto the edge list — two shuffles a round, state ∝ |edges|
+    * (never collected). Convergence = the edge multiset stops changing
+    * (checked as an anti-join count, one job); at the fixpoint the edges
+    * form stars rooted at component minima.
+    *
+    * Input: undirected edges (x, y); output: (id, component) for every
+    * endpoint, component = the component's minimum id.
+    */
+  def connectedComponentsStar(edges0: DataFrame, maxRounds: Int = 40): DataFrame = {
+    val spark = edges0.sparkSession
+    import spark.implicits._
+    // large-star over the SYMMETRIC view: every node u points its
+    // strictly-larger neighbors at m = min(Γ(u) ∪ {u}); output is
+    // directed (hi → lo) because v > u ≥ m
+    def largeStar(dir: DataFrame): DataFrame = {
+      val sym = dir.union(dir.select($"y".as("x"), $"x".as("y")))
+      val mins = sym.groupBy($"x").agg(min($"y").as("mn"))
+        .select($"x".as("u"), least($"mn", $"x").as("m"))
+      sym.join(mins, $"x" === $"u")
+        .filter($"y" > $"x")
+        .select($"y".as("x"), $"m".as("y"))
+        .distinct()
+    }
+    // small-star over the directed (hi → lo) view: u points its smaller
+    // neighbors (and itself) at their minimum; output stays hi → lo
+    def smallStar(dir: DataFrame): DataFrame = {
+      val mins = dir.groupBy($"x").agg(min($"y").as("m"))
+      dir.join(mins, "x")
+        .select($"y".as("v"), $"m")
+        .union(mins.select($"x".as("v"), $"m"))
+        .filter($"v" =!= $"m")
+        .select($"v".as("x"), $"m".as("y"))
+        .distinct()
+    }
+    var edges = edges0.select($"x", $"y")
+      .filter($"x" =!= $"y")
+      .select(greatest($"x", $"y").as("x"), least($"x", $"y").as("y"))
+      .distinct()
+      .localCheckpoint()
+    var round = 0
+    var stable = false
+    while (!stable && round < maxRounds) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // fixpoint = the directed-canonical edge sets are equal
+      stable = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      edges = next
+      round += 1
+    }
+    // at the fixpoint edges form stars (member → root); roots label
+    // themselves (a root never appears on the hi side of a star edge)
+    val members = edges.select($"x".as("id"), $"y".as("component"))
+    val roots = edges.select($"y".as("id")).distinct()
+      .join(members.select($"id"), Seq("id"), "left_anti")
+      .select($"id", $"id".as("component"))
+    members.union(roots)
+  }
 }

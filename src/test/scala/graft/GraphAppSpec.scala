@@ -69,6 +69,49 @@ class GraphAppSpec extends AnyFunSuite {
     assert(residual <= tol, s"residual $residual > $tol")
   }
 
+  test("connectedComponentsStar equals union-find on seeded random graphs") {
+    import spark.implicits._
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = Array.tabulate(n)(identity)
+      def find(a: Int): Int = { var r = a; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // path-compress to the component MINIMUM (roots are minima by the
+      // max-under-min union above)
+      (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    }
+    for (seed <- Seq(7L, 23L); nEdges <- Seq(30, 120)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 100
+      val edges = Seq.fill(nEdges)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val got = graft.operators.Graph
+        .connectedComponentsStar(edges.toDF("x", "y"))
+        .as[(Long, Long)].collect().toMap
+      val expect = unionFind(n, edges)
+      val touched = edges.flatMap { case (a, b) => Seq(a, b) }.toSet
+      assert(got.keySet == touched, s"seed=$seed nEdges=$nEdges endpoints")
+      touched.foreach { id =>
+        assert(got(id) == expect(id),
+          s"seed=$seed nEdges=$nEdges node $id: ${got(id)} vs ${expect(id)}")
+      }
+    }
+  }
+
+  test("connectedComponentsStar collapses a 400-deep chain (log rounds, not diameter)") {
+    import spark.implicits._
+    val chain = (0 until 400).map(i => (i.toLong, i + 1L)).toDF("x", "y")
+    // maxRounds 20 ≪ 400: only the path-halving algorithm can finish —
+    // a per-hop propagation would need 400 supersteps
+    val got = graft.operators.Graph.connectedComponentsStar(chain, maxRounds = 20)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 401)
+    assert(got.values.toSet == Set(0L), "single component rooted at 0")
+  }
+
   test("tripsToEvents: one trip row becomes ordered START/END events (P12)") {
     import spark.implicits._
     val trips = Seq(
