@@ -36,6 +36,23 @@ object EventStreams {
       .select(unix_timestamp(col("w.start")).as("w_start"),
         col("event_type"), col("cnt"), col("sum_value"))
 
+  /** Session-window totals per user in STREAMING form — q41's session
+    * semantics under watermarked merging state: `session_window` extends
+    * or merges a user's open session as events arrive, and the session
+    * emits once the watermark passes its end (gap after the last event).
+    * State is one open session per active user — bounded by active users
+    * × the watermark horizon, the scalable sessionization shape.
+    */
+  def sessionStream(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), stableSum(col("value")).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("w_start"),
+        unix_timestamp(col("w.end")).as("w_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
   /** Streaming exact dedup: first occurrence per event_id wins;
     * watermarked so the dedup state is garbage-collected once an id can
     * no longer arrive (the unbounded-state answer for 100 TB streams —

@@ -37,6 +37,42 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming session windows merge within the gap and fire on watermark (q41 logic)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStreams.sessionStream(input.toDF(), gap = "30 minutes")
+      .writeStream.format("memory").queryName("ev_session").outputMode("append").start()
+    try {
+      input.addData(
+        // user 1: two events 20 min apart → ONE session (gap 30)
+        Event(1, ts("2024-01-01 00:00:00"), 1, "click", 10.0),
+        Event(2, ts("2024-01-01 00:20:00"), 1, "click", 5.0),
+        // user 1 again 2 h later → a SECOND session
+        Event(3, ts("2024-01-01 02:00:00"), 1, "view", 1.0),
+        // user 2: single-event session
+        Event(4, ts("2024-01-01 00:10:00"), 2, "view", 2.0))
+      query.processAllAvailable()
+      input.addData(Event(9, ts("2024-01-01 06:00:00"), 3, "view", 0.0)) // probe
+      query.processAllAvailable()
+      val rows = spark.table("ev_session")
+        .as[(Long, Long, Long, Long, Double)].collect()
+        .map(r => (r._3, r._1) -> r).toMap
+      val base = ts("2024-01-01 00:00:00").getTime / 1000
+      // user 1 session 1: [00:00, 00:20+gap), 2 events, sum 15
+      val s1 = rows((1L, base))
+      assert(s1._2 == base + 20 * 60 + 30 * 60 && s1._4 == 2 && s1._5 == 15.0, s1)
+      // user 1 session 2: singleton at 02:00
+      val s2 = rows((1L, base + 7200))
+      assert(s2._4 == 1 && s2._5 == 1.0, s2)
+      // user 2: singleton
+      assert(rows((2L, base + 600))._4 == 1)
+      // runtime plumbing: merging session state, not plain window state
+      val plan = TestSpark.streamingPlan(query)
+      assert(plan.contains("SessionWindowStateStore"), plan)
+    } finally query.stop()
+  }
+
   test("streaming dedup keeps the first occurrence per id (watermarked state)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
