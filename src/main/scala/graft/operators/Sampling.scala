@@ -101,20 +101,23 @@ object Sampling {
     * total order is needed — each shard's window sorts locally; skewed
     * shards split by adding a hash sub-key to the partition.
     */
-  def packSequences(spark: SparkSession, d: String, budget: Int = 2048): DataFrame = {
-    import spark.implicits._
-    import graft.functions.TextFunctions.{tokens, tokenSum, bpePieces}
-    val w = Window.partitionBy($"source").orderBy($"doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    documents(spark, d)
-      .select($"doc_id", $"source",
-        tokenSum(tokens($"text"), bpePieces).as("n_toks"))
-      .withColumn("cum", sum($"n_toks").over(w))
-      .select($"doc_id", $"source", $"n_toks",
-        // `div` = exact long floor-division (Column./ would be double)
-        expr(s"(cum - n_toks) div $budget").as("pack_id"),
-        pmod($"cum" - $"n_toks", lit(budget.toLong)).as("pack_offset"))
-  }
+  def packSequences(spark: SparkSession, d: String, budget: Int = 2048): DataFrame =
+    // shared lineage: q57 emits this table, q75 joins text back onto it —
+    // the BPE token-count scan (the expensive part) runs once per session
+    graft.core.Memo(spark, cache = true, "packSequences", d, budget.toString) {
+      import spark.implicits._
+      import graft.functions.TextFunctions.{tokens, tokenSum, bpePieces}
+      val w = Window.partitionBy($"source").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      documents(spark, d)
+        .select($"doc_id", $"source",
+          tokenSum(tokens($"text"), bpePieces).as("n_toks"))
+        .withColumn("cum", sum($"n_toks").over(w))
+        .select($"doc_id", $"source", $"n_toks",
+          // `div` = exact long floor-division (Column./ would be double)
+          expr(s"(cum - n_toks) div $budget").as("pack_id"),
+          pmod($"cum" - $"n_toks", lit(budget.toLong)).as("pack_offset"))
+    }
 
   /** Split-contamination audit: near-duplicate pairs that straddle
     * hashSplit's train/validation/test boundaries — the "is my test

@@ -397,14 +397,18 @@ object Text {
     */
   def bigramLm(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val bg = documents(spark, d)
-      .select($"doc_id", tokens($"text").as("ws"))
-      .select(explode(when(size($"ws") >= 2,
-        zip_with(slice($"ws", lit(1), size($"ws") - 1), slice($"ws", lit(2), size($"ws") - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2"))))
-        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("p"))
-      .select($"p.w1".as("w1"), $"p.w2".as("w2"))
-    val c12 = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    // the LM table is shared lineage: q73 emits it, q77 and q83 broadcast
+    // scores derived from it — one corpus pair-explode per session
+    val c12 = graft.core.Memo(spark, cache = true, "bigramCounts", d) {
+      documents(spark, d)
+        .select($"doc_id", tokens($"text").as("ws"))
+        .select(explode(when(size($"ws") >= 2,
+          zip_with(slice($"ws", lit(1), size($"ws") - 1), slice($"ws", lit(2), size($"ws") - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("p"))
+        .select($"p.w1".as("w1"), $"p.w2".as("w2"))
+        .groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    }
     val c1 = c12.groupBy($"w1").agg(sum($"c12").as("c1"))
     c12.join(c1, "w1")
       .select($"w1", $"w2", $"c12", $"c1",
