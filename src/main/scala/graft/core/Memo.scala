@@ -87,6 +87,21 @@ object Memo {
     }
   }
 
+  /** The memo keys currently held for one session (the per-session UUID
+    * prefix stripped) — test-only introspection: MemoSpec asserts that
+    * query families documented as memo-sharing really collapse to ONE
+    * entry per shared intermediate, which is exactly the property that
+    * silently broke when a cache key was derived from a default-argument
+    * lambda's class name (distinct per call site — round-4 verdict).
+    */
+  private[graft] def keysFor(spark: SparkSession): Seq[String] = {
+    val prefix = sessionId(spark) + " "
+    import scala.jdk.CollectionConverters._
+    memo.keySet().asScala.toSeq.collect {
+      case k if k.startsWith(prefix) => k.stripPrefix(prefix)
+    }
+  }
+
   /** Evict one session's entries, unpersisting their cached blocks — the
     * hook for apps that discard sessions (`newSession()`) while the
     * shared context keeps running, where sweep() can't tell the session

@@ -111,6 +111,18 @@ object Dedup {
       minhashLshUncached(spark, d, threshold)
     }
 
+  /** The ONE function object used as the default pair generator across the
+    * whole dedup ladder. Default arguments compile to a fresh eta-expansion
+    * (a distinct lambda class) PER CALL SITE, so `dedupClusters`' default
+    * and `canonicalDocs`' default were different objects with different
+    * class names — which silently defeated the `dedupLabels` memo for a
+    * full round (label propagation ran twice per session). Sharing this
+    * single `val` makes reference equality (`eq`) hold at every default
+    * site, and `dedupLabels` memoizes exactly when it holds.
+    */
+  val MinhashLshGen: (SparkSession, String, Double) => DataFrame =
+    minhashLsh(_, _, _)
+
   private def minhashLshUncached(spark: SparkSession, d: String, threshold: Double): DataFrame = {
     import spark.implicits._
     val candidates = minhashCandidates(spark, d)
@@ -153,7 +165,7 @@ object Dedup {
     */
   def dedupClusters(spark: SparkSession, d: String,
       threshold: Double = 0.5, iterations: Int = 5,
-      pairGen: (SparkSession, String, Double) => DataFrame = minhashLsh): DataFrame = {
+      pairGen: (SparkSession, String, Double) => DataFrame = MinhashLshGen): DataFrame = {
     import spark.implicits._
     dedupLabels(spark, d, threshold, iterations, pairGen)
       .groupBy($"label".as("cluster_id"))
@@ -168,15 +180,20 @@ object Dedup {
     */
   def dedupLabels(spark: SparkSession, d: String,
       threshold: Double = 0.5, iterations: Int = 5,
-      pairGen: (SparkSession, String, Double) => DataFrame = minhashLsh): DataFrame =
-    // one propagation per (dir, params, generator) per session: cluster
-    // counting (q32) and survivorship (q82) share the superstep work.
-    // cache=false — the loop's localCheckpoints already materialize it;
-    // the lambda's class name keys the generator identity per call site
-    graft.core.Memo(spark, cache = false, "dedupLabels", d,
-      threshold.toString, iterations.toString, pairGen.getClass.getName) {
-      dedupLabelsUncached(spark, d, threshold, iterations, pairGen)
-    }
+      pairGen: (SparkSession, String, Double) => DataFrame = MinhashLshGen): DataFrame =
+    // one propagation per (dir, params) per session: cluster counting
+    // (q32) and survivorship (q82) share the superstep work.
+    // cache=false — the loop's localCheckpoints already materialize it.
+    // Memoize ONLY under the shared default generator: a cache key must
+    // never derive from closure identity (class names differ per default-
+    // arg call site; and two closures of the same class capturing
+    // different state would collide to one key and serve a stale result).
+    if (pairGen eq MinhashLshGen)
+      graft.core.Memo(spark, cache = false, "dedupLabels", d,
+        threshold.toString, iterations.toString, "minhashLsh") {
+        dedupLabelsUncached(spark, d, threshold, iterations, pairGen)
+      }
+    else dedupLabelsUncached(spark, d, threshold, iterations, pairGen)
 
   private def dedupLabelsUncached(spark: SparkSession, d: String,
       threshold: Double, iterations: Int,
@@ -224,7 +241,7 @@ object Dedup {
     */
   def canonicalDocs(spark: SparkSession, d: String,
       threshold: Double = 0.5, iterations: Int = 5,
-      pairGen: (SparkSession, String, Double) => DataFrame = minhashLsh): DataFrame = {
+      pairGen: (SparkSession, String, Double) => DataFrame = MinhashLshGen): DataFrame = {
     import spark.implicits._
     dedupLabels(spark, d, threshold, iterations, pairGen)
       .join(documents(spark, d).select($"doc_id", $"n_chars"), "doc_id")
@@ -248,7 +265,7 @@ object Dedup {
     */
   def dedupLabelsConverged(spark: SparkSession, d: String,
       threshold: Double = 0.5, maxIterations: Int = 50,
-      pairGen: (SparkSession, String, Double) => DataFrame = minhashLsh): DataFrame = {
+      pairGen: (SparkSession, String, Double) => DataFrame = MinhashLshGen): DataFrame = {
     import spark.implicits._
     val pairs = pairGen(spark, d, threshold).select($"x", $"y")
     val edges = pairs.union(pairs.select($"y".as("x"), $"x".as("y"))).cache()
@@ -287,7 +304,7 @@ object Dedup {
     */
   def dedupClustersConverged(spark: SparkSession, d: String,
       threshold: Double = 0.5, maxIterations: Int = 50,
-      pairGen: (SparkSession, String, Double) => DataFrame = minhashLsh): DataFrame = {
+      pairGen: (SparkSession, String, Double) => DataFrame = MinhashLshGen): DataFrame = {
     import spark.implicits._
     dedupLabelsConverged(spark, d, threshold, maxIterations, pairGen)
       .groupBy($"label".as("cluster_id"))
@@ -304,7 +321,7 @@ object Dedup {
     */
   def dedupClustersStar(spark: SparkSession, d: String,
       threshold: Double = 0.5,
-      pairGen: (SparkSession, String, Double) => DataFrame = minhashLsh): DataFrame = {
+      pairGen: (SparkSession, String, Double) => DataFrame = MinhashLshGen): DataFrame = {
     import spark.implicits._
     val labels = Graph.connectedComponentsStar(
       pairGen(spark, d, threshold).select($"x", $"y"))

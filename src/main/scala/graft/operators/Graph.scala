@@ -204,6 +204,12 @@ object Graph {
       edges = next
       round += 1
     }
+    // non-star edges at this point would put a node on the hi side of
+    // several edges → multiple (id, component) rows per node downstream,
+    // silently inflating cluster counts. Fail loudly instead: O(log n)
+    // convergence means hitting maxRounds=40 is a pathology, not a corpus.
+    require(stable,
+      s"connected components did not reach the star fixpoint in $maxRounds rounds")
     // at the fixpoint edges form stars (member → root); roots label
     // themselves (a root never appears on the hi side of a star edge)
     val members = edges.select($"x".as("id"), $"y".as("component"))

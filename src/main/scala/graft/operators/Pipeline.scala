@@ -29,7 +29,7 @@ object Pipeline {
 
   def curateCorpus(spark: SparkSession, d: String,
       minTokens: Int = 30, jaccardThreshold: Double = 0.5,
-      pairGen: (SparkSession, String, Double) => DataFrame = Dedup.minhashLsh): DataFrame = {
+      pairGen: (SparkSession, String, Double) => DataFrame = Dedup.MinhashLshGen): DataFrame = {
     import spark.implicits._
     val docs = documents(spark, d)
       .select($"doc_id", $"lang", tokens($"text").as("ws"),

@@ -136,7 +136,7 @@ object Sampling {
     */
   def splitLeakage(spark: SparkSession, d: String,
       threshold: Double = 0.5,
-      pairGen: (SparkSession, String, Double) => DataFrame = Dedup.minhashLsh): DataFrame = {
+      pairGen: (SparkSession, String, Double) => DataFrame = Dedup.MinhashLshGen): DataFrame = {
     import spark.implicits._
     val sp = hashSplit(spark, d).select($"doc_id", $"split")
     pairGen(spark, d, threshold)

@@ -255,7 +255,9 @@ object Text {
       .groupBy($"w").agg(count(lit(1)).as("n"))
       .select(regexp_replace($"w", "(.)", "|$1|").as("s"), $"n")
       .cache()
-    val bests = (1 to nMerges).map { j =>
+    val bests = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var exhausted = false
+    for (j <- 1 to nMerges if !exhausted) {
       val sy = split($"s".substr(lit(2), length($"s") - 2), "\\|\\|")
       val pc = words
         .select($"n", sy.as("sy"))
@@ -267,14 +269,23 @@ object Text {
       val stepRow = pc.orderBy($"cnt".desc, $"lsym".asc, $"rsym".asc).limit(1)
         .select(lit(j.toLong).as("step"), $"lsym", $"rsym",
           concat($"lsym", $"rsym").as("merged"), $"cnt")
-      // driver-bounded: exactly one (pair, count) row crosses per step
-      val best = stepRow.collect()(0)
-      val (l, r) = (best.getString(1), best.getString(2))
-      words = words.select(
-        replace($"s", lit(s"|$l||$r|"), lit(s"|$l$r|")).as("s"), $"n").cache()
-      stepRow
+      // driver-bounded: at most one (pair, count) row crosses per step.
+      // headOption: a corpus with no [a-z]{2,} words — or whose words all
+      // collapse to single symbols before nMerges steps — simply ends the
+      // merge trajectory early instead of throwing on an empty pair table
+      stepRow.collect().headOption match {
+        case Some(best) =>
+          val (l, r) = (best.getString(1), best.getString(2))
+          words = words.select(
+            replace($"s", lit(s"|$l||$r|"), lit(s"|$l$r|")).as("s"), $"n").cache()
+          bests += stepRow
+        case None => exhausted = true
+      }
     }
-    bests.reduce(_ union _)
+    if (bests.isEmpty)
+      Seq.empty[(Long, String, String, String, Long)]
+        .toDF("step", "lsym", "rsym", "merged", "cnt")
+    else bests.reduce(_ union _)
   }
 
   /** PII scan + redaction: per-document counts of email / phone / SSN /
@@ -341,18 +352,24 @@ object Text {
     * corpus-sublinear (Heaps' law) yet still billions of rows at 100 TB —
     * sublinear ≠ one node.
     *
-    * The range-partitioned table is memoized+cached so the offset job and
-    * the ranking plan observe one partitioning snapshot (range boundaries
-    * are sampled from the input; caching pins them).
+    * The range-partitioned table is memoized and localCheckpoint-PINNED:
+    * range boundaries come from nondeterministic sampling, so a merely
+    * cached snapshot whose blocks get evicted and recomputed (executor
+    * loss at scale) could re-sample different boundaries and hand the
+    * ranking plan pids that no longer match the offsets the driver
+    * collected — wrong or duplicate token_ids. localCheckpoint severs the
+    * lineage: the materialized pid assignment is the only one that exists
+    * (a lost block fails the job loudly instead of recomputing wrong).
     */
   def rankedVocab(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val parted = graft.core.Memo(spark, cache = true, "vocabRanged", d) {
+    val parted = graft.core.Memo(spark, cache = false, "vocabRanged", d) {
       graft.core.Memo(spark, cache = true, "vocabCounts", d) {
         documents(spark, d).select($"doc_id", explode(tokens($"text")).as("w"))
           .groupBy($"w").agg(count(lit(1)).as("c"))
       }.repartitionByRange(spark.sparkContext.defaultParallelism, $"c".desc, $"w".asc)
         .withColumn("pid", spark_partition_id())
+        .localCheckpoint()
     }
     val sizes = parted.groupBy($"pid").agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)

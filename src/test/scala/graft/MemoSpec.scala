@@ -26,6 +26,65 @@ class MemoSpec extends AnyFunSuite {
     } finally Memo.release(other)
   }
 
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Run each query in one fresh session and return the memo keys whose
+    * first key segment matches `shared` — the documented memo families
+    * must collapse to exactly ONE entry (the round-4 verdict found the
+    * q32/q82 propagation memo keyed on default-arg lambda class names,
+    * distinct per call site, so the "shared" build silently ran twice).
+    */
+  private def sharedKeys(shared: String, queries: String*): Seq[String] = {
+    val s = spark.newSession()
+    try {
+      queries.foreach(q => SparkEntry.queries(q)(s, sf).count())
+      Memo.keysFor(s).filter(_.split(" ")(1) == shared)
+    } finally Memo.release(s)
+  }
+
+  test("q32/q82 share one dedupLabels propagation") {
+    val keys = sharedKeys("dedupLabels", "q32_dedup_clusters", "q82_canonical_docs")
+    assert(keys.size == 1, s"expected one shared propagation, got $keys")
+  }
+
+  test("dedupClusters/canonicalDocs/dedupClustersConverged defaults are one object") {
+    import graft.operators.Dedup
+    // the property the memo relies on: every default-argument site hands
+    // back the SAME function value, not a per-site eta-expansion
+    assert(Dedup.`dedupClusters$default$5` eq Dedup.MinhashLshGen)
+    assert(Dedup.`canonicalDocs$default$5` eq Dedup.MinhashLshGen)
+    assert(Dedup.`dedupLabels$default$5` eq Dedup.MinhashLshGen)
+    assert(Dedup.`dedupLabelsConverged$default$5` eq Dedup.MinhashLshGen)
+    assert(Dedup.`dedupClustersStar$default$4` eq Dedup.MinhashLshGen)
+  }
+
+  test("q15/q42/q63 share one minhashLshPairs build") {
+    val keys = sharedKeys("minhashLshPairs",
+      "q15_minhash_lsh", "q42_curation_pipeline", "q63_split_leakage")
+    assert(keys.size == 1, s"expected one shared pair table, got $keys")
+  }
+
+  test("q73/q77/q83 share one bigramCounts build") {
+    val keys = sharedKeys("bigramCounts",
+      "q73_bigram_lm", "q77_bigram_surprisal", "q83_interp_surprisal")
+    assert(keys.size == 1, s"expected one shared bigram table, got $keys")
+  }
+
+  test("q57/q75 share one packSequences build") {
+    val keys = sharedKeys("packSequences", "q57_seq_packing", "q75_pack_materialize")
+    assert(keys.size == 1, s"expected one shared pack table, got $keys")
+  }
+
+  test("a non-default pair generator is never memoized (no stale-closure trap)") {
+    val s = spark.newSession()
+    try {
+      import graft.operators.Dedup
+      Dedup.dedupLabels(s, sf, pairGen = Dedup.jaccardPairs(_, _, _)).count()
+      assert(!Memo.keysFor(s).exists(_.split(" ")(1) == "dedupLabels"),
+        "custom generators must bypass the memo — closure identity is not a key")
+    } finally Memo.release(s)
+  }
+
   test("release unpersists cached entries and evicts only that session") {
     val other = spark.newSession()
     val kept = Memo(spark, cache = false, "memospec", "keep")(spark.range(5).toDF)
