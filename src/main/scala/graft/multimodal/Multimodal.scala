@@ -12,11 +12,13 @@ import graft.core.Tables._
   * The Spark-side architecture is real and tested — schema, partition
   * strategy, batch-shaped partition-level processing (`mapPartitions`,
   * the JVM analog of `mapInPandas`: one iterator per partition so
-  * per-batch setup like a decoder context is amortized). The actual
-  * codec work is STUBBED with a deterministic fake (this container ships
-  * no image/audio libraries): `decodeStub` derives pixel-like features
-  * from the bytes themselves, so the pipeline shape is exercised
-  * end-to-end with verifiable outputs.
+  * per-batch setup like a decoder context is amortized). Image decode is
+  * REAL for the formats the JDK ships codecs for (`decode` →
+  * javax.imageio: PNG/BMP/GIF/JPEG/WBMP); formats without an in-JVM
+  * codec (audio/video — this container ships no media libraries) fall
+  * back to `decodeStub`, a deterministic fake deriving pixel-like
+  * features from the bytes themselves, so the pipeline shape is
+  * exercised end-to-end with verifiable outputs either way.
   *
   * Scale notes: binary payloads ride the same columnar scans as
   * everything else (parquet binary + min/max-prunable metadata columns);
@@ -55,14 +57,55 @@ object Multimodal {
       }
   }
 
-  /** STUB decoder: a real implementation hands `content` to an image
-    * library here. The deterministic fake treats bytes as a row-major
-    * grayscale image of meta.width columns. Marked clearly; swap the body
-    * for javax.imageio / ffmpeg bindings where available.
+  /** STUB decoder for formats with no in-JVM codec (audio/video
+    * containers, proprietary image formats): treats bytes as a row-major
+    * grayscale image of meta.width columns — deterministic, so the
+    * pipeline shape stays testable end-to-end. Real formats go through
+    * `decode` below instead.
     */
   def decodeStub(content: Array[Byte], meta: MediaMeta): Array[Array[Int]] = {
     val w = math.max(1, meta.width)
     content.map(b => (b & 0xff)).grouped(w).map(_.padTo(w, 0)).toArray
+  }
+
+  /** Image formats the JDK's built-in `javax.imageio` registry decodes —
+    * no external dependency.
+    */
+  val ImageIoFormats: Set[String] = Set("png", "bmp", "gif", "jpg", "jpeg", "wbmp")
+
+  /** REAL image decode via the JDK's `javax.imageio` (PNG/BMP/GIF/JPEG/
+    * WBMP ship in every JRE): pixels come out as an exact integer-luma
+    * matrix, Rec.601 weights in integer arithmetic
+    * ((299·R + 587·G + 114·B) / 1000 — exact for gray pixels, engine-
+    * independent everywhere). Payloads whose format has no JDK codec —
+    * or that fail to parse — fall back to the deterministic stub, so a
+    * corrupt blob degrades to fake features instead of failing the scan
+    * stage: at 100 TB some payloads WILL be truncated, and a pipeline
+    * that dies on row 10^12 is worse than one that flags it.
+    */
+  def decode(content: Array[Byte], meta: MediaMeta): Array[Array[Int]] = {
+    val decoded =
+      if (ImageIoFormats(meta.format.toLowerCase))
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content)))
+        catch { case _: java.io.IOException => None }
+      else None
+    decoded match {
+      case Some(bi) if bi.getRaster.getNumBands == 1 &&
+          !bi.getColorModel.isInstanceOf[java.awt.image.IndexColorModel] =>
+        // true grayscale: read the raster's raw samples — getRGB would run
+        // a linear-gray → sRGB colorspace conversion and change the bytes.
+        // (Indexed images are also single-band but their samples are
+        // PALETTE INDICES — those must go through getRGB below.)
+        val raster = bi.getRaster
+        Array.tabulate(bi.getHeight, bi.getWidth)((y, x) => raster.getSample(x, y, 0))
+      case Some(bi) =>
+        Array.tabulate(bi.getHeight, bi.getWidth) { (y, x) =>
+          val rgb = bi.getRGB(x, y)
+          val (r, g, b) = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+          (299 * r + 587 * g + 114 * b) / 1000
+        }
+      case None => decodeStub(content, meta)
+    }
   }
 
   case class MediaFeatures(
@@ -79,21 +122,22 @@ object Multimodal {
     media.mapPartitions { it =>
       // per-partition "decoder" setup would happen here (once per batch)
       it.map { rec =>
-        val img = decodeStub(rec.content, rec.meta)
+        val img = decode(rec.content, rec.meta)
         val flat = img.flatten
         val hist = Array.ofDim[Long](16)
         flat.foreach(p => hist(p / 16) += 1)
         MediaFeatures(rec.doc_id, rec.content.length.toLong,
-          rec.meta.width, img.length,
+          img.headOption.map(_.length).getOrElse(0), img.length,
           if (flat.isEmpty) 0.0 else flat.map(_.toLong).sum.toDouble / flat.length,
           hist)
       }
     }
   }
 
-  /** STUB resize: nearest-neighbor downsample of the fake decode — the
-    * partition/batch plumbing is the point; swap the kernel for a real
-    * scaler.
+  /** Resize: nearest-neighbor resample over a decoded luma matrix — a
+    * real (if minimal) kernel that applies to both the imageio and stub
+    * decode outputs. Kept under its historical name; a production
+    * pipeline would add area/bilinear kernels beside it.
     */
   def resizeStub(img: Array[Array[Int]], outW: Int, outH: Int): Array[Array[Int]] = {
     val h = math.max(1, img.length); val w = math.max(1, img.headOption.map(_.length).getOrElse(1))

@@ -31,6 +31,81 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  private def resourceBytes(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(name)
+    try in.readAllBytes() finally in.close()
+  }
+
+  test("decode reads a real checked-in PNG through javax.imageio") {
+    // gradient8x8.png: 8-bit grayscale, pixel(x,y) = y*32 + x*4. Rec.601
+    // integer luma of a gray pixel is the gray value itself (weights sum
+    // to 1000), so the decoded matrix must equal the generator formula.
+    val bytes = resourceBytes("/gradient8x8.png")
+    val img = Multimodal.decode(bytes,
+      MediaMeta("image", "png", 8, 8, 0L, "res://gradient8x8.png"))
+    assert(img.length == 8 && img.forall(_.length == 8))
+    for (y <- 0 until 8; x <- 0 until 8)
+      assert(img(y)(x) == y * 32 + x * 4, s"pixel ($x,$y)")
+  }
+
+  test("decode round-trips a JVM-encoded BMP and GIF") {
+    // 6 gray levels; the GIF side encodes from an explicitly indexed
+    // image (our own palette) because the writer's automatic quantizer is
+    // lossy — with the palette given, GIF encoding is index-exact.
+    // 8x8, not smaller: the JDK GIF READER garbles degenerate tiny images
+    // (a 5x3 comes back with a shifted/zeroed row).
+    val (w, h) = (8, 8)
+    def gray(x: Int, y: Int): Int = ((x + y) % 6) * 51
+    val palette = Array.tabulate(6)(i => (i * 51).toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 6, palette, palette, palette)
+    for (fmt <- Seq("bmp", "gif")) {
+      val bi =
+        if (fmt == "gif") new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+        else new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = gray(x, y)
+        bi.setRGB(x, y, (g << 16) | (g << 8) | g) // gray → luma is exact
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(bi, fmt, out))
+      val img = Multimodal.decode(out.toByteArray,
+        MediaMeta("image", fmt, w, h, 0L, s"mem://rt.$fmt"))
+      assert(img.length == h && img.forall(_.length == w))
+      for (y <- 0 until h; x <- 0 until w)
+        assert(img(y)(x) == gray(x, y), s"$fmt pixel ($x,$y)")
+    }
+  }
+
+  test("decode falls back to the stub on unparseable or codec-less payloads") {
+    val garbage = Array.tabulate(20)(i => (i * 7).toByte)
+    // claims to be a PNG but isn't → imageio rejects → stub
+    val claimed = MediaMeta("image", "png", 4, 0, 0L, "mem://bad")
+    assert(Multimodal.decode(garbage, claimed).toSeq.map(_.toSeq) ==
+      Multimodal.decodeStub(garbage, claimed).toSeq.map(_.toSeq))
+    // format with no JDK codec → stub without attempting imageio
+    val fake = MediaMeta("image", "fake", 4, 0, 0L, "mem://fake")
+    assert(Multimodal.decode(garbage, fake).toSeq.map(_.toSeq) ==
+      Multimodal.decodeStub(garbage, fake).toSeq.map(_.toSeq))
+  }
+
+  test("extractFeatures reports real decoded dimensions for real images") {
+    import spark.implicits._
+    val png = resourceBytes("/gradient8x8.png")
+    val media = Seq(
+      MediaRecord(1L, png, MediaMeta("image", "png", 8, 8, 0L, "res://g")),
+      MediaRecord(2L, "hello world bytes".getBytes("UTF-8"),
+        MediaMeta("image", "fake", 4, 0, 0L, "mem://f"))).toDS()
+    val f = Multimodal.extractFeatures(media).collect().map(x => x.doc_id -> x).toMap
+    assert(f(1L).width == 8 && f(1L).height == 8)
+    assert(f(1L).n_bytes == png.length)
+    // mean of the gradient: mean over y of 32y (=112) + mean over x of 4x (=14)
+    assert(math.abs(f(1L).mean_px - 126.0) < 1e-9)
+    assert(f(1L).histogram.sum == 64L)
+    assert(f(2L).width == 4) // stub path pads to meta.width
+  }
+
   test("resize stub produces requested dimensions") {
     val img = Array.tabulate(10, 8)((y, x) => y * 8 + x)
     val out = Multimodal.resizeStub(img, 4, 5)
