@@ -113,6 +113,7 @@ object SparkEntry {
     "q85_ngram_novelty"   -> ((s, d) => Dedup.ngramNovelty(s, d)),
     "q86_cc_converged"    -> ((s, d) => Dedup.dedupClustersConverged(s, d)),
     "q87_cc_star"         -> ((s, d) => Dedup.dedupClustersStar(s, d)),
+    "q88_max_dup_run"     -> ((s, d) => Dedup.maxDupRuns(s, d)),
   )
 
   /** Jelinek-Mercer interpolation oracle: λ and 1−λ are emitted from the
@@ -1449,5 +1450,42 @@ object SparkEntry {
     "q86_cc_converged" -> dedupClustersSql(5),
     // true CC again (big-star/small-star) — same oracle contract as q86
     "q87_cc_star" -> dedupClustersSql(5),
+    // maximal cross-doc duplicate runs: same diagonal-run (gaps-and-
+    // islands) construction as Dedup.maxDupRuns — seed grams with df>=2,
+    // equal-gram cross-doc pairs, consecutive positions per (partner,
+    // diagonal) = one run of len count+9, then max + interval union
+    "q88_max_dup_run" ->
+      s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+         |              FROM documents),
+         |pg AS (SELECT doc_id, i AS p,
+         |         ${(0 until 10).map(j => s"w[i+$j]").mkString(" || ' ' || ")} AS s
+         |       FROM toks, unnest(range(1, len(w)-8)) AS t(i) WHERE len(w) >= 10),
+         |dupg AS (SELECT s FROM (
+         |           SELECT s, count(DISTINCT doc_id) AS df FROM pg GROUP BY 1)
+         |         WHERE df >= 2),
+         |occ AS (SELECT doc_id, p, s FROM pg JOIN dupg USING (s)),
+         |pairs AS (SELECT a.doc_id AS doc_id, a.p AS p, b.doc_id AS od,
+         |            a.p - b.p AS diag
+         |          FROM occ a JOIN occ b ON a.s = b.s AND a.doc_id <> b.doc_id),
+         |runs AS (SELECT doc_id, od, diag, grp, min(p) AS start,
+         |           count(*) + 9 AS len
+         |         FROM (SELECT doc_id, p, od, diag,
+         |                 p - row_number() OVER (
+         |                   PARTITION BY doc_id, od, diag ORDER BY p) AS grp
+         |               FROM pairs)
+         |         GROUP BY 1, 2, 3, 4),
+         |sw AS (SELECT doc_id, start, len,
+         |         max(start + len - 1) OVER (PARTITION BY doc_id
+         |           ORDER BY start, (start + len) DESC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |       FROM runs),
+         |pd AS (SELECT doc_id, max(len) AS mx,
+         |         sum(greatest(0, (start + len - 1)
+         |           - greatest(coalesce(prev_end, 0), start - 1))) AS covered
+         |       FROM sw GROUP BY 1)
+         |SELECT t.doc_id, len(t.w)::BIGINT AS n_tokens,
+         |       coalesce(pd.mx, 0)::BIGINT AS max_dup_run,
+         |       coalesce(pd.covered, 0)::BIGINT AS covered_tokens
+         |FROM toks t LEFT JOIN pd ON t.doc_id = pd.doc_id""".stripMargin,
   )
 }

@@ -447,6 +447,72 @@ object Dedup {
         (!coalesce($"e", lit(false)) && !coalesce($"n", lit(false))).as("keep"))
   }
 
+  /** MAXIMAL cross-document duplicate runs — the suffix-array rung above
+    * `substringDupCoverage`: per document, the length of the LONGEST
+    * token substring (≥ `n` tokens) that also occurs verbatim in another
+    * document, plus the duplicated-token coverage. This is the exact
+    * quantity Lee et al.'s suffix-array dedup reads off adjacent-suffix
+    * LCPs (they too only count matches above a floor — 50 BPE tokens);
+    * here the floor is the seed width `n`.
+    *
+    * Seed-and-extend made EXACT: a cross-doc match of length L ≥ n makes
+    * its L−n+1 constituent n-gram windows match at aligned positions, so
+    * maximal matches are exactly the maximal DIAGONAL RUNS (consecutive p
+    * at fixed partner doc and offset p−p') in the cross-doc equal-gram
+    * pair table — recovered relationally with one gaps-and-islands window
+    * per (doc, partner, diagonal). No suffix array materialized, same
+    * answer as one for every match ≥ n.
+    *
+    * Scale: pair volume = cross-doc duplicated gram OCCURRENCE pairs —
+    * tracks duplicate density like the LSH candidate stage, not corpus²
+    * (the df≥2 semi-join kills unique grams, the overwhelming majority,
+    * before the self-join). Windows partition by (doc, partner, diagonal)
+    * then (doc) — bounded state, doc-bounded keys. At extreme pathologies
+    * (one boilerplate gram in every doc) the equal-gram join skews like
+    * any inverted index; the production answer is a df ceiling on seeds,
+    * the standard suffix-array-dedup mitigation.
+    */
+  def maxDupRuns(spark: SparkSession, d: String, n: Int = 10): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+    val toks = documents(spark, d).select($"doc_id", tokens($"text").as("ws"))
+    val pg = toks.select($"doc_id",
+        posexplode(shinglesAll($"ws", n)).as(Seq("p0", "s")))
+      .select($"doc_id", ($"p0" + 1).as("p"), $"s")
+    // keep only grams seen in ≥ 2 docs before self-joining: unique grams
+    // (the bulk of the corpus) never reach the join
+    val dupGrams = pg.select($"doc_id", $"s").distinct()
+      .groupBy($"s").agg(count(lit(1)).as("df"))
+      .filter($"df" >= 2).select($"s")
+    val occ = pg.join(dupGrams, "s")
+    val pairs = occ.as("a").join(occ.as("b"),
+        $"a.s" === $"b.s" && $"a.doc_id" =!= $"b.doc_id")
+      .select($"a.doc_id".as("doc_id"), $"a.p".as("p"),
+        $"b.doc_id".as("od"), ($"a.p" - $"b.p").as("diag"))
+    // gaps-and-islands: consecutive p on one (partner, diagonal) = one run
+    val runs = pairs
+      .withColumn("grp", $"p" - row_number().over(
+        w.partitionBy($"doc_id", $"od", $"diag").orderBy($"p")))
+      .groupBy($"doc_id", $"od", $"diag", $"grp")
+      .agg(min($"p").as("start"), (count(lit(1)) + (n - 1)).as("len"))
+    // interval-union sweep over run spans (runs from different partners
+    // overlap/nest): same running-max window as substringDupCoverage
+    val sweep = w.partitionBy($"doc_id")
+      .orderBy($"start", ($"start" + $"len").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val perDoc = runs
+      .withColumn("prev_end", max($"start" + $"len" - 1).over(sweep))
+      .groupBy($"doc_id")
+      .agg(max($"len").as("max_dup_run"),
+        sum(greatest(lit(0), ($"start" + $"len" - 1) -
+          greatest(coalesce($"prev_end", lit(0)), $"start" - 1))).as("covered"))
+    toks.select($"doc_id", size($"ws").cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens",
+        coalesce($"max_dup_run", lit(0L)).cast("long").as("max_dup_run"),
+        coalesce($"covered", lit(0L)).cast("long").as("covered_tokens"))
+  }
+
   def substringDupCoverage(spark: SparkSession, d: String, n: Int = 10): DataFrame = {
     import spark.implicits._
     val toks = documents(spark, d).select($"doc_id", tokens($"text").as("ws"))

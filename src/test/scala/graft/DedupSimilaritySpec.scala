@@ -290,6 +290,56 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "random background should have ~no duplicated 10-gram spans")
   }
 
+  test("maxDupRuns: exact maximal run lengths on a constructed overlap fixture") {
+    import spark.implicits._
+    // doc 0 owns a0..a29; doc 1 embeds exactly a5..a24 (20 tokens); doc 3
+    // embeds exactly a10..a20 (11 tokens); doc 2 is all-unique background.
+    // Suffix-array semantics: max run = longest verbatim cross-doc
+    // substring, coverage = union over partners (doc 3's span nests
+    // inside doc 1's copy within doc 0).
+    val a = (0 until 30).map(i => s"a$i")
+    val docs = Seq(
+      (0L, a.mkString(" ")),
+      (1L, (Seq("b0", "b1", "b2") ++ a.slice(5, 25) ++ Seq("c0", "c1")).mkString(" ")),
+      (2L, (0 until 25).map(i => s"z$i").mkString(" ")),
+      (3L, (Seq("d0", "d1") ++ a.slice(10, 21)).mkString(" ")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-mdr").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = Dedup.maxDupRuns(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got(0L) == ((30L, 20L, 20L)), s"doc0 ${got(0L)}")
+    assert(got(1L) == ((25L, 20L, 20L)), s"doc1 ${got(1L)}")
+    assert(got(2L) == ((25L, 0L, 0L)), s"doc2 ${got(2L)}")
+    assert(got(3L) == ((13L, 11L, 11L)), s"doc3 ${got(3L)}")
+  }
+
+  test("scale rehearsal: maxDupRuns matches q68 coverage and pins twin run lengths") {
+    import spark.implicits._
+    val n = 25000
+    val planted = 250
+    val d = synthCorpus(n, planted, seed = 6)
+    val rows = Dedup.maxDupRuns(spark, d).as[(Long, Long, Long, Long)].collect()
+    assert(rows.length == n + planted)
+    val twinIds = Seq.tabulate(planted) { j =>
+      Seq((j * (n / planted)).toLong, (n + j).toLong) }.flatten.toSet
+    // twins share runs 1..10 and 16..40 (1-based) → max run 25, cover 35;
+    // coincidental background 10-grams can only ever extend these
+    val twinRows = rows.filter(r => twinIds(r._1))
+    twinRows.foreach { case (id, ntk, mx, cov) =>
+      assert(ntk == 40L && mx >= 25L && cov >= 35L, s"doc $id ($mx, $cov)")
+    }
+    assert(twinRows.count(r => r._3 == 25L && r._4 == 35L) >= twinRows.length - 10,
+      "almost all twins should see exactly the planted (25, 35)")
+    // the suffix rung's coverage is definitionally q68's interval union
+    val cv = Dedup.maxDupRuns(spark, d).select($"doc_id", $"covered_tokens")
+    val q68 = Dedup.substringDupCoverage(spark, d)
+      .select($"doc_id", $"covered_tokens".cast("long").as("covered_tokens"))
+    assert(cv.exceptAll(q68).isEmpty && q68.exceptAll(cv).isEmpty,
+      "coverage must agree with the positional-gram rung")
+  }
+
   test("converged propagation merges deep chains the fixed-count loop cannot") {
     import spark.implicits._
     import org.apache.spark.sql.{DataFrame, SparkSession}
