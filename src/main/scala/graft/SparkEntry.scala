@@ -114,6 +114,7 @@ object SparkEntry {
     "q86_cc_converged"    -> ((s, d) => Dedup.dedupClustersConverged(s, d)),
     "q87_cc_star"         -> ((s, d) => Dedup.dedupClustersStar(s, d)),
     "q88_max_dup_run"     -> ((s, d) => Dedup.maxDupRuns(s, d)),
+    "q89_backoff_surprisal" -> ((s, d) => Text.backoffSurprisal(s, d)),
   )
 
   /** Jelinek-Mercer interpolation oracle: λ and 1−λ are emitted from the
@@ -1486,6 +1487,68 @@ object SparkEntry {
          |SELECT t.doc_id, len(t.w)::BIGINT AS n_tokens,
          |       coalesce(pd.mx, 0)::BIGINT AS max_dup_run,
          |       coalesce(pd.covered, 0)::BIGINT AS covered_tokens
+         |FROM toks t LEFT JOIN pd ON t.doc_id = pd.doc_id""".stripMargin,
+    // trigram stupid backoff (α=0.4), LM trained on the q52 80% train
+    // bucket, scored over ALL docs; CASE nesting mirrors Text
+    // .backoffSurprisal's `when` tree operation-for-operation so the
+    // doubles agree before the per-type 1e6 quantization
+    "q89_backoff_surprisal" ->
+      s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+         |              FROM documents),
+         |train AS (SELECT doc_id, w FROM toks
+         |          WHERE ${md5Bits32Sql("'split:' || doc_id::VARCHAR", 1)} % 100 < 80),
+         |tg AS (SELECT w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3, count(*) AS c123
+         |       FROM train, unnest(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3
+         |       GROUP BY 1, 2, 3),
+         |tgm AS (SELECT w1, w2, sum(c123)::BIGINT AS c12m FROM tg GROUP BY 1, 2),
+         |bg AS (SELECT w[i] AS w1, w[i+1] AS w2, count(*) AS c12
+         |       FROM train, unnest(range(1, len(w))) AS t(i) WHERE len(w) >= 2
+         |       GROUP BY 1, 2),
+         |bgm AS (SELECT w1, sum(c12)::BIGINT AS c1m FROM bg GROUP BY 1),
+         |uc AS (SELECT wd, count(*) AS cu FROM (SELECT unnest(w) AS wd FROM train)
+         |       GROUP BY 1),
+         |nv AS (SELECT (sum(cu) + count(*))::BIGINT AS nv FROM uc),
+         |t3 AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3
+         |       FROM toks, unnest(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3),
+         |p2 AS (SELECT doc_id, w[1] AS w1, w[2] AS w2 FROM toks WHERE len(w) >= 2),
+         |trip AS (SELECT DISTINCT w1, w2, w3 FROM t3),
+         |tsc AS (SELECT trip.w1, trip.w2, trip.w3,
+         |          round((-log2(
+         |            CASE WHEN tg.c123 IS NOT NULL
+         |                 THEN tg.c123::DOUBLE / tgm.c12m::DOUBLE
+         |                 ELSE 0.4 * (CASE WHEN b2.c12 IS NOT NULL
+         |                                  THEN b2.c12::DOUBLE / b2m.c1m::DOUBLE
+         |                                  ELSE 0.4 * ((coalesce(uc.cu, 0)::DOUBLE + 1.0)
+         |                                              / nv.nv::DOUBLE) END)
+         |            END)) * 1000000.0)::BIGINT AS sq
+         |        FROM trip
+         |        LEFT JOIN tg ON tg.w1 = trip.w1 AND tg.w2 = trip.w2 AND tg.w3 = trip.w3
+         |        LEFT JOIN tgm ON tgm.w1 = trip.w1 AND tgm.w2 = trip.w2
+         |        LEFT JOIN bg b2 ON b2.w1 = trip.w2 AND b2.w2 = trip.w3
+         |        LEFT JOIN bgm b2m ON b2m.w1 = trip.w2
+         |        LEFT JOIN uc ON uc.wd = trip.w3
+         |        CROSS JOIN nv),
+         |pr AS (SELECT DISTINCT w1, w2 FROM p2),
+         |psc AS (SELECT pr.w1, pr.w2,
+         |          round((-log2(
+         |            CASE WHEN bg.c12 IS NOT NULL
+         |                 THEN bg.c12::DOUBLE / bgm.c1m::DOUBLE
+         |                 ELSE 0.4 * ((coalesce(uc.cu, 0)::DOUBLE + 1.0)
+         |                             / nv.nv::DOUBLE) END))
+         |            * 1000000.0)::BIGINT AS sq
+         |        FROM pr
+         |        LEFT JOIN bg ON bg.w1 = pr.w1 AND bg.w2 = pr.w2
+         |        LEFT JOIN bgm ON bgm.w1 = pr.w1
+         |        LEFT JOIN uc ON uc.wd = pr.w2
+         |        CROSS JOIN nv),
+         |sc AS (SELECT doc_id, sq FROM t3 JOIN tsc USING (w1, w2, w3)
+         |       UNION ALL SELECT doc_id, sq FROM p2 JOIN psc USING (w1, w2)),
+         |pd AS (SELECT doc_id, count(*) AS n_scored, sum(sq)::BIGINT AS bits_q
+         |       FROM sc GROUP BY 1)
+         |SELECT t.doc_id, coalesce(pd.n_scored, 0)::BIGINT AS n_scored,
+         |       coalesce(pd.bits_q, 0)::BIGINT AS bits_q,
+         |       coalesce(pd.bits_q::DOUBLE / (pd.n_scored::DOUBLE * 1000000.0), 0.0)
+         |         AS mean_backoff_surprisal
          |FROM toks t LEFT JOIN pd ON t.doc_id = pd.doc_id""".stripMargin,
   )
 }

@@ -25,7 +25,7 @@ object Sampling {
     * primitive of split/sample. A salt string keeps independent uses
     * (split vs sample) uncorrelated.
     */
-  private def hashBucket(idCol: org.apache.spark.sql.Column, salt: String) =
+  private[operators] def hashBucket(idCol: org.apache.spark.sql.Column, salt: String) =
     pmod(Hashing.md5Bits32(concat(lit(salt), idCol.cast("string")), 1), lit(100L))
 
   /** Deterministic 80/10/10 train/validation/test split.

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables._
@@ -513,6 +513,109 @@ object Text {
         coalesce($"bits_q".cast("double") /
           ($"n_bigrams".cast("double") * lit(1000000.0)), lit(0.0))
           .as("mean_interp_surprisal"))
+  }
+
+  /** Trigram STUPID-BACKOFF surprisal (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" — the backoff scheme built
+    * FOR distributed n-gram LMs: no discount normalization, so every
+    * level is a plain count ratio). Score of token w at position i:
+    *
+    *   S(w | w₋₂w₋₁) = c(w₋₂w₋₁w)/c(w₋₂w₋₁·)   if the trigram is in the LM
+    *                 = α · S(w | w₋₁)           otherwise
+    *   S(w | w₋₁)    = c(w₋₁w)/c(w₋₁·)          if the bigram is in the LM
+    *                 = α · S(w)                  otherwise  (α = 0.4)
+    *   S(w)          = (c(w)+1)/(N+V)            add-one unigram, OOV-safe
+    *
+    * Denominators are the n-gram tables' own context marginals, so the
+    * bigram level IS q73's conditional — on corpora with no trigrams the
+    * operator reduces exactly to q77 (asserted in PipelineOpsSpec). The
+    * LM trains on the deterministic `trainFrac`% split (q52's bucket
+    * assignment) and scores ALL documents — on held-out docs all three
+    * backoff levels genuinely fire, which is the point of backoff.
+    * Per-type scores quantize to 1e6 integers once; doc sums are exact.
+    *
+    * Scale: n-gram tables are corpus-sublinear and broadcast onto the
+    * position stream (the q77/q83 discipline); two corpus scans (train
+    * count + score), one (doc_id) aggregate. Scoring joins at distinct
+    * TYPE granularity first, so the per-occurrence stream only ever hash-
+    * joins a precomputed score column.
+    */
+  def backoffSurprisal(spark: SparkSession, d: String,
+      alpha: Double = 0.4, trainFrac: Int = 80): DataFrame = {
+    import spark.implicits._
+    val docsTok = documents(spark, d).select($"doc_id", tokens($"text").as("ws"))
+    def triExplode(df: DataFrame): DataFrame = df
+      .select($"doc_id", explode(when(size($"ws") >= 3,
+        transform(sequence(lit(1), size($"ws") - 2), i =>
+          struct(element_at($"ws", i).as("w1"), element_at($"ws", i + 1).as("w2"),
+            element_at($"ws", i + 2).as("w3"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string,w3:string>>"))).as("t"))
+      .select($"doc_id", $"t.w1".as("w1"), $"t.w2".as("w2"), $"t.w3".as("w3"))
+    def bgExplode(df: DataFrame): DataFrame = df
+      .select($"doc_id", explode(when(size($"ws") >= 2,
+        zip_with(slice($"ws", lit(1), size($"ws") - 1), slice($"ws", lit(2), size($"ws") - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("p"))
+      .select($"doc_id", $"p.w1".as("w1"), $"p.w2".as("w2"))
+    val train = docsTok.filter(
+      Sampling.hashBucket($"doc_id", "split:") < trainFrac)
+    val c123 = graft.core.Memo(spark, cache = true, "trigramCounts", d, trainFrac.toString) {
+      triExplode(train).groupBy($"w1", $"w2", $"w3").agg(count(lit(1)).as("c123"))
+    }
+    val c12m = c123.groupBy($"w1", $"w2").agg(sum($"c123").as("c12m"))
+    val c12 = graft.core.Memo(spark, cache = true, "bigramCountsSplit", d, trainFrac.toString) {
+      bgExplode(train).groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    }
+    val c1m = c12.groupBy($"w1").agg(sum($"c12").as("c1m"))
+    val uc = graft.core.Memo(spark, cache = true, "vocabCountsSplit", d, trainFrac.toString) {
+      train.select(explode($"ws").as("wd")).groupBy($"wd").agg(count(lit(1)).as("cu"))
+    }
+    // N + V: two train-LM scalars, the A3 closed-over-scalar shape
+    val Array(nTok, vSize) = uc.agg(sum($"cu"), count(lit(1))).head() match {
+      case r => Array(r.getLong(0), r.getLong(1))
+    }
+    val nv = lit((nTok + vSize).toDouble)
+    def s1(cu: Column): Column =
+      (coalesce(cu, lit(0L)).cast("double") + lit(1.0)) / nv
+    // distinct TYPE tables get the quantized score; occurrences join it
+    val t3 = triExplode(docsTok)
+    val tripScores = t3.select($"w1", $"w2", $"w3").distinct()
+      .join(c123, Seq("w1", "w2", "w3"), "left")
+      .join(c12m, Seq("w1", "w2"), "left")
+      .join(c12.select($"w1".as("w2"), $"w2".as("w3"), $"c12".as("c23")),
+        Seq("w2", "w3"), "left")
+      .join(c1m.select($"w1".as("w2"), $"c1m".as("c2m")), Seq("w2"), "left")
+      .join(uc.select($"wd".as("w3"), $"cu"), Seq("w3"), "left")
+      .select($"w1", $"w2", $"w3",
+        round((-log2(
+          when($"c123".isNotNull, $"c123".cast("double") / $"c12m".cast("double"))
+            .otherwise(lit(alpha) *
+              when($"c23".isNotNull, $"c23".cast("double") / $"c2m".cast("double"))
+                .otherwise(lit(alpha) * s1($"cu"))))) * lit(1000000.0))
+          .cast("long").as("sq"))
+    val p2 = docsTok.filter(size($"ws") >= 2)
+      .select($"doc_id", element_at($"ws", 1).as("w1"), element_at($"ws", 2).as("w2"))
+    val pairScores = p2.select($"w1", $"w2").distinct()
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c1m, Seq("w1"), "left")
+      .join(uc.select($"wd".as("w2"), $"cu"), Seq("w2"), "left")
+      .select($"w1", $"w2",
+        round((-log2(
+          when($"c12".isNotNull, $"c12".cast("double") / $"c1m".cast("double"))
+            .otherwise(lit(alpha) * s1($"cu")))) * lit(1000000.0))
+          .cast("long").as("sq"))
+    val perDoc = t3.join(broadcast(tripScores), Seq("w1", "w2", "w3")).select($"doc_id", $"sq")
+      .union(p2.join(broadcast(pairScores), Seq("w1", "w2")).select($"doc_id", $"sq"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_scored"), sum($"sq").as("bits_q"))
+    documents(spark, d).select($"doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_scored", lit(0L)).as("n_scored"),
+        coalesce($"bits_q", lit(0L)).as("bits_q"),
+        coalesce($"bits_q".cast("double") /
+          ($"n_scored".cast("double") * lit(1000000.0)), lit(0.0))
+          .as("mean_backoff_surprisal"))
   }
 
   /** DSIR-style importance weights for TARGET-DOMAIN resampling (Xie et

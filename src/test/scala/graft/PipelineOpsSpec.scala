@@ -324,6 +324,42 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("backoffSurprisal reduces exactly to bigramSurprisal on a bigram-only corpus") {
+    import spark.implicits._
+    // every doc has exactly 2 tokens → no trigram level exists anywhere,
+    // every scored position is the position-2 bigram, and with the LM
+    // trained on the full corpus (trainFrac=100) every bigram is in-LM:
+    // the backoff scorer must equal q77's bigram conditional bit-for-bit
+    val rnd = new scala.util.Random(11)
+    val docs = Seq.tabulate(300)(i =>
+      (i.toLong, s"b${rnd.nextInt(40)} b${rnd.nextInt(40)}"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-bo").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val bo = Text.backoffSurprisal(spark, dir, trainFrac = 100)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    val bg = Text.bigramSurprisal(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(bo.length == 300 && bo.toSeq == bg.toSeq,
+      "stupid backoff must collapse to the bigram conditional with no trigrams")
+  }
+
+  test("backoffSurprisal: held-out docs engage the backoff, train docs mostly don't") {
+    import spark.implicits._
+    // on the real corpus with the 80% train LM: scores exist for every
+    // doc, are positive where scored, and n_scored == n_tokens − 1
+    val nTok = graft.core.Tables.documents(spark, sf)
+      .select($"doc_id", size(graft.functions.TextFunctions.tokens($"text")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val rows = Text.backoffSurprisal(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.length == nTok.size)
+    rows.foreach { case (id, n, bits, m) =>
+      assert(n == math.max(0L, nTok(id) - 1), s"doc $id scored-position count")
+      assert(n == 0 || (bits > 0 && m > 0), s"doc $id empty score")
+    }
+  }
+
   test("dsirWeights matches a full driver recomputation and separates the target domain") {
     import spark.implicits._
     val got = Text.dsirWeights(spark, sf)
