@@ -115,6 +115,7 @@ object SparkEntry {
     "q87_cc_star"         -> ((s, d) => Dedup.dedupClustersStar(s, d)),
     "q88_max_dup_run"     -> ((s, d) => Dedup.maxDupRuns(s, d)),
     "q89_backoff_surprisal" -> ((s, d) => Text.backoffSurprisal(s, d)),
+    "q90_dsir_hashed"     -> ((s, d) => Text.dsirHashedWeights(s, d)),
   )
 
   /** Jelinek-Mercer interpolation oracle: λ and 1−λ are emitted from the
@@ -1550,5 +1551,29 @@ object SparkEntry {
          |       coalesce(pd.bits_q::DOUBLE / (pd.n_scored::DOUBLE * 1000000.0), 0.0)
          |         AS mean_backoff_surprisal
          |FROM toks t LEFT JOIN pd ON t.doc_id = pd.doc_id""".stripMargin,
+    // hashed-n-gram DSIR: unigram+bigram features md5-hashed into 4096
+    // buckets; both LMs add-one over the bucket space (vs q84's word rung)
+    "q90_dsir_hashed" ->
+      s"""WITH toks AS (SELECT doc_id, lang,
+         |                regexp_split_to_array(lower(text), '\\s+') AS w
+         |              FROM documents),
+         |f AS (SELECT doc_id, lang, unnest(w) AS f FROM toks
+         |      UNION ALL
+         |      SELECT doc_id, lang, w[i] || ' ' || w[i+1] AS f
+         |      FROM toks, unnest(range(1, len(w))) AS t(i) WHERE len(w) >= 2),
+         |hb AS (SELECT doc_id, lang,
+         |         (${md5Bits32Sql("'dsir:' || f", 1)}) % 4096 AS b FROM f),
+         |c AS (SELECT b, count(*) AS cr,
+         |        sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS ct
+         |      FROM hb GROUP BY 1),
+         |sc AS (SELECT sum(cr)::BIGINT AS tr, sum(ct)::BIGINT AS tt FROM c),
+         |s AS (SELECT c.b,
+         |        round((log2((c.ct + 1)::DOUBLE / (sc.tt + 4096)::DOUBLE) -
+         |               log2((c.cr + 1)::DOUBLE / (sc.tr + 4096)::DOUBLE))
+         |              * 1000000.0)::BIGINT AS sq
+         |      FROM c, sc)
+         |SELECT hb.doc_id, count(*) AS n_feats, sum(s.sq)::BIGINT AS logratio_q,
+         |       (sum(s.sq)::DOUBLE / 1000000.0) AS log_ratio
+         |FROM hb JOIN s USING (b) GROUP BY 1""".stripMargin,
   )
 }

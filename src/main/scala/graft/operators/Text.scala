@@ -662,6 +662,52 @@ object Text {
         ($"logratio_q".cast("double") / lit(1000000.0)).as("log_ratio"))
   }
 
+  /** HASHED-n-gram DSIR importance weights — the actual Xie et al.
+    * feature recipe (q84 keeps the word-unigram rung): unigrams AND
+    * bigrams hashed into a fixed `nBuckets` bucket space, target and raw
+    * LMs both bag-of-hashed-ngrams with add-one smoothing over the
+    * BUCKET space (the hashing is what bounds the model at corpus scale
+    * — the LM is nBuckets counters regardless of vocabulary growth).
+    * Per-bucket log₂ ratios quantize to 1e6 integers once; document
+    * weights are exact integer sums of their feature-occurrence scores.
+    *
+    * Scale: the feature stream is 2·tokens−1 rows in the scan stage; ONE
+    * corpus aggregate into nBuckets rows (target counts ride along as a
+    * conditional sum — no second pass); the score table is nBuckets rows
+    * broadcast onto the stream; one (doc_id) aggregate. The fixed bucket
+    * space is the point at 100 TB: vocabulary grows with the corpus,
+    * the hashed LM does not.
+    */
+  def dsirHashedWeights(spark: SparkSession, d: String,
+      targetLang: String = "en", nBuckets: Int = 4096): DataFrame = {
+    import spark.implicits._
+    val base = documents(spark, d).select($"doc_id", $"lang", tokens($"text").as("ws"))
+    val feats = base.select($"doc_id", $"lang",
+        explode(concat($"ws", when(size($"ws") >= 2,
+          zip_with(slice($"ws", lit(1), size($"ws") - 1), slice($"ws", lit(2), size($"ws") - 1),
+            (a, b) => concat_ws(" ", a, b)))
+          .otherwise(array().cast("array<string>")))).as("f"))
+      .select($"doc_id", $"lang",
+        pmod(graft.functions.Hashing.md5Bits32(concat(lit("dsir:"), $"f"), 1),
+          lit(nBuckets.toLong)).as("b"))
+    val buckets = graft.core.Memo(spark, cache = true,
+        "dsirHashedBuckets", d, targetLang, nBuckets.toString) {
+      feats.groupBy($"b").agg(count(lit(1)).as("cr"),
+        sum(when($"lang" === targetLang, 1L).otherwise(0L)).as("ct"))
+    }
+    val Row(tr: Long, tt: Long) =
+      buckets.agg(sum($"cr"), sum($"ct")).head()
+    val scores = buckets.select($"b",
+      round((log2(($"ct" + 1).cast("double") / lit((tt + nBuckets).toDouble)) -
+        log2(($"cr" + 1).cast("double") / lit((tr + nBuckets).toDouble)))
+        * lit(1000000.0)).cast("long").as("sq"))
+    feats.join(broadcast(scores), "b")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum($"sq").as("logratio_q"))
+      .select($"doc_id", $"n_feats", $"logratio_q",
+        ($"logratio_q".cast("double") / lit(1000000.0)).as("log_ratio"))
+  }
+
   /** Per-source corpus datasheet — the one-query report a pipeline run
     * publishes: volume (docs, chars, BPE-budget tokens), diversity
     * (languages, exact-duplicate docs via distinct fingerprints), and a
