@@ -117,6 +117,7 @@ object SparkEntry {
     "q89_backoff_surprisal" -> ((s, d) => Text.backoffSurprisal(s, d)),
     "q90_dsir_hashed"     -> ((s, d) => Text.dsirHashedWeights(s, d)),
     "q91_ann_ivf_pq"      -> ((s, d) => Similarity.annIvfPq(s, d)),
+    "q92_budget_admission" -> ((s, d) => StreamProjections.budgetAdmissionBatch(s, d)),
   )
 
   /** Jelinek-Mercer interpolation oracle: λ and 1−λ are emitted from the
@@ -1650,5 +1651,18 @@ object SparkEntry {
          |                            ORDER BY approx_cos DESC, n_id ASC) AS rnk
          |  FROM cosx)
          |WHERE rnk <= 5""".stripMargin,
+    // event-time-ordered budget admission: running sum per source over
+    // the md5 pseudo-arrival order; admit while used-before < budget
+    "q92_budget_admission" ->
+      s"""WITH docs AS (SELECT doc_id, source,
+         |  len(regexp_split_to_array(lower(text), '\\s+'))::BIGINT AS n_tokens,
+         |  (${md5Bits32Sql("'curts:' || doc_id::VARCHAR", 1)}) % 86400 AS ts_s
+         |  FROM documents),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |        sum(n_tokens) OVER (PARTITION BY source ORDER BY ts_s, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM docs)
+         |SELECT doc_id, source, n_tokens, cum::BIGINT AS budget_used
+         |FROM c WHERE cum - n_tokens < 700""".stripMargin,
   )
 }

@@ -95,4 +95,46 @@ object StreamProjections {
       }
       .toDF("cell", "bucket", "slope", "n")
   }
+
+  /** The event-time-ordered budget-admission FOLD of
+    * streaming/CurationStream.BudgetProcessor, expressed relationally:
+    * per source, docs fold in (ts, doc_id) order and a doc is admitted
+    * while the budget still has room BEFORE it (used < budget ⇒ admit,
+    * used += n) — which is exactly `running_sum − n < budget` with
+    * `budget_used = running_sum`. One window per source; CurationStream-
+    * Spec asserts this fold row-matches the live transformWithState
+    * operator on its 500-doc reverse-arrival fixture.
+    */
+  def orderedAdmissionFold(docs: DataFrame, budget: Long): DataFrame = {
+    import docs.sparkSession.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"ts_s", $"doc_id")
+    docs.withColumn("budget_used", sum($"n_tokens").over(w))
+      .filter($"budget_used" - $"n_tokens" < budget)
+      .select($"doc_id", $"source", $"n_tokens", $"budget_used")
+  }
+
+  /** Batch projection of `budgetAdmissionOrdered` onto the oracle
+    * scoreboard (the q47/q48 pattern): documents get a deterministic
+    * pseudo-arrival event time (md5 of the doc id — deliberately NOT
+    * doc_id order, so the ordered fold is exercised against an
+    * adversarial arrival permutation), then the admission fold runs per
+    * source against `budget`.
+    *
+    * Scale: one hash in the scan stage, one running-sum window per
+    * source — the same single-shuffle shape the streaming form's state
+    * store replaces; nothing driver-side.
+    */
+  def budgetAdmissionBatch(spark: SparkSession, d: String,
+      budget: Long = 700): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TextFunctions.tokens
+    orderedAdmissionFold(
+      documents(spark, d).select($"doc_id", $"source",
+        size(tokens($"text")).cast("long").as("n_tokens"),
+        pmod(graft.functions.Hashing.md5Bits32(
+          concat(lit("curts:"), $"doc_id".cast("string")), 1),
+          lit(86400L)).as("ts_s")),
+      budget)
+  }
 }

@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.lit
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.streaming.CurationStream
@@ -94,6 +95,17 @@ class CurationStreamSpec extends AnyFunSuite {
       assert(rows.map(_.budget_used).toSeq == (1 to 7).map(_ * 3L))
       val plan = TestSpark.streamingPlan(query)
       assert(plan.contains("TransformWithState"), plan)
+      // the BATCH projection (q92's fold) must reproduce the live
+      // operator's admitted set row-for-row on the same skewed fixture
+      val batch = graft.operators.StreamProjections.orderedAdmissionFold(
+          hot.toSeq.toDF("doc_id", "ts", "text", "source")
+            .select($"doc_id", $"source",
+              lit(3L).as("n_tokens"), $"ts".cast("long").as("ts_s")),
+          budget = 20L)
+        .as[Admitted].collect().sortBy(_.doc_id)
+      assert(batch.map(r => (r.doc_id, r.n_tokens, r.budget_used)).toSeq ==
+        rows.map(r => (r.doc_id, r.n_tokens, r.budget_used)).toSeq,
+        "batch fold must equal the streaming admission")
     } finally {
       query.stop()
       prevProvider match {
