@@ -437,39 +437,47 @@ object Similarity {
           (a, b) => a - b))
     }
     // ---- per-sub-space codebooks: seed with the ks lowest vec_ids' residual
-    // sub-vectors, then Lloyd rounds with re-quantized means ----
+    // sub-vectors, then Lloyd rounds with re-quantized means. ALL m
+    // sub-spaces assign in ONE job per round (a broadcast codebook join +
+    // min(struct) argmin), not m serial jobs — at m=16 the per-job
+    // overhead of the loop form dominated the whole query ----
     def subSlice(col: Column, s: Int): Column = slice(col, s * subDim + 1, subDim)
+    val subs = assigned.select($"vec_id", $"list_id",
+      posexplode(array((0 until m).map(s => subSlice($"resid", s)): _*))
+        .as(Seq("sub", "sv")))
     val seedRows = assigned.filter($"vec_id" < ks)
       .select($"vec_id", $"resid").collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1)))
     var books: Array[Array[(Long, Seq[Long])]] = Array.tabulate(m)(s =>
       seedRows.sortBy(_._1).map { case (id, res) =>
         (id, res.slice(s * subDim, (s + 1) * subDim)) })
-    def argminCode(sv: Column, book: Array[(Long, Seq[Long])]): Column =
-      array_min(array(book.sortBy(_._1).map { case (code, q) =>
-        val q2 = q.map(x => x * x).sum
-        // reduced distance: −2⟨r,u⟩ + ‖u‖² — ‖r‖² is constant per row
-        struct((lit(q2) - lit(2L) * dotPreQ(sv, typedLit(q))).as("rd"),
-          lit(code).as("code"))
-      }: _*)).getField("code")
+    def bookDFof(bks: Array[Array[(Long, Seq[Long])]]): DataFrame =
+      (for { s <- 0 until m; (code, u) <- bks(s) }
+        yield (s, code, u, u.map(x => x * x).sum))
+        .toSeq.toDF("sub", "code", "cw", "q2")
+    // reduced distance: −2⟨r,u⟩ + ‖u‖² — ‖r‖² is a per-row constant that
+    // cannot change the argmin or its (dist, code) ties
+    def assignCodes(bks: Array[Array[(Long, Seq[Long])]]): DataFrame =
+      subs.join(broadcast(bookDFof(bks)), "sub")
+        .select($"vec_id", $"list_id", $"sub", $"sv",
+          struct(($"q2" - lit(2L) * dotPreQ($"sv", $"cw")).as("rd"),
+            $"code".as("code")).as("opt"))
+        .groupBy($"vec_id", $"list_id", $"sub")
+        .agg(min($"opt").getField("code").as("code"), first($"sv").as("sv"))
     for (_ <- 1 to pqUpdates) {
-      books = Array.tabulate(m) { s =>
-        assigned.select($"vec_id", subSlice($"resid", s).as("sv"))
-          .select(argminCode($"sv", books(s)).as("code"),
-            posexplode($"sv").as(Seq("i", "q")))
-          .groupBy($"code", $"i")
-          .agg(round(sum($"q").cast("double") / count(lit(1))).cast("long").as("cq"))
-          .collect()
-          .groupBy(_.getLong(0)).map { case (code, rs) =>
-            (code, rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq)
+      books = assignCodes(books)
+        .select($"sub", $"code", posexplode($"sv").as(Seq("i", "q")))
+        .groupBy($"sub", $"code", $"i")
+        .agg(round(sum($"q").cast("double") / count(lit(1))).cast("long").as("cq"))
+        .collect()
+        .groupBy(_.getInt(0)).toArray.sortBy(_._1).map { case (_, subRows) =>
+          subRows.groupBy(_.getLong(1)).map { case (code, rs) =>
+            (code, rs.sortBy(_.getInt(2)).map(_.getLong(3)).toSeq)
           }.toArray
-      }
+        }
     }
     // ---- encode: m codes per vector under the trained books ----
-    val codes = (0 until m).map { s =>
-      assigned.select($"vec_id", $"list_id", lit(s).as("sub"),
-        argminCode(subSlice($"resid", s), books(s)).as("code"))
-    }.reduce(_ union _)
+    val codes = assignCodes(books).select($"vec_id", $"list_id", $"sub", $"code")
     // ---- integer lookup tables (driver-computed, tiny) ----
     val cc2 = typedLit(cents.map { case (cid, q) => cid -> q.map(x => x * x).sum }.toMap)
     val luDF = (for {
