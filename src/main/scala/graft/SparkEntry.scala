@@ -118,6 +118,7 @@ object SparkEntry {
     "q90_dsir_hashed"     -> ((s, d) => Text.dsirHashedWeights(s, d)),
     "q91_ann_ivf_pq"      -> ((s, d) => Similarity.annIvfPq(s, d)),
     "q92_budget_admission" -> ((s, d) => StreamProjections.budgetAdmissionBatch(s, d)),
+    "q93_substring_decon" -> ((s, d) => Contamination.substringDecontaminate(s, d)),
   )
 
   /** Jelinek-Mercer interpolation oracle: λ and 1−λ are emitted from the
@@ -1664,5 +1665,38 @@ object SparkEntry {
          |      FROM docs)
          |SELECT doc_id, source, n_tokens, cum::BIGINT AS budget_used
          |FROM c WHERE cum - n_tokens < 700""".stripMargin,
+    // asymmetric diagonal-run overlap (the q88 construction) between the
+    // md5 "eval:" 5% bucket and the training remainder, 8-gram seeds
+    "q93_substring_decon" ->
+      s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w,
+         |                (${md5Bits32Sql("'eval:' || doc_id::VARCHAR", 1)}) % 100 AS b
+         |              FROM documents),
+         |pg AS (SELECT doc_id, b, i AS p,
+         |         ${(0 until 8).map(j => s"w[i+$j]").mkString(" || ' ' || ")} AS s
+         |       FROM toks, unnest(range(1, len(w)-6)) AS t(i) WHERE len(w) >= 8),
+         |ev AS (SELECT doc_id AS ed, p AS ep, s FROM pg WHERE b < 5),
+         |tr AS (SELECT doc_id, p, s FROM pg WHERE b >= 5),
+         |pairs AS (SELECT tr.doc_id, tr.p, ev.ed, tr.p - ev.ep AS diag
+         |          FROM tr JOIN ev USING (s)),
+         |runs AS (SELECT doc_id, ed, diag, grp, min(p) AS start, count(*) + 7 AS len
+         |         FROM (SELECT doc_id, p, ed, diag,
+         |                 p - row_number() OVER (
+         |                   PARTITION BY doc_id, ed, diag ORDER BY p) AS grp
+         |               FROM pairs)
+         |         GROUP BY 1, 2, 3, 4),
+         |sw AS (SELECT doc_id, start, len,
+         |         max(start + len - 1) OVER (PARTITION BY doc_id
+         |           ORDER BY start, (start + len) DESC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |       FROM runs),
+         |pd AS (SELECT doc_id, max(len) AS mx,
+         |         sum(greatest(0, (start + len - 1)
+         |           - greatest(coalesce(prev_end, 0), start - 1))) AS covered
+         |       FROM sw GROUP BY 1)
+         |SELECT t.doc_id, len(t.w)::BIGINT AS n_tokens,
+         |       coalesce(pd.mx, 0)::BIGINT AS max_eval_run,
+         |       coalesce(pd.covered, 0)::BIGINT AS covered_tokens,
+         |       coalesce(pd.mx, 0) >= 8 AS contaminated
+         |FROM toks t LEFT JOIN pd ON t.doc_id = pd.doc_id WHERE t.b >= 5""".stripMargin,
   )
 }

@@ -51,6 +51,58 @@ object Contamination {
         (coalesce($"n_overlap", lit(0L)) > 0L).as("contaminated"))
   }
 
+  /** EXACT-SUBSTRING decontamination — the stronger form of
+    * `decontaminate` (distinct-shingle overlap counting): per training
+    * document, the length of the longest token run shared VERBATIM with
+    * any eval-set document, plus how many of its tokens sit inside such
+    * runs. This is the overlap the Lee et al. suffix-array method reads
+    * off and what large-model decontamination actually gates on (a long
+    * contiguous copy of a benchmark item is disqualifying even when the
+    * distinct-n-gram overlap count looks mild).
+    *
+    * Same diagonal-run construction as Dedup.maxDupRuns, made ASYMMETRIC:
+    * only grams that occur in the eval set seed the position join
+    * (dictionary semi-join first — eval is benchmark-sized, so the seed
+    * filter kills almost the whole corpus before any pairing), and runs
+    * pair train positions against eval positions only — never
+    * train×train. Cost ∝ train occurrences of eval grams, not corpus².
+    */
+  def substringDecontaminate(spark: SparkSession, d: String,
+      n: Int = 8, evalPct: Int = 5): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+    val docs = documents(spark, d)
+      .select($"doc_id", tokens($"text").as("ws"), evalBucket($"doc_id").as("b"))
+    val pg = docs.select($"doc_id", $"b",
+        posexplode(Hashing.shinglesAll($"ws", n)).as(Seq("p0", "s")))
+      .select($"doc_id", $"b", ($"p0" + 1).as("p"), $"s")
+    val evalOcc = pg.filter($"b" < evalPct).select($"doc_id".as("ed"), $"p".as("ep"), $"s")
+    val trainOcc = pg.filter($"b" >= evalPct).select($"doc_id", $"p", $"s")
+    val pairs = trainOcc.join(evalOcc, "s")
+      .select($"doc_id", $"p", $"ed", ($"p" - $"ep").as("diag"))
+    val runs = pairs
+      .withColumn("grp", $"p" - row_number().over(
+        w.partitionBy($"doc_id", $"ed", $"diag").orderBy($"p")))
+      .groupBy($"doc_id", $"ed", $"diag", $"grp")
+      .agg(min($"p").as("start"), (count(lit(1)) + (n - 1)).as("len"))
+    val sweep = w.partitionBy($"doc_id")
+      .orderBy($"start", ($"start" + $"len").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val perDoc = runs
+      .withColumn("prev_end", max($"start" + $"len" - 1).over(sweep))
+      .groupBy($"doc_id")
+      .agg(max($"len").as("max_eval_run"),
+        sum(greatest(lit(0), ($"start" + $"len" - 1) -
+          greatest(coalesce($"prev_end", lit(0)), $"start" - 1))).as("covered"))
+    docs.filter($"b" >= evalPct)
+      .select($"doc_id", size($"ws").cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens",
+        coalesce($"max_eval_run", lit(0L)).cast("long").as("max_eval_run"),
+        coalesce($"covered", lit(0L)).cast("long").as("covered_tokens"),
+        (coalesce($"max_eval_run", lit(0L)) >= n).as("contaminated"))
+  }
+
   /** Cross-document boilerplate fraction: a 3-gram shingle is boilerplate
     * when it occurs in ≥ `minFrac` of all documents (headers, footers,
     * navigation chrome in a crawl); each document reports its distinct

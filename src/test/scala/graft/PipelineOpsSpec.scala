@@ -26,6 +26,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("substringDecontaminate: runs bound coverage; agrees with the n-gram form") {
+    import spark.implicits._
+    val out = Contamination.substringDecontaminate(spark, sf)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    val ngram = Contamination.decontaminate(spark, sf)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r._2).toMap
+    assert(out.length == ngram.size, "same train/eval partition as q59")
+    out.foreach { case (id, n, mx, cov, flag) =>
+      assert(mx <= n && cov <= n && mx <= cov || (mx == 0 && cov == 0), s"doc $id")
+      assert(flag == (mx >= 8), s"doc $id flag")
+      // an 8-token verbatim run contains 5-gram shingles, so any doc the
+      // substring form flags must also overlap in q59's distinct-5-gram
+      // count (the converse is deliberately weaker — that is the point)
+      if (flag) assert(ngram(id) > 0, s"doc $id: substring hit but no 5-gram overlap")
+    }
+    assert(out.exists(_._5), "planted twins straddling the split must flag")
+  }
+
   test("boilerplate fractions are consistent and dictionary is honest") {
     import spark.implicits._
     val rows = Contamination.boilerplate(spark, sf)
