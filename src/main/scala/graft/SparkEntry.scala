@@ -104,7 +104,7 @@ object SparkEntry {
     "q76_corpus_report"   -> ((s, d) => Text.corpusReport(s, d)),
     "q77_bigram_surprisal" -> ((s, d) => Text.bigramSurprisal(s, d)),
     "q78_crossmodal_quality" -> ((s, d) => Similarity.crossModalQuality(s, d)),
-    "q79_bpe_train"       -> ((s, d) => Text.bpeTrain(s, d)),
+    "q79_bpe_train"       -> ((s, d) => Text.bpeTrained(s, d)),
     "q80_report_approx"   -> ((s, d) => Text.corpusReportApprox(s, d)),
     "q81_calibrated_approx" -> ((s, d) => Text.calibratedFilterApprox(s, d)),
     "q82_canonical_docs"  -> ((s, d) => Dedup.canonicalDocs(s, d)),
@@ -119,6 +119,7 @@ object SparkEntry {
     "q91_ann_ivf_pq"      -> ((s, d) => Similarity.annIvfPq(s, d)),
     "q92_budget_admission" -> ((s, d) => StreamProjections.budgetAdmissionBatch(s, d)),
     "q93_substring_decon" -> ((s, d) => Contamination.substringDecontaminate(s, d)),
+    "q94_bpe_encode"      -> ((s, d) => Text.bpeEncode(s, d)),
   )
 
   /** Jelinek-Mercer interpolation oracle: λ and 1−λ are emitted from the
@@ -159,7 +160,11 @@ object SparkEntry {
     * trajectory pattern). `replace` shares the left-to-right
     * non-overlapping contract across both engines.
     */
-  private def bpeTrainSql(nMerges: Int): String = {
+  /** The shared BPE-training CTE chain (w0 word table, per-step pair
+    * counts pc_j, best pair b_j, merged word tables w_j) — the body of
+    * both the q79 trajectory oracle and q94's encode oracle.
+    */
+  private def bpeStepCtes(nMerges: Int): String = {
     val base =
       """WITH w0 AS (
         |  SELECT regexp_replace(w, '(.)', '|\1|', 'g') AS s, count(*) AS n
@@ -183,10 +188,42 @@ object SparkEntry {
          |b$j AS (SELECT lsym, rsym, cnt FROM pc$j
          |        ORDER BY cnt DESC, lsym, rsym LIMIT 1)""".stripMargin + merge
     }.mkString
+    base + steps
+  }
+
+  private def bpeTrainSql(nMerges: Int): String = {
     val out = (1 to nMerges).map { j =>
       s"SELECT $j::BIGINT AS step, lsym, rsym, lsym || rsym AS merged, cnt FROM b$j"
     }.mkString("\n", "\nUNION ALL ", "")
-    base + steps + out
+    bpeStepCtes(nMerges) + out
+  }
+
+  /** q94: re-derive the merges (bpeStepCtes), then apply them to every
+    * eligible word occurrence as the same nested left-to-right replace
+    * the trainer uses; pieces = number of `||` separators + 1.
+    */
+  private def bpeEncodeSql(nMerges: Int): String = {
+    val encExpr = (1 to nMerges).foldLeft("regexp_replace(w, '(.)', '|\\1|', 'g')") {
+      (acc, j) =>
+        s"""replace($acc,
+           |  (SELECT '|' || lsym || '||' || rsym || '|' FROM b$j),
+           |  (SELECT '|' || lsym || rsym || '|' FROM b$j))""".stripMargin
+    }
+    bpeStepCtes(nMerges) + s""",
+       |enc AS (SELECT doc_id, $encExpr AS s
+       |        FROM (SELECT doc_id,
+       |                unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+       |              FROM documents)
+       |        WHERE regexp_full_match(w, '[a-z]+') AND strlen(w) >= 2),
+       |pd AS (SELECT doc_id, count(*) AS n_bpe_words,
+       |         sum((strlen(s) - strlen(replace(s, '||', ''))) // 2 + 1)::BIGINT
+       |           AS n_pieces
+       |       FROM enc GROUP BY 1)
+       |SELECT d.doc_id, coalesce(pd.n_bpe_words, 0)::BIGINT AS n_bpe_words,
+       |       coalesce(pd.n_pieces, 0)::BIGINT AS n_pieces,
+       |       coalesce(pd.n_pieces::DOUBLE / pd.n_bpe_words::DOUBLE, 0.0)
+       |         AS mean_pieces
+       |FROM (SELECT doc_id FROM documents) d LEFT JOIN pd ON d.doc_id = pd.doc_id""".stripMargin
   }
 
   /** Unrolled min-label-propagation oracle for dedup clusters (mirrors
@@ -1698,5 +1735,6 @@ object SparkEntry {
          |       coalesce(pd.covered, 0)::BIGINT AS covered_tokens,
          |       coalesce(pd.mx, 0) >= 8 AS contaminated
          |FROM toks t LEFT JOIN pd ON t.doc_id = pd.doc_id WHERE t.b >= 5""".stripMargin,
+    "q94_bpe_encode" -> bpeEncodeSql(3),
   )
 }

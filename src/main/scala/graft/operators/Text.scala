@@ -247,6 +247,56 @@ object Text {
     * Iterative-refinement precedent in the reference:
     * gelly_java/PageRankWithEdgeWeights.java:103-104.
     */
+  /** Memoized BPE training trajectory — q79 emits it, q94 (`bpeEncode`)
+    * applies it: one training loop per session feeds both.
+    */
+  def bpeTrained(spark: SparkSession, d: String, nMerges: Int = 3): DataFrame =
+    graft.core.Memo(spark, cache = true, "bpeMerges", d, nMerges.toString) {
+      bpeTrain(spark, d, nMerges)
+    }
+
+  /** BPE ENCODE — apply the trained merge trajectory to segment every
+    * eligible word ([a-z]{2,}, the training filter) of every document,
+    * reporting per-doc word/piece counts and mean pieces-per-word (the
+    * fertility statistic tokenizer work tracks). Applying merge j is the
+    * IDENTICAL string transform the trainer applies to its word table
+    * between steps (left-to-right non-overlapping replace on the
+    * symbol-delimited form), so encode∘train is self-consistent by
+    * construction — the spec asserts the trainer's step-3 pair counts
+    * are reproduced by re-counting pairs on encoded output.
+    *
+    * Scale: merges collect ONE ROW PER STEP (the bpeTrain shape); encode
+    * is a scan-stage chain of `nMerges` literal replaces — no join, no
+    * shuffle before the (doc_id) aggregate. A production vocab is 10⁴⁻⁵
+    * merges, where the chain becomes a trie/loop inside one expression —
+    * same plumbing, the per-merge-literal form is the small-n rung.
+    */
+  def bpeEncode(spark: SparkSession, d: String, nMerges: Int = 3): DataFrame = {
+    import spark.implicits._
+    val merges = bpeTrained(spark, d, nMerges).orderBy($"step").collect()
+    val words = documents(spark, d)
+      .select($"doc_id", explode(tokens($"text")).as("w"))
+      .filter($"w".rlike("^[a-z]+$") && length($"w") >= 2)
+    var enc: Column = regexp_replace($"w", "(.)", "|$1|")
+    merges.foreach { r =>
+      val (l, rr) = (r.getString(1), r.getString(2))
+      enc = replace(enc, lit(s"|$l||$rr|"), lit(s"|$l$rr|"))
+    }
+    val perDoc = words.select($"doc_id", enc.as("s"))
+      .select($"doc_id",
+        ((length($"s") - length(replace($"s", lit("||"), lit("")))) / 2 + 1)
+          .cast("long").as("pieces"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bpe_words"), sum($"pieces").as("n_pieces"))
+    documents(spark, d).select($"doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_bpe_words", lit(0L)).as("n_bpe_words"),
+        coalesce($"n_pieces", lit(0L)).as("n_pieces"),
+        coalesce($"n_pieces".cast("double") / $"n_bpe_words".cast("double"), lit(0.0))
+          .as("mean_pieces"))
+  }
+
   def bpeTrain(spark: SparkSession, d: String, nMerges: Int = 3): DataFrame = {
     import spark.implicits._
     var words = documents(spark, d)

@@ -411,6 +411,39 @@ class PipelineOpsSpec extends AnyFunSuite {
   }
   private def log2(x: Double) = math.log(x) / math.log(2)
 
+  test("bpeEncode matches an independent in-JVM re-encode of every document") {
+    import spark.implicits._
+    val merges = Text.bpeTrained(spark, sf).orderBy($"step")
+      .select($"lsym", $"rsym").as[(String, String)].collect().toSeq
+    assert(merges.length == 3)
+    def pieces(w: String): Long = {
+      var s = w.flatMap(c => s"|$c|")
+      merges.foreach { case (l, r) => s = s.replace(s"|$l||$r|", s"|$l$r|") }
+      ("\\|\\|".r.findAllMatchIn(s).length + 1).toLong
+    }
+    val expect = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", split(lower($"text"), "\\s+").as("ws"))
+      .as[(Long, Seq[String])].collect().map { case (id, ws) =>
+        val ok = ws.filter(w => w.matches("^[a-z]+$") && w.length >= 2)
+        id -> (ok.length.toLong, ok.map(pieces).sum)
+      }.toMap
+    val got = Text.bpeEncode(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.length == expect.size)
+    got.foreach { case (id, nw, np, mean) =>
+      assert((nw, np) == expect(id), s"doc $id")
+      assert(nw == 0 || math.abs(mean - np.toDouble / nw) < 1e-15)
+      assert(np >= nw, s"doc $id: every word is at least one piece")
+    }
+    // merges genuinely fire: total pieces < total pre-merge symbols
+    val totalPieces = got.map(_._3).sum
+    val totalSymbols = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(lower($"text"), "\\s+")).as("w"))
+      .filter($"w".rlike("^[a-z]+$") && length($"w") >= 2)
+      .agg(sum(length($"w"))).as[Long].head()
+    assert(totalPieces < totalSymbols, s"$totalPieces vs $totalSymbols")
+  }
+
   test("dsirHashedWeights: fixed bucket space, exact sums, target domain separates") {
     import spark.implicits._
     val got = Text.dsirHashedWeights(spark, sf)
