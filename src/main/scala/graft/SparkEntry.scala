@@ -120,6 +120,7 @@ object SparkEntry {
     "q92_budget_admission" -> ((s, d) => StreamProjections.budgetAdmissionBatch(s, d)),
     "q93_substring_decon" -> ((s, d) => Contamination.substringDecontaminate(s, d)),
     "q94_bpe_encode"      -> ((s, d) => Text.bpeEncode(s, d)),
+    "q95_zipf_fit"        -> ((s, d) => Text.zipfFit(s, d)),
   )
 
   /** Jelinek-Mercer interpolation oracle: λ and 1−λ are emitted from the
@@ -1736,5 +1737,22 @@ object SparkEntry {
          |       coalesce(pd.mx, 0) >= 8 AS contaminated
          |FROM toks t LEFT JOIN pd ON t.doc_id = pd.doc_id WHERE t.b >= 5""".stripMargin,
     "q94_bpe_encode" -> bpeEncodeSql(3),
+    // OLS of log2(count) on log2(rank) over the ranked vocab; the slope
+    // double derives from the same exact integer sums in the same order
+    "q95_zipf_fit" ->
+      """WITH u AS (SELECT w, count(*) AS c FROM (
+        |        SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        |        FROM documents) GROUP BY 1),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rank FROM u),
+        |q AS (SELECT round(log2(rank::DOUBLE) * 1000000.0)::BIGINT AS xq,
+        |             round(log2(c::DOUBLE) * 1000000.0)::BIGINT AS yq FROM r),
+        |s AS (SELECT count(*)::BIGINT AS n, sum(xq)::BIGINT AS sx,
+        |             sum(yq)::BIGINT AS sy, sum(xq*yq)::BIGINT AS sxy,
+        |             sum(xq*xq)::BIGINT AS sxx FROM q)
+        |SELECT n AS n_vocab,
+        |       (n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE AS slope,
+        |       (sy::DOUBLE - ((n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE)
+        |          * sx::DOUBLE) / (n::DOUBLE * 1000000.0) AS intercept
+        |FROM s""".stripMargin,
   )
 }

@@ -433,6 +433,40 @@ object Text {
         ($"rn".cast("long") + element_at(typedLit(offsets), $"pid")).as("token_id"))
   }
 
+  /** Zipf rank-frequency fit: OLS slope/intercept of log₂(count) on
+    * log₂(rank) over the frequency-ranked vocabulary — the one-line
+    * corpus health check (natural text sits near slope −1; a synthetic
+    * or template-flooded corpus flattens). Composes the two-phase
+    * distributed rank (`rankedVocab`) with the quantized-exact
+    * regression discipline (q12): per-word (x, y) quantize to 1e6
+    * integers once, the five OLS sums are exact integer adds, and both
+    * engines derive the doubles from identical integers in an identical
+    * operation order.
+    *
+    * Scale: the fit runs over the VOCABULARY (corpus-sublinear), one
+    * map-side-combined aggregate after the rank; at a billions-row vocab
+    * the long sums upgrade to DECIMAL(38) (StableNum's trick) — the
+    * quantization already caps per-term magnitude at ~2⁵⁵ per 2³⁰ rows.
+    */
+  def zipfFit(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val q = rankedVocab(spark, d).select(
+      round(log2($"token_id".cast("double")) * lit(1000000.0)).cast("long").as("xq"),
+      round(log2($"c".cast("double")) * lit(1000000.0)).cast("long").as("yq"))
+    val s = q.agg(
+      count(lit(1)).as("n"),
+      sum($"xq").as("sx"), sum($"yq").as("sy"),
+      sum($"xq" * $"yq").as("sxy"), sum($"xq" * $"xq").as("sxx"))
+    val slope = ($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+      ($"n" * $"sxx" - $"sx" * $"sx").cast("double")
+    // slope is scale-free (x and y carry the same 1e6 factor); the
+    // intercept is in quantized-y units and divides it back out
+    s.select($"n".as("n_vocab"),
+      slope.as("slope"),
+      (($"sy".cast("double") - slope * $"sx".cast("double")) /
+        ($"n".cast("double") * lit(1000000.0))).as("intercept"))
+  }
+
   /** Tokenizer application: map every token to its integer id under the
     * frequency-ranked vocabulary (`rankedVocab`) — the text→ids step
     * before packing. Output is the exploded (doc_id, pos, token_id)

@@ -75,6 +75,11 @@ class MemoSpec extends AnyFunSuite {
     assert(keys.size == 1, s"expected one shared pack table, got $keys")
   }
 
+  test("q79/q94 share one BPE training trajectory") {
+    val keys = sharedKeys("bpeMerges", "q79_bpe_train", "q94_bpe_encode")
+    assert(keys.size == 1, s"expected one shared merge table, got $keys")
+  }
+
   test("a non-default pair generator is never memoized (no stale-closure trap)") {
     val s = spark.newSession()
     try {

@@ -411,6 +411,30 @@ class PipelineOpsSpec extends AnyFunSuite {
   }
   private def log2(x: Double) = math.log(x) / math.log(2)
 
+  test("zipfFit: ~-1 slope on Zipfian text, flat slope flags the synthetic corpus") {
+    import spark.implicits._
+    // seeded Zipf(1.0) sampler over a 200-word vocabulary
+    val rnd = new scala.util.Random(13)
+    val harmonic = (1 to 200).map(1.0 / _).sum
+    def draw(): Int = {
+      var u = rnd.nextDouble() * harmonic; var r = 0
+      while (u > 0 && r < 200) { r += 1; u -= 1.0 / r }
+      r
+    }
+    val docs = Seq.tabulate(400)(i =>
+      (i.toLong, Seq.fill(60)(s"z${draw()}").mkString(" ")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-zipf").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val Array((nz, zslope)) = Text.zipfFit(spark, dir)
+      .select($"n_vocab", $"slope").as[(Long, Double)].collect()
+    assert(nz >= 150 && zslope < -0.75 && zslope > -1.35,
+      s"Zipfian corpus should fit near -1, got $zslope over $nz words")
+    // the driver's near-uniform synthetic corpus must read as NON-Zipfian
+    val flat = Text.zipfFit(spark, sf).select($"slope").as[Double].head()
+    assert(flat > -0.4, s"flat corpus should flag (slope $flat)")
+  }
+
   test("bpeEncode matches an independent in-JVM re-encode of every document") {
     import spark.implicits._
     val merges = Text.bpeTrained(spark, sf).orderBy($"step")
