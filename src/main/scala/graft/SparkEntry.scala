@@ -121,6 +121,7 @@ object SparkEntry {
     "q93_substring_decon" -> ((s, d) => Contamination.substringDecontaminate(s, d)),
     "q94_bpe_encode"      -> ((s, d) => Text.bpeEncode(s, d)),
     "q95_zipf_fit"        -> ((s, d) => Text.zipfFit(s, d)),
+    "q96_source_divergence" -> ((s, d) => Text.sourceDivergence(s, d)),
   )
 
   /** Jelinek-Mercer interpolation oracle: λ and 1−λ are emitted from the
@@ -1754,5 +1755,37 @@ object SparkEntry {
         |       (sy::DOUBLE - ((n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE)
         |          * sx::DOUBLE) / (n::DOUBLE * 1000000.0) AS intercept
         |FROM s""".stripMargin,
+    // per-source KL(p_source || p_corpus) over the full hashed bucket
+    // space, add-one smoothed both sides; per-(source,bucket) terms
+    // quantize to 1e12 integers so the sums are order-independent
+    "q96_source_divergence" ->
+      s"""WITH toks AS (SELECT doc_id, source,
+         |                regexp_split_to_array(lower(text), '\\s+') AS w
+         |              FROM documents),
+         |f AS (SELECT doc_id, source, unnest(w) AS f FROM toks
+         |      UNION ALL
+         |      SELECT doc_id, source, w[i] || ' ' || w[i+1] AS f
+         |      FROM toks, unnest(range(1, len(w))) AS t(i) WHERE len(w) >= 2),
+         |hb AS (SELECT source, (${md5Bits32Sql("'dsir:' || f", 1)}) % 4096 AS b
+         |       FROM f),
+         |allb AS (SELECT unnest(range(4096)) AS b),
+         |corpus AS (SELECT b, count(*) AS cb FROM hb GROUP BY 1),
+         |nt AS (SELECT sum(cb)::BIGINT AS n FROM corpus),
+         |bs AS (SELECT source, b, count(*) AS csb FROM hb GROUP BY 1, 2),
+         |tt AS (SELECT source, sum(csb)::BIGINT AS ns FROM bs GROUP BY 1),
+         |grid AS (SELECT tt.source, tt.ns, coalesce(bs.csb, 0)::BIGINT AS csb,
+         |                coalesce(c.cb, 0)::BIGINT AS cb
+         |         FROM allb a CROSS JOIN tt
+         |         LEFT JOIN corpus c ON c.b = a.b
+         |         LEFT JOIN bs ON bs.source = tt.source AND bs.b = a.b),
+         |term AS (SELECT source, ns,
+         |           round(((csb + 1)::DOUBLE / (ns + 4096)::DOUBLE)
+         |             * (log2((csb + 1)::DOUBLE / (ns + 4096)::DOUBLE)
+         |                - log2((cb + 1)::DOUBLE / (nt.n + 4096)::DOUBLE))
+         |             * 1000000000000.0)::BIGINT AS tq
+         |         FROM grid, nt)
+         |SELECT source, max(ns)::BIGINT AS n_feats, sum(tq)::BIGINT AS kl_q,
+         |       sum(tq)::DOUBLE / 1000000000000.0 AS kl_bits
+         |FROM term GROUP BY 1""".stripMargin,
   )
 }

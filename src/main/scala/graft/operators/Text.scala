@@ -762,18 +762,29 @@ object Text {
     * space is the point at 100 TB: vocabulary grows with the corpus,
     * the hashed LM does not.
     */
-  def dsirHashedWeights(spark: SparkSession, d: String,
-      targetLang: String = "en", nBuckets: Int = 4096): DataFrame = {
+  /** The hashed unigram+bigram feature stream shared by q90 (DSIR) and
+    * q96 (source divergence): (doc_id, lang, source, bucket) — one row
+    * per feature occurrence, bucket = md5 of the feature mod `nBuckets`.
+    * Scan-stage derivation (cheap to recompute; the AGGREGATES over it
+    * are what memoize).
+    */
+  private def hashedFeats(spark: SparkSession, d: String, nBuckets: Int): DataFrame = {
     import spark.implicits._
-    val base = documents(spark, d).select($"doc_id", $"lang", tokens($"text").as("ws"))
-    val feats = base.select($"doc_id", $"lang",
+    documents(spark, d).select($"doc_id", $"lang", $"source", tokens($"text").as("ws"))
+      .select($"doc_id", $"lang", $"source",
         explode(concat($"ws", when(size($"ws") >= 2,
           zip_with(slice($"ws", lit(1), size($"ws") - 1), slice($"ws", lit(2), size($"ws") - 1),
             (a, b) => concat_ws(" ", a, b)))
           .otherwise(array().cast("array<string>")))).as("f"))
-      .select($"doc_id", $"lang",
+      .select($"doc_id", $"lang", $"source",
         pmod(graft.functions.Hashing.md5Bits32(concat(lit("dsir:"), $"f"), 1),
           lit(nBuckets.toLong)).as("b"))
+  }
+
+  def dsirHashedWeights(spark: SparkSession, d: String,
+      targetLang: String = "en", nBuckets: Int = 4096): DataFrame = {
+    import spark.implicits._
+    val feats = hashedFeats(spark, d, nBuckets)
     val buckets = graft.core.Memo(spark, cache = true,
         "dsirHashedBuckets", d, targetLang, nBuckets.toString) {
       feats.groupBy($"b").agg(count(lit(1)).as("cr"),
@@ -790,6 +801,50 @@ object Text {
       .agg(count(lit(1)).as("n_feats"), sum($"sq").as("logratio_q"))
       .select($"doc_id", $"n_feats", $"logratio_q",
         ($"logratio_q".cast("double") / lit(1000000.0)).as("log_ratio"))
+  }
+
+  /** Per-SOURCE distribution drift: KL(p_source ‖ p_corpus) in bits over
+    * the hashed unigram+bigram bucket space — the "did a scraper break /
+    * did a source shift under us" monitor a multi-source pipeline runs
+    * per ingest. Both LMs are add-one smoothed over the fixed bucket
+    * space (the q90 discipline), so every bucket contributes finitely.
+    *
+    * Exactness: a float SUM of 4096 KL terms would be partial-
+    * aggregation-order dependent — instead each (source, bucket) term
+    * quantizes once to a 1e12 integer (terms are O(p·bits) ≈ 1e-3, so
+    * 1e12 keeps ~9 significant digits) and per-source totals are exact
+    * integer adds, reproducible across engines and partitionings.
+    *
+    * Scale: one (source, bucket) aggregate (map-side combined, key space
+    * |sources|·nBuckets) joined against the nBuckets-row corpus table;
+    * per-source token totals ride the same aggregate.
+    */
+  def sourceDivergence(spark: SparkSession, d: String,
+      nBuckets: Int = 4096): DataFrame = {
+    import spark.implicits._
+    val feats = hashedFeats(spark, d, nBuckets)
+    val corpus = feats.groupBy($"b").agg(count(lit(1)).as("cb"))
+    val nTotal = corpus.agg(sum($"cb")).head().getLong(0)
+    val bySource = feats.groupBy($"source", $"b").agg(count(lit(1)).as("csb"))
+    val totals = bySource.groupBy($"source").agg(sum($"csb").as("ns"))
+    // every (source, bucket) pair over the FULL bucket space contributes
+    // — buckets neither side hit still carry smoothed mass, and dropping
+    // them would truncate both distributions (a truncated "KL" can go
+    // negative). |sources| × nBuckets rows, bounded by construction.
+    val grid = spark.range(nBuckets).toDF("b").crossJoin(totals)
+      .join(corpus, Seq("b"), "left")
+      .join(bySource, Seq("source", "b"), "left")
+      .select($"source", $"ns",
+        coalesce($"csb", lit(0L)).as("csb"),
+        coalesce($"cb", lit(0L)).as("cb"))
+    val ps = ($"csb" + 1).cast("double") / ($"ns" + nBuckets).cast("double")
+    val pc = ($"cb" + 1).cast("double") / lit((nTotal + nBuckets).toDouble)
+    val termQ = round(ps * (log2(ps) - log2(pc)) * lit(1000000000000.0)).cast("long")
+    grid.select($"source", $"ns", termQ.as("tq"))
+      .groupBy($"source")
+      .agg(max($"ns").as("n_feats"), sum($"tq").as("kl_q"))
+      .select($"source", $"n_feats", $"kl_q",
+        ($"kl_q".cast("double") / lit(1000000000000.0)).as("kl_bits"))
   }
 
   /** Per-source corpus datasheet — the one-query report a pipeline run

@@ -411,6 +411,29 @@ class PipelineOpsSpec extends AnyFunSuite {
   }
   private def log2(x: Double) = math.log(x) / math.log(2)
 
+  test("sourceDivergence: KL is non-negative and a drifted source stands out") {
+    import spark.implicits._
+    val real = Text.sourceDivergence(spark, sf)
+      .as[(String, Long, Long, Double)].collect()
+    assert(real.nonEmpty)
+    real.foreach { case (s0, n, _, kl) =>
+      assert(n > 0 && kl >= 0, s"source $s0: KL $kl must be >= 0 (Gibbs)") }
+    // planted drift: two sources share a vocabulary, the third is disjoint
+    val rnd = new scala.util.Random(17)
+    def doc(pfx: String) = Seq.fill(50)(s"$pfx${rnd.nextInt(30)}").mkString(" ")
+    val docs =
+      Seq.tabulate(100)(i => (i.toLong, doc("a"), "en", "ok1")) ++
+      Seq.tabulate(100)(i => ((100 + i).toLong, doc("a"), "en", "ok2")) ++
+      Seq.tabulate(100)(i => ((200 + i).toLong, doc("drift"), "en", "broken"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    docs.toDF("doc_id", "text", "lang", "source").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val kl = Text.sourceDivergence(spark, dir)
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r._4).toMap
+    assert(kl("broken") > 2 * math.max(kl("ok1"), kl("ok2")),
+      s"drifted source must dominate: $kl")
+  }
+
   test("zipfFit: ~-1 slope on Zipfian text, flat slope flags the synthetic corpus") {
     import spark.implicits._
     // seeded Zipf(1.0) sampler over a 200-word vocabulary
