@@ -316,6 +316,52 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "random background should have ~no duplicated 10-gram spans")
   }
 
+  test("property: maxDupRuns equals a brute-force aligned-match oracle on random corpora") {
+    import spark.implicits._
+    // tiny vocabulary forces organic >= 10-token cross-doc matches
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed)
+      val docs: Seq[(Long, Vector[String])] = Seq.tabulate(8) { i =>
+        val len = 25 + rnd.nextInt(16)
+        (i.toLong, Vector.fill(len)(if (rnd.nextBoolean()) "a" else "b"))
+      }
+      val n = 10
+      // brute force: for every ordered doc pair and diagonal, walk the
+      // maximal aligned equal-token segments; segments >= n set the max
+      // and cover their exact span (operator semantics by construction)
+      val expect = docs.map { case (id, ws) =>
+        var mx = 0L
+        val covered = scala.collection.mutable.Set.empty[Int]
+        for ((oid, ows) <- docs if oid != id) {
+          for (diag <- -(ows.length - 1) until ws.length) {
+            var p = math.max(0, diag)
+            while (p < ws.length && (p - diag) < ows.length) {
+              if (ws(p) == ows(p - diag)) {
+                val start = p
+                while (p < ws.length && (p - diag) < ows.length &&
+                  ws(p) == ows(p - diag)) p += 1
+                val len = p - start
+                if (len >= n) {
+                  mx = math.max(mx, len.toLong)
+                  (start until p).foreach(covered += _)
+                }
+              } else p += 1
+            }
+          }
+        }
+        id -> (ws.length.toLong, mx, covered.size.toLong)
+      }.toMap
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-mdrp$seed").toString
+      docs.map { case (id, ws) => (id, ws.mkString(" ")) }
+        .toDF("doc_id", "text").write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      val got = Dedup.maxDupRuns(spark, dir)
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      assert(got == expect, s"seed $seed:\n got    $got\n expect $expect")
+    }
+  }
+
   test("maxDupRuns: exact maximal run lengths on a constructed overlap fixture") {
     import spark.implicits._
     // doc 0 owns a0..a29; doc 1 embeds exactly a5..a24 (20 tokens); doc 3
