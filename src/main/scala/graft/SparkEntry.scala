@@ -205,11 +205,17 @@ object SparkEntry {
     * the trainer uses; pieces = number of `||` separators + 1.
     */
   private def bpeEncodeSql(nMerges: Int): String = {
+    // coalesce each merge's pattern to a chr(1) sentinel (a byte that can
+    // never appear in the '|'-delimited encoding): if the trajectory
+    // exhausts before nMerges (empty b_j — the corpus ran out of pairs),
+    // the replace becomes a no-op instead of NULL-poisoning every word,
+    // matching Spark's bpeEncode which simply applies the shorter
+    // trajectory
     val encExpr = (1 to nMerges).foldLeft("regexp_replace(w, '(.)', '|\\1|', 'g')") {
       (acc, j) =>
         s"""replace($acc,
-           |  (SELECT '|' || lsym || '||' || rsym || '|' FROM b$j),
-           |  (SELECT '|' || lsym || rsym || '|' FROM b$j))""".stripMargin
+           |  coalesce((SELECT '|' || lsym || '||' || rsym || '|' FROM b$j), chr(1)),
+           |  coalesce((SELECT '|' || lsym || rsym || '|' FROM b$j), chr(1)))""".stripMargin
     }
     bpeStepCtes(nMerges) + s""",
        |enc AS (SELECT doc_id, $encExpr AS s
@@ -1751,8 +1757,10 @@ object SparkEntry {
         |             sum(yq)::BIGINT AS sy, sum(xq*yq)::BIGINT AS sxy,
         |             sum(xq*xq)::BIGINT AS sxx FROM q)
         |SELECT n AS n_vocab,
-        |       (n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE AS slope,
-        |       (sy::DOUBLE - ((n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE)
+        |       (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |         / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) AS slope,
+        |       (sy::DOUBLE - ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |           / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE))
         |          * sx::DOUBLE) / (n::DOUBLE * 1000000.0) AS intercept
         |FROM s""".stripMargin,
     // per-source KL(p_source || p_corpus) over the full hashed bucket

@@ -112,7 +112,16 @@ object Memo {
     while (it.hasNext) {
       val (s, df) = it.next().getValue
       if (s eq spark) {
-        if (!s.sparkContext.isStopped) df.unpersist(blocking = false)
+        if (!s.sparkContext.isStopped) {
+          df.unpersist(blocking = false)
+          // localCheckpoint()ed entries store their blocks on the RDD, not
+          // the cache manager — unpersist alone would orphan them until GC
+          df.queryExecution.logical match {
+            case lr: org.apache.spark.sql.execution.LogicalRDD =>
+              lr.rdd.unpersist(blocking = false)
+            case _ => ()
+          }
+        }
         it.remove()
       }
     }

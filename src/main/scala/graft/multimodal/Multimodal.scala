@@ -86,8 +86,12 @@ object Multimodal {
   def decode(content: Array[Byte], meta: MediaMeta): Array[Array[Int]] = {
     val decoded =
       if (ImageIoFormats(meta.format.toLowerCase))
+        // NonFatal, not just IOException: JDK readers throw unchecked
+        // exceptions (IndexOutOfBounds, IllegalArgument, NegativeArraySize)
+        // on malformed bodies whose headers parsed — those payloads must
+        // degrade to the stub too, not kill the scan stage
         try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content)))
-        catch { case _: java.io.IOException => None }
+        catch { case scala.util.control.NonFatal(_) => None }
       else None
     decoded match {
       case Some(bi) if bi.getRaster.getNumBands == 1 &&
@@ -96,8 +100,13 @@ object Multimodal {
         // a linear-gray → sRGB colorspace conversion and change the bytes.
         // (Indexed images are also single-band but their samples are
         // PALETTE INDICES — those must go through getRGB below.)
+        // Samples wider than 8 bits (16-bit grayscale PNGs decode to
+        // TYPE_USHORT_GRAY) shift down to the 0..255 luma scale every
+        // other path uses — downstream histograms index on it
         val raster = bi.getRaster
-        Array.tabulate(bi.getHeight, bi.getWidth)((y, x) => raster.getSample(x, y, 0))
+        val shift = math.max(0, raster.getSampleModel.getSampleSize(0) - 8)
+        Array.tabulate(bi.getHeight, bi.getWidth)((y, x) =>
+          raster.getSample(x, y, 0) >> shift)
       case Some(bi) =>
         Array.tabulate(bi.getHeight, bi.getWidth) { (y, x) =>
           val rgb = bi.getRGB(x, y)

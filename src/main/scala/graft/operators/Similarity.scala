@@ -319,9 +319,20 @@ object Similarity {
   /** Lloyd's trainer: seed with the k lowest vec_ids, run `updates`
     * (assign → re-quantized-mean) rounds, return the centroid matrix —
     * k·dims longs on the driver, the bounded collect MLlib's KMeans also
-    * does each round.
+    * does each round. Memo-shared per (dir, k, updates): q62, q67 and
+    * q91 all train the same (8, 2) quantizer, so the scan+agg rounds run
+    * ONCE per session and later callers collect the tiny cached table.
     */
   private def lloydCentroids(spark: SparkSession, d: String,
+      k: Int, updates: Int): Array[(Long, Seq[Long])] = {
+    import spark.implicits._
+    graft.core.Memo(spark, cache = false, "lloydCentroids", d,
+        k.toString, updates.toString) {
+      lloydCentroidsUncached(spark, d, k, updates).toSeq.toDF("cid", "cq")
+    }.collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+  }
+
+  private def lloydCentroidsUncached(spark: SparkSession, d: String,
       k: Int, updates: Int): Array[(Long, Seq[Long])] = {
     import spark.implicits._
     val c = corpusWithNorm(spark, d)

@@ -457,8 +457,14 @@ object Text {
       count(lit(1)).as("n"),
       sum($"xq").as("sx"), sum($"yq").as("sy"),
       sum($"xq" * $"yq").as("sxy"), sum($"xq" * $"xq").as("sxx"))
-    val slope = ($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
-      ($"n" * $"sxx" - $"sx" * $"sx").cast("double")
+    // combine the exact integer SUMS as doubles: n·sxx already overflows
+    // Int64 at a ~500-word vocabulary. Each sum is converted (same
+    // nearest-double in both engines) BEFORE multiplying, so the slope
+    // stays bit-identical cross-engine without the overflow
+    val slope = ($"n".cast("double") * $"sxy".cast("double") -
+        $"sx".cast("double") * $"sy".cast("double")) /
+      ($"n".cast("double") * $"sxx".cast("double") -
+        $"sx".cast("double") * $"sx".cast("double"))
     // slope is scale-free (x and y carry the same 1e6 factor); the
     // intercept is in quantized-y units and divides it back out
     s.select($"n".as("n_vocab"),
@@ -781,15 +787,27 @@ object Text {
           lit(nBuckets.toLong)).as("b"))
   }
 
+  /** The memoized per-bucket count table over `hashedFeats`: corpus
+    * counts (cr) plus target-language counts (ct, a conditional sum
+    * riding the same pass). Shared by q90 (needs cr+ct) and q96 (needs
+    * only the targetLang-independent cr — it rides the default-target
+    * entry purely to share the corpus pass).
+    */
+  private def dsirBuckets(spark: SparkSession, d: String,
+      targetLang: String, nBuckets: Int): DataFrame = {
+    import spark.implicits._
+    graft.core.Memo(spark, cache = true,
+        "dsirHashedBuckets", d, targetLang, nBuckets.toString) {
+      hashedFeats(spark, d, nBuckets).groupBy($"b").agg(count(lit(1)).as("cr"),
+        sum(when($"lang" === targetLang, 1L).otherwise(0L)).as("ct"))
+    }
+  }
+
   def dsirHashedWeights(spark: SparkSession, d: String,
       targetLang: String = "en", nBuckets: Int = 4096): DataFrame = {
     import spark.implicits._
     val feats = hashedFeats(spark, d, nBuckets)
-    val buckets = graft.core.Memo(spark, cache = true,
-        "dsirHashedBuckets", d, targetLang, nBuckets.toString) {
-      feats.groupBy($"b").agg(count(lit(1)).as("cr"),
-        sum(when($"lang" === targetLang, 1L).otherwise(0L)).as("ct"))
-    }
+    val buckets = dsirBuckets(spark, d, targetLang, nBuckets)
     val Row(tr: Long, tt: Long) =
       buckets.agg(sum($"cr"), sum($"ct")).head()
     val scores = buckets.select($"b",
@@ -823,7 +841,9 @@ object Text {
       nBuckets: Int = 4096): DataFrame = {
     import spark.implicits._
     val feats = hashedFeats(spark, d, nBuckets)
-    val corpus = feats.groupBy($"b").agg(count(lit(1)).as("cb"))
+    // corpus bucket counts ride q90's memoized table (cr is targetLang-
+    // independent) — one corpus pass serves both operators per session
+    val corpus = dsirBuckets(spark, d, "en", nBuckets).select($"b", $"cr".as("cb"))
     val nTotal = corpus.agg(sum($"cb")).head().getLong(0)
     val bySource = feats.groupBy($"source", $"b").agg(count(lit(1)).as("csb"))
     val totals = bySource.groupBy($"source").agg(sum($"csb").as("ns"))

@@ -80,6 +80,30 @@ class MemoSpec extends AnyFunSuite {
     assert(keys.size == 1, s"expected one shared merge table, got $keys")
   }
 
+  test("q62/q67/q91 share one coarse Lloyd training") {
+    val keys = sharedKeys("lloydCentroids",
+      "q62_kmeans", "q67_ann_ivf_kmeans", "q91_ann_ivf_pq")
+    assert(keys.size == 1, s"expected one shared centroid table, got $keys")
+  }
+
+  test("q90/q96 share one hashed-bucket corpus pass") {
+    val keys = sharedKeys("dsirHashedBuckets",
+      "q90_dsir_hashed", "q96_source_divergence")
+    assert(keys.size == 1, s"expected one shared bucket table, got $keys")
+  }
+
+  test("release frees localCheckpoint blocks, not just cached ones") {
+    val other = spark.newSession()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Memo(other, cache = false, "memospec", "ckpt")(
+      other.range(64).toDF.localCheckpoint())
+    assert(spark.sparkContext.getPersistentRDDs.size > before,
+      "localCheckpoint must have registered a persistent RDD")
+    Memo.release(other)
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "release must unpersist the checkpointed RDD's blocks")
+  }
+
   test("a non-default pair generator is never memoized (no stale-closure trap)") {
     val s = spark.newSession()
     try {

@@ -78,6 +78,22 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("16-bit grayscale PNGs decode onto the 8-bit luma scale") {
+    val bi = new java.awt.image.BufferedImage(4, 2,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    for (y <- 0 until 2; x <- 0 until 4)
+      bi.getRaster.setSample(x, y, 0, (x + y * 4) * 8192) // 0..57344 of 65535
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "png", out))
+    val img = Multimodal.decode(out.toByteArray,
+      MediaMeta("image", "png", 4, 2, 0L, "mem://16bit"))
+    assert(img.length == 2 && img.forall(_.length == 4))
+    for (y <- 0 until 2; x <- 0 until 4) {
+      assert(img(y)(x) == (x + y * 4) * 32, s"pixel ($x,$y)") // >> 8
+      assert(img(y)(x) <= 255)
+    }
+  }
+
   test("decode falls back to the stub on unparseable or codec-less payloads") {
     val garbage = Array.tabulate(20)(i => (i * 7).toByte)
     // claims to be a PNG but isn't → imageio rejects → stub
