@@ -122,6 +122,7 @@ object SparkEntry {
     "q94_bpe_encode"      -> ((s, d) => Text.bpeEncode(s, d)),
     "q95_zipf_fit"        -> ((s, d) => Text.zipfFit(s, d)),
     "q96_source_divergence" -> ((s, d) => Text.sourceDivergence(s, d)),
+    "q97_attribution_join" -> ((s, d) => StreamProjections.attributionJoinBatch(s, d)),
   )
 
   /** Jelinek-Mercer interpolation oracle: λ and 1−λ are emitted from the
@@ -1795,5 +1796,20 @@ object SparkEntry {
          |SELECT source, max(ns)::BIGINT AS n_feats, sum(tq)::BIGINT AS kl_q,
          |       sum(tq)::DOUBLE / 1000000000000.0 AS kl_bits
          |FROM term GROUP BY 1""".stripMargin,
+    // purchase ⋈ same-user clicks in the preceding hour — the batch view
+    // of the stream-stream interval join
+    "q97_attribution_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+        |             epoch_us(ts) AS tsu FROM events),
+        |c AS (SELECT user_id, tsu AS c_ts_us, value AS click_value
+        |      FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, tsu AS p_ts_us,
+        |        value AS purchase_value
+        |      FROM e WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.purchase_id, p.p_ts_us, c.c_ts_us,
+        |       c.click_value, p.purchase_value
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND c.c_ts_us >= p.p_ts_us - 3600000000
+        |  AND c.c_ts_us <= p.p_ts_us""".stripMargin,
   )
 }

@@ -114,6 +114,29 @@ object StreamProjections {
       .select($"doc_id", $"source", $"n_tokens", $"budget_used")
   }
 
+  /** Batch projection of the STREAM-STREAM attribution join
+    * (streaming/EventStreams.attributionJoin) onto the oracle
+    * scoreboard: the IDENTICAL function runs over the batch events table
+    * (`withWatermark` is a no-op on bounded data — the §7.2.2
+    * batch≡stream discipline, literally one code path), pairing each
+    * purchase with the same user's clicks from the preceding hour.
+    * Timestamps surface as epoch micros for the compare.
+    *
+    * Scale: in batch this is one hash join on user_id with a range
+    * residual; in streaming the same predicate is what lets Spark bound
+    * both sides' buffered state to the watermark horizon.
+    */
+  def attributionJoinBatch(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val e = events(spark, d)
+    graft.streaming.EventStreams.attributionJoin(
+        e.filter($"event_type" === "click"),
+        e.filter($"event_type" === "purchase"))
+      .select($"user_id", $"purchase_id",
+        unix_micros($"p_ts").as("p_ts_us"), unix_micros($"c_ts").as("c_ts_us"),
+        $"click_value", $"purchase_value")
+  }
+
   /** Batch projection of `budgetAdmissionOrdered` onto the oracle
     * scoreboard (the q47/q48 pattern): documents get a deterministic
     * pseudo-arrival event time (md5 of the doc id — deliberately NOT
