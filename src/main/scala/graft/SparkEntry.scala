@@ -123,6 +123,7 @@ object SparkEntry {
     "q95_zipf_fit"        -> ((s, d) => Text.zipfFit(s, d)),
     "q96_source_divergence" -> ((s, d) => Text.sourceDivergence(s, d)),
     "q97_attribution_join" -> ((s, d) => StreamProjections.attributionJoinBatch(s, d)),
+    "q98_linear_probe"    -> ((s, d) => Similarity.linearProbe(s, d)),
   )
 
   /** Jelinek-Mercer interpolation oracle: λ and 1−λ are emitted from the
@@ -205,6 +206,39 @@ object SparkEntry {
     * eligible word occurrence as the same nested left-to-right replace
     * the trainer uses; pieces = number of `||` separators + 1.
     */
+  /** q98: the batch-perceptron trajectory unrolled as epoch CTEs —
+    * epoch 1 updates on every vector (zero weights ⇒ zero margins),
+    * later epochs update on vectors with y·⟨w, x⟩ ≤ 0; predictions and
+    * the per-label confusion row come from the final weight vector.
+    * Mirrors Similarity.linearProbe's integer arithmetic exactly.
+    */
+  private def linearProbeSql(targetLabel: Int, epochs: Int): String = {
+    val base =
+      s"""WITH ex3 AS (SELECT vec_id, label,
+         |  CASE WHEN label = $targetLabel THEN 1 ELSE -1 END AS y,
+         |  round(unnest(embedding)::DOUBLE * 1000)::BIGINT AS e,
+         |  unnest(range(len(embedding))) AS i FROM embeddings),
+         |w1 AS (SELECT i, sum(y * e)::BIGINT AS w FROM ex3 GROUP BY 1)""".stripMargin
+    val steps = (2 to epochs).map { j =>
+      s""",
+         |d${j - 1} AS (SELECT x.vec_id, sum(w.w * x.e)::BIGINT AS d
+         |        FROM ex3 x JOIN w${j - 1} w ON w.i = x.i GROUP BY 1),
+         |u$j AS (SELECT x.i, sum(x.y * x.e)::BIGINT AS dw
+         |        FROM ex3 x JOIN d${j - 1} m ON m.vec_id = x.vec_id
+         |        WHERE x.y * m.d <= 0 GROUP BY 1),
+         |w$j AS (SELECT w.i, w.w + coalesce(u.dw, 0) AS w
+         |        FROM w${j - 1} w LEFT JOIN u$j u ON u.i = w.i)""".stripMargin
+    }.mkString
+    base + steps +
+      s""",
+         |df AS (SELECT x.vec_id, sum(w.w * x.e)::BIGINT AS d
+         |       FROM ex3 x JOIN w$epochs w ON w.i = x.i GROUP BY 1)
+         |SELECT x.label, count(*)::BIGINT AS n,
+         |       sum(CASE WHEN df.d > 0 THEN 1 ELSE 0 END)::BIGINT AS n_pred_pos
+         |FROM (SELECT DISTINCT vec_id, label FROM ex3) x
+         |JOIN df ON df.vec_id = x.vec_id GROUP BY 1""".stripMargin
+  }
+
   private def bpeEncodeSql(nMerges: Int): String = {
     // coalesce each merge's pattern to a chr(1) sentinel (a byte that can
     // never appear in the '|'-delimited encoding): if the trajectory
@@ -1811,5 +1845,6 @@ object SparkEntry {
         |FROM p JOIN c ON p.user_id = c.user_id
         |  AND c.c_ts_us >= p.p_ts_us - 3600000000
         |  AND c.c_ts_us <= p.p_ts_us""".stripMargin,
+    "q98_linear_probe" -> linearProbeSql(0, 3),
   )
 }

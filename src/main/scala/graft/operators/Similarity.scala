@@ -537,6 +537,54 @@ object Similarity {
     out
   }
 
+  /** Distributed LINEAR-PROBE training over the embeddings — the "fit a
+    * linear classifier on frozen embeddings" pass used to audit what a
+    * representation encodes: a one-vs-rest batch perceptron for
+    * `targetLabel`, trained for `epochs` synchronous epochs. Per epoch,
+    * every vector's margin y·⟨w, x⟩ is a scan-stage integer dot against
+    * the broadcast weight vector; misclassified vectors (margin ≤ 0)
+    * contribute y·x to one map-side-combined update aggregate; the new
+    * 64-long weight vector collects to the driver (the Lloyd-loop
+    * shape — bounded by dims, never by data). Output: per-label positive
+    * prediction counts under the final weights — the probe's confusion
+    * structure.
+    *
+    * Exactness: embeddings re-quantize to 1e3 (coarser than the cosine
+    * family's 1e7 — weights are SUMS of ±x over epochs, and the margin
+    * ⟨w, x⟩ must stay inside Int64: |w|≤epochs·n·1e3, dot ≤
+    * 64·|w|·1e3 ≈ 1e11 at corpus scale). Every step is integer
+    * arithmetic, so the whole trajectory — and the final confusion row —
+    * replays bit-exactly in the DuckDB oracle's unrolled epoch CTEs.
+    */
+  def linearProbe(spark: SparkSession, d: String,
+      targetLabel: Int = 0, epochs: Int = 3): DataFrame = {
+    import spark.implicits._
+    val ex = embeddings(spark, d).select($"vec_id", $"label",
+        transform($"embedding", x => round(x.cast("double") * lit(1000.0)).cast("long")).as("x3"),
+        when($"label" === targetLabel, 1L).otherwise(-1L).as("y"))
+      .cache()
+    val dims = ex.select(size($"x3")).head().getInt(0)
+    var w: Seq[Long] = Seq.fill(dims)(0L)
+    for (_ <- 1 to epochs) {
+      // margin of w=0 is 0 ⇒ epoch 1 updates on every vector (batch
+      // perceptron convention; the first weight vector is the signed
+      // class-sum direction)
+      val upd = ex
+        .withColumn("m", $"y" * dotPreQ($"x3", typedLit(w)))
+        .filter($"m" <= 0)
+        .select($"y", posexplode($"x3").as(Seq("i", "xi")))
+        .groupBy($"i").agg(sum($"y" * $"xi").as("dw"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      w = w.zipWithIndex.map { case (wi, i) => wi + upd.getOrElse(i, 0L) }
+    }
+    val out = ex
+      .withColumn("pos", (dotPreQ($"x3", typedLit(w)) > 0L).cast("long"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n"), sum($"pos").as("n_pred_pos"))
+    ex.unpersist(blocking = false)
+    out
+  }
+
   /** Per-label centroid-distance outlier flagging: each vector's cosine
     * to its label's centroid, with the `frac` least-similar vectors per
     * label flagged — the embedding-space mislabel/quality filter that

@@ -59,6 +59,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(perQuery.values.forall(_ <= 5))
   }
 
+  test("linearProbe separates a linearly-separable fixture and is honest on noise") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    // label 0 clusters at +0.5 on every dim, the rest at -0.5: separable
+    val rows = Seq.tabulate(200) { i =>
+      val lbl = i % 4 // 25% positives
+      val mu = if (lbl == 0) 0.5f else -0.5f
+      (i.toLong, lbl,
+        Array.fill(8)(mu + (rnd.nextFloat() - 0.5f) * 0.4f))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-probe").toString
+    rows.toDF("vec_id", "label", "embedding").write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.linearProbe(spark, dir)
+      .as[(Int, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val (n0, pos0) = got(0)
+    assert(pos0 >= n0 - 2, s"positives must be found: $pos0 of $n0")
+    (1 to 3).foreach { l =>
+      val (nl, posl) = got(l)
+      assert(posl <= 2, s"label $l: $posl of $nl false positives")
+    }
+  }
+
   test("IVF-PQ: ADC ranks recover most of the trained-IVF top-5; scores stay bounded") {
     import spark.implicits._
     val pq = Similarity.annIvfPq(spark, sf)
