@@ -206,6 +206,37 @@ object SparkEntry {
     * eligible word occurrence as the same nested left-to-right replace
     * the trainer uses; pieces = number of `||` separators + 1.
     */
+
+  private def bpeEncodeSql(nMerges: Int): String = {
+    // coalesce each merge's pattern to a chr(1) sentinel (a byte that can
+    // never appear in the '|'-delimited encoding): if the trajectory
+    // exhausts before nMerges (empty b_j — the corpus ran out of pairs),
+    // the replace becomes a no-op instead of NULL-poisoning every word,
+    // matching Spark's bpeEncode which simply applies the shorter
+    // trajectory
+    val encExpr = (1 to nMerges).foldLeft("regexp_replace(w, '(.)', '|\\1|', 'g')") {
+      (acc, j) =>
+        s"""replace($acc,
+           |  coalesce((SELECT '|' || lsym || '||' || rsym || '|' FROM b$j), chr(1)),
+           |  coalesce((SELECT '|' || lsym || rsym || '|' FROM b$j), chr(1)))""".stripMargin
+    }
+    bpeStepCtes(nMerges) + s""",
+       |enc AS (SELECT doc_id, $encExpr AS s
+       |        FROM (SELECT doc_id,
+       |                unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+       |              FROM documents)
+       |        WHERE regexp_full_match(w, '[a-z]+') AND strlen(w) >= 2),
+       |pd AS (SELECT doc_id, count(*) AS n_bpe_words,
+       |         sum((strlen(s) - strlen(replace(s, '||', ''))) // 2 + 1)::BIGINT
+       |           AS n_pieces
+       |       FROM enc GROUP BY 1)
+       |SELECT d.doc_id, coalesce(pd.n_bpe_words, 0)::BIGINT AS n_bpe_words,
+       |       coalesce(pd.n_pieces, 0)::BIGINT AS n_pieces,
+       |       coalesce(pd.n_pieces::DOUBLE / pd.n_bpe_words::DOUBLE, 0.0)
+       |         AS mean_pieces
+       |FROM (SELECT doc_id FROM documents) d LEFT JOIN pd ON d.doc_id = pd.doc_id""".stripMargin
+  }
+
   /** q98: the batch-perceptron trajectory unrolled as epoch CTEs —
     * epoch 1 updates on every vector (zero weights ⇒ zero margins),
     * later epochs update on vectors with y·⟨w, x⟩ ≤ 0; predictions and
@@ -237,36 +268,6 @@ object SparkEntry {
          |       sum(CASE WHEN df.d > 0 THEN 1 ELSE 0 END)::BIGINT AS n_pred_pos
          |FROM (SELECT DISTINCT vec_id, label FROM ex3) x
          |JOIN df ON df.vec_id = x.vec_id GROUP BY 1""".stripMargin
-  }
-
-  private def bpeEncodeSql(nMerges: Int): String = {
-    // coalesce each merge's pattern to a chr(1) sentinel (a byte that can
-    // never appear in the '|'-delimited encoding): if the trajectory
-    // exhausts before nMerges (empty b_j — the corpus ran out of pairs),
-    // the replace becomes a no-op instead of NULL-poisoning every word,
-    // matching Spark's bpeEncode which simply applies the shorter
-    // trajectory
-    val encExpr = (1 to nMerges).foldLeft("regexp_replace(w, '(.)', '|\\1|', 'g')") {
-      (acc, j) =>
-        s"""replace($acc,
-           |  coalesce((SELECT '|' || lsym || '||' || rsym || '|' FROM b$j), chr(1)),
-           |  coalesce((SELECT '|' || lsym || rsym || '|' FROM b$j), chr(1)))""".stripMargin
-    }
-    bpeStepCtes(nMerges) + s""",
-       |enc AS (SELECT doc_id, $encExpr AS s
-       |        FROM (SELECT doc_id,
-       |                unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
-       |              FROM documents)
-       |        WHERE regexp_full_match(w, '[a-z]+') AND strlen(w) >= 2),
-       |pd AS (SELECT doc_id, count(*) AS n_bpe_words,
-       |         sum((strlen(s) - strlen(replace(s, '||', ''))) // 2 + 1)::BIGINT
-       |           AS n_pieces
-       |       FROM enc GROUP BY 1)
-       |SELECT d.doc_id, coalesce(pd.n_bpe_words, 0)::BIGINT AS n_bpe_words,
-       |       coalesce(pd.n_pieces, 0)::BIGINT AS n_pieces,
-       |       coalesce(pd.n_pieces::DOUBLE / pd.n_bpe_words::DOUBLE, 0.0)
-       |         AS mean_pieces
-       |FROM (SELECT doc_id FROM documents) d LEFT JOIN pd ON d.doc_id = pd.doc_id""".stripMargin
   }
 
   /** Unrolled min-label-propagation oracle for dedup clusters (mirrors
@@ -1788,9 +1789,9 @@ object SparkEntry {
         |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rank FROM u),
         |q AS (SELECT round(log2(rank::DOUBLE) * 1000000.0)::BIGINT AS xq,
         |             round(log2(c::DOUBLE) * 1000000.0)::BIGINT AS yq FROM r),
-        |s AS (SELECT count(*)::BIGINT AS n, sum(xq)::BIGINT AS sx,
-        |             sum(yq)::BIGINT AS sy, sum(xq*yq)::BIGINT AS sxy,
-        |             sum(xq*xq)::BIGINT AS sxx FROM q)
+        |s AS (SELECT count(*)::BIGINT AS n, sum(xq) AS sx,
+        |             sum(yq) AS sy, sum(xq*yq) AS sxy,
+        |             sum(xq*xq) AS sxx FROM q)
         |SELECT n AS n_vocab,
         |       (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
         |         / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) AS slope,

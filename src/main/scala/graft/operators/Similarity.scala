@@ -559,10 +559,16 @@ object Similarity {
   def linearProbe(spark: SparkSession, d: String,
       targetLabel: Int = 0, epochs: Int = 3): DataFrame = {
     import spark.implicits._
-    val ex = embeddings(spark, d).select($"vec_id", $"label",
+    // memoized + cached (released with the session): `epochs` margin
+    // scans plus the final confusion pass all ride one materialization —
+    // a cache()/unpersist() pair here would drop the blocks before the
+    // RETURNED plan executes and force an uncached final pass
+    val ex = graft.core.Memo(spark, cache = true,
+        "probeBase", d, targetLabel.toString) {
+      embeddings(spark, d).select($"vec_id", $"label",
         transform($"embedding", x => round(x.cast("double") * lit(1000.0)).cast("long")).as("x3"),
         when($"label" === targetLabel, 1L).otherwise(-1L).as("y"))
-      .cache()
+    }
     val dims = ex.select(size($"x3")).head().getInt(0)
     var w: Seq[Long] = Seq.fill(dims)(0L)
     for (_ <- 1 to epochs) {
@@ -577,12 +583,9 @@ object Similarity {
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
       w = w.zipWithIndex.map { case (wi, i) => wi + upd.getOrElse(i, 0L) }
     }
-    val out = ex
-      .withColumn("pos", (dotPreQ($"x3", typedLit(w)) > 0L).cast("long"))
+    ex.withColumn("pos", (dotPreQ($"x3", typedLit(w)) > 0L).cast("long"))
       .groupBy($"label")
       .agg(count(lit(1)).as("n"), sum($"pos").as("n_pred_pos"))
-    ex.unpersist(blocking = false)
-    out
   }
 
   /** Per-label centroid-distance outlier flagging: each vector's cosine

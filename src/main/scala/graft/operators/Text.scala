@@ -444,23 +444,28 @@ object Text {
     * operation order.
     *
     * Scale: the fit runs over the VOCABULARY (corpus-sublinear), one
-    * map-side-combined aggregate after the rank; at a billions-row vocab
-    * the long sums upgrade to DECIMAL(38) (StableNum's trick) — the
-    * quantization already caps per-term magnitude at ~2⁵⁵ per 2³⁰ rows.
+    * map-side-combined aggregate after the rank; the OLS sums accumulate
+    * in DECIMAL(38) (HUGEINT on the oracle side) so exactness survives
+    * any vocabulary size — per-term products stay inside Int64, the
+    * sums don't.
     */
   def zipfFit(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val q = rankedVocab(spark, d).select(
       round(log2($"token_id".cast("double")) * lit(1000000.0)).cast("long").as("xq"),
       round(log2($"c".cast("double")) * lit(1000000.0)).cast("long").as("yq"))
+    // per-term products fit Int64 (xq·yq ≤ ~1e15) but the SUMS don't at
+    // a large vocabulary (sum of xq² passes 2^63 near 40k words), so the
+    // sums accumulate in DECIMAL(38) here and HUGEINT in DuckDB — exact
+    // either way, and both engines convert the same exact integer to the
+    // same nearest double before any multiplication, keeping the slope
+    // bit-identical cross-engine at any vocabulary size
     val s = q.agg(
       count(lit(1)).as("n"),
-      sum($"xq").as("sx"), sum($"yq").as("sy"),
-      sum($"xq" * $"yq").as("sxy"), sum($"xq" * $"xq").as("sxx"))
-    // combine the exact integer SUMS as doubles: n·sxx already overflows
-    // Int64 at a ~500-word vocabulary. Each sum is converted (same
-    // nearest-double in both engines) BEFORE multiplying, so the slope
-    // stays bit-identical cross-engine without the overflow
+      sum($"xq".cast("decimal(38,0)")).as("sx"),
+      sum($"yq".cast("decimal(38,0)")).as("sy"),
+      sum(($"xq" * $"yq").cast("decimal(38,0)")).as("sxy"),
+      sum(($"xq" * $"xq").cast("decimal(38,0)")).as("sxx"))
     val slope = ($"n".cast("double") * $"sxy".cast("double") -
         $"sx".cast("double") * $"sy".cast("double")) /
       ($"n".cast("double") * $"sxx".cast("double") -

@@ -97,11 +97,15 @@ class MemoSpec extends AnyFunSuite {
     val before = spark.sparkContext.getPersistentRDDs.size
     Memo(other, cache = false, "memospec", "ckpt")(
       other.range(64).toDF.localCheckpoint())
+    // the dedupLabels shape: the checkpoint sits UNDER a union, not at
+    // the plan root — release must traverse, not pattern-match the root
+    Memo(other, cache = false, "memospec", "ckpt-nested")(
+      other.range(32).toDF.localCheckpoint().union(other.range(5).toDF))
     assert(spark.sparkContext.getPersistentRDDs.size > before,
-      "localCheckpoint must have registered a persistent RDD")
+      "localCheckpoint must have registered persistent RDDs")
     Memo.release(other)
     assert(spark.sparkContext.getPersistentRDDs.size == before,
-      "release must unpersist the checkpointed RDD's blocks")
+      "release must unpersist checkpointed RDD blocks, root or nested")
   }
 
   test("a non-default pair generator is never memoized (no stale-closure trap)") {
