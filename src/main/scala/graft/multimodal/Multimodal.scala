@@ -135,8 +135,12 @@ object Multimodal {
         val flat = img.flatten
         val hist = Array.ofDim[Long](16)
         flat.foreach(p => hist(p / 16) += 1)
+        // empty payload decodes to an empty matrix — fall back to the
+        // declared metadata width (= the relational derivation n_chars%64+1)
+        // rather than collapsing to 0; height stays the decoded row count,
+        // which is 0 = ceil(0/width), matching the same derivation
         MediaFeatures(rec.doc_id, rec.content.length.toLong,
-          img.headOption.map(_.length).getOrElse(0), img.length,
+          img.headOption.map(_.length).getOrElse(rec.meta.width), img.length,
           if (flat.isEmpty) 0.0 else flat.map(_.toLong).sum.toDouble / flat.length,
           hist)
       }

@@ -469,10 +469,14 @@ object Dedup {
     * before the self-join). Windows partition by (doc, partner, diagonal)
     * then (doc) — bounded state, doc-bounded keys. At extreme pathologies
     * (one boilerplate gram in every doc) the equal-gram join skews like
-    * any inverted index; the production answer is a df ceiling on seeds,
-    * the standard suffix-array-dedup mitigation.
+    * any inverted index; the production answer is `maxSeedDf`, a df
+    * ceiling on seed grams — the standard suffix-array-dedup mitigation
+    * (a gram in >ceiling docs is boilerplate, not a dup SIGNAL; runs it
+    * anchors are found from their rarer constituent grams anyway unless
+    * the whole run is boilerplate). Default None = exact oracle parity.
     */
-  def maxDupRuns(spark: SparkSession, d: String, n: Int = 10): DataFrame = {
+  def maxDupRuns(spark: SparkSession, d: String, n: Int = 10,
+      maxSeedDf: Option[Long] = None): DataFrame = {
     import spark.implicits._
     val w = org.apache.spark.sql.expressions.Window
     val toks = documents(spark, d).select($"doc_id", tokens($"text").as("ws"))
@@ -481,9 +485,10 @@ object Dedup {
       .select($"doc_id", ($"p0" + 1).as("p"), $"s")
     // keep only grams seen in ≥ 2 docs before self-joining: unique grams
     // (the bulk of the corpus) never reach the join
-    val dupGrams = pg.select($"doc_id", $"s").distinct()
+    val dfed = pg.select($"doc_id", $"s").distinct()
       .groupBy($"s").agg(count(lit(1)).as("df"))
-      .filter($"df" >= 2).select($"s")
+      .filter($"df" >= 2)
+    val dupGrams = maxSeedDf.fold(dfed)(c => dfed.filter($"df" <= c)).select($"s")
     val occ = pg.join(dupGrams, "s")
     val pairs = occ.as("a").join(occ.as("b"),
         $"a.s" === $"b.s" && $"a.doc_id" =!= $"b.doc_id")

@@ -699,7 +699,11 @@ object Text {
           when($"c12".isNotNull, $"c12".cast("double") / $"c1m".cast("double"))
             .otherwise(lit(alpha) * s1($"cu")))) * lit(1000000.0))
           .cast("long").as("sq"))
-    val perDoc = t3.join(broadcast(tripScores), Seq("w1", "w2", "w3")).select($"doc_id", $"sq")
+    // tripScores is keyed on distinct trigram TYPES, which grow
+    // near-linearly with corpus size — no broadcast hint here; AQE picks
+    // the join strategy by measured size (it still broadcasts at test
+    // scale). pairScores keeps the hint: bigram types are vocab-bounded.
+    val perDoc = t3.join(tripScores, Seq("w1", "w2", "w3")).select($"doc_id", $"sq")
       .union(p2.join(broadcast(pairScores), Seq("w1", "w2")).select($"doc_id", $"sq"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_scored"), sum($"sq").as("bits_q"))

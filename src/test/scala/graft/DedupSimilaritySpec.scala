@@ -410,6 +410,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got(3L) == ((13L, 11L, 11L)), s"doc3 ${got(3L)}")
   }
 
+  test("maxDupRuns: maxSeedDf ceiling drops boilerplate-gram seeds only") {
+    import spark.implicits._
+    // run R appears verbatim in 3 docs (its 10-grams have df=3 —
+    // "boilerplate"); run S appears in exactly 2 (df=2). A ceiling of 2
+    // must erase R-anchored runs while keeping S-anchored ones intact.
+    val R = (0 until 15).map(i => s"r$i")
+    val S = (0 until 15).map(i => s"s$i")
+    val docs = Seq(
+      (0L, (R ++ Seq("u0", "u1") ++ S).mkString(" ")),
+      (1L, (Seq("v0", "v1") ++ R ++ Seq("v2") ++ S).mkString(" ")),
+      (2L, (Seq("w0") ++ R ++ Seq("w1")).mkString(" ")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-mdf").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    def runsOf(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._3, r._4)).toMap
+    val all = runsOf(Dedup.maxDupRuns(spark, dir))
+    assert(all(0L) == ((15L, 30L)), s"default doc0 ${all(0L)}")
+    assert(all(2L) == ((15L, 15L)), s"default doc2 ${all(2L)}")
+    val capped = runsOf(Dedup.maxDupRuns(spark, dir, maxSeedDf = Some(2L)))
+    assert(capped(0L) == ((15L, 15L)), s"capped doc0 ${capped(0L)}")
+    assert(capped(1L) == ((15L, 15L)), s"capped doc1 ${capped(1L)}")
+    assert(capped(2L) == ((0L, 0L)), s"capped doc2 ${capped(2L)}")
+  }
+
   test("scale rehearsal: maxDupRuns matches q68 coverage and pins twin run lengths") {
     import spark.implicits._
     val n = 25000

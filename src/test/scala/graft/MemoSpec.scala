@@ -47,15 +47,28 @@ class MemoSpec extends AnyFunSuite {
     assert(keys.size == 1, s"expected one shared propagation, got $keys")
   }
 
-  test("dedupClusters/canonicalDocs/dedupClustersConverged defaults are one object") {
+  test("every dedup-ladder entry point's default generator hits ONE pair build") {
+    // behavioral form of the default-identity property (the memo relies on
+    // every default-argument site handing back the SAME function value,
+    // not a per-site eta-expansion): run all five entry points with
+    // defaults in one session and assert the minhashLshPairs memo family
+    // collapsed to a single entry — if any site eta-expanded its own
+    // lambda, its `pairGen eq MinhashLshGen` guard fails and the pair
+    // table rebuilds un-memoized, which this test cannot see directly but
+    // the dedupLabels family below can
     import graft.operators.Dedup
-    // the property the memo relies on: every default-argument site hands
-    // back the SAME function value, not a per-site eta-expansion
-    assert(Dedup.`dedupClusters$default$5` eq Dedup.MinhashLshGen)
-    assert(Dedup.`canonicalDocs$default$5` eq Dedup.MinhashLshGen)
-    assert(Dedup.`dedupLabels$default$5` eq Dedup.MinhashLshGen)
-    assert(Dedup.`dedupLabelsConverged$default$5` eq Dedup.MinhashLshGen)
-    assert(Dedup.`dedupClustersStar$default$4` eq Dedup.MinhashLshGen)
+    val s = spark.newSession()
+    try {
+      Dedup.dedupClusters(s, sf).count()
+      Dedup.canonicalDocs(s, sf).count()
+      Dedup.dedupLabels(s, sf).count()
+      Dedup.dedupLabelsConverged(s, sf).count()
+      Dedup.dedupClustersStar(s, sf).count()
+      val pairKeys = Memo.keysFor(s).filter(_.split(" ")(1) == "minhashLshPairs")
+      assert(pairKeys.size == 1, s"expected one shared pair build, got $pairKeys")
+      val labelKeys = Memo.keysFor(s).filter(_.split(" ")(1) == "dedupLabels")
+      assert(labelKeys.size == 1, s"expected one shared propagation, got $labelKeys")
+    } finally Memo.release(s)
   }
 
   test("q15/q42/q63 share one minhashLshPairs build") {

@@ -122,6 +122,18 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f(2L).width == 4) // stub path pads to meta.width
   }
 
+  test("extractFeatures: empty payload falls back to metadata width, zero height") {
+    import spark.implicits._
+    // empty matrix must not collapse width to 0 — the relational
+    // derivation (width = n_chars%64+1, height = ceil(n_bytes/width))
+    // gives (meta.width, 0) for a zero-byte payload
+    val media = Seq(MediaRecord(9L, Array.empty[Byte],
+      MediaMeta("image", "fake", 7, 0, 0L, "mem://empty"))).toDS()
+    val f = Multimodal.extractFeatures(media).collect().head
+    assert(f.width == 7 && f.height == 0)
+    assert(f.n_bytes == 0L && f.mean_px == 0.0 && f.histogram.sum == 0L)
+  }
+
   test("resize stub produces requested dimensions") {
     val img = Array.tabulate(10, 8)((y, x) => y * 8 + x)
     val out = Multimodal.resizeStub(img, 4, 5)
