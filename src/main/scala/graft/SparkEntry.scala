@@ -124,6 +124,11 @@ object SparkEntry {
     "q96_source_divergence" -> ((s, d) => Text.sourceDivergence(s, d)),
     "q97_attribution_join" -> ((s, d) => StreamProjections.attributionJoinBatch(s, d)),
     "q98_linear_probe"    -> ((s, d) => Similarity.linearProbe(s, d)),
+    "q99_chunk_dedup"     -> ((s, d) => Dedup.chunkDedup(s, d)),
+    "q101_temp_mixture"   -> ((s, d) => Sampling.temperatureMixture(s, d)),
+    "q102_pivot_events"   -> ((s, d) => Relational.pivotEventCounts(s, d)),
+    "q103_cube_orders"    -> ((s, d) => Relational.cubeOrders(s, d)),
+    "q104_rolling_stats"  -> ((s, d) => Relational.rollingStats(s, d)),
   )
 
   /** Jelinek-Mercer interpolation oracle: λ and 1−λ are emitted from the
@@ -1847,5 +1852,74 @@ object SparkEntry {
         |  AND c.c_ts_us >= p.p_ts_us - 3600000000
         |  AND c.c_ts_us <= p.p_ts_us""".stripMargin,
     "q98_linear_probe" -> linearProbeSql(0, 3),
+    // 16-token non-overlapping chunks, md5 fingerprints, keep the
+    // globally first (doc_id, chunk_id) occurrence per fingerprint
+    "q99_chunk_dedup" ->
+      """WITH toks AS (SELECT doc_id,
+        |  regexp_split_to_array(lower(text), '\s+') AS ws FROM documents),
+        |ch AS (SELECT doc_id, (start // 16)::BIGINT AS chunk_id,
+        |  md5(array_to_string(list_slice(ws, start + 1,
+        |    least(start + 16, len(ws))), ' ')) AS fp,
+        |  least(16, len(ws) - start)::BIGINT AS n_tokens
+        |  FROM toks, unnest(range(0, len(ws), 16)) AS t(start)),
+        |rk AS (SELECT *, row_number() OVER (
+        |         PARTITION BY fp ORDER BY doc_id, chunk_id) AS rn FROM ch)
+        |SELECT doc_id, count(*)::BIGINT AS n_chunks,
+        |  sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks,
+        |  sum(CASE WHEN rn = 1 THEN n_tokens ELSE 0 END)::BIGINT AS n_tokens_kept,
+        |  sum(CASE WHEN rn = 1 THEN n_tokens ELSE 0 END)::DOUBLE
+        |    / sum(n_tokens)::DOUBLE AS retained_frac
+        |FROM rk GROUP BY doc_id""".stripMargin,
+    // T = 0.5 temperature (sqrt is correctly rounded IEEE in both
+    // engines); √p quantized to 1e12 ints before the normalizing sum
+    "q101_temp_mixture" ->
+      """WITH g AS (SELECT source, count(*)::BIGINT AS n_docs
+        |           FROM documents GROUP BY 1),
+        |t AS (SELECT sum(n_docs)::BIGINT AS total FROM g),
+        |w AS (SELECT source, n_docs,
+        |  n_docs::DOUBLE / total::DOUBLE AS frac,
+        |  round(sqrt(n_docs::DOUBLE / total::DOUBLE)
+        |    * 1000000000000.0)::BIGINT AS wq
+        |  FROM g, t),
+        |s AS (SELECT sum(wq)::BIGINT AS sw FROM w)
+        |SELECT source, n_docs, frac,
+        |  wq::DOUBLE / sw::DOUBLE AS weight,
+        |  (wq::DOUBLE / sw::DOUBLE) * 100000.0 AS expected_docs
+        |FROM w, s""".stripMargin,
+    // FILTER aggregates ≙ Spark's pivot with the explicit value list;
+    // n_total is the row-sum because the five types partition events
+    "q102_pivot_events" ->
+      """SELECT date_trunc('day', ts)::DATE AS day,
+        |  count(*) FILTER (WHERE event_type = 'click')::BIGINT AS n_click,
+        |  count(*) FILTER (WHERE event_type = 'error')::BIGINT AS n_error,
+        |  count(*) FILTER (WHERE event_type = 'purchase')::BIGINT AS n_purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup')::BIGINT AS n_signup,
+        |  count(*) FILTER (WHERE event_type = 'view')::BIGINT AS n_view,
+        |  count(*)::BIGINT AS n_total
+        |FROM events GROUP BY 1""".stripMargin,
+    // GROUPING(a, b) carries the identical MSB-first bitmask semantics
+    // as Spark's grouping_id(); null rollup keys coalesce to 'ALL' per
+    // the q37 convention; price sums are exact integer cents
+    "q103_cube_orders" ->
+      """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+        |  coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+        |  grouping(o_orderpriority, o_orderstatus)::BIGINT AS gid,
+        |  count(*)::BIGINT AS n_orders,
+        |  sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS total_cents
+        |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin,
+    // one window spec (user_id, ts, event_id) shared by all four frames;
+    // values quantized to 1e6 ints so windowed sums are order-exact
+    "q104_rolling_stats" ->
+      """WITH q AS (SELECT event_id, user_id, ts,
+        |  round(value * 1000000)::BIGINT AS vq FROM events)
+        |SELECT event_id, user_id, vq,
+        |  lag(vq) OVER w AS prev_vq,
+        |  sum(vq) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)::BIGINT AS mov_sum_q,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)::BIGINT AS mov_n,
+        |  max(vq) OVER (PARTITION BY user_id ORDER BY ts, event_id)::BIGINT
+        |    AS run_max_q
+        |FROM q WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
   )
 }

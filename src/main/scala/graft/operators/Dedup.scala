@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables._
@@ -35,6 +36,37 @@ object Dedup {
       .select($"doc_id", md5Fingerprint($"text").as("fp"))
       .groupBy($"fp")
       .agg(min($"doc_id").as("canonical_id"), count(lit(1)).as("n_docs"))
+  }
+
+  /** Paragraph-granularity exact dedup (the RefinedWeb/Falcon pass that
+    * removes repeated boilerplate blocks WITHOUT discarding whole
+    * documents; expressed over fixed non-overlapping `chunkSize`-token
+    * chunks because the synthetic corpus has no paragraph breaks —
+    * `Text.chunk` with stride = size is the paragraph splitter). Every
+    * chunk is content-fingerprinted and only the globally FIRST
+    * occurrence of each fingerprint survives (first = least
+    * (doc_id, chunk_id) — deterministic, partition-independent); each
+    * document then reports its chunk count, how many of its chunks were
+    * dropped as cross-corpus duplicates, and the token mass it retains.
+    *
+    * Scale: one shuffle on the 128-bit fingerprint (uniform keys); the
+    * first-occurrence rule is a window rank whose partitions are the
+    * duplicate families (size = dup multiplicity, never the corpus);
+    * one (doc_id) re-aggregate. Nothing is quadratic, nothing is
+    * collected — the same ladder rung as `exact`, one level finer.
+    */
+  def chunkDedup(spark: SparkSession, d: String, chunkSize: Int = 16): DataFrame = {
+    import spark.implicits._
+    val ch = Text.chunk(spark, d, chunkSize, chunkSize)
+      .select($"doc_id", $"chunk_id", md5($"chunk_text").as("fp"), $"n_tokens")
+    val rk = ch.withColumn("rn", row_number().over(
+      Window.partitionBy($"fp").orderBy($"doc_id", $"chunk_id")))
+    rk.groupBy($"doc_id").agg(
+      count(lit(1)).as("n_chunks"),
+      sum(when($"rn" > 1, lit(1L)).otherwise(lit(0L))).as("n_dup_chunks"),
+      sum(when($"rn" === 1, $"n_tokens").otherwise(lit(0L))).as("n_tokens_kept"),
+      (sum(when($"rn" === 1, $"n_tokens").otherwise(lit(0L))).cast("double") /
+        sum($"n_tokens").cast("double")).as("retained_frac"))
   }
 
   /** (doc_id, shingle) inverted-index rows — memo-cached once per

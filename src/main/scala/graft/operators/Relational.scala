@@ -299,6 +299,76 @@ object Relational {
         $"cnt", $"sum_value")
   }
 
+  /** Pivot: daily event counts spread wide, one column per event type —
+    * the long→wide report reshape of the Table-API grouped-aggregate
+    * family. The pivot value list is EXPLICIT (the closed event-type
+    * vocabulary): with known values Spark plans a single partial+final
+    * hash aggregate (no extra value-discovery scan) and the output
+    * column set is deterministic. n_total re-derives as the row-sum of
+    * the pivoted cells — the five types partition the event space, so
+    * no second aggregate over the fact table is needed.
+    */
+  def pivotEventCounts(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val p = events(spark, d)
+      .groupBy(to_date($"ts").as("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    val filled = types.foldLeft(p) { (df, t) =>
+      df.withColumn(t, coalesce(col(t), lit(0L))) }
+    filled.select(($"day" +: types.map(t => col(t).as(s"n_$t"))) :+
+      types.map(col).reduce(_ + _).as("n_total"): _*)
+  }
+
+  /** Cube (all 2² grouping sets over priority × status) with
+    * grouping_id disambiguating the levels — the OLAP companion of
+    * q37's rollup; rollup keys coalesce to 'ALL' per that query's
+    * null-handling convention. The price measure quantizes to exact
+    * cents before summation, so subtotal rows are integer-exact and
+    * engine-order-independent.
+    *
+    * Scale: one Expand (×4 grouping sets) feeding one hash aggregate;
+    * map-side partial agg collapses each grouping set to its group
+    * count per partition before the single shuffle.
+    */
+  def cubeOrders(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    orders(spark, d)
+      .cube($"o_orderpriority", $"o_orderstatus")
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n_orders"),
+        sum(round($"o_totalprice" * 100).cast("long")).as("total_cents"))
+      .select(coalesce($"o_orderpriority", lit("ALL")).as("o_orderpriority"),
+        coalesce($"o_orderstatus", lit("ALL")).as("o_orderstatus"),
+        $"gid".cast("long").as("gid"), $"n_orders", $"total_cents")
+  }
+
+  /** Rolling per-key window statistics over the event stream: previous
+    * value (lag), 4-row moving sum/count, and running max per user in
+    * (ts, event_id) order — the lag/moving/cumulative feature family on
+    * ONE shuffle. Values quantize to 1e6 integers first: windowed
+    * DOUBLE sums are accumulation-structure-sensitive (a segment tree
+    * and a running accumulator differ in ulps), integer sums are not.
+    *
+    * Scale: all four frames share one (partition, ordering) spec, so
+    * the plan is a single hash partition on user_id + one sort within
+    * partitions — no extra exchange per frame.
+    */
+  def rollingStats(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val mov = byUser.rowsBetween(-3, Window.currentRow)
+    events(spark, d)
+      .select($"event_id", $"user_id", $"ts",
+        round($"value" * 1000000).cast("long").as("vq"))
+      .select($"event_id", $"user_id", $"vq",
+        lag($"vq", 1).over(byUser).as("prev_vq"),
+        sum($"vq").over(mov).as("mov_sum_q"),
+        count(lit(1)).over(mov).as("mov_n"),
+        max($"vq").over(byUser).as("run_max_q"))
+  }
+
   /** Exact percentiles per group (continuous interpolation — the
     * sort-based exact form; at 100 TB swap in approx_percentile's
     * mergeable sketch, same API shape).

@@ -89,6 +89,38 @@ object Sampling {
         ((lit(1.0) / $"n_groups") / ($"n_docs".cast("double") / $"total")).as("weight"))
   }
 
+  /** Temperature-scaled source mixture — the p_s ∝ p_s^T sampling rule
+    * (multilingual BERT / mC4 style) that upsamples small sources and
+    * damps dominant ones, at T = 0.5: per source the raw corpus share
+    * p_s and the flattened weight w_s = √p_s / Σ_s √p_s, plus the
+    * expected document draw at a fixed `budget`. T = 0.5 is √ BY DESIGN:
+    * IEEE-754 sqrt is correctly rounded in every engine (a pow(p, 0.7)
+    * temperature is libm-dependent and would not cross-engine match),
+    * and each √p_s is quantized to a 1e12 integer BEFORE the normalizing
+    * sum so the denominator is an exact integer — weights are identical
+    * doubles regardless of summation order.
+    *
+    * Scale: one aggregation down to |sources| rows; everything after is
+    * arithmetic on that bounded table (broadcasts of 1-row totals).
+    */
+  def temperatureMixture(spark: SparkSession, d: String,
+      budget: Long = 100000L): DataFrame = {
+    import spark.implicits._
+    val g = documents(spark, d).groupBy($"source").agg(count(lit(1)).as("n_docs"))
+    val tot = g.agg(sum($"n_docs").as("total"))
+    val w = g.join(broadcast(tot))
+      .select($"source", $"n_docs",
+        ($"n_docs".cast("double") / $"total".cast("double")).as("frac"),
+        round(sqrt($"n_docs".cast("double") / $"total".cast("double")) *
+          lit(1.0e12)).cast("long").as("wq"))
+    val sw = w.agg(sum($"wq").as("sw"))
+    w.join(broadcast(sw))
+      .select($"source", $"n_docs", $"frac",
+        ($"wq".cast("double") / $"sw".cast("double")).as("weight"),
+        (($"wq".cast("double") / $"sw".cast("double")) *
+          lit(budget.toDouble)).as("expected_docs"))
+  }
+
   /** Sequence-packing plan: lay documents end-to-end (in doc_id order,
     * independently within each `source` shard) into fixed
     * `budget`-token context windows; a doc's pack is where its first
