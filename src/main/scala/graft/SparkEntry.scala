@@ -125,11 +125,34 @@ object SparkEntry {
     "q97_attribution_join" -> ((s, d) => StreamProjections.attributionJoinBatch(s, d)),
     "q98_linear_probe"    -> ((s, d) => Similarity.linearProbe(s, d)),
     "q99_chunk_dedup"     -> ((s, d) => Dedup.chunkDedup(s, d)),
+    "q100_ppl_buckets"    -> ((s, d) => Text.perplexityBuckets(s, d)),
     "q101_temp_mixture"   -> ((s, d) => Sampling.temperatureMixture(s, d)),
     "q102_pivot_events"   -> ((s, d) => Relational.pivotEventCounts(s, d)),
     "q103_cube_orders"    -> ((s, d) => Relational.cubeOrders(s, d)),
     "q104_rolling_stats"  -> ((s, d) => Relational.rollingStats(s, d)),
+    "q105_bloom_decon"    -> ((s, d) => Contamination.bloomDecontaminate(s, d)),
+    "q106_heavy_hitters"  -> ((s, d) => Text.heavyHitters(s, d)),
+    "q107_kn_surprisal"   -> ((s, d) => Text.knSurprisal(s, d)),
   )
+
+  /** The exact 5-gram eval-overlap decontamination result — shared by
+    * q59 (direct dictionary join) and q105 (Bloom pre-filter + exact
+    * re-check): the Bloom pass only prunes the candidate stream, never
+    * the answer, so both queries are row-identical by construction.
+    */
+  private def decontaminateSql: String =
+    s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w,
+       |  ${md5Bits32Sql("'eval:' || doc_id::VARCHAR", 1)} % 100 AS b FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, b, s FROM (
+       |  SELECT doc_id, b,
+       |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS s
+       |  FROM toks, unnest(range(1, len(w)-3)) AS t(i) WHERE len(w) >= 5)),
+       |ev AS (SELECT DISTINCT s FROM sh WHERE b < 5),
+       |ov AS (SELECT sh.doc_id, count(*) AS n FROM sh JOIN ev ON sh.s = ev.s
+       |       WHERE sh.b >= 5 GROUP BY 1)
+       |SELECT t.doc_id, coalesce(ov.n, 0)::BIGINT AS n_overlap,
+       |       coalesce(ov.n, 0) > 0 AS contaminated
+       |FROM toks t LEFT JOIN ov ON t.doc_id = ov.doc_id WHERE t.b >= 5""".stripMargin
 
   /** Jelinek-Mercer interpolation oracle: λ and 1−λ are emitted from the
     * same Scala doubles the engine closes over (1−0.7 is
@@ -1164,19 +1187,7 @@ object SparkEntry {
         |FROM ex GROUP BY label, i""".stripMargin,
     // 5-gram overlap vs the deterministic 5% eval bucket; docs with < 5
     // tokens re-enter with n_overlap = 0 via the left join
-    "q59_decontaminate" ->
-      s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w,
-         |  ${md5Bits32Sql("'eval:' || doc_id::VARCHAR", 1)} % 100 AS b FROM documents),
-         |sh AS (SELECT DISTINCT doc_id, b, s FROM (
-         |  SELECT doc_id, b,
-         |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS s
-         |  FROM toks, unnest(range(1, len(w)-3)) AS t(i) WHERE len(w) >= 5)),
-         |ev AS (SELECT DISTINCT s FROM sh WHERE b < 5),
-         |ov AS (SELECT sh.doc_id, count(*) AS n FROM sh JOIN ev ON sh.s = ev.s
-         |       WHERE sh.b >= 5 GROUP BY 1)
-         |SELECT t.doc_id, coalesce(ov.n, 0)::BIGINT AS n_overlap,
-         |       coalesce(ov.n, 0) > 0 AS contaminated
-         |FROM toks t LEFT JOIN ov ON t.doc_id = ov.doc_id WHERE t.b >= 5""".stripMargin,
+    "q59_decontaminate" -> decontaminateSql,
     // the exact same patterns Spark runs (TextFunctions.PiiPatterns) —
     // kept in the Java/RE2-shared regex subset; 'g' = replace all
     "q60_pii_scan" -> {
@@ -1870,6 +1881,35 @@ object SparkEntry {
         |  sum(CASE WHEN rn = 1 THEN n_tokens ELSE 0 END)::DOUBLE
         |    / sum(n_tokens)::DOUBLE AS retained_frac
         |FROM rk GROUP BY doc_id""".stripMargin,
+    // q77's surprisal, ranked within language and cut into thirds; the
+    // rank orders on (surprisal, doc_id) — surprisal doubles are
+    // bit-identical cross-engine, so the buckets are deterministic
+    "q100_ppl_buckets" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |              FROM documents),
+        |bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        |       FROM toks, unnest(range(1, len(w))) AS t(i) WHERE len(w) >= 2),
+        |c12 AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM c12 GROUP BY 1),
+        |sc AS (SELECT p.w1, p.w2,
+        |  round((-log2(p.c12::DOUBLE / c1.c1::DOUBLE)) * 1000000)::BIGINT AS sq
+        |  FROM c12 p JOIN c1 ON p.w1 = c1.w1),
+        |pd AS (SELECT bg.doc_id, count(*)::BIGINT AS n_bigrams,
+        |         sum(sc.sq)::BIGINT AS bits_q
+        |       FROM bg JOIN sc ON bg.w1 = sc.w1 AND bg.w2 = sc.w2 GROUP BY 1),
+        |m AS (SELECT d.doc_id, d.lang, coalesce(pd.n_bigrams, 0)::BIGINT AS n_bigrams,
+        |        coalesce(pd.bits_q, 0)::BIGINT AS bits_q,
+        |        coalesce(pd.bits_q::DOUBLE / (pd.n_bigrams::DOUBLE * 1000000.0),
+        |          0.0) AS mean_bigram_surprisal
+        |      FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+        |          ORDER BY mean_bigram_surprisal, doc_id) AS rn,
+        |        count(*) OVER (PARTITION BY lang) AS n FROM m)
+        |SELECT doc_id, lang, n_bigrams, bits_q, mean_bigram_surprisal,
+        |  CASE WHEN 3*rn <= n THEN 'head'
+        |       WHEN 3*rn <= 2*n THEN 'middle'
+        |       ELSE 'tail' END AS ppl_bucket
+        |FROM r""".stripMargin,
     // T = 0.5 temperature (sqrt is correctly rounded IEEE in both
     // engines); √p quantized to 1e12 ints before the normalizing sum
     "q101_temp_mixture" ->
@@ -1921,5 +1961,42 @@ object SparkEntry {
         |  max(vq) OVER (PARTITION BY user_id ORDER BY ts, event_id)::BIGINT
         |    AS run_max_q
         |FROM q WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    // the Bloom pass is a pure candidate prune — the exact re-check
+    // makes the result row-identical to q59, so the oracle is shared
+    "q105_bloom_decon" -> decontaminateSql,
+    // exact frequent tokens (≥ 1% of the stream); the MG candidate
+    // prune on the Spark side never changes the answer, only the plan
+    "q106_heavy_hitters" ->
+      """WITH tk AS (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        |            FROM documents),
+        |c AS (SELECT w, count(*)::BIGINT AS cnt FROM tk GROUP BY 1),
+        |t AS (SELECT sum(cnt)::BIGINT AS n FROM c)
+        |SELECT w, cnt FROM c, t WHERE 100 * cnt >= n""".stripMargin,
+    // interpolated Kneser-Ney, D = 0.75 (exact in binary); identical
+    // ratio composition order as the engine, 1e6-quantized per pair type
+    "q107_kn_surprisal" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |              FROM documents),
+        |bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        |       FROM toks, unnest(range(1, len(w))) AS t(i) WHERE len(w) >= 2),
+        |c12 AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, sum(c12)::BIGINT AS c1, count(*)::BIGINT AS n1f
+        |       FROM c12 GROUP BY 1),
+        |nb AS (SELECT w2, count(*)::BIGINT AS n1b FROM c12 GROUP BY 1),
+        |bt AS (SELECT count(*)::BIGINT AS b FROM c12),
+        |sc AS (SELECT p.w1, p.w2,
+        |  round((-log2(((p.c12::DOUBLE - 0.75) / c1.c1::DOUBLE)
+        |    + (((0.75 * c1.n1f::DOUBLE) / c1.c1::DOUBLE)
+        |       * (nb.n1b::DOUBLE / bt.b::DOUBLE))))
+        |    * 1000000)::BIGINT AS sq
+        |  FROM c12 p JOIN c1 ON p.w1 = c1.w1 JOIN nb ON p.w2 = nb.w2, bt),
+        |pd AS (SELECT bg.doc_id, count(*)::BIGINT AS n_bigrams,
+        |         sum(sc.sq)::BIGINT AS bits_q
+        |       FROM bg JOIN sc ON bg.w1 = sc.w1 AND bg.w2 = sc.w2 GROUP BY 1)
+        |SELECT d.doc_id, coalesce(pd.n_bigrams, 0)::BIGINT AS n_bigrams,
+        |  coalesce(pd.bits_q, 0)::BIGINT AS bits_q,
+        |  coalesce(pd.bits_q::DOUBLE / (pd.n_bigrams::DOUBLE * 1000000.0), 0.0)
+        |    AS mean_kn_surprisal
+        |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id""".stripMargin,
   )
 }

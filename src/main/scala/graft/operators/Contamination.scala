@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables._
@@ -67,6 +67,63 @@ object Contamination {
     * pair train positions against eval positions only — never
     * train×train. Cost ∝ train occurrences of eval grams, not corpus².
     */
+  /** `decontaminate` with a broadcast BLOOM pre-filter in place of the
+    * full eval-dictionary join on every training shingle: the eval
+    * 5-gram set is folded into an m = 2^`logM`-bit Bloom filter (three
+    * md5-derived probes — disjoint 32-bit windows of the hash the
+    * engine already computes elsewhere), the filter words ship to every
+    * task as a plan literal (16 KiB at the default — the whole point:
+    * a Bloom of a GB-scale eval dictionary still fits in a broadcast),
+    * and only shingles the filter admits reach the exact membership
+    * join. False positives are killed by that exact re-check, so the
+    * output is row-identical to `decontaminate` (the oracle is shared);
+    * false negatives are impossible (Bloom guarantee) — candidates are
+    * a strict superset of true hits (asserted in CurationOpsSpec).
+    *
+    * Scale: the training-side shingle stream is pre-filtered in the
+    * scan stage at Bloom FP rate (~(1−e^(−3n/m))³), so the shuffle into
+    * the membership join carries hits + ε instead of the whole corpus —
+    * the standard runtime-filter/semi-join-pushdown shape, built from
+    * plain column expressions (array literal + bit tests, codegen'd).
+    */
+  def bloomDecontaminate(spark: SparkSession, d: String,
+      n: Int = 5, evalPct: Int = 5, logM: Int = 17): DataFrame = {
+    import spark.implicits._
+    val m = 1L << logM
+    val words = (m / 64).toInt
+    val docs = documents(spark, d)
+      .select($"doc_id", tokens($"text").as("ws"), evalBucket($"doc_id").as("b"))
+    val shingled = docs.select($"doc_id", $"b",
+      explode(Hashing.shingles($"ws", n)).as("s"))
+    val evalGrams = shingled.filter($"b" < evalPct).select($"s").distinct()
+    // three probe positions per gram: disjoint 32-bit md5 windows mod m
+    def probes(s: Column): Seq[Column] =
+      (0 until 3).map(i => pmod(Hashing.md5Bits32(s, 1 + 8 * i), lit(m)))
+    val pow2 = typedlit((0 until 64).map(1L << _))
+    val bitRows = evalGrams
+      .select(explode(array(probes($"s"): _*)).as("p"))
+      .select(($"p" / 64).cast("int").as("wi"),
+        element_at(pow2, ($"p" % 64).cast("int") + 1).as("mk"))
+      .groupBy($"wi").agg(bit_or($"mk").as("word"))
+      .collect()
+    val filterWords = new Array[Long](words)
+    bitRows.foreach(r => filterWords(r.getInt(0)) = r.getLong(1))
+    val wlit = typedlit(filterWords.toSeq)
+    def bloomHas(s: Column): Column =
+      probes(s).map { p =>
+        (element_at(wlit, (p / 64).cast("int") + 1)
+          .bitwiseAND(element_at(pow2, (p % 64).cast("int") + 1))) =!= 0L
+      }.reduce(_ && _)
+    val candidates = shingled.filter($"b" >= evalPct).filter(bloomHas($"s"))
+    val overlap = candidates.join(evalGrams, "s")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_overlap"))
+    docs.filter($"b" >= evalPct).select($"doc_id")
+      .join(overlap, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_overlap", lit(0L)).as("n_overlap"),
+        (coalesce($"n_overlap", lit(0L)) > 0L).as("contaminated"))
+  }
+
   def substringDecontaminate(spark: SparkSession, d: String,
       n: Int = 8, evalPct: Int = 5): DataFrame = {
     import spark.implicits._

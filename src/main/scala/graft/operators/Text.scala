@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables._
@@ -478,6 +479,56 @@ object Text {
         ($"n".cast("double") * lit(1000000.0))).as("intercept"))
   }
 
+  /** Distributed heavy hitters: EXACT frequent-token mining with a
+    * Misra-Gries candidate prune (the mergeable-summary pattern of
+    * Misra & Gries 1982 / the MG row of Agarwal et al.'s mergeable
+    * summaries). Phase 1 runs an MG(k) summary per partition — genuine
+    * per-partition imperative state, the mapPartitions case: any token
+    * with global frequency ≥ N/`pctDen` must exceed some partition's
+    * local n_p/(k+1) bound (pigeonhole, k+1 > pctDen), so the union of
+    * partition candidates is a GUARANTEED superset of the true heavy
+    * hitters, whatever the partitioning. Phase 2 exact-counts only the
+    * candidates (broadcast semi-join prunes the token stream BEFORE the
+    * count shuffle) and keeps pctDen·c ≥ N — an exact integer
+    * threshold, so the result is partition-independent even though the
+    * candidate set is not.
+    *
+    * Scale: this is the 100 TB shape for "frequent items": the full
+    * groupBy-count of a token stream shuffles the entire corpus, while
+    * MG shuffles ≤ 32·k candidate strings plus the (tiny) pre-filtered
+    * recount. The per-partition state is k counters — O(k) memory,
+    * O(1) amortized per token.
+    */
+  def heavyHitters(spark: SparkSession, d: String, k: Int = 128,
+      pctDen: Long = 100L): DataFrame = {
+    require(k + 1 > pctDen, s"MG needs k+1 > pctDen for the superset bound (k=$k, pctDen=$pctDen)")
+    import spark.implicits._
+    val tk = documents(spark, d)
+      .select(explode(tokens($"text")).as("w")).as[String]
+    val cands = tk.mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { w =>
+        counters.get(w) match {
+          case Some(c) => counters(w) = c + 1
+          case None if counters.size < k => counters(w) = 1L
+          case None =>
+            val ks = counters.keys.toArray
+            var i = 0
+            while (i < ks.length) {
+              val c = counters(ks(i)) - 1
+              if (c == 0L) counters.remove(ks(i)) else counters(ks(i)) = c
+              i += 1
+            }
+        }
+      }
+      counters.keysIterator
+    }.toDF("w").distinct()
+    val n = tk.count()
+    tk.toDF("w").join(broadcast(cands), "w")
+      .groupBy($"w").agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" * lit(pctDen) >= lit(n))
+  }
+
   /** Tokenizer application: map every token to its integer id under the
     * frequency-ranked vocabulary (`rankedVocab`) — the text→ids step
     * before packing. Output is the exploded (doc_id, pos, token_id)
@@ -507,11 +558,14 @@ object Text {
     * observed bigram vocabulary (sublinear); the w1 marginal reuses the
     * pair counts — no second corpus pass.
     */
-  def bigramLm(spark: SparkSession, d: String): DataFrame = {
-    import spark.implicits._
-    // the LM table is shared lineage: q73 emits it, q77 and q83 broadcast
-    // scores derived from it — one corpus pair-explode per session
-    val c12 = graft.core.Memo(spark, cache = true, "bigramCounts", d) {
+  /** (w1, w2, c12) bigram-type counts — the LM table every bigram-family
+    * query folds over, shared lineage: q73 emits it, q77/q83/q89/q107
+    * broadcast scores derived from it — one corpus pair-explode per
+    * session.
+    */
+  private def bigramCounts(spark: SparkSession, d: String): DataFrame =
+    graft.core.Memo(spark, cache = true, "bigramCounts", d) {
+      import spark.implicits._
       documents(spark, d)
         .select($"doc_id", tokens($"text").as("ws"))
         .select(explode(when(size($"ws") >= 2,
@@ -521,6 +575,10 @@ object Text {
         .select($"p.w1".as("w1"), $"p.w2".as("w2"))
         .groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
     }
+
+  def bigramLm(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val c12 = bigramCounts(spark, d)
     val c1 = c12.groupBy($"w1").agg(sum($"c12").as("c1"))
     c12.join(c1, "w1")
       .select($"w1", $"w2", $"c12", $"c1",
@@ -561,6 +619,35 @@ object Text {
         coalesce($"bits_q".cast("double") /
           ($"n_bigrams".cast("double") * lit(1000000.0)), lit(0.0))
           .as("mean_bigram_surprisal"))
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): rank every
+    * document WITHIN its language by the q77 bigram-LM surprisal and cut
+    * each ranking into thirds — head (most fluent), middle, tail — the
+    * head/middle/tail quality gate CCNet applies before sampling.
+    * Ordering is (mean surprisal, doc_id): the surprisal doubles are
+    * bit-identical cross-engine (q77's hash match is the proof), so the
+    * rank — and hence the bucket — is deterministic.
+    *
+    * Scale: the surprisal is the q77 plan (LM tables corpus-sublinear,
+    * broadcast onto the pair stream); the bucketing is a window rank
+    * over DOC rows, partitioned by language. A skewed language at 1e9
+    * docs splits by ranking within (lang, hash-salt) sub-partitions and
+    * merging rank offsets — same plan shape, noted not needed here.
+    */
+  def perplexityBuckets(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val byLang = Window.partitionBy($"lang")
+    val rankW = byLang.orderBy($"mean_bigram_surprisal", $"doc_id")
+    bigramSurprisal(spark, d)
+      .join(documents(spark, d).select($"doc_id", $"lang"), "doc_id")
+      .withColumn("rn", row_number().over(rankW))
+      .withColumn("n", count(lit(1)).over(byLang))
+      .select($"doc_id", $"lang", $"n_bigrams", $"bits_q",
+        $"mean_bigram_surprisal",
+        when(lit(3) * $"rn" <= $"n", lit("head"))
+          .when(lit(3) * $"rn" <= lit(2) * $"n", lit("middle"))
+          .otherwise(lit("tail")).as("ppl_bucket"))
   }
 
   /** Jelinek-Mercer INTERPOLATED bigram surprisal: mean −log₂ of
@@ -608,6 +695,62 @@ object Text {
         coalesce($"bits_q".cast("double") /
           ($"n_bigrams".cast("double") * lit(1000000.0)), lit(0.0))
           .as("mean_interp_surprisal"))
+  }
+
+  /** Interpolated KNESER-NEY bigram surprisal (Kneser & Ney 1995; the
+    * Chen & Goodman 1998 interpolated form) — the standard-smoothing
+    * upgrade of the JM mix (q83): absolute-discount the bigram estimate
+    * and back off to the CONTINUATION unigram (how many distinct
+    * contexts a word follows) rather than raw frequency:
+    *
+    *   p(w2|w1) = (c12 − D)/c1 + ((D · N1+(w1,·))/c1) · (N1+(·,w2)/B)
+    *
+    * with D = `discount`, N1+(w1,·) = distinct continuations of w1,
+    * N1+(·,w2) = distinct left-contexts of w2, B = distinct bigram
+    * types. Every observed pair has c12 ≥ 1 > D, so the discounted term
+    * is positive and no max(·,0) branch is needed; all four ratios are
+    * exact-integer divisions composed in a fixed operation order both
+    * engines reproduce, then quantized to a 1e6 integer once per pair
+    * TYPE — document sums stay exact adds.
+    *
+    * Scale: all LM tables are observed-type vocabularies
+    * (corpus-sublinear) derived from the memo-shared bigramCounts; B is
+    * one driver scalar; scores broadcast onto the pair stream; one
+    * (doc_id) aggregate.
+    */
+  def knSurprisal(spark: SparkSession, d: String,
+      discount: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    val c12 = bigramCounts(spark, d)
+    val c1 = c12.groupBy($"w1")
+      .agg(sum($"c12").as("c1"), count(lit(1)).as("n1f"))
+    val nb = c12.groupBy($"w2").agg(count(lit(1)).as("n1b"))
+    val b = c12.count()
+    val scores = c12.join(c1, "w1").join(nb, "w2")
+      .select($"w1", $"w2",
+        round((-log2((($"c12".cast("double") - lit(discount)) /
+            $"c1".cast("double")) +
+          (((lit(discount) * $"n1f".cast("double")) / $"c1".cast("double")) *
+            ($"n1b".cast("double") / lit(b.toDouble)))))
+          * lit(1000000.0)).cast("long").as("sq"))
+    val docBg = documents(spark, d)
+      .select($"doc_id", tokens($"text").as("ws"))
+      .select($"doc_id", explode(when(size($"ws") >= 2,
+        zip_with(slice($"ws", lit(1), size($"ws") - 1), slice($"ws", lit(2), size($"ws") - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("p"))
+      .select($"doc_id", $"p.w1".as("w1"), $"p.w2".as("w2"))
+    val perDoc = docBg.join(broadcast(scores), Seq("w1", "w2"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"sq").as("bits_q"))
+    documents(spark, d).select($"doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
+        coalesce($"bits_q", lit(0L)).as("bits_q"),
+        coalesce($"bits_q".cast("double") /
+          ($"n_bigrams".cast("double") * lit(1000000.0)), lit(0.0))
+          .as("mean_kn_surprisal"))
   }
 
   /** Trigram STUPID-BACKOFF surprisal (Brants et al. 2007, "Large

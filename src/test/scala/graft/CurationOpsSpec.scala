@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Sampling, Similarity, Text}
+import graft.operators.{Contamination, Dedup, Sampling, Similarity, Text}
 
 /** The corpus-assembly operator family (q50–q55): normalization,
   * repetition signals, deterministic split/sample/mixture, and semantic
@@ -115,6 +115,60 @@ class CurationOpsSpec extends AnyFunSuite {
         pairGen = Similarity.embeddingNearDupLsh(_, _, _))
       .select($"vec_id").as[Long].collect().toSet
     assert(kept.subsetOf(keptLsh), "LSH variant must never drop a non-duplicate")
+  }
+
+  test("bloomDecontaminate is row-identical to the exact dictionary join") {
+    import spark.implicits._
+    val exact = Contamination.decontaminate(spark, sf)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    val bloom = Contamination.bloomDecontaminate(spark, sf)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(bloom.sameElements(exact),
+      "Bloom prune + exact re-check must never change the answer")
+    assert(exact.exists(_._3), "fixture corpus has contaminated docs")
+    // a smaller (lossier) filter is still exact — FPs die in the re-check
+    val tiny = Contamination.bloomDecontaminate(spark, sf, logM = 10)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(tiny.sameElements(exact), "high-FP Bloom must still be exact")
+  }
+
+  test("temperatureMixture flattens toward uniform under the sqrt law") {
+    import spark.implicits._
+    val rows = Sampling.temperatureMixture(spark, sf)
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-9)
+    val total = rows.map(_._2).sum.toDouble
+    rows.foreach { case (s, n, frac, w, exp) =>
+      assert(math.abs(frac - n / total) < 1e-12, s)
+      assert(math.abs(exp - w * 100000.0) < 1e-6, s)
+    }
+    // the sqrt law: weight ratios are the square roots of share ratios
+    for (a <- rows; b <- rows if a._2 > 0 && b._2 > 0) {
+      val expect = math.sqrt(a._2.toDouble / b._2.toDouble)
+      assert(math.abs(a._4 / b._4 - expect) < 1e-6,
+        s"${a._1}/${b._1} ratio")
+    }
+  }
+
+  test("chunkDedup conserves chunks/tokens and keeps one owner per fingerprint") {
+    import spark.implicits._
+    val rows = Dedup.chunkDedup(spark, sf)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(rows.length == 500)
+    val chunks = Text.chunk(spark, sf, 16, 16)
+      .select($"doc_id", $"chunk_text", $"n_tokens")
+      .as[(Long, String, Long)].collect()
+    assert(rows.map(_._2).sum == chunks.length, "chunk conservation")
+    // kept chunks = one per distinct fingerprint, corpus-wide
+    val kept = rows.map(r => r._2 - r._3).sum
+    assert(kept == chunks.map(_._2).distinct.length, "one owner per fingerprint")
+    assert(rows.map(_._3).sum > 0, "fixture near-dups must collide at chunk level")
+    rows.foreach { case (id, nc, dup, keptToks, frac) =>
+      assert(dup <= nc, s"doc $id")
+      assert(frac >= 0.0 && frac <= 1.0, s"doc $id frac")
+      val myToks = chunks.filter(_._1 == id).map(_._3).sum
+      assert(keptToks <= myToks, s"doc $id tokens")
+    }
   }
 
   test("chunk windows tile every document with the declared stride/overlap") {

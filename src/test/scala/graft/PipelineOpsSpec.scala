@@ -643,6 +643,86 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("knSurprisal recomposes from independent driver KN tables; mass sums to one") {
+    import spark.implicits._
+    val D = 0.75
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", split(lower($"text"), "\\s+").as("ws"))
+      .as[(Long, Seq[String])].collect()
+    // independent driver-side KN model from raw text
+    val pairs = docs.flatMap { case (_, ws) =>
+      ws.sliding(2).filter(_.length == 2).map(p => (p(0), p(1))) }
+    val c12 = pairs.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val c1 = c12.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
+    val n1f = c12.groupBy(_._1._1).map { case (w1, m) => w1 -> m.size.toLong }
+    val n1b = c12.groupBy(_._1._2).map { case (w2, m) => w2 -> m.size.toLong }
+    val b = c12.size.toLong
+    def p(w1: String, w2: String): Double =
+      ((c12.getOrElse((w1, w2), 0L).toDouble - D) / c1(w1)) +
+        (((D * n1f(w1)) / c1(w1)) * (n1b(w2).toDouble / b))
+    def sq(w1: String, w2: String): Long =
+      math.round(-(math.log(p(w1, w2)) / math.log(2.0)) * 1000000.0)
+    val out = Text.knSurprisal(spark, sf).as[(Long, Long, Long, Double)].collect()
+    assert(out.length == 500)
+    out.foreach { case (id, n, bits, mean) =>
+      val ws = docs.find(_._1 == id).get._2
+      val ps = ws.sliding(2).filter(_.length == 2).map(p => (p(0), p(1))).toSeq
+      assert(n == ps.length, s"doc $id n")
+      assert(bits == ps.map { case (a, c) => sq(a, c) }.sum, s"doc $id bits")
+      if (n > 0) assert(math.abs(mean - bits.toDouble / (n * 1000000.0)) < 1e-12)
+    }
+    // interpolated KN is a proper distribution: for every context w1 the
+    // discounted observed mass plus backoff mass over the FULL
+    // continuation vocabulary is exactly 1 (Σ_w2 pcont = 1 analytically)
+    val contVocab = n1b.keys.toArray
+    c1.keys.take(50).foreach { w1 =>
+      val observed = c12.collect { case ((a, w2), c) if a == w1 =>
+        (c.toDouble - D) / c1(w1) }.sum
+      val backoff = (D * n1f(w1)) / c1(w1) *
+        contVocab.map(w2 => n1b(w2).toDouble / b).sum
+      assert(math.abs(observed + backoff - 1.0) < 1e-9, s"context $w1 mass")
+    }
+  }
+
+  test("heavyHitters equals the exact frequent-token set, any partitioning") {
+    import spark.implicits._
+    val got = Text.heavyHitters(spark, sf)
+      .as[(String, Long)].collect().toMap
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(lower($"text"), "\\s+")).as("w"))
+      .as[String].collect()
+    val n = toks.length.toLong
+    val exact = toks.groupBy(identity).map { case (w, v) => w -> v.length.toLong }
+      .filter { case (_, c) => 100L * c >= n }
+    assert(got == exact, "MG-pruned result must equal the exact heavy-hitter set")
+    assert(got.nonEmpty, "fixture corpus has heavy hitters")
+    // threshold honesty: nothing below 1% slipped through
+    got.values.foreach(c => assert(100L * c >= n))
+  }
+
+  test("perplexityBuckets cuts each language into ordered near-equal thirds") {
+    import spark.implicits._
+    val rows = Text.perplexityBuckets(spark, sf)
+      .select($"doc_id", $"lang", $"mean_bigram_surprisal", $"ppl_bucket")
+      .as[(Long, String, Double, String)].collect()
+    assert(rows.length == 500)
+    rows.groupBy(_._2).foreach { case (lang, docs) =>
+      val sizes = docs.groupBy(_._4).view.mapValues(_.size).toMap
+      val (h, m, t) = (sizes.getOrElse("head", 0), sizes.getOrElse("middle", 0),
+        sizes.getOrElse("tail", 0))
+      assert(h + m + t == docs.length, s"$lang partition")
+      assert(math.abs(h - t) <= 1 && math.abs(h - m) <= 1, s"$lang balance: $sizes")
+      // bucket order respects the (surprisal, doc_id) sort key
+      val key = (d: (Long, String, Double, String)) => (d._3, d._1)
+      val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+      if (h > 0 && t > 0) {
+        val maxHead = docs.filter(_._4 == "head").map(key).max(ord)
+        val minTail = docs.filter(_._4 == "tail").map(key).min(ord)
+        assert(ord.lt(maxHead, minTail), s"$lang head/tail inversion")
+      }
+    }
+  }
+
   test("crossModalQuality fuses both signals with honest keep algebra") {
     import spark.implicits._
     val rows = Similarity.crossModalQuality(spark, sf)
