@@ -133,6 +133,7 @@ object SparkEntry {
     "q105_bloom_decon"    -> ((s, d) => Contamination.bloomDecontaminate(s, d)),
     "q106_heavy_hitters"  -> ((s, d) => Text.heavyHitters(s, d)),
     "q107_kn_surprisal"   -> ((s, d) => Text.knSurprisal(s, d)),
+    "q108_containment"    -> ((s, d) => Dedup.containmentPairs(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -1998,5 +1999,21 @@ object SparkEntry {
         |  coalesce(pd.bits_q::DOUBLE / (pd.n_bigrams::DOUBLE * 1000000.0), 0.0)
         |    AS mean_kn_surprisal
         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id""".stripMargin,
+    // directed containment |Sx∩Sy|/|Sx| ≥ 9/10 as the exact integer
+    // comparison 10·∩ ≥ 9·|Sx|; the double is one division after
+    "q108_containment" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |              FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM toks, unnest(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3)),
+        |sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS x, b.doc_id AS y, count(*)::BIGINT AS n_shared
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT x, y, n_shared,
+        |  n_shared::DOUBLE / sz.sz::DOUBLE AS containment
+        |FROM inter JOIN sz ON inter.x = sz.doc_id
+        |WHERE n_shared * 10 >= sz.sz * 9""".stripMargin,
   )
 }

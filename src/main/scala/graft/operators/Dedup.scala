@@ -79,6 +79,46 @@ object Dedup {
         .select($"doc_id", explode(shingles(tokens($"text"), 3)).as("s"))
     }
 
+  /** DIRECTED containment near-dup pairs (Broder's asymmetric Jaccard,
+    * C(x→y) = |Sx ∩ Sy| / |Sx|): x is "contained in" y when ≥
+    * `num`/`den` of x's 3-gram shingles also appear in y — the pair
+    * class symmetric Jaccard (q16) structurally misses: a short document
+    * embedded verbatim in a long one has high containment but LOW
+    * Jaccard (the union is dominated by the long doc), and MinHash
+    * banding on Jaccard misses it for the same reason. The threshold is
+    * the exact integer comparison den·|∩| ≥ num·|Sx| (no FP compare);
+    * the reported containment double is one division.
+    *
+    * Scale: same inverted-index self-join rung as `jaccardPairs`, riding
+    * the memo-shared shingle table; the candidate blow-up driver is
+    * corpus-frequent shingles, and the same df-ceiling mitigation as
+    * `maxDupRuns.maxSeedDf` applies (`maxSeedDf` here too: containment
+    * evidence lives in RARE shared shingles; boilerplate grams only
+    * inflate the join). Directed output: both (x→y) and (y→x) can
+    * appear, each judged against its own left-side size.
+    */
+  def containmentPairs(spark: SparkSession, d: String,
+      num: Int = 9, den: Int = 10,
+      maxSeedDf: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val sh = docShingles(spark, d)
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    val seeds = maxSeedDf match {
+      case Some(ceil) =>
+        val df = sh.groupBy($"s").agg(count(lit(1)).as("df"))
+        sh.join(df.filter($"df" <= ceil).select($"s"), "s")
+      case None => sh
+    }
+    seeds.as("a").join(seeds.as("b"),
+        $"a.s" === $"b.s" && $"a.doc_id" =!= $"b.doc_id")
+      .groupBy($"a.doc_id".as("x"), $"b.doc_id".as("y"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.withColumnRenamed("doc_id", "x"), "x")
+      .filter($"n_shared" * den >= $"sz" * num)
+      .select($"x", $"y", $"n_shared",
+        ($"n_shared".cast("double") / $"sz".cast("double")).as("containment"))
+  }
+
   /** Exact 3-gram-shingle Jaccard near-dup pairs (threshold 0.5) via the
     * inverted-index self-join: |∩| from the shingle join, |∪| from
     * per-doc distinct-shingle counts. jac is an exact int ratio — no FP

@@ -24,6 +24,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(lsh.size >= (exact.size * 9) / 10, s"recall too low: ${lsh.size}/${exact.size}")
   }
 
+  test("containment dominates Jaccard and is genuinely directed") {
+    import spark.implicits._
+    val cont = Dedup.containmentPairs(spark, sf)
+      .select($"x", $"y").as[(Long, Long)].collect().toSet
+    assert(cont.nonEmpty, "fixture should contain high-containment pairs")
+    // C(x→y) ≥ J(x,y) always, so every Jaccard-0.9 pair appears in BOTH
+    // directions of the containment-0.9 output
+    val jac09 = Dedup.jaccardPairs(spark, sf)
+      .filter($"jac" >= 0.9).select($"x", $"y")
+      .as[(Long, Long)].collect()
+    jac09.foreach { case (x, y) =>
+      assert(cont((x, y)) && cont((y, x)), s"pair ($x,$y)")
+    }
+    // the asymmetric class exists: some doc is contained in a larger one
+    // without the reverse holding — the rung q16 structurally misses
+    assert(cont.exists { case (x, y) => !cont((y, x)) },
+      "expected at least one one-directional containment")
+    // df-ceiling variant only prunes evidence — never invents pairs
+    val ceiled = Dedup.containmentPairs(spark, sf, maxSeedDf = Some(50))
+      .select($"x", $"y").as[(Long, Long)].collect().toSet
+    assert(ceiled.subsetOf(cont))
+  }
+
   test("SimHash: planted near-dup pairs have small Hamming distance") {
     import spark.implicits._
     val exact = Dedup.jaccardPairs(spark, sf, threshold = 0.8).select($"x", $"y")
