@@ -302,11 +302,14 @@ object Relational {
   /** Pivot: daily event counts spread wide, one column per event type —
     * the long→wide report reshape of the Table-API grouped-aggregate
     * family. The pivot value list is EXPLICIT (the closed event-type
-    * vocabulary): with known values Spark plans a single partial+final
-    * hash aggregate (no extra value-discovery scan) and the output
-    * column set is deterministic. n_total re-derives as the row-sum of
-    * the pivoted cells — the five types partition the event space, so
-    * no second aggregate over the fact table is needed.
+    * vocabulary), so there is no value-discovery scan and the output
+    * column set is deterministic. Spark plans it two-phase — aggregate
+    * on (day, type), then pivot on day — but only the first shuffle
+    * carries data (map-side combine collapses the corpus to |days×types|
+    * cells before it); the pivot aggregate runs on those cells.
+    * n_total re-derives as the row-sum of the pivoted cells — the five
+    * types partition the event space, so no second pass over the fact
+    * table is needed.
     */
   def pivotEventCounts(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
