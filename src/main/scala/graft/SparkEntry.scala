@@ -134,6 +134,7 @@ object SparkEntry {
     "q106_heavy_hitters"  -> ((s, d) => Text.heavyHitters(s, d)),
     "q107_kn_surprisal"   -> ((s, d) => Text.knSurprisal(s, d)),
     "q108_containment"    -> ((s, d) => Dedup.containmentPairs(s, d)),
+    "q109_prefix_jaccard" -> ((s, d) => Dedup.jaccardPrefixJoin(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -2015,5 +2016,8 @@ object SparkEntry {
         |  n_shared::DOUBLE / sz.sz::DOUBLE AS containment
         |FROM inter JOIN sz ON inter.x = sz.doc_id
         |WHERE n_shared * 10 >= sz.sz * 9""".stripMargin,
+    // the prefix-filter theorem makes the candidate prune lossless, so
+    // the prefix join is row-identical to q16's full inverted-index join
+    "q109_prefix_jaccard" -> jaccardPairsSql,
   )
 }

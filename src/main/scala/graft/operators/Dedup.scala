@@ -145,6 +145,66 @@ object Dedup {
       .filter($"jac" >= threshold)
   }
 
+  /** PREFIX-FILTERED exact Jaccard join (the SSJoin/PPJoin candidate
+    * rule of Chaudhuri et al. 2006 / Xiao et al. 2008) — the scale path
+    * for EXACT set-similarity joins, completing the dedup ladder's
+    * middle: q16's full inverted-index join is complete but explodes on
+    * corpus-frequent shingles; MinHash-LSH (q15) bounds candidates but
+    * is probabilistic. Prefix filtering keeps BOTH properties: under one
+    * global token order (rarest first — ascending (df, s)), a pair with
+    * J ≥ t MUST share a token inside both documents' first
+    * |S| − ⌈t·|S|⌉ + 1 tokens (prefix-filter theorem), so joining only
+    * prefix rows loses no true pair, and the prefixes concentrate on
+    * RARE shingles — the frequent-shingle blow-up never enters the join.
+    * An exact re-check scores candidates, so output ≡ `jaccardPairs`
+    * row-for-row (they share the q16 oracle; equality + candidate-volume
+    * reduction asserted in DedupSimilaritySpec).
+    *
+    * Scale: the df table is the shingle vocabulary (corpus-sublinear,
+    * broadcast); prefix selection is one per-doc window; the candidate
+    * join touches ~|S|/2 rows per doc, each among the rarest — candidate
+    * volume tracks duplicate density like LSH, with a completeness
+    * PROOF instead of a banding probability.
+    */
+  def jaccardPrefixJoin(spark: SparkSession, d: String,
+      threshold: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val sh = docShingles(spark, d)
+    val cand = prefixCandidates(spark, d, threshold)
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(sh.as("sa"), $"x" === $"sa.doc_id")
+      .join(sh.as("sb"), $"y" === $"sb.doc_id" && $"sa.s" === $"sb.s")
+      .groupBy($"x", $"y").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "x").withColumnRenamed("sz", "szx"), "x")
+      .join(sizes.withColumnRenamed("doc_id", "y").withColumnRenamed("sz", "szy"), "y")
+      .select($"x", $"y",
+        ($"inter".cast("double") / ($"szx" + $"szy" - $"inter")).as("jac"))
+      .filter($"jac" >= threshold)
+  }
+
+  /** The prefix-filter candidate pairs (x < y): rows whose within-doc
+    * rarity rank falls inside the |S| − ⌈t·|S|⌉ + 1 prefix, self-joined
+    * on the shared shingle. Exposed for the spec's candidate-volume
+    * comparison against the full inverted-index join.
+    */
+  private[graft] def prefixCandidates(spark: SparkSession, d: String,
+      threshold: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val sh = docShingles(spark, d)
+    val dfT = sh.groupBy($"s").agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy($"doc_id")
+    val prefix = sh.join(broadcast(dfT), "s")
+      .withColumn("n", count(lit(1)).over(byDoc))
+      .withColumn("r", row_number().over(byDoc.orderBy($"df", $"s")))
+      .filter($"r" <= $"n" - ceil($"n" * threshold).cast("long") + 1L)
+      .select($"doc_id", $"s")
+    prefix.as("a").join(prefix.as("b"),
+        $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("x"), $"b.doc_id".as("y")).distinct()
+  }
+
   /** MinHash + LSH near-dup detection: k=64 hashes, 32 bands × 2 rows
     * (P[collide] = 1-(1-j²)³² ⇒ ~0.9999 at j = 0.5, ~0.08 at j = 0.05),
     * exact-Jaccard re-check on the candidates. Same output shape as

@@ -641,12 +641,14 @@ object Text {
     val rankW = byLang.orderBy($"mean_bigram_surprisal", $"doc_id")
     bigramSurprisal(spark, d)
       .join(documents(spark, d).select($"doc_id", $"lang"), "doc_id")
-      .withColumn("rn", row_number().over(rankW))
+      .withColumn("rn", row_number().over(rankW).cast("long"))
       .withColumn("n", count(lit(1)).over(byLang))
       .select($"doc_id", $"lang", $"n_bigrams", $"bits_q",
         $"mean_bigram_surprisal",
-        when(lit(3) * $"rn" <= $"n", lit("head"))
-          .when(lit(3) * $"rn" <= lit(2) * $"n", lit("middle"))
+        // rn is cast to LONG before the 3× products: row_number is Int32
+        // and 3·rn would overflow past ~715 M docs per language
+        when(lit(3L) * $"rn" <= $"n", lit("head"))
+          .when(lit(3L) * $"rn" <= lit(2L) * $"n", lit("middle"))
           .otherwise(lit("tail")).as("ppl_bucket"))
   }
 

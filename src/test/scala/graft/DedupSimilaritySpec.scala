@@ -47,6 +47,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(ceiled.subsetOf(cont))
   }
 
+  test("prefix-filter join: exact result, strictly fewer candidates") {
+    import spark.implicits._
+    val exact = Dedup.jaccardPairs(spark, sf)
+      .select($"x", $"y", $"jac").as[(Long, Long, Double)].collect().toSet
+    val prefix = Dedup.jaccardPrefixJoin(spark, sf)
+      .select($"x", $"y", $"jac").as[(Long, Long, Double)].collect().toSet
+    assert(prefix == exact,
+      "prefix filtering is lossless — the theorem guarantees recall 1")
+    // the point of the prune: candidate volume well below the full
+    // inverted-index pair volume (every pair sharing >= 1 shingle)
+    val sh = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", org.apache.spark.sql.functions.explode(
+        graft.functions.Hashing.shingles(
+          graft.functions.TextFunctions.tokens($"text"), 3)).as("s"))
+    val full = sh.as("a").join(sh.as("b"),
+        $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id").distinct().count()
+    val pruned = Dedup.prefixCandidates(spark, sf).count()
+    assert(pruned < full / 2,
+      s"prefix candidates ($pruned) should be well under the full join ($full)")
+    assert(pruned >= exact.size, "candidates must cover every true pair")
+  }
+
   test("SimHash: planted near-dup pairs have small Hamming distance") {
     import spark.implicits._
     val exact = Dedup.jaccardPairs(spark, sf, threshold = 0.8).select($"x", $"y")

@@ -77,9 +77,10 @@ class MemoSpec extends AnyFunSuite {
     assert(keys.size == 1, s"expected one shared pair table, got $keys")
   }
 
-  test("q73/q77/q83 share one bigramCounts build") {
+  test("q73/q77/q83/q100/q107 share one bigramCounts build") {
     val keys = sharedKeys("bigramCounts",
-      "q73_bigram_lm", "q77_bigram_surprisal", "q83_interp_surprisal")
+      "q73_bigram_lm", "q77_bigram_surprisal", "q83_interp_surprisal",
+      "q100_ppl_buckets", "q107_kn_surprisal")
     assert(keys.size == 1, s"expected one shared bigram table, got $keys")
   }
 
