@@ -135,6 +135,7 @@ object SparkEntry {
     "q107_kn_surprisal"   -> ((s, d) => Text.knSurprisal(s, d)),
     "q108_containment"    -> ((s, d) => Dedup.containmentPairs(s, d)),
     "q109_prefix_jaccard" -> ((s, d) => Dedup.jaccardPrefixJoin(s, d)),
+    "q110_triangles"      -> ((s, d) => Graph.triangleCounts(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -2019,5 +2020,35 @@ object SparkEntry {
     // the prefix-filter theorem makes the candidate prune lossless, so
     // the prefix join is row-identical to q16's full inverted-index join
     "q109_prefix_jaccard" -> jaccardPairsSql,
+    // degree-ordered orientation: (deg, id) tuple compare picks each
+    // edge's unique apex side; every triangle closes at its min-rank
+    // apex exactly once; per-vertex counts via endpoint explode
+    "q110_triangles" ->
+      """WITH edges AS (
+        |  SELECT c_nationkey AS src, s_nationkey AS dst, count(*) AS w
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2),
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |        FROM edges WHERE src <> dst),
+        |deg AS (SELECT id, count(*)::BIGINT AS deg FROM (
+        |          SELECT a AS id FROM und UNION ALL SELECT b FROM und)
+        |        GROUP BY 1),
+        |ornt AS (SELECT
+        |    CASE WHEN (da.deg, a) < (db.deg, b) THEN a ELSE b END AS u,
+        |    CASE WHEN (da.deg, a) < (db.deg, b) THEN b ELSE a END AS v
+        |  FROM und JOIN deg da ON a = da.id JOIN deg db ON b = db.id),
+        |tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        |        FROM ornt e1 JOIN ornt e2 ON e1.u = e2.u AND e1.v < e2.v
+        |        JOIN und ON und.a = e1.v AND und.b = e2.v),
+        |pv AS (SELECT id, count(*)::BIGINT AS n_triangles FROM (
+        |         SELECT x AS id FROM tri
+        |         UNION ALL SELECT y FROM tri
+        |         UNION ALL SELECT z FROM tri) GROUP BY 1)
+        |SELECT d.id AS nationkey, d.deg,
+        |       coalesce(pv.n_triangles, 0)::BIGINT AS n_triangles
+        |FROM deg d LEFT JOIN pv ON d.id = pv.id""".stripMargin,
   )
 }

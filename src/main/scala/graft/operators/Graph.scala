@@ -45,6 +45,50 @@ object Graph {
       .agg(count(lit(1)).as("w"))
   }
 
+  /** Per-vertex triangle counts on the undirected trade graph — the
+    * degree-ordered node-iterator (Schank's orientation trick in its
+    * distributed form, Suri & Vassilvitskii 2011): orient every edge
+    * from its (degree, id)-smaller endpoint to the larger, enumerate
+    * wedges only at each triangle's minimum-rank apex, close them
+    * against the undirected edge set. The orientation bounds every
+    * vertex's OUT-degree by O(√m), so the wedge self-join is
+    * Σ outdeg² = O(m^{3/2}) — the distributed-triangle bound — instead
+    * of hub-quadratic Σ deg²; each triangle is emitted exactly once (at
+    * its unique minimum-rank apex).
+    *
+    * Scale: two vertex-key joins (wedge build + closure) and one
+    * endpoints-explode aggregate; no vertex ever materializes its full
+    * neighborhood in a single task. The 25-nation graph is a toy, but
+    * this is the plan that survives a billion-edge graph.
+    */
+  def triangleCounts(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val und = tradeEdges(spark, d)
+      .filter($"src" =!= $"dst")
+      .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      .distinct()
+    val deg = und.select($"a".as("id")).union(und.select($"b".as("id")))
+      .groupBy($"id").agg(count(lit(1)).as("deg"))
+    val lower = $"da" < $"db" || ($"da" === $"db" && $"a" < $"b")
+    val ornt = und
+      .join(deg.select($"id".as("a"), $"deg".as("da")), "a")
+      .join(deg.select($"id".as("b"), $"deg".as("db")), "b")
+      .select(when(lower, $"a").otherwise($"b").as("u"),
+        when(lower, $"b").otherwise($"a").as("v"))
+    val tri = ornt.as("e1").join(ornt.as("e2"),
+        $"e1.u" === $"e2.u" && $"e1.v" < $"e2.v")
+      .select($"e1.u".as("x"), $"e1.v".as("y"), $"e2.v".as("z"))
+      .join(und, $"y" === $"a" && $"z" === $"b")
+      .select($"x", $"y", $"z")
+    val pv = tri.select($"x".as("id"))
+      .union(tri.select($"y".as("id")))
+      .union(tri.select($"z".as("id")))
+      .groupBy($"id").agg(count(lit(1)).as("n_triangles"))
+    deg.join(pv, Seq("id"), "left")
+      .select($"id".as("nationkey"), $"deg",
+        coalesce($"n_triangles", lit(0L)).as("n_triangles"))
+  }
+
   def pageRank(spark: SparkSession, d: String, iterations: Int = 10,
       damping: Double = 0.85, teleport: Double = 0.15): DataFrame = {
     import spark.implicits._

@@ -29,6 +29,31 @@ class GraphAppSpec extends AnyFunSuite {
     assert(ranks.values.forall(_ > 0))
   }
 
+  test("triangleCounts matches a driver brute force; apex rule counts each once") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val und = graft.operators.Graph.tradeEdges(spark, sf)
+      .filter($"src" =!= $"dst")
+      .select(org.apache.spark.sql.functions.least($"src", $"dst").as("a"),
+        org.apache.spark.sql.functions.greatest($"src", $"dst").as("b"))
+      .distinct().as[(Long, Long)].collect().toSet
+    val verts = und.flatMap(e => Seq(e._1, e._2)).toSeq.distinct.sorted
+    // brute-force all id-ordered vertex triples on the toy graph
+    val triples = for {
+      i <- verts; j <- verts if i < j; k <- verts if j < k
+      if und((i, j)) && und((i, k)) && und((j, k))
+    } yield (i, j, k)
+    val expected = triples.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(identity).map { case (v, o) => v -> o.size.toLong }
+    val got = graft.operators.Graph.triangleCounts(spark, sf)
+      .select($"nationkey", $"n_triangles").as[(Long, Long)].collect().toMap
+    verts.foreach { v =>
+      assert(got(v) == expected.getOrElse(v, 0L), s"vertex $v")
+    }
+    assert(got.values.sum == 3L * triples.size, "each triangle counted thrice")
+    assert(triples.nonEmpty, "trade graph should be triangle-rich")
+  }
+
   test("pageRankConverged: tol=0 is superstep-identical to the oracle loop") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"
