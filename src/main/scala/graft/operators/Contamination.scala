@@ -33,6 +33,22 @@ object Contamination {
     * (doc_id) count aggregation after the semi-ish join; docs with no
     * hit re-enter via the left join with n_overlap = 0.
     */
+  /** The distinct eval-bucket n-gram dictionary — memo-cached per
+    * (dir, n, evalPct): q59's membership join, q105's Bloom build AND
+    * q105's exact re-check all read this one materialization instead of
+    * re-deriving the eval-side shingle pass per use.
+    */
+  private def evalGramSet(spark: SparkSession, d: String,
+      n: Int, evalPct: Int): DataFrame =
+    graft.core.Memo(spark, cache = true, "evalGrams", d, s"$n:$evalPct") {
+      import spark.implicits._
+      documents(spark, d)
+        .select($"doc_id", tokens($"text").as("ws"), evalBucket($"doc_id").as("b"))
+        .filter($"b" < evalPct)
+        .select(explode(Hashing.shingles($"ws", n)).as("s"))
+        .distinct()
+    }
+
   def decontaminate(spark: SparkSession, d: String,
       n: Int = 5, evalPct: Int = 5): DataFrame = {
     import spark.implicits._
@@ -40,7 +56,7 @@ object Contamination {
       .select($"doc_id", tokens($"text").as("ws"), evalBucket($"doc_id").as("b"))
     val shingled = docs.select($"doc_id", $"b",
       explode(Hashing.shingles($"ws", n)).as("s"))
-    val evalGrams = shingled.filter($"b" < evalPct).select($"s").distinct()
+    val evalGrams = evalGramSet(spark, d, n, evalPct)
     val overlap = shingled.filter($"b" >= evalPct)
       .join(evalGrams, "s")
       .groupBy($"doc_id").agg(count(lit(1)).as("n_overlap"))
@@ -95,7 +111,7 @@ object Contamination {
       .select($"doc_id", tokens($"text").as("ws"), evalBucket($"doc_id").as("b"))
     val shingled = docs.select($"doc_id", $"b",
       explode(Hashing.shingles($"ws", n)).as("s"))
-    val evalGrams = shingled.filter($"b" < evalPct).select($"s").distinct()
+    val evalGrams = evalGramSet(spark, d, n, evalPct)
     // three probe positions per gram: disjoint 32-bit md5 windows mod m
     def probes(s: Column): Seq[Column] =
       (0 until 3).map(i => pmod(Hashing.md5Bits32(s, 1 + 8 * i), lit(m)))

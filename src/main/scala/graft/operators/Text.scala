@@ -493,21 +493,25 @@ object Text {
     * threshold, so the result is partition-independent even though the
     * candidate set is not.
     *
-    * Scale: this is the 100 TB shape for "frequent items": the full
-    * groupBy-count of a token stream shuffles the entire corpus, while
-    * MG shuffles ≤ 32·k candidate strings plus the (tiny) pre-filtered
-    * recount. The per-partition state is k counters — O(k) memory,
-    * O(1) amortized per token.
+    * Scale: this is the 100 TB shape for "frequent items": TWO corpus
+    * passes total — the MG pass also carries each partition's token
+    * count, so the global N needs no separate count job — versus the
+    * full groupBy-count that shuffles the entire corpus. The collected
+    * summary is ≤ partitions·(k+1) rows (driver-bounded); per-partition
+    * state is k counters — O(k) memory, O(1) amortized per token.
     */
   def heavyHitters(spark: SparkSession, d: String, k: Int = 128,
       pctDen: Long = 100L): DataFrame = {
     require(k + 1 > pctDen, s"MG needs k+1 > pctDen for the superset bound (k=$k, pctDen=$pctDen)")
     import spark.implicits._
-    val tk = documents(spark, d)
+    def tk = documents(spark, d)
       .select(explode(tokens($"text")).as("w")).as[String]
-    val cands = tk.mapPartitions { it =>
+    // one pass: MG candidates AND the partition's token total (null w)
+    val summary = tk.mapPartitions { it =>
       val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      var np = 0L
       it.foreach { w =>
+        np += 1L
         counters.get(w) match {
           case Some(c) => counters(w) = c + 1
           case None if counters.size < k => counters(w) = 1L
@@ -521,9 +525,12 @@ object Text {
             }
         }
       }
-      counters.keysIterator
-    }.toDF("w").distinct()
-    val n = tk.count()
+      counters.keysIterator.map(w => (Option(w), 0L)) ++
+        Iterator((Option.empty[String], np))
+    }.collect()
+    val n = summary.collect { case (None, np) => np }.sum
+    val cands = summary.collect { case (Some(w), _) => w }.distinct.toSeq
+      .toDF("w")
     tk.toDF("w").join(broadcast(cands), "w")
       .groupBy($"w").agg(count(lit(1)).as("cnt"))
       .filter($"cnt" * lit(pctDen) >= lit(n))
@@ -558,10 +565,11 @@ object Text {
     * observed bigram vocabulary (sublinear); the w1 marginal reuses the
     * pair counts — no second corpus pass.
     */
-  /** (w1, w2, c12) bigram-type counts — the LM table every bigram-family
-    * query folds over, shared lineage: q73 emits it, q77/q83/q89/q107
+  /** (w1, w2, c12) bigram-type counts — the LM table the bigram family
+    * folds over, shared lineage: q73 emits it, q77/q83/q100/q107
     * broadcast scores derived from it — one corpus pair-explode per
-    * session.
+    * session. (q89's backoff trains on the 80% split and keeps its own
+    * "bigramCountsSplit" memo.)
     */
   private def bigramCounts(spark: SparkSession, d: String): DataFrame =
     graft.core.Memo(spark, cache = true, "bigramCounts", d) {

@@ -171,6 +171,18 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pivot's closed event-type vocabulary actually holds on the fixture") {
+    import spark.implicits._
+    // q102 derives n_total as the row-sum of five hard-coded type
+    // columns; this pin makes a fixture regen with a new/NULL type fail
+    // HERE, loudly, instead of as an oracle hash mystery
+    val types = graft.core.Tables.events(spark, sf)
+      .select($"event_type").distinct()
+      .as[String].collect().toSet
+    assert(types == Set("click", "error", "purchase", "signup", "view"),
+      s"q102's pivot value list no longer covers the data: $types")
+  }
+
   test("chunk windows tile every document with the declared stride/overlap") {
     import spark.implicits._
     val chunks = Text.chunk(spark, sf, chunkSize = 32, stride = 24)
