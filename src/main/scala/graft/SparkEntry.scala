@@ -136,6 +136,11 @@ object SparkEntry {
     "q108_containment"    -> ((s, d) => Dedup.containmentPairs(s, d)),
     "q109_prefix_jaccard" -> ((s, d) => Dedup.jaccardPrefixJoin(s, d)),
     "q110_triangles"      -> ((s, d) => Graph.triangleCounts(s, d)),
+    "q111_copurchase"     -> ((s, d) => Graph.copurchasePairs(s, d)),
+    "q112_kcore"          -> ((s, d) => Graph.kCore(s, d)),
+    "q113_funnel"         -> ((s, d) => Windowed.funnelStages(s, d)),
+    "q114_priority_sample" -> ((s, d) => Sampling.prioritySample(s, d)),
+    "q115_edit_distance"  -> ((s, d) => Dedup.editDistanceNearDup(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -2050,5 +2055,93 @@ object SparkEntry {
         |SELECT d.id AS nationkey, d.deg,
         |       coalesce(pv.n_triangles, 0)::BIGINT AS n_triangles
         |FROM deg d LEFT JOIN pv ON d.id = pv.id""".stripMargin,
+    // the bipartite order-part projection: one pair per order containing
+    // both parts, kept at support >= 2 — each side of the self-join is
+    // the same distinct (order, part) list, joined on the order key
+    "q111_copurchase" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*)::BIGINT AS cnt
+        |FROM pp a JOIN pp b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+    "q112_kcore" -> kCoreSql(3, 16),
+    // strictly-ordered first-occurrence funnel: each stage is the min
+    // event time after the previous stage within the 24 h window
+    "q113_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_type FROM events),
+        |f1 AS (SELECT user_id, min(tsu) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |f2 AS (SELECT e.user_id, min(tsu) AS t2 FROM e JOIN f1 USING (user_id)
+        |       WHERE event_type = 'click' AND tsu > t1
+        |         AND tsu <= t1 + 86400000000 GROUP BY 1),
+        |f3 AS (SELECT e.user_id, min(tsu) AS t3 FROM e JOIN f2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND tsu > t2
+        |         AND tsu <= t2 + 86400000000 GROUP BY 1)
+        |SELECT f1.user_id,
+        |  (1 + (f2.t2 IS NOT NULL)::BIGINT + (f3.t3 IS NOT NULL)::BIGINT) AS stage,
+        |  f1.t1, coalesce(f2.t2, -1) AS t2, coalesce(f3.t3, -1) AS t3
+        |FROM f1 LEFT JOIN f2 ON f1.user_id = f2.user_id
+        |LEFT JOIN f3 ON f1.user_id = f3.user_id""".stripMargin,
+    // priority sampling (Duffield-Lund-Thorup): pri = (w << 32)/(h+1) is
+    // one exact integer product and one IEEE division — bit-identical
+    // cross-engine; tau = the (k+1)-th priority; HT estimate max(w, tau)
+    "q114_priority_sample" ->
+      s"""WITH pri0 AS (SELECT doc_id, n_chars AS w,
+         |  (${md5Bits32Sql("'ps:' || doc_id::VARCHAR", 1)} + 1) AS h1
+         |  FROM documents),
+         |pri AS (SELECT doc_id, w,
+         |  (w * 4294967296)::DOUBLE / h1::DOUBLE AS pri FROM pri0),
+         |top AS (SELECT doc_id, w, pri,
+         |        row_number() OVER (ORDER BY pri DESC, doc_id) AS rn
+         |        FROM pri ORDER BY pri DESC, doc_id LIMIT 51),
+         |tau AS (SELECT pri AS tau FROM top WHERE rn = 51)
+         |SELECT doc_id, w, pri,
+         |  greatest(w::DOUBLE, coalesce(tau.tau, 0.0)) AS est_w
+         |FROM top LEFT JOIN tau ON TRUE WHERE rn <= 50""".stripMargin,
+    // prefix-blocked Levenshtein over the normalized 40-char title:
+    // DuckDB needs the explicit 'g' flag to match Spark's replace-all
+    // regexp_replace; levenshtein is the same classic DP in both engines
+    "q115_edit_distance" ->
+      """WITH t AS (SELECT doc_id,
+        |  substr(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), 1, 40) AS ti
+        |  FROM documents),
+        |b AS (SELECT doc_id, ti, substr(ti, 1, 4) AS blk FROM t)
+        |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+        |  levenshtein(a.ti, c.ti)::BIGINT AS dist
+        |FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+        |  AND abs(length(a.ti) - length(c.ti)) <= 3
+        |WHERE levenshtein(a.ti, c.ti) <= 3""".stripMargin,
   )
+
+  /** q112's oracle: the degree peel unrolled to a fixed `stages` chain of
+    * MATERIALIZED CTEs (DuckDB inlines plain CTEs at every use site, so
+    * an unmaterialized 16-deep chain re-expands the lineitem scan
+    * exponentially — "too many open files"). KCoreSpec pins that the
+    * sf0.01 fixture reaches its fixpoint in 11 rounds < 16, so the
+    * truncated unroll equals the converged result the Spark side emits.
+    */
+  private def kCoreSql(k: Int, stages: Int): String = {
+    val base =
+      """e0 AS MATERIALIZED (
+        |  WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |  SELECT p1, p2 FROM (
+        |    SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS cnt
+        |    FROM pp a JOIN pp b
+        |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |    GROUP BY 1, 2) WHERE cnt >= 2)""".stripMargin
+    val stageCtes = (0 until stages).flatMap { i =>
+      Seq(
+        s"""k$i AS MATERIALIZED (SELECT id FROM (
+           |  SELECT id, count(*) AS deg FROM (
+           |    SELECT p1 AS id FROM e$i UNION ALL SELECT p2 FROM e$i) GROUP BY 1)
+           |  WHERE deg >= $k)""".stripMargin,
+        s"""e${i + 1} AS MATERIALIZED (SELECT p1, p2 FROM e$i
+           |  WHERE p1 IN (SELECT id FROM k$i) AND p2 IN (SELECT id FROM k$i))""".stripMargin)
+    }
+    (base +: stageCtes).mkString("WITH ", ",\n", "") +
+      s"""
+         |SELECT id AS partkey, count(*)::BIGINT AS core_deg FROM (
+         |  SELECT p1 AS id FROM e$stages UNION ALL SELECT p2 FROM e$stages)
+         |GROUP BY 1""".stripMargin
+  }
 }

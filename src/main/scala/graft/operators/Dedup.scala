@@ -674,4 +674,36 @@ object Dedup {
         coalesce($"covered", lit(0L)).cast("long").as("covered_tokens"),
         (coalesce($"covered", lit(0L)).cast("double") / $"n_tokens").as("dup_frac"))
   }
+
+  /** q115: edit-distance near-dup pairs over a normalized 40-char title
+    * prefix — prefix-blocked Levenshtein join: candidates must share
+    * their first `prefixLen` normalized characters and differ in length
+    * by ≤ `maxDist` (a necessary condition for lev ≤ maxDist WITHIN a
+    * shared-prefix block, and the declared recall contract: pairs whose
+    * edits touch the first `prefixLen` characters are out of scope —
+    * the fuzzy complement is the q15/q23 sketch family), then the exact
+    * DP distance verifies. `levenshtein` is a built-in in both engines
+    * and integer-valued, so the oracle is exact.
+    *
+    * Scale: the block key join shuffles on the prefix (no cartesian);
+    * per-block pair fan-out is bounded by the largest block (≤ 26 docs
+    * on the sf0.01 fixture), and the O(len²) DP runs only on survivors
+    * of the length filter. This is the PassJoin-style "partition by
+    * signature, verify exactly" shape.
+    */
+  def editDistanceNearDup(spark: SparkSession, d: String, maxDist: Int = 3,
+      prefixLen: Int = 4, titleLen: Int = 40): DataFrame = {
+    import spark.implicits._
+    val t = documents(spark, d)
+      .select($"doc_id",
+        substring(regexp_replace(trim(lower($"text")), "\\s+", " "),
+          1, titleLen).as("ti"))
+      .withColumn("blk", substring($"ti", 1, prefixLen))
+    t.as("a").join(t.as("b"),
+        $"a.blk" === $"b.blk" && $"a.doc_id" < $"b.doc_id" &&
+          abs(length($"a.ti") - length($"b.ti")) <= maxDist)
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        levenshtein($"a.ti", $"b.ti").cast("long").as("dist"))
+      .filter($"dist" <= maxDist)
+  }
 }

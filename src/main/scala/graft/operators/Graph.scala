@@ -262,4 +262,69 @@ object Graph {
       .select($"id", $"id".as("component"))
     members.union(roots)
   }
+
+  /** Co-purchase edges (p1 < p2, cnt): the bipartite order–part graph
+    * projected onto parts — two parts are linked once per order that
+    * contains both, kept when they co-occur in ≥ `minCount` orders.
+    * Memo-shared: q111 emits it, q112's k-core peels it.
+    *
+    * Scale: the projection is a self-join ON THE ORDER KEY, so each
+    * task's pair fan-out is bounded by the square of a single order's
+    * line count (≤ ~13 parts/order in TPC-H shape — never the
+    * hub-quadratic part×part blow-up of joining on the part side), and
+    * the pair aggregate is one shuffle with map-side combine. This is
+    * the standard market-basket projection plan.
+    */
+  private[operators] def copurchaseEdges(spark: SparkSession, d: String,
+      minCount: Int = 2): DataFrame =
+    graft.core.Memo(spark, cache = true, "copurchaseEdges", d, minCount.toString) {
+      import spark.implicits._
+      val pp = lineitem(spark, d).select($"l_orderkey", $"l_partkey").distinct()
+      pp.as("a").join(pp.as("b"),
+          $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
+        .groupBy($"a.l_partkey".as("p1"), $"b.l_partkey".as("p2"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter($"cnt" >= minCount)
+    }
+
+  /** q111: the co-purchase pair list itself (support ≥ 2). */
+  def copurchasePairs(spark: SparkSession, d: String): DataFrame =
+    copurchaseEdges(spark, d)
+
+  /** q112: the k-core of the co-purchase graph — iterative degree peel
+    * (Matula–Beck in its distributed form): drop every vertex with
+    * degree < k, recompute degrees on the surviving subgraph, repeat to
+    * the fixpoint; output each surviving vertex with its in-core degree.
+    *
+    * Scale: each round is one degree aggregate + one semi-join of the
+    * edge list against the surviving vertex set — state ∝ |edges|,
+    * nothing collected; `localCheckpoint` per round truncates the
+    * growing loop lineage (the PageRank/CC discipline). Round count is
+    * bounded by the peel depth (10 on the sf0.01 fixture, O(√m) worst
+    * case), not by |V|. The DuckDB oracle unrolls a fixed 16 stages;
+    * KCoreSpec asserts the fixture reaches its fixpoint within that.
+    */
+  def kCore(spark: SparkSession, d: String, k: Int = 3,
+      maxRounds: Int = 40): DataFrame = {
+    import spark.implicits._
+    def degrees(e: DataFrame): DataFrame =
+      e.select($"p1".as("id")).union(e.select($"p2".as("id")))
+        .groupBy($"id").agg(count(lit(1)).as("deg"))
+    var edges = copurchaseEdges(spark, d).select($"p1", $"p2").localCheckpoint()
+    var round = 0
+    var stable = false
+    while (!stable && round < maxRounds) {
+      val keep = degrees(edges).filter($"deg" >= k).select($"id")
+      val next = edges
+        .join(keep.select($"id".as("p1")), Seq("p1"), "left_semi")
+        .join(keep.select($"id".as("p2")), Seq("p2"), "left_semi")
+        .select($"p1", $"p2")
+        .localCheckpoint()
+      stable = next.count() == edges.count()
+      edges = next
+      round += 1
+    }
+    require(stable, s"k-core peel did not converge in $maxRounds rounds")
+    degrees(edges).select($"id".as("partkey"), $"deg".as("core_deg"))
+  }
 }

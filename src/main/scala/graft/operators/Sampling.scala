@@ -232,4 +232,44 @@ object Sampling {
       .select($"doc_id", $"lang", $"source",
         explode(sequence(lit(1L), $"n_copies")).as("copy_id"))
   }
+
+  /** q114: priority sampling (Duffield–Lund–Thorup, JACM 2007) — the
+    * weighted top-k sample whose Horvitz–Thompson estimate
+    * `max(w_i, τ)` is unbiased for any subset-sum query. Weight = the
+    * document's n_chars; priority = w / u with u ∈ (0,1] derived from
+    * the doc's own md5 (deterministic — same hash-not-rand discipline as
+    * the rest of this file). τ = the (k+1)-th largest priority.
+    *
+    * Cross-engine exactness: u is materialized as the integer h+1 over
+    * 2^32, so pri = (w · 2^32) / (h+1) is one exact integer product
+    * (< 2^53) and one correctly-rounded IEEE division — bit-identical
+    * in any IEEE engine, no transcendentals (the reason this is
+    * priority sampling and not Efraimidis–Spirakis, which needs pow).
+    *
+    * Scale: one scan-stage projection, then `orderBy.limit(k+1)` —
+    * Spark plans TakeOrderedAndProject: per-partition top-(k+1) heaps,
+    * single merge of p·(k+1) rows — never a global sort. τ comes from
+    * the (k+1)-th row of that tiny set and broadcasts back on.
+    */
+  def prioritySample(spark: SparkSession, d: String, k: Int = 50): DataFrame = {
+    import spark.implicits._
+    val pri = documents(spark, d)
+      .select($"doc_id", $"n_chars".as("w"),
+        (Hashing.md5Bits32(concat(lit("ps:"), $"doc_id".cast("string")), 1) + 1L)
+          .as("h1"))
+      .select($"doc_id", $"w",
+        (($"w" * lit(4294967296L)).cast("double") / $"h1".cast("double"))
+          .as("pri"))
+    val top = pri.orderBy($"pri".desc, $"doc_id").limit(k + 1)
+    val win = Window.orderBy($"pri".desc, $"doc_id")
+    val ranked = top.withColumn("rn", row_number().over(win))
+    val tau = ranked.filter($"rn" === k + 1)
+      .select($"pri".as("tau"))
+    // left join so a corpus smaller than k+1 yields τ = 0 (everything
+    // sampled, estimate = its own weight) instead of an empty result
+    ranked.filter($"rn" <= k)
+      .join(broadcast(tau), lit(true), "left")
+      .select($"doc_id", $"w", $"pri",
+        greatest($"w".cast("double"), coalesce($"tau", lit(0.0))).as("est_w"))
+  }
 }

@@ -86,4 +86,44 @@ object Windowed {
         (max($"tsu") - min($"tsu")).as("duration_us"),
         stableSum($"value").as("sum_value"))
   }
+
+  /** q113: strictly-ordered conversion funnel view → click → purchase
+    * with a per-step conversion window (default 24 h): stage 1 = the
+    * user's first view; stage 2 = the first click strictly after it and
+    * within the window; stage 3 = the first purchase strictly after that
+    * click and within the window. Emits one row per funnel-entering
+    * user: (user_id, stage, t1, t2, t3), unreached steps as -1.
+    *
+    * First-occurrence semantics (not "any matching triple") keep the
+    * result deterministic and each step a plain min-aggregate — the form
+    * every funnel warehouse query takes.
+    *
+    * Scale: three filtered min-aggregates chained by equi-joins on
+    * user_id — partial aggregation collapses each user's events map-side,
+    * and every join key is the natural user_id shuffle; no window over a
+    * global ordering, no per-user event collection.
+    */
+  def funnelStages(spark: SparkSession, d: String,
+      windowUs: Long = 24L * 3600 * 1000000): DataFrame = {
+    import spark.implicits._
+    val e = events(spark, d)
+      .select($"user_id", unix_micros($"ts").as("tsu"), $"event_type")
+    val f1 = e.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"tsu").as("t1"))
+    val f2 = e.join(f1, "user_id")
+      .filter($"event_type" === "click" && $"tsu" > $"t1" &&
+        $"tsu" <= $"t1" + lit(windowUs))
+      .groupBy($"user_id").agg(min($"tsu").as("t2"))
+    val f3 = e.join(f2, "user_id")
+      .filter($"event_type" === "purchase" && $"tsu" > $"t2" &&
+        $"tsu" <= $"t2" + lit(windowUs))
+      .groupBy($"user_id").agg(min($"tsu").as("t3"))
+    f1.join(f2, Seq("user_id"), "left")
+      .join(f3, Seq("user_id"), "left")
+      .select($"user_id",
+        (lit(1L) + $"t2".isNotNull.cast("long") + $"t3".isNotNull.cast("long"))
+          .as("stage"),
+        $"t1", coalesce($"t2", lit(-1L)).as("t2"),
+        coalesce($"t3", lit(-1L)).as("t3"))
+  }
 }

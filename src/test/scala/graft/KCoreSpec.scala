@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Memo
+import graft.operators.Graph
+
+/** Co-purchase projection and its k-core (q111/q112). The DuckDB oracle
+  * unrolls a FIXED 16-stage peel, so the binding property pinned here is
+  * that the verify fixture's fixpoint is reachable within 16 rounds —
+  * plus the peel semantics themselves against a driver brute-force and
+  * the q111/q112 memo-sharing contract.
+  */
+class KCoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** Reference peel: drop degree-&lt;k vertices, recompute, repeat to the
+    * fixpoint; returns the surviving in-core degrees and the number of
+    * rounds (including the final confirming round, matching both the
+    * Spark loop's `stable` check and the oracle's stage count).
+    */
+  private def bruteKCore(edges: Set[(Long, Long)], k: Int): (Map[Long, Long], Int) = {
+    def degrees(e: Set[(Long, Long)]): Map[Long, Long] =
+      e.toSeq.flatMap(p => Seq(p._1, p._2)).groupBy(identity)
+        .map { case (v, o) => v -> o.size.toLong }
+    var e = edges
+    var rounds = 0
+    var stable = false
+    while (!stable) {
+      val keep = degrees(e).filter(_._2 >= k).keySet
+      val next = e.filter(p => keep(p._1) && keep(p._2))
+      rounds += 1
+      stable = next == e
+      e = next
+    }
+    (degrees(e), rounds)
+  }
+
+  test("kCore matches the driver brute-force peel at sf0.001 (whole graph IS the 3-core)") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val edges = Graph.copurchasePairs(spark, sf)
+      .select($"p1", $"p2").as[(Long, Long)].collect().toSet
+    val (expected, rounds) = bruteKCore(edges, 3)
+    assert(rounds == 1, "sf0.001 is the degenerate no-peel case by construction")
+    val got = Graph.kCore(spark, sf).as[(Long, Long)].collect().toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("sf0.01 fixpoint is a real multi-round peel within the oracle's 16 stages") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.01"
+    val edges = Graph.copurchasePairs(spark, sf)
+      .select($"p1", $"p2").as[(Long, Long)].collect().toSet
+    val (expected, rounds) = bruteKCore(edges, 3)
+    assert(rounds <= 16, s"q112 oracle unroll too shallow: fixture needs $rounds stages")
+    assert(rounds > 5, s"fixture should exercise a deep peel, got $rounds rounds")
+    val got = Graph.kCore(spark, sf).as[(Long, Long)].collect().toMap
+    assert(got == expected)
+    assert(expected.size < edges.toSeq.flatMap(p => Seq(p._1, p._2)).distinct.size,
+      "the peel must actually remove vertices at sf0.01")
+  }
+
+  test("q111/q112 share one copurchaseEdges build") {
+    val s = spark.newSession()
+    try {
+      val sf = "/root/testdata/sf0.001"
+      SparkEntry.queries("q111_copurchase")(s, sf).count()
+      SparkEntry.queries("q112_kcore")(s, sf).count()
+      val keys = Memo.keysFor(s).filter(_.split(" ")(1) == "copurchaseEdges")
+      assert(keys.size == 1, s"expected one shared projection, got $keys")
+    } finally Memo.release(s)
+  }
+}

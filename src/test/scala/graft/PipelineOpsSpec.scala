@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Contamination, Dedup, Sampling, Sharding, Similarity, Text}
+import graft.operators.{Contamination, Dedup, Sampling, Sharding, Similarity, Text, Windowed}
 
 /** The contamination / clustering / tokenizer-prep operator family
   * (q59–q66). Each has a full DuckDB oracle; these tests pin the
@@ -799,5 +799,87 @@ class PipelineOpsSpec extends AnyFunSuite {
     val pairs = Text.bpePairCounts(spark, sf).as[(String, Long)].collect()
     assert(pairs.map(_._2).sum == expected)
     pairs.foreach { case (p, n) => assert(p.length == 2 && n > 0) }
+  }
+
+  test("funnelStages: first-occurrence semantics against a driver replay") {
+    import spark.implicits._
+    val w = 24L * 3600 * 1000000
+    val evs = graft.core.Tables.events(spark, sf)
+      .select($"user_id", unix_micros($"ts"), $"event_type")
+      .as[(Long, Long, String)].collect()
+    val expected = evs.groupBy(_._1).flatMap { case (u, es) =>
+      val views = es.filter(_._3 == "view").map(_._2)
+      views.minOption.map { t1 =>
+        val t2 = es.collect {
+          case (_, t, "click") if t > t1 && t <= t1 + w => t
+        }.minOption
+        val t3 = t2.flatMap(c => es.collect {
+          case (_, t, "purchase") if t > c && t <= c + w => t
+        }.minOption)
+        u -> ((1L + t2.size + t3.size, t1, t2.getOrElse(-1L), t3.getOrElse(-1L)))
+      }
+    }
+    val got = Windowed.funnelStages(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == expected)
+    assert(got.values.exists(_._1 == 3L), "fixture should contain full conversions")
+    assert(got.values.exists(_._1 < 3L), "and partial funnels")
+  }
+
+  test("prioritySample: top-k by priority, one shared tau, small-corpus tau=0 path") {
+    import spark.implicits._
+    val out = Sampling.prioritySample(spark, sf, k = 50)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(out.length == 50)
+    assert(out.map(_._1).distinct.length == 50, "sample is distinct docs")
+    // est_w = max(w, tau) with ONE threshold: every estimate above the
+    // row's own weight must be the same tau, and every sampled priority
+    // sits at or above it (they are the top-k by construction)
+    val taus = out.collect { case (_, w, _, est) if est != w.toDouble => est }.distinct
+    assert(taus.length == 1, s"expected one shared tau, got ${taus.toSeq}")
+    val tau = taus.head
+    out.foreach { case (id, w, pri, est) =>
+      assert(est == math.max(w.toDouble, tau), s"doc $id")
+      assert(pri >= tau, s"doc $id pri=$pri below tau=$tau")
+    }
+    // k beyond the corpus: no (k+1)-th row exists, tau falls back to 0
+    // and the estimator degenerates to the exact per-doc weight
+    val all = Sampling.prioritySample(spark, sf, k = 1000)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(all.length == 500, "k > |corpus| keeps every doc")
+    all.foreach { case (id, w, _, est) =>
+      assert(est == w.toDouble, s"doc $id tau=0 estimate must be its own weight")
+    }
+  }
+
+  test("editDistanceNearDup matches a driver DP within shared-prefix blocks") {
+    import spark.implicits._
+    def lev(a: String, b: String): Int = {
+      var prev = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        val row = new Array[Int](b.length + 1)
+        row(0) = i
+        for (j <- 1 to b.length)
+          row(j) = math.min(math.min(prev(j) + 1, row(j - 1) + 1),
+            prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = row
+      }
+      prev(b.length)
+    }
+    val titles = graft.core.Tables.documents(spark, sf)
+      .select($"doc_id",
+        substring(regexp_replace(trim(lower($"text")), "\\s+", " "), 1, 40))
+      .as[(Long, String)].collect()
+    val expected = (for {
+      (ia, ta) <- titles; (ib, tb) <- titles
+      if ia < ib && ta.take(4) == tb.take(4) &&
+        math.abs(ta.length - tb.length) <= 3
+      d = lev(ta, tb) if d <= 3
+    } yield (ia, ib, d.toLong)).toSet
+    val got = Dedup.editDistanceNearDup(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture should contain near-identical titles")
   }
 }
