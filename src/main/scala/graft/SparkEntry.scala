@@ -141,6 +141,12 @@ object SparkEntry {
     "q113_funnel"         -> ((s, d) => Windowed.funnelStages(s, d)),
     "q114_priority_sample" -> ((s, d) => Sampling.prioritySample(s, d)),
     "q115_edit_distance"  -> ((s, d) => Dedup.editDistanceNearDup(s, d)),
+    "q116_bm25"           -> ((s, d) => Retrieval.bm25TopK(s, d)),
+    "q117_gopher_quality" -> ((s, d) =>
+      Text.gopherQuality(s, d, graft.functions.TextFunctions.StopWords)),
+    "q118_link_prediction" -> ((s, d) => Graph.linkPrediction(s, d)),
+    "q119_power_iteration" -> ((s, d) => Similarity.powerIteration(s, d)),
+    "q120_retention"      -> ((s, d) => Windowed.retentionCohorts(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -2111,7 +2117,131 @@ object SparkEntry {
         |FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
         |  AND abs(length(a.ti) - length(c.ti)) <= 3
         |WHERE levenshtein(a.ti, c.ti) <= 3""".stripMargin,
+    // Okapi BM25 against the q59 eval split: every weight input is an
+    // exact integer; the one double weight expression has identical
+    // shape in both engines and quantizes to 1e6 per posting (the
+    // q77/q107 discipline), so doc scores are exact integer sums
+    "q116_bm25" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |    t -> regexp_full_match(t, '[a-z]+') AND NOT list_contains($stopList, t))) AS t
+         |  FROM documents),
+         |ev AS (SELECT doc_id,
+         |  ${md5Bits32Sql("'eval:' || doc_id::VARCHAR", 1)} % 100 < 5 AS ev
+         |  FROM documents),
+         |tf AS (SELECT toks.doc_id, t, count(*)::BIGINT AS tf
+         |       FROM toks JOIN ev USING (doc_id) WHERE NOT ev GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+         |st AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sumdl FROM dl),
+         |dfT AS (SELECT t, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+         |q AS (SELECT DISTINCT toks.doc_id AS query_id, t
+         |      FROM toks JOIN ev USING (doc_id) WHERE ev),
+         |sq AS (SELECT q.query_id, tf.doc_id,
+         |  round(log2(((n - df + 0.5) / (df + 0.5)) + 1.0)
+         |    * (tf * 2.2)
+         |    / (tf + 1.2 * (0.25 + 0.75 * ((dl * n)::DOUBLE / sumdl::DOUBLE)))
+         |    * 1000000.0)::BIGINT AS sq
+         |  FROM q JOIN tf USING (t) JOIN dfT USING (t)
+         |  JOIN dl ON tf.doc_id = dl.doc_id, st),
+         |sc AS (SELECT query_id, doc_id, sum(sq)::BIGINT AS score_q
+         |       FROM sq GROUP BY 1, 2),
+         |rk AS (SELECT query_id, doc_id, score_q,
+         |       row_number() OVER (PARTITION BY query_id
+         |         ORDER BY score_q DESC, doc_id)::BIGINT AS rank FROM sc)
+         |SELECT query_id, doc_id, rank, score_q FROM rk WHERE rank <= 10""".stripMargin,
+    // every ratio rule is an exact integer cross-product; the only
+    // double is the mean-word-length division of two exact integers.
+    // Required set = the reference 29-word stop list (see the operator
+    // scaladoc for why the canonical Gopher 8 is fixture-degenerate)
+    "q117_gopher_quality" ->
+      s"""WITH w AS (SELECT doc_id,
+         |  list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |    t -> strlen(t) > 0) AS w
+         |  FROM documents),
+         |c AS (SELECT doc_id,
+         |  len(w)::BIGINT AS n_words,
+         |  coalesce(list_sum(list_transform(w, t -> strlen(t))), 0)::BIGINT AS n_wchars,
+         |  len(list_filter(w, t -> regexp_matches(t, '[a-z]')))::BIGINT AS n_alpha,
+         |  len(list_filter(w, t -> contains(t, '#') OR contains(t, '...')))::BIGINT AS n_sym,
+         |  len(list_intersect(list_distinct(w), $stopList))::BIGINT AS n_req
+         |  FROM w)
+         |SELECT doc_id, n_words, n_wchars,
+         |  n_wchars::DOUBLE / n_words::DOUBLE AS mean_wlen,
+         |  n_alpha, n_sym, n_req,
+         |  (n_words >= 50 AND n_words <= 100000) AS pass_words,
+         |  (n_wchars >= n_words * 3 AND n_wchars <= n_words * 10) AS pass_mean,
+         |  (n_alpha * 10 >= n_words * 8) AS pass_alpha,
+         |  (n_sym * 10 < n_words) AS pass_sym,
+         |  (n_req >= 2) AS pass_req,
+         |  (n_words >= 50 AND n_words <= 100000 AND n_wchars >= n_words * 3
+         |   AND n_wchars <= n_words * 10 AND n_alpha * 10 >= n_words * 8
+         |   AND n_sym * 10 < n_words AND n_req >= 2) AS pass
+         |FROM c""".stripMargin,
+    // common-neighbor link prediction on the q111 co-purchase graph:
+    // wedge join + anti-join against the edge list; Jaccard is exact
+    // integers + one division
+    "q118_link_prediction" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS MATERIALIZED (SELECT p1, p2 FROM (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS cnt
+        |  FROM pp a JOIN pp b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2) WHERE cnt >= 2),
+        |nb AS (SELECT p1 AS z, p2 AS x FROM e UNION ALL SELECT p2, p1 FROM e),
+        |deg AS (SELECT x AS id, count(*)::BIGINT AS deg FROM nb GROUP BY 1),
+        |cn AS (SELECT a.x AS p1, b.x AS p2, count(*)::BIGINT AS cn
+        |       FROM nb a JOIN nb b ON a.z = b.z AND a.x < b.x
+        |       GROUP BY 1, 2 HAVING count(*) >= 2),
+        |nonedge AS (SELECT cn.p1, cn.p2, cn.cn FROM cn LEFT JOIN e
+        |            ON cn.p1 = e.p1 AND cn.p2 = e.p2 WHERE e.p1 IS NULL)
+        |SELECT n.p1, n.p2, n.cn,
+        |  n.cn::DOUBLE / (d1.deg + d2.deg - n.cn)::DOUBLE AS jaccard
+        |FROM nonedge n JOIN deg d1 ON n.p1 = d1.id
+        |JOIN deg d2 ON n.p2 = d2.id""".stripMargin,
+    "q119_power_iteration" -> powerIterationSql(4),
+    // exact integral day ids (// floor-division of positive micros);
+    // retention is the one int/int double division
+    "q120_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS dy FROM events),
+        |f AS (SELECT user_id, min(dy) AS cohort_day FROM e GROUP BY 1),
+        |act AS (SELECT DISTINCT e.user_id, cohort_day,
+        |               dy - cohort_day AS offset_day
+        |        FROM e JOIN f USING (user_id)),
+        |ret AS (SELECT cohort_day, offset_day, count(*)::BIGINT AS n_users
+        |        FROM act GROUP BY 1, 2),
+        |sz AS (SELECT cohort_day, count(*)::BIGINT AS cohort_size
+        |       FROM f GROUP BY 1)
+        |SELECT r.cohort_day, r.offset_day, r.n_users, s.cohort_size,
+        |  r.n_users::DOUBLE / s.cohort_size::DOUBLE AS retention
+        |FROM ret r JOIN sz s USING (cohort_day)""".stripMargin,
   )
+
+  /** q119's oracle: the power-iteration trajectory unrolled — per step,
+    * the projection Xv as exact BIGINT dots, the backprojection XᵀXv as
+    * exact HUGEINT sums (mirroring Spark's DECIMAL(38,0)), then the one
+    * FP step (norm + rescale of the d-vector) as an ORDER BY i left fold
+    * — `list_reduce` is a sequential fold, matching the Scala
+    * `reduceLeft` — and HALF_UP rounding back to 1e6 longs.
+    */
+  private def powerIterationSql(iters: Int): String = {
+    val v0 = "v0 AS (SELECT DISTINCT i, 1000000::BIGINT AS vq FROM ex)"
+    val steps = (1 to iters).map { t =>
+      s""",
+         |dv$t AS (SELECT vec_id, sum(e * vq)::BIGINT AS dv
+         |         FROM ex JOIN v${t - 1} USING (i) GROUP BY 1),
+         |u$t AS (SELECT i, sum(e::HUGEINT * dv) AS u
+         |        FROM ex JOIN dv$t USING (vec_id) GROUP BY 1),
+         |nr$t AS (SELECT sqrt(list_reduce(list_transform(
+         |           list(u::DOUBLE ORDER BY i), x -> x * x),
+         |           (a, b) -> a + b)) AS nrm FROM u$t),
+         |v$t AS (SELECT i, round(u::DOUBLE / nrm * 1000000.0)::BIGINT AS vq
+         |        FROM u$t, nr$t)""".stripMargin
+    }.mkString
+    s"""WITH $embedCtes,
+       |$v0$steps
+       |SELECT i::BIGINT AS dim, vq, vq::DOUBLE / 1000000.0 AS v
+       |FROM v$iters""".stripMargin
+  }
 
   /** q112's oracle: the degree peel unrolled to a fixed `stages` chain of
     * MATERIALIZED CTEs (DuckDB inlines plain CTEs at every use site, so

@@ -327,4 +327,37 @@ object Graph {
     require(stable, s"k-core peel did not converge in $maxRounds rounds")
     degrees(edges).select($"id".as("partkey"), $"deg".as("core_deg"))
   }
+
+  /** q118: common-neighbor link prediction on the co-purchase graph —
+    * for every NON-adjacent part pair sharing ≥ `minCommon` neighbors,
+    * the common-neighbor count and the neighbor-set Jaccard
+    * cn/(deg_a + deg_b − cn) (Liben-Nowell & Kleinberg's CN/Jaccard
+    * predictors; the "customers who bought X also consider Y" candidate
+    * generator). Rides the q111/q112 memo-shared edge projection.
+    *
+    * Scale: the same wedge join as q110's triangles — pair fan-out is
+    * per-vertex-degree-bounded (each shared neighbor z contributes
+    * deg(z)² wedges), one (pair) aggregate with map-side combine, then a
+    * broadcast-able LEFT ANTI join against the edge list to keep only
+    * non-edges. Degrees and the Jaccard are exact integers + one
+    * division. No all-pairs stage anywhere.
+    */
+  def linkPrediction(spark: SparkSession, d: String, minCommon: Int = 2): DataFrame = {
+    import spark.implicits._
+    val edges = copurchaseEdges(spark, d).select($"p1", $"p2")
+    val nb = edges.select($"p1".as("z"), $"p2".as("x"))
+      .union(edges.select($"p2".as("z"), $"p1".as("x")))
+    val deg = nb.groupBy($"x".as("id")).agg(count(lit(1)).as("deg"))
+    val cn = nb.as("a").join(nb.as("b"),
+        $"a.z" === $"b.z" && $"a.x" < $"b.x")
+      .groupBy($"a.x".as("p1"), $"b.x".as("p2"))
+      .agg(count(lit(1)).as("cn"))
+      .filter($"cn" >= minCommon)
+      .join(edges, Seq("p1", "p2"), "left_anti")
+    cn.join(deg.select($"id".as("p1"), $"deg".as("d1")), "p1")
+      .join(deg.select($"id".as("p2"), $"deg".as("d2")), "p2")
+      .select($"p1", $"p2", $"cn",
+        ($"cn".cast("double") / ($"d1" + $"d2" - $"cn").cast("double"))
+          .as("jaccard"))
+  }
 }

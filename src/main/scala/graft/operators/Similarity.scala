@@ -588,6 +588,51 @@ object Similarity {
       .agg(count(lit(1)).as("n"), sum($"pos").as("n_pred_pos"))
   }
 
+  /** q119: top principal direction of the (uncentered) embedding Gram
+    * matrix by distributed power iteration — the covariance-free matvec
+    * u = Xᵀ(Xv) that never materializes the d×d matrix, the shape PCA /
+    * spectral probes take at 100 TB (X is the corpus, only two
+    * corpus-wide aggregates per step).
+    *
+    * Quantized-exact trajectory (the k-means/linear-probe discipline):
+    * embeddings quantize once to 1e7 longs; v lives as 1e6-scaled longs
+    * broadcast as a plan literal; per-vector projections Xv are exact
+    * long dots (native quantized_dot, ≤ 64·1e13); the d backprojection
+    * sums run as exact DECIMAL(38,0)/HUGEINT integers (≤ ~1e27 at sf0.1,
+    * bound ∝ rows — document 1e38 ceiling at ~1e16 rows). The ONE float
+    * step per iteration — norm and rescale of a d-vector — happens on d
+    * driver-held values with a fixed left-fold order and HALF_UP
+    * rounding, so both engines replay it bit-identically.
+    *
+    * Scale: per step one scan-stage projection (dot against a literal)
+    * and one (dim) aggregate with map-side combine — d·parts partial
+    * rows; nothing driver-side beyond the d-vector itself.
+    */
+  def powerIteration(spark: SparkSession, d: String, iters: Int = 4): DataFrame = {
+    import spark.implicits._
+    val ex = graft.core.Memo(spark, cache = true, "powerBase", d) {
+      embeddings(spark, d).select($"vec_id", quantize($"embedding").as("eq"))
+    }
+    val dims = ex.select(size($"eq")).head().getInt(0)
+    var vq: Seq[Long] = Seq.fill(dims)(1000000L)
+    for (_ <- 1 to iters) {
+      val u = ex
+        .withColumn("dv", dotPreQ($"eq", typedLit(vq)))
+        .select($"dv", posexplode($"eq").as(Seq("i", "e")))
+        .groupBy($"i")
+        .agg(sum($"e".cast("decimal(38,0)") * $"dv").as("u"))
+        .collect().map(r => r.getInt(0) -> r.getDecimal(1)).toMap
+      val ud = (0 until dims).map(i =>
+        u.getOrElse(i, java.math.BigDecimal.ZERO).doubleValue())
+      val nrm = math.sqrt(ud.map(x => x * x).reduceLeft(_ + _))
+      vq = ud.map(x => new java.math.BigDecimal(x / nrm * 1000000.0)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact())
+    }
+    spark.createDataset((0 until dims).map(i =>
+        (i.toLong, vq(i), vq(i).toDouble / 1000000.0)))
+      .toDF("dim", "vq", "v")
+  }
+
   /** Per-label centroid-distance outlier flagging: each vector's cosine
     * to its label's centroid, with the `frac` least-similar vectors per
     * label flagged — the embedding-space mislabel/quality filter that

@@ -1172,4 +1172,60 @@ object Text {
         array_join(slice($"ws", $"start" + 1, lit(chunkSize)), " ").as("chunk_text"),
         least(lit(chunkSize), size($"ws") - $"start").cast("long").as("n_tokens"))
   }
+
+  /** The Gopher quality rules' required-word set (Rae et al. 2021 §A1.1,
+    * the "must contain ≥ 2 of" stop list — a distinct, smaller list than
+    * the reference's 29-word TF-IDF stop list).
+    */
+  val GopherRequiredWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** q117: Gopher-style document quality gate (Rae et al. 2021 §A1.1,
+    * the rule set C4/RefinedWeb-descended pipelines run first): word
+    * count in [50, 100 000]; mean word length in [3, 10]; ≥ 80 % of
+    * words contain an alphabetic character; < 10 % of words are
+    * symbol-bearing (# or …); ≥ 2 distinct required stop words present.
+    * Emits the raw counters, each rule's verdict, and the conjunction —
+    * counters kept so downstream can re-threshold without a rescan.
+    *
+    * Every ratio rule is evaluated as an EXACT integer cross-product
+    * (10·n_alpha ≥ 8·n_words, not n_alpha/n_words ≥ 0.8); the one
+    * emitted double (mean word length) is a single division of exact
+    * integers. One scan-stage projection per document, no joins, no
+    * shuffle — at 100 TB this is a map-only pass that fuses into
+    * whatever reads it next.
+    *
+    * `required` defaults to Gopher's own 8-word list; the q117 harness
+    * row passes the reference 29-word stop list instead, because the
+    * synthetic corpus models only "the"/"a" of the canonical 8 — with
+    * the canonical set pass_req would be constant-false at every SF (a
+    * fixture artifact, not an operator property).
+    */
+  def gopherQuality(spark: SparkSession, d: String,
+      required: Seq[String] = GopherRequiredWords): DataFrame = {
+    import spark.implicits._
+    val ws = filter(tokens($"text"), t => length(t) > 0)
+    documents(spark, d)
+      .select($"doc_id", ws.as("w"))
+      .select($"doc_id",
+        size($"w").cast("long").as("n_words"),
+        aggregate($"w", lit(0L), (acc, t) => acc + length(t)).as("n_wchars"),
+        size(filter($"w", t => t.rlike("[a-z]"))).cast("long").as("n_alpha"),
+        size(filter($"w", t => t.contains("#") || t.contains("...")))
+          .cast("long").as("n_sym"),
+        size(array_intersect(array_distinct($"w"),
+          typedLit(required))).cast("long").as("n_req"))
+      .select($"doc_id", $"n_words", $"n_wchars",
+        ($"n_wchars".cast("double") / $"n_words".cast("double"))
+          .as("mean_wlen"),
+        $"n_alpha", $"n_sym", $"n_req",
+        ($"n_words" >= 50 && $"n_words" <= 100000).as("pass_words"),
+        ($"n_wchars" >= $"n_words" * 3 && $"n_wchars" <= $"n_words" * 10)
+          .as("pass_mean"),
+        ($"n_alpha" * 10 >= $"n_words" * 8).as("pass_alpha"),
+        ($"n_sym" * 10 < $"n_words").as("pass_sym"),
+        ($"n_req" >= 2).as("pass_req"))
+      .withColumn("pass",
+        $"pass_words" && $"pass_mean" && $"pass_alpha" && $"pass_sym" && $"pass_req")
+  }
 }

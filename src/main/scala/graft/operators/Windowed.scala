@@ -126,4 +126,41 @@ object Windowed {
         $"t1", coalesce($"t2", lit(-1L)).as("t2"),
         coalesce($"t3", lit(-1L)).as("t3"))
   }
+
+  /** q120: daily retention cohorts — each user joins the cohort of
+    * their first-ever event's epoch day; a cohort's day-N retention is
+    * the fraction of its users active (≥1 event) N days later. The
+    * standard warehouse cohort matrix: (cohort_day, offset_day, n_users,
+    * cohort_size, retention). Daily, not weekly: the fixture's 30-day
+    * span with always-on users makes weekly cells constant-1.0, while
+    * per-user daily activity is sparse enough to vary.
+    *
+    * Day ids are exact integral division of unix micros (`div`, floor
+    * for the always-positive timestamps — never a double division that
+    * could mis-floor at a day boundary); retention is the single
+    * int/int double division.
+    *
+    * Scale: two user-key aggregates (first day, distinct active days)
+    * on the SAME shuffle key, so the planner reuses one exchange; the
+    * cohort matrix itself is days² rows — the final join is a broadcast
+    * against the cohort-size table. No windows, no per-user collections.
+    */
+  def retentionCohorts(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dayUs = 86400L * 1000000
+    val e = events(spark, d)
+      .select($"user_id", expr(s"unix_micros(ts) div ${dayUs}L").as("dy"))
+    val firstDy = e.groupBy($"user_id").agg(min($"dy").as("cohort_day"))
+    val act = e.join(firstDy, "user_id")
+      .select($"user_id", $"cohort_day", ($"dy" - $"cohort_day").as("offset_day"))
+      .distinct()
+    val ret = act.groupBy($"cohort_day", $"offset_day")
+      .agg(count(lit(1)).as("n_users"))
+    val sizes = firstDy.groupBy($"cohort_day")
+      .agg(count(lit(1)).as("cohort_size"))
+    ret.join(sizes, "cohort_day")
+      .select($"cohort_day", $"offset_day", $"n_users", $"cohort_size",
+        ($"n_users".cast("double") / $"cohort_size".cast("double"))
+          .as("retention"))
+  }
 }

@@ -62,6 +62,30 @@ class KCoreSpec extends AnyFunSuite {
       "the peel must actually remove vertices at sf0.01")
   }
 
+  test("linkPrediction matches a driver brute force; predictions are non-edges") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val edges = Graph.copurchasePairs(spark, sf)
+      .select($"p1", $"p2").as[(Long, Long)].collect().toSet
+    val nbr = edges.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).map { case (v, o) => v -> o.map(_._2).toSet }
+    val verts = nbr.keySet.toSeq.sorted
+    val expected = (for {
+      a <- verts; b <- verts
+      if a < b && !edges((a, b))
+      cn = (nbr(a) & nbr(b)).size if cn >= 2
+    } yield (a, b, cn.toLong,
+      cn.toDouble / (nbr(a).size + nbr(b).size - cn).toDouble)).toSet
+    val got = Graph.linkPrediction(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+    got.foreach { case (a, b, _, j) =>
+      assert(!edges((a, b)), s"($a,$b) is an existing edge")
+      assert(j > 0.0 && j <= 1.0)
+    }
+  }
+
   test("q111/q112 share one copurchaseEdges build") {
     val s = spark.newSession()
     try {

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.Retrieval
+
+/** q116 BM25 against an independent driver-side reimplementation —
+  * tokenization, split, tf/df/dl statistics and the Okapi weight are all
+  * recomputed from the raw text in plain Scala, so an engine-side error
+  * in any piece (eval split, posting join, quantization, ranking)
+  * surfaces as a mismatch the DuckDB oracle alone could miss (oracle and
+  * engine could share a wrong constant; this replay shares nothing).
+  */
+class RetrievalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("bm25TopK matches a driver-side BM25 replay") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select($"doc_id", lower($"text"))
+      .as[(Long, String)].collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def evalDoc(id: Long): Boolean = {
+      val hex = md.digest(s"eval:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 100 < 5
+    }
+    val stop = TextFunctions.StopWords.toSet
+    def toks(t: String): Seq[String] = t.split("\\s+").toSeq
+      .filter(w => w.nonEmpty && w.forall(c => c >= 'a' && c <= 'z') && !stop(w))
+    val train = docs.filterNot(d => evalDoc(d._1))
+    val tf = train.map { case (id, t) =>
+      id -> toks(t).groupBy(identity).map { case (w, o) => w -> o.size.toLong }
+    }.toMap
+    val dl = tf.map { case (id, m) => id -> m.values.sum }
+    val n = dl.size.toLong
+    val sumdl = dl.values.sum
+    val df = tf.values.flatMap(_.keys).groupBy(identity)
+      .map { case (w, o) => w -> o.size.toLong }
+    val expected = docs.filter(d => evalDoc(d._1)).flatMap { case (qid, t) =>
+      val scores = tf.toSeq.flatMap { case (did, m) =>
+        val s = toks(t).distinct.flatMap { w =>
+          m.get(w).map { tfv =>
+            val idf = math.log((((n - df(w)) + 0.5) / (df(w) + 0.5)) + 1.0) /
+              math.log(2.0)
+            val w0 = idf * (tfv * 2.2) /
+              (tfv + 1.2 * (0.25 + 0.75 * ((dl(did) * n).toDouble / sumdl.toDouble)))
+            math.round(w0 * 1000000.0)
+          }
+        }.sum
+        if (s != 0L || toks(t).distinct.exists(m.contains)) Some(did -> s) else None
+      }
+      scores.sortBy { case (did, s) => (-s, did) }.take(10).zipWithIndex.map {
+        case ((did, s), r) => (qid, did, (r + 1).toLong, s)
+      }
+    }.toSet
+    val got = Retrieval.bm25TopK(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "eval split should produce queries with hits")
+  }
+}
