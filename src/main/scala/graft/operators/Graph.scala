@@ -360,4 +360,46 @@ object Graph {
         ($"cn".cast("double") / ($"d1" + $"d2" - $"cn").cast("double"))
           .as("jaccard"))
   }
+
+  /** q123: single-source BFS hop distances on the co-purchase graph from
+    * its minimum vertex id — frontier-expansion form: each round joins
+    * the adjacency ONLY against the vertices discovered last round,
+    * anti-joins the already-settled set, and stops when the frontier
+    * empties. Emits (partkey, hops) for the reachable component;
+    * unreached vertices are absent by definition.
+    *
+    * Scale: the textbook distributed BFS — per-round work ∝ edges
+    * incident to the frontier (never the settled set, unlike a
+    * Bellman-Ford relaxation over all vertices each round); round count
+    * = source eccentricity (10 on the sf0.01 fixture, spec-pinned ≤ the
+    * oracle's 14 unrolled stages); `localCheckpoint` per round cuts the
+    * loop lineage. The min-aggregate on candidates keeps multi-parent
+    * discoveries deterministic.
+    */
+  def bfsHops(spark: SparkSession, d: String, maxRounds: Int = 40): DataFrame = {
+    import spark.implicits._
+    val edges = copurchaseEdges(spark, d).select($"p1", $"p2")
+    val nb = edges.select($"p1".as("z"), $"p2".as("x"))
+      .union(edges.select($"p2".as("z"), $"p1".as("x")))
+    val src = edges.agg(min($"p1")).head().getLong(0)
+    var dist = Seq((src, 0L)).toDF("id", "hops").localCheckpoint()
+    var frontier = dist
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      val cand = nb.join(frontier, nb("z") === frontier("id"))
+        .select($"x".as("id"), ($"hops" + 1L).as("hops"))
+      val fresh = cand.join(dist, Seq("id"), "left_anti")
+        .groupBy($"id").agg(min($"hops").as("hops"))
+        .localCheckpoint()
+      if (fresh.isEmpty) done = true
+      else {
+        dist = dist.union(fresh).localCheckpoint()
+        frontier = fresh
+      }
+      round += 1
+    }
+    require(done, s"BFS did not exhaust its frontier in $maxRounds rounds")
+    dist.select($"id".as("partkey"), $"hops")
+  }
 }

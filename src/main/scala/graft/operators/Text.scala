@@ -1173,6 +1173,77 @@ object Text {
         least(lit(chunkSize), size($"ws") - $"start").cast("long").as("n_tokens"))
   }
 
+  /** q121: exact per-source robust location/scale profile — median and
+    * MAD (median absolute deviation) of document length, plus the count
+    * of |x − med| > k·MAD outliers. The robust twin of q76's mean-based
+    * datasheet: one pathological crawl batch moves a mean arbitrarily
+    * but shifts the median by at most one rank.
+    *
+    * Exactness: medians are rank-picked — row_number over (x, doc_id),
+    * keep the one or two middle ranks ((n+1) div 2, (n+2) div 2), exact
+    * integer-division rank arithmetic — so the median is an integer or
+    * half-integer, the deviations are exact half-integer doubles, and
+    * the MAD (a two-value mean of those) is exact to the quarter. No
+    * percentile_approx, no engine-specific interpolation.
+    *
+    * Scale: this is the EXACT-gold rung — two per-source sort windows
+    * (the price of true medians); the sketch path at 100 TB is q80's
+    * mergeable KLL quantiles, which this rung exists to validate. The
+    * per-source partition keeps the sorts group-local, never global.
+    */
+  def robustSourceStats(spark: SparkSession, d: String, madK: Int = 3): DataFrame = {
+    import spark.implicits._
+    val x = documents(spark, d).select($"source", $"doc_id", $"n_chars".as("x"))
+    def medianOf(df: DataFrame, col: String, out: String): DataFrame = {
+      val w = Window.partitionBy($"source").orderBy(df(col), $"doc_id")
+      df.withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy($"source")))
+        .filter($"rn" === expr("(n + 1) div 2") || $"rn" === expr("(n + 2) div 2"))
+        .groupBy($"source")
+        .agg((sum(df(col)).cast("double") / count(lit(1))).as(out))
+    }
+    val med = medianOf(x, "x", "median_chars")
+    val dev = x.join(med, "source")
+      .withColumn("dev", abs($"x".cast("double") - $"median_chars"))
+    val mad = medianOf(dev.select($"source", $"doc_id", $"dev"), "dev", "mad_chars")
+    dev.join(mad, "source")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        max($"median_chars").as("median_chars"),
+        max($"mad_chars").as("mad_chars"),
+        sum(($"dev" > lit(madK) * $"mad_chars").cast("long")).as("n_outliers"))
+  }
+
+  /** q122: PMI collocations — the top-k bigram types by pointwise mutual
+    * information log2(c12·T / (c1·c2)) with a minimum-count floor
+    * (Church & Hanks' association ratio; the collocation miner that
+    * feeds tokenizer merge seeding and phrase vocabularies). Marginals
+    * c1/c2/T are derived FROM the memo-shared bigram table (q73/q77/q83/
+    * q100/q107's lineage), so the whole query adds two small aggregates
+    * and a driver scalar to an already-cached build.
+    *
+    * The PMI ratio is computed in doubles from exact integer counts
+    * (each < 2⁵³, so the casts are exact and a long product could never
+    * overflow the way c12·T would at corpus scale), one identical-shape
+    * expression per engine, quantized to 1e6. Top-k via orderBy+limit —
+    * TakeOrderedAndProject, per-partition heaps, never a global sort.
+    */
+  def pmiCollocations(spark: SparkSession, d: String,
+      minCount: Long = 5, k: Int = 50): DataFrame = {
+    import spark.implicits._
+    val bc = bigramCounts(spark, d)
+    val c1 = bc.groupBy($"w1").agg(sum($"c12").as("c1"))
+    val c2 = bc.groupBy($"w2").agg(sum($"c12").as("c2"))
+    val t = bc.agg(sum($"c12")).head().getLong(0)
+    bc.filter($"c12" >= minCount)
+      .join(c1, "w1").join(c2, "w2")
+      .select($"w1", $"w2", $"c12",
+        round(log2(($"c12".cast("double") * lit(t.toDouble)) /
+          ($"c1".cast("double") * $"c2".cast("double"))) * lit(1000000.0))
+          .cast("long").as("pmi_q"))
+      .orderBy($"pmi_q".desc, $"w1", $"w2").limit(k)
+  }
+
   /** The Gopher quality rules' required-word set (Rae et al. 2021 §A1.1,
     * the "must contain ≥ 2 of" stop list — a distinct, smaller list than
     * the reference's 29-word TF-IDF stop list).
