@@ -147,6 +147,9 @@ object SparkEntry {
     "q118_link_prediction" -> ((s, d) => Graph.linkPrediction(s, d)),
     "q119_power_iteration" -> ((s, d) => Similarity.powerIteration(s, d)),
     "q120_retention"      -> ((s, d) => Windowed.retentionCohorts(s, d)),
+    "q121_robust_stats"   -> ((s, d) => Text.robustSourceStats(s, d)),
+    "q122_pmi_collocations" -> ((s, d) => Text.pmiCollocations(s, d)),
+    "q123_bfs_hops"       -> ((s, d) => Graph.bfsHops(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -2214,6 +2217,70 @@ object SparkEntry {
         |SELECT r.cohort_day, r.offset_day, r.n_users, s.cohort_size,
         |  r.n_users::DOUBLE / s.cohort_size::DOUBLE AS retention
         |FROM ret r JOIN sz s USING (cohort_day)""".stripMargin,
+    // rank-picked per-source medians (the one-or-two middle ranks by
+    // exact integer-division arithmetic, mean of exact ints → exact
+    // half-integer doubles), MAD the same trick over the deviations —
+    // no percentile_approx, no engine interpolation anywhere
+    "q121_robust_stats" ->
+      """WITH x AS (SELECT source, doc_id, n_chars AS x FROM documents),
+        |n AS (SELECT source, count(*)::BIGINT AS n FROM x GROUP BY 1),
+        |r1 AS (SELECT source, doc_id, x, row_number() OVER (
+        |         PARTITION BY source ORDER BY x, doc_id)::BIGINT AS rn FROM x),
+        |med AS (SELECT r1.source, sum(x)::DOUBLE / count(*) AS median_chars
+        |        FROM r1 JOIN n USING (source)
+        |        WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2 GROUP BY 1),
+        |dev AS (SELECT x.source, x.doc_id,
+        |          abs(x.x::DOUBLE - m.median_chars) AS dev
+        |        FROM x JOIN med m USING (source)),
+        |r2 AS (SELECT source, doc_id, dev, row_number() OVER (
+        |         PARTITION BY source ORDER BY dev, doc_id)::BIGINT AS rn FROM dev),
+        |mad AS (SELECT r2.source, sum(dev)::DOUBLE / count(*) AS mad_chars
+        |        FROM r2 JOIN n USING (source)
+        |        WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2 GROUP BY 1)
+        |SELECT d.source, count(*)::BIGINT AS n_docs,
+        |  max(m.median_chars) AS median_chars, max(md.mad_chars) AS mad_chars,
+        |  sum((d.dev > 3 * md.mad_chars)::BIGINT)::BIGINT AS n_outliers
+        |FROM dev d JOIN med m USING (source) JOIN mad md USING (source)
+        |GROUP BY 1""".stripMargin,
+    // PMI over the q73 bigram table: marginals are exact integer sums,
+    // the association ratio is one identical-shape double expression per
+    // engine quantized to 1e6 (the q77/q107 discipline); top-k under a
+    // total (pmi_q, w1, w2) order
+    "q122_pmi_collocations" ->
+      """WITH toks AS (SELECT regexp_split_to_array(lower(text), '\s+') AS w
+        |              FROM documents),
+        |bg AS (SELECT w[i] AS w1, w[i+1] AS w2
+        |       FROM toks, unnest(range(1, len(w))) AS t(i) WHERE len(w) >= 2),
+        |c12 AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM c12 GROUP BY 1),
+        |c2 AS (SELECT w2, sum(c12)::BIGINT AS c2 FROM c12 GROUP BY 1),
+        |tt AS (SELECT sum(c12)::BIGINT AS t FROM c12)
+        |SELECT c12.w1, c12.w2, c12.c12,
+        |  round(log2((c12.c12::DOUBLE * tt.t::DOUBLE)
+        |      / (c1.c1::DOUBLE * c2.c2::DOUBLE)) * 1000000.0)::BIGINT AS pmi_q
+        |FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2), tt
+        |WHERE c12.c12 >= 5
+        |ORDER BY pmi_q DESC, c12.w1, c12.w2 LIMIT 50""".stripMargin,
+    // BFS as a recursive CTE: UNION-dedup level expansion from the min
+    // vertex, min(hops) collapses the revisit rows; the hops < 20 guard
+    // bounds the recursion (BfsSpec pins the fixture eccentricity well
+    // below it, so the truncation is never load-bearing)
+    "q123_bfs_hops" ->
+      """WITH RECURSIVE e AS MATERIALIZED (
+        |  WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |  SELECT p1, p2 FROM (
+        |    SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS cnt
+        |    FROM pp a JOIN pp b
+        |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |    GROUP BY 1, 2) WHERE cnt >= 2),
+        |nb AS MATERIALIZED (
+        |  SELECT p1 AS z, p2 AS x FROM e UNION ALL SELECT p2, p1 FROM e),
+        |walk AS (
+        |  SELECT min(p1) AS id, 0::BIGINT AS hops FROM e
+        |  UNION
+        |  SELECT nb.x AS id, walk.hops + 1 AS hops
+        |  FROM walk JOIN nb ON walk.id = nb.z WHERE walk.hops < 20)
+        |SELECT id AS partkey, min(hops)::BIGINT AS hops FROM walk GROUP BY 1""".stripMargin,
   )
 
   /** q119's oracle: the power-iteration trajectory unrolled — per step,

@@ -86,6 +86,54 @@ class KCoreSpec extends AnyFunSuite {
     }
   }
 
+  /** Reference BFS: level-synchronous frontier expansion from `src`. */
+  private def bruteBfs(edges: Set[(Long, Long)], src: Long): (Map[Long, Long], Int) = {
+    val nbr = edges.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).map { case (v, o) => v -> o.map(_._2).toSet }
+    var dist = Map(src -> 0L)
+    var frontier = Set(src)
+    var rounds = 0
+    while (frontier.nonEmpty) {
+      val next = frontier.flatMap(v => nbr.getOrElse(v, Set.empty))
+        .diff(dist.keySet)
+      next.foreach(v => dist += v -> (rounds + 1L))
+      frontier = next
+      rounds += 1
+    }
+    (dist, rounds)
+  }
+
+  test("bfsHops matches a driver BFS at sf0.001; hops start at 0 from the min vertex") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val edges = Graph.copurchasePairs(spark, sf)
+      .select($"p1", $"p2").as[(Long, Long)].collect().toSet
+    val src = edges.map(_._1).min
+    val (expected, _) = bruteBfs(edges, src)
+    val got = Graph.bfsHops(spark, sf).as[(Long, Long)].collect().toMap
+    assert(got == expected)
+    assert(got(src) == 0L)
+    assert(got.values.max >= 2L, "fixture should need multi-hop expansion")
+  }
+
+  test("sf0.01 eccentricity stays under the oracle's 20-hop recursion guard") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.01"
+    val edges = Graph.copurchasePairs(spark, sf)
+      .select($"p1", $"p2").as[(Long, Long)].collect().toSet
+    val src = edges.map(_._1).min
+    val (expected, rounds) = bruteBfs(edges, src)
+    // the q123 oracle truncates its recursive CTE at hops < 20; the Spark
+    // loop has no such bound, so pin the fixture's source eccentricity
+    // below the guard or the truncation would silently become load-bearing
+    assert(rounds <= 20, s"q123 oracle guard too tight: fixture needs $rounds hops")
+    assert(rounds > 5, s"fixture should exercise a deep frontier walk, got $rounds")
+    val got = Graph.bfsHops(spark, sf).as[(Long, Long)].collect().toMap
+    assert(got == expected)
+    assert(got.values.max.toInt == rounds - 1,
+      "max hop distance is the eccentricity the round count implies")
+  }
+
   test("q111/q112 share one copurchaseEdges build") {
     val s = spark.newSession()
     try {

@@ -975,4 +975,55 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == expected)
     assert(got.nonEmpty, "fixture should contain near-identical titles")
   }
+
+  test("robustSourceStats: rank-exact median/MAD/outliers vs a driver recompute") {
+    import spark.implicits._
+    // exact middle-rank mean — the same (n+1)/2,(n+2)/2 arithmetic as the
+    // operator and its oracle, so equality is bitwise, no epsilon
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      (s((s.length - 1) / 2) + s(s.length / 2)) / 2.0
+    }
+    val rows = graft.core.Tables.documents(spark, sf)
+      .select($"source", $"n_chars").as[(String, Long)].collect()
+    val expected = rows.groupBy(_._1).map { case (src, ds) =>
+      val xs = ds.map(_._2.toDouble).toSeq
+      val med = median(xs)
+      val devs = xs.map(x => math.abs(x - med))
+      val mad = median(devs)
+      src -> ((xs.size.toLong, med, mad, devs.count(_ > 3 * mad).toLong))
+    }
+    val got = Text.robustSourceStats(spark, sf)
+      .as[(String, Long, Double, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == expected)
+    assert(got.values.exists(_._3 > 0.0), "some source must have spread")
+    assert(got.values.exists(_._4 > 0L), "fixture should contain outliers")
+  }
+
+  test("pmiCollocations: association ratios vs a driver bigram recompute") {
+    import spark.implicits._
+    val texts = graft.core.Tables.documents(spark, sf)
+      .select(lower($"text")).as[String].collect()
+    // split with limit -1 to mirror Spark's split() trailing-empty keep
+    val c12 = texts.flatMap { t =>
+      val w = t.split("\\s+", -1)
+      if (w.length >= 2) w.dropRight(1).zip(w.tail) else Array.empty[(String, String)]
+    }.groupBy(identity).map { case (p, o) => p -> o.size.toLong }
+    val c1 = c12.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
+    val c2 = c12.groupBy(_._1._2).map { case (w2, m) => w2 -> m.values.sum }
+    val t = c12.values.sum.toDouble
+    val expected = c12.toSeq.collect { case ((w1, w2), c) if c >= 5 =>
+      val pmi = math.log(c.toDouble * t / (c1(w1).toDouble * c2(w2).toDouble)) /
+        math.log(2.0)
+      val q = BigDecimal(pmi * 1000000.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      (w1, w2, c, q)
+    }.sortBy(r => (-r._4, r._1, r._2)).take(50)
+    val got = Text.pmiCollocations(spark, sf)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+    assert(got.map(_._4) == got.map(_._4).sorted.reverse, "sorted by PMI desc")
+  }
 }
