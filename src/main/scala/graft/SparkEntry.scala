@@ -150,6 +150,7 @@ object SparkEntry {
     "q121_robust_stats"   -> ((s, d) => Text.robustSourceStats(s, d)),
     "q122_pmi_collocations" -> ((s, d) => Text.pmiCollocations(s, d)),
     "q123_bfs_hops"       -> ((s, d) => Graph.bfsHops(s, d)),
+    "q124_repetition"     -> ((s, d) => Text.repetitionStats(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -2107,17 +2108,19 @@ object SparkEntry {
          |SELECT doc_id, w, pri,
          |  greatest(w::DOUBLE, coalesce(tau.tau, 0.0)) AS est_w
          |FROM top LEFT JOIN tau ON TRUE WHERE rn <= 50""".stripMargin,
-    // prefix-blocked Levenshtein over the normalized 40-char title:
-    // DuckDB needs the explicit 'g' flag to match Spark's replace-all
-    // regexp_replace; levenshtein is the same classic DP in both engines
+    // full Levenshtein self-join over the normalized 40-char title (the
+    // Spark side prunes it losslessly via PassJoin segment signatures —
+    // pigeonhole makes the candidate set complete, so the quadratic
+    // oracle and the segment-join agree exactly). DuckDB needs the
+    // explicit 'g' flag to match Spark's replace-all regexp_replace;
+    // levenshtein is the same classic DP in both engines
     "q115_edit_distance" ->
       """WITH t AS (SELECT doc_id,
         |  substr(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), 1, 40) AS ti
-        |  FROM documents),
-        |b AS (SELECT doc_id, ti, substr(ti, 1, 4) AS blk FROM t)
+        |  FROM documents)
         |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
         |  levenshtein(a.ti, c.ti)::BIGINT AS dist
-        |FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+        |FROM t a JOIN t c ON a.doc_id < c.doc_id
         |  AND abs(length(a.ti) - length(c.ti)) <= 3
         |WHERE levenshtein(a.ti, c.ti) <= 3""".stripMargin,
     // Okapi BM25 against the q59 eval split: every weight input is an
@@ -2281,6 +2284,50 @@ object SparkEntry {
         |  SELECT nb.x AS id, walk.hops + 1 AS hops
         |  FROM walk JOIN nb ON walk.id = nb.z WHERE walk.hops < 20)
         |SELECT id AS partkey, min(hops)::BIGINT AS hops FROM walk GROUP BY 1""".stripMargin,
+    // Gopher repetition rules: max n-gram multiplicity per doc (the
+    // relational max-count form here; the Spark side computes the same
+    // multiplicity map-only as the longest equal-adjacent run of the
+    // sorted shingle array) + within-doc duplicate-5-gram positional
+    // coverage via the q88 gaps-and-islands window
+    "q124_repetition" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |              FROM documents),
+        |g2 AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS s
+        |       FROM toks, unnest(range(1, len(w))) AS t(i) WHERE len(w) >= 2),
+        |m2 AS (SELECT doc_id, max(c) AS top2 FROM (
+        |         SELECT doc_id, s, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1),
+        |g3 AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |       FROM toks, unnest(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3),
+        |m3 AS (SELECT doc_id, max(c) AS top3 FROM (
+        |         SELECT doc_id, s, count(*) AS c FROM g3 GROUP BY 1, 2) GROUP BY 1),
+        |g4 AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS s
+        |       FROM toks, unnest(range(1, len(w)-2)) AS t(i) WHERE len(w) >= 4),
+        |m4 AS (SELECT doc_id, max(c) AS top4 FROM (
+        |         SELECT doc_id, s, count(*) AS c FROM g4 GROUP BY 1, 2) GROUP BY 1),
+        |g5 AS (SELECT doc_id, i AS p,
+        |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS s
+        |       FROM toks, unnest(range(1, len(w)-3)) AS t(i) WHERE len(w) >= 5),
+        |dup AS (SELECT doc_id, s FROM (
+        |          SELECT doc_id, s, count(*) AS c FROM g5 GROUP BY 1, 2) WHERE c >= 2),
+        |occ AS (SELECT g5.doc_id, g5.p FROM g5
+        |        JOIN dup ON g5.doc_id = dup.doc_id AND g5.s = dup.s),
+        |sw AS (SELECT doc_id, p, max(p + 4) OVER (PARTITION BY doc_id
+        |         ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |       FROM occ),
+        |cov AS (SELECT doc_id, sum(greatest(0, (p + 4)
+        |          - greatest(coalesce(prev_end, 0), p - 1))) AS dup5_cov
+        |        FROM sw GROUP BY 1)
+        |SELECT t.doc_id, len(t.w)::BIGINT AS n_tokens,
+        |  coalesce(m2.top2, 0)::BIGINT AS top2,
+        |  (coalesce(m2.top2, 0) * 2)::DOUBLE / len(t.w) AS top2_frac,
+        |  coalesce(m3.top3, 0)::BIGINT AS top3,
+        |  (coalesce(m3.top3, 0) * 3)::DOUBLE / len(t.w) AS top3_frac,
+        |  coalesce(m4.top4, 0)::BIGINT AS top4,
+        |  (coalesce(m4.top4, 0) * 4)::DOUBLE / len(t.w) AS top4_frac,
+        |  coalesce(cov.dup5_cov, 0)::BIGINT AS dup5_cov,
+        |  coalesce(cov.dup5_cov, 0)::DOUBLE / len(t.w) AS dup5_frac
+        |FROM toks t LEFT JOIN m2 USING (doc_id) LEFT JOIN m3 USING (doc_id)
+        |LEFT JOIN m4 USING (doc_id) LEFT JOIN cov USING (doc_id)""".stripMargin,
   )
 
   /** q119's oracle: the power-iteration trajectory unrolled — per step,

@@ -12,8 +12,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `PushedFilters` / `ReadSchema`).
   */
 object Tables {
+  /** Newer testdata generations write timestamps as plain parquet
+    * TIMESTAMP (no zone), which Spark reads as TIMESTAMP_NTZ; the
+    * engine's operators and their DuckDB oracles were built on
+    * TimestampType. The session timeZone is UTC in every entry point
+    * (Verify/Bench/tests), so the NTZ→LTZ cast is value-preserving —
+    * the same instant DuckDB sees in its naive-timestamp view — and
+    * purely a scan-stage projection (no shuffle, prunable).
+    */
+  private def normalizeNtz(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val ntz = df.schema.fields.filter(_.dataType == TimestampNTZType)
+    if (ntz.isEmpty) df
+    else df.select(df.schema.fields.map { f =>
+      if (f.dataType == TimestampNTZType) col(f.name).cast(TimestampType).as(f.name)
+      else col(f.name)
+    }.toIndexedSeq: _*)
+  }
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    normalizeNtz(spark.read.parquet(s"$sfDir/$name.parquet"))
 
   /** Redistribute a small-but-compute-heavy table across the cluster —
     * but ONLY when the scan itself is under-parallel. The driver's
@@ -55,16 +74,28 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame      = table(spark, d, "part")
   def orders(spark: SparkSession, d: String): DataFrame    = table(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame  = table(spark, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as raw long
-    * (legacy conf, runtime-settable) and convert to TimestampType (micros,
-    * truncating — same truncation DuckDB applies at us precision).
+  /** `events.ts` has shipped in two physical shapes across testdata
+    * generations: parquet TIMESTAMP(NANOS) — which Spark's vectorized
+    * reader rejects ([PARQUET_TYPE_ILLEGAL]), so it is read as a raw
+    * nanos long (legacy conf) and truncated to micros, the same
+    * truncation DuckDB applies at us precision — and plain TIMESTAMP
+    * (micros, no zone), which Spark reads as TIMESTAMP_NTZ. Normalize
+    * both to TimestampType: the session timeZone is UTC everywhere
+    * (Verify/Bench/tests), so the NTZ→LTZ cast preserves the wall-clock
+    * instant exactly as DuckDB's naive-timestamp view of the same file.
     */
   def events(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = table(spark, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   // memoized: the spread-probe (scan partition count) runs once per
   // session+dir, and every operator composes over the same plan object

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -675,35 +675,76 @@ object Dedup {
         (coalesce($"covered", lit(0L)).cast("double") / $"n_tokens").as("dup_frac"))
   }
 
-  /** q115: edit-distance near-dup pairs over a normalized 40-char title
-    * prefix — prefix-blocked Levenshtein join: candidates must share
-    * their first `prefixLen` normalized characters and differ in length
-    * by ≤ `maxDist` (a necessary condition for lev ≤ maxDist WITHIN a
-    * shared-prefix block, and the declared recall contract: pairs whose
-    * edits touch the first `prefixLen` characters are out of scope —
-    * the fuzzy complement is the q15/q23 sketch family), then the exact
-    * DP distance verifies. `levenshtein` is a built-in in both engines
-    * and integer-valued, so the oracle is exact.
+  /** q115: edit-distance near-dup pairs over a normalized 40-char title —
+    * complete PassJoin (Li et al., ICDE 2011) segment signatures: split
+    * every title into `maxDist`+1 even segments (boundaries
+    * start(i,l)=⌊i·l/(k+1)⌋). By pigeonhole, an edit script of ≤ maxDist
+    * ops leaves at least one segment of `a` untouched, and that segment
+    * appears verbatim in `b` at a start position shifted by ≤ maxDist.
+    * Candidates therefore come from an equi-join of a-segments against
+    * b-substrings on (segment index, assumed a-length, content); the
+    * exact DP distance then verifies. `levenshtein` is a built-in in
+    * both engines and integer-valued, so the oracle is exact and is the
+    * FULL length-filtered Levenshtein self-join — no recall carve-out
+    * (the previous prefix-blocked form missed pairs whose edits touch
+    * the first 4 chars and hub-blocked on common prefixes).
     *
-    * Scale: the block key join shuffles on the prefix (no cartesian);
-    * per-block pair fan-out is bounded by the largest block (≤ 26 docs
-    * on the sf0.01 fixture), and the O(len²) DP runs only on survivors
-    * of the length filter. This is the PassJoin-style "partition by
-    * signature, verify exactly" shape.
+    * Scale: the join key's content component is an ~l/(k+1)-char
+    * substring (a 10-gram for 40-char titles), so candidate blocks have
+    * n-gram-level entropy — no single block is load-bearing, unlike a
+    * shared-prefix block where every "the …" title collides. Substring
+    * fan-out per doc is bounded: (2·maxDist+1) assumed lengths ×
+    * (maxDist+1) segments × ≤(2·maxDist+1) shifts (≤ 196 rows at the
+    * defaults), deduplicated before the shuffle. The O(len²) DP runs
+    * only on distinct candidate pairs.
     */
   def editDistanceNearDup(spark: SparkSession, d: String, maxDist: Int = 3,
-      prefixLen: Int = 4, titleLen: Int = 40): DataFrame = {
+      titleLen: Int = 40): DataFrame = {
     import spark.implicits._
+    val nSeg = maxDist + 1
     val t = documents(spark, d)
       .select($"doc_id",
         substring(regexp_replace(trim(lower($"text")), "\\s+", " "),
           1, titleLen).as("ti"))
-      .withColumn("blk", substring($"ti", 1, prefixLen))
-    t.as("a").join(t.as("b"),
-        $"a.blk" === $"b.blk" && $"a.doc_id" < $"b.doc_id" &&
-          abs(length($"a.ti") - length($"b.ti")) <= maxDist)
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
-        levenshtein($"a.ti", $"b.ti").cast("long").as("dist"))
+      .withColumn("l", length($"ti"))
+    val segIdx = array((0 until nSeg).map(lit): _*)
+    // segment i of a length-l string spans [⌊i·l/k⌋, ⌊(i+1)·l/k⌋)
+    def segStart(i: Column, l: Column) = floor(i * l / nSeg).cast("int")
+    val segs = t
+      .select($"doc_id", $"ti", $"l", explode(segIdx).as("i"))
+      .withColumn("p0", segStart($"i", $"l"))
+      .select($"doc_id".as("id_a"), $"i", $"l",
+        substring($"ti", $"p0" + 1,
+          segStart($"i" + 1, $"l") - $"p0").as("seg"))
+    // b generates, for every assumed a-length within ±maxDist of its own,
+    // the substrings a's untouched segment could land on (shift ≤ maxDist)
+    val subs = t
+      .select($"doc_id", $"ti", length($"ti").as("lb"),
+        explode(sequence(greatest(length($"ti") - maxDist, lit(0)),
+          length($"ti") + maxDist)).as("l"))
+      .select($"doc_id", $"ti", $"lb", $"l", explode(segIdx).as("i"))
+      .withColumn("p0", segStart($"i", $"l"))
+      .withColumn("sl", segStart($"i" + 1, $"l") - $"p0")
+      .withColumn("lo", greatest($"p0" - maxDist, lit(0)))
+      .withColumn("hi", least($"p0" + maxDist, $"lb" - $"sl"))
+      .filter($"hi" >= $"lo")
+      .select($"doc_id", $"ti", $"i", $"l", $"sl",
+        explode(sequence($"lo", $"hi")).as("p"))
+      .select($"doc_id".as("id_b"), $"i", $"l",
+        substring($"ti", $"p" + 1, $"sl").as("seg"))
+      .distinct()
+    val cand = segs.join(subs, Seq("i", "l", "seg"))
+      .filter($"id_a" =!= $"id_b")
+      .select(least($"id_a", $"id_b").as("doc_a"),
+        greatest($"id_a", $"id_b").as("doc_b"))
+      .distinct()
+    val ti = t.select($"doc_id", $"ti")
+    cand
+      .join(ti.select($"doc_id".as("doc_a"), $"ti".as("ta")), Seq("doc_a"))
+      .join(ti.select($"doc_id".as("doc_b"), $"ti".as("tb")), Seq("doc_b"))
+      .filter(abs(length($"ta") - length($"tb")) <= maxDist)
+      .select($"doc_a", $"doc_b",
+        levenshtein($"ta", $"tb").cast("long").as("dist"))
       .filter($"dist" <= maxDist)
   }
 }

@@ -1299,4 +1299,67 @@ object Text {
       .withColumn("pass",
         $"pass_words" && $"pass_mean" && $"pass_alpha" && $"pass_sym" && $"pass_req")
   }
+
+  /** q124: Gopher repetition signals (Rae et al. 2021, §A1.1 — the
+    * repetition-rule half that complements q117's quality gate): per
+    * document,
+    *  - `top{2,3,4}` / `top{2,3,4}_frac`: the multiplicity of the most
+    *    frequent token n-gram and the token fraction it covers
+    *    (count·n / n_tokens — occurrences may overlap, so the score can
+    *    exceed 1 on degenerate docs, as in the paper);
+    *  - `dup5_cov` / `dup5_frac`: the number of token positions covered
+    *    by 5-grams that repeat WITHIN the doc (interval union over
+    *    duplicate-gram spans — the within-doc analogue of q88's
+    *    cross-doc coverage).
+    *
+    * Scale: the top-n multiplicities are MAP-ONLY — sort the per-doc
+    * shingle array once and take the longest equal-adjacent run with a
+    * single `aggregate` fold, so at 100 TB they are scan-stage columns
+    * with zero shuffle. Only the dup-5 coverage shuffles, once, on
+    * (doc_id, gram) — a high-entropy key — then unions intervals with
+    * the q88 gaps-and-islands window partitioned per doc.
+    */
+  def repetitionStats(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Hashing.shinglesAll
+    // longest run of equal adjacent elements in the SORTED array
+    // == max multiplicity; one interpreted fold per row, no shuffle
+    def maxMult(arr: Column): Column = aggregate(
+      array_sort(arr),
+      struct(lit("\u0000").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + lit(1L))
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    val toks = documents(spark, d).select($"doc_id", tokens($"text").as("w"))
+    val tops = toks.select($"doc_id", size($"w").cast("long").as("n_tokens"),
+      maxMult(shinglesAll($"w", 2)).as("top2"),
+      maxMult(shinglesAll($"w", 3)).as("top3"),
+      maxMult(shinglesAll($"w", 4)).as("top4"))
+    // within-doc duplicated 5-grams → positional interval union
+    val pg = toks.select($"doc_id",
+        posexplode(shinglesAll($"w", 5)).as(Seq("p0", "s")))
+      .select($"doc_id", ($"p0" + 1).as("p"), $"s")
+    val occ = pg.groupBy($"doc_id", $"s").agg(count(lit(1)).as("c"))
+      .filter($"c" >= 2)
+      .join(pg, Seq("doc_id", "s"))
+      .select($"doc_id", $"p")
+    val w = Window.partitionBy($"doc_id").orderBy($"p")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val covered = occ
+      .withColumn("prev_end", max($"p" + lit(4)).over(w))
+      .select($"doc_id", greatest(lit(0),
+        ($"p" + lit(4)) - greatest(coalesce($"prev_end", lit(0)), $"p" - 1)).as("add"))
+      .groupBy($"doc_id").agg(sum($"add").as("dup5_cov"))
+    tops.join(covered, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens",
+        $"top2", (($"top2" * 2).cast("double") / $"n_tokens").as("top2_frac"),
+        $"top3", (($"top3" * 3).cast("double") / $"n_tokens").as("top3_frac"),
+        $"top4", (($"top4" * 4).cast("double") / $"n_tokens").as("top4_frac"),
+        coalesce($"dup5_cov", lit(0L)).cast("long").as("dup5_cov"))
+      .withColumn("dup5_frac", $"dup5_cov".cast("double") / $"n_tokens")
+  }
 }

@@ -946,7 +946,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(cos > 0.99, s"not converged: cos(v4, v5) = $cos")
   }
 
-  test("editDistanceNearDup matches a driver DP within shared-prefix blocks") {
+  test("editDistanceNearDup matches a full driver DP (PassJoin completeness)") {
     import spark.implicits._
     def lev(a: String, b: String): Int = {
       var prev = Array.tabulate(b.length + 1)(identity)
@@ -966,8 +966,7 @@ class PipelineOpsSpec extends AnyFunSuite {
       .as[(Long, String)].collect()
     val expected = (for {
       (ia, ta) <- titles; (ib, tb) <- titles
-      if ia < ib && ta.take(4) == tb.take(4) &&
-        math.abs(ta.length - tb.length) <= 3
+      if ia < ib && math.abs(ta.length - tb.length) <= 3
       d = lev(ta, tb) if d <= 3
     } yield (ia, ib, d.toLong)).toSet
     val got = Dedup.editDistanceNearDup(spark, sf)
