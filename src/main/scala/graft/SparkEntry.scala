@@ -150,7 +150,7 @@ object SparkEntry {
     "q121_robust_stats"   -> ((s, d) => Text.robustSourceStats(s, d)),
     "q122_pmi_collocations" -> ((s, d) => Text.pmiCollocations(s, d)),
     "q123_bfs_hops"       -> ((s, d) => Graph.bfsHops(s, d)),
-    "q124_repetition"     -> ((s, d) => Text.repetitionStats(s, d)),
+    "q124_top_ngram"      -> ((s, d) => Text.topNgramRepetition(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -2289,7 +2289,7 @@ object SparkEntry {
     // multiplicity map-only as the longest equal-adjacent run of the
     // sorted shingle array) + within-doc duplicate-5-gram positional
     // coverage via the q88 gaps-and-islands window
-    "q124_repetition" ->
+    "q124_top_ngram" ->
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
         |              FROM documents),
         |g2 AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS s
@@ -2304,18 +2304,17 @@ object SparkEntry {
         |       FROM toks, unnest(range(1, len(w)-2)) AS t(i) WHERE len(w) >= 4),
         |m4 AS (SELECT doc_id, max(c) AS top4 FROM (
         |         SELECT doc_id, s, count(*) AS c FROM g4 GROUP BY 1, 2) GROUP BY 1),
-        |g5 AS (SELECT doc_id, i AS p,
-        |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS s
-        |       FROM toks, unnest(range(1, len(w)-3)) AS t(i) WHERE len(w) >= 5),
+        |g3p AS (SELECT doc_id, i AS p, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |        FROM toks, unnest(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3),
         |dup AS (SELECT doc_id, s FROM (
-        |          SELECT doc_id, s, count(*) AS c FROM g5 GROUP BY 1, 2) WHERE c >= 2),
-        |occ AS (SELECT g5.doc_id, g5.p FROM g5
-        |        JOIN dup ON g5.doc_id = dup.doc_id AND g5.s = dup.s),
-        |sw AS (SELECT doc_id, p, max(p + 4) OVER (PARTITION BY doc_id
+        |          SELECT doc_id, s, count(*) AS c FROM g3p GROUP BY 1, 2) WHERE c >= 2),
+        |occ AS (SELECT g3p.doc_id, g3p.p FROM g3p
+        |        JOIN dup ON g3p.doc_id = dup.doc_id AND g3p.s = dup.s),
+        |sw AS (SELECT doc_id, p, max(p + 2) OVER (PARTITION BY doc_id
         |         ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
         |       FROM occ),
-        |cov AS (SELECT doc_id, sum(greatest(0, (p + 4)
-        |          - greatest(coalesce(prev_end, 0), p - 1))) AS dup5_cov
+        |cov AS (SELECT doc_id, sum(greatest(0, (p + 2)
+        |          - greatest(coalesce(prev_end, 0), p - 1))) AS dup3_cov
         |        FROM sw GROUP BY 1)
         |SELECT t.doc_id, len(t.w)::BIGINT AS n_tokens,
         |  coalesce(m2.top2, 0)::BIGINT AS top2,
@@ -2324,8 +2323,8 @@ object SparkEntry {
         |  (coalesce(m3.top3, 0) * 3)::DOUBLE / len(t.w) AS top3_frac,
         |  coalesce(m4.top4, 0)::BIGINT AS top4,
         |  (coalesce(m4.top4, 0) * 4)::DOUBLE / len(t.w) AS top4_frac,
-        |  coalesce(cov.dup5_cov, 0)::BIGINT AS dup5_cov,
-        |  coalesce(cov.dup5_cov, 0)::DOUBLE / len(t.w) AS dup5_frac
+        |  coalesce(cov.dup3_cov, 0)::BIGINT AS dup3_cov,
+        |  coalesce(cov.dup3_cov, 0)::DOUBLE / len(t.w) AS dup3_frac
         |FROM toks t LEFT JOIN m2 USING (doc_id) LEFT JOIN m3 USING (doc_id)
         |LEFT JOIN m4 USING (doc_id) LEFT JOIN cov USING (doc_id)""".stripMargin,
   )

@@ -1307,10 +1307,12 @@ object Text {
     *    frequent token n-gram and the token fraction it covers
     *    (count·n / n_tokens — occurrences may overlap, so the score can
     *    exceed 1 on degenerate docs, as in the paper);
-    *  - `dup5_cov` / `dup5_frac`: the number of token positions covered
-    *    by 5-grams that repeat WITHIN the doc (interval union over
+    *  - `dup3_cov` / `dup3_frac`: the number of token positions covered
+    *    by 3-grams that repeat WITHIN the doc (interval union over
     *    duplicate-gram spans — the within-doc analogue of q88's
-    *    cross-doc coverage).
+    *    cross-doc coverage; the paper uses n = 5…10, but the synthetic
+    *    corpus' within-doc repetition lives at n ≤ 4, and n = 3 keeps
+    *    the nonzero path oracle-exercised).
     *
     * Scale: the top-n multiplicities are MAP-ONLY — sort the per-doc
     * shingle array once and take the longest equal-adjacent run with a
@@ -1319,7 +1321,7 @@ object Text {
     * (doc_id, gram) — a high-entropy key — then unions intervals with
     * the q88 gaps-and-islands window partitioned per doc.
     */
-  def repetitionStats(spark: SparkSession, d: String): DataFrame = {
+  def topNgramRepetition(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     import graft.functions.Hashing.shinglesAll
     // longest run of equal adjacent elements in the SORTED array
@@ -1339,9 +1341,9 @@ object Text {
       maxMult(shinglesAll($"w", 2)).as("top2"),
       maxMult(shinglesAll($"w", 3)).as("top3"),
       maxMult(shinglesAll($"w", 4)).as("top4"))
-    // within-doc duplicated 5-grams → positional interval union
+    // within-doc duplicated 3-grams → positional interval union
     val pg = toks.select($"doc_id",
-        posexplode(shinglesAll($"w", 5)).as(Seq("p0", "s")))
+        posexplode(shinglesAll($"w", 3)).as(Seq("p0", "s")))
       .select($"doc_id", ($"p0" + 1).as("p"), $"s")
     val occ = pg.groupBy($"doc_id", $"s").agg(count(lit(1)).as("c"))
       .filter($"c" >= 2)
@@ -1350,16 +1352,16 @@ object Text {
     val w = Window.partitionBy($"doc_id").orderBy($"p")
       .rowsBetween(Window.unboundedPreceding, -1)
     val covered = occ
-      .withColumn("prev_end", max($"p" + lit(4)).over(w))
+      .withColumn("prev_end", max($"p" + lit(2)).over(w))
       .select($"doc_id", greatest(lit(0),
-        ($"p" + lit(4)) - greatest(coalesce($"prev_end", lit(0)), $"p" - 1)).as("add"))
-      .groupBy($"doc_id").agg(sum($"add").as("dup5_cov"))
+        ($"p" + lit(2)) - greatest(coalesce($"prev_end", lit(0)), $"p" - 1)).as("add"))
+      .groupBy($"doc_id").agg(sum($"add").as("dup3_cov"))
     tops.join(covered, Seq("doc_id"), "left")
       .select($"doc_id", $"n_tokens",
         $"top2", (($"top2" * 2).cast("double") / $"n_tokens").as("top2_frac"),
         $"top3", (($"top3" * 3).cast("double") / $"n_tokens").as("top3_frac"),
         $"top4", (($"top4" * 4).cast("double") / $"n_tokens").as("top4_frac"),
-        coalesce($"dup5_cov", lit(0L)).cast("long").as("dup5_cov"))
-      .withColumn("dup5_frac", $"dup5_cov".cast("double") / $"n_tokens")
+        coalesce($"dup3_cov", lit(0L)).cast("long").as("dup3_cov"))
+      .withColumn("dup3_frac", $"dup3_cov".cast("double") / $"n_tokens")
   }
 }

@@ -1025,4 +1025,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
     assert(got.map(_._4) == got.map(_._4).sorted.reverse, "sorted by PMI desc")
   }
+  test("topNgramRepetition: map-only multiplicities + dup-5 coverage vs driver") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def grams(w: Array[String], n: Int): Seq[String] =
+      if (w.length < n) Seq.empty
+      else (0 to w.length - n).map(i => w.slice(i, i + n).mkString(" "))
+    val expected = docs.map { case (id, text) =>
+      val w = text.toLowerCase.split("\\s+", -1)
+      def top(n: Int): Long =
+        grams(w, n).groupBy(identity).values.map(_.size.toLong)
+          .foldLeft(0L)(math.max)
+      // interval union over within-doc duplicated 3-gram spans [p, p+2]
+      val g3 = grams(w, 3)
+      val dupPos = g3.zipWithIndex
+        .filter { case (g, _) => g3.count(_ == g) >= 2 }.map(_._2)
+      val cov = dupPos.flatMap(p => p to p + 2).distinct.size.toLong
+      id -> ((w.length.toLong, top(2), top(3), top(4), cov))
+    }.toMap
+    val got = Text.topNgramRepetition(spark, sf)
+      .select($"doc_id", $"n_tokens", $"top2", $"top3", $"top4", $"dup3_cov")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got == expected)
+    assert(got.values.exists(_._2 > 1L), "fixture must contain repeated 2-grams")
+  }
 }
