@@ -151,6 +151,7 @@ object SparkEntry {
     "q122_pmi_collocations" -> ((s, d) => Text.pmiCollocations(s, d)),
     "q123_bfs_hops"       -> ((s, d) => Graph.bfsHops(s, d)),
     "q124_top_ngram"      -> ((s, d) => Text.topNgramRepetition(s, d)),
+    "q125_rrf_fusion"     -> ((s, d) => Retrieval.rrfFusion(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -2327,6 +2328,68 @@ object SparkEntry {
         |  coalesce(cov.dup3_cov, 0)::DOUBLE / len(t.w) AS dup3_frac
         |FROM toks t LEFT JOIN m2 USING (doc_id) LEFT JOIN m3 USING (doc_id)
         |LEFT JOIN m4 USING (doc_id) LEFT JOIN cov USING (doc_id)""".stripMargin,
+    // RRF fusion of the q116 BM25 ranking (top-20 cut) and a dense
+    // embedding-cosine ranking over the same eval queries. Contributions
+    // are ⌊1e12/(60+rank)⌋ — DuckDB `//` and Spark `div` are the same
+    // positive integer division — so fused scores are exact integer sums
+    "q125_rrf_fusion" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |    t -> regexp_full_match(t, '[a-z]+') AND NOT list_contains($stopList, t))) AS t
+         |  FROM documents),
+         |ev AS (SELECT doc_id,
+         |  ${md5Bits32Sql("'eval:' || doc_id::VARCHAR", 1)} % 100 < 5 AS ev
+         |  FROM documents),
+         |tf AS (SELECT toks.doc_id, t, count(*)::BIGINT AS tf
+         |       FROM toks JOIN ev USING (doc_id) WHERE NOT ev GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+         |st AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sumdl FROM dl),
+         |dfT AS (SELECT t, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+         |q AS (SELECT DISTINCT toks.doc_id AS query_id, t
+         |      FROM toks JOIN ev USING (doc_id) WHERE ev),
+         |sq AS (SELECT q.query_id, tf.doc_id,
+         |  round(log2(((n - df + 0.5) / (df + 0.5)) + 1.0)
+         |    * (tf * 2.2)
+         |    / (tf + 1.2 * (0.25 + 0.75 * ((dl * n)::DOUBLE / sumdl::DOUBLE)))
+         |    * 1000000.0)::BIGINT AS sq
+         |  FROM q JOIN tf USING (t) JOIN dfT USING (t)
+         |  JOIN dl ON tf.doc_id = dl.doc_id, st),
+         |sc AS (SELECT query_id, doc_id, sum(sq)::BIGINT AS score_q
+         |       FROM sq GROUP BY 1, 2),
+         |btop AS (SELECT query_id, doc_id, rank FROM (
+         |  SELECT query_id, doc_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score_q DESC, doc_id)::BIGINT AS rank FROM sc)
+         |  WHERE rank <= 20),
+         |ex AS (SELECT vec_id, round(unnest(embedding)::DOUBLE * 10000000)::BIGINT AS v,
+         |       unnest(range(len(embedding))) AS i FROM embeddings),
+         |n2 AS (SELECT vec_id, sum(v*v)::DOUBLE AS n2 FROM ex GROUP BY 1),
+         |evv AS (SELECT vec_id,
+         |  ${md5Bits32Sql("'eval:' || vec_id::VARCHAR", 1)} % 100 < 5 AS ev
+         |  FROM embeddings),
+         |ddots AS (SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+         |    sum(a.v * b.v)::DOUBLE AS dot
+         |  FROM ex a JOIN evv ea ON a.vec_id = ea.vec_id AND ea.ev
+         |  JOIN ex b ON a.i = b.i
+         |  JOIN evv eb ON b.vec_id = eb.vec_id AND NOT eb.ev
+         |  GROUP BY 1, 2),
+         |dcos AS (SELECT query_id, doc_id, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cos
+         |  FROM ddots JOIN n2 na ON query_id = na.vec_id
+         |  JOIN n2 nb ON doc_id = nb.vec_id),
+         |dtop AS (SELECT query_id, doc_id, rank FROM (
+         |  SELECT query_id, doc_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, doc_id)::BIGINT AS rank FROM dcos)
+         |  WHERE rank <= 20),
+         |fused AS (SELECT query_id, doc_id,
+         |    sum(1000000000000 // (60 + rank))::BIGINT AS rrf
+         |  FROM (SELECT * FROM btop UNION ALL SELECT * FROM dtop)
+         |  GROUP BY 1, 2)
+         |SELECT query_id, doc_id, rrf, rank FROM (
+         |  SELECT query_id, doc_id, rrf,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rrf DESC, doc_id)::BIGINT AS rank FROM fused)
+         |WHERE rank <= 10""".stripMargin,
   )
 
   /** q119's oracle: the power-iteration trajectory unrolled — per step,

@@ -79,4 +79,54 @@ object Retrieval {
       .filter($"rank" <= k)
       .select($"query_id", $"doc_id", $"rank", $"score_q")
   }
+
+  /** q125: reciprocal-rank fusion (Cormack et al., SIGIR 2009) of the
+    * two retrieval systems this engine exposes — q116's lexical BM25 and
+    * a dense embedding-cosine ranking — over the SAME eval-split query
+    * workload (vec_id ≡ doc_id across `documents`/`embeddings`). Each
+    * system contributes its top-`kSys` list; a hit at rank r is worth
+    * ⌊10¹²/(c + r)⌋ — the classic 1/(60+r) fused INTEGER-EXACTLY via
+    * integer division, so fused scores are exact integer sums in both
+    * engines (no FP summation order to pin). Final ranking: top-`k` per
+    * query by (rrf DESC, doc_id ASC).
+    *
+    * Scale: the BM25 side is q116's inverted-index plan (memo-shared tf
+    * table); the dense side broadcasts the bounded eval query set
+    * against one corpus scan (the q14 BroadcastNestedLoop shape — an IVF
+    * probe drops in when the corpus outgrows it); fusion itself is one
+    * hash aggregate on (query, doc) and a per-query top-k window — both
+    * keyed on the query id, no global sort.
+    */
+  def rrfFusion(spark: SparkSession, d: String, k: Int = 10,
+      kSys: Int = 20, c: Int = 60): DataFrame = {
+    import spark.implicits._
+    import graft.functions.VectorFunctions._
+    val bm = bm25TopK(spark, d, kSys).select($"query_id", $"doc_id", $"rank")
+    val emb = embeddings(spark, d)
+      .select($"vec_id", quantize($"embedding").as("qemb"))
+      .withColumn("n2", dotPreQ($"qemb", $"qemb"))
+      .withColumn("ev",
+        pmod(Hashing.md5Bits32(concat(lit("eval:"), $"vec_id".cast("string")), 1),
+          lit(100L)) < 5)
+    val queries = emb.filter($"ev")
+      .select($"vec_id".as("query_id"), $"qemb".as("qq"), $"n2".as("qn2"))
+    val dense = emb.filter(!$"ev")
+      .crossJoin(broadcast(queries))
+      .select($"query_id", $"vec_id".as("doc_id"),
+        cosineFromParts(dotPreQ($"qq", $"qemb"), $"qn2", $"n2").as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"cos".desc, $"doc_id".asc))
+        .cast("long"))
+      .filter($"rank" <= kSys)
+      .select($"query_id", $"doc_id", $"rank")
+    val fused = bm.unionByName(dense)
+      .select($"query_id", $"doc_id",
+        expr(s"1000000000000 div ($c + rank)").as("rc"))
+      .groupBy($"query_id", $"doc_id").agg(sum($"rc").as("rrf"))
+    fused.withColumn("rank", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"rrf".desc, $"doc_id".asc))
+        .cast("long"))
+      .filter($"rank" <= k)
+      .select($"query_id", $"doc_id", $"rrf", $"rank")
+  }
 }

@@ -63,4 +63,56 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got == expected)
     assert(got.nonEmpty, "eval split should produce queries with hits")
   }
+
+  test("rrfFusion fuses a driver-recomputed dense ranking with engine BM25") {
+    import spark.implicits._
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def evalDoc(id: Long): Boolean = {
+      val hex = md.digest(s"eval:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 100 < 5
+    }
+    // dense side recomputed from raw embeddings with the same 1e7
+    // quantization + exact-integer dot the engine uses
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+      .map { case (id, e) =>
+        id -> e.map(x => math.round(x.toDouble * 1e7)).toArray
+      }
+    val n2 = embs.map { case (id, q) => id -> q.map(v => v * v).sum }.toMap
+    val (qs, cands) = embs.partition { case (id, _) => evalDoc(id) }
+    val denseRanks = qs.flatMap { case (qid, qv) =>
+      cands.map { case (did, dv) =>
+        val dot = qv.zip(dv).map { case (a, b) => a * b }.sum
+        val cos = dot.toDouble /
+          (math.sqrt(n2(qid).toDouble) * math.sqrt(n2(did).toDouble))
+        (did, cos)
+      }.sortBy { case (did, cos) => (-cos, did) }.take(20).zipWithIndex.map {
+        case ((did, _), r) => (qid, did) -> (r + 1).toLong
+      }
+    }.toMap
+    // BM25 side from the engine (itself pinned by the replay test above)
+    val bmRanks = Retrieval.bm25TopK(spark, sf, k = 20)
+      .select($"query_id", $"doc_id", $"rank")
+      .as[(Long, Long, Long)].collect()
+      .map { case (q, dcd, r) => (q, dcd) -> r }.toMap
+    def rc(rank: Long): Long = 1000000000000L / (60L + rank)
+    val fusedExpected = (denseRanks.keySet ++ bmRanks.keySet)
+      .groupBy(_._1).flatMap { case (qid, pairs) =>
+        pairs.toSeq.map { p =>
+          (p._1, p._2,
+            denseRanks.get(p).map(rc).getOrElse(0L) +
+              bmRanks.get(p).map(rc).getOrElse(0L))
+        }.sortBy { case (_, did, s) => (-s, did) }.take(10).zipWithIndex.map {
+          case ((q, did, s), r) => (q, did, s, (r + 1).toLong)
+        }
+      }.toSet
+    val got = Retrieval.rrfFusion(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == fusedExpected)
+    assert(got.nonEmpty)
+    // both systems must actually contribute somewhere: some fused score
+    // exceeds any single-system maximum contribution ⌊1e12/61⌋
+    assert(got.exists(_._3 > 1000000000000L / 61L), "no doc fused from both systems")
+  }
 }
