@@ -152,6 +152,7 @@ object SparkEntry {
     "q123_bfs_hops"       -> ((s, d) => Graph.bfsHops(s, d)),
     "q124_top_ngram"      -> ((s, d) => Text.topNgramRepetition(s, d)),
     "q125_rrf_fusion"     -> ((s, d) => Retrieval.rrfFusion(s, d)),
+    "q126_label_prop"     -> ((s, d) => Graph.labelPropagation(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -2390,7 +2391,37 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY query_id
          |      ORDER BY rrf DESC, doc_id)::BIGINT AS rank FROM fused)
          |WHERE rank <= 10""".stripMargin,
+    // synchronous LPA, 4 sweeps unrolled as MATERIALIZED stages (the
+    // q112/q123 discipline); argmax = (count DESC, label ASC) row_number
+    "q126_label_prop" -> labelPropagationSql(4),
   )
+
+  /** q126's oracle: the deterministic sync-LPA trajectory unrolled —
+    * per sweep, neighbor-label counts then the (c DESC, lbl ASC) argmax,
+    * mirroring Graph.labelPropagation sweep for sweep.
+    */
+  private def labelPropagationSql(rounds: Int): String = {
+    val stages = (1 to rounds).map { t =>
+      s""",
+         |l$t AS MATERIALIZED (SELECT v, lbl FROM (
+         |  SELECT v, lbl, c, row_number() OVER (PARTITION BY v
+         |    ORDER BY c DESC, lbl) AS rn
+         |  FROM (SELECT nb.v, l${t - 1}.lbl, count(*) AS c
+         |        FROM nb JOIN l${t - 1} ON nb.u = l${t - 1}.v GROUP BY 1, 2))
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString
+    s"""WITH e AS MATERIALIZED (
+       |  WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+       |  SELECT p1, p2 FROM (
+       |    SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS cnt
+       |    FROM pp a JOIN pp b
+       |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |    GROUP BY 1, 2) WHERE cnt >= 2),
+       |nb AS MATERIALIZED (
+       |  SELECT p1 AS v, p2 AS u FROM e UNION ALL SELECT p2, p1 FROM e),
+       |l0 AS (SELECT DISTINCT v, v AS lbl FROM nb)$stages
+       |SELECT v AS partkey, lbl AS community FROM l$rounds""".stripMargin
+  }
 
   /** q119's oracle: the power-iteration trajectory unrolled — per step,
     * the projection Xv as exact BIGINT dots, the backprojection XᵀXv as

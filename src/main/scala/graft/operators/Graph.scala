@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables._
@@ -401,5 +402,42 @@ object Graph {
     }
     require(done, s"BFS did not exhaust its frontier in $maxRounds rounds")
     dist.select($"id".as("partkey"), $"hops")
+  }
+
+  /** q126: community detection by synchronous label propagation
+    * (Raghavan et al. 2007) on the co-purchase graph, a fixed `rounds`
+    * sweeps. Every vertex starts as its own label; each sweep it adopts
+    * the most frequent label among its neighbors, ties broken toward the
+    * SMALLEST label — a total order, so the trajectory (and hence the
+    * oracle's unrolled replay) is deterministic, unlike the randomized
+    * async variant. Fixed sweeps rather than convergence because sync
+    * LPA can 2-cycle on bipartite structure; 4 sweeps is the label-
+    * diameter of the fixture's communities (spec-pinned).
+    *
+    * Scale: one sweep = one join of the (static, cached) adjacency list
+    * against the label table on the neighbor key + one (v, lbl) count
+    * aggregate + a per-vertex argmax window — all keyed on vertex ids,
+    * map-side combinable, state ∝ |edges|; `localCheckpoint` per sweep
+    * truncates loop lineage (the PageRank/k-core discipline).
+    */
+  def labelPropagation(spark: SparkSession, d: String, rounds: Int = 4): DataFrame = {
+    import spark.implicits._
+    val edges = copurchaseEdges(spark, d).select($"p1", $"p2")
+    val nb = edges.select($"p1".as("v"), $"p2".as("u"))
+      .union(edges.select($"p2".as("v"), $"p1".as("u")))
+      .localCheckpoint()
+    var labels = nb.select($"v").distinct().withColumn("lbl", $"v")
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      labels = nb
+        .join(labels.select($"v".as("u"), $"lbl"), "u")
+        .groupBy($"v", $"lbl").agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"v").orderBy($"c".desc, $"lbl".asc)))
+        .filter($"rn" === 1)
+        .select($"v", $"lbl")
+        .localCheckpoint()
+    }
+    labels.select($"v".as("partkey"), $"lbl".as("community"))
   }
 }

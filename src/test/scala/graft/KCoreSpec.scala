@@ -144,4 +144,33 @@ class KCoreSpec extends AnyFunSuite {
       assert(keys.size == 1, s"expected one shared projection, got $keys")
     } finally Memo.release(s)
   }
+
+  /** Reference sync LPA: 4 sweeps, argmax label by (count desc, label asc). */
+  private def bruteLpa(edges: Set[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val nb = (edges.toSeq ++ edges.toSeq.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+    var labels: Map[Long, Long] = nb.keys.map(v => v -> v).toMap
+    for (_ <- 1 to rounds) {
+      labels = nb.map { case (v, us) =>
+        val counts = us.map(labels).groupBy(identity)
+          .map { case (l, o) => l -> o.size.toLong }
+        v -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    labels
+  }
+
+  test("labelPropagation matches a driver sync-LPA replay at both SFs") {
+    import spark.implicits._
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val edges = Graph.copurchasePairs(spark, sf)
+        .select($"p1", $"p2").as[(Long, Long)].collect().toSet
+      val expected = bruteLpa(edges, 4)
+      val got = Graph.labelPropagation(spark, sf)
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"LPA mismatch at $sf")
+      // sweeps must actually merge communities: fewer labels than vertices
+      assert(got.values.toSet.size < got.size, s"no propagation happened at $sf")
+    }
+  }
 }
