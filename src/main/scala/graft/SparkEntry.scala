@@ -153,6 +153,7 @@ object SparkEntry {
     "q124_top_ngram"      -> ((s, d) => Text.topNgramRepetition(s, d)),
     "q125_rrf_fusion"     -> ((s, d) => Retrieval.rrfFusion(s, d)),
     "q126_label_prop"     -> ((s, d) => Graph.labelPropagation(s, d)),
+    "q127_hll_sketch"     -> ((s, d) => Relational.hllDistinct(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -461,6 +462,8 @@ object SparkEntry {
     */
   private def sqlList(ws: Seq[String]): String =
     ws.map(w => s"'$w'").mkString("[", ",", "]")
+  private def sqlLongList(xs: Seq[Long]): String =
+    xs.mkString("[", ",", "]")
   private def stopList = sqlList(graft.functions.TextFunctions.StopWords)
   private def markerValues: String = graft.functions.TextFunctions.LangMarkers
     .flatMap { case (l, ws) => ws.map(w => s"('$l','$w')") }.mkString(",")
@@ -2394,6 +2397,29 @@ object SparkEntry {
     // synchronous LPA, 4 sweeps unrolled as MATERIALIZED stages (the
     // q112/q123 discipline); argmax = (count DESC, label ASC) row_number
     "q126_label_prop" -> labelPropagationSql(4),
+    // md5-register HyperLogLog: rank via bin-string length (no log2),
+    // Σ2^(−M) is an exact ≤33-bit double sum, α written token-identically
+    "q127_hll_sketch" ->
+      s"""WITH h AS (SELECT event_type,
+         |  ${md5Bits32Sql("'hll:' || user_id::VARCHAR", 1)} AS h
+         |  FROM events),
+         |r AS (SELECT event_type, h & 255 AS b,
+         |  CASE WHEN (h >> 8) = 0 THEN 25
+         |       ELSE 25 - length(bin(h >> 8)) END AS rank FROM h),
+         |m AS (SELECT event_type, b, max(rank) AS m_j FROM r GROUP BY 1, 2),
+         |s AS (SELECT event_type, count(*) AS nz,
+         |        sum(power(2.0, -m_j)) AS snz FROM m GROUP BY 1),
+         |x AS (SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact
+         |      FROM events GROUP BY 1),
+         |est AS (SELECT event_type, (256 - nz)::BIGINT AS v_zero,
+         |  floor(0.7213 / (1.0 + 1.079 / 256.0)
+         |    * 65536.0 / ((256 - nz)::DOUBLE + snz))::BIGINT AS hll_raw
+         |  FROM s)
+         |SELECT x.event_type, x.n_exact, est.v_zero, est.hll_raw,
+         |  CASE WHEN est.v_zero > 0 AND est.hll_raw <= 640
+         |       THEN ${sqlLongList(graft.operators.Relational.HllLcTable)}[est.v_zero + 1]::BIGINT
+         |       ELSE est.hll_raw END AS hll_est
+         |FROM x JOIN est USING (event_type)""".stripMargin,
   )
 
   /** q126's oracle: the deterministic sync-LPA trajectory unrolled —

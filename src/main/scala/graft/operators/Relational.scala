@@ -285,6 +285,66 @@ object Relational {
         ($"approx_p50" >= $"p47" && $"approx_p50" <= $"p53").as("p50_in_bound"))
   }
 
+  /** q127: a fully oracle-checkable HyperLogLog (Flajolet et al. 2007)
+    * built from the engine's md5-derived 32-bit hash — unlike q44's
+    * built-in HLL++ (engine-internal registers, bounds-contract oracle),
+    * every register here is reproducible in both engines: bucket = low 8
+    * hash bits (m = 256), rank = leading-zero count of the remaining 24
+    * bits + 1 (via `bin` string length — no engine log2), register =
+    * max rank. The raw estimate α·m²/Σ2^(−M_j) is exact cross-engine:
+    * each 2^(−M) term is an exact power of two and the ≤ 33-bit sum
+    * stays inside one double mantissa, so even the FP sum is exact and
+    * order-free; the α expression is written token-identically in both
+    * engines. Exact distinct counts ride along as the comparison column.
+    *
+    * Scale: THE mergeable-sketch pattern — the only shuffle state is the
+    * (group, bucket) register table (map-side max-combined, 256 rows per
+    * group regardless of input size); at 100 TB the exact-count column
+    * drops and the register table is the whole answer, unioned across
+    * shards/days by another max.
+    */
+  /** Linear-counting correction table for m = 256: lc(V) = ⌊m·ln(m/V)⌋.
+    * V only takes 257 values, so the `ln` is evaluated ONCE, here, and
+    * shipped to BOTH engines as the same integer literals (the Spark
+    * plan's typedLit and the generated DuckDB list literal come from
+    * this one Seq) — no runtime libm in either engine, determinism by
+    * construction rather than by hoping two `ln`s round alike.
+    */
+  private[graft] val HllLcTable: Seq[Long] =
+    (0 to 256).map { v =>
+      if (v == 0) 0L else math.floor(256.0 * math.log(256.0 / v)).toLong
+    }
+
+  def hllDistinct(spark: SparkSession, d: String, m: Int = 256): DataFrame = {
+    import spark.implicits._
+    require(m == 256, "register math below is specialized to the 8-bit bucket")
+    val h = graft.functions.Hashing
+      .md5Bits32(concat(lit("hll:"), $"user_id".cast("string")), 1)
+    val regs = events(spark, d)
+      .select($"event_type", h.as("h"))
+      .select($"event_type", $"h".bitwiseAND(lit(255L)).as("b"),
+        shiftright($"h", 8).as("w"))
+      .select($"event_type", $"b",
+        when($"w" === 0L, lit(25L))
+          .otherwise(lit(25L) - length(bin($"w")).cast("long")).as("rank"))
+      .groupBy($"event_type", $"b").agg(max($"rank").as("m_j"))
+    val sketch = regs.groupBy($"event_type")
+      .agg(count(lit(1)).as("nz"), sum(pow(lit(2.0), -$"m_j")).as("snz"))
+      .select($"event_type", (lit(256L) - $"nz").as("v_zero"),
+        ((lit(256L) - $"nz").cast("double") + $"snz").as("s"))
+    val exact = events(spark, d).groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n_exact"))
+    val raw = floor(lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
+      * lit(65536.0) / $"s").cast("long")
+    exact.join(sketch, "event_type")
+      .select($"event_type", $"n_exact", $"v_zero", raw.as("hll_raw"),
+        // small-range regime (raw ≤ 2.5m, some register empty): linear
+        // counting via the shared literal table; else the raw estimate
+        when($"v_zero" > 0L && raw <= lit(640L),
+          element_at(typedLit(HllLcTable), ($"v_zero" + 1L).cast("int")))
+          .otherwise(raw).as("hll_est"))
+  }
+
   /** Rollup (grouping-sets family): per (event_type, user) counts with
     * subtotal and grand-total rows; rollup keys are coalesced to 'ALL'
     * so the oracle compare has no null-vs-NaN ambiguity.

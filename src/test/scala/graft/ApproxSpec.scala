@@ -41,4 +41,25 @@ class ApproxSpec extends AnyFunSuite {
       assert(p50Ok, s"$t p50_in_bound")
     }
   }
+
+  test("hllDistinct: md5-register HLL lands within the published rsd at both SFs") {
+    import spark.implicits._
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val rows = Relational.hllDistinct(spark, dir)
+        .as[(String, Long, Long, Long, Long)].collect()
+      assert(rows.nonEmpty)
+      rows.foreach { case (t, exact, vZero, raw, est) =>
+        assert(vZero >= 0 && vZero <= 256, s"$t v_zero $vZero")
+        // corrected estimate: 3σ of HLL's 1.04/√m rsd, plus LC's own
+        // small-range slack — generous but a real regression (wrong
+        // bucket math, dropped registers) lands far outside it
+        assert(math.abs(est - exact) <= math.max(5.0, 0.25 * exact),
+          s"$t exact=$exact est=$est")
+        // the LC branch must engage exactly per the algorithm
+        if (vZero > 0 && raw <= 640)
+          assert(est == Relational.HllLcTable(vZero.toInt), s"$t LC branch")
+        else assert(est == raw, s"$t raw branch")
+      }
+    }
+  }
 }
