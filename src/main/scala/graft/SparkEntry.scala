@@ -154,6 +154,7 @@ object SparkEntry {
     "q125_rrf_fusion"     -> ((s, d) => Retrieval.rrfFusion(s, d)),
     "q126_label_prop"     -> ((s, d) => Graph.labelPropagation(s, d)),
     "q127_hll_sketch"     -> ((s, d) => Relational.hllDistinct(s, d)),
+    "q128_markov"         -> ((s, d) => Windowed.eventTransitions(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -2420,6 +2421,19 @@ object SparkEntry {
          |       THEN ${sqlLongList(graft.operators.Relational.HllLcTable)}[est.v_zero + 1]::BIGINT
          |       ELSE est.hll_raw END AS hll_est
          |FROM x JOIN est USING (event_type)""".stripMargin,
+    // first-order Markov transitions: lag over the (ts, event_id) total
+    // order per user; probability = one double division of exact counts
+    "q128_markov" ->
+      """WITH tr AS (SELECT event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT prev AS from_type, event_type AS to_type,
+        |        count(*)::BIGINT AS cnt
+        |      FROM tr WHERE prev IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, cnt,
+        |  cnt::DOUBLE / (sum(cnt) OVER (PARTITION BY from_type))::DOUBLE AS prob
+        |FROM c""".stripMargin,
   )
 
   /** q126's oracle: the deterministic sync-LPA trajectory unrolled —

@@ -163,4 +163,34 @@ object Windowed {
         ($"n_users".cast("double") / $"cohort_size".cast("double"))
           .as("retention"))
   }
+
+  /** q128: first-order Markov transition matrix over per-user event
+    * sequences — for every ordered pair of event types, how often type b
+    * directly follows type a in some user's (ts, event_id)-ordered
+    * stream, and the row-normalized transition probability. The
+    * behavioral-analysis primitive under next-event prediction, funnel
+    * discovery, and bot detection (uniform rows ⇒ no behavioral
+    * structure).
+    *
+    * Determinism: the sequence order (ts, event_id) is a total order
+    * (event_id unique), counts are exact integers, and the probability
+    * is ONE double division of two exact integers — identical in both
+    * engines. Scale: one shuffle on user_id for the lag window (the
+    * per-user sort is per-partition, never global), then a (from, to)
+    * aggregate with map-side combine onto |types|² ≤ tiny rows; the
+    * row-normalizing window runs on that tiny table.
+    */
+  def eventTransitions(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val seqW = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val counts = events(spark, d)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("prev", lag($"event_type", 1).over(seqW))
+      .filter($"prev".isNotNull)
+      .groupBy($"prev".as("from_type"), $"event_type".as("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn("prob", $"cnt".cast("double") /
+        sum($"cnt").over(Window.partitionBy($"from_type")).cast("double"))
+  }
 }

@@ -1051,4 +1051,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == expected)
     assert(got.values.exists(_._2 > 1L), "fixture must contain repeated 2-grams")
   }
+
+  test("eventTransitions matches a driver sequence replay") {
+    import spark.implicits._
+    val evs = graft.core.Tables.events(spark, sf)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .as[(Long, java.sql.Timestamp, Long, String)].collect()
+    val trans = evs.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val ordered = es.sortBy(e => (e._2.getTime, e._3)).map(_._4)
+      ordered.zip(ordered.tail)
+    }
+    val cnt = trans.groupBy(identity).map { case (p, o) => p -> o.size.toLong }
+    val fromTot = cnt.groupBy(_._1._1).map { case (f, m) => f -> m.values.sum }
+    val expected = cnt.map { case ((f, t), c) =>
+      (f, t, c, c.toDouble / fromTot(f).toDouble)
+    }.toSet
+    val got = Windowed.eventTransitions(spark, sf)
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // probabilities row-normalize exactly (sum of exact rationals per row
+    // can carry FP dust; the driver sums the same doubles, so equality
+    // above is the binding check - this is a sanity bound)
+    got.groupBy(_._1).foreach { case (f, rows) =>
+      val s = rows.toSeq.map(_._4).sum
+      assert(math.abs(s - 1.0) < 1e-9, s"row $f sums to $s")
+    }
+  }
 }
