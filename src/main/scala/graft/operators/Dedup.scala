@@ -717,11 +717,17 @@ object Dedup {
         substring($"ti", $"p0" + 1,
           segStart($"i" + 1, $"l") - $"p0").as("seg"))
     // b generates, for every assumed a-length within ±maxDist of its own,
-    // the substrings a's untouched segment could land on (shift ≤ maxDist)
+    // the substrings a's untouched segment could land on (shift ≤ maxDist).
+    // Titles are length-capped, so the distinct-length dictionary is ≤
+    // titleLen+1 values — collect it once (the eager-scalar pattern) and
+    // only generate for lengths that actually occur: with a 40-char cap
+    // almost every title is exactly 40, cutting the fan-out ~(2·maxDist+1)×
+    val lens = t.select($"l").distinct().as[Int].collect().toSet
     val subs = t
       .select($"doc_id", $"ti", length($"ti").as("lb"),
         explode(sequence(greatest(length($"ti") - maxDist, lit(0)),
           length($"ti") + maxDist)).as("l"))
+      .filter($"l".isin(lens.toSeq: _*))
       .select($"doc_id", $"ti", $"lb", $"l", explode(segIdx).as("i"))
       .withColumn("p0", segStart($"i", $"l"))
       .withColumn("sl", segStart($"i" + 1, $"l") - $"p0")
