@@ -155,6 +155,7 @@ object SparkEntry {
     "q126_label_prop"     -> ((s, d) => Graph.labelPropagation(s, d)),
     "q127_hll_sketch"     -> ((s, d) => Relational.hllDistinct(s, d)),
     "q128_markov"         -> ((s, d) => Windowed.eventTransitions(s, d)),
+    "q129_hist_quantiles" -> ((s, d) => Relational.histogramQuantiles(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -2434,6 +2435,34 @@ object SparkEntry {
         |SELECT from_type, to_type, cnt,
         |  cnt::DOUBLE / (sum(cnt) OVER (PARTITION BY from_type))::DOUBLE AS prob
         |FROM c""".stripMargin,
+    // equi-width histogram quantiles: bin edges from exact min/max, exact
+    // counts, rank = (pct·n+99)//100, in-bin linear interpolation written
+    // operation-for-operation like the Spark expression
+    "q129_hist_quantiles" ->
+      """WITH s AS (SELECT event_type, min(value) AS mn, max(value) AS mx,
+        |             count(*)::BIGINT AS n FROM events GROUP BY 1),
+        |b AS (SELECT e.event_type,
+        |        CASE WHEN s.mx = s.mn THEN 0
+        |             ELSE least(floor((e.value - s.mn) / (s.mx - s.mn) * 64),
+        |                        63::DOUBLE)::BIGINT END AS b
+        |      FROM events e JOIN s USING (event_type)),
+        |c AS (SELECT event_type, b, count(*)::BIGINT AS cnt
+        |      FROM b GROUP BY 1, 2),
+        |cum AS (SELECT event_type, b, cnt,
+        |          sum(cnt) OVER (PARTITION BY event_type ORDER BY b) AS cum
+        |        FROM c),
+        |r AS (SELECT event_type, mn, mx, n, pct, (pct * n + 99) // 100 AS r
+        |      FROM s, unnest([50, 90, 99]) AS t(pct)),
+        |hit AS (SELECT event_type, pct, mn, mx, n, r, b, cnt, cum,
+        |          row_number() OVER (PARTITION BY event_type, pct
+        |            ORDER BY b) AS rn
+        |        FROM r JOIN cum USING (event_type) WHERE cum >= r)
+        |SELECT event_type, pct::BIGINT AS pct, n, b, cnt,
+        |  CASE WHEN mx = mn THEN mn
+        |       ELSE mn + (b::DOUBLE
+        |         + (r - (cum - cnt))::DOUBLE / cnt::DOUBLE)
+        |         * ((mx - mn) / 64) END AS est
+        |FROM hit WHERE rn = 1""".stripMargin,
   )
 
   /** q126's oracle: the deterministic sync-LPA trajectory unrolled —

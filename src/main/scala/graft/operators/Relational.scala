@@ -345,6 +345,55 @@ object Relational {
           .otherwise(raw).as("hll_est"))
   }
 
+  /** q129: equi-width histogram quantile estimates — the deterministic,
+    * fully oracle-checkable rung of the quantile family: q38 is exact
+    * percentiles (global sort semantics), q44 checks the built-in KLL
+    * sketch against error bounds; this one IS a sketch whose every value
+    * both engines reproduce. Per event_type: 64 equi-width bins over the
+    * exact [min, max], exact bin counts, then p50/p90/p99 by in-bin
+    * linear interpolation. Rank = ⌈pct·n/100⌉ computed as the exact
+    * integer (pct·n + 99) div 100; the estimate is a short chain of
+    * identical double ops over exact ints and the min/max doubles.
+    *
+    * Scale: the mergeable-histogram pattern — bin counts are ONE
+    * (group, bin) aggregate with map-side combine (≤ 64 rows per group
+    * forever, mergeable by addition across shards/days); the quantile
+    * walk runs on that tiny table via a cumulative window. The min/max
+    * pre-pass is its own scan-stage aggregate broadcast back — two scans
+    * total, the classic two-pass histogram (a streaming deployment fixes
+    * the range a priori and drops to one pass).
+    */
+  def histogramQuantiles(spark: SparkSession, d: String,
+      nBins: Int = 64, pcts: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    import spark.implicits._
+    val e = events(spark, d).select($"event_type", $"value")
+    val stats = e.groupBy($"event_type")
+      .agg(min($"value").as("mn"), max($"value").as("mx"),
+        count(lit(1)).as("n"))
+    val bins = e.join(broadcast(stats), "event_type")
+      .select($"event_type",
+        when($"mx" === $"mn", lit(0L)).otherwise(
+          least(floor(($"value" - $"mn") / ($"mx" - $"mn") * nBins),
+            lit(nBins - 1).cast("double")).cast("long")).as("b"))
+      .groupBy($"event_type", $"b").agg(count(lit(1)).as("cnt"))
+    val cum = bins.withColumn("cum",
+      sum($"cnt").over(Window.partitionBy($"event_type").orderBy($"b")))
+    val ranks = stats.select($"event_type", $"mn", $"mx", $"n",
+        explode(typedLit(pcts)).as("pct"))
+      .withColumn("r", expr("(pct * n + 99) div 100"))
+    // first bin whose cumulative count reaches the rank
+    val hit = ranks.join(cum, "event_type")
+      .filter($"cum" >= $"r")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"event_type", $"pct").orderBy($"b")))
+      .filter($"rn" === 1)
+    hit.select($"event_type", $"pct".cast("long").as("pct"), $"n", $"b", $"cnt",
+        when($"mx" === $"mn", $"mn").otherwise(
+          $"mn" + ($"b".cast("double")
+            + ($"r" - ($"cum" - $"cnt")).cast("double") / $"cnt".cast("double"))
+            * (($"mx" - $"mn") / nBins)).as("est"))
+  }
+
   /** Rollup (grouping-sets family): per (event_type, user) counts with
     * subtotal and grand-total rows; rollup keys are coalesced to 'ALL'
     * so the oracle compare has no null-vs-NaN ambiguity.

@@ -62,4 +62,23 @@ class ApproxSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("histogramQuantiles: estimates land within one bin width of exact ranks") {
+    import spark.implicits._
+    val vals = Tables.events(spark, sf)
+      .select($"event_type", $"value").as[(String, Double)].collect()
+      .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).sorted }
+    val rows = Relational.histogramQuantiles(spark, sf)
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+    assert(rows.length == vals.size * 3)
+    rows.foreach { case (t, pct, n, b, cnt, est) =>
+      val xs = vals(t)
+      assert(n == xs.length.toLong, s"$t n")
+      assert(b >= 0 && b < 64 && cnt > 0)
+      val exact = xs(((pct * n + 99) / 100 - 1).toInt) // value at the rank
+      val width = (xs.last - xs.head) / 64.0
+      assert(math.abs(est - exact) <= width + 1e-9,
+        s"$t p$pct: est $est vs exact $exact (bin width $width)")
+    }
+  }
 }
