@@ -92,6 +92,57 @@ object EventStreams {
     */
   case class UserTotals(user_id: Long, n: Long, total: Double)
 
+  case class HllRow(event_type: String, v_zero: Long, hll_raw: Long,
+      hll_est: Long)
+
+  /** q127's HyperLogLog under streaming state: per event_type, the
+    * 256-register vector lives in `mapGroupsWithState` and each
+    * micro-batch folds its rows in by register max — which IS the HLL
+    * merge operation, so the final state is bit-identical to the batch
+    * sketch no matter how the stream is micro-batched (EventStreamsSpec
+    * asserts exactly that against `Relational.hllDistinct` across an
+    * arbitrary 3-batch split). Update mode re-emits a group's summary
+    * whenever new rows arrive; state is 256 longs per group, forever.
+    *
+    * The hash, rank rule, raw-estimate expression, and linear-counting
+    * table are the SAME code paths/constants as the batch query
+    * (md5 first-8-hex-chars; 25 − bitlength; the shared `HllLcTable`) —
+    * one sketch definition, three runtimes (batch, DuckDB oracle,
+    * streaming state).
+    */
+  def hllSketchStream(events: Dataset[Event]): Dataset[HllRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (t: String, evs: Iterator[Event], state: GroupState[Array[Long]]) =>
+          val regs = state.getOption.getOrElse(Array.fill(256)(0L))
+          val md = java.security.MessageDigest.getInstance("MD5")
+          evs.foreach { e =>
+            val hex = md.digest(s"hll:${e.user_id}".getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString
+            val h = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+            val b = (h & 255L).toInt
+            val w = h >> 8
+            val rank =
+              if (w == 0L) 25L
+              else 25L - (64 - java.lang.Long.numberOfLeadingZeros(w))
+            if (rank > regs(b)) regs(b) = rank
+          }
+          state.update(regs)
+          val vZero = regs.count(_ == 0L).toLong
+          val s = vZero.toDouble +
+            regs.filter(_ > 0L).map(m => math.pow(2.0, -m.toDouble)).sum
+          val raw = math.floor(0.7213 / (1.0 + 1.079 / 256.0)
+            * 65536.0 / s).toLong
+          val est =
+            if (vZero > 0L && raw <= 640L)
+              graft.operators.Relational.HllLcTable(vZero.toInt)
+            else raw
+          HllRow(t, vZero, raw, est)
+      }
+  }
+
   def runningUserTotals(events: Dataset[Event]): Dataset[UserTotals] = {
     import events.sparkSession.implicits._
     events

@@ -144,4 +144,37 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(latest(8L) == ((8L, 1L, 4.0)))
     } finally query.stop()
   }
+
+  test("hllSketchStream state equals the batch sketch across an arbitrary batch split") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val all = graft.core.Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect()
+    val input = MemoryStream[Event]
+    val query = EventStreams.hllSketchStream(input.toDS())
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode("update").start()
+    try {
+      // three arbitrary micro-batches: register max-merge is the HLL merge
+      // op, so the final state must not depend on the split
+      all.grouped(math.max(1, all.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq: _*)
+        query.processAllAvailable()
+      }
+      val rows = spark.table("hll_stream")
+        .as[(String, Long, Long, Long)].collect()
+      // raw estimate grows monotonically with register state: the final
+      // per-key row is the max-raw one
+      val finalRows = rows.groupBy(_._1).map { case (_, rs) =>
+        rs.maxBy(_._3)
+      }.map(r => (r._1, r._2, r._3, r._4)).toSet
+      val batch = graft.operators.Relational.hllDistinct(spark, sf)
+        .select($"event_type", $"v_zero", $"hll_raw", $"hll_est")
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(finalRows == batch)
+      assert(batch.nonEmpty)
+    } finally query.stop()
+  }
 }
