@@ -156,6 +156,7 @@ object SparkEntry {
     "q127_hll_sketch"     -> ((s, d) => Relational.hllDistinct(s, d)),
     "q128_markov"         -> ((s, d) => Windowed.eventTransitions(s, d)),
     "q129_hist_quantiles" -> ((s, d) => Relational.histogramQuantiles(s, d)),
+    "q130_json_props"     -> ((s, d) => Relational.propsExtract(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -2463,6 +2464,14 @@ object SparkEntry {
         |         + (r - (cum - cnt))::DOUBLE / cnt::DOUBLE)
         |         * ((mx - mn) / 64) END AS est
         |FROM hit WHERE rn = 1""".stripMargin,
+    // schema-on-read over the JSON props column; exact integer stats
+    "q130_json_props" ->
+      """SELECT event_type, count(*)::BIGINT AS n,
+        |  count(DISTINCT k)::BIGINT AS n_k, sum(k)::BIGINT AS sum_k,
+        |  min(k)::BIGINT AS min_k, max(k)::BIGINT AS max_k
+        |FROM (SELECT event_type,
+        |        json_extract_string(props, '$.k')::BIGINT AS k FROM events)
+        |GROUP BY 1""".stripMargin,
   )
 
   /** q126's oracle: the deterministic sync-LPA trajectory unrolled —

@@ -394,6 +394,26 @@ object Relational {
             * (($"mx" - $"mn") / nBins)).as("est"))
   }
 
+  /** q130: semi-structured extraction — the `events.props` JSON payload
+    * parsed with `from_json` (a typed schema projection, NOT a string
+    * UDF: Jackson parse inside whole-stage codegen at the scan stage)
+    * and aggregated per event type with exact integer stats. The
+    * "schema-on-read over a JSON side-channel column" pattern every
+    * event-log pipeline needs at 100 TB: the parse is map-only and
+    * prunes to the one referenced field; only the tiny per-type
+    * aggregate shuffles.
+    */
+  def propsExtract(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    events(spark, d)
+      .select($"event_type",
+        from_json($"props", "k BIGINT", Map.empty[String, String])
+          .getField("k").as("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), countDistinct($"k").as("n_k"),
+        sum($"k").as("sum_k"), min($"k").as("min_k"), max($"k").as("max_k"))
+  }
+
   /** Rollup (grouping-sets family): per (event_type, user) counts with
     * subtotal and grand-total rows; rollup keys are coalesced to 'ALL'
     * so the oracle compare has no null-vs-NaN ambiguity.
