@@ -157,6 +157,8 @@ object SparkEntry {
     "q128_markov"         -> ((s, d) => Windowed.eventTransitions(s, d)),
     "q129_hist_quantiles" -> ((s, d) => Relational.histogramQuantiles(s, d)),
     "q130_json_props"     -> ((s, d) => Relational.propsExtract(s, d)),
+    "q131_event_paths"    -> ((s, d) => Windowed.eventPaths(s, d)),
+    "q132_cluster_split"  -> ((s, d) => Sampling.clusterSafeSplit(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -2472,6 +2474,28 @@ object SparkEntry {
         |FROM (SELECT event_type,
         |        json_extract_string(props, '$.k')::BIGINT AS k FROM events)
         |GROUP BY 1""".stripMargin,
+    // 3-step paths: both leads on one per-user window; (cnt DESC, path)
+    // total order makes the top-k cut deterministic
+    "q131_event_paths" ->
+      """WITH t AS (SELECT event_type,
+        |  lead(event_type, 1) OVER w AS e2,
+        |  lead(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_type AS s1, e2 AS s2, e3 AS s3, count(*)::BIGINT AS cnt
+        |FROM t WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY cnt DESC, s1, s2, s3 LIMIT 20""".stripMargin,
+    // leakage-safe split: the q32 label CTE chain, split decided by the
+    // CLUSTER label's hash bucket
+    "q132_cluster_split" -> (dedupLabelCtes(5) +
+      s"""
+         |SELECT doc_id, label AS cluster_id,
+         |  ${md5Bits32Sql("'csplit:' || label::VARCHAR", 1)} % 100 AS bucket,
+         |  CASE WHEN ${md5Bits32Sql("'csplit:' || label::VARCHAR", 1)} % 100 < 80 THEN 'train'
+         |       WHEN ${md5Bits32Sql("'csplit:' || label::VARCHAR", 1)} % 100 < 90 THEN 'validation'
+         |       ELSE 'test' END AS split
+         |FROM l5""".stripMargin),
   )
 
   /** q126's oracle: the deterministic sync-LPA trajectory unrolled —

@@ -42,6 +42,30 @@ object Sampling {
           .otherwise("test").as("split"))
   }
 
+  /** q132: leakage-SAFE split — the constructive complement of q63
+    * (which MEASURES near-dup leakage across q52's per-doc split): hash
+    * the near-dup CLUSTER label, not the doc id, so every connected
+    * component of the near-dup graph lands in one split and cross-split
+    * contamination between near-duplicates is zero BY CONSTRUCTION (the
+    * spec asserts both the same-cluster⇒same-split law and zero leaking
+    * jaccard pairs). Rides the memo-shared q32/q82 label propagation.
+    *
+    * Scale: the labels are the CC propagation's output (edge-bounded
+    * supersteps, see dedupLabels); the split itself is a scan-stage
+    * projection on the label — adding documents never moves an existing
+    * CLUSTER between splits, the same stability law q52 gives per-doc.
+    */
+  def clusterSafeSplit(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Dedup.dedupLabels(spark, d)
+      .select($"doc_id", $"label".as("cluster_id"),
+        hashBucket($"label", "csplit:").as("bucket"))
+      .select($"doc_id", $"cluster_id", $"bucket",
+        when($"bucket" < 80, "train")
+          .when($"bucket" < 90, "validation")
+          .otherwise("test").as("split"))
+  }
+
   /** Stratified downsampling to the rarest language: within each lang,
     * rank docs by (hash, doc_id) and keep the first `min-lang-count` —
     * equal-sized per-language strata with hash-deterministic membership

@@ -193,4 +193,29 @@ object Windowed {
       .withColumn("prob", $"cnt".cast("double") /
         sum($"cnt").over(Window.partitionBy($"from_type")).cast("double"))
   }
+
+  /** q131: top-k 3-step behavioral paths — q128's transition idea one
+    * order higher: how often each (a → b → c) event-type triple occurs
+    * contiguously in a user's (ts, event_id)-ordered stream, top `k`
+    * under the (cnt DESC, path ASC) total order. Funnel DISCOVERY (which
+    * paths exist and dominate) where q113 measures one known funnel.
+    *
+    * Scale: the same single user-key shuffle as q128 — both lead()
+    * offsets ride ONE window spec, so one Exchange + one per-partition
+    * sort; the triple aggregate is ≤ |types|³ rows and the top-k is
+    * TakeOrderedAndProject (per-partition heaps, never a global sort).
+    */
+  def eventPaths(spark: SparkSession, d: String, k: Int = 20): DataFrame = {
+    import spark.implicits._
+    val seqW = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    events(spark, d)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("e2", lead($"event_type", 1).over(seqW))
+      .withColumn("e3", lead($"event_type", 2).over(seqW))
+      .filter($"e2".isNotNull && $"e3".isNotNull)
+      .groupBy($"event_type".as("s1"), $"e2".as("s2"), $"e3".as("s3"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"s1", $"s2", $"s3")
+      .limit(k)
+  }
 }

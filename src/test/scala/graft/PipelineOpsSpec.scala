@@ -1078,4 +1078,42 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(math.abs(s - 1.0) < 1e-9, s"row $f sums to $s")
     }
   }
+
+  test("eventPaths: top-20 triple counts match a driver replay") {
+    import spark.implicits._
+    val evs = graft.core.Tables.events(spark, sf)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .as[(Long, java.sql.Timestamp, Long, String)].collect()
+    val triples = evs.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val o = es.sortBy(e => (e._2.getTime, e._3)).map(_._4)
+      o.sliding(3).filter(_.length == 3).map(w => (w(0), w(1), w(2)))
+    }
+    val expected = triples.groupBy(identity)
+      .map { case (t, o) => (t._1, t._2, t._3, o.size.toLong) }.toSeq
+      .sortBy { case (a, b, c, n) => (-n, a, b, c) }.take(20)
+    val got = Windowed.eventPaths(spark, sf)
+      .as[(String, String, String, Long)].collect().toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("clusterSafeSplit: same cluster => same split, zero leaking pairs") {
+    import spark.implicits._
+    val rows = Sampling.clusterSafeSplit(spark, sf)
+      .as[(Long, Long, Long, String)].collect()
+    assert(rows.length == 500)
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (c, rs) =>
+      assert(rs.map(_._4).distinct.length == 1, s"cluster $c straddles splits")
+    }
+    assert(byCluster.exists(_._2.length > 1), "fixture has non-trivial clusters")
+    // the constructive law q63 can only measure: no near-dup pair crosses
+    val split = rows.map(r => r._1 -> r._4).toMap
+    val leaking = Dedup.jaccardPairs(spark, sf)
+      .select($"x", $"y").as[(Long, Long)].collect()
+      .count { case (x, y) => split(x) != split(y) }
+    assert(leaking == 0, s"$leaking near-dup pairs leak across splits")
+    assert(rows.map(_._4).distinct.sorted.sameElements(
+      Array("test", "train", "validation")) || rows.map(_._4).distinct.length >= 2)
+  }
 }
