@@ -159,6 +159,7 @@ object SparkEntry {
     "q130_json_props"     -> ((s, d) => Relational.propsExtract(s, d)),
     "q131_event_paths"    -> ((s, d) => Windowed.eventPaths(s, d)),
     "q132_cluster_split"  -> ((s, d) => Sampling.clusterSafeSplit(s, d)),
+    "q133_local_volume"   -> ((s, d) => Relational.localSupplierVolume(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -2496,6 +2497,22 @@ object SparkEntry {
          |       WHEN ${md5Bits32Sql("'csplit:' || label::VARCHAR", 1)} % 100 < 90 THEN 'validation'
          |       ELSE 'test' END AS split
          |FROM l5""".stripMargin),
+    // TPC-H Q5 shape: revenue via the q01 DECIMAL product-sum discipline
+    "q133_local_volume" ->
+      """SELECT n_name,
+        |  sum(l_extendedprice::DECIMAL(18,2)
+        |      * (1.0 - l_discount)::DECIMAL(18,2))::DOUBLE AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
   )
 
   /** q126's oracle: the deterministic sync-LPA trajectory unrolled —

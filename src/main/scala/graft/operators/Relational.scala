@@ -394,6 +394,40 @@ object Relational {
             * (($"mx" - $"mn") / nBins)).as("est"))
   }
 
+  /** q133: the TPC-H Q5 shape — local supplier volume: six-table
+    * snowflake join (region → nation → {customer, supplier} → orders →
+    * lineitem) with the "local" c_nationkey = s_nationkey correlation,
+    * a region filter and a one-year date window, revenue as the exact
+    * DECIMAL product-sum. The one classic OLAP shape the inventory
+    * lacked: a join ORDER problem, not just a join.
+    *
+    * Scale: all four dimension tables are broadcast (region/nation are
+    * rows, customer/supplier MBs at any SF — AQE picks broadcast
+    * un-hinted; the plan audit pins it); the only data-bearing shuffle
+    * is lineitem ⋈ orders on the order key, and the o_orderdate/r_name
+    * filters reach the scans as PushedFilters so the fact scan prunes
+    * row groups before the join. Catalyst's join reorder puts the
+    * selective dims first — declare, don't hand-schedule.
+    */
+  def localSupplierVolume(spark: SparkSession, d: String,
+      regionName: String = "ASIA", yearStart: String = "1996-01-01"): DataFrame = {
+    import spark.implicits._
+    val o = orders(spark, d)
+      .filter($"o_orderdate" >= lit(yearStart).cast("timestamp") &&
+        $"o_orderdate" < lit(yearStart).cast("timestamp") + expr("INTERVAL 1 YEAR"))
+    lineitem(spark, d)
+      .join(o, $"l_orderkey" === $"o_orderkey")
+      .join(customer(spark, d), $"o_custkey" === $"c_custkey")
+      .join(supplier(spark, d),
+        $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(nation(spark, d), $"s_nationkey" === $"n_nationkey")
+      .join(region(spark, d).filter($"r_name" === regionName),
+        $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(stableProdSum($"l_extendedprice", lit(1.0) - $"l_discount")
+        .as("revenue"), count(lit(1)).as("n_items"))
+  }
+
   /** q130: semi-structured extraction — the `events.props` JSON payload
     * parsed with `from_json` (a typed schema projection, NOT a string
     * UDF: Jackson parse inside whole-stage codegen at the scan stage)
