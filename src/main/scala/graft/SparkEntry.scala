@@ -160,6 +160,7 @@ object SparkEntry {
     "q131_event_paths"    -> ((s, d) => Windowed.eventPaths(s, d)),
     "q132_cluster_split"  -> ((s, d) => Sampling.clusterSafeSplit(s, d)),
     "q133_local_volume"   -> ((s, d) => Relational.localSupplierVolume(s, d)),
+    "q134_assoc_rules"    -> ((s, d) => Graph.associationRules(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -2513,6 +2514,25 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name""".stripMargin,
+    // association rules off the q111 pair derivation: confidence and
+    // lift as single double divisions of exact integers, 1e6-quantized
+    "q134_assoc_rules" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT p1, p2, cnt FROM (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS cnt
+        |  FROM pp a JOIN pp b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2) WHERE cnt >= 2),
+        |sup AS (SELECT l_partkey AS pk, count(*)::BIGINT AS sup FROM pp GROUP BY 1),
+        |n AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n FROM pp),
+        |rules AS (SELECT p1 AS antecedent, p2 AS consequent, cnt FROM e
+        |          UNION ALL SELECT p2, p1, cnt FROM e)
+        |SELECT antecedent, consequent, cnt::BIGINT AS cnt,
+        |  round(cnt::DOUBLE / sa.sup::DOUBLE * 1000000.0)::BIGINT AS conf_q,
+        |  round((cnt * n.n)::DOUBLE / (sa.sup * sb.sup)::DOUBLE
+        |    * 1000000.0)::BIGINT AS lift_q
+        |FROM rules JOIN sup sa ON antecedent = sa.pk
+        |JOIN sup sb ON consequent = sb.pk, n""".stripMargin,
   )
 
   /** q126's oracle: the deterministic sync-LPA trajectory unrolled —

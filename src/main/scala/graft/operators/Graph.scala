@@ -404,6 +404,38 @@ object Graph {
     dist.select($"id".as("partkey"), $"hops")
   }
 
+  /** q134: association rules over the co-purchase pairs — for every
+    * directed rule a→b with pair support ≥ 2: the support count,
+    * confidence conf(a→b) = sup(a,b)/sup(a), and lift
+    * sup(a,b)·N/(sup(a)·sup(b)) — the Agrawal-Srikant market-basket
+    * primitives ("customers who bought X buy Y with p, q× over chance").
+    * Both ratios are ONE double division of exact integers, quantized to
+    * 1e6 (the engine's standard ratio discipline), so the oracle is
+    * value-exact.
+    *
+    * Scale: rides the memo-shared q111/q112/q118/q123/q126 edge
+    * projection (per-order-bounded fan-out); item supports are one
+    * distinct-pair aggregate; N is one driver scalar; the rule table is
+    * 2·|edges| rows with two broadcast-able support joins.
+    */
+  def associationRules(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val pp = lineitem(spark, d).select($"l_orderkey", $"l_partkey").distinct()
+    val sup = pp.groupBy($"l_partkey".as("pk")).agg(count(lit(1)).as("sup"))
+    val n = pp.select($"l_orderkey").distinct().count()
+    val e = copurchaseEdges(spark, d).select($"p1", $"p2", $"cnt")
+    val rules = e.select($"p1".as("antecedent"), $"p2".as("consequent"), $"cnt")
+      .unionByName(e.select($"p2".as("antecedent"), $"p1".as("consequent"), $"cnt"))
+    rules
+      .join(sup.select($"pk".as("antecedent"), $"sup".as("sup_a")), "antecedent")
+      .join(sup.select($"pk".as("consequent"), $"sup".as("sup_b")), "consequent")
+      .select($"antecedent", $"consequent", $"cnt",
+        round($"cnt".cast("double") / $"sup_a".cast("double") * 1000000.0)
+          .cast("long").as("conf_q"),
+        round(($"cnt" * n).cast("double") / ($"sup_a" * $"sup_b").cast("double")
+          * 1000000.0).cast("long").as("lift_q"))
+  }
+
   /** q126: community detection by synchronous label propagation
     * (Raghavan et al. 2007) on the co-purchase graph, a fixed `rounds`
     * sweeps. Every vertex starts as its own label; each sweep it adopts

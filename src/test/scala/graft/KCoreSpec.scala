@@ -173,4 +173,32 @@ class KCoreSpec extends AnyFunSuite {
       assert(got.values.toSet.size < got.size, s"no propagation happened at $sf")
     }
   }
+
+  test("associationRules: confidence/lift match a driver recompute") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val pp = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect()
+    val sup = pp.groupBy(_._2).map { case (p, o) => p -> o.length.toLong }
+    val n = pp.map(_._1).distinct.length.toLong
+    val pairCnt = pp.groupBy(_._1).values.flatMap { os =>
+      val ps = os.map(_._2).sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).collect { case (p, o) if o.size >= 2 => p -> o.size.toLong }
+    val expected = pairCnt.flatMap { case ((a, b), c) =>
+      def q(x: Double) = BigDecimal(x * 1000000.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      Seq((a, b, c, q(c.toDouble / sup(a)), q((c * n).toDouble / (sup(a) * sup(b)))),
+        (b, a, c, q(c.toDouble / sup(b)), q((c * n).toDouble / (sup(a) * sup(b)))))
+    }.toSet
+    val got = Graph.associationRules(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+    got.foreach { case (a, b, c, conf, lift) =>
+      assert(conf > 0 && conf <= 1000000L, s"conf($a->$b)")
+      assert(lift > 0, s"lift($a->$b)")
+    }
+  }
 }
