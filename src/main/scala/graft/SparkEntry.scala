@@ -161,6 +161,7 @@ object SparkEntry {
     "q132_cluster_split"  -> ((s, d) => Sampling.clusterSafeSplit(s, d)),
     "q133_local_volume"   -> ((s, d) => Relational.localSupplierVolume(s, d)),
     "q134_assoc_rules"    -> ((s, d) => Graph.associationRules(s, d)),
+    "q135_dwell_times"    -> ((s, d) => Windowed.interEventGaps(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -2533,6 +2534,29 @@ object SparkEntry {
         |    * 1000000.0)::BIGINT AS lift_q
         |FROM rules JOIN sup sa ON antecedent = sa.pk
         |JOIN sup sb ON consequent = sb.pk, n""".stripMargin,
+    // dwell times: exact unix-micros gaps; median by the q121 middle-rank
+    // arithmetic; mean as one division of exact integers
+    "q135_dwell_times" ->
+      """WITH g AS (SELECT event_type, user_id, event_id,
+        |  epoch_us(ts) - epoch_us(lag(ts) OVER (
+        |    PARTITION BY user_id, event_type ORDER BY ts, event_id)) AS gap
+        |  FROM events),
+        |gaps AS (SELECT * FROM g WHERE gap IS NOT NULL),
+        |med AS (SELECT event_type,
+        |  sum(gap)::DOUBLE / count(*) AS median_gap_us FROM (
+        |    SELECT event_type, gap,
+        |      row_number() OVER (PARTITION BY event_type
+        |        ORDER BY gap, user_id, event_id) AS rn,
+        |      count(*) OVER (PARTITION BY event_type) AS n
+        |    FROM gaps)
+        |  WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2 GROUP BY 1),
+        |st AS (SELECT event_type, count(*)::BIGINT AS n_gaps,
+        |         sum(gap)::DOUBLE / count(*) AS mean_gap_us,
+        |         max(gap)::BIGINT AS max_gap_us
+        |       FROM gaps GROUP BY 1)
+        |SELECT st.event_type, st.n_gaps, st.mean_gap_us, st.max_gap_us,
+        |       med.median_gap_us
+        |FROM st JOIN med USING (event_type)""".stripMargin,
   )
 
   /** q126's oracle: the deterministic sync-LPA trajectory unrolled —

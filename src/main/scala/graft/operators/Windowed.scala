@@ -205,6 +205,44 @@ object Windowed {
     * sort; the triple aggregate is ≤ |types|³ rows and the top-k is
     * TakeOrderedAndProject (per-partition heaps, never a global sort).
     */
+  /** q135: inter-event dwell times — the gap between consecutive events
+    * of the same (user, type) stream, aggregated per type: gap count,
+    * mean (one exact-integer division), exact middle-rank median (the
+    * q121 rank arithmetic — no percentile interpolation, so the oracle
+    * is value-exact), and max. Gaps are unix-micros differences: exact
+    * longs end to end. The sessionization/engagement primitive between
+    * q28's gap-threshold sessions and q121's robust profiles.
+    *
+    * Scale: one (user, type) lag window (per-partition sort), then the
+    * median rank window partitions by TYPE — five partitions here, and
+    * at real cardinality the (gap, user, event) total order keeps it
+    * deterministic; mean/max ride one hash aggregate.
+    */
+  def interEventGaps(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val seqW = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"ts", $"event_id")
+    val gaps = events(spark, d)
+      .select($"user_id", $"event_type", $"ts", $"event_id")
+      .withColumn("prev", lag($"ts", 1).over(seqW))
+      .filter($"prev".isNotNull)
+      .select($"event_type", $"user_id", $"event_id",
+        (unix_micros($"ts") - unix_micros($"prev")).as("gap"))
+    val medW = Window.partitionBy($"event_type")
+      .orderBy($"gap", $"user_id", $"event_id")
+    val med = gaps
+      .withColumn("rn", row_number().over(medW).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"event_type")))
+      .filter($"rn" === expr("(n + 1) div 2") || $"rn" === expr("(n + 2) div 2"))
+      .groupBy($"event_type")
+      .agg((sum($"gap").cast("double") / count(lit(1))).as("median_gap_us"))
+    gaps.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        (sum($"gap").cast("double") / count(lit(1))).as("mean_gap_us"),
+        max($"gap").as("max_gap_us"))
+      .join(med, "event_type")
+  }
+
   def eventPaths(spark: SparkSession, d: String, k: Int = 20): DataFrame = {
     import spark.implicits._
     val seqW = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")

@@ -1116,4 +1116,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.map(_._4).distinct.sorted.sameElements(
       Array("test", "train", "validation")) || rows.map(_._4).distinct.length >= 2)
   }
+
+  test("interEventGaps: exact gap stats match a driver replay") {
+    import spark.implicits._
+    val evs = graft.core.Tables.events(spark, sf)
+      .select($"user_id", $"event_type", $"ts", $"event_id")
+      .as[(Long, String, java.sql.Timestamp, Long)].collect()
+    val gaps = evs.groupBy(e => (e._1, e._2)).toSeq.flatMap { case (_, es) =>
+      val o = es.sortBy(e => (e._3.getTime, e._4))
+      o.zip(o.tail).map { case (a, b) =>
+        // Timestamp.getTime is millis; the fixture carries micros — use
+        // the same micros arithmetic as the engine
+        def us(t: java.sql.Timestamp) = t.getTime * 1000 + t.getNanos / 1000 % 1000
+        (b._2, us(b._3) - us(a._3))
+      }
+    }
+    val expected = gaps.groupBy(_._1).map { case (t, gs) =>
+      val xs = gs.map(_._2).sorted
+      val med = (xs((xs.length - 1) / 2) + xs(xs.length / 2)).toDouble / 2.0
+      t -> ((xs.length.toLong, xs.sum.toDouble / xs.length, xs.max, med))
+    }
+    val got = Windowed.interEventGaps(spark, sf)
+      .as[(String, Long, Double, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
 }
