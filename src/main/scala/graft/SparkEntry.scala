@@ -162,6 +162,7 @@ object SparkEntry {
     "q133_local_volume"   -> ((s, d) => Relational.localSupplierVolume(s, d)),
     "q134_assoc_rules"    -> ((s, d) => Graph.associationRules(s, d)),
     "q135_dwell_times"    -> ((s, d) => Windowed.interEventGaps(s, d)),
+    "q136_quality_rank"   -> ((s, d) => Text.qualityRank(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -2557,6 +2558,27 @@ object SparkEntry {
         |SELECT st.event_type, st.n_gaps, st.mean_gap_us, st.max_gap_us,
         |       med.median_gap_us
         |FROM st JOIN med USING (event_type)""".stripMargin,
+    // within-language percent-rank of the q18 stop-word ratio; rank()
+    // tie semantics, (rank-1)/(n-1), decile bucket
+    "q136_quality_rank" ->
+      s"""WITH w AS (SELECT doc_id, lang,
+         |  regexp_split_to_array(lower(text), '\\s+') AS ws
+         |  FROM documents),
+         |q AS (SELECT doc_id, lang,
+         |  len(list_filter(ws, x -> list_contains($stopList, x)))::DOUBLE
+         |    / len(ws) AS stop_ratio
+         |  FROM w),
+         |r AS (SELECT doc_id, lang, stop_ratio,
+         |  rank() OVER (PARTITION BY lang ORDER BY stop_ratio)::BIGINT AS rnk,
+         |  count(*) OVER (PARTITION BY lang) AS n
+         |  FROM q)
+         |SELECT doc_id, lang, stop_ratio, rnk,
+         |  CASE WHEN n = 1 THEN 0.0
+         |       ELSE (rnk - 1)::DOUBLE / (n - 1)::DOUBLE END AS pr,
+         |  least(floor(CASE WHEN n = 1 THEN 0.0
+         |       ELSE (rnk - 1)::DOUBLE / (n - 1)::DOUBLE END * 10),
+         |    9::DOUBLE)::BIGINT AS decile
+         |FROM r""".stripMargin,
   )
 
   /** q126's oracle: the deterministic sync-LPA trajectory unrolled —

@@ -1321,6 +1321,33 @@ object Text {
     * (doc_id, gram) — a high-entropy key — then unions intervals with
     * the q88 gaps-and-islands window partitioned per doc.
     */
+  /** q136: rank-normalized quality — each document's stop-word ratio
+    * (q18's signal) percentile-ranked WITHIN its language: pr =
+    * (rank − 1)/(n − 1) with `rank()` tie semantics, plus the decile
+    * bucket. Cross-language score calibration — raw quality signals are
+    * not comparable across languages, ranks are (the CCNet/q100 move,
+    * generalized to any signal). The ratio is a division of exact
+    * integers, so tie GROUPS are bit-identical cross-engine and the
+    * percent-rank is value-exact.
+    *
+    * Scale: one shuffle on lang for the rank window (per-partition
+    * sort); n rides the same partition as a count window — no second
+    * exchange, no driver collection.
+    */
+  def qualityRank(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val q = qualityScore(spark, d).select($"doc_id", $"stop_ratio")
+      .join(documents(spark, d).select($"doc_id", $"lang"), "doc_id")
+    val w = Window.partitionBy($"lang").orderBy($"stop_ratio")
+    q.withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"lang")))
+      .select($"doc_id", $"lang", $"stop_ratio", $"rnk",
+        when($"n" === 1L, lit(0.0))
+          .otherwise(($"rnk" - 1L).cast("double") / ($"n" - 1L).cast("double"))
+          .as("pr"))
+      .withColumn("decile", least(floor($"pr" * 10), lit(9.0)).cast("long"))
+  }
+
   def topNgramRepetition(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     import graft.functions.Hashing.shinglesAll

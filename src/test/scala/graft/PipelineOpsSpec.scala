@@ -1142,4 +1142,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == expected)
     assert(got.nonEmpty)
   }
+
+  test("qualityRank: percent-rank law and tie handling") {
+    import spark.implicits._
+    val rows = Text.qualityRank(spark, sf)
+      .as[(Long, String, Double, Long, Double, Long)].collect()
+    assert(rows.length == 500)
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      val n = rs.length.toLong
+      // rank() law: rank = 1 + #strictly-smaller values
+      val ratios = rs.map(_._3)
+      rs.foreach { case (id, _, sr, rnk, pr, dec) =>
+        assert(rnk == 1 + ratios.count(_ < sr), s"doc $id rank")
+        val expPr = if (n == 1) 0.0 else (rnk - 1).toDouble / (n - 1).toDouble
+        assert(pr == expPr, s"doc $id pr")
+        assert(dec == math.min(math.floor(pr * 10).toLong, 9L), s"doc $id decile")
+      }
+      // ties share ranks: equal ratios => equal pr
+      rs.groupBy(_._3).values.foreach { g =>
+        assert(g.map(_._5).distinct.length == 1, s"$lang tie group split")
+      }
+    }
+  }
 }
