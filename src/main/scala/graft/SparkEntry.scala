@@ -163,6 +163,7 @@ object SparkEntry {
     "q134_assoc_rules"    -> ((s, d) => Graph.associationRules(s, d)),
     "q135_dwell_times"    -> ((s, d) => Windowed.interEventGaps(s, d)),
     "q136_quality_rank"   -> ((s, d) => Text.qualityRank(s, d)),
+    "q137_exact_variance" -> ((s, d) => Relational.exactVariance(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -2579,6 +2580,21 @@ object SparkEntry {
          |       ELSE (rnk - 1)::DOUBLE / (n - 1)::DOUBLE END * 10),
          |    9::DOUBLE)::BIGINT AS decile
          |FROM r""".stripMargin,
+    // cents-quantized exact two-moment variance: integer numerator, one
+    // identical double division chain, sqrt of the identical double
+    "q137_exact_variance" ->
+      """WITH v AS (SELECT event_type,
+        |  round(value * 100)::BIGINT AS vc FROM events),
+        |m AS (SELECT event_type, count(*)::BIGINT AS n,
+        |        sum(vc) AS sx, sum(vc * vc) AS sxx
+        |      FROM v GROUP BY 1)
+        |SELECT event_type, n,
+        |  sx::DOUBLE / n::DOUBLE / 100.0 AS mean,
+        |  (n * sxx - sx * sx)::DOUBLE / (n * (n - 1))::DOUBLE / 10000.0
+        |    AS var_samp,
+        |  sqrt((n * sxx - sx * sx)::DOUBLE / (n * (n - 1))::DOUBLE / 10000.0)
+        |    AS std_samp
+        |FROM m""".stripMargin,
   )
 
   /** q126's oracle: the deterministic sync-LPA trajectory unrolled —

@@ -394,6 +394,35 @@ object Relational {
             * (($"mx" - $"mn") / nBins)).as("est"))
   }
 
+  /** q137: exact variance / standard deviation per group — the textbook
+    * n·Σx²−(Σx)² identity is catastrophic-cancellation territory in
+    * doubles, so built-in var_samp is NOT cross-engine reproducible.
+    * Here values are quantized to cents once (round(value·100) — the
+    * same double in, same long out, in both engines), every sum is an
+    * exact DECIMAL(38,0)/HUGEINT integer, the numerator subtraction is
+    * EXACT integer math, and only the final division/sqrt are (identical)
+    * double ops. Same two-moment shape as Welford at scale: one pass,
+    * map-side combinable, mergeable across shards by adding (n, Σ, Σ²).
+    */
+  def exactVariance(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val vc = round($"value" * 100).cast("long")
+    val dec38 = "decimal(38,0)"
+    events(spark, d)
+      .select($"event_type", vc.as("vc"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"vc".cast(dec38)).as("sx"),
+        sum(($"vc".cast("decimal(19,0)") * $"vc".cast("decimal(19,0)"))
+          .cast(dec38)).as("sxx"))
+      .select($"event_type", $"n",
+        ($"sx".cast("double") / $"n".cast("double") / 100.0).as("mean"),
+        (($"n".cast(dec38) * $"sxx" - $"sx" * $"sx").cast("double")
+          / ($"n" * ($"n" - 1L)).cast("double") / 10000.0).as("var_samp"),
+        sqrt(($"n".cast(dec38) * $"sxx" - $"sx" * $"sx").cast("double")
+          / ($"n" * ($"n" - 1L)).cast("double") / 10000.0).as("std_samp"))
+  }
+
   /** q133: the TPC-H Q5 shape — local supplier volume: six-table
     * snowflake join (region → nation → {customer, supplier} → orders →
     * lineitem) with the "local" c_nationkey = s_nationkey correlation,

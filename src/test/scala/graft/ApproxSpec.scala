@@ -81,4 +81,31 @@ class ApproxSpec extends AnyFunSuite {
         s"$t p$pct: est $est vs exact $exact (bin width $width)")
     }
   }
+
+  test("exactVariance matches a BigInt driver recompute and tracks var_samp") {
+    import spark.implicits._
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val vals = Tables.events(spark, dir)
+        .select($"event_type", $"value").as[(String, Double)].collect()
+        .groupBy(_._1).map { case (t, vs) =>
+          t -> vs.map(v => BigInt(math.round(v._2 * 100)))
+        }
+      val got = Relational.exactVariance(spark, dir)
+        .as[(String, Long, Double, Double, Double)].collect()
+      assert(got.length == vals.size)
+      got.foreach { case (t, n, mean, vr, std) =>
+        val xs = vals(t)
+        assert(n == xs.length.toLong)
+        val (sx, sxx) = (xs.sum, xs.map(x => x * x).sum)
+        val num = BigInt(n) * sxx - sx * sx    // exact integer numerator
+        val expVar = num.toDouble / (n.toDouble * (n - 1).toDouble) / 10000.0
+        assert(math.abs(vr - expVar) <= math.ulp(expVar) * 4, s"$t var")
+        assert(std == math.sqrt(vr), s"$t std")
+        // sanity vs the double-precision two-pass variance
+        val m = xs.sum.toDouble / n / 100.0
+        val tp = vals(t).map(x => math.pow(x.toDouble / 100.0 - m, 2)).sum / (n - 1)
+        assert(math.abs(vr - tp) < 1e-6 * math.max(1.0, tp), s"$t two-pass")
+      }
+    }
+  }
 }
