@@ -164,6 +164,7 @@ object SparkEntry {
     "q135_dwell_times"    -> ((s, d) => Windowed.interEventGaps(s, d)),
     "q136_quality_rank"   -> ((s, d) => Text.qualityRank(s, d)),
     "q137_exact_variance" -> ((s, d) => Relational.exactVariance(s, d)),
+    "q138_quality_filter" -> ((s, d) => Text.qualityFilter(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -470,6 +471,28 @@ object SparkEntry {
     * from the same Scala constants the Spark side uses, so the oracle can
     * never drift from the engine.
     */
+  /** q136's oracle body — also the quality signal q138's filter rides
+    * (one definition, both entries). */
+  private def qualityRankSql: String =
+    s"""WITH w AS (SELECT doc_id, lang,
+       |  regexp_split_to_array(lower(text), '\\s+') AS ws
+       |  FROM documents),
+       |q AS (SELECT doc_id, lang,
+       |  len(list_filter(ws, x -> list_contains($stopList, x)))::DOUBLE
+       |    / len(ws) AS stop_ratio
+       |  FROM w),
+       |r AS (SELECT doc_id, lang, stop_ratio,
+       |  rank() OVER (PARTITION BY lang ORDER BY stop_ratio)::BIGINT AS rnk,
+       |  count(*) OVER (PARTITION BY lang) AS n
+       |  FROM q)
+       |SELECT doc_id, lang, stop_ratio, rnk,
+       |  CASE WHEN n = 1 THEN 0.0
+       |       ELSE (rnk - 1)::DOUBLE / (n - 1)::DOUBLE END AS pr,
+       |  least(floor(CASE WHEN n = 1 THEN 0.0
+       |       ELSE (rnk - 1)::DOUBLE / (n - 1)::DOUBLE END * 10),
+       |    9::DOUBLE)::BIGINT AS decile
+       |FROM r""".stripMargin
+
   private def sqlList(ws: Seq[String]): String =
     ws.map(w => s"'$w'").mkString("[", ",", "]")
   private def sqlLongList(xs: Seq[Long]): String =
@@ -2561,25 +2584,7 @@ object SparkEntry {
         |FROM st JOIN med USING (event_type)""".stripMargin,
     // within-language percent-rank of the q18 stop-word ratio; rank()
     // tie semantics, (rank-1)/(n-1), decile bucket
-    "q136_quality_rank" ->
-      s"""WITH w AS (SELECT doc_id, lang,
-         |  regexp_split_to_array(lower(text), '\\s+') AS ws
-         |  FROM documents),
-         |q AS (SELECT doc_id, lang,
-         |  len(list_filter(ws, x -> list_contains($stopList, x)))::DOUBLE
-         |    / len(ws) AS stop_ratio
-         |  FROM w),
-         |r AS (SELECT doc_id, lang, stop_ratio,
-         |  rank() OVER (PARTITION BY lang ORDER BY stop_ratio)::BIGINT AS rnk,
-         |  count(*) OVER (PARTITION BY lang) AS n
-         |  FROM q)
-         |SELECT doc_id, lang, stop_ratio, rnk,
-         |  CASE WHEN n = 1 THEN 0.0
-         |       ELSE (rnk - 1)::DOUBLE / (n - 1)::DOUBLE END AS pr,
-         |  least(floor(CASE WHEN n = 1 THEN 0.0
-         |       ELSE (rnk - 1)::DOUBLE / (n - 1)::DOUBLE END * 10),
-         |    9::DOUBLE)::BIGINT AS decile
-         |FROM r""".stripMargin,
+    "q136_quality_rank" -> qualityRankSql,
     // cents-quantized exact two-moment variance: integer numerator, one
     // identical double division chain, sqrt of the identical double
     "q137_exact_variance" ->
@@ -2595,6 +2600,19 @@ object SparkEntry {
         |  sqrt((n * sxx - sx * sx)::DOUBLE / (n * (n - 1))::DOUBLE / 10000.0)
         |    AS std_samp
         |FROM m""".stripMargin,
+    // q136's calibration driving the keep/drop decision + budget report
+    "q138_quality_filter" ->
+      s"""WITH qr AS ($qualityRankSql),
+         |d AS (SELECT doc_id, lang, source,
+         |  len(regexp_split_to_array(lower(text), '\\s+'))::BIGINT AS ntok
+         |  FROM documents)
+         |SELECT d.lang, d.source,
+         |  sum((qr.decile >= 2)::BIGINT)::BIGINT AS n_kept,
+         |  sum((qr.decile < 2)::BIGINT)::BIGINT AS n_dropped,
+         |  sum(CASE WHEN qr.decile >= 2 THEN d.ntok ELSE 0 END)::BIGINT
+         |    AS kept_tokens
+         |FROM d JOIN qr USING (doc_id)
+         |GROUP BY 1, 2""".stripMargin,
   )
 
   /** q126's oracle: the deterministic sync-LPA trajectory unrolled —

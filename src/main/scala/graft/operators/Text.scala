@@ -1348,6 +1348,31 @@ object Text {
       .withColumn("decile", least(floor($"pr" * 10), lit(9.0)).cast("long"))
   }
 
+  /** q138: rank-calibrated quality filtering — the decision q136's
+    * calibration exists for: drop each language's worst `minDecile`
+    * deciles (rank-based, so the SAME proportion is dropped from every
+    * language regardless of its raw score distribution — the fair-
+    * filtering property absolute thresholds lack) and report the kept /
+    * dropped doc and token budgets per (lang, source). The FineWeb-style
+    * "filter by calibrated quality, then count what's left for the
+    * mixture" step.
+    *
+    * Scale: rides q136's single lang-window; the report is one
+    * (lang, source) hash aggregate of booleans and an exact token sum.
+    */
+  def qualityFilter(spark: SparkSession, d: String, minDecile: Int = 2): DataFrame = {
+    import spark.implicits._
+    val qr = qualityRank(spark, d).select($"doc_id", $"decile")
+    documents(spark, d)
+      .select($"doc_id", $"lang", $"source",
+        size(tokens($"text")).cast("long").as("ntok"))
+      .join(qr, "doc_id")
+      .groupBy($"lang", $"source")
+      .agg(sum(($"decile" >= minDecile).cast("long")).as("n_kept"),
+        sum(($"decile" < minDecile).cast("long")).as("n_dropped"),
+        sum(when($"decile" >= minDecile, $"ntok").otherwise(0L)).as("kept_tokens"))
+  }
+
   def topNgramRepetition(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     import graft.functions.Hashing.shinglesAll

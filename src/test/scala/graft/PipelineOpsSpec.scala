@@ -1164,4 +1164,21 @@ class PipelineOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("qualityFilter conserves documents and drops a bounded per-lang share") {
+    import spark.implicits._
+    val total = graft.core.Tables.documents(spark, sf).count()
+    val rows = Text.qualityFilter(spark, sf)
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(rows.map(r => r._3 + r._4).sum == total, "every doc kept or dropped")
+    assert(rows.forall(_._5 >= 0))
+    // rank calibration: per language, the dropped share is the bottom two
+    // deciles - between 10% and 35% allowing tie spill at decile edges
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val (k, dr) = (rs.map(_._3).sum, rs.map(_._4).sum)
+      val share = dr.toDouble / (k + dr)
+      assert(share > 0.05 && share < 0.40, s"$lang dropped share $share")
+    }
+    assert(rows.map(_._4).sum > 0, "filter must actually drop something")
+  }
 }
