@@ -165,6 +165,7 @@ object SparkEntry {
     "q136_quality_rank"   -> ((s, d) => Text.qualityRank(s, d)),
     "q137_exact_variance" -> ((s, d) => Relational.exactVariance(s, d)),
     "q138_quality_filter" -> ((s, d) => Text.qualityFilter(s, d)),
+    "q139_activity_grid"  -> ((s, d) => Windowed.activityGrid(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -2613,6 +2614,15 @@ object SparkEntry {
          |    AS kept_tokens
          |FROM d JOIN qr USING (doc_id)
          |GROUP BY 1, 2""".stripMargin,
+    // dow/hour via pure integer unix-seconds arithmetic (engine calendar
+    // functions number weekdays differently); value sums exact DECIMAL
+    "q139_activity_grid" ->
+      """SELECT event_type,
+        |  (((epoch_us(ts) // 1000000) // 86400) + 4) % 7 AS dow,
+        |  ((epoch_us(ts) // 1000000) // 3600) % 24 AS hour,
+        |  count(*)::BIGINT AS cnt,
+        |  sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
   )
 
   /** q126's oracle: the deterministic sync-LPA trajectory unrolled —

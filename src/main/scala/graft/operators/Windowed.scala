@@ -243,6 +243,28 @@ object Windowed {
       .join(med, "event_type")
   }
 
+  /** q139: activity heat-grid — event counts and exact value sums per
+    * (day-of-week, hour-of-day) cell per event type. Calendar math is
+    * PURE INTEGER arithmetic on unix seconds (dow = (days+4) mod 7 with
+    * Thursday-epoch anchoring, hour = (secs div 3600) mod 24) — NOT the
+    * engines' calendar functions, whose dow numbering conventions differ
+    * (Spark 1=Sunday, DuckDB 0=Sunday); the integer form is identical
+    * everywhere and needs no timezone library. The load/seasonality
+    * profile behind capacity planning and bot-cadence detection.
+    *
+    * Scale: scan-stage integer projection + one hash aggregate onto
+    * ≤ types·7·24 rows — map-side combine does almost all the work.
+    */
+  def activityGrid(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    events(spark, d)
+      .select($"event_type", $"value",
+        expr("((unix_seconds(ts) div 86400) + 4) % 7").as("dow"),
+        expr("(unix_seconds(ts) div 3600) % 24").as("hour"))
+      .groupBy($"event_type", $"dow", $"hour")
+      .agg(count(lit(1)).as("cnt"), stableSum($"value").as("sum_value"))
+  }
+
   def eventPaths(spark: SparkSession, d: String, k: Int = 20): DataFrame = {
     import spark.implicits._
     val seqW = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")

@@ -1181,4 +1181,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
     assert(rows.map(_._4).sum > 0, "filter must actually drop something")
   }
+
+  test("activityGrid: integer calendar math matches java.time in UTC") {
+    import spark.implicits._
+    val rows = Windowed.activityGrid(spark, sf)
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._2 >= 0 && r._2 < 7 && r._3 >= 0 && r._3 < 24))
+    // cross-check the (days+4)%7 Thursday anchor and div-hour against an
+    // independent calendar implementation on the raw data
+    val evs = graft.core.Tables.events(spark, sf)
+      .select($"event_type", $"ts").as[(String, java.sql.Timestamp)].collect()
+    val expected = evs.groupBy { case (t, ts) =>
+      val i = ts.toInstant.atZone(java.time.ZoneOffset.UTC)
+      (t, (i.getDayOfWeek.getValue % 7).toLong, i.getHour.toLong)
+    }.map { case (k, o) => k -> o.size.toLong }
+    val gotCnt = rows.map(r => (r._1, r._2, r._3) -> r._4).toMap
+    assert(gotCnt == expected)
+  }
 }
