@@ -143,6 +143,35 @@ object EventStreams {
       }
   }
 
+  case class HistRow(event_type: String, n: Long, filled_bins: Long,
+      max_bin_cnt: Long)
+
+  /** q129's histogram under streaming state: per event_type the 64 bin
+    * counts accumulate in `mapGroupsWithState` — bin-count ADDITION is
+    * the histogram merge, so state equals the batch bins over the same
+    * rows regardless of micro-batching (EventStreamsSpec asserts the
+    * bin-vector equality against a batch recompute). Range is fixed a
+    * priori (the streaming deployment of the q129 scaladoc: one pass,
+    * no min/max pre-scan) — bins outside clamp to the edges.
+    */
+  def histogramStream(events: Dataset[Event], lo: Double, hi: Double,
+      nBins: Int = 64): Dataset[HistRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (t: String, evs: Iterator[Event], state: GroupState[Array[Long]]) =>
+          val bins = state.getOption.getOrElse(Array.fill(nBins)(0L))
+          evs.foreach { e =>
+            val b = math.min(nBins - 1, math.max(0,
+              math.floor((e.value - lo) / (hi - lo) * nBins).toInt))
+            bins(b) += 1
+          }
+          state.update(bins)
+          HistRow(t, bins.sum, bins.count(_ > 0L).toLong, bins.max)
+      }
+  }
+
   def runningUserTotals(events: Dataset[Event]): Dataset[UserTotals] = {
     import events.sparkSession.implicits._
     events

@@ -177,4 +177,39 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(batch.nonEmpty)
     } finally query.stop()
   }
+
+  test("histogramStream bins equal a batch recompute across a batch split") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val all = graft.core.Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect()
+    val (lo, hi) = (0.0, 600.0)
+    val input = MemoryStream[Event]
+    val query = EventStreams.histogramStream(input.toDS(), lo, hi)
+      .writeStream.format("memory").queryName("hist_stream")
+      .outputMode("update").start()
+    try {
+      all.grouped(math.max(1, all.length / 4 + 1)).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq: _*)
+        query.processAllAvailable()
+      }
+      val rows = spark.table("hist_stream")
+        .as[(String, Long, Long, Long)].collect()
+      // n grows monotonically: final row per key = max n
+      val fin = rows.groupBy(_._1).map { case (_, rs) => rs.maxBy(_._2) }
+      val expected = all.groupBy(_.event_type).map { case (t, es) =>
+        val bins = Array.fill(64)(0L)
+        es.foreach { e =>
+          val b = math.min(63, math.max(0,
+            math.floor((e.value - lo) / (hi - lo) * 64).toInt))
+          bins(b) += 1
+        }
+        (t, es.length.toLong, bins.count(_ > 0L).toLong, bins.max)
+      }.toSet
+      assert(fin.toSet == expected)
+      assert(expected.nonEmpty)
+    } finally query.stop()
+  }
 }
