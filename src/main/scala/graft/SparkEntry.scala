@@ -166,6 +166,7 @@ object SparkEntry {
     "q137_exact_variance" -> ((s, d) => Relational.exactVariance(s, d)),
     "q138_quality_filter" -> ((s, d) => Text.qualityFilter(s, d)),
     "q139_activity_grid"  -> ((s, d) => Windowed.activityGrid(s, d)),
+    "q140_token_entropy"  -> ((s, d) => Text.tokenEntropy(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -2623,6 +2624,19 @@ object SparkEntry {
         |  count(*)::BIGINT AS cnt,
         |  sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    // Shannon entropy over per-doc token types; per-type terms quantized
+    // to 1e6 after the identical double expression, summed exactly
+    "q140_token_entropy" ->
+      """WITH tc AS (SELECT doc_id, w, count(*)::BIGINT AS c FROM (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        |  FROM documents) GROUP BY 1, 2),
+        |n AS (SELECT doc_id, sum(c)::BIGINT AS n, count(*)::BIGINT AS n_types
+        |      FROM tc GROUP BY 1)
+        |SELECT tc.doc_id, max(n.n) AS n_tokens, max(n.n_types) AS n_types,
+        |  sum(round((c::DOUBLE / n.n::DOUBLE)
+        |    * log2(n.n::DOUBLE / c::DOUBLE) * 1000000.0)::BIGINT)::BIGINT
+        |    AS entropy_q
+        |FROM tc JOIN n USING (doc_id) GROUP BY 1""".stripMargin,
   )
 
   /** q126's oracle: the deterministic sync-LPA trajectory unrolled —

@@ -1373,6 +1373,35 @@ object Text {
         sum(when($"decile" >= minDecile, $"ntok").otherwise(0L)).as("kept_tokens"))
   }
 
+  /** q140: per-document token entropy — Shannon H = Σ_t (c_t/n)·log2(n/c_t)
+    * over the doc's token-type distribution, the vocabulary-diversity
+    * quality signal (repetitive/templated docs score low; q51/q124
+    * measure repetition mass, this measures the whole distribution).
+    * Per-TYPE terms are 1e6-quantized after one identical-shape double
+    * expression (the q77/q107 surprisal discipline), so the per-doc sum
+    * is an exact integer both engines reproduce.
+    *
+    * Scale: one (doc, token) count aggregate with map-side combine, one
+    * per-doc re-aggregate — both keyed by doc_id; no dictionaries, no
+    * broadcast, no window.
+    */
+  def tokenEntropy(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val tc = documents(spark, d)
+      .select($"doc_id", explode(tokens($"text")).as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+    val n = tc.groupBy($"doc_id")
+      .agg(sum($"c").as("n"), count(lit(1)).as("n_types"))
+    tc.join(n, "doc_id")
+      .select($"doc_id", $"n", $"n_types",
+        round(($"c".cast("double") / $"n".cast("double"))
+          * log2($"n".cast("double") / $"c".cast("double"))
+          * lit(1000000.0)).cast("long").as("eq"))
+      .groupBy($"doc_id")
+      .agg(max($"n").as("n_tokens"), max($"n_types").as("n_types"),
+        sum($"eq").as("entropy_q"))
+  }
+
   def topNgramRepetition(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     import graft.functions.Hashing.shinglesAll

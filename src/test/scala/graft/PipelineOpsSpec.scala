@@ -1199,4 +1199,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     val gotCnt = rows.map(r => (r._1, r._2, r._3) -> r._4).toMap
     assert(gotCnt == expected)
   }
+
+  test("tokenEntropy matches a driver recompute; uniform and repeated bounds") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val expected = docs.map { case (id, text) =>
+      val w = text.toLowerCase.split("\\s+", -1)
+      val c = w.groupBy(identity).map { case (_, o) => o.length.toLong }
+      val n = w.length.toLong
+      val eq = c.map { ct =>
+        val term = (ct.toDouble / n.toDouble) *
+          (math.log(n.toDouble / ct.toDouble) / math.log(2.0)) * 1000000.0
+        BigDecimal(term).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }.sum
+      id -> ((n, c.size.toLong, eq))
+    }.toMap
+    val got = Text.tokenEntropy(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == expected)
+    // entropy bounds: 0 <= H <= log2(n_types) (quantization slack 1 per type)
+    got.foreach { case (id, (n, types, eq)) =>
+      val h = eq.toDouble / 1e6
+      assert(h >= -types * 1e-6, s"doc $id negative entropy")
+      assert(h <= math.log(types.toDouble) / math.log(2.0) + types * 1e-6,
+        s"doc $id entropy above log2(types)")
+    }
+  }
 }
