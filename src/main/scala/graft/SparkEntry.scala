@@ -167,6 +167,8 @@ object SparkEntry {
     "q138_quality_filter" -> ((s, d) => Text.qualityFilter(s, d)),
     "q139_activity_grid"  -> ((s, d) => Windowed.activityGrid(s, d)),
     "q140_token_entropy"  -> ((s, d) => Text.tokenEntropy(s, d)),
+    "q141_embedding_audit" -> ((s, d) => Similarity.embeddingAudit(s, d)),
+    "q142_column_profile" -> ((s, d) => Relational.columnProfile(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -2637,6 +2639,35 @@ object SparkEntry {
         |    * log2(n.n::DOUBLE / c::DOUBLE) * 1000000.0)::BIGINT)::BIGINT
         |    AS entropy_q
         |FROM tc JOIN n USING (doc_id) GROUP BY 1""".stripMargin,
+    // exact quantized norms → integer min/max/degeneracy counts
+    "q141_embedding_audit" ->
+      """WITH ex AS (SELECT vec_id,
+        |  round(unnest(embedding)::DOUBLE * 10000000)::BIGINT AS v
+        |  FROM embeddings),
+        |n2 AS (SELECT vec_id, sum(v*v)::BIGINT AS n2 FROM ex GROUP BY 1),
+        |dims AS (SELECT vec_id, len(embedding)::BIGINT AS dim, label
+        |         FROM embeddings)
+        |SELECT label, count(*)::BIGINT AS n_vecs,
+        |  min(dim)::BIGINT AS min_dim, max(dim)::BIGINT AS max_dim,
+        |  min(n2)::BIGINT AS min_n2, max(n2)::BIGINT AS max_n2,
+        |  sum((n2 = 0)::BIGINT)::BIGINT AS n_zero,
+        |  sum((n2 < 10000000000)::BIGINT)::BIGINT AS n_near_zero
+        |FROM dims JOIN n2 USING (vec_id) GROUP BY 1""".stripMargin,
+    // per-column completeness/cardinality audit
+    "q142_column_profile" ->
+      """SELECT 'event_id' AS column_name, count(*)::BIGINT AS n_rows,
+        |  (count(*) - count(event_id))::BIGINT AS n_null,
+        |  count(DISTINCT event_id)::BIGINT AS n_distinct FROM events
+        |UNION ALL SELECT 'ts', count(*)::BIGINT,
+        |  (count(*) - count(ts))::BIGINT, count(DISTINCT ts)::BIGINT FROM events
+        |UNION ALL SELECT 'user_id', count(*)::BIGINT,
+        |  (count(*) - count(user_id))::BIGINT, count(DISTINCT user_id)::BIGINT FROM events
+        |UNION ALL SELECT 'event_type', count(*)::BIGINT,
+        |  (count(*) - count(event_type))::BIGINT, count(DISTINCT event_type)::BIGINT FROM events
+        |UNION ALL SELECT 'value', count(*)::BIGINT,
+        |  (count(*) - count(value))::BIGINT, count(DISTINCT value)::BIGINT FROM events
+        |UNION ALL SELECT 'props', count(*)::BIGINT,
+        |  (count(*) - count(props))::BIGINT, count(DISTINCT props)::BIGINT FROM events""".stripMargin,
   )
 
   /** q126's oracle: the deterministic sync-LPA trajectory unrolled —

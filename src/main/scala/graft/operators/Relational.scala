@@ -394,6 +394,35 @@ object Relational {
             * (($"mx" - $"mn") / nBins)).as("est"))
   }
 
+  /** q142: column profile audit — for every column of `events`: row
+    * count, null count, exact distinct count. The schema-drift /
+    * completeness gate a pipeline runs on every new partition before
+    * processing (a column going silently null or collapsing to one
+    * value is the classic upstream breakage).
+    *
+    * Scale: ONE pass — Spark compiles the multi-column distinct
+    * aggregate to a single Expand (×|columns|) + aggregate, not one
+    * scan per column; the profile is then unpivoted driver-side from a
+    * 1-row result. At 100 TB swap exact distincts for q127-style
+    * sketches column by column; null counts stay exact either way.
+    */
+  def columnProfile(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val aggs = count(lit(1)).as("n_rows") +:
+      cols.flatMap { c =>
+        Seq(sum(col(c).isNull.cast("long")).as(s"null_$c"),
+          countDistinct(col(c)).as(s"dist_$c"))
+      }
+    val row = events(spark, d).agg(aggs.head, aggs.tail: _*).head()
+    val out = cols.map { c =>
+      (c, row.getAs[Long]("n_rows"), row.getAs[Long](s"null_$c"),
+        row.getAs[Long](s"dist_$c"))
+    }
+    spark.createDataFrame(out)
+      .toDF("column_name", "n_rows", "n_null", "n_distinct")
+  }
+
   /** q137: exact variance / standard deviation per group — the textbook
     * n·Σx²−(Σx)² identity is catastrophic-cancellation territory in
     * doubles, so built-in var_samp is NOT cross-engine reproducible.

@@ -259,6 +259,30 @@ object Similarity {
     * dims, aggregate on the array form (element-wise long-array sum) to
     * avoid the fan-out — same result, same single shuffle.
     */
+  /** q141: embedding data-validation audit — per label: vector count,
+    * dimensionality agreement (min/max length), exact quantized-norm
+    * extremes, and degenerate-vector counts (zero norm, near-zero norm
+    * below 0.01²·1e14 in quantized units). The ingest gate a vector
+    * pipeline runs before touching an index: silent zero vectors and
+    * dim drift are the two classic embedding-pipeline corruptions.
+    *
+    * Scale: one map-only projection (the shared quantized-corpus memo)
+    * into one per-label aggregate — norms are exact integer longs, so
+    * min/max/counts are engine-exact with no FP comparison anywhere.
+    */
+  def embeddingAudit(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    corpusWithNorm(spark, d)
+      .join(embeddings(spark, d).select($"vec_id", $"label"), "vec_id")
+      .select($"label", size($"embedding").cast("long").as("dim"), $"n2")
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_vecs"),
+        min($"dim").as("min_dim"), max($"dim").as("max_dim"),
+        min($"n2").as("min_n2"), max($"n2").as("max_n2"),
+        sum(($"n2" === 0L).cast("long")).as("n_zero"),
+        sum(($"n2" < 10000000000L).cast("long")).as("n_near_zero"))
+  }
+
   def labelCentroids(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     embeddings(spark, d)

@@ -1227,4 +1227,30 @@ class PipelineOpsSpec extends AnyFunSuite {
         s"doc $id entropy above log2(types)")
     }
   }
+
+  test("embeddingAudit and columnProfile: validation invariants on a clean fixture") {
+    import spark.implicits._
+    val audit = Similarity.embeddingAudit(spark, sf)
+      .as[(Int, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(audit.nonEmpty)
+    val total = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(audit.map(_._2).sum == total, "every vector audited exactly once")
+    audit.foreach { case (label, n, mnd, mxd, mn2, mx2, z, nz) =>
+      assert(mnd == 64 && mxd == 64, s"label $label dim drift")
+      assert(z == 0 && mn2 > 0, s"label $label zero vectors")
+      assert(nz == z || nz >= z, s"label $label near-zero < zero")
+      assert(mx2 >= mn2 && n > 0)
+    }
+    val prof = graft.operators.Relational.columnProfile(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    assert(prof.length == 6)
+    val nRows = prof.head._2
+    prof.foreach { case (c, n, nulls, dist) =>
+      assert(n == nRows, s"$c row count")
+      assert(nulls == 0L, s"$c unexpected nulls in the fixture")
+      assert(dist > 0 && dist <= n, s"$c distinct bounds")
+    }
+    assert(prof.find(_._1 == "event_type").get._4 == 5L)
+    assert(prof.find(_._1 == "event_id").get._4 == nRows, "event_id is unique")
+  }
 }
