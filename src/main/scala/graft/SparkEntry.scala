@@ -169,6 +169,7 @@ object SparkEntry {
     "q140_token_entropy"  -> ((s, d) => Text.tokenEntropy(s, d)),
     "q141_embedding_audit" -> ((s, d) => Similarity.embeddingAudit(s, d)),
     "q142_column_profile" -> ((s, d) => Relational.columnProfile(s, d)),
+    "q143_latest_per_key" -> ((s, d) => Relational.latestPerUser(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -2668,6 +2669,12 @@ object SparkEntry {
         |  (count(*) - count(value))::BIGINT, count(DISTINCT value)::BIGINT FROM events
         |UNION ALL SELECT 'props', count(*)::BIGINT,
         |  (count(*) - count(props))::BIGINT, count(DISTINCT props)::BIGINT FROM events""".stripMargin,
+    // SCD-1 compaction: one survivor per key under a total order
+    "q143_latest_per_key" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1""".stripMargin,
   )
 
   /** q126's oracle: the deterministic sync-LPA trajectory unrolled —

@@ -394,6 +394,24 @@ object Relational {
             * (($"mx" - $"mn") / nBins)).as("est"))
   }
 
+  /** q143: latest-record-per-key compaction — the SCD-1 / CDC upsert
+    * primitive: keep each user's most recent event under the
+    * (ts, event_id) total order. row_number — not max-join — so exactly
+    * one survivor per key even under timestamp ties; the same plan
+    * compacts a 100 TB changelog into current state (one key shuffle,
+    * per-partition sort, rank filter — no self-join, no global sort).
+    */
+  def latestPerUser(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts".desc, $"event_id".desc)
+    events(spark, d)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
+        $"event_type", $"value")
+  }
+
   /** q142: column profile audit — for every column of `events`: row
     * count, null count, exact distinct count. The schema-drift /
     * completeness gate a pipeline runs on every new partition before
