@@ -532,4 +532,37 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(a == b, "converged == 5-step on shallow components")
   }
+
+  test("scale rehearsal: PassJoin has no prefix hub on an all-shared-prefix corpus") {
+    import spark.implicits._
+    // EVERY title shares its first 25 characters - under the retired
+    // 4-char-prefix blocking this corpus is ONE quadratic bucket
+    // (n^2/2 = 2M DP pairs); PassJoin keys on segment content, where the
+    // distinct random tails keep candidates proportional to planted pairs
+    val n = 2000
+    val rnd = new scala.util.Random(11)
+    val base = "the quick brown fox news "   // 25 chars, maximally common
+    def tail() = Seq.fill(15)(('a' + rnd.nextInt(26)).toChar).mkString
+    val docs = Seq.tabulate(n)(i => (i.toLong, base + tail()))
+    // planted: 30 substitution twins (lev 1) + 20 deletion twins (lev 2,
+    // length differs by 2 - exercises the cross-length signature path)
+    val subs = Seq.tabulate(30) { j =>
+      val (bid, t) = docs(j * 60)
+      ((n + j).toLong, t.updated(30, if (t(30) == 'q') 'z' else 'q'), bid)
+    }
+    val dels = Seq.tabulate(20) { j =>
+      val (bid, t) = docs(j * 60 + 17)
+      ((n + 30 + j).toLong, t.take(33) ++ t.drop(35), bid)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-passjoin").toString
+    (docs ++ subs.map(s => (s._1, s._2)) ++ dels.map(s => (s._1, s._2)))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.editDistanceNearDup(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    val expected = (subs.map(s => (s._3, s._1, 1L)) ++
+      dels.map(s => (s._3, s._1, 2L))).toSet
+    assert(got.toSet == expected,
+      s"planted-pair mismatch: got ${got.length}, expected ${expected.size}")
+  }
 }
