@@ -170,6 +170,8 @@ object SparkEntry {
     "q141_embedding_audit" -> ((s, d) => Similarity.embeddingAudit(s, d)),
     "q142_column_profile" -> ((s, d) => Relational.columnProfile(s, d)),
     "q143_latest_per_key" -> ((s, d) => Relational.latestPerUser(s, d)),
+    "q144_nbr_degrees"    -> ((s, d) => Graph.neighborhoodDegrees(s, d)),
+    "q145_random_walks"   -> ((s, d) => Graph.randomWalks(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -476,6 +478,39 @@ object SparkEntry {
     * from the same Scala constants the Spark side uses, so the oracle can
     * never drift from the engine.
     */
+  /** q145's oracle: the deterministic walk trajectory unrolled — per
+    * step, a join onto the id-ranked adjacency at neighbor index
+    * md5("walk:start:t:cur") mod deg, mirroring Graph.randomWalks
+    * step for step.
+    */
+  private def randomWalksSql(steps: Int): String = {
+    def pick(t: Int, cur: String) =
+      s"${md5Bits32Sql(s"'walk:' || start_id::VARCHAR || ':$t:' || $cur::VARCHAR", 1)} % rk.deg"
+    val stages = (1 to steps).map { t =>
+      val prev = if (t == 1) "w0" else s"w${t - 1}"
+      val cur = if (t == 1) "cur" else s"v${t - 1}"
+      val carried = ("start_id" +: (1 until t).map(i => s"v$i")).map(c => s"$prev.$c")
+      s""",
+         |w$t AS MATERIALIZED (SELECT ${carried.mkString(", ")}, rk.u AS v$t
+         |  FROM $prev JOIN rk ON $prev.$cur = rk.v
+         |  AND rk.idx = ${pick(t, s"$prev.$cur")})""".stripMargin
+    }.mkString
+    s"""WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e AS (SELECT p1, p2 FROM (
+       |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS cnt
+       |  FROM pp a JOIN pp b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2) WHERE cnt >= 2),
+       |nb AS MATERIALIZED (
+       |  SELECT p1 AS v, p2 AS u FROM e UNION ALL SELECT p2, p1 FROM e),
+       |rk AS MATERIALIZED (SELECT v, u,
+       |  row_number() OVER (PARTITION BY v ORDER BY u) - 1 AS idx,
+       |  count(*) OVER (PARTITION BY v) AS deg FROM nb),
+       |w0 AS (SELECT DISTINCT v AS start_id, v AS cur FROM nb)$stages
+       |SELECT start_id, ${(1 to steps).map(i => s"v$i").mkString(", ")}
+       |FROM w$steps""".stripMargin
+  }
+
   /** q136's oracle body — also the quality signal q138's filter rides
     * (one definition, both entries). */
   private def qualityRankSql: String =
@@ -2435,6 +2470,9 @@ object SparkEntry {
     // synchronous LPA, 4 sweeps unrolled as MATERIALIZED stages (the
     // q112/q123 discipline); argmax = (count DESC, label ASC) row_number
     "q126_label_prop" -> labelPropagationSql(4),
+    // hash-driven walks unrolled: per step, one join onto the ranked
+    // adjacency at the md5-chosen neighbor index
+    "q145_random_walks" -> randomWalksSql(4),
     // md5-register HyperLogLog: rank via bin-string length (no log2),
     // Σ2^(−M) is an exact ≤33-bit double sum, α written token-identically
     "q127_hll_sketch" ->
@@ -2675,6 +2713,22 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
         |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
         |WHERE rn = 1""".stripMargin,
+    // one GNN aggregation layer: degree propagation over the q111 edges
+    "q144_nbr_degrees" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT p1, p2 FROM (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS cnt
+        |  FROM pp a JOIN pp b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2) WHERE cnt >= 2),
+        |nb AS (SELECT p1 AS v, p2 AS u FROM e UNION ALL SELECT p2, p1 FROM e),
+        |deg AS (SELECT v, count(*)::BIGINT AS deg FROM nb GROUP BY 1)
+        |SELECT nb.v AS partkey, count(*)::BIGINT AS deg,
+        |  min(du.deg)::BIGINT AS min_nbr_deg,
+        |  sum(du.deg)::DOUBLE / count(*) AS mean_nbr_deg,
+        |  max(du.deg)::BIGINT AS max_nbr_deg
+        |FROM nb JOIN deg du ON nb.u = du.v
+        |GROUP BY 1""".stripMargin,
   )
 
   /** q126's oracle: the deterministic sync-LPA trajectory unrolled —

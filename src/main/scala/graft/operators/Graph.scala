@@ -436,6 +436,78 @@ object Graph {
           * 1000000.0).cast("long").as("lift_q"))
   }
 
+  /** q144: one-hop neighborhood feature aggregation — per co-purchase
+    * vertex: its degree, and the min/mean/max of its neighbors' degrees
+    * (mean as one exact-integer division). THE message-passing primitive
+    * GNN pipelines run to build node features before sampling/training —
+    * one round of degree propagation expressed relationally.
+    *
+    * Scale: degrees are one endpoint-union aggregate; the propagation is
+    * one join of the (static) adjacency onto the degree table keyed by
+    * vertex, then a per-vertex aggregate — the exact shape of one GNN
+    * aggregation layer, memo-sharing the q111 edge projection.
+    */
+  def neighborhoodDegrees(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val edges = copurchaseEdges(spark, d).select($"p1", $"p2")
+    val nb = edges.select($"p1".as("v"), $"p2".as("u"))
+      .union(edges.select($"p2".as("v"), $"p1".as("u")))
+    val deg = nb.groupBy($"v").agg(count(lit(1)).as("deg"))
+    nb.join(deg.select($"v".as("u"), $"deg".as("udeg")), "u")
+      .groupBy($"v")
+      .agg(count(lit(1)).as("deg"),
+        min($"udeg").as("min_nbr_deg"),
+        (sum($"udeg").cast("double") / count(lit(1)).cast("double"))
+          .as("mean_nbr_deg"),
+        max($"udeg").as("max_nbr_deg"))
+      .select($"v".as("partkey"), $"deg", $"min_nbr_deg",
+        $"mean_nbr_deg", $"max_nbr_deg")
+  }
+
+  /** q145: deterministic random walks — one `steps`-hop walk from every
+    * co-purchase vertex, the node2vec/DeepWalk corpus-generation
+    * primitive made fully oracle-checkable: at step t from vertex v the
+    * walk takes neighbor index md5("walk:start:t:v") mod deg(v) over the
+    * id-ordered adjacency — a hash-derived choice both engines derive
+    * identically (the q52/q29 md5-determinism discipline), so the whole
+    * walk corpus is value-exact, not rows-only.
+    *
+    * Scale: the textbook distributed walk — each step is ONE join of the
+    * walk frontier onto the ranked adjacency keyed by the current
+    * vertex; state is |V| rows throughout; the adjacency (with
+    * per-vertex neighbor ranks) is built once and reused across steps.
+    */
+  def randomWalks(spark: SparkSession, d: String, steps: Int = 4): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Hashing.md5Bits32
+    val edges = copurchaseEdges(spark, d).select($"p1", $"p2")
+    val nb = edges.select($"p1".as("v"), $"p2".as("u"))
+      .union(edges.select($"p2".as("v"), $"p1".as("u")))
+    // materialized once: reused by every step's join, and the checkpoint
+    // gives each step's self-join fresh attribute ids (no ambiguity)
+    val ranked = nb
+      .withColumn("idx", row_number().over(
+        Window.partitionBy($"v").orderBy($"u")).cast("long") - 1L)
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy($"v")))
+      .localCheckpoint()
+    var walk = ranked.select($"v".as("start")).distinct()
+      .withColumn("cur", $"start")
+      .localCheckpoint()
+    for (t <- 1 to steps) {
+      val pick = pmod(md5Bits32(concat(lit("walk:"), $"start".cast("string"),
+        lit(s":$t:"), $"cur".cast("string")), 1), $"deg")
+      val keep = ($"start" +: (1 until t).map(i => col(s"v$i"))) :+
+        ranked("u").as(s"v$t")
+      walk = walk
+        .join(ranked, $"cur" === ranked("v"))
+        .filter(ranked("idx") === pick)
+        .select(keep: _*)
+        .withColumn("cur", col(s"v$t"))
+        .localCheckpoint()
+    }
+    walk.select($"start".as("start_id") +: (1 to steps).map(i => col(s"v$i")): _*)
+  }
+
   /** q126: community detection by synchronous label propagation
     * (Raghavan et al. 2007) on the co-purchase graph, a fixed `rounds`
     * sweeps. Every vertex starts as its own label; each sweep it adopts

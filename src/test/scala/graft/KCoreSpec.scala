@@ -201,4 +201,30 @@ class KCoreSpec extends AnyFunSuite {
       assert(lift > 0, s"lift($a->$b)")
     }
   }
+
+  test("randomWalks: every hop is an edge chosen by the hash rule") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val edges = Graph.copurchasePairs(spark, sf)
+      .select($"p1", $"p2").as[(Long, Long)].collect().toSet
+    val nb = (edges.toSeq ++ edges.toSeq.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).sorted }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h32(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val walks = Graph.randomWalks(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(walks.length == nb.size, "one walk per vertex")
+    walks.foreach { case (s, v1, v2, v3, v4) =>
+      var cur = s
+      Seq(v1, v2, v3, v4).zipWithIndex.foreach { case (nxt, i) =>
+        val ns = nb(cur)
+        val idx = (h32(s"walk:$s:${i + 1}:$cur") % ns.length).toInt
+        assert(ns(idx) == nxt, s"walk $s step ${i + 1}: expected ${ns(idx)} got $nxt")
+        cur = nxt
+      }
+    }
+  }
 }
