@@ -172,6 +172,7 @@ object SparkEntry {
     "q143_latest_per_key" -> ((s, d) => Relational.latestPerUser(s, d)),
     "q144_nbr_degrees"    -> ((s, d) => Graph.neighborhoodDegrees(s, d)),
     "q145_random_walks"   -> ((s, d) => Graph.randomWalks(s, d)),
+    "q146_manifest"       -> ((s, d) => Pipeline.trainingManifest(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -2473,6 +2474,22 @@ object SparkEntry {
     // hash-driven walks unrolled: per step, one join onto the ranked
     // adjacency at the md5-chosen neighbor index
     "q145_random_walks" -> randomWalksSql(4),
+    // the capstone manifest: split ⋈ quality decile ⋈ dedup cluster ⋈
+    // embedding label, each sub-derivation shared with its own oracle
+    "q146_manifest" ->
+      s"""SELECT d.doc_id, d.lang, d.source, d.n_chars,
+         |  CASE WHEN b.bucket < 80 THEN 'train'
+         |       WHEN b.bucket < 90 THEN 'validation'
+         |       ELSE 'test' END AS split,
+         |  qr.decile, lb.label AS cluster_id, e.label AS emb_label
+         |FROM documents d
+         |JOIN (SELECT doc_id,
+         |  ${md5Bits32Sql("'split:' || doc_id::VARCHAR", 1)} % 100 AS bucket
+         |  FROM documents) b USING (doc_id)
+         |JOIN ($qualityRankSql) qr USING (doc_id)
+         |JOIN (${dedupLabelCtes(5)}
+         |  SELECT doc_id, label FROM l5) lb USING (doc_id)
+         |LEFT JOIN embeddings e ON d.doc_id = e.vec_id""".stripMargin,
     // md5-register HyperLogLog: rank via bin-string length (no log2),
     // Σ2^(−M) is an exact ≤33-bit double sum, α written token-identically
     "q127_hll_sketch" ->

@@ -52,4 +52,33 @@ object Pipeline {
   /** Σ over docs of Σ over tokens of ceil(len/4) — exact long math. */
   private def tokenSumAgg(ws: org.apache.spark.sql.Column) =
     sum(aggregate(ws, lit(0L), (acc, t) => acc + bpePieces(t).cast("long")))
+
+  /** q146: the training MANIFEST — the denormalized per-document record
+    * a downstream trainer actually consumes, assembled from four
+    * independently-oracle-verified signals in one plan: the q52 hash
+    * split, the q136 quality decile, the q32 near-dup cluster label, and
+    * the embedding's class label (vec_id ≡ doc_id). The capstone
+    * composition: every column's derivation is pinned elsewhere; this
+    * query pins that they JOIN coherently into one output.
+    *
+    * Scale: split and decile are scan-stage/one-window derivations; the
+    * cluster labels ride the memoized propagation; the three joins are
+    * all on doc_id — co-partitioned after the first shuffle, and AQE
+    * broadcasts the small derived sides where estimates allow.
+    */
+  def trainingManifest(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val split = Sampling.hashSplit(spark, d).select($"doc_id", $"split")
+    val qr = Text.qualityRank(spark, d).select($"doc_id", $"decile")
+    val clusters = Dedup.dedupLabels(spark, d)
+      .select($"doc_id", $"label".as("cluster_id"))
+    val emb = embeddings(spark, d)
+      .select($"vec_id".as("doc_id"), $"label".as("emb_label"))
+    documents(spark, d)
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+      .join(split, "doc_id")
+      .join(qr, "doc_id")
+      .join(clusters, "doc_id")
+      .join(emb, Seq("doc_id"), "left")
+  }
 }
