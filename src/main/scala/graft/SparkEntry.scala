@@ -173,6 +173,8 @@ object SparkEntry {
     "q144_nbr_degrees"    -> ((s, d) => Graph.neighborhoodDegrees(s, d)),
     "q145_random_walks"   -> ((s, d) => Graph.randomWalks(s, d)),
     "q146_manifest"       -> ((s, d) => Pipeline.trainingManifest(s, d)),
+    "q147_shard_balance"  -> ((s, d) => Sharding.shardBalance(s, d)),
+    "q148_rev_contrib"    -> ((s, d) => Relational.revenueContribution(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -2490,6 +2492,36 @@ object SparkEntry {
          |JOIN (${dedupLabelCtes(5)}
          |  SELECT doc_id, label FROM l5) lb USING (doc_id)
          |LEFT JOIN embeddings e ON d.doc_id = e.vec_id""".stripMargin,
+    // per-shard doc/token balance; shares as 1e6-quantized divisions of
+    // exact integers over the nShards-row window
+    "q147_shard_balance" ->
+      s"""WITH s AS (SELECT
+         |  ${md5Bits32Sql("'shard:' || doc_id::VARCHAR", 1)} % 8 AS shard,
+         |  len(regexp_split_to_array(lower(text), '\\s+'))::BIGINT AS ntok
+         |  FROM documents),
+         |p AS (SELECT shard, count(*)::BIGINT AS n_docs,
+         |        sum(ntok)::BIGINT AS n_tokens FROM s GROUP BY 1)
+         |SELECT shard, n_docs, n_tokens,
+         |  round(n_docs::DOUBLE / (sum(n_docs) OVER ())::DOUBLE
+         |    * 1000000.0)::BIGINT AS doc_share_q,
+         |  round(n_tokens::DOUBLE / (sum(n_tokens) OVER ())::DOUBLE
+         |    * 1000000.0)::BIGINT AS token_share_q
+         |FROM p""".stripMargin,
+    // Pareto contribution: exact-decimal revenue, cast-then-divide shares
+    "q148_rev_contrib" ->
+      """WITH rev AS (SELECT n_name,
+        |  sum(o_totalprice::DECIMAL(18,2)) AS rev_d
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1)
+        |SELECT n_name, rev_d::DOUBLE AS revenue,
+        |  round(rev_d::DOUBLE / (sum(rev_d) OVER ())::DOUBLE
+        |    * 1000000.0)::BIGINT AS share_q,
+        |  round((sum(rev_d) OVER (ORDER BY rev_d DESC, n_name
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE
+        |    / (sum(rev_d) OVER ())::DOUBLE * 1000000.0)::BIGINT AS cum_share_q
+        |FROM rev""".stripMargin,
     // md5-register HyperLogLog: rank via bin-string length (no log2),
     // Σ2^(−M) is an exact ≤33-bit double sum, α written token-identically
     "q127_hll_sketch" ->

@@ -394,6 +394,37 @@ object Relational {
             * (($"mx" - $"mn") / nBins)).as("est"))
   }
 
+  /** q148: percent-of-total contribution — each nation's share of global
+    * order revenue with running cumulative share in revenue-descending
+    * order (the Pareto/ABC analysis every revenue dashboard opens with).
+    * Revenue is the exact DECIMAL sum; shares are 1e6-quantized single
+    * divisions; the cumulative ride is a window over |nations| rows.
+    */
+  def revenueContribution(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val rev = orders(spark, d)
+      .join(customer(spark, d), $"o_custkey" === $"c_custkey")
+      .join(broadcast(nation(spark, d)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(sum($"o_totalprice".cast("decimal(18,2)")).as("rev_d"))
+    val total = Window.partitionBy(lit(1))
+    val cum = Window.partitionBy(lit(1))
+      .orderBy($"rev_d".desc, $"n_name")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // cast the EXACT decimal sums to double before dividing (a cents sum
+    // is < 2^53, so the casts are exact and the one division identical
+    // cross-engine; decimal÷decimal would pick engine-specific scales)
+    rev
+      .withColumn("share_q",
+        round($"rev_d".cast("double") / sum($"rev_d").over(total).cast("double")
+          * 1000000.0).cast("long"))
+      .withColumn("cum_share_q",
+        round(sum($"rev_d").over(cum).cast("double")
+          / sum($"rev_d").over(total).cast("double") * 1000000.0).cast("long"))
+      .select($"n_name", $"rev_d".cast("double").as("revenue"),
+        $"share_q", $"cum_share_q")
+  }
+
   /** q143: latest-record-per-key compaction — the SCD-1 / CDC upsert
     * primitive: keep each user's most recent event under the
     * (ts, event_id) total order. row_number — not max-join — so exactly

@@ -37,6 +37,35 @@ object Sharding {
         shardOf($"doc_id", nShards).as("shard"))
   }
 
+  /** q147: shard balance audit — per shard of the q70 plan: doc count,
+    * exact whitespace-token sum, and each count's 1e6-quantized share of
+    * the total (one double division of exact integers). The writer-side
+    * skew check a sharded corpus needs before training: a shard far off
+    * 1/n means hot readers and stragglers downstream; the md5 shard
+    * hash keeps shares within sampling noise of uniform BY CONSTRUCTION
+    * and this query is the evidence.
+    *
+    * Scale: one (shard) aggregate with map-side combine onto nShards
+    * rows; the totals ride a window over those nShards rows.
+    */
+  def shardBalance(spark: SparkSession, d: String, nShards: Int = 8): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val perShard = shardPlan(spark, d, nShards)
+      .select($"shard",
+        size(graft.functions.TextFunctions.tokens($"text")).cast("long").as("ntok"))
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"ntok").as("n_tokens"))
+    val w = Window.partitionBy(lit(1))
+    perShard
+      .withColumn("doc_share_q",
+        round($"n_docs".cast("double") / sum($"n_docs").over(w).cast("double")
+          * 1000000.0).cast("long"))
+      .withColumn("token_share_q",
+        round($"n_tokens".cast("double") / sum($"n_tokens").over(w).cast("double")
+          * 1000000.0).cast("long"))
+  }
+
   /** Materialize the shards: one directory per shard id, doc_id-sorted
     * within each partition's file.
     */
