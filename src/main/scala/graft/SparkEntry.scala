@@ -2408,10 +2408,12 @@ object SparkEntry {
         |  coalesce(cov.dup3_cov, 0)::DOUBLE / len(t.w) AS dup3_frac
         |FROM toks t LEFT JOIN m2 USING (doc_id) LEFT JOIN m3 USING (doc_id)
         |LEFT JOIN m4 USING (doc_id) LEFT JOIN cov USING (doc_id)""".stripMargin,
-    // RRF fusion of the q116 BM25 ranking (top-20 cut) and a dense
-    // embedding-cosine ranking over the same eval queries. Contributions
-    // are ⌊1e12/(60+rank)⌋ — DuckDB `//` and Spark `div` are the same
-    // positive integer division — so fused scores are exact integer sums
+    // RRF fusion of the q116 BM25 ranking (top-20 cut) and the IVF-probed
+    // dense ranking (Lloyd (8,2) quantizer — the q55/q67 CTEs — 1-list
+    // corpus assignment, 4-probe eval queries, exact quantized rescore)
+    // over the same eval queries. Contributions are ⌊1e12/(60+rank)⌋ —
+    // DuckDB `//` and Spark `div` are the same positive integer division
+    // — so fused scores are exact integer sums
     "q125_rrf_fusion" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
@@ -2441,17 +2443,27 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY query_id
          |      ORDER BY score_q DESC, doc_id)::BIGINT AS rank FROM sc)
          |  WHERE rank <= 20),
-         |ex AS (SELECT vec_id, round(unnest(embedding)::DOUBLE * 10000000)::BIGINT AS v,
-         |       unnest(range(len(embedding))) AS i FROM embeddings),
-         |n2 AS (SELECT vec_id, sum(v*v)::DOUBLE AS n2 FROM ex GROUP BY 1),
+         |$embedCtes,
+         |${kmeansCentroidCtes(8, 2)},
          |evv AS (SELECT vec_id,
          |  ${md5Bits32Sql("'eval:' || vec_id::VARCHAR", 1)} % 100 < 5 AS ev
          |  FROM embeddings),
-         |ddots AS (SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
-         |    sum(a.v * b.v)::DOUBLE AS dot
-         |  FROM ex a JOIN evv ea ON a.vec_id = ea.vec_id AND ea.ev
-         |  JOIN ex b ON a.i = b.i
-         |  JOIN evv eb ON b.vec_id = eb.vec_id AND NOT eb.ev
+         |ad AS (SELECT x.vec_id, c.cid, sum((x.e - c.cq) * (x.e - c.cq))::BIGINT AS dist
+         |       FROM ex x JOIN c2 c ON x.i = c.i GROUP BY 1, 2),
+         |adr AS (SELECT vec_id, cid,
+         |          row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |        FROM ad),
+         |asg AS (SELECT adr.vec_id, adr.cid FROM adr
+         |        JOIN evv ON adr.vec_id = evv.vec_id
+         |        WHERE rn = 1 AND NOT evv.ev),
+         |qp AS (SELECT adr.vec_id AS query_id, adr.cid FROM adr
+         |       JOIN evv ON adr.vec_id = evv.vec_id
+         |       WHERE rn <= 4 AND evv.ev),
+         |ddots AS (SELECT qp.query_id, asg.vec_id AS doc_id,
+         |    sum(a.e * b.e)::DOUBLE AS dot
+         |  FROM qp JOIN asg ON qp.cid = asg.cid
+         |  JOIN ex a ON a.vec_id = qp.query_id
+         |  JOIN ex b ON b.vec_id = asg.vec_id AND b.i = a.i
          |  GROUP BY 1, 2),
          |dcos AS (SELECT query_id, doc_id, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cos
          |  FROM ddots JOIN n2 na ON query_id = na.vec_id

@@ -99,6 +99,94 @@ object Retrieval {
     }
   }
 
+  /** The eval-split flag on the embedding corpus — vec_id ≡ doc_id, so
+    * the same "eval:" md5 bucket that carves BM25's query workload
+    * carves the dense side's.
+    */
+  private def evalFlag(vecId: org.apache.spark.sql.Column) =
+    pmod(Hashing.md5Bits32(concat(lit("eval:"), vecId.cast("string")), 1),
+      lit(100L)) < 5
+
+  /** Dense eval-query ranking via the Lloyd-trained IVF probe — the
+    * DEFAULT pair generator for q125 (round-9 verdict: the brute
+    * crossJoin's broadcast side GROWS with the corpus — a
+    * BroadcastNestedLoop whose work is |queries|×|corpus|; the IVF
+    * candidate join hash-partitions on the list id and touches
+    * ~nProbe/nLists of the corpus per query, with nLists ∝ √N as the
+    * production dial). Same trained quantizer as q55/q62/q67/q91
+    * (lloydCentroids (8, 2) — memo-shared, so the training trajectory
+    * runs once per session); corpus vectors go to their exact-L2-nearest
+    * list in the scan stage (literal-argsort, no join), eval queries
+    * probe their `nProbe` nearest lists, candidates are scored with the
+    * exact quantized cosine, top-`kSys` per query by (cos DESC, doc_id).
+    *
+    * Everything is integer-exact (L2 dists are long sums, the cosine is
+    * the shared cosineFromParts parenthesization), so the whole pipeline
+    * — training included — is mirrored by the q125 DuckDB oracle, the
+    * q55/q67 discipline. Recall vs the brute ranking is asserted in
+    * RetrievalSpec (fused-list contract), not assumed.
+    */
+  def DenseIvfGen(spark: SparkSession, d: String, kSys: Int): DataFrame =
+    denseIvf(spark, d, kSys)
+
+  private def denseIvf(spark: SparkSession, d: String, kSys: Int,
+      nLists: Int = 8, nProbe: Int = 4, updates: Int = 2): DataFrame = {
+    import spark.implicits._
+    import graft.functions.VectorFunctions._
+    val cents = Similarity.lloydCentroids(spark, d, nLists, updates)
+    val opts = cents.sortBy(_._1).map { case (cid, q) =>
+      val c2 = q.map(x => x * x).sum
+      struct(
+        ($"n2" - lit(2L) * dotPreQ($"qemb", typedLit(q)) + lit(c2)).as("dist2"),
+        lit(cid).as("cid"))
+    }
+    val ranked = Similarity.corpusWithNorm(spark, d)
+      .select($"vec_id", $"qemb", $"n2", evalFlag($"vec_id").as("ev"),
+        array_sort(array(opts: _*)).as("ds"))
+    val corpusSide = ranked.filter(!$"ev")
+      .select($"vec_id", $"qemb", $"n2",
+        element_at($"ds", 1).getField("cid").as("list_id"))
+    val qp = ranked.filter($"ev")
+      .select($"vec_id".as("query_id"), $"qemb".as("qq"), $"n2".as("qn2"),
+        explode(transform(slice($"ds", 1, nProbe), p => p.getField("cid")))
+          .as("p_list"))
+    // equi-join on the list id — hash-partitioned, NEVER a nested loop;
+    // each (query, doc) pair meets at most once (docs live in ONE list)
+    corpusSide.join(qp, $"list_id" === $"p_list")
+      .select($"query_id", $"vec_id".as("doc_id"),
+        cosineFromParts(dotPreQ($"qq", $"qemb"), $"qn2", $"n2").as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"cos".desc, $"doc_id".asc))
+        .cast("long"))
+      .filter($"rank" <= kSys)
+      .select($"query_id", $"doc_id", $"rank")
+  }
+
+  /** Brute-force dense ranking — the exact/oracle-gold rung kept beside
+    * the IVF default (the q55/q63 parameterized-generator pattern): one
+    * BroadcastNestedLoop of the eval query set against the corpus scan.
+    * Exact, but its broadcast side is PROPORTIONAL to the corpus (5 %
+    * eval split) — the declared-quadratic rung, like q25; RetrievalSpec
+    * uses it as the recall reference for the IVF default.
+    */
+  def DenseBruteGen(spark: SparkSession, d: String, kSys: Int): DataFrame = {
+    import spark.implicits._
+    import graft.functions.VectorFunctions._
+    val emb = Similarity.corpusWithNorm(spark, d)
+      .withColumn("ev", evalFlag($"vec_id"))
+    val queries = emb.filter($"ev")
+      .select($"vec_id".as("query_id"), $"qemb".as("qq"), $"n2".as("qn2"))
+    emb.filter(!$"ev")
+      .crossJoin(broadcast(queries))
+      .select($"query_id", $"vec_id".as("doc_id"),
+        cosineFromParts(dotPreQ($"qq", $"qemb"), $"qn2", $"n2").as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"cos".desc, $"doc_id".asc))
+        .cast("long"))
+      .filter($"rank" <= kSys)
+      .select($"query_id", $"doc_id", $"rank")
+  }
+
   /** q125: reciprocal-rank fusion (Cormack et al., SIGIR 2009) of the
     * two retrieval systems this engine exposes — q116's lexical BM25 and
     * a dense embedding-cosine ranking — over the SAME eval-split query
@@ -110,34 +198,18 @@ object Retrieval {
     * query by (rrf DESC, doc_id ASC).
     *
     * Scale: the BM25 side is q116's inverted-index plan (memo-shared tf
-    * table); the dense side broadcasts the bounded eval query set
-    * against one corpus scan (the q14 BroadcastNestedLoop shape — an IVF
-    * probe drops in when the corpus outgrows it); fusion itself is one
-    * hash aggregate on (query, doc) and a per-query top-k window — both
-    * keyed on the query id, no global sort.
+    * table); the dense side is PARAMETERIZED over the ranking generator
+    * — default `DenseIvfGen` (hash-partitioned IVF probe, sub-quadratic;
+    * mirrored by the oracle), with `DenseBruteGen` as the exact rung;
+    * fusion itself is one hash aggregate on (query, doc) and a per-query
+    * top-k window — both keyed on the query id, no global sort.
     */
   def rrfFusion(spark: SparkSession, d: String, k: Int = 10,
-      kSys: Int = 20, c: Int = 60): DataFrame = {
+      kSys: Int = 20, c: Int = 60,
+      denseGen: (SparkSession, String, Int) => DataFrame = DenseIvfGen): DataFrame = {
     import spark.implicits._
-    import graft.functions.VectorFunctions._
     val bm = bm25TopK(spark, d, kSys).select($"query_id", $"doc_id", $"rank")
-    val emb = embeddings(spark, d)
-      .select($"vec_id", quantize($"embedding").as("qemb"))
-      .withColumn("n2", dotPreQ($"qemb", $"qemb"))
-      .withColumn("ev",
-        pmod(Hashing.md5Bits32(concat(lit("eval:"), $"vec_id".cast("string")), 1),
-          lit(100L)) < 5)
-    val queries = emb.filter($"ev")
-      .select($"vec_id".as("query_id"), $"qemb".as("qq"), $"n2".as("qn2"))
-    val dense = emb.filter(!$"ev")
-      .crossJoin(broadcast(queries))
-      .select($"query_id", $"vec_id".as("doc_id"),
-        cosineFromParts(dotPreQ($"qq", $"qemb"), $"qn2", $"n2").as("cos"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy($"query_id").orderBy($"cos".desc, $"doc_id".asc))
-        .cast("long"))
-      .filter($"rank" <= kSys)
-      .select($"query_id", $"doc_id", $"rank")
+    val dense = denseGen(spark, d, kSys)
     val fused = bm.unionByName(dense)
       .select($"query_id", $"doc_id",
         expr(s"1000000000000 div ($c + rank)").as("rc"))

@@ -29,7 +29,7 @@ object Similarity {
   /** (vec_id, embedding, qemb = quantized longs, n2 = exact squared norm),
     * cached: every similarity operator joins against this twice.
     */
-  private def corpusWithNorm(spark: SparkSession, d: String): DataFrame =
+  private[operators] def corpusWithNorm(spark: SparkSession, d: String): DataFrame =
     graft.core.Memo(spark, cache = true, "corpusWithNorm", d) {
       import spark.implicits._
       embeddings(spark, d)
@@ -347,7 +347,7 @@ object Similarity {
     * q91 all train the same (8, 2) quantizer, so the scan+agg rounds run
     * ONCE per session and later callers collect the tiny cached table.
     */
-  private def lloydCentroids(spark: SparkSession, d: String,
+  private[operators] def lloydCentroids(spark: SparkSession, d: String,
       k: Int, updates: Int): Array[(Long, Seq[Long])] = {
     import spark.implicits._
     graft.core.Memo(spark, cache = false, "lloydCentroids", d,

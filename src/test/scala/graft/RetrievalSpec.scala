@@ -107,12 +107,33 @@ class RetrievalSpec extends AnyFunSuite {
           case ((q, did, s), r) => (q, did, s, (r + 1).toLong)
         }
       }.toSet
-    val got = Retrieval.rrfFusion(spark, sf)
+    val got = Retrieval.rrfFusion(spark, sf, denseGen = Retrieval.DenseBruteGen)
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(got == fusedExpected)
     assert(got.nonEmpty)
     // both systems must actually contribute somewhere: some fused score
     // exceeds any single-system maximum contribution ⌊1e12/61⌋
     assert(got.exists(_._3 > 1000000000000L / 61L), "no doc fused from both systems")
+  }
+
+  test("default (IVF-dense) fusion holds recall against the brute fusion") {
+    import spark.implicits._
+    val brute = Retrieval.rrfFusion(spark, sf, denseGen = Retrieval.DenseBruteGen)
+      .select($"query_id", $"doc_id").as[(Long, Long)].collect().toSet
+    val ivf = Retrieval.rrfFusion(spark, sf)
+      .select($"query_id", $"doc_id").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty && ivf.nonEmpty)
+    // fused-top-10 recall: the IVF dense rung may rank differently below
+    // the fold, but the fused lists must substantially agree — the
+    // contract that makes the sub-quadratic rung a safe default
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.8, s"fused-list recall $recall below 0.8")
+  }
+
+  test("default fusion plan has no BroadcastNestedLoopJoin") {
+    val plan = Retrieval.rrfFusion(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "default dense rung must candidate-join on the IVF list id, not cross-join")
   }
 }
