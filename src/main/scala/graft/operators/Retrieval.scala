@@ -39,11 +39,13 @@ object Retrieval {
     * query terms, never |queries|×|corpus|; the per-query top-k window
     * partitions by query_id so the sort is per-group, not global.
     */
-  def bm25TopK(spark: SparkSession, d: String, k: Int = 10): DataFrame = {
+  def bm25TopK(spark: SparkSession, d: String, k: Int = 10,
+      maxDf: Option[Long] = None): DataFrame = {
     import spark.implicits._
     val win = Window.partitionBy($"query_id")
       .orderBy($"score_q".desc, $"doc_id")
-    bm25Scored(spark, d).withColumn("rank", row_number().over(win).cast("long"))
+    bm25Scored(spark, d, maxDf)
+      .withColumn("rank", row_number().over(win).cast("long"))
       .filter($"rank" <= k)
       .select($"query_id", $"doc_id", $"rank", $"score_q")
   }
@@ -61,7 +63,43 @@ object Retrieval {
     * query), which is exactly when keeping the per-candidate work to an
     * integer sum matters.
     */
-  private def bm25Scored(spark: SparkSession, d: String): DataFrame = {
+  private def bm25Scored(spark: SparkSession, d: String,
+      maxDf: Option[Long] = None): DataFrame =
+    maxDf match {
+      // the memo-shared default (q116 + q125 consume one score table)
+      case None => graft.core.Memo(spark, cache = true, "bm25scored", d) {
+        bm25Aggregate(spark, bm25Candidates(spark, d, None))
+      }
+      case some => bm25Aggregate(spark, bm25Candidates(spark, d, some))
+    }
+
+  /** Exact integer document scores from the candidate stream — one hash
+    * aggregate on (query, doc).
+    */
+  private def bm25Aggregate(spark: SparkSession, cands: DataFrame): DataFrame = {
+    import spark.implicits._
+    cands.groupBy($"query_id", $"doc_id").agg(sum($"sq").as("score_q"))
+  }
+
+  /** The BM25 candidate stream — one row per (query, query-term, posting)
+    * hit, carrying the precomputed per-posting weight. Its cardinality IS
+    * Σ_t df(t) over the queries' (optionally df-ceilinged) terms — the
+    * scale dial of the whole retrieval family, exposed for the
+    * RetrievalSpec skew rehearsal to measure directly.
+    *
+    * `maxDf` is the optional df CEILING on query terms (the Dedup
+    * `maxSeedDf` pattern): a saturated term — a stop-word-dense query
+    * hitting a term present in half the corpus — otherwise drags in
+    * df(t) ≈ N candidates on its own. The recall contract: dropped terms
+    * are exactly those with df > maxDf, whose idf — log2((N−df+0.5)/
+    * (df+0.5)+1) — is the LOWEST of any query term, so the ceiling
+    * removes the least-discriminative contributions first; with
+    * maxDf ≥ max df(t) the output is bit-identical to the unceilinged
+    * form (RetrievalSpec proves both properties). The ORACLE rung (q116)
+    * keeps the ceiling off.
+    */
+  private[graft] def bm25Candidates(spark: SparkSession, d: String,
+      maxDf: Option[Long]): DataFrame = {
     import spark.implicits._
     val isEval =
       pmod(Hashing.md5Bits32(concat(lit("eval:"), $"doc_id".cast("string")), 1),
@@ -76,27 +114,30 @@ object Retrieval {
       toks.filter(!$"ev")
         .groupBy($"doc_id", $"t").agg(count(lit(1)).as("tf"))
     }
-    graft.core.Memo(spark, cache = true, "bm25scored", d) {
-      val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
-      val dfT = tf.groupBy($"t").agg(count(lit(1)).as("df"))
-      // corpus constants, driver-collected once (the q07 eager-scalar shape)
-      val statsRow = dl.agg(count(lit(1)), sum($"dl")).head()
-      val n = statsRow.getLong(0)
-      val sumdl = statsRow.getLong(1)
-      val wtd = tf.join(dfT, "t").join(dl, "doc_id")
-        .select($"t", $"doc_id",
-          round(
-            log2(((lit(n) - $"df" + lit(0.5)) / ($"df" + lit(0.5))) + lit(1.0))
-              * ($"tf" * lit(2.2))
-              / ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75)
-                  * (($"dl" * lit(n)).cast("double") / lit(sumdl).cast("double"))))
-              * lit(1000000.0)).cast("long").as("sq"))
-      val qterms = toks.filter($"ev")
-        .select($"doc_id".as("query_id"), $"t").distinct()
-      qterms.join(wtd, "t")
-        .groupBy($"query_id", $"doc_id")
-        .agg(sum($"sq").as("score_q"))
+    val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+    val dfT = tf.groupBy($"t").agg(count(lit(1)).as("df"))
+    // corpus constants, driver-collected once (the q07 eager-scalar shape)
+    val statsRow = dl.agg(count(lit(1)), sum($"dl")).head()
+    val n = statsRow.getLong(0)
+    val sumdl = statsRow.getLong(1)
+    val wtd = tf.join(dfT, "t").join(dl, "doc_id")
+      .select($"t", $"doc_id",
+        round(
+          log2(((lit(n) - $"df" + lit(0.5)) / ($"df" + lit(0.5))) + lit(1.0))
+            * ($"tf" * lit(2.2))
+            / ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75)
+                * (($"dl" * lit(n)).cast("double") / lit(sumdl).cast("double"))))
+            * lit(1000000.0)).cast("long").as("sq"))
+    val qterms = toks.filter($"ev")
+      .select($"doc_id".as("query_id"), $"t").distinct()
+    // the ceiling prunes the QUERY side before the posting join, so a
+    // saturated term never generates its df(t) candidates at all
+    val qkept = maxDf match {
+      case Some(m) => qterms.join(dfT.filter($"df" <= m).select($"t"), "t")
+      case None    => qterms
     }
+    qkept.join(wtd, "t")
+      .select($"query_id", $"t", $"doc_id", $"sq")
   }
 
   /** The eval-split flag on the embedding corpus — vec_id ≡ doc_id, so

@@ -136,4 +136,70 @@ class RetrievalSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       "default dense rung must candidate-join on the IVF list id, not cross-join")
   }
+
+  test("maxDf ceiling: no-op ceiling is bit-identical, real ceiling shrinks candidates") {
+    import spark.implicits._
+    val base = Retrieval.bm25TopK(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val noop = Retrieval.bm25TopK(spark, sf, maxDf = Some(Long.MaxValue))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(noop == base, "a ceiling above every df must not change results")
+    val candAll = Retrieval.bm25Candidates(spark, sf, None).count()
+    // ceiling at half the max observed query-term df must prune something
+    // on this small-vocabulary corpus (every doc shares common terms)
+    val maxDf = Retrieval.bm25Candidates(spark, sf, None)
+      .groupBy($"t").agg(org.apache.spark.sql.functions.count_distinct($"doc_id"))
+      .as[(String, Long)].collect().map(_._2).max
+    val candCeil = Retrieval.bm25Candidates(spark, sf, Some(maxDf / 2)).count()
+    assert(candCeil < candAll,
+      s"ceiling ${maxDf / 2} should shrink candidates ($candCeil vs $candAll)")
+  }
+
+  /** The round-9 verdict's skew rehearsal: a synthetic heavy-tail
+    * vocabulary — one term in half the corpus — proving (a) the BM25
+    * candidate volume IS Σ_t df(t) over query terms (computed here from
+    * first principles), and (b) the df ceiling bounds it by exactly the
+    * saturated term's contribution.
+    */
+  test("skew rehearsal: candidate volume tracks sum of df(t); ceiling bounds it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bm25skew").toString
+    val docs = (0L until 400L).map { id =>
+      val rare = s"term${id % 97}"  // rare-ish terms, df ~4
+      val common = if (id % 2 == 0) " common" else ""
+      (id, s"$rare alpha$common")
+    }
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    // replay the split + tokenization from first principles
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def evalDoc(id: Long): Boolean = {
+      val hex = md.digest(s"eval:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 100 < 5
+    }
+    val stop = TextFunctions.StopWords.toSet
+    def toks(t: String): Seq[String] = t.split("\\s+").toSeq.distinct
+      .filter(w => w.nonEmpty && w.forall(c => c >= 'a' && c <= 'z') && !stop(w))
+    val (ev, train) = docs.partition { case (id, _) => evalDoc(id) }
+    assert(ev.nonEmpty, "fixture must produce eval queries")
+    val dfMap = train.flatMap { case (_, t) => toks(t) }
+      .groupBy(identity).map { case (w, o) => w -> o.size.toLong }
+    val expectedAll = ev.map { case (_, t) =>
+      toks(t).map(w => dfMap.getOrElse(w, 0L)).sum }.sum
+    val gotAll = Retrieval.bm25Candidates(spark, dir, None).count()
+    assert(gotAll == expectedAll,
+      s"candidate volume $gotAll != sum-of-df $expectedAll")
+    // the saturated term ('common', df = half the train corpus) dominates;
+    // a ceiling below its df removes exactly its contribution
+    val dfCommon = dfMap("common")
+    assert(dfCommon * 2 >= train.size, "fixture: 'common' must be in half the docs")
+    val ceiling = dfCommon - 1
+    val expectedCeil = ev.map { case (_, t) =>
+      toks(t).map(w => dfMap.getOrElse(w, 0L)).filter(_ <= ceiling).sum }.sum
+    val gotCeil = Retrieval.bm25Candidates(spark, dir, Some(ceiling)).count()
+    assert(gotCeil == expectedCeil,
+      s"ceilinged candidate volume $gotCeil != $expectedCeil")
+    assert(gotCeil < gotAll, "the ceiling must bound the saturated term's fan-out")
+  }
 }
