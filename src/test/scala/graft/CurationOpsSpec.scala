@@ -84,6 +84,31 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("stratifiedSample sub-strata decomposition equals the single-window form") {
+    import spark.implicits._
+    // the default decomposes the per-lang rank over (lang, hash-cell)
+    // sub-strata; membership AND ranks must be bit-identical to the
+    // single global window per language (the oracle-shaped rung)
+    val cell = Sampling.stratifiedSample(spark, sf)
+      .as[(Long, String, Long)].collect().toSet
+    val global = Sampling.stratifiedSampleGlobalWindow(spark, sf)
+      .as[(Long, String, Long)].collect().toSet
+    assert(cell == global, "sub-strata rank decomposition drifted from the global window")
+    // determinism across invocations (fresh plan, same result)
+    val again = Sampling.stratifiedSample(spark, sf)
+      .as[(Long, String, Long)].collect().toSet
+    assert(again == cell)
+    // and no window in the default plan sorts by (h, doc_id) under a
+    // lang-only partition — that is the single-window signature (the
+    // corpus-side cell window partitions by (lang, h) and sorts doc_id
+    // alone; the offset window runs on the tiny histogram)
+    val plan = Sampling.stratifiedSample(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    val globalWindowSig = """h#\d+L? ASC NULLS FIRST, doc_id#\d+L? ASC NULLS FIRST""".r
+    assert(globalWindowSig.findFirstIn(plan).isEmpty,
+      "default plan still ranks (h, doc_id) under a per-lang window")
+  }
+
   test("domainMixture weights rebalance to uniform") {
     import spark.implicits._
     val rows = Sampling.domainMixture(spark, sf)
