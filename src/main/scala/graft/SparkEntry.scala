@@ -2598,13 +2598,22 @@ object SparkEntry {
         |         + (r - (cum - cnt))::DOUBLE / cnt::DOUBLE)
         |         * ((mx - mn) / 64) END AS est
         |FROM hit WHERE rn = 1""".stripMargin,
-    // schema-on-read over the JSON props column; exact integer stats
+    // schema-on-read over the JSON props column; exact integer stats.
+    // k is extracted with SPARK's from_json coercion contract exactly
+    // (round-9 advice): only a true JSON integer parses — string-encoded
+    // numbers, fractional values, and malformed payloads are NULL in
+    // both engines (json_type gates on BIGINT/UBIGINT; json_valid guards
+    // malformed rows the way PERMISSIVE mode does) — so schema drift in
+    // the payload can never diverge the two sides
     "q130_json_props" ->
       """SELECT event_type, count(*)::BIGINT AS n,
         |  count(DISTINCT k)::BIGINT AS n_k, sum(k)::BIGINT AS sum_k,
         |  min(k)::BIGINT AS min_k, max(k)::BIGINT AS max_k
         |FROM (SELECT event_type,
-        |        json_extract_string(props, '$.k')::BIGINT AS k FROM events)
+        |        TRY_CAST(CASE WHEN json_valid(props)
+        |            AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+        |          THEN json_extract(props, '$.k')::VARCHAR END AS BIGINT) AS k
+        |        FROM events)
         |GROUP BY 1""".stripMargin,
     // 3-step paths: both leads on one per-user window; (cnt DESC, path)
     // total order makes the top-k cut deterministic
@@ -2618,8 +2627,12 @@ object SparkEntry {
         |FROM t WHERE e2 IS NOT NULL AND e3 IS NOT NULL
         |GROUP BY 1, 2, 3
         |ORDER BY cnt DESC, s1, s2, s3 LIMIT 20""".stripMargin,
-    // leakage-safe split: the q32 label CTE chain, split decided by the
-    // CLUSTER label's hash bucket
+    // leakage-safe split: the label CTE chain, split decided by the
+    // CLUSTER label's hash bucket. The engine runs the CONVERGED
+    // propagation; the oracle unrolls 5 supersteps — equal whenever
+    // component diameters are <= 5, the same fixture-conditional
+    // contract q86 documents (DedupSimilaritySpec's 21-deep chain covers
+    // the divergence case engine-side)
     "q132_cluster_split" -> (dedupLabelCtes(5) +
       s"""
          |SELECT doc_id, label AS cluster_id,
@@ -2690,19 +2703,25 @@ object SparkEntry {
     // tie semantics, (rank-1)/(n-1), decile bucket
     "q136_quality_rank" -> qualityRankSql,
     // cents-quantized exact two-moment variance: integer numerator, one
-    // identical double division chain, sqrt of the identical double
+    // identical double division chain, sqrt of the identical double.
+    // Squares/products go through HUGEINT (round-9 advice) — the exact
+    // mirror of Spark's DECIMAL(38,0) sums, so |vc| beyond ~3e9 cannot
+    // overflow the BIGINT square that raw vc*vc would; n = 1 groups are
+    // NULL on both sides (sample variance undefined), never 0/0
     "q137_exact_variance" ->
       """WITH v AS (SELECT event_type,
         |  round(value * 100)::BIGINT AS vc FROM events),
         |m AS (SELECT event_type, count(*)::BIGINT AS n,
-        |        sum(vc) AS sx, sum(vc * vc) AS sxx
+        |        sum(vc::HUGEINT) AS sx, sum(vc::HUGEINT * vc::HUGEINT) AS sxx
         |      FROM v GROUP BY 1)
         |SELECT event_type, n,
         |  sx::DOUBLE / n::DOUBLE / 100.0 AS mean,
-        |  (n * sxx - sx * sx)::DOUBLE / (n * (n - 1))::DOUBLE / 10000.0
-        |    AS var_samp,
-        |  sqrt((n * sxx - sx * sx)::DOUBLE / (n * (n - 1))::DOUBLE / 10000.0)
-        |    AS std_samp
+        |  CASE WHEN n >= 2 THEN
+        |    (n::HUGEINT * sxx - sx * sx)::DOUBLE / (n * (n - 1))::DOUBLE / 10000.0
+        |  END AS var_samp,
+        |  CASE WHEN n >= 2 THEN
+        |    sqrt((n::HUGEINT * sxx - sx * sx)::DOUBLE / (n * (n - 1))::DOUBLE / 10000.0)
+        |  END AS std_samp
         |FROM m""".stripMargin,
     // q136's calibration driving the keep/drop decision + budget report
     "q138_quality_filter" ->

@@ -397,7 +397,20 @@ object Dedup {
     */
   def dedupLabelsConverged(spark: SparkSession, d: String,
       threshold: Double = 0.5, maxIterations: Int = 50,
-      pairGen: (SparkSession, String, Double) => DataFrame = MinhashLshGen): DataFrame = {
+      pairGen: (SparkSession, String, Double) => DataFrame = MinhashLshGen): DataFrame =
+    // memo-shared like dedupLabels (and only under the shared default
+    // generator — same closure-identity rule): q86's cluster counting
+    // and q132's leakage-safe split ride ONE converged propagation
+    if (pairGen eq MinhashLshGen)
+      graft.core.Memo(spark, cache = false, "dedupLabelsConverged", d,
+        threshold.toString, maxIterations.toString, "minhashLsh") {
+        dedupLabelsConvergedUncached(spark, d, threshold, maxIterations, pairGen)
+      }
+    else dedupLabelsConvergedUncached(spark, d, threshold, maxIterations, pairGen)
+
+  private def dedupLabelsConvergedUncached(spark: SparkSession, d: String,
+      threshold: Double, maxIterations: Int,
+      pairGen: (SparkSession, String, Double) => DataFrame): DataFrame = {
     import spark.implicits._
     val pairs = pairGen(spark, d, threshold).select($"x", $"y")
     val edges = pairs.union(pairs.select($"y".as("x"), $"x".as("y"))).cache()

@@ -451,25 +451,25 @@ object Relational {
     *
     * Scale: ONE pass — Spark compiles the multi-column distinct
     * aggregate to a single Expand (×|columns|) + aggregate, not one
-    * scan per column; the profile is then unpivoted driver-side from a
-    * 1-row result. At 100 TB swap exact distincts for q127-style
-    * sketches column by column; null counts stay exact either way.
+    * scan per column; the profile is then unpivoted RELATIONALLY
+    * (`stack` over the 1-row aggregate — round-9 advice: no head() at
+    * DataFrame-construction time, so building the query stays lazy and
+    * plan dumps/registry sweeps never trigger the scan). At 100 TB swap
+    * exact distincts for q127-style sketches column by column; null
+    * counts stay exact either way.
     */
   def columnProfile(spark: SparkSession, d: String): DataFrame = {
-    import spark.implicits._
     val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
     val aggs = count(lit(1)).as("n_rows") +:
       cols.flatMap { c =>
         Seq(sum(col(c).isNull.cast("long")).as(s"null_$c"),
           countDistinct(col(c)).as(s"dist_$c"))
       }
-    val row = events(spark, d).agg(aggs.head, aggs.tail: _*).head()
-    val out = cols.map { c =>
-      (c, row.getAs[Long]("n_rows"), row.getAs[Long](s"null_$c"),
-        row.getAs[Long](s"dist_$c"))
-    }
-    spark.createDataFrame(out)
-      .toDF("column_name", "n_rows", "n_null", "n_distinct")
+    val stackArgs = cols.map(c => s"'$c', null_$c, dist_$c").mkString(", ")
+    events(spark, d).agg(aggs.head, aggs.tail: _*)
+      .selectExpr("n_rows",
+        s"stack(${cols.size}, $stackArgs) AS (column_name, n_null, n_distinct)")
+      .select(col("column_name"), col("n_rows"), col("n_null"), col("n_distinct"))
   }
 
   /** q137: exact variance / standard deviation per group — the textbook
@@ -495,10 +495,15 @@ object Relational {
           .cast(dec38)).as("sxx"))
       .select($"event_type", $"n",
         ($"sx".cast("double") / $"n".cast("double") / 100.0).as("mean"),
-        (($"n".cast(dec38) * $"sxx" - $"sx" * $"sx").cast("double")
-          / ($"n" * ($"n" - 1L)).cast("double") / 10000.0).as("var_samp"),
-        sqrt(($"n".cast(dec38) * $"sxx" - $"sx" * $"sx").cast("double")
-          / ($"n" * ($"n" - 1L)).cast("double") / 10000.0).as("std_samp"))
+        // sample variance is undefined for a single observation — guard
+        // the n·(n−1) = 0 division to NULL instead of 0/0 = NaN (the
+        // oracle mirrors with CASE WHEN n >= 2)
+        when($"n" >= 2L,
+          (($"n".cast(dec38) * $"sxx" - $"sx" * $"sx").cast("double")
+            / ($"n" * ($"n" - 1L)).cast("double") / 10000.0)).as("var_samp"),
+        when($"n" >= 2L,
+          sqrt(($"n".cast(dec38) * $"sxx" - $"sx" * $"sx").cast("double")
+            / ($"n" * ($"n" - 1L)).cast("double") / 10000.0)).as("std_samp"))
   }
 
   /** q133: the TPC-H Q5 shape — local supplier volume: six-table

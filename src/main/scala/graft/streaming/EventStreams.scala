@@ -156,6 +156,10 @@ object EventStreams {
     */
   def histogramStream(events: Dataset[Event], lo: Double, hi: Double,
       nBins: Int = 64): Dataset[HistRow] = {
+    // a degenerate range would make the bin expression NaN, which .toInt
+    // silently maps to bin 0 — the batch q129 special-cases mx == mn;
+    // here the range is caller-fixed, so reject it loudly (round-9 advice)
+    require(hi > lo, s"histogramStream needs hi > lo (got lo=$lo, hi=$hi)")
     import events.sparkSession.implicits._
     events
       .groupByKey(_.event_type)

@@ -71,6 +71,12 @@ class MemoSpec extends AnyFunSuite {
     } finally Memo.release(s)
   }
 
+  test("q86/q132 share one CONVERGED dedupLabels propagation") {
+    val keys = sharedKeys("dedupLabelsConverged",
+      "q86_cc_converged", "q132_cluster_split")
+    assert(keys.size == 1, s"expected one shared converged propagation, got $keys")
+  }
+
   test("q15/q42/q63 share one minhashLshPairs build") {
     val keys = sharedKeys("minhashLshPairs",
       "q15_minhash_lsh", "q42_curation_pipeline", "q63_split_leakage")
