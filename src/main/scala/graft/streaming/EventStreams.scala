@@ -110,6 +110,37 @@ object EventStreams {
     * one sketch definition, three runtimes (batch, DuckDB oracle,
     * streaming state).
     */
+  /** Fold a batch of events into the 256-register HLL state — register
+    * max IS the HLL merge, shared by both stateful runtimes.
+    */
+  private def hllFold(regs: Array[Long], evs: Iterator[Event]): Unit = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    evs.foreach { e =>
+      val hex = md.digest(s"hll:${e.user_id}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+      val b = (h & 255L).toInt
+      val w = h >> 8
+      val rank =
+        if (w == 0L) 25L
+        else 25L - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      if (rank > regs(b)) regs(b) = rank
+    }
+  }
+
+  private def hllSummary(t: String, regs: Array[Long]): HllRow = {
+    val vZero = regs.count(_ == 0L).toLong
+    val s = vZero.toDouble +
+      regs.filter(_ > 0L).map(m => math.pow(2.0, -m.toDouble)).sum
+    val raw = math.floor(0.7213 / (1.0 + 1.079 / 256.0)
+      * 65536.0 / s).toLong
+    val est =
+      if (vZero > 0L && raw <= 640L)
+        graft.operators.Relational.HllLcTable(vZero.toInt)
+      else raw
+    HllRow(t, vZero, raw, est)
+  }
+
   def hllSketchStream(events: Dataset[Event]): Dataset[HllRow] = {
     import events.sparkSession.implicits._
     events
@@ -117,30 +148,50 @@ object EventStreams {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
         (t: String, evs: Iterator[Event], state: GroupState[Array[Long]]) =>
           val regs = state.getOption.getOrElse(Array.fill(256)(0L))
-          val md = java.security.MessageDigest.getInstance("MD5")
-          evs.foreach { e =>
-            val hex = md.digest(s"hll:${e.user_id}".getBytes("UTF-8"))
-              .map("%02x".format(_)).mkString
-            val h = java.lang.Long.parseLong(hex.substring(0, 8), 16)
-            val b = (h & 255L).toInt
-            val w = h >> 8
-            val rank =
-              if (w == 0L) 25L
-              else 25L - (64 - java.lang.Long.numberOfLeadingZeros(w))
-            if (rank > regs(b)) regs(b) = rank
-          }
+          hllFold(regs, evs)
           state.update(regs)
-          val vZero = regs.count(_ == 0L).toLong
-          val s = vZero.toDouble +
-            regs.filter(_ > 0L).map(m => math.pow(2.0, -m.toDouble)).sum
-          val raw = math.floor(0.7213 / (1.0 + 1.079 / 256.0)
-            * 65536.0 / s).toLong
-          val est =
-            if (vZero > 0L && raw <= 640L)
-              graft.operators.Relational.HllLcTable(vZero.toInt)
-            else raw
-          HllRow(t, vZero, raw, est)
+          hllSummary(t, regs)
       }
+  }
+
+  /** Register-vector state wrapper (product encoder for the state store). */
+  case class HllRegs(regs: Array[Long])
+
+  /** q127's HLL on the Spark 4 `transformWithState` surface — the same
+    * register fold/merge as hllSketchStream held in a named ValueState
+    * (the production arbitrary-state API: typed handles, TTL,
+    * multi-column-family state under RocksDB). Completing the W4
+    * migration the travel-time predictor started
+    * (TaxiStreams.PredictionProcessor) so state-store evolution is
+    * uniform across the sketch family; EventStreamsSpec runs the
+    * state≡batch merge law on BOTH runtimes.
+    */
+  class HllProcessor extends
+      org.apache.spark.sql.streaming.StatefulProcessor[String, Event, HllRow] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+
+    @transient private var st: ValueState[HllRegs] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[HllRegs](
+        "hllRegisters", Encoders.product[HllRegs], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[HllRow] = {
+      val regs = if (st.exists()) st.get().regs else Array.fill(256)(0L)
+      hllFold(regs, rows)
+      st.update(HllRegs(regs))
+      Iterator.single(hllSummary(key, regs))
+    }
+  }
+
+  def hllSketchStreamTws(events: Dataset[Event]): Dataset[HllRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .transformWithState(new HllProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
   case class HistRow(event_type: String, n: Long, filled_bins: Long,
@@ -166,14 +217,56 @@ object EventStreams {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
         (t: String, evs: Iterator[Event], state: GroupState[Array[Long]]) =>
           val bins = state.getOption.getOrElse(Array.fill(nBins)(0L))
-          evs.foreach { e =>
-            val b = math.min(nBins - 1, math.max(0,
-              math.floor((e.value - lo) / (hi - lo) * nBins).toInt))
-            bins(b) += 1
-          }
+          histFold(bins, lo, hi, nBins, evs)
           state.update(bins)
           HistRow(t, bins.sum, bins.count(_ > 0L).toLong, bins.max)
       }
+  }
+
+  /** Bin-count addition IS the histogram merge — shared by both runtimes. */
+  private def histFold(bins: Array[Long], lo: Double, hi: Double,
+      nBins: Int, evs: Iterator[Event]): Unit =
+    evs.foreach { e =>
+      val b = math.min(nBins - 1, math.max(0,
+        math.floor((e.value - lo) / (hi - lo) * nBins).toInt))
+      bins(b) += 1
+    }
+
+  /** Bin-vector state wrapper (product encoder for the state store). */
+  case class HistBins(bins: Array[Long])
+
+  /** q129's histogram on the `transformWithState` surface — same bin
+    * fold as histogramStream in a named ValueState (see HllProcessor for
+    * why the whole sketch family rides the modern API).
+    */
+  class HistProcessor(lo: Double, hi: Double, nBins: Int) extends
+      org.apache.spark.sql.streaming.StatefulProcessor[String, Event, HistRow] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+
+    @transient private var st: ValueState[HistBins] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[HistBins](
+        "histBins", Encoders.product[HistBins], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[HistRow] = {
+      val bins = if (st.exists()) st.get().bins else Array.fill(nBins)(0L)
+      histFold(bins, lo, hi, nBins, rows)
+      st.update(HistBins(bins))
+      Iterator.single(HistRow(key, bins.sum, bins.count(_ > 0L).toLong, bins.max))
+    }
+  }
+
+  def histogramStreamTws(events: Dataset[Event], lo: Double, hi: Double,
+      nBins: Int = 64): Dataset[HistRow] = {
+    require(hi > lo, s"histogramStreamTws needs hi > lo (got lo=$lo, hi=$hi)")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .transformWithState(new HistProcessor(lo, hi, nBins),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
   def runningUserTotals(events: Dataset[Event]): Dataset[UserTotals] = {

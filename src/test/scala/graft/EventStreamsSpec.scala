@@ -145,40 +145,62 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
-  test("hllSketchStream state equals the batch sketch across an arbitrary batch split") {
+  // the sketch twins run the state≡batch merge law on BOTH stateful
+  // runtimes — the legacy mapGroupsWithState form and the Spark 4
+  // transformWithState form (named ValueState, RocksDB column families)
+  private val sketchRuntimes = Seq(
+    ("mapGroupsWithState", false),
+    ("transformWithState", true))
+
+  private def withRuntime[A](tws: Boolean)(body: => A): A =
+    if (!tws) body
+    else {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try body
+      finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+
+  for ((label, tws) <- sketchRuntimes)
+  test(s"hll stream [$label] state equals the batch sketch across an arbitrary batch split") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     val sf = "/root/testdata/sf0.001"
     val all = graft.core.Tables.events(spark, sf)
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
       .as[Event].collect()
-    val input = MemoryStream[Event]
-    val query = EventStreams.hllSketchStream(input.toDS())
-      .writeStream.format("memory").queryName("hll_stream")
-      .outputMode("update").start()
-    try {
-      // three arbitrary micro-batches: register max-merge is the HLL merge
-      // op, so the final state must not depend on the split
-      all.grouped(math.max(1, all.length / 3 + 1)).foreach { chunk =>
-        input.addData(chunk.toIndexedSeq: _*)
-        query.processAllAvailable()
-      }
-      val rows = spark.table("hll_stream")
-        .as[(String, Long, Long, Long)].collect()
-      // raw estimate grows monotonically with register state: the final
-      // per-key row is the max-raw one
-      val finalRows = rows.groupBy(_._1).map { case (_, rs) =>
-        rs.maxBy(_._3)
-      }.map(r => (r._1, r._2, r._3, r._4)).toSet
-      val batch = graft.operators.Relational.hllDistinct(spark, sf)
-        .select($"event_type", $"v_zero", $"hll_raw", $"hll_est")
-        .as[(String, Long, Long, Long)].collect().toSet
-      assert(finalRows == batch)
-      assert(batch.nonEmpty)
-    } finally query.stop()
+    withRuntime(tws) {
+      val input = MemoryStream[Event]
+      val name = s"hll_stream_$label"
+      val src = if (tws) EventStreams.hllSketchStreamTws(input.toDS())
+        else EventStreams.hllSketchStream(input.toDS())
+      val query = src.writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        // three arbitrary micro-batches: register max-merge is the HLL merge
+        // op, so the final state must not depend on the split
+        all.grouped(math.max(1, all.length / 3 + 1)).foreach { chunk =>
+          input.addData(chunk.toIndexedSeq: _*)
+          query.processAllAvailable()
+        }
+        val rows = spark.table(name)
+          .as[(String, Long, Long, Long)].collect()
+        // raw estimate grows monotonically with register state: the final
+        // per-key row is the max-raw one
+        val finalRows = rows.groupBy(_._1).map { case (_, rs) =>
+          rs.maxBy(_._3)
+        }.map(r => (r._1, r._2, r._3, r._4)).toSet
+        val batch = graft.operators.Relational.hllDistinct(spark, sf)
+          .select($"event_type", $"v_zero", $"hll_raw", $"hll_est")
+          .as[(String, Long, Long, Long)].collect().toSet
+        assert(finalRows == batch)
+        assert(batch.nonEmpty)
+      } finally query.stop()
+    }
   }
 
-  test("histogramStream bins equal a batch recompute across a batch split") {
+  for ((label, tws) <- sketchRuntimes)
+  test(s"histogram stream [$label] bins equal a batch recompute across a batch split") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     val sf = "/root/testdata/sf0.001"
@@ -186,30 +208,46 @@ class EventStreamsSpec extends AnyFunSuite {
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
       .as[Event].collect()
     val (lo, hi) = (0.0, 600.0)
-    val input = MemoryStream[Event]
-    val query = EventStreams.histogramStream(input.toDS(), lo, hi)
-      .writeStream.format("memory").queryName("hist_stream")
-      .outputMode("update").start()
-    try {
-      all.grouped(math.max(1, all.length / 4 + 1)).foreach { chunk =>
-        input.addData(chunk.toIndexedSeq: _*)
-        query.processAllAvailable()
-      }
-      val rows = spark.table("hist_stream")
-        .as[(String, Long, Long, Long)].collect()
-      // n grows monotonically: final row per key = max n
-      val fin = rows.groupBy(_._1).map { case (_, rs) => rs.maxBy(_._2) }
-      val expected = all.groupBy(_.event_type).map { case (t, es) =>
-        val bins = Array.fill(64)(0L)
-        es.foreach { e =>
-          val b = math.min(63, math.max(0,
-            math.floor((e.value - lo) / (hi - lo) * 64).toInt))
-          bins(b) += 1
+    withRuntime(tws) {
+      val input = MemoryStream[Event]
+      val name = s"hist_stream_$label"
+      val src = if (tws) EventStreams.histogramStreamTws(input.toDS(), lo, hi)
+        else EventStreams.histogramStream(input.toDS(), lo, hi)
+      val query = src.writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        all.grouped(math.max(1, all.length / 4 + 1)).foreach { chunk =>
+          input.addData(chunk.toIndexedSeq: _*)
+          query.processAllAvailable()
         }
-        (t, es.length.toLong, bins.count(_ > 0L).toLong, bins.max)
-      }.toSet
-      assert(fin.toSet == expected)
-      assert(expected.nonEmpty)
-    } finally query.stop()
+        val rows = spark.table(name)
+          .as[(String, Long, Long, Long)].collect()
+        // n grows monotonically: final row per key = max n
+        val fin = rows.groupBy(_._1).map { case (_, rs) => rs.maxBy(_._2) }
+        val expected = all.groupBy(_.event_type).map { case (t, es) =>
+          val bins = Array.fill(64)(0L)
+          es.foreach { e =>
+            val b = math.min(63, math.max(0,
+              math.floor((e.value - lo) / (hi - lo) * 64).toInt))
+            bins(b) += 1
+          }
+          (t, es.length.toLong, bins.count(_ > 0L).toLong, bins.max)
+        }.toSet
+        assert(fin.toSet == expected)
+        assert(expected.nonEmpty)
+      } finally query.stop()
+    }
+  }
+
+  test("histogram streams reject a degenerate range loudly") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    intercept[IllegalArgumentException] {
+      EventStreams.histogramStream(input.toDS(), 5.0, 5.0)
+    }
+    intercept[IllegalArgumentException] {
+      EventStreams.histogramStreamTws(input.toDS(), 7.0, 2.0)
+    }
   }
 }
