@@ -175,6 +175,7 @@ object SparkEntry {
     "q146_manifest"       -> ((s, d) => Pipeline.trainingManifest(s, d)),
     "q147_shard_balance"  -> ((s, d) => Sharding.shardBalance(s, d)),
     "q148_rev_contrib"    -> ((s, d) => Relational.revenueContribution(s, d)),
+    "q149_incr_manifest"  -> ((s, d) => Pipeline.incrementalManifestBatch(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -513,6 +514,23 @@ object SparkEntry {
        |SELECT start_id, ${(1 to steps).map(i => s"v$i").mkString(", ")}
        |FROM w$steps""".stripMargin
   }
+
+  /** q146's oracle body — also the manifest STATE q149's incremental
+    * projection joins (one definition, both entries). */
+  private def manifestSql: String =
+    s"""SELECT d.doc_id, d.lang, d.source, d.n_chars,
+       |  CASE WHEN b.bucket < 80 THEN 'train'
+       |       WHEN b.bucket < 90 THEN 'validation'
+       |       ELSE 'test' END AS split,
+       |  qr.decile, lb.label AS cluster_id, e.label AS emb_label
+       |FROM documents d
+       |JOIN (SELECT doc_id,
+       |  ${md5Bits32Sql("'split:' || doc_id::VARCHAR", 1)} % 100 AS bucket
+       |  FROM documents) b USING (doc_id)
+       |JOIN ($qualityRankSql) qr USING (doc_id)
+       |JOIN (${dedupLabelCtes(5)}
+       |  SELECT doc_id, label FROM l5) lb USING (doc_id)
+       |LEFT JOIN embeddings e ON d.doc_id = e.vec_id""".stripMargin
 
   /** q136's oracle body — also the quality signal q138's filter rides
     * (one definition, both entries). */
@@ -2490,20 +2508,28 @@ object SparkEntry {
     "q145_random_walks" -> randomWalksSql(4),
     // the capstone manifest: split ⋈ quality decile ⋈ dedup cluster ⋈
     // embedding label, each sub-derivation shared with its own oracle
-    "q146_manifest" ->
-      s"""SELECT d.doc_id, d.lang, d.source, d.n_chars,
-         |  CASE WHEN b.bucket < 80 THEN 'train'
-         |       WHEN b.bucket < 90 THEN 'validation'
+    "q146_manifest" -> manifestSql,
+    // the incremental manifest: the last build's manifest as STATE, the
+    // 10% "arrived since" md5 bucket taking the arrival-time fallbacks
+    // (own-hash split, NULL decile/emb_label, singleton cluster)
+    "q149_incr_manifest" ->
+      s"""WITH m AS ($manifestSql),
+         |ib AS (SELECT doc_id,
+         |  ${md5Bits32Sql("'incr:' || doc_id::VARCHAR", 1)} % 100 AS bk
+         |  FROM documents),
+         |sb AS (SELECT doc_id,
+         |  ${md5Bits32Sql("'split:' || doc_id::VARCHAR", 1)} % 100 AS sbk
+         |  FROM documents)
+         |SELECT m.doc_id, m.lang, m.source, m.n_chars,
+         |  CASE WHEN ib.bk < 90 THEN m.split
+         |       WHEN sb.sbk < 80 THEN 'train'
+         |       WHEN sb.sbk < 90 THEN 'validation'
          |       ELSE 'test' END AS split,
-         |  qr.decile, lb.label AS cluster_id, e.label AS emb_label
-         |FROM documents d
-         |JOIN (SELECT doc_id,
-         |  ${md5Bits32Sql("'split:' || doc_id::VARCHAR", 1)} % 100 AS bucket
-         |  FROM documents) b USING (doc_id)
-         |JOIN ($qualityRankSql) qr USING (doc_id)
-         |JOIN (${dedupLabelCtes(5)}
-         |  SELECT doc_id, label FROM l5) lb USING (doc_id)
-         |LEFT JOIN embeddings e ON d.doc_id = e.vec_id""".stripMargin,
+         |  CASE WHEN ib.bk < 90 THEN m.decile END AS decile,
+         |  CASE WHEN ib.bk < 90 THEN m.cluster_id ELSE m.doc_id END AS cluster_id,
+         |  CASE WHEN ib.bk < 90 THEN m.emb_label END AS emb_label,
+         |  ib.bk >= 90 AS is_new
+         |FROM m JOIN ib USING (doc_id) JOIN sb USING (doc_id)""".stripMargin,
     // per-shard doc/token balance; shares as 1e6-quantized divisions of
     // exact integers over the nShards-row window
     "q147_shard_balance" ->

@@ -76,6 +76,17 @@ object Hashing {
   def md5Bits32(t: Column, from: Int): Column =
     conv(substring(md5(t), from, 8), 16, 10).cast("long")
 
+  /** JVM twin of `md5Bits32(_, 1) % mod` — for stateful processors that
+    * must make the same per-row hash-bucket decision outside Column
+    * space (e.g. the incremental manifest's fallback split). Kept next
+    * to the Column form so the two can never drift.
+    */
+  def md5BucketJvm(s: String, mod: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16) % mod
+  }
+
   /** 64-bit md5-derived token hash: (hi32 << 32) | lo32 of the first 16
     * hex nibbles. Bit k (weight 2^k) = bit k of lo for k<32, bit k-32 of
     * hi otherwise — the form the DuckDB oracle extracts without 64-bit

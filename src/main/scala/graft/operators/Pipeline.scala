@@ -81,4 +81,56 @@ object Pipeline {
       .join(clusters, "doc_id")
       .join(emb, Seq("doc_id"), "left")
   }
+
+  /** q149: the INCREMENTAL manifest — the batch projection (q47/q48/q92
+    * pattern) of the streaming manifest twin's join+fallback contract
+    * (streaming/CurationStream.ManifestProcessor): arriving documents
+    * join the per-doc manifest STATE the last batch build materialized;
+    * a doc the state does not cover — here the deterministic 10 %
+    * "arrived since the last build" md5 bucket, the q71 incremental-
+    * dedup discipline — takes the arrival-time fallbacks:
+    *
+    *   - split: from its OWN doc-id hash (the q52 rule is stateless
+    *     per-doc, so it is computable at arrival and agrees with what
+    *     the next batch build will assign — membership never drifts);
+    *   - decile: NULL (a within-language percentile needs corpus
+    *     context; the next build fills it);
+    *   - cluster_id: itself (a singleton until the next propagation);
+    *   - emb_label: NULL (not yet embedded);
+    *
+    * plus an is_new flag so downstream consumers can gate on catalog
+    * coverage. The processor is agnostic to HOW the state was built —
+    * this projection pins the join+fallback semantics against the
+    * oracle, and CurationStreamSpec pins state ≡ batch (the streamed
+    * arrivals reproduce exactly these rows micro-batch-split-
+    * independently).
+    *
+    * Scale: the state is a doc_id-keyed table (state-store-backed in the
+    * streaming form); the projection is one left join on doc_id plus
+    * scan-stage hash math — no new shuffles beyond the manifest's own.
+    */
+  def incrementalManifestBatch(spark: SparkSession, d: String,
+      knownPct: Int = 90): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Hashing
+    def bucketOf(c: org.apache.spark.sql.Column, salt: String) =
+      pmod(Hashing.md5Bits32(concat(lit(salt), c.cast("string")), 1), lit(100L))
+    val known = trainingManifest(spark, d)
+      .filter(bucketOf($"doc_id", "incr:") < knownPct)
+      .select($"doc_id", $"split".as("k_split"), $"decile".as("k_decile"),
+        $"cluster_id".as("k_cluster"), $"emb_label".as("k_emb"),
+        lit(true).as("known"))
+    val sbk = bucketOf($"doc_id", "split:")
+    documents(spark, d)
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+      .join(known, Seq("doc_id"), "left")
+      .select($"doc_id", $"lang", $"source", $"n_chars",
+        coalesce($"k_split",
+          when(sbk < 80, "train").when(sbk < 90, "validation")
+            .otherwise("test")).as("split"),
+        $"k_decile".as("decile"),
+        coalesce($"k_cluster", $"doc_id").as("cluster_id"),
+        $"k_emb".as("emb_label"),
+        (!coalesce($"known", lit(false))).as("is_new"))
+  }
 }

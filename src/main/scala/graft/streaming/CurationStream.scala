@@ -180,4 +180,85 @@ object CurationStream {
       .as[StreamDoc]
     budgetAdmission(deduped, budget)
   }
+
+  /** A document arrival for the incremental manifest (metadata only —
+    * the manifest never needs text).
+    */
+  case class DocArrival(doc_id: Long, ts: Timestamp, lang: String,
+      source: String, n_chars: Long)
+
+  /** The per-doc manifest state the last batch build materialized
+    * (operators.Pipeline.trainingManifest's derived columns).
+    */
+  case class ManifestSnap(split: String, decile: Long, cluster_id: Long,
+      emb_label: Option[Int])
+
+  /** One denormalized manifest record, emitted at arrival time. */
+  case class ManifestRow(doc_id: Long, lang: String, source: String,
+      n_chars: Long, split: String, decile: Option[Long], cluster_id: Long,
+      emb_label: Option[Int], is_new: Boolean)
+
+  /** The INCREMENTAL training manifest — closes the loop the curation
+    * stream starts (round-9 verdict #4): q146's denormalized record,
+    * produced AT ARRIVAL TIME by joining each incoming document against
+    * the doc_id-keyed manifest state of the last batch build, loaded as
+    * transformWithState INITIAL STATE (the Spark 4 bulk state-seeding
+    * surface — at scale the snapshot lives in the state store, not a
+    * broadcast). A doc the state does not cover takes the arrival-time
+    * fallbacks (hash split from its own id — stateless, so it agrees
+    * with the next build; NULL decile/emb_label; singleton cluster) and
+    * is flagged is_new.
+    *
+    * operators.Pipeline.incrementalManifestBatch is the relational
+    * projection of this exact contract (q149, oracle-checked);
+    * CurationStreamSpec asserts the state≡batch law: streamed arrivals
+    * reproduce the batch rows regardless of micro-batching.
+    */
+  class ManifestProcessor extends
+      org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, DocArrival, ManifestRow, ManifestSnap] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+
+    @transient private var st: ValueState[ManifestSnap] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[ManifestSnap](
+        "manifestSnap", Encoders.product[ManifestSnap], TTLConfig.NONE)
+
+    override def handleInitialState(key: Long, snap: ManifestSnap,
+        timerValues: TimerValues): Unit = st.update(snap)
+
+    override def handleInputRows(key: Long, rows: Iterator[DocArrival],
+        timerValues: TimerValues): Iterator[ManifestRow] = {
+      val snap = if (st.exists()) Some(st.get()) else None
+      rows.map { a =>
+        snap match {
+          case Some(s) => ManifestRow(a.doc_id, a.lang, a.source, a.n_chars,
+            s.split, Some(s.decile), s.cluster_id, s.emb_label, is_new = false)
+          case None =>
+            val sbk = graft.functions.Hashing.md5BucketJvm(s"split:${a.doc_id}", 100L)
+            val split = if (sbk < 80) "train"
+              else if (sbk < 90) "validation" else "test"
+            ManifestRow(a.doc_id, a.lang, a.source, a.n_chars,
+              split, None, a.doc_id, None, is_new = true)
+        }
+      }
+    }
+  }
+
+  /** `ManifestProcessor` wired to a snapshot: arrivals keyed by doc_id,
+    * the last build's manifest as initial state. Needs the RocksDB
+    * provider (multi-column-family state), like every transformWithState
+    * operator here.
+    */
+  def incrementalManifest(arrivals: Dataset[DocArrival],
+      snapshot: Dataset[(Long, ManifestSnap)]): Dataset[ManifestRow] = {
+    import arrivals.sparkSession.implicits._
+    arrivals
+      .groupByKey(_.doc_id)
+      .transformWithState(new ManifestProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append(),
+        snapshot.groupByKey(_._1).mapValues(_._2))
+  }
 }

@@ -114,4 +114,61 @@ class CurationStreamSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("incremental manifest: streamed arrivals equal the batch projection (state law)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.CurationStream.{DocArrival, ManifestRow, ManifestSnap}
+    val sf = "/root/testdata/sf0.001"
+    // the last build's state: the batch manifest restricted to the 90%
+    // "already cataloged" bucket — exactly what incrementalManifestBatch
+    // joins relationally
+    // materialized rows, not the live join lineage: the snapshot a real
+    // deployment seeds from is the last build's WRITTEN table (and the
+    // manifest join's PartitioningCollection trips a Spark initial-state
+    // co-partitioning requirement if passed as a raw plan)
+    val snapRows = graft.operators.Pipeline.trainingManifest(spark, sf)
+      .filter(org.apache.spark.sql.functions.pmod(
+        graft.functions.Hashing.md5Bits32(
+          org.apache.spark.sql.functions.concat(
+            org.apache.spark.sql.functions.lit("incr:"),
+            $"doc_id".cast("string")), 1),
+        org.apache.spark.sql.functions.lit(100L)) < 90)
+      .select($"doc_id", $"split", $"decile", $"cluster_id", $"emb_label")
+      .as[(Long, String, Long, Long, Option[Int])].collect()
+      .map { case (id, sp, dc, cl, el) => (id, ManifestSnap(sp, dc, cl, el)) }
+    val snapshot = spark.createDataset(snapRows.toIndexedSeq)
+    val arrivals = graft.core.Tables.documents(spark, sf)
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+      .as[(Long, String, String, Long)].collect()
+      .map { case (id, l, s, n) =>
+        DocArrival(id, ts("2024-01-01 00:00:00"), l, s, n) }
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[DocArrival]
+    val query = CurationStream.incrementalManifest(input.toDS(), snapshot)
+      .writeStream.format("memory").queryName("incr_manifest")
+      .outputMode("append").start()
+    try {
+      // arbitrary micro-batching must not matter: state is read-only per key
+      arrivals.grouped(math.max(1, arrivals.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq: _*)
+        query.processAllAvailable()
+      }
+      val streamed = spark.table("incr_manifest").as[ManifestRow].collect().toSet
+      val batch = graft.operators.Pipeline.incrementalManifestBatch(spark, sf)
+        .as[ManifestRow].collect().toSet
+      assert(streamed == batch, "streamed manifest drifted from the batch projection")
+      assert(batch.exists(_.is_new) && batch.exists(!_.is_new),
+        "fixture must exercise both the state-hit and fallback paths")
+    } finally {
+      query.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
