@@ -176,6 +176,12 @@ object SparkEntry {
     "q147_shard_balance"  -> ((s, d) => Sharding.shardBalance(s, d)),
     "q148_rev_contrib"    -> ((s, d) => Relational.revenueContribution(s, d)),
     "q149_incr_manifest"  -> ((s, d) => Pipeline.incrementalManifestBatch(s, d)),
+    "q150_session_overlap" -> ((s, d) => Windowed.sessionOverlap(s, d)),
+    "q151_scd2_history"   -> ((s, d) => Relational.scd2History(s, d)),
+    "q152_int8_audit"     -> ((s, d) => Similarity.int8QuantAudit(s, d)),
+    "q153_daily_anomaly"  -> ((s, d) => Windowed.dailyAnomaly(s, d)),
+    "q155_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
+    "q156_curriculum"     -> ((s, d) => Sampling.curriculumOrder(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -2835,6 +2841,140 @@ object SparkEntry {
         |  max(du.deg)::BIGINT AS max_nbr_deg
         |FROM nb JOIN deg du ON nb.u = du.v
         |GROUP BY 1""".stripMargin,
+    // range/interval join: the BETWEEN predicate written directly — the
+    // oracle-side luxury the Spark side earns back with the hour-cell
+    // bucketization (same rows, hash-join plan)
+    "q150_session_overlap" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu, value FROM events),
+        |g AS (SELECT *, CASE WHEN tsu - lag(tsu) OVER
+        |        (PARTITION BY user_id ORDER BY tsu, event_id) > 1800000000
+        |        THEN 1 ELSE 0 END AS gap FROM e),
+        |s AS (SELECT *, sum(gap) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS session_seq FROM g),
+        |sess AS (SELECT user_id, session_seq::BIGINT AS session_seq,
+        |         min(tsu) AS session_start_us, max(tsu) AS session_end_us
+        |         FROM s GROUP BY 1, 2),
+        |p AS (SELECT user_id AS p_user, epoch_us(ts) AS p_tsu, value
+        |      FROM events WHERE event_type = 'purchase'),
+        |hits AS (SELECT sess.user_id, sess.session_seq,
+        |         count(*)::BIGINT AS n_concurrent,
+        |         sum(p.value::DECIMAL(18,2))::DOUBLE AS concurrent_value
+        |         FROM sess JOIN p
+        |           ON p.p_tsu BETWEEN sess.session_start_us AND sess.session_end_us
+        |           AND p.p_user <> sess.user_id
+        |         GROUP BY 1, 2)
+        |SELECT sess.user_id, sess.session_seq, sess.session_start_us,
+        |  sess.session_end_us,
+        |  coalesce(hits.n_concurrent, 0)::BIGINT AS n_concurrent,
+        |  coalesce(hits.concurrent_value, 0.0)::DOUBLE AS concurrent_value
+        |FROM sess LEFT JOIN hits USING (user_id, session_seq)""".stripMargin,
+    // SCD-2: validity intervals from the changelog under the
+    // (ts, event_id) total order; -1 sentinel on the open version
+    "q151_scd2_history" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+        |             epoch_us(ts) AS tsu FROM events),
+        |v AS (SELECT user_id, event_id, event_type, value, tsu,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY tsu, event_id)::BIGINT AS version,
+        |  lead(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS nxt
+        |  FROM e)
+        |SELECT user_id, version, event_id, event_type, value,
+        |  tsu AS valid_from_us, coalesce(nxt, -1)::BIGINT AS valid_to_us,
+        |  nxt IS NULL AS is_current
+        |FROM v""".stripMargin,
+    // int8 quantization audit: per-dim min/max calibration over the
+    // shared 1e7 quantization, floor-chain codes/reconstruction, exact
+    // integer error mass (HUGEINT squares ≙ Spark's DECIMAL(38,0))
+    "q152_int8_audit" ->
+      """WITH ex AS (SELECT vec_id, label,
+        |  round(unnest(embedding)::DOUBLE * 10000000)::BIGINT AS e,
+        |  unnest(range(len(embedding))) AS i FROM embeddings),
+        |dims AS (SELECT i, min(e) AS mn, max(e) AS mx,
+        |         max(e) - min(e) AS rng FROM ex GROUP BY 1),
+        |c AS (SELECT label, e, mn, rng,
+        |        CASE WHEN rng = 0 THEN 0
+        |             ELSE ((e - mn) * 255) // rng END AS code
+        |      FROM ex JOIN dims USING (i)),
+        |r AS (SELECT label, e - (mn + (code * rng) // 255) AS err FROM c)
+        |SELECT label::BIGINT AS label, count(*)::BIGINT AS n_vals,
+        |  sum(err)::BIGINT AS sum_err, max(err)::BIGINT AS max_err,
+        |  sum(err::HUGEINT * err)::DOUBLE AS sum_sq_err_d,
+        |  sum(err)::DOUBLE / count(*)::DOUBLE AS mean_err,
+        |  sqrt(sum(err::HUGEINT * err)::DOUBLE / count(*)::DOUBLE) AS rmse
+        |FROM r GROUP BY 1""".stripMargin,
+    // daily anomaly: trailing-7-OBSERVED-day two-moment window, z as one
+    // identical-shape double chain; warm-up/degenerate rows NULL z
+    "q153_daily_anomaly" ->
+      """WITH dcounts AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS dy, count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, dy, cnt,
+        |    count(cnt) OVER tw AS n_prev,
+        |    sum(cnt) OVER tw AS s1,
+        |    sum(cnt * cnt) OVER tw AS s2
+        |  FROM dcounts WINDOW tw AS (PARTITION BY event_type ORDER BY dy
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |zs AS (SELECT event_type, dy, cnt, n_prev::BIGINT AS n_prev,
+        |    CASE WHEN n_prev >= 1 THEN s1::DOUBLE / n_prev::DOUBLE END AS mean_prev,
+        |    CASE WHEN n_prev = 7 AND n_prev * s2 - s1 * s1 > 0
+        |         THEN (cnt::DOUBLE - s1::DOUBLE / n_prev::DOUBLE)
+        |              / sqrt((n_prev * s2 - s1 * s1)::DOUBLE
+        |                     / (n_prev * (n_prev - 1))::DOUBLE) END AS z
+        |  FROM w)
+        |SELECT event_type, dy, cnt, n_prev, mean_prev, z,
+        |  coalesce(abs(z) >= 2.0, false) AS is_anomaly
+        |FROM zs""".stripMargin,
+    // hard negatives: the IVF default mirrored end to end (the q125
+    // dense-side CTEs), label-mismatch filter before the per-anchor
+    // top-k
+    "q155_hard_negatives" ->
+      s"""WITH $embedCtes,
+         |${kmeansCentroidCtes(8, 2)},
+         |evv AS (SELECT vec_id,
+         |  ${md5Bits32Sql("'eval:' || vec_id::VARCHAR", 1)} % 100 < 5 AS ev
+         |  FROM embeddings),
+         |ad AS (SELECT x.vec_id, c.cid, sum((x.e - c.cq) * (x.e - c.cq))::BIGINT AS dist
+         |       FROM ex x JOIN c2 c ON x.i = c.i GROUP BY 1, 2),
+         |adr AS (SELECT vec_id, cid,
+         |          row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |        FROM ad),
+         |asg AS (SELECT adr.vec_id, adr.cid FROM adr
+         |        JOIN evv ON adr.vec_id = evv.vec_id
+         |        WHERE rn = 1 AND NOT evv.ev),
+         |qp AS (SELECT adr.vec_id AS anchor_id, adr.cid FROM adr
+         |       JOIN evv ON adr.vec_id = evv.vec_id
+         |       WHERE rn <= 4 AND evv.ev),
+         |cand AS (SELECT qp.anchor_id, asg.vec_id AS neg_id
+         |         FROM qp JOIN asg ON qp.cid = asg.cid),
+         |dots AS (SELECT anchor_id, neg_id, sum(a.e * b.e)::DOUBLE AS dot
+         |  FROM cand JOIN ex a ON a.vec_id = cand.anchor_id
+         |  JOIN ex b ON b.vec_id = cand.neg_id AND b.i = a.i
+         |  GROUP BY 1, 2),
+         |cs AS (SELECT anchor_id, neg_id, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cos
+         |  FROM dots JOIN n2 na ON anchor_id = na.vec_id
+         |  JOIN n2 nb ON neg_id = nb.vec_id),
+         |fl AS (SELECT cs.anchor_id, la.label AS anchor_label,
+         |         cs.neg_id, lb.label AS neg_label, cs.cos
+         |       FROM cs
+         |       JOIN embeddings la ON cs.anchor_id = la.vec_id
+         |       JOIN embeddings lb ON cs.neg_id = lb.vec_id
+         |       WHERE la.label <> lb.label)
+         |SELECT anchor_id, anchor_label, neg_id, neg_label, cos, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY anchor_id
+         |    ORDER BY cos DESC, neg_id)::BIGINT AS rank FROM fl)
+         |WHERE rank <= 5""".stripMargin,
+    // curriculum order: the (decile DESC, md5 shuffle, doc_id) global
+    // rank — the oracle gets the single-window luxury, the Spark side
+    // the two-phase distributed rank; same total order, same positions
+    "q156_curriculum" ->
+      s"""WITH qr AS ($qualityRankSql),
+         |k AS (SELECT doc_id, decile,
+         |  ${md5Bits32Sql("'curr:' || doc_id::VARCHAR", 1)} AS shuf
+         |  FROM qr)
+         |SELECT doc_id, decile, shuf,
+         |  row_number() OVER (ORDER BY decile DESC, shuf, doc_id)::BIGINT
+         |    AS position
+         |FROM k""".stripMargin,
   )
 
   /** q126's oracle: the deterministic sync-LPA trajectory unrolled —

@@ -690,4 +690,32 @@ object Relational {
       .union(supplier(spark, d).select($"s_nationkey".as("nationkey")))
       .distinct()
   }
+
+  /** q151: SCD-2 history build — the other half of the CDC pair q143
+    * (SCD-1 latest-record) started: turn the per-user event changelog
+    * into versioned validity intervals. Each change row becomes
+    * [valid_from, valid_to) under the (ts, event_id) total order —
+    * `valid_to` = the next change's timestamp via `lead()`, the open
+    * current version carrying the −1 sentinel (the q113 convention) and
+    * `is_current = true`. The point-in-time-joinable dimension table
+    * every warehouse derives from a change stream.
+    *
+    * Scale: ONE shuffle on the natural user key; `version` (row_number)
+    * and `valid_to` (lead) ride the same window spec, so one
+    * per-partition sort serves both — never a global ordering. Values
+    * pass through untouched (no FP aggregation).
+    */
+  def scd2History(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"tsu", $"event_id")
+    events(spark, d)
+      .select($"user_id", $"event_id", $"event_type", $"value",
+        unix_micros($"ts").as("tsu"))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to_us", lead($"tsu", 1).over(w))
+      .select($"user_id", $"version", $"event_id", $"event_type", $"value",
+        $"tsu".as("valid_from_us"),
+        coalesce($"valid_to_us", lit(-1L)).as("valid_to_us"),
+        $"valid_to_us".isNull.as("is_current"))
+  }
 }

@@ -343,4 +343,50 @@ object Sampling {
       .select($"doc_id", $"w", $"pri",
         greatest($"w".cast("double"), coalesce($"tau", lit(0.0))).as("est_w"))
   }
+
+  /** q156: curriculum ordering — the final materialization step between
+    * q138's quality filter and the trainer's data loader: a GLOBAL,
+    * deterministic training order that presents higher-quality deciles
+    * first (quality curriculum) while shuffling WITHIN each decile by an
+    * md5 draw (no correlation between adjacent training examples — the
+    * property a sequential doc_id order lacks). Order key:
+    * (decile DESC, shuffle_hash ASC, doc_id ASC) — a total order, so
+    * `position` is unique and reproducible run-to-run.
+    *
+    * The global rank is computed with the two-phase DISTRIBUTED ranking
+    * (the rankedVocab machinery): range-partition on the order key,
+    * row_number within each range, add driver-collected range offsets.
+    * Equivalent to `row_number() OVER (ORDER BY …)` with no
+    * single-partition Exchange anywhere — a 100 TB corpus cannot be
+    * sorted through one node. The range-partitioned table is
+    * localCheckpoint-pinned for the same reason rankedVocab's is:
+    * range boundaries come from nondeterministic sampling, and a
+    * recomputed lineage could re-sample boundaries that no longer match
+    * the collected offsets.
+    *
+    * Rides q136's memo-shared decile calibration; the shuffle hash is
+    * the standard md5 bucket primitive with its own salt.
+    */
+  def curriculumOrder(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val keyed = Text.qualityRank(spark, d)
+      .select($"doc_id", $"decile",
+        Hashing.md5Bits32(concat(lit("curr:"), $"doc_id".cast("string")), 1)
+          .as("shuf"))
+    val parted = keyed
+      .repartitionByRange(spark.sparkContext.defaultParallelism,
+        $"decile".desc, $"shuf".asc, $"doc_id".asc)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val sizes = parted.groupBy($"pid").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets: Map[Int, Long] = sizes.map(_._1)
+      .zip(sizes.scanLeft(0L)(_ + _._2)).toMap
+    parted
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"pid")
+          .orderBy($"decile".desc, $"shuf".asc, $"doc_id".asc)))
+      .select($"doc_id", $"decile", $"shuf",
+        ($"rn".cast("long") + element_at(typedLit(offsets), $"pid")).as("position"))
+  }
 }

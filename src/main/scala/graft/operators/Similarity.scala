@@ -739,4 +739,122 @@ object Similarity {
         Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id".asc)))
       .filter($"rnk" <= k)
   }
+
+  /** q152: int8 quantization audit — the storage decision every
+    * embedding pipeline makes (fp32 → int8 cuts the vector store 4×)
+    * measured before it's taken: per-dimension min/max calibration over
+    * the 1e7-quantized corpus, symmetric-free affine codes
+    * `c = ⌊(v−min)·255/range⌋`, floor-chain reconstruction, and exact
+    * per-label error mass (Σ|err|, max|err|, Σerr² in DECIMAL(38)) with
+    * mean/RMSE as final single double steps. Everything before those two
+    * divisions is integer arithmetic on the shared 1e7 quantization —
+    * bit-identical cross-engine (the q119/q141 discipline).
+    *
+    * Scale: one posexplode pass + a 64-row per-dim aggregate broadcast
+    * back onto the second pass; per-label results are ≤|labels| rows.
+    * No windows, no driver collection.
+    */
+  def int8QuantAudit(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val ex = embeddings(spark, d)
+      .select($"vec_id", $"label", posexplode(quantize($"embedding")).as(Seq("i", "e")))
+    val dims = ex.groupBy($"i")
+      .agg(min($"e").as("mn"), max($"e").as("mx"))
+      .withColumn("rng", $"mx" - $"mn")
+    val coded = ex.join(broadcast(dims), "i")
+      .withColumn("code",
+        when($"rng" === 0L, 0L)
+          .otherwise(expr("((e - mn) * 255) div rng")))
+      .withColumn("recon", $"mn" + expr("(code * rng) div 255"))
+      .withColumn("err", $"e" - $"recon")
+    coded.groupBy($"label")
+      .agg(count(lit(1)).as("n_vals"),
+        sum($"err").as("sum_err"),
+        max($"err").as("max_err"),
+        sum(($"err" * $"err").cast("decimal(38,0)")).as("sum_sq_err"))
+      .select($"label".cast("long").as("label"), $"n_vals", $"sum_err", $"max_err",
+        $"sum_sq_err".cast("double").as("sum_sq_err_d"),
+        ($"sum_err".cast("double") / $"n_vals".cast("double")).as("mean_err"),
+        sqrt($"sum_sq_err".cast("double") / $"n_vals".cast("double")).as("rmse"))
+  }
+
+  /** q155: hard-negative mining — for each anchor in the 5 % "eval:"
+    * hash split, the top-`k` most-similar corpus vectors carrying a
+    * DIFFERENT label: the contrastive-training data prep step (the
+    * negatives that are hard precisely because they are near). The pair
+    * generator is PARAMETERIZED (the q55/q63/q125 pattern):
+    *
+    *  - default = the Lloyd-trained IVF probe (memo-shared (8, 2)
+    *    quantizer — the same training trajectory q55/q62/q67/q91/q125
+    *    ride): corpus vectors live in their exact-L2-nearest list,
+    *    anchors probe `nProbe` lists, candidates equi-join on the list
+    *    id — hash-partitioned, sub-quadratic, no BroadcastNestedLoop.
+    *  - `hardNegativesBrute` = the exact crossJoin rung (broadcast side
+    *    grows with the corpus — declared-quadratic, the recall reference
+    *    in DedupSimilaritySpec).
+    *
+    * Label filtering happens BEFORE the top-k window, so negatives are
+    * ranked only against each other; cosines are the exact quantized
+    * form, ties by vec_id — the whole default pipeline (training
+    * included) is mirrored by the q155 DuckDB oracle.
+    */
+  def hardNegatives(spark: SparkSession, d: String, k: Int = 5,
+      nLists: Int = 8, nProbe: Int = 4, updates: Int = 2): DataFrame = {
+    import spark.implicits._
+    val cents = lloydCentroids(spark, d, nLists, updates)
+    val opts = cents.sortBy(_._1).map { case (cid, q) =>
+      val c2 = q.map(x => x * x).sum
+      struct(
+        ($"n2" - lit(2L) * dotPreQ($"qemb", typedLit(q)) + lit(c2)).as("dist2"),
+        lit(cid).as("cid"))
+    }
+    val ranked = corpusWithNorm(spark, d)
+      .join(embeddings(spark, d).select($"vec_id", $"label"), "vec_id")
+      .select($"vec_id", $"label", $"qemb", $"n2", evalAnchor($"vec_id").as("ev"),
+        array_sort(array(opts.toIndexedSeq: _*)).as("ds"))
+    val corpusSide = ranked.filter(!$"ev")
+      .select($"vec_id".as("neg_id"), $"label".as("neg_label"), $"qemb", $"n2",
+        element_at($"ds", 1).getField("cid").as("list_id"))
+    val anchors = ranked.filter($"ev")
+      .select($"vec_id".as("anchor_id"), $"label".as("anchor_label"),
+        $"qemb".as("aq"), $"n2".as("an2"),
+        explode(transform(slice($"ds", 1, nProbe), p => p.getField("cid")))
+          .as("p_list"))
+    topKNegatives(
+      corpusSide.join(anchors, $"list_id" === $"p_list"), k)
+  }
+
+  /** The exact rung: every anchor against the whole corpus. */
+  def hardNegativesBrute(spark: SparkSession, d: String, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val emb = corpusWithNorm(spark, d)
+      .join(embeddings(spark, d).select($"vec_id", $"label"), "vec_id")
+      .withColumn("ev", evalAnchor($"vec_id"))
+    val anchors = emb.filter($"ev")
+      .select($"vec_id".as("anchor_id"), $"label".as("anchor_label"),
+        $"qemb".as("aq"), $"n2".as("an2"))
+    topKNegatives(
+      emb.filter(!$"ev")
+        .select($"vec_id".as("neg_id"), $"label".as("neg_label"), $"qemb", $"n2")
+        .crossJoin(broadcast(anchors)), k)
+  }
+
+  private def topKNegatives(pairs: DataFrame, k: Int): DataFrame = {
+    import pairs.sparkSession.implicits._
+    pairs
+      .filter($"neg_label" =!= $"anchor_label")
+      .select($"anchor_id", $"anchor_label", $"neg_id", $"neg_label",
+        cosineFromParts(dotPreQ($"aq", $"qemb"), $"an2", $"n2").as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"anchor_id").orderBy($"cos".desc, $"neg_id".asc))
+        .cast("long"))
+      .filter($"rank" <= k)
+  }
+
+  /** The 5 % "eval:" md5 split on vec_id — the same bucket that carves
+    * the retrieval family's query workload (vec_id ≡ doc_id).
+    */
+  private def evalAnchor(vecId: Column): Column =
+    pmod(graft.functions.Hashing.md5Bits32(
+      concat(lit("eval:"), vecId.cast("string")), 1), lit(100L)) < 5
 }

@@ -265,6 +265,102 @@ object Windowed {
       .agg(count(lit(1)).as("cnt"), stableSum($"value").as("sum_value"))
   }
 
+  /** q150: interval/range join — for every user session (the q28
+    * gap-split intervals), how many PURCHASE events from OTHER users
+    * fell inside it (concurrent marketplace activity during the
+    * session). The predicate is pure containment plus an inequality —
+    * `p.ts BETWEEN s.start AND s.end AND p.user <> s.user` — i.e. NO
+    * equi-key, the join shape Spark's planner can only express as a
+    * BroadcastNestedLoop (quadratic, broadcast side unbounded).
+    *
+    * Scale plan — coarse-cell bucketization, the standard distributed
+    * range-join decomposition: pick a cell width W (1 h), explode each
+    * interval into the hour cells it covers (`sequence(start div W,
+    * end div W)` — fan-out = duration/W + 1, bounded because sessions
+    * are gap-bounded), map each point to its ONE cell, hash-join on the
+    * cell id, then apply the exact containment predicate as a filter.
+    * Every qualifying (session, point) pair meets exactly once — the
+    * point contributes a single cell — so no post-join dedup. Candidate
+    * volume is Σ_cell sessions(cell)·points(cell): data that co-occurs
+    * in time meets, everything else never pairs. At 100 TB, W tunes the
+    * fan-out/selectivity trade exactly like `maxPartitionBytes` tunes a
+    * scan. Zero-match sessions are restored by a left join on the
+    * session key (the natural user-key shuffle).
+    *
+    * Determinism: bounds are exact unix micros, counts exact integers,
+    * the value sum rides the StableNum decimal discipline.
+    */
+  def sessionOverlap(spark: SparkSession, d: String,
+      cellUs: Long = 3600L * 1000000): DataFrame = {
+    import spark.implicits._
+    val sessions = sessionize(spark, d)
+      .select($"user_id", $"session_seq", $"session_start_us",
+        ($"session_start_us" + $"duration_us").as("session_end_us"))
+    val exploded = sessions.select($"user_id", $"session_seq",
+        $"session_start_us", $"session_end_us",
+        explode(sequence(expr(s"session_start_us div ${cellUs}L"),
+          expr(s"session_end_us div ${cellUs}L"))).as("cell"))
+    val points = events(spark, d)
+      .filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), unix_micros($"ts").as("p_tsu"),
+        $"value", expr(s"unix_micros(ts) div ${cellUs}L").as("cell"))
+    val hits = exploded.join(points, "cell")
+      .filter($"p_tsu" >= $"session_start_us" &&
+        $"p_tsu" <= $"session_end_us" && $"p_user" =!= $"user_id")
+      .groupBy($"user_id", $"session_seq")
+      .agg(count(lit(1)).as("n_concurrent"),
+        stableSum($"value").as("concurrent_value"))
+    sessions.join(hits, Seq("user_id", "session_seq"), "left")
+      .select($"user_id", $"session_seq", $"session_start_us", $"session_end_us",
+        coalesce($"n_concurrent", lit(0L)).as("n_concurrent"),
+        coalesce($"concurrent_value", lit(0.0)).as("concurrent_value"))
+  }
+
+  /** q153: daily volume anomaly detection — per event type, each day's
+    * event count z-scored against the TRAILING 7 OBSERVED days (rows-
+    * between window, so a silent day simply doesn't contribute a row —
+    * the operational monitor's convention). Mean and variance come from
+    * exact integer window sums (Σx, Σx² — the q137 two-moment identity,
+    * n·Σx²−(Σx)² never cancels catastrophically), the z itself is one
+    * identical-shape double chain in both engines, and days with fewer
+    * than 7 predecessors or zero variance emit NULL z (warm-up /
+    * degenerate — flagged false, never NaN).
+    *
+    * Scale: one hash aggregate onto (type, day) — map-side combine does
+    * the volume work — then a window over the tiny per-type day series
+    * (≤ types·days rows). The day id is exact integral division of unix
+    * micros (the q120 convention).
+    */
+  def dailyAnomaly(spark: SparkSession, d: String,
+      lookback: Int = 7, zThresh: Double = 2.0): DataFrame = {
+    import spark.implicits._
+    val dayUs = 86400L * 1000000
+    val daily = events(spark, d)
+      .select($"event_type", expr(s"unix_micros(ts) div ${dayUs}L").as("dy"))
+      .groupBy($"event_type", $"dy").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy($"event_type").orderBy($"dy")
+      .rowsBetween(-lookback, -1)
+    val stats = daily
+      .withColumn("n_prev", count($"cnt").over(w))
+      .withColumn("s1", sum($"cnt").over(w))
+      .withColumn("s2", sum($"cnt" * $"cnt").over(w))
+    val varNum = $"n_prev" * $"s2" - $"s1" * $"s1"
+    val meanPrev = $"s1".cast("double") / $"n_prev".cast("double")
+    val z = ($"cnt".cast("double") - meanPrev) /
+      sqrt(varNum.cast("double") /
+        ($"n_prev" * ($"n_prev" - 1L)).cast("double"))
+    stats
+      .withColumn("mean_prev",
+        when($"n_prev" >= 1L, meanPrev).otherwise(lit(null).cast("double")))
+      .withColumn("z",
+        when($"n_prev" === lookback.toLong && varNum > 0L, z)
+          .otherwise(lit(null).cast("double")))
+      .withColumn("is_anomaly",
+        coalesce(abs($"z") >= zThresh, lit(false)))
+      .select($"event_type", $"dy", $"cnt", $"n_prev", $"mean_prev",
+        $"z", $"is_anomaly")
+  }
+
   def eventPaths(spark: SparkSession, d: String, k: Int = 20): DataFrame = {
     import spark.implicits._
     val seqW = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
