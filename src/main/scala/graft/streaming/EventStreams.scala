@@ -269,6 +269,94 @@ object EventStreams {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  case class AnomalyRow(event_type: String, dy: Long, cnt: Long, n_prev: Long,
+      mean_prev: Option[Double], z: Option[Double], is_anomaly: Boolean,
+      state_n: Long)
+
+  /** Day-count vector state (parallel arrays, product encoder). */
+  case class DayCounts(days: Array[Long], counts: Array[Long])
+
+  /** The q153 anomaly monitor's math on an in-memory day series — ONE
+    * definition shared by the streaming state and the spec's law, with
+    * the identical double chain the batch operator (and its DuckDB
+    * oracle) uses: mean = Σ/n, z = (cnt − Σ/n) / √((n·Σx²−Σx²)/(n(n−1))).
+    */
+  private[streaming] def anomalySeries(t: String, dayCounts: Seq[(Long, Long)],
+      lookback: Int, zThresh: Double): Seq[AnomalyRow] = {
+    val sorted = dayCounts.sortBy(_._1)
+    val stateN = sorted.map(_._2).sum
+    sorted.indices.map { i =>
+      val (dy, cnt) = sorted(i)
+      val prev = sorted.slice(math.max(0, i - lookback), i).map(_._2)
+      val n = prev.length.toLong
+      val s1 = prev.sum
+      val s2 = prev.map(c => c * c).sum
+      val mean = if (n >= 1) Some(s1.toDouble / n.toDouble) else None
+      val varNum = n * s2 - s1 * s1
+      val z = if (n == lookback.toLong && varNum > 0)
+        Some((cnt.toDouble - s1.toDouble / n.toDouble) /
+          math.sqrt(varNum.toDouble / (n * (n - 1)).toDouble))
+      else None
+      AnomalyRow(t, dy, cnt, n, mean, z,
+        z.exists(v => math.abs(v) >= zThresh), stateN)
+    }
+  }
+
+  /** q153's daily-volume anomaly monitor in streaming form, on the
+    * Spark 4 `transformWithState` surface (the whole monitoring family
+    * rides the modern API — see HllProcessor): per event type the state
+    * is the (day → count) vector, and each micro-batch folds its rows in
+    * by count ADDITION — which IS the daily-histogram merge, so the
+    * final state is independent of how the stream is micro-batched
+    * (EventStreamsSpec asserts equality against `Windowed.dailyAnomaly`
+    * over the same rows, arbitrary split). Every batch re-emits the
+    * key's full z-scored series — late-arriving rows for an EARLIER day
+    * legitimately revise a later day's trailing stats, and the
+    * re-emission (Update mode) is what propagates that revision;
+    * `state_n` (total rows folded) is the monotone version stamp that
+    * identifies the final emission. Production GC: the day vector is
+    * bounded by observed days; a TTLConfig on the state (or dropping
+    * days older than the lookback horizon at fold time) caps it — the
+    * fixture keeps TTL off so the law is exact.
+    */
+  class AnomalyProcessor(lookback: Int, zThresh: Double) extends
+      org.apache.spark.sql.streaming.StatefulProcessor[String, Event, AnomalyRow] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+
+    @transient private var st: ValueState[DayCounts] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[DayCounts](
+        "dayCounts", Encoders.product[DayCounts], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[AnomalyRow] = {
+      val m = scala.collection.mutable.LongMap.empty[Long]
+      if (st.exists()) {
+        val dc = st.get()
+        dc.days.zip(dc.counts).foreach { case (d, c) => m(d) = c }
+      }
+      rows.foreach { e =>
+        val micros = e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+        val dy = micros / 86400000000L
+        m(dy) = m.getOrElse(dy, 0L) + 1L
+      }
+      val pairs = m.toSeq.sortBy(_._1)
+      st.update(DayCounts(pairs.map(_._1).toArray, pairs.map(_._2).toArray))
+      anomalySeries(key, pairs, lookback, zThresh).iterator
+    }
+  }
+
+  def anomalyStream(events: Dataset[Event], lookback: Int = 7,
+      zThresh: Double = 2.0): Dataset[AnomalyRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .transformWithState(new AnomalyProcessor(lookback, zThresh),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   def runningUserTotals(events: Dataset[Event]): Dataset[UserTotals] = {
     import events.sparkSession.implicits._
     events

@@ -199,6 +199,44 @@ class EventStreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("anomaly stream state equals the q153 batch monitor across an arbitrary batch split") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val all = graft.core.Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect()
+    withRuntime(tws = true) {
+      val input = MemoryStream[Event]
+      val query = EventStreams.anomalyStream(input.toDS())
+        .writeStream.format("memory").queryName("anomaly_stream")
+        .outputMode("update").start()
+      try {
+        // five arbitrary micro-batches: count ADDITION is the daily-
+        // histogram merge, so the final series must not depend on the
+        // split — even though mid-stream batches emit PROVISIONAL z
+        // values that later batches legitimately revise
+        all.grouped(math.max(1, all.length / 5 + 1)).foreach { chunk =>
+          input.addData(chunk.toIndexedSeq: _*)
+          query.processAllAvailable()
+        }
+        val rows = spark.table("anomaly_stream")
+          .as[(String, Long, Long, Long, Option[Double], Option[Double],
+            Boolean, Long)].collect()
+        // state_n is the monotone version stamp: final emission per type
+        val fin = rows.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+          val last = rs.map(_._8).max
+          rs.filter(_._8 == last).toSeq
+        }.map(r => (r._1, r._2, r._3, r._4, r._5, r._6, r._7)).toSet
+        val batch = graft.operators.Windowed.dailyAnomaly(spark, sf)
+          .as[(String, Long, Long, Long, Option[Double], Option[Double], Boolean)]
+          .collect().toSet
+        assert(fin == batch)
+        assert(batch.exists(_._6.isDefined), "fixture reaches past warm-up")
+      } finally query.stop()
+    }
+  }
+
   for ((label, tws) <- sketchRuntimes)
   test(s"histogram stream [$label] bins equal a batch recompute across a batch split") {
     import spark.implicits._
