@@ -180,8 +180,10 @@ object SparkEntry {
     "q151_scd2_history"   -> ((s, d) => Relational.scd2History(s, d)),
     "q152_int8_audit"     -> ((s, d) => Similarity.int8QuantAudit(s, d)),
     "q153_daily_anomaly"  -> ((s, d) => Windowed.dailyAnomaly(s, d)),
+    "q154_fertility"      -> ((s, d) => Text.tokenizerFertility(s, d)),
     "q155_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
     "q156_curriculum"     -> ((s, d) => Sampling.curriculumOrder(s, d)),
+    "q157_zone_map"       -> ((s, d) => Sharding.shardZoneMap(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -312,6 +314,33 @@ object SparkEntry {
        |       coalesce(pd.n_pieces::DOUBLE / pd.n_bpe_words::DOUBLE, 0.0)
        |         AS mean_pieces
        |FROM (SELECT doc_id FROM documents) d LEFT JOIN pd ON d.doc_id = pd.doc_id""".stripMargin
+  }
+
+  /** q154's oracle: the q94 encode chain kept per (lang, word-length),
+    * aggregated to the per-language fertility/compression ratios.
+    */
+  private def fertilitySql(nMerges: Int): String = {
+    val encExpr = (1 to nMerges).foldLeft("regexp_replace(w, '(.)', '|\\1|', 'g')") {
+      (acc, j) =>
+        s"""replace($acc,
+           |  coalesce((SELECT '|' || lsym || '||' || rsym || '|' FROM b$j), chr(1)),
+           |  coalesce((SELECT '|' || lsym || rsym || '|' FROM b$j), chr(1)))""".stripMargin
+    }
+    bpeStepCtes(nMerges) + s""",
+       |enc AS (SELECT lang, strlen(w)::BIGINT AS wlen, $encExpr AS s
+       |        FROM (SELECT lang,
+       |                unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+       |              FROM documents)
+       |        WHERE regexp_full_match(w, '[a-z]+') AND strlen(w) >= 2),
+       |agg AS (SELECT lang, count(*)::BIGINT AS n_words,
+       |          sum(wlen)::BIGINT AS n_chars,
+       |          sum((strlen(s) - strlen(replace(s, '||', ''))) // 2 + 1)::BIGINT
+       |            AS n_pieces
+       |        FROM enc GROUP BY 1)
+       |SELECT lang, n_words, n_chars, n_pieces,
+       |  n_pieces::DOUBLE / n_words::DOUBLE AS fertility,
+       |  n_chars::DOUBLE / n_pieces::DOUBLE AS chars_per_piece
+       |FROM agg""".stripMargin
   }
 
   /** q98: the batch-perceptron trajectory unrolled as epoch CTEs —
@@ -2963,6 +2992,30 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY anchor_id
          |    ORDER BY cos DESC, neg_id)::BIGINT AS rank FROM fl)
          |WHERE rank <= 5""".stripMargin,
+    // per-language fertility under the trained BPE (the q79/q94 chain)
+    "q154_fertility" -> fertilitySql(3),
+    // zone-map manifest for both shard layouts; the range layout's block
+    // width mirrors the Spark scalar ((hi-lo) div n + 1)
+    "q157_zone_map" ->
+      s"""WITH ids AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi
+         |            FROM documents),
+         |h AS (SELECT doc_id, n_chars,
+         |        ${md5Bits32Sql("'shard:' || doc_id::VARCHAR", 1)} % 8 AS shard
+         |      FROM documents),
+         |r AS (SELECT doc_id, n_chars,
+         |        (doc_id - lo) // ((hi - lo) // 8 + 1) AS shard
+         |      FROM documents, ids),
+         |z AS (SELECT 'hash' AS layout, shard, count(*)::BIGINT AS n_docs,
+         |        min(doc_id) AS min_id, max(doc_id) AS max_id,
+         |        min(n_chars) AS min_chars, max(n_chars) AS max_chars
+         |      FROM h GROUP BY 1, 2
+         |      UNION ALL
+         |      SELECT 'range', shard, count(*)::BIGINT,
+         |        min(doc_id), max(doc_id), min(n_chars), max(n_chars)
+         |      FROM r GROUP BY 1, 2)
+         |SELECT layout, shard, n_docs, min_id, max_id,
+         |  max_id - min_id AS id_range, min_chars, max_chars
+         |FROM z""".stripMargin,
     // curriculum order: the (decile DESC, md5 shuffle, doc_id) global
     // rank — the oracle gets the single-window luxury, the Spark side
     // the two-phase distributed rank; same total order, same positions

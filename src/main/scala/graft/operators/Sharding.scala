@@ -66,6 +66,53 @@ object Sharding {
           * 1000000.0).cast("long"))
   }
 
+  /** q157: shard zone-map manifest — the per-file min/max statistics a
+    * table format (Iceberg/Delta-style data skipping) keeps for every
+    * shard, computed for BOTH layouts this engine can write, so the
+    * layout choice is made on evidence:
+    *
+    *  - `hash` (the q70 md5 plan): balanced (q147 proves it) but each
+    *    shard's doc_id zone spans essentially the whole corpus —
+    *    `id_range` ≈ max_id − min_id everywhere, so a point/range lookup
+    *    on doc_id can skip NOTHING.
+    *  - `range` (contiguous doc_id blocks of width ⌈span/n⌉ — what
+    *    writeShards' sort gives WITHIN files, applied across them):
+    *    disjoint zones, so a doc_id predicate prunes all but one shard —
+    *    at the price of balance only as good as the id distribution.
+    *
+    * The classic skew-vs-skipping trade, emitted as one relation:
+    * (layout, shard, n_docs, min_id, max_id, id_range, min_chars,
+    * max_chars). n_chars zones are kept because length predicates
+    * ("drop tiny docs") are the other common skip dimension.
+    *
+    * Determinism: pure integer min/max/counts. The range layout's block
+    * width derives from the corpus id span via one eager scalar (the A3
+    * closed-over-scalar shape — q07/q116 precedent).
+    *
+    * Scale: two |shards|-row aggregates with map-side combine; no
+    * windows, no joins. At 100 TB this IS the manifest the writer
+    * emits file by file.
+    */
+  def shardZoneMap(spark: SparkSession, d: String, nShards: Int = 8): DataFrame = {
+    import spark.implicits._
+    val docs = documents(spark, d).select($"doc_id", $"n_chars")
+    val idr = docs.agg(min($"doc_id"), max($"doc_id")).head()
+    val (lo, hi) = (idr.getLong(0), idr.getLong(1))
+    val width = (hi - lo) / nShards + 1
+    def zones(tagged: DataFrame, layout: String): DataFrame =
+      tagged.groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"),
+          min($"doc_id").as("min_id"), max($"doc_id").as("max_id"),
+          min($"n_chars").as("min_chars"), max($"n_chars").as("max_chars"))
+        .select(lit(layout).as("layout"), $"shard", $"n_docs",
+          $"min_id", $"max_id", ($"max_id" - $"min_id").as("id_range"),
+          $"min_chars", $"max_chars")
+    zones(docs.withColumn("shard", shardOf($"doc_id", nShards)), "hash")
+      .unionByName(
+        zones(docs.withColumn("shard",
+          expr(s"(doc_id - ${lo}L) div ${width}L")), "range"))
+  }
+
   /** Materialize the shards: one directory per shard id, doc_id-sorted
     * within each partition's file.
     */

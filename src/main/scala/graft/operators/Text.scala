@@ -298,6 +298,50 @@ object Text {
           .as("mean_pieces"))
   }
 
+  /** q154: tokenizer fertility audit — the multilingual-fairness check
+    * on the TRAINED tokenizer (q79's BPE): per language, exact word /
+    * character / piece counts under the q94 encode, and the two ratios
+    * tokenizer work tracks — fertility (pieces per word: how many
+    * subwords the tokenizer spends on a language's average word) and
+    * compression (characters per piece). A language with materially
+    * higher fertility pays a "token tax" — fewer effective characters
+    * per context window and per training FLOP — which is exactly the
+    * inequity a corpus datasheet must surface before mixing weights are
+    * chosen (q54/q101 consume these counts' implications).
+    *
+    * Determinism: counts are exact integers off the SAME encode chain
+    * as q94 (merge trajectory memo-shared, one training loop per
+    * session); the two ratios are single double divisions.
+    *
+    * Scale: the encode is a scan-stage chain of literal replaces; the
+    * only shuffle is the |languages|-row aggregate with map-side
+    * combine.
+    */
+  def tokenizerFertility(spark: SparkSession, d: String, nMerges: Int = 3): DataFrame = {
+    import spark.implicits._
+    val merges = bpeTrained(spark, d, nMerges).orderBy($"step").collect()
+    val words = documents(spark, d)
+      .select($"doc_id", $"lang", explode(tokens($"text")).as("w"))
+      .filter($"w".rlike("^[a-z]+$") && length($"w") >= 2)
+    var enc: Column = regexp_replace($"w", "(.)", "|$1|")
+    merges.foreach { r =>
+      val (l, rr) = (r.getString(1), r.getString(2))
+      enc = replace(enc, lit(s"|$l||$rr|"), lit(s"|$l$rr|"))
+    }
+    words
+      .select($"lang", length($"w").cast("long").as("wlen"), enc.as("s"))
+      .select($"lang", $"wlen",
+        ((length($"s") - length(replace($"s", lit("||"), lit("")))) / 2 + 1)
+          .cast("long").as("pieces"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum($"wlen").as("n_chars"),
+        sum($"pieces").as("n_pieces"))
+      .select($"lang", $"n_words", $"n_chars", $"n_pieces",
+        ($"n_pieces".cast("double") / $"n_words".cast("double")).as("fertility"),
+        ($"n_chars".cast("double") / $"n_pieces".cast("double")).as("chars_per_piece"))
+  }
+
   def bpeTrain(spark: SparkSession, d: String, nMerges: Int = 3): DataFrame = {
     import spark.implicits._
     var words = documents(spark, d)

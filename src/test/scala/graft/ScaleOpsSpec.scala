@@ -187,6 +187,47 @@ class ScaleOpsSpec extends AnyFunSuite {
       "default generator must candidate-join on the IVF list id")
   }
 
+  test("tokenizerFertility: piece mass conserves against the per-doc q94 encode") {
+    import spark.implicits._
+    val perLang = graft.operators.Text.tokenizerFertility(spark, sf)
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+    assert(perLang.nonEmpty)
+    perLang.foreach { case (lang, nw, nc, np, fert, cpp) =>
+      assert(np >= nw, s"$lang: every word has at least one piece")
+      assert(np <= nc, s"$lang: pieces cannot outnumber characters")
+      assert(fert == np.toDouble / nw.toDouble && fert >= 1.0, s"$lang fertility")
+      assert(cpp == nc.toDouble / np.toDouble && cpp >= 1.0, s"$lang compression")
+    }
+    // the same trained trajectory drives q94: total piece/word mass agrees
+    val perDoc = graft.operators.Text.bpeEncode(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(perLang.map(_._2).sum == perDoc.map(_._2).sum, "word mass")
+    assert(perLang.map(_._4).sum == perDoc.map(_._3).sum, "piece mass")
+  }
+
+  test("shardZoneMap: range zones are disjoint and skippable, hash zones are not") {
+    import spark.implicits._
+    val rows = graft.operators.Sharding.shardZoneMap(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    val (hash, range) = rows.partition(_._1 == "hash")
+    assert(hash.map(_._3).sum == nDocs && range.map(_._3).sum == nDocs,
+      "both layouts cover the corpus")
+    val span = rows.map(_._5).max - rows.map(_._4).min
+    // hash shards: every zone spans essentially the whole id space —
+    // a doc_id predicate can skip nothing
+    hash.foreach { case (_, s, _, _, _, idr, _, _) =>
+      assert(idr > span / 2, s"hash shard $s zone should span the corpus (got $idr/$span)")
+    }
+    // range shards: zones are pairwise disjoint — one-shard lookups
+    val sorted = range.sortBy(_._4)
+    sorted.sliding(2).foreach {
+      case Array(a, b) => assert(a._5 < b._4,
+        s"range shards ${a._2}/${b._2} zones overlap")
+      case _ =>
+    }
+  }
+
   test("curriculumOrder: positions = the global (decile DESC, shuf, doc_id) rank, " +
       "no single-partition exchange") {
     import spark.implicits._
