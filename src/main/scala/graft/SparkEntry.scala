@@ -184,6 +184,7 @@ object SparkEntry {
     "q155_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
     "q156_curriculum"     -> ((s, d) => Sampling.curriculumOrder(s, d)),
     "q157_zone_map"       -> ((s, d) => Sharding.shardZoneMap(s, d)),
+    "q158_vocab_overlap"  -> ((s, d) => Text.vocabOverlap(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -3028,6 +3029,24 @@ object SparkEntry {
          |  row_number() OVER (ORDER BY decile DESC, shuf, doc_id)::BIGINT
          |    AS position
          |FROM k""".stripMargin,
+    // cross-source vocabulary overlap: distinct (source, type) self-join,
+    // exact-integer Jaccard / OOV ratios (1e6 floor-quantized)
+    "q158_vocab_overlap" ->
+      s"""WITH toks AS (
+         |  SELECT source, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |    t -> regexp_full_match(t, '[a-z]+') AND NOT list_contains($stopList, t)) AS ws
+         |  FROM documents),
+         |v AS (SELECT DISTINCT source, unnest(ws) AS w FROM toks),
+         |sz AS (SELECT source, count(*)::BIGINT AS vsz FROM v GROUP BY 1),
+         |i AS (SELECT a.source AS src_a, b.source AS src_b,
+         |        count(*)::BIGINT AS common
+         |      FROM v a JOIN v b ON a.w = b.w AND a.source < b.source
+         |      GROUP BY 1, 2)
+         |SELECT src_a, src_b, common, sa.vsz AS vocab_a, sb.vsz AS vocab_b,
+         |  common * 1000000 // (sa.vsz + sb.vsz - common) AS jaccard_q6,
+         |  (sb.vsz - common) * 1000000 // sb.vsz AS oov_b_q6
+         |FROM i JOIN sz sa ON src_a = sa.source
+         |       JOIN sz sb ON src_b = sb.source""".stripMargin,
   )
 
   /** q126's oracle: the deterministic sync-LPA trajectory unrolled —

@@ -1489,4 +1489,38 @@ object Text {
         coalesce($"dup3_cov", lit(0L)).cast("long").as("dup3_cov"))
       .withColumn("dup3_frac", $"dup3_cov".cast("double") / $"n_tokens")
   }
+
+  /** q158: cross-source vocabulary overlap — for every source pair, the
+    * shared-type count, per-source vocabulary sizes, exact-integer
+    * Jaccard, and the OOV rate of B's vocabulary against A (the "how
+    * much new vocabulary does this source add" signal for mixture
+    * planning and tokenizer-coverage audits).
+    *
+    * Scale design: the join input is the DISTINCT (source, type) set, so
+    * every token key appears at most |sources| times — the self-join's
+    * per-key fan-out is bounded by |sources|² regardless of corpus
+    * token mass, and its key cardinality is the vocabulary (corpus-
+    * sublinear). The per-source size table is |sources| rows, broadcast.
+    * Ratios are exact integer floor-divisions (1e6-quantized) so both
+    * engines agree bit-for-bit.
+    */
+  def vocabOverlap(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val v = documents(spark, d)
+      .select($"source", explode(cleanTokens($"text")).as("w"))
+      .distinct()
+    val sizes = v.groupBy($"source").agg(count(lit(1)).as("vsz"))
+    val inter = v.as("a").join(v.as("b"),
+        $"a.w" === $"b.w" && $"a.source" < $"b.source")
+      .groupBy($"a.source".as("src_a"), $"b.source".as("src_b"))
+      .agg(count(lit(1)).as("common"))
+    inter
+      .join(broadcast(sizes.as("sa")), $"src_a" === $"sa.source")
+      .join(broadcast(sizes.as("sb")), $"src_b" === $"sb.source")
+      .select($"src_a", $"src_b", $"common",
+        $"sa.vsz".as("vocab_a"), $"sb.vsz".as("vocab_b"),
+        expr("common * 1000000L div (sa.vsz + sb.vsz - common)")
+          .as("jaccard_q6"),
+        expr("(sb.vsz - common) * 1000000L div sb.vsz").as("oov_b_q6"))
+  }
 }
