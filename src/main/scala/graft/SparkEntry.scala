@@ -185,6 +185,7 @@ object SparkEntry {
     "q156_curriculum"     -> ((s, d) => Sampling.curriculumOrder(s, d)),
     "q157_zone_map"       -> ((s, d) => Sharding.shardZoneMap(s, d)),
     "q158_vocab_overlap"  -> ((s, d) => Text.vocabOverlap(s, d)),
+    "q159_growth"         -> ((s, d) => Windowed.periodGrowth(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -3047,6 +3048,23 @@ object SparkEntry {
          |  (sb.vsz - common) * 1000000 // sb.vsz AS oov_b_q6
          |FROM i JOIN sz sa ON src_a = sa.source
          |       JOIN sz sb ON src_b = sb.source""".stripMargin,
+    // week-over-week growth vs previous OBSERVED week; integer count
+    // ratio, double chain over the exact DECIMAL value sums
+    "q159_growth" ->
+      """WITH wk AS (
+        |  SELECT event_type, ((epoch_us(ts) // 1000000) // 604800) AS week_id,
+        |    count(*)::BIGINT AS cnt,
+        |    sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT *,
+        |  lag(cnt) OVER (PARTITION BY event_type ORDER BY week_id) AS prev_cnt,
+        |  lag(sum_value) OVER (PARTITION BY event_type ORDER BY week_id)
+        |    AS prev_value
+        |  FROM wk)
+        |SELECT event_type, week_id, cnt, sum_value, prev_cnt,
+        |  (cnt - prev_cnt) * 1000000 // prev_cnt AS cnt_wow_q6,
+        |  (sum_value - prev_value) / nullif(prev_value, 0.0) AS value_wow
+        |FROM g""".stripMargin,
   )
 
   /** q126's oracle: the deterministic sync-LPA trajectory unrolled —

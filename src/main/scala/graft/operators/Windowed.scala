@@ -361,6 +361,38 @@ object Windowed {
         $"z", $"is_anomaly")
   }
 
+  /** q159: period-over-period growth report — weekly event counts and
+    * exact value sums per type, each compared to the previous OBSERVED
+    * week (lag window — a silent week doesn't contribute a row, the
+    * q153 convention). Count growth is an exact integer ratio
+    * ((cur−prev)·1e6 div prev — both engines truncate toward zero);
+    * value growth is one identical-shape double chain over the exact
+    * DECIMAL sums. First observed week per type emits NULLs.
+    *
+    * Scale: one hash aggregate onto (type, week) — map-side combine
+    * collapses the fact volume — then a lag window over the tiny
+    * per-type week series (≤ types·weeks rows).
+    */
+  def periodGrowth(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val weekS = 604800L
+    val wk = events(spark, d)
+      .select($"event_type",
+        expr(s"(unix_micros(ts) div 1000000L) div ${weekS}L").as("week_id"),
+        $"value")
+      .groupBy($"event_type", $"week_id")
+      .agg(count(lit(1)).as("cnt"), stableSum($"value").as("sum_value"))
+    val w = Window.partitionBy($"event_type").orderBy($"week_id")
+    wk.withColumn("prev_cnt", lag($"cnt", 1).over(w))
+      .withColumn("prev_value", lag($"sum_value", 1).over(w))
+      .withColumn("cnt_wow_q6",
+        expr("(cnt - prev_cnt) * 1000000L div prev_cnt"))
+      .withColumn("value_wow",
+        ($"sum_value" - $"prev_value") / nullif($"prev_value", lit(0.0)))
+      .select($"event_type", $"week_id", $"cnt", $"sum_value",
+        $"prev_cnt", $"cnt_wow_q6", $"value_wow")
+  }
+
   def eventPaths(spark: SparkSession, d: String, k: Int = 20): DataFrame = {
     import spark.implicits._
     val seqW = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
