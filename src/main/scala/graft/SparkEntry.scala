@@ -186,6 +186,7 @@ object SparkEntry {
     "q157_zone_map"       -> ((s, d) => Sharding.shardZoneMap(s, d)),
     "q158_vocab_overlap"  -> ((s, d) => Text.vocabOverlap(s, d)),
     "q159_growth"         -> ((s, d) => Windowed.periodGrowth(s, d)),
+    "q160_attribution"    -> ((s, d) => Windowed.linearAttribution(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -3065,6 +3066,34 @@ object SparkEntry {
         |  (cnt - prev_cnt) * 1000000 // prev_cnt AS cnt_wow_q6,
         |  (sum_value - prev_value) / nullif(prev_value, 0.0) AS value_wow
         |FROM g""".stripMargin,
+    // linear multi-touch attribution: exact 1e-6-unit shares, remainder
+    // to the last touch, 'direct' bucket for touchless purchases
+    "q160_attribution" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+        |              epoch_us(ts) AS tsu, value FROM events),
+        |p AS (SELECT event_id AS p_id, user_id, tsu AS p_tsu,
+        |        (value::DECIMAL(18,2) * 100)::BIGINT AS cents
+        |      FROM ev WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, event_id AS t_id, event_type AS touch_type,
+        |        tsu AS t_tsu
+        |      FROM ev WHERE event_type IN ('view', 'click')),
+        |j AS (SELECT * FROM p JOIN t USING (user_id)
+        |      WHERE t_tsu < p_tsu AND t_tsu >= p_tsu - 86400000000),
+        |r AS (SELECT *, count(*) OVER (PARTITION BY p_id) AS n_touch,
+        |        row_number() OVER (PARTITION BY p_id
+        |          ORDER BY t_tsu DESC, t_id DESC) AS rk,
+        |        cents * 10000 AS unit
+        |      FROM j),
+        |s AS (SELECT touch_type, unit // n_touch +
+        |        CASE WHEN rk = 1 THEN unit % n_touch ELSE 0 END AS share
+        |      FROM r
+        |      UNION ALL
+        |      SELECT 'direct', cents * 10000 FROM p
+        |      WHERE p_id NOT IN (SELECT p_id FROM j))
+        |SELECT touch_type, count(*)::BIGINT AS n_contribs,
+        |  sum(share)::BIGINT AS attributed_q6,
+        |  sum(share)::BIGINT / 1000000.0 AS attributed
+        |FROM s GROUP BY 1""".stripMargin,
   )
 
   /** q126's oracle: the deterministic sync-LPA trajectory unrolled —

@@ -393,6 +393,50 @@ object Windowed {
         $"prev_cnt", $"cnt_wow_q6", $"value_wow")
   }
 
+  /** q160: linear multi-touch revenue attribution — each purchase's value
+    * is split equally across the user's view/click touchpoints in the
+    * preceding 24 h; touchless purchases land in a 'direct' bucket.
+    * Shares are exact integers in 1e-6-value units (cents·1e4 div
+    * touches), with the division remainder assigned to the LAST touch
+    * before the purchase (deterministic (t_tsu, t_id) DESC rank), so the
+    * attributed mass conserves the purchase mass exactly — a spec law.
+    *
+    * Scale: the touch↔purchase pairing is an equi-join on user_id with
+    * the 24 h range as a residual filter — per-key fan-out is bounded by
+    * per-user activity (whale users take the q33 salting treatment), and
+    * the share windows are keyed by purchase id, never global. The
+    * output aggregate is |touch types|+1 rows with map-side combine.
+    */
+  def linearAttribution(spark: SparkSession, d: String,
+      windowUs: Long = 24L * 3600 * 1000000): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, d).select($"event_id", $"user_id", $"event_type",
+      unix_micros($"ts").as("tsu"), $"value")
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id", $"tsu".as("p_tsu"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val t = ev.filter($"event_type".isin("view", "click"))
+      .select($"user_id", $"event_id".as("t_id"),
+        $"event_type".as("touch_type"), $"tsu".as("t_tsu"))
+    val pairCond = $"t_tsu" < $"p_tsu" && $"t_tsu" >= $"p_tsu" - windowUs
+    val j = p.join(t, Seq("user_id")).filter(pairCond)
+    val ranked = j
+      .withColumn("n_touch", count(lit(1)).over(Window.partitionBy($"p_id")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"p_id").orderBy($"t_tsu".desc, $"t_id".desc)))
+      .withColumn("unit", $"cents" * 10000L)
+      .withColumn("share", expr("unit div n_touch") +
+        when($"rk" === 1L, expr("unit % n_touch")).otherwise(lit(0L)))
+      .select($"touch_type", $"share")
+    val direct = p
+      .join(t, p("user_id") === t("user_id") && pairCond, "left_anti")
+      .select(lit("direct").as("touch_type"), ($"cents" * 10000L).as("share"))
+    ranked.unionByName(direct)
+      .groupBy($"touch_type")
+      .agg(count(lit(1)).as("n_contribs"), sum($"share").as("attributed_q6"))
+      .withColumn("attributed", $"attributed_q6".cast("double") / 1e6)
+  }
+
   def eventPaths(spark: SparkSession, d: String, k: Int = 20): DataFrame = {
     import spark.implicits._
     val seqW = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
