@@ -187,6 +187,7 @@ object SparkEntry {
     "q158_vocab_overlap"  -> ((s, d) => Text.vocabOverlap(s, d)),
     "q159_growth"         -> ((s, d) => Windowed.periodGrowth(s, d)),
     "q160_attribution"    -> ((s, d) => Windowed.linearAttribution(s, d)),
+    "q161_committee"      -> ((s, d) => Text.qualityCommittee(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -3094,6 +3095,42 @@ object SparkEntry {
         |  sum(share)::BIGINT AS attributed_q6,
         |  sum(share)::BIGINT / 1000000.0 AS attributed
         |FROM s GROUP BY 1""".stripMargin,
+    // quality committee: three per-lang signal ranks summed (exact
+    // integers), percent-ranked into a decile — the q136 calibration
+    // generalized to an ensemble
+    "q161_committee" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |    regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents),
+         |s AS (SELECT doc_id, lang, len(ws)::BIGINT AS n_tokens,
+         |  len(list_filter(ws, x -> list_contains($stopList, x)))::BIGINT AS n_stop,
+         |  len(list_filter(ws, x -> regexp_full_match(x, '[a-z]+')))::BIGINT AS n_alpha
+         |  FROM t),
+         |tc AS (SELECT doc_id, w, count(*)::BIGINT AS c FROM (
+         |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+         |  FROM documents) GROUP BY 1, 2),
+         |nn AS (SELECT doc_id, sum(c)::BIGINT AS n FROM tc GROUP BY 1),
+         |ent AS (SELECT tc.doc_id,
+         |  sum(round((c::DOUBLE / nn.n::DOUBLE)
+         |    * log2(nn.n::DOUBLE / c::DOUBLE) * 1000000.0)::BIGINT)::BIGINT
+         |    AS entropy_q
+         |  FROM tc JOIN nn USING (doc_id) GROUP BY 1),
+         |sig AS (SELECT s.doc_id, s.lang,
+         |  n_stop::DOUBLE / n_tokens AS stop_ratio,
+         |  n_alpha::DOUBLE / n_tokens AS alpha_ratio, ent.entropy_q
+         |  FROM s JOIN ent ON s.doc_id = ent.doc_id),
+         |rk AS (SELECT doc_id, lang,
+         |  rank() OVER (PARTITION BY lang ORDER BY stop_ratio)::BIGINT AS r_stop,
+         |  rank() OVER (PARTITION BY lang ORDER BY alpha_ratio)::BIGINT AS r_alpha,
+         |  rank() OVER (PARTITION BY lang ORDER BY entropy_q)::BIGINT AS r_ent
+         |  FROM sig),
+         |cm AS (SELECT *, r_stop + r_alpha + r_ent AS committee FROM rk)
+         |SELECT doc_id, lang, r_stop, r_alpha, r_ent, committee,
+         |  rank() OVER (PARTITION BY lang ORDER BY committee)::BIGINT AS c_rnk,
+         |  least(floor(CASE WHEN count(*) OVER (PARTITION BY lang) = 1 THEN 0.0
+         |    ELSE (rank() OVER (PARTITION BY lang ORDER BY committee) - 1)::DOUBLE
+         |         / (count(*) OVER (PARTITION BY lang) - 1)::DOUBLE END * 10),
+         |    9)::BIGINT AS decile
+         |FROM cm""".stripMargin,
   )
 
   /** q126's oracle: the deterministic sync-LPA trajectory unrolled —

@@ -1523,4 +1523,43 @@ object Text {
           .as("jaccard_q6"),
         expr("(sb.vsz - common) * 1000000L div sb.vsz").as("oov_b_q6"))
   }
+
+  /** q161: quality-committee ensemble — three independent quality signals
+    * (stop-word ratio q18, alpha ratio q18, token entropy q140), each
+    * rank-normalized within its language (the q136 calibration, so no
+    * signal's raw scale dominates and no language is judged by another's
+    * distribution), summed into an exact-integer committee score, then
+    * percent-ranked into a decile. Rank-averaging is the robust way to
+    * fuse signals with incomparable units — the document-quality
+    * counterpart of q125's reciprocal-rank fusion.
+    *
+    * Scale: the signal derivations are the memo-shared q18/q140 lineages
+    * (one (doc, token) aggregate + scan-stage HOFs); the four rank
+    * windows are lang-partitioned over |docs| rows — the q53 sub-strata
+    * decomposition is the drop-in when one language dominates the
+    * corpus.
+    */
+  def qualityCommittee(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val sig = qualityScore(spark, d)
+      .select($"doc_id", $"stop_ratio", $"alpha_ratio")
+      .join(tokenEntropy(spark, d).select($"doc_id", $"entropy_q"), "doc_id")
+      .join(documents(spark, d).select($"doc_id", $"lang"), "doc_id")
+    def rnk(c: Column): Column =
+      rank().over(Window.partitionBy($"lang").orderBy(c)).cast("long")
+    val ranked = sig
+      .withColumn("r_stop", rnk($"stop_ratio"))
+      .withColumn("r_alpha", rnk($"alpha_ratio"))
+      .withColumn("r_ent", rnk($"entropy_q"))
+      .withColumn("committee", $"r_stop" + $"r_alpha" + $"r_ent")
+    ranked
+      .withColumn("c_rnk", rank().over(
+        Window.partitionBy($"lang").orderBy($"committee")).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"lang")))
+      .withColumn("pr", when($"n" === 1L, lit(0.0))
+        .otherwise(($"c_rnk" - 1L).cast("double") / ($"n" - 1L).cast("double")))
+      .withColumn("decile", least(floor($"pr" * 10), lit(9.0)).cast("long"))
+      .select($"doc_id", $"lang", $"r_stop", $"r_alpha", $"r_ent",
+        $"committee", $"c_rnk", $"decile")
+  }
 }
