@@ -188,6 +188,8 @@ object SparkEntry {
     "q159_growth"         -> ((s, d) => Windowed.periodGrowth(s, d)),
     "q160_attribution"    -> ((s, d) => Windowed.linearAttribution(s, d)),
     "q161_committee"      -> ((s, d) => Text.qualityCommittee(s, d)),
+    "q162_cms_counts"     -> ((s, d) => Relational.cmsUserCounts(s, d)),
+    "q163_join_size"      -> ((s, d) => Relational.cmsSelfJoinSize(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -3131,6 +3133,39 @@ object SparkEntry {
          |         / (count(*) OVER (PARTITION BY lang) - 1)::DOUBLE END * 10),
          |    9)::BIGINT AS decile
          |FROM cm""".stripMargin,
+    // Count-Min sketch: d=4 md5 rows × w=256 buckets over per-user
+    // counts; point estimate = min over rows (one-sided overestimate)
+    "q162_cms_counts" ->
+      s"""WITH uc AS (SELECT user_id AS k, count(*)::BIGINT AS cnt
+         |            FROM events GROUP BY 1),
+         |fan AS (SELECT k, cnt, r,
+         |    (${md5Bits32Sql("'cms:' || r::VARCHAR || ':' || k::VARCHAR", 1)})
+         |      % 256 AS b
+         |  FROM uc CROSS JOIN (SELECT unnest([0, 1, 2, 3]::BIGINT[]) AS r) t),
+         |reg AS (SELECT r, b, sum(cnt)::BIGINT AS c FROM fan GROUP BY 1, 2),
+         |top AS (SELECT k, cnt AS exact_cnt FROM uc
+         |        ORDER BY cnt DESC, k LIMIT 20)
+         |SELECT t.k AS user_id, t.exact_cnt, min(g.c)::BIGINT AS est_cnt,
+         |  (min(g.c) - t.exact_cnt)::BIGINT AS over_cnt
+         |FROM top t JOIN fan f ON t.k = f.k
+         |     JOIN reg g ON f.r = g.r AND f.b = g.b
+         |GROUP BY 1, 2""".stripMargin,
+    // AMS/CMS self-join-size (F2) estimate vs the exact key histogram;
+    // HUGEINT squares ≙ the Spark DECIMAL(38,0) accumulation
+    "q163_join_size" ->
+      s"""WITH pc AS (SELECT l_partkey AS k, count(*)::BIGINT AS cnt
+         |            FROM lineitem GROUP BY 1),
+         |fan AS (SELECT k, cnt, r,
+         |    (${md5Bits32Sql("'cms:' || r::VARCHAR || ':' || k::VARCHAR", 1)})
+         |      % 256 AS b
+         |  FROM pc CROSS JOIN (SELECT unnest([0, 1, 2, 3]::BIGINT[]) AS r) t),
+         |reg AS (SELECT r, b, sum(cnt)::BIGINT AS c FROM fan GROUP BY 1, 2),
+         |est AS (SELECT min(f2r)::BIGINT AS est_sz FROM (
+         |  SELECT r, sum(c::HUGEINT * c) AS f2r FROM reg GROUP BY 1)),
+         |ex AS (SELECT sum(cnt::HUGEINT * cnt)::BIGINT AS exact_sz FROM pc)
+         |SELECT exact_sz, est_sz,
+         |  (est_sz - exact_sz) * 1000000 // exact_sz AS over_q6
+         |FROM ex, est""".stripMargin,
   )
 
   /** q126's oracle: the deterministic sync-LPA trajectory unrolled —

@@ -718,4 +718,77 @@ object Relational {
         coalesce($"valid_to_us", lit(-1L)).as("valid_to_us"),
         $"valid_to_us".isNull.as("is_current"))
   }
+
+  /** Shared CMS register build: exact per-key counts (map-side combine
+    * collapses the fact volume BEFORE the sketch fan-out, so the d-way
+    * hash explosion touches |keys| rows, not |events|), then d md5
+    * hashes per key added into a (row, bucket) register table of
+    * ≤ d·w rows — mergeable by ADDITION across partitions, shards, or
+    * days, which is the whole point of shipping a CMS beside the exact
+    * q106 heavy hitters.
+    */
+  private def cmsRegisters(keyed: DataFrame, dRows: Int, w: Int)
+      : (DataFrame, DataFrame) = {
+    import keyed.sparkSession.implicits._
+    val fan = keyed.select($"k", $"cnt",
+      explode(array((0 until dRows).map { i =>
+        struct(lit(i.toLong).as("r"),
+          (graft.functions.Hashing
+            .md5Bits32(concat(lit(s"cms:$i:"), $"k".cast("string")), 1)
+            % w).as("b"))
+      }: _*)).as("rb"))
+      .select($"k", $"cnt", $"rb.r".as("r"), $"rb.b".as("b"))
+    val reg = fan.groupBy($"r", $"b").agg(sum($"cnt").as("c"))
+    (fan, reg)
+  }
+
+  /** q162: Count–Min frequency sketch (Cormode & Muthukrishnan 2005) —
+    * d=4 md5 hash rows × w=256 buckets over per-user event counts, with
+    * point estimates (min over rows) for the exact top-k users. The
+    * estimate is always ≥ the exact count (one-sided error — a spec
+    * law), within εN with ε = e/w at δ = e^-d. The mergeable-by-add
+    * register table is what a 1000-executor fleet actually ships to the
+    * driver: 1024 rows per corpus slice, independent of |users|.
+    */
+  def cmsUserCounts(spark: SparkSession, d: String,
+      w: Int = 256, dRows: Int = 4, topK: Int = 20): DataFrame = {
+    import spark.implicits._
+    val uc = events(spark, d).groupBy($"user_id".as("k"))
+      .agg(count(lit(1)).as("cnt"))
+    val (fan, reg) = cmsRegisters(uc, dRows, w)
+    val top = uc.orderBy($"cnt".desc, $"k").limit(topK)
+      .select($"k", $"cnt".as("exact_cnt"))
+    top.join(fan.select($"k", $"r", $"b"), "k")
+      .join(reg, Seq("r", "b"))
+      .groupBy($"k".as("user_id"), $"exact_cnt")
+      .agg(min($"c").as("est_cnt"))
+      .withColumn("over_cnt", $"est_cnt" - $"exact_cnt")
+  }
+
+  /** q163: sketch-based self-join-size estimation — the AMS/CMS second-
+    * moment estimate a cost-based planner needs BEFORE running the join:
+    * |lineitem ⋈ lineitem on partkey| = Σ_k df(k)² exactly, estimated as
+    * min over CMS rows of Σ_b reg[r][b]² (each row's bucket-collision
+    * sum upper-bounds F₂; the min is still ≥ F₂ — one-sided, a spec
+    * law). The estimate reads 1024 register rows; the exact number needs
+    * the full key histogram — that asymmetry is the operator.
+    */
+  def cmsSelfJoinSize(spark: SparkSession, d: String,
+      w: Int = 256, dRows: Int = 4): DataFrame = {
+    import spark.implicits._
+    val pc = lineitem(spark, d).groupBy($"l_partkey".as("k"))
+      .agg(count(lit(1)).as("cnt"))
+    val (_, reg) = cmsRegisters(pc, dRows, w)
+    // squares accumulate in DECIMAL(38,0) (≙ the oracle's HUGEINT) so a
+    // 100 TB register count can't overflow the long product mid-sum; the
+    // final scalar is cast down only at the output boundary
+    val est = reg.groupBy($"r")
+      .agg(sum($"c".cast("decimal(38,0)") * $"c").as("f2r"))
+      .agg(min($"f2r").cast("long").as("est_sz"))
+    val exact = pc
+      .agg(sum($"cnt".cast("decimal(38,0)") * $"cnt").cast("long").as("exact_sz"))
+    exact.crossJoin(est)
+      .withColumn("over_q6",
+        expr("(est_sz - exact_sz) * 1000000L div exact_sz"))
+  }
 }
