@@ -190,6 +190,7 @@ object SparkEntry {
     "q161_committee"      -> ((s, d) => Text.qualityCommittee(s, d)),
     "q162_cms_counts"     -> ((s, d) => Relational.cmsUserCounts(s, d)),
     "q163_join_size"      -> ((s, d) => Relational.cmsSelfJoinSize(s, d)),
+    "q164_zorder"         -> ((s, d) => Sharding.zOrderAudit(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -3166,6 +3167,30 @@ object SparkEntry {
          |SELECT exact_sz, est_sz,
          |  (est_sz - exact_sz) * 1000000 // exact_sz AS over_q6
          |FROM ex, est""".stripMargin,
+    // z-order vs linear layout zone maps: 16+16-bit Morton interleave,
+    // fixed-width z blocks vs day-sorted blocks
+    "q164_zorder" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |    epoch_us(o_orderdate) // 86400000000 AS dy FROM orders),
+        |b AS (SELECT min(o_custkey) AS clo, max(o_custkey) AS chi,
+        |        min(dy) AS dlo, max(dy) AS dhi FROM o),
+        |n AS (SELECT o_orderkey,
+        |    (o_custkey - clo) * 65535 // (chi - clo) AS c16,
+        |    (dy - dlo) * 65535 // (dhi - dlo) AS d16 FROM o, b),
+        |z AS (SELECT *, list_sum(list_transform(range(0, 16), i ->
+        |    ((c16 >> i::INT) & 1) * (1::BIGINT << (2 * i)::INT) +
+        |    ((d16 >> i::INT) & 1) * (1::BIGINT << (2 * i + 1)::INT)))::BIGINT
+        |    AS zv FROM n),
+        |blk AS (SELECT 'zorder' AS layout, zv // 536870912 AS block, c16, d16
+        |        FROM z
+        |        UNION ALL
+        |        SELECT 'linear', d16 // 8192, c16, d16 FROM z)
+        |SELECT layout, block, count(*)::BIGINT AS n_rows,
+        |  min(c16) AS min_c, max(c16) AS max_c,
+        |  min(d16) AS min_d, max(d16) AS max_d,
+        |  (max(c16) - min(c16)) * 1000000 // 65535 AS c_span_q6,
+        |  (max(d16) - min(d16)) * 1000000 // 65535 AS d_span_q6
+        |FROM blk GROUP BY 1, 2""".stripMargin,
   )
 
   /** q126's oracle: the deterministic sync-LPA trajectory unrolled —

@@ -113,6 +113,55 @@ object Sharding {
           expr(s"(doc_id - ${lo}L) div ${width}L")), "range"))
   }
 
+  /** q164: z-order layout audit — the Delta/Iceberg OPTIMIZE ZORDER
+    * trade made measurable. Orders are normalized onto a 16-bit×16-bit
+    * (custkey, order-day) grid, bit-interleaved into a 32-bit Morton
+    * code, and binned into fixed z-ranges; the same rows binned by the
+    * single-dimension (day) sort are the control. Per (layout, block)
+    * zone-map stats show the point: linear blocks are tight on day but
+    * span the FULL custkey range (no pruning for customer predicates),
+    * z-order blocks have bounded span on BOTH dims — a predicate on
+    * either dimension skips most blocks.
+    *
+    * Scale: the interleave is a scan-stage integer expression (codegen
+    * fold over 16 literal bit positions, no UDF); bounds are one 4-scalar
+    * driver-bounded aggregate; block ids are fixed-width divisions of
+    * the theoretical z range — no sort, no extra pass. The audit itself
+    * is one hash aggregate onto ≤ 2·nBlocks cells.
+    */
+  def zOrderAudit(spark: SparkSession, d: String, nBlocks: Int = 8): DataFrame = {
+    import spark.implicits._
+    val o = orders(spark, d).select($"o_orderkey", $"o_custkey",
+      expr("unix_micros(o_orderdate) div 86400000000").as("dy"))
+    val b = o.agg(min($"o_custkey"), max($"o_custkey"),
+      min($"dy"), max($"dy")).head()
+    val (cLo, cHi, dLo, dHi) =
+      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    val norm = o.select($"o_orderkey",
+      expr(s"(o_custkey - ${cLo}L) * 65535L div ${cHi - cLo}L").as("c16"),
+      expr(s"(dy - ${dLo}L) * 65535L div ${dHi - dLo}L").as("d16"))
+    val zv = (0 until 16).map { i =>
+      shiftright($"c16", i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright($"d16", i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+    val zWidth = 4294967296L / nBlocks
+    val dWidth = 65536L / nBlocks
+    val tagged = norm.withColumn("zv", zv)
+    val blocks = tagged
+      .select(lit("zorder").as("layout"),
+        expr(s"zv div ${zWidth}L").as("block"), $"c16", $"d16")
+      .unionByName(tagged.select(lit("linear").as("layout"),
+        expr(s"d16 div ${dWidth}L").as("block"), $"c16", $"d16"))
+    blocks.groupBy($"layout", $"block")
+      .agg(count(lit(1)).as("n_rows"),
+        min($"c16").as("min_c"), max($"c16").as("max_c"),
+        min($"d16").as("min_d"), max($"d16").as("max_d"))
+      .withColumn("c_span_q6",
+        expr("(max_c - min_c) * 1000000L div 65535L"))
+      .withColumn("d_span_q6",
+        expr("(max_d - min_d) * 1000000L div 65535L"))
+  }
+
   /** Materialize the shards: one directory per shard id, doc_id-sorted
     * within each partition's file.
     */
