@@ -191,6 +191,7 @@ object SparkEntry {
     "q162_cms_counts"     -> ((s, d) => Relational.cmsUserCounts(s, d)),
     "q163_join_size"      -> ((s, d) => Relational.cmsSelfJoinSize(s, d)),
     "q164_zorder"         -> ((s, d) => Sharding.zOrderAudit(s, d)),
+    "q165_rfm"            -> ((s, d) => Windowed.rfmSegments(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -3191,6 +3192,30 @@ object SparkEntry {
         |  (max(c16) - min(c16)) * 1000000 // 65535 AS c_span_q6,
         |  (max(d16) - min(d16)) * 1000000 // 65535 AS d_span_q6
         |FROM blk GROUP BY 1, 2""".stripMargin,
+    // RFM quartile segmentation under the (metric, user_id) total order
+    "q165_rfm" ->
+      """WITH p AS (SELECT user_id, epoch_us(ts) // 86400000000 AS dy,
+        |    (value::DECIMAL(18,2) * 100)::BIGINT AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |u AS (SELECT user_id, max(dy) AS last_dy, count(*)::BIGINT AS frequency,
+        |        sum(cents)::BIGINT AS monetary_c
+        |      FROM p GROUP BY 1),
+        |m AS (SELECT max(dy) AS mx FROM p),
+        |base AS (SELECT user_id, mx - last_dy AS recency_days,
+        |           frequency, monetary_c FROM u, m),
+        |r AS (SELECT *,
+        |  ((row_number() OVER (ORDER BY recency_days, user_id) - 1) * 4)
+        |    // (count(*) OVER ()) AS r_q,
+        |  ((row_number() OVER (ORDER BY frequency, user_id) - 1) * 4)
+        |    // (count(*) OVER ()) AS f_q,
+        |  ((row_number() OVER (ORDER BY monetary_c, user_id) - 1) * 4)
+        |    // (count(*) OVER ()) AS m_q
+        |  FROM base)
+        |SELECT user_id, recency_days, frequency, monetary_c,
+        |  r_q::BIGINT AS r_q, f_q::BIGINT AS f_q, m_q::BIGINT AS m_q,
+        |  'R' || r_q::VARCHAR || 'F' || f_q::VARCHAR || 'M' || m_q::VARCHAR
+        |    AS segment
+        |FROM r""".stripMargin,
   )
 
   /** q126's oracle: the deterministic sync-LPA trajectory unrolled —

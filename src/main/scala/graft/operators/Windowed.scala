@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -435,6 +435,46 @@ object Windowed {
       .groupBy($"touch_type")
       .agg(count(lit(1)).as("n_contribs"), sum($"share").as("attributed_q6"))
       .withColumn("attributed", $"attributed_q6".cast("double") / 1e6)
+  }
+
+  /** q165: RFM segmentation — recency (days since last purchase, vs the
+    * corpus's latest purchase day), frequency (purchase count), monetary
+    * (exact cents sum) per user, each quartiled under the deterministic
+    * (metric, user_id) total order ((rownum−1)·4 div n — exact integer
+    * buckets, no percentile interpolation) and concatenated into the
+    * marketing-standard segment label. Quartile 0 is most-recent for R,
+    * quartile 3 is highest for F/M.
+    *
+    * Scale: the per-user aggregate is the big reduction (fact volume →
+    * |purchasing users| with map-side combine); the three quartile
+    * ranks are global windows over that aggregate — at corpus scale each
+    * decomposes by the rankedVocab two-phase range-partition rank
+    * (q156's machinery), so no single-partition sort is load-bearing.
+    */
+  def rfmSegments(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val p = events(spark, d).filter($"event_type" === "purchase")
+      .select($"user_id", expr("unix_micros(ts) div 86400000000L").as("dy"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val u = p.groupBy($"user_id").agg(max($"dy").as("last_dy"),
+      count(lit(1)).as("frequency"), sum($"cents").as("monetary_c"))
+    val mx = p.agg(max($"dy").as("mx"))
+    val base = u.crossJoin(broadcast(mx))
+      .select($"user_id", ($"mx" - $"last_dy").as("recency_days"),
+        $"frequency", $"monetary_c")
+    def rn(c: Column): Column =
+      row_number().over(Window.orderBy(c, $"user_id")).cast("long")
+    base
+      .withColumn("n_all", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("rn_r", rn($"recency_days"))
+      .withColumn("rn_f", rn($"frequency"))
+      .withColumn("rn_m", rn($"monetary_c"))
+      .withColumn("r_q", expr("(rn_r - 1L) * 4L div n_all"))
+      .withColumn("f_q", expr("(rn_f - 1L) * 4L div n_all"))
+      .withColumn("m_q", expr("(rn_m - 1L) * 4L div n_all"))
+      .drop("n_all", "rn_r", "rn_f", "rn_m")
+      .withColumn("segment", concat(lit("R"), $"r_q".cast("string"),
+        lit("F"), $"f_q".cast("string"), lit("M"), $"m_q".cast("string")))
   }
 
   def eventPaths(spark: SparkSession, d: String, k: Int = 20): DataFrame = {
