@@ -357,6 +357,176 @@ object EventStreams {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  case class CmsRow(event_type: String, n: Long, filled: Long,
+      max_bucket: Long, f2_min: Long)
+
+  /** Flattened d×w register vector (product encoder for the state store). */
+  case class CmsRegs(regs: Array[Long])
+
+  /** Count ADDITION is the CMS merge — shared by both stateful runtimes.
+    * The hash is the q162 md5 primitive ("cms:<row>:<user_id>", first 8
+    * hex chars), so the stream state is exactly the batch register table
+    * over the same rows, independent of micro-batching. Returns the
+    * number of rows folded.
+    */
+  private def cmsFold(regs: Array[Long], dRows: Int, w: Int,
+      evs: Iterator[Event]): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var n = 0L
+    evs.foreach { e =>
+      var r = 0
+      while (r < dRows) {
+        val hex = md.digest(s"cms:$r:${e.user_id}".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val h = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+        regs(r * w + (h % w).toInt) += 1L
+        r += 1
+      }
+      n += 1L
+    }
+    n
+  }
+
+  private def cmsSummary(t: String, regs: Array[Long], dRows: Int,
+      w: Int): CmsRow = {
+    val f2 = (0 until dRows).map { r =>
+      (0 until w).map(b => regs(r * w + b)).map(c => c * c).sum
+    }.min
+    CmsRow(t, regs.take(w).sum, regs.count(_ > 0L).toLong, regs.max, f2)
+  }
+
+  /** q162's Count–Min sketch under streaming state (mapGroupsWithState
+    * runtime): per event_type the flattened 4×256 register vector
+    * accumulates by count addition — the CMS merge — so the final state
+    * equals a batch fold over the same rows no matter how the stream is
+    * micro-batched (EventStreamsSpec asserts it on both runtimes).
+    * State is d·w longs per key, forever; the emitted summary carries
+    * the q163 F₂ fingerprint (min over rows of Σ bucket²), which is
+    * collision-sensitive enough to pin the whole register table.
+    */
+  def cmsStream(events: Dataset[Event], dRows: Int = 4,
+      w: Int = 256): Dataset[CmsRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (t: String, evs: Iterator[Event], state: GroupState[Array[Long]]) =>
+          val regs = state.getOption.getOrElse(Array.fill(dRows * w)(0L))
+          cmsFold(regs, dRows, w, evs)
+          state.update(regs)
+          cmsSummary(t, regs, dRows, w)
+      }
+  }
+
+  /** q162's CMS on the `transformWithState` surface — same fold in a
+    * named ValueState (see HllProcessor for why the sketch family rides
+    * the modern API too).
+    */
+  class CmsProcessor(dRows: Int, w: Int) extends
+      org.apache.spark.sql.streaming.StatefulProcessor[String, Event, CmsRow] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+
+    @transient private var st: ValueState[CmsRegs] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[CmsRegs](
+        "cmsRegisters", Encoders.product[CmsRegs], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[CmsRow] = {
+      val regs = if (st.exists()) st.get().regs else Array.fill(dRows * w)(0L)
+      cmsFold(regs, dRows, w, rows)
+      st.update(CmsRegs(regs))
+      Iterator.single(cmsSummary(key, regs, dRows, w))
+    }
+  }
+
+  def cmsStreamTws(events: Dataset[Event], dRows: Int = 4,
+      w: Int = 256): Dataset[CmsRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .transformWithState(new CmsProcessor(dRows, w),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
+  case class MgRow(event_type: String, n: Long, cand_ids: Array[Long],
+      cand_counts: Array[Long])
+
+  /** Counter-map state (parallel arrays, product encoder). */
+  case class MgCounters(ids: Array[Long], counts: Array[Long])
+
+  /** The Misra–Gries fold — q106's per-partition candidate generator as
+    * a streaming fold. MG is ORDER-DEPENDENT, so determinism comes from
+    * folding each batch's rows in (ts, event_id) order; the guarantee
+    * that matters is order-FREE: after n rows, every id with true count
+    * > n/k is among the ≤ k candidates (the spec's law, plus exact
+    * equality with a single batch fold in the same order).
+    */
+  private[graft] def mgFold(m: scala.collection.mutable.LinkedHashMap[Long, Long],
+      k: Int, evs: Seq[Event]): Long = {
+    var n = 0L
+    evs.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+      val id = e.user_id
+      if (m.contains(id)) m(id) += 1L
+      else if (m.size < k) m(id) = 1L
+      else m.keys.toSeq.foreach { kk =>
+        val v = m(kk) - 1L
+        if (v == 0L) m.remove(kk) else m(kk) = v
+      }
+      n += 1L
+    }
+    n
+  }
+
+  /** q106's heavy-hitter candidates under streaming state (the modern
+    * transformWithState surface): per event_type, ≤ k Misra–Gries
+    * counters over user ids; each batch folds in sorted (ts, event_id)
+    * order so stream ≡ single batch fold when batches arrive in order.
+    * In the q106 deployment the candidates feed an exact re-count — here
+    * they bound the stream's heavy-hitter set with k longs of state.
+    */
+  class MgProcessor(k: Int) extends
+      org.apache.spark.sql.streaming.StatefulProcessor[String, Event, MgRow] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+
+    @transient private var st: ValueState[MgCounters] = _
+    @transient private var nSt: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      st = getHandle.getValueState[MgCounters](
+        "mgCounters", Encoders.product[MgCounters], TTLConfig.NONE)
+      nSt = getHandle.getValueState[Long](
+        "mgSeen", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[MgRow] = {
+      val m = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+      if (st.exists()) {
+        val c = st.get()
+        c.ids.zip(c.counts).foreach { case (i, v) => m(i) = v }
+      }
+      val prior = if (nSt.exists()) nSt.get() else 0L
+      val n = prior + mgFold(m, k, rows.toSeq)
+      val pairs = m.toSeq.sortBy { case (i, c) => (-c, i) }
+      st.update(MgCounters(pairs.map(_._1).toArray, pairs.map(_._2).toArray))
+      nSt.update(n)
+      Iterator.single(MgRow(key, n,
+        pairs.map(_._1).toArray, pairs.map(_._2).toArray))
+    }
+  }
+
+  def mgStream(events: Dataset[Event], k: Int = 8): Dataset[MgRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .transformWithState(new MgProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   def runningUserTotals(events: Dataset[Event]): Dataset[UserTotals] = {
     import events.sparkSession.implicits._
     events

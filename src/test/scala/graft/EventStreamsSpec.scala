@@ -277,6 +277,98 @@ class EventStreamsSpec extends AnyFunSuite {
     }
   }
 
+  for ((label, tws) <- sketchRuntimes)
+  test(s"cms stream [$label] registers equal a batch fold across a batch split") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val all = graft.core.Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect()
+    withRuntime(tws) {
+      val input = MemoryStream[Event]
+      val name = s"cms_stream_$label"
+      val src = if (tws) EventStreams.cmsStreamTws(input.toDS())
+        else EventStreams.cmsStream(input.toDS())
+      val query = src.writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        // count addition is the CMS merge: the final state must not
+        // depend on the micro-batch split
+        all.grouped(math.max(1, all.length / 4 + 1)).foreach { chunk =>
+          input.addData(chunk.toIndexedSeq: _*)
+          query.processAllAvailable()
+        }
+        val rows = spark.table(name)
+          .as[(String, Long, Long, Long, Long)].collect()
+        val fin = rows.groupBy(_._1).map { case (_, rs) => rs.maxBy(_._2) }
+        // batch recompute with the same md5 hash
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val expected = all.groupBy(_.event_type).map { case (t, es) =>
+          val regs = Array.fill(4 * 256)(0L)
+          es.foreach { e =>
+            (0 until 4).foreach { r =>
+              val hex = md.digest(s"cms:$r:${e.user_id}".getBytes("UTF-8"))
+                .map("%02x".format(_)).mkString
+              val h = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+              regs(r * 256 + (h % 256).toInt) += 1L
+            }
+          }
+          val f2 = (0 until 4).map { r =>
+            (0 until 256).map(b => regs(r * 256 + b)).map(c => c * c).sum
+          }.min
+          (t, regs.take(256).sum, regs.count(_ > 0L).toLong, regs.max, f2)
+        }.toSet
+        assert(fin.toSet == expected)
+        assert(expected.nonEmpty)
+      } finally query.stop()
+    }
+  }
+
+  test("mg stream candidates carry the Misra-Gries guarantee and equal a single fold") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val all = graft.core.Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val k = 8
+    withRuntime(tws = true) {
+      val input = MemoryStream[Event]
+      val query = EventStreams.mgStream(input.toDS(), k)
+        .writeStream.format("memory").queryName("mg_stream")
+        .outputMode("update").start()
+      try {
+        // in-order chunks: each batch folds sorted, so the stream result
+        // equals ONE fold over the whole ordered sequence
+        all.grouped(math.max(1, all.length / 4 + 1)).foreach { chunk =>
+          input.addData(chunk.toIndexedSeq: _*)
+          query.processAllAvailable()
+        }
+        val rows = spark.table("mg_stream")
+          .as[(String, Long, Array[Long], Array[Long])].collect()
+        val fin = rows.groupBy(_._1).map { case (_, rs) => rs.maxBy(_._2) }
+        for ((t, n, ids, counts) <- fin) {
+          val es = all.filter(_.event_type == t)
+          assert(n == es.length.toLong)
+          // exact equality with a single fold in the same order
+          val m = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+          EventStreams.mgFold(m, k, es.toIndexedSeq)
+          val pairs = m.toSeq.sortBy { case (i, c) => (-c, i) }
+          assert(ids.toSeq == pairs.map(_._1))
+          assert(counts.toSeq == pairs.map(_._2))
+          // the order-free guarantee: true count > n/k ⇒ candidate
+          val exact = es.groupBy(_.user_id).view.mapValues(_.length.toLong)
+          val mustHave = exact.filter(_._2 > n / k).keys.toSet
+          assert(mustHave.subsetOf(ids.toSet),
+            s"$t: missing ${mustHave -- ids.toSet}")
+        }
+        assert(fin.nonEmpty)
+      } finally query.stop()
+    }
+  }
+
   test("histogram streams reject a degenerate range loudly") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
