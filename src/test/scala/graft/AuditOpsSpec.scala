@@ -1,0 +1,153 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Relational, Sharding, Text, Windowed}
+
+/** The round-10 audit/OLAP additions (q158–q165): vocabulary overlap,
+  * growth reporting, multi-touch attribution, the quality committee,
+  * CMS sketches, z-order layouts, and RFM segmentation. All have full
+  * DuckDB oracles; these tests pin the engine-side laws the hash compare
+  * can't express — driver replays, conservation laws, sketch one-sided
+  * error, and the z-order span bounds that make data skipping work.
+  */
+class AuditOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def cleanToks(text: String): Seq[String] =
+    text.toLowerCase.split("\\s+").toSeq
+      .filter(t => t.matches("[a-z]+") &&
+        !graft.functions.TextFunctions.StopWords.contains(t))
+
+  test("vocabOverlap matches a driver set replay and its ratio laws") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"source", $"text").as[(String, String)].collect()
+    val vocab = docs.groupBy(_._1).view
+      .mapValues(_.flatMap(r => cleanToks(r._2)).toSet).toMap
+    val got = Text.vocabOverlap(spark, sf)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (a, b, common, va, vb, jq, oovb) =>
+      assert(a < b)
+      val inter = (vocab(a) intersect vocab(b)).size.toLong
+      assert(common == inter && va == vocab(a).size && vb == vocab(b).size)
+      assert(jq == common * 1000000L / (va + vb - common))
+      assert(oovb == (vb - common) * 1000000L / vb)
+      assert(jq >= 0L && jq <= 1000000L && oovb >= 0L && oovb <= 1000000L)
+    }
+    // every unordered source pair with nonempty intersection appears once
+    val pairs = got.map(r => (r._1, r._2)).toSet
+    assert(pairs.size == got.length)
+  }
+
+  test("periodGrowth count ratios match a driver lag replay") {
+    import spark.implicits._
+    val ev = graft.core.Tables.events(spark, sf)
+      .select($"event_type", unix_micros($"ts").as("tsu"))
+      .as[(String, Long)].collect()
+    val weekly = ev.groupBy(e => (e._1, e._2 / 1000000L / 604800L)).view
+      .mapValues(_.length.toLong).toMap
+    val got = Windowed.periodGrowth(spark, sf)
+      .select($"event_type", $"week_id", $"cnt", $"prev_cnt", $"cnt_wow_q6")
+      .as[(String, Long, Long, Option[Long], Option[Long])].collect()
+    assert(got.length == weekly.size)
+    val byType = got.groupBy(_._1)
+    byType.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      sorted.zipWithIndex.foreach { case ((t, wk, cnt, prev, wow), i) =>
+        assert(cnt == weekly((t, wk)))
+        if (i == 0) assert(prev.isEmpty && wow.isEmpty)
+        else {
+          val p = sorted(i - 1)._3
+          assert(prev.contains(p))
+          assert(wow.contains((cnt - p) * 1000000L / p))
+        }
+      }
+    }
+  }
+
+  test("linearAttribution conserves the purchase mass exactly") {
+    import spark.implicits._
+    val ev = graft.core.Tables.events(spark, sf)
+      .select($"event_type", $"value").as[(String, Double)].collect()
+    val totalUnits = ev.filter(_._1 == "purchase").map { case (_, v) =>
+      BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 1000000
+    }.sum.toLongExact
+    val got = Windowed.linearAttribution(spark, sf)
+      .as[(String, Long, Long, Double)].collect()
+    assert(got.map(_._3).sum == totalUnits,
+      "attributed mass == purchase mass (remainder-to-last-touch law)")
+    assert(got.map(_._1).toSet.subsetOf(Set("view", "click", "direct")))
+  }
+
+  test("qualityCommittee sums the three per-lang signal ranks") {
+    import spark.implicits._
+    val got = Text.qualityCommittee(spark, sf)
+      .as[(Long, String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val byLang = got.groupBy(_._2)
+    got.foreach { case (_, lang, rs, ra, re, committee, crnk, dec) =>
+      val n = byLang(lang).length.toLong
+      assert(committee == rs + ra + re)
+      assert(rs >= 1L && rs <= n && ra >= 1L && ra <= n && re >= 1L && re <= n)
+      assert(crnk >= 1L && crnk <= n)
+      assert(dec >= 0L && dec <= 9L)
+    }
+  }
+
+  test("CMS estimates are one-sided (never under the exact count)") {
+    import spark.implicits._
+    val counts = Relational.cmsUserCounts(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(counts.length > 0)
+    counts.foreach { case (_, exact, est, over) =>
+      assert(est >= exact && over == est - exact)
+    }
+    val Array((exactSz, estSz, overQ6)) = Relational.cmsSelfJoinSize(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(estSz >= exactSz, "F2 estimate upper-bounds the self-join size")
+    assert(overQ6 == (estSz - exactSz) * 1000000L / exactSz)
+  }
+
+  test("z-order blocks bound BOTH dims; the linear layout only one") {
+    import spark.implicits._
+    val rows = Sharding.zOrderAudit(spark, sf)
+      .select($"layout", $"block", $"c_span_q6", $"d_span_q6")
+      .as[(String, Long, Long, Long)].collect()
+    val (zo, lin) = rows.partition(_._1 == "zorder")
+    assert(zo.nonEmpty && lin.nonEmpty)
+    // 8 z blocks fix d16's top 2 bits and c16's top 1 bit: spans are
+    // bounded at 50% / 25% of each dimension BY CONSTRUCTION
+    zo.foreach { case (_, blk, cs, ds) =>
+      assert(cs <= 500000L, s"z block $blk custkey span $cs")
+      assert(ds <= 250000L, s"z block $blk day span $ds")
+    }
+    // the day-sorted control is tight on day but spans custkey freely
+    lin.foreach { case (_, blk, _, ds) =>
+      assert(ds <= 125000L, s"linear block $blk day span $ds")
+    }
+    assert(lin.map(_._3).max > 500000L,
+      "some linear block spans most of the custkey range — no pruning there")
+  }
+
+  test("RFM quartiles are balanced within one and segments are consistent") {
+    import spark.implicits._
+    val got = Windowed.rfmSegments(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long, String)].collect()
+    assert(got.nonEmpty)
+    for (dim <- Seq[((Long, Long, Long, Long, Long, Long, Long, String)) => Long](
+        _._5, _._6, _._7)) {
+      val sizes = got.groupBy(dim).view.mapValues(_.length).values
+      assert(got.map(dim).forall(q => q >= 0L && q <= 3L))
+      assert(sizes.max - sizes.min <= 1,
+        "((rank-1)*4) div n buckets differ by at most one")
+    }
+    got.foreach { case (_, _, _, _, r, f, m, seg) =>
+      assert(seg == s"R${r}F${f}M${m}")
+    }
+  }
+}
