@@ -192,6 +192,10 @@ object SparkEntry {
     "q163_join_size"      -> ((s, d) => Relational.cmsSelfJoinSize(s, d)),
     "q164_zorder"         -> ((s, d) => Sharding.zOrderAudit(s, d)),
     "q165_rfm"            -> ((s, d) => Windowed.rfmSegments(s, d)),
+    "q166_dim_health"     -> ((s, d) => Similarity.dimHealth(s, d)),
+    "q167_skew_advisor"   -> ((s, d) => Relational.joinSkewAdvisor(s, d)),
+    "q168_deletion_audit" -> ((s, d) => Relational.deletionAudit(s, d)),
+    "q169_ref_integrity"  -> ((s, d) => Relational.refIntegrityAudit(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -3216,6 +3220,91 @@ object SparkEntry {
         |  'R' || r_q::VARCHAR || 'F' || f_q::VARCHAR || 'M' || m_q::VARCHAR
         |    AS segment
         |FROM r""".stripMargin,
+    // per-dimension embedding health: exact quantized two-moment stats,
+    // HUGEINT variance numerator ≙ the Spark DECIMAL(38,0)
+    "q166_dim_health" ->
+      """WITH ex AS (SELECT vec_id,
+        |    round(unnest(embedding)::DOUBLE * 10000000)::BIGINT AS q,
+        |    unnest(range(len(embedding))) AS i FROM embeddings)
+        |SELECT i::BIGINT AS dim, count(*)::BIGINT AS n, sum(q)::BIGINT AS sum_q,
+        |  min(q) AS min_q, max(q) AS max_q,
+        |  sum((q = 0)::BIGINT)::BIGINT AS n_zero,
+        |  sum(q)::DOUBLE / count(*)::DOUBLE / 1e7 AS mean,
+        |  CASE WHEN count(*) >= 2 THEN
+        |    (count(*)::HUGEINT * sum(q::HUGEINT * q)
+        |      - sum(q)::HUGEINT * sum(q)::HUGEINT)::DOUBLE
+        |    / (count(*) * (count(*) - 1))::DOUBLE / 1e14 END AS var_samp
+        |FROM ex GROUP BY 1""".stripMargin,
+    // join-skew advisor: exact df histogram shape + ceil(max/avg) salt
+    "q167_skew_advisor" ->
+      """WITH keys AS (
+        |  SELECT 'lineitem.l_partkey' AS relation, l_partkey::BIGINT AS k,
+        |    count(*)::BIGINT AS df FROM lineitem GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT 'events.user_id', user_id::BIGINT, count(*)::BIGINT
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY relation
+        |        ORDER BY df, k) AS rn,
+        |        count(*) OVER (PARTITION BY relation) AS n_keys
+        |      FROM keys),
+        |a AS (SELECT relation, sum(df)::BIGINT AS n_rows,
+        |        count(*)::BIGINT AS n_keys, max(df) AS max_df
+        |      FROM keys GROUP BY 1),
+        |p50 AS (SELECT relation, df AS p50_df FROM r
+        |        WHERE rn = (50 * n_keys + 99) // 100),
+        |p99 AS (SELECT relation, df AS p99_df FROM r
+        |        WHERE rn = (99 * n_keys + 99) // 100)
+        |SELECT relation, n_rows, n_keys, max_df, p50_df, p99_df,
+        |  max_df * n_keys * 1000000 // n_rows AS skew_q6,
+        |  greatest(1, (max_df * n_keys + n_rows - 1) // n_rows) AS salt_factor
+        |FROM a JOIN p50 USING (relation) JOIN p99 USING (relation)""".stripMargin,
+    // right-to-be-forgotten propagation: the md5 1% customer set probed
+    // through every derived table
+    "q168_deletion_audit" ->
+      s"""WITH del AS (SELECT c_custkey AS k FROM customer
+         |  WHERE ${md5Bits32Sql("'del:' || c_custkey::VARCHAR", 1)} % 100 < 1),
+         |dord AS (SELECT o_orderkey, o_custkey FROM orders
+         |         WHERE o_custkey IN (SELECT k FROM del))
+         |SELECT 'customer' AS relation, count(*)::BIGINT AS n_rows,
+         |  count(DISTINCT k)::BIGINT AS n_keys FROM del
+         |UNION ALL
+         |SELECT 'orders', count(*)::BIGINT, count(DISTINCT o_custkey)::BIGINT
+         |FROM dord
+         |UNION ALL
+         |SELECT 'lineitem', count(*)::BIGINT, count(DISTINCT l_orderkey)::BIGINT
+         |FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM dord)
+         |UNION ALL
+         |SELECT 'events', count(*)::BIGINT, count(DISTINCT user_id)::BIGINT
+         |FROM events WHERE user_id IN (SELECT k FROM del)""".stripMargin,
+    // FK orphan audit over every star-schema edge
+    "q169_ref_integrity" ->
+      """SELECT 'lineitem->orders' AS fk_edge, count(*)::BIGINT AS n_total,
+        |  sum((l_orderkey NOT IN (SELECT o_orderkey FROM orders))::BIGINT)::BIGINT
+        |    AS n_orphans FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem->part', count(*)::BIGINT,
+        |  sum((l_partkey NOT IN (SELECT p_partkey FROM part))::BIGINT)::BIGINT
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem->supplier', count(*)::BIGINT,
+        |  sum((l_suppkey NOT IN (SELECT s_suppkey FROM supplier))::BIGINT)::BIGINT
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'orders->customer', count(*)::BIGINT,
+        |  sum((o_custkey NOT IN (SELECT c_custkey FROM customer))::BIGINT)::BIGINT
+        |FROM orders
+        |UNION ALL
+        |SELECT 'customer->nation', count(*)::BIGINT,
+        |  sum((c_nationkey NOT IN (SELECT n_nationkey FROM nation))::BIGINT)::BIGINT
+        |FROM customer
+        |UNION ALL
+        |SELECT 'supplier->nation', count(*)::BIGINT,
+        |  sum((s_nationkey NOT IN (SELECT n_nationkey FROM nation))::BIGINT)::BIGINT
+        |FROM supplier
+        |UNION ALL
+        |SELECT 'nation->region', count(*)::BIGINT,
+        |  sum((n_regionkey NOT IN (SELECT r_regionkey FROM region))::BIGINT)::BIGINT
+        |FROM nation""".stripMargin,
   )
 
   /** q126's oracle: the deterministic sync-LPA trajectory unrolled —

@@ -791,4 +791,116 @@ object Relational {
       .withColumn("over_q6",
         expr("(est_sz - exact_sz) * 1000000L div exact_sz"))
   }
+
+  /** q167: join-skew advisor — the operational question behind every q33
+    * salt and AQE skew split: for each audited join key, the exact key
+    * histogram's shape (max/p50/p99 df, exact middle-rank picks — the
+    * q129 rank convention, no interpolation), the skew ratio
+    * max·keys/rows (how many× the hottest key exceeds the average), and
+    * the ceil(max/avg) salt factor that would level it. The planner-side
+    * diagnostic you run BEFORE a 100 TB join, on the key aggregate
+    * (corpus-sublinear), not the join.
+    *
+    * Scale: per-key dfs are one hash aggregate each; the percentile
+    * picks ride one relation-partitioned window over |keys| rows (two
+    * relations here — each window partition is one audited key's
+    * histogram, and the two-phase q156 rank drops in if |keys| ever
+    * out-scales a partition).
+    */
+  def joinSkewAdvisor(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    def dfs(df: DataFrame, rel: String, key: String): DataFrame =
+      df.groupBy(col(key).cast("long").as("k"))
+        .agg(count(lit(1)).as("df"))
+        .select(lit(rel).as("relation"), $"k", $"df")
+    val keys = dfs(lineitem(spark, d), "lineitem.l_partkey", "l_partkey")
+      .unionByName(dfs(events(spark, d), "events.user_id", "user_id"))
+    val w = Window.partitionBy($"relation").orderBy($"df", $"k")
+    val ranked = keys
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n_keys",
+        count(lit(1)).over(Window.partitionBy($"relation")))
+    val agg = keys.groupBy($"relation")
+      .agg(sum($"df").as("n_rows"), count(lit(1)).as("n_keys"),
+        max($"df").as("max_df"))
+    val p50 = ranked.filter($"rn" === expr("(50 * n_keys + 99) div 100"))
+      .select($"relation", $"df".as("p50_df"))
+    val p99 = ranked.filter($"rn" === expr("(99 * n_keys + 99) div 100"))
+      .select($"relation", $"df".as("p99_df"))
+    agg.join(p50, "relation").join(p99, "relation")
+      .select($"relation", $"n_rows", $"n_keys", $"max_df", $"p50_df",
+        $"p99_df",
+        expr("max_df * n_keys * 1000000L div n_rows").as("skew_q6"),
+        greatest(lit(1L),
+          expr("(max_df * n_keys + n_rows - 1) div n_rows")).as("salt_factor"))
+  }
+
+  /** q168: deletion-propagation audit (right-to-be-forgotten) — for the
+    * deterministic md5 1 % of customer keys, how many rows each derived
+    * table would lose: orders directly, lineitem through the order FK,
+    * events through the shared user-id space. The governance query every
+    * pipeline owes its DPO, and a join-pruning rehearsal: the deleted-key
+    * set is bounded (1 % of the DIMENSION, not the facts), so every
+    * probe is a broadcast semi-join against a fact scan.
+    */
+  def deletionAudit(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val del = customer(spark, d)
+      .select($"c_custkey".as("k"))
+      .filter(pmod(graft.functions.Hashing.md5Bits32(
+        concat(lit("del:"), $"k".cast("string")), 1), lit(100L)) < 1)
+    val delOrders = orders(spark, d)
+      .join(broadcast(del), $"o_custkey" === $"k")
+    def row(rel: String, rows: DataFrame, keyCol: String): DataFrame =
+      rows.agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(keyCol)).as("n_keys"))
+        .select(lit(rel).as("relation"), $"n_rows", $"n_keys")
+    row("customer", del.select($"k"), "k")
+      .unionByName(row("orders", delOrders.select($"o_custkey"), "o_custkey"))
+      .unionByName(row("lineitem",
+        lineitem(spark, d).join(broadcast(delOrders.select($"o_orderkey")),
+          $"l_orderkey" === $"o_orderkey").select($"o_orderkey"), "o_orderkey"))
+      .unionByName(row("events",
+        events(spark, d).join(broadcast(del), $"user_id" === $"k")
+          .select($"user_id"), "user_id"))
+  }
+
+  /** q169: referential-integrity audit — orphan counts for every FK edge
+    * of the star schema (lineitem→orders/part/supplier, orders→customer,
+    * customer/supplier→nation, nation→region). Each edge is one
+    * broadcast-dim anti-join against the fact scan (dims are the small
+    * side by construction); a healthy corpus reports zero orphans, and
+    * the total row count pins that the probe actually scanned the edge.
+    */
+  def refIntegrityAudit(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    def edge(rel: String, fact: DataFrame, fk: String, dim: DataFrame,
+        pk: String): DataFrame = {
+      val total = fact.agg(count(lit(1)).as("n_total"))
+      val orphans = fact
+        .join(broadcast(dim.select(col(pk))), col(fk) === col(pk), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      total.crossJoin(orphans)
+        .select(lit(rel).as("fk_edge"), $"n_total", $"n_orphans")
+    }
+    val li = lineitem(spark, d)
+    edge("lineitem->orders", li.select($"l_orderkey"), "l_orderkey",
+        orders(spark, d), "o_orderkey")
+      .unionByName(edge("lineitem->part", li.select($"l_partkey"),
+        "l_partkey", part(spark, d), "p_partkey"))
+      .unionByName(edge("lineitem->supplier", li.select($"l_suppkey"),
+        "l_suppkey", supplier(spark, d), "s_suppkey"))
+      .unionByName(edge("orders->customer",
+        orders(spark, d).select($"o_custkey"), "o_custkey",
+        customer(spark, d), "c_custkey"))
+      .unionByName(edge("customer->nation",
+        customer(spark, d).select($"c_nationkey"), "c_nationkey",
+        nation(spark, d), "n_nationkey"))
+      .unionByName(edge("supplier->nation",
+        supplier(spark, d).select($"s_nationkey"), "s_nationkey",
+        nation(spark, d), "n_nationkey"))
+      .unionByName(edge("nation->region",
+        nation(spark, d).select($"n_regionkey"), "n_regionkey",
+        region(spark, d), "r_regionkey"))
+  }
 }

@@ -857,4 +857,37 @@ object Similarity {
   private def evalAnchor(vecId: Column): Column =
     pmod(graft.functions.Hashing.md5Bits32(
       concat(lit("eval:"), vecId.cast("string")), 1), lit(100L)) < 5
+
+  /** q166: per-DIMENSION embedding health — the collapsed/dead-dimension
+    * audit q141 (per-label) doesn't see: for each of the 64 coordinates,
+    * exact quantized sum, extremes, zero count, and the two-moment
+    * sample variance (the q137 identity in DECIMAL(38,0), so nothing
+    * cancels catastrophically). A dimension whose variance collapses to
+    * ~0 carries no information (anisotropy / dead-ReLU symptom); one
+    * whose mean drifts from 0 skews every cosine.
+    *
+    * Scale: posexplode fans the corpus into dims·n rows in the scan
+    * stage, then ONE hash aggregate onto exactly |dims| groups —
+    * map-side combine collapses each partition to 64 partial rows before
+    * the shuffle; output is 64 rows regardless of corpus size.
+    */
+  def dimHealth(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec38 = "decimal(38,0)"
+    embeddings(spark, d)
+      .select(posexplode(quantize($"embedding")).as(Seq("i", "q")))
+      .groupBy($"i")
+      .agg(count(lit(1)).as("n"),
+        sum($"q".cast(dec38)).as("sum_q"),
+        sum(($"q".cast("decimal(19,0)") * $"q".cast("decimal(19,0)"))
+          .cast(dec38)).as("sumsq"),
+        min($"q").as("min_q"), max($"q").as("max_q"),
+        sum(($"q" === 0L).cast("long")).as("n_zero"))
+      .select($"i".cast("long").as("dim"), $"n",
+        $"sum_q".cast("long").as("sum_q"), $"min_q", $"max_q", $"n_zero",
+        ($"sum_q".cast("double") / $"n".cast("double") / 1e7).as("mean"),
+        when($"n" >= 2L,
+          (($"n".cast(dec38) * $"sumsq" - $"sum_q" * $"sum_q").cast("double")
+            / ($"n" * ($"n" - 1L)).cast("double") / 1e14)).as("var_samp"))
+  }
 }

@@ -17,6 +17,10 @@ class AuditOpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sf = "/root/testdata/sf0.001"
 
+  private def quantHalfUp(x: Float): Long =
+    new java.math.BigDecimal(x.toDouble * 1e7)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+
   private def cleanToks(text: String): Seq[String] =
     text.toLowerCase.split("\\s+").toSeq
       .filter(t => t.matches("[a-z]+") &&
@@ -132,6 +136,66 @@ class AuditOpsSpec extends AnyFunSuite {
     }
     assert(lin.map(_._3).max > 500000L,
       "some linear block spans most of the custkey range — no pruning there")
+  }
+
+  test("dimHealth matches a driver quantized two-moment replay") {
+    import spark.implicits._
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"embedding").as[Array[Float]].collect()
+    val got = graft.operators.Similarity.dimHealth(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Double, Option[Double])]
+      .collect().sortBy(_._1)
+    assert(got.length == vecs.head.length)
+    got.foreach { case (dim, n, sumQ, minQ, maxQ, nZero, mean, varS) =>
+      val qs = vecs.map(v => quantHalfUp(v(dim.toInt)))
+      assert(n == qs.length.toLong && sumQ == qs.sum)
+      assert(minQ == qs.min && maxQ == qs.max)
+      assert(nZero == qs.count(_ == 0L).toLong)
+      assert(math.abs(mean - sumQ.toDouble / n / 1e7) < 1e-12)
+      val num = BigInt(n) * qs.map(q => BigInt(q) * q).sum - BigInt(sumQ) * sumQ
+      assert(varS.exists(v =>
+        math.abs(v - num.toDouble / (n * (n - 1)).toDouble / 1e14) < 1e-9))
+    }
+  }
+
+  test("joinSkewAdvisor orders its percentiles and derives the ceil salt") {
+    import spark.implicits._
+    val got = Relational.joinSkewAdvisor(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.length == 2)
+    got.foreach { case (_, rows, keys, mx, p50, p99, skew, salt) =>
+      assert(p50 <= p99 && p99 <= mx)
+      assert(skew == mx * keys * 1000000L / rows)
+      assert(salt == math.max(1L, (mx * keys + rows - 1) / rows))
+    }
+  }
+
+  test("deletionAudit counts exactly the md5 1% customer set's footprint") {
+    import spark.implicits._
+    val got = Relational.deletionAudit(spark, sf)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val delKeys = spark.read.parquet(s"$sf/customer.parquet")
+      .select($"c_custkey").as[Long].collect()
+      .filter(k => graft.functions.Hashing.md5BucketJvm(s"del:$k", 100L) < 1L)
+      .toSet
+    assert(got("customer") == ((delKeys.size.toLong, delKeys.size.toLong)))
+    val evUsers = graft.core.Tables.events(spark, sf)
+      .select($"user_id").as[Long].collect()
+    val hit = evUsers.filter(delKeys)
+    assert(got("events") == ((hit.length.toLong,
+      hit.toSet.size.toLong)))
+    assert(got.keySet == Set("customer", "orders", "lineitem", "events"))
+  }
+
+  test("refIntegrityAudit reports zero orphans on the healthy fixture") {
+    import spark.implicits._
+    val got = Relational.refIntegrityAudit(spark, sf)
+      .as[(String, Long, Long)].collect()
+    assert(got.length == 7)
+    got.foreach { case (edge, total, orphans) =>
+      assert(total > 0L, edge)
+      assert(orphans == 0L, s"$edge has orphans")
+    }
   }
 
   test("RFM quartiles are balanced within one and segments are consistent") {
