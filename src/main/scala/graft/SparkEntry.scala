@@ -196,6 +196,8 @@ object SparkEntry {
     "q167_skew_advisor"   -> ((s, d) => Relational.joinSkewAdvisor(s, d)),
     "q168_deletion_audit" -> ((s, d) => Relational.deletionAudit(s, d)),
     "q169_ref_integrity"  -> ((s, d) => Relational.refIntegrityAudit(s, d)),
+    "q170_frame_manifest" -> ((s, d) => graft.multimodal.Multimodal.frameSampleManifest(s, d)),
+    "q171_decode_audit"   -> ((s, d) => graft.multimodal.Multimodal.decodeAudit(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -3305,6 +3307,34 @@ object SparkEntry {
         |SELECT 'nation->region', count(*)::BIGINT,
         |  sum((n_regionkey NOT IN (SELECT r_regionkey FROM region))::BIGINT)::BIGINT
         |FROM nation""".stripMargin,
+    // frame-sampling manifest: closed-form ceil-division frame math
+    // (short last frame) mirrors the flatMap demux
+    "q170_frame_manifest" ->
+      """WITH f AS (SELECT doc_id, strlen(text)::BIGINT AS n_bytes,
+        |    (n_chars % 64 + 1)::BIGINT AS width FROM documents),
+        |g AS (SELECT *, (n_bytes + width - 1) // width AS n_frames FROM f)
+        |SELECT doc_id, n_bytes, width, n_frames,
+        |  (n_frames + 3) // 4 AS n_sampled,
+        |  CASE WHEN n_frames = 0 THEN 0
+        |    ELSE ((n_frames + 3) // 4) * width -
+        |      CASE WHEN (n_frames - 1) % 4 = 0
+        |        THEN n_frames * width - n_bytes ELSE 0 END
+        |  END AS sampled_bytes
+        |FROM g""".stripMargin,
+    // stub-decode audit: zero-padded height×width mean as one double
+    // division over the exact ASCII byte sum
+    "q171_decode_audit" ->
+      """WITH f AS (SELECT doc_id, text, strlen(text)::BIGINT AS n_bytes,
+        |    (n_chars % 64 + 1)::BIGINT AS width FROM documents),
+        |s AS (SELECT doc_id, n_bytes, width,
+        |    (n_bytes + width - 1) // width AS height,
+        |    list_sum(list_transform(range(1, strlen(text)::INT + 1),
+        |      i -> ascii(substr(text, i::INT, 1))))::BIGINT AS px_sum
+        |  FROM f)
+        |SELECT doc_id, n_bytes, width, height,
+        |  CASE WHEN height = 0 THEN 0.0
+        |    ELSE px_sum::DOUBLE / (height * width)::DOUBLE END AS mean_px
+        |FROM s""".stripMargin,
   )
 
   /** q126's oracle: the deterministic sync-LPA trajectory unrolled —

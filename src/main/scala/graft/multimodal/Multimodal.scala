@@ -171,6 +171,49 @@ object Multimodal {
     }.toDF("doc_id", "frame_idx", "frame_bytes")
   }
 
+  /** q170: frame-sampling manifest — the REAL `sampleFrames` flatMap
+    * (byte-chunk demux + every-Nth selection) aggregated per asset and
+    * cross-checked against the closed-form frame arithmetic
+    * (ceil-divisions over byte length and frame width, short last
+    * frame): the video-curation budget question "how many frames and
+    * bytes does sampling keep" answered by the actual iterator path the
+    * pipeline runs, with a pure-relational oracle.
+    *
+    * Scale: the demux is scan-stage flatMap fan-out (frames never
+    * shuffle raw — the per-doc aggregate combines map-side); the
+    * manifest join is doc_id-keyed.
+    */
+  def frameSampleManifest(spark: SparkSession, d: String,
+      everyN: Int = 4): DataFrame = {
+    import spark.implicits._
+    val sampled = sampleFrames(mediaTable(spark, d), everyN)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(length($"frame_bytes")).as("sampled_bytes"))
+    documents(spark, d)
+      .select($"doc_id", expr("octet_length(text)").cast("long").as("n_bytes"),
+        (($"n_chars" % 64) + 1).cast("long").as("width"))
+      .withColumn("n_frames", expr("(n_bytes + width - 1) div width"))
+      .join(sampled, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_bytes", $"width", $"n_frames",
+        coalesce($"n_sampled", lit(0L)).as("n_sampled"),
+        coalesce($"sampled_bytes", lit(0L)).as("sampled_bytes"))
+  }
+
+  /** q171: decode audit — the stub decode path's exact shape and mean
+    * luma per asset, from the REAL `extractFeatures` mapPartitions
+    * batch: height = ceil(bytes/width), mean over the zero-padded
+    * height×width matrix (sum of payload byte values / matrix area, one
+    * double division). The per-asset ingest QA record a media pipeline
+    * writes next to every decoded batch.
+    */
+  def decodeAudit(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    extractFeatures(mediaTable(spark, d)).toDF()
+      .select($"doc_id", $"n_bytes", $"width".cast("long").as("width"),
+        $"height".cast("long").as("height"), $"mean_px")
+  }
+
   /** The full pipeline as one oracle-friendly query: media → features →
     * relational aggregate per width bucket. Exercises binary columns,
     * mapPartitions batching, and the downstream shuffle.
