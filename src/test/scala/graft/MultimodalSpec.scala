@@ -151,4 +151,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.map(_._2).toSeq == Seq(0, 2))
     assert(frames.head._3.toSeq == (0 until 10).map(_.toByte))
   }
+
+  test("frameSampleManifest: sampled bytes bound by the every-Nth budget") {
+    import spark.implicits._
+    val got = Multimodal.frameSampleManifest(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (id, nBytes, width, nFrames, nSampled, sBytes) =>
+      assert(nFrames == (nBytes + width - 1) / width, s"doc $id frames")
+      assert(nSampled == (nFrames + 3) / 4, s"doc $id sampled")
+      assert(sBytes <= nBytes && sBytes <= nSampled * width, s"doc $id bytes")
+    }
+    // sampling keeps roughly 1/4 of the frame mass, never more than all
+    assert(got.map(_._6).sum * 3 <= got.map(_._2).sum * 2,
+      "sampled mass well under the full corpus")
+  }
+
+  test("decodeAudit mean equals the padded-matrix byte mean") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val got = Multimodal.decodeAudit(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (id, nBytes, width, height, mean) =>
+      val bytes = docs(id).getBytes("UTF-8")
+      assert(nBytes == bytes.length.toLong)
+      assert(height == (nBytes + width - 1) / width)
+      val expected =
+        if (height == 0) 0.0
+        else bytes.map(b => (b & 0xff).toLong).sum.toDouble / (height * width)
+      assert(mean == expected, s"doc $id mean")
+    }
+  }
 }
