@@ -198,6 +198,7 @@ object SparkEntry {
     "q169_ref_integrity"  -> ((s, d) => Relational.refIntegrityAudit(s, d)),
     "q170_frame_manifest" -> ((s, d) => graft.multimodal.Multimodal.frameSampleManifest(s, d)),
     "q171_decode_audit"   -> ((s, d) => graft.multimodal.Multimodal.decodeAudit(s, d)),
+    "q172_reach_curve"    -> ((s, d) => Relational.hllReachCurve(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -3335,6 +3336,40 @@ object SparkEntry {
         |  CASE WHEN height = 0 THEN 0.0
         |    ELSE px_sum::DOUBLE / (height * width)::DOUBLE END AS mean_px
         |FROM s""".stripMargin,
+    // cumulative HLL reach: per-day registers bucket-max-merged through
+    // each day of the grid; exact curve from first-occurrence days
+    "q172_reach_curve" ->
+      s"""WITH base AS (SELECT event_type,
+         |    epoch_us(ts) // 86400000000 AS dy, user_id,
+         |    ${md5Bits32Sql("'hll:' || user_id::VARCHAR", 1)} AS h
+         |  FROM events),
+         |r AS (SELECT event_type, dy, h & 255 AS b,
+         |  CASE WHEN (h >> 8) = 0 THEN 25
+         |       ELSE 25 - length(bin(h >> 8)) END AS rank FROM base),
+         |m AS (SELECT event_type, dy, b, max(rank) AS m_j
+         |      FROM r GROUP BY 1, 2, 3),
+         |grid AS (SELECT DISTINCT event_type AS g_type, dy AS g_dy FROM base),
+         |cum AS (SELECT g_type, g_dy, b, max(m_j) AS m_j
+         |        FROM grid JOIN m ON g_type = event_type AND dy <= g_dy
+         |        GROUP BY 1, 2, 3),
+         |s AS (SELECT g_type, g_dy, count(*) AS nz,
+         |        sum(power(2.0, -m_j)) AS snz FROM cum GROUP BY 1, 2),
+         |est AS (SELECT g_type, g_dy, (256 - nz)::BIGINT AS v_zero,
+         |  floor(0.7213 / (1.0 + 1.079 / 256.0)
+         |    * 65536.0 / ((256 - nz)::DOUBLE + snz))::BIGINT AS hll_raw
+         |  FROM s),
+         |fo AS (SELECT event_type, fod, count(*)::BIGINT AS nf FROM (
+         |  SELECT event_type, user_id, min(dy) AS fod FROM base GROUP BY 1, 2)
+         |  GROUP BY 1, 2),
+         |x AS (SELECT g_type, g_dy, sum(nf)::BIGINT AS n_exact_cum
+         |      FROM grid JOIN fo ON g_type = event_type AND fod <= g_dy
+         |      GROUP BY 1, 2)
+         |SELECT x.g_type AS event_type, x.g_dy AS dy, x.n_exact_cum,
+         |  est.v_zero, est.hll_raw,
+         |  CASE WHEN est.v_zero > 0 AND est.hll_raw <= 640
+         |       THEN ${sqlLongList(graft.operators.Relational.HllLcTable)}[est.v_zero + 1]::BIGINT
+         |       ELSE est.hll_raw END AS hll_est
+         |FROM x JOIN est USING (g_type, g_dy)""".stripMargin,
   )
 
   /** q126's oracle: the deterministic sync-LPA trajectory unrolled —

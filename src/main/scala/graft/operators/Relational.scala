@@ -792,6 +792,59 @@ object Relational {
         expr("(est_sz - exact_sz) * 1000000L div exact_sz"))
   }
 
+  /** q172: cumulative HLL reach curve — distinct-users-so-far per
+    * (event type, day), exact AND estimated from the q127 registers,
+    * demonstrating the algebra that makes sketches the 100 TB answer:
+    * per-day register tables MERGE by bucket-max, so "reach through day
+    * D" is an aggregation over already-tiny per-day sketches — no
+    * re-scan of history. The exact curve comes from first-occurrence
+    * days (min day per user, one aggregate) + a cumulative count.
+    *
+    * Scale: the fact volume collapses to per-day register tables
+    * (≤ types·days·256 rows) and a (type, user) first-day aggregate; the
+    * day-grid range join is calendar-bounded (days² · 256 per type at
+    * worst — thousands of rows per type-year, nothing scales with the
+    * corpus).
+    */
+  def hllReachCurve(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val h = graft.functions.Hashing
+      .md5Bits32(concat(lit("hll:"), $"user_id".cast("string")), 1)
+    val base = events(spark, d)
+      .select($"event_type", expr("unix_micros(ts) div 86400000000L").as("dy"),
+        $"user_id", h.as("h"))
+    val regs = base
+      .select($"event_type", $"dy", $"h".bitwiseAND(lit(255L)).as("b"),
+        shiftright($"h", 8).as("w"))
+      .select($"event_type", $"dy", $"b",
+        when($"w" === 0L, lit(25L))
+          .otherwise(lit(25L) - length(bin($"w")).cast("long")).as("rank"))
+      .groupBy($"event_type", $"dy", $"b").agg(max($"rank").as("m_j"))
+    val grid = base.select($"event_type", $"dy").distinct()
+      .select($"event_type".as("g_type"), $"dy".as("g_dy"))
+    // registers through day D: merge (bucket max) of every day ≤ D
+    val cum = grid.join(regs,
+        $"g_type" === $"event_type" && $"dy" <= $"g_dy")
+      .groupBy($"g_type", $"g_dy", $"b").agg(max($"m_j").as("m_j"))
+    val sketch = cum.groupBy($"g_type", $"g_dy")
+      .agg(count(lit(1)).as("nz"), sum(pow(lit(2.0), -$"m_j")).as("snz"))
+      .select($"g_type", $"g_dy", (lit(256L) - $"nz").as("v_zero"),
+        ((lit(256L) - $"nz").cast("double") + $"snz").as("s"))
+    val raw = floor(lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
+      * lit(65536.0) / $"s").cast("long")
+    val fo = base.groupBy($"event_type", $"user_id").agg(min($"dy").as("fod"))
+      .groupBy($"event_type", $"fod").agg(count(lit(1)).as("nf"))
+    val exact = grid.join(fo,
+        $"g_type" === $"event_type" && $"fod" <= $"g_dy")
+      .groupBy($"g_type", $"g_dy").agg(sum($"nf").as("n_exact_cum"))
+    exact.join(sketch, Seq("g_type", "g_dy"))
+      .select($"g_type".as("event_type"), $"g_dy".as("dy"), $"n_exact_cum",
+        $"v_zero", raw.as("hll_raw"),
+        when($"v_zero" > 0L && raw <= lit(640L),
+          element_at(typedLit(HllLcTable), ($"v_zero" + 1L).cast("int")))
+          .otherwise(raw).as("hll_est"))
+  }
+
   /** q167: join-skew advisor — the operational question behind every q33
     * salt and AQE skew split: for each audited join key, the exact key
     * histogram's shape (max/p50/p99 df, exact middle-rank picks — the
