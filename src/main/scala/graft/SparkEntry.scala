@@ -199,6 +199,8 @@ object SparkEntry {
     "q170_frame_manifest" -> ((s, d) => graft.multimodal.Multimodal.frameSampleManifest(s, d)),
     "q171_decode_audit"   -> ((s, d) => graft.multimodal.Multimodal.decodeAudit(s, d)),
     "q172_reach_curve"    -> ((s, d) => Relational.hllReachCurve(s, d)),
+    "q173_funnel_latency" -> ((s, d) => Windowed.funnelLatency(s, d)),
+    "q174_session_stats"  -> ((s, d) => Windowed.sessionStats(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -3370,6 +3372,76 @@ object SparkEntry {
          |       THEN ${sqlLongList(graft.operators.Relational.HllLcTable)}[est.v_zero + 1]::BIGINT
          |       ELSE est.hll_raw END AS hll_est
          |FROM x JOIN est USING (g_type, g_dy)""".stripMargin,
+    // funnel latency: q113's chain restricted to stage-3 users, unpivoted
+    // into three duration metrics with exact middle-rank p50/p90
+    "q173_funnel_latency" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_type FROM events),
+        |f1 AS (SELECT user_id, min(tsu) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |f2 AS (SELECT e.user_id, min(tsu) AS t2 FROM e JOIN f1 USING (user_id)
+        |       WHERE event_type = 'click' AND tsu > t1
+        |         AND tsu <= t1 + 86400000000 GROUP BY 1),
+        |f3 AS (SELECT e.user_id, min(tsu) AS t3 FROM e JOIN f2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND tsu > t2
+        |         AND tsu <= t2 + 86400000000 GROUP BY 1),
+        |conv AS (SELECT f1.user_id, t1, t2, t3 FROM f1
+        |         JOIN f2 ON f1.user_id = f2.user_id
+        |         JOIN f3 ON f1.user_id = f3.user_id),
+        |durs AS (SELECT user_id, 'view_to_click' AS metric, t2 - t1 AS dur_us
+        |         FROM conv
+        |         UNION ALL
+        |         SELECT user_id, 'click_to_purchase', t3 - t2 FROM conv
+        |         UNION ALL
+        |         SELECT user_id, 'view_to_purchase', t3 - t1 FROM conv),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY metric
+        |        ORDER BY dur_us, user_id) AS rn,
+        |        count(*) OVER (PARTITION BY metric) AS n FROM durs),
+        |p50 AS (SELECT metric, dur_us AS p50_us FROM r
+        |        WHERE rn = (50 * n + 99) // 100),
+        |p90 AS (SELECT metric, dur_us AS p90_us FROM r
+        |        WHERE rn = (90 * n + 99) // 100),
+        |a AS (SELECT metric, count(*)::BIGINT AS n_converted,
+        |        min(dur_us) AS min_us, max(dur_us) AS max_us,
+        |        sum(dur_us)::BIGINT AS sum_us
+        |      FROM durs GROUP BY 1)
+        |SELECT metric, n_converted, min_us, p50_us, p90_us, max_us,
+        |  sum_us::DOUBLE / n_converted::DOUBLE AS mean_us
+        |FROM a JOIN p50 USING (metric) JOIN p90 USING (metric)""".stripMargin,
+    // session rollup over the q28 sessions: bounce ratio, middle-rank
+    // percentiles, single-division means
+    "q174_session_stats" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
+        |g AS (SELECT *, CASE WHEN tsu - lag(tsu) OVER
+        |        (PARTITION BY user_id ORDER BY tsu, event_id) > 1800000000
+        |        THEN 1 ELSE 0 END AS gap FROM e),
+        |ss AS (SELECT *, sum(gap) OVER (PARTITION BY user_id
+        |        ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING)
+        |        AS session_seq FROM g),
+        |s AS (SELECT user_id, session_seq, count(*)::BIGINT AS n_events,
+        |        max(tsu) - min(tsu) AS duration_us
+        |      FROM ss GROUP BY 1, 2),
+        |r AS (SELECT *,
+        |  row_number() OVER (ORDER BY n_events, user_id, session_seq) AS rne,
+        |  row_number() OVER (ORDER BY duration_us, user_id, session_seq) AS rnd,
+        |  count(*) OVER () AS n FROM s),
+        |p50e AS (SELECT n_events AS p50_events FROM r
+        |         WHERE rne = (50 * n + 99) // 100),
+        |p90e AS (SELECT n_events AS p90_events FROM r
+        |         WHERE rne = (90 * n + 99) // 100),
+        |p50d AS (SELECT duration_us AS p50_duration_us FROM r
+        |         WHERE rnd = (50 * n + 99) // 100),
+        |a AS (SELECT count(*)::BIGINT AS n_sessions,
+        |        count(DISTINCT user_id)::BIGINT AS n_users,
+        |        sum((n_events = 1)::BIGINT)::BIGINT AS bounce_n,
+        |        sum(n_events)::BIGINT AS sum_events,
+        |        sum(duration_us)::BIGINT AS sum_duration_us
+        |      FROM s)
+        |SELECT n_sessions, n_users, bounce_n,
+        |  bounce_n * 1000000 // n_sessions AS bounce_q6,
+        |  p50_events, p90_events, p50_duration_us,
+        |  sum_events::DOUBLE / n_sessions::DOUBLE AS mean_events,
+        |  sum_duration_us::DOUBLE / n_sessions::DOUBLE AS mean_duration_us
+        |FROM a, p50e, p90e, p50d""".stripMargin,
   )
 
   /** q126's oracle: the deterministic sync-LPA trajectory unrolled —

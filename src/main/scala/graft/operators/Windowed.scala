@@ -127,6 +127,83 @@ object Windowed {
         coalesce($"t3", lit(-1L)).as("t3"))
   }
 
+  /** q173: funnel conversion latency — for fully-converted users
+    * (q113 stage 3), the exact-microsecond view→click, click→purchase
+    * and view→purchase durations, summarized per metric with exact
+    * middle-rank p50/p90 picks (the q129 rank convention — no
+    * interpolation) and a single-division mean. The "how long does the
+    * funnel take" report that decides attribution windows and session
+    * gaps.
+    *
+    * Scale: rides q113's three chained min-aggregates; the unpivot is a
+    * scan-stage `stack`; percentile picks ride one metric-partitioned
+    * window over 3·|converted| rows.
+    */
+  def funnelLatency(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val durs = funnelStages(spark, d).filter($"stage" === 3L)
+      .select($"user_id", expr(
+        """stack(3,
+          |  'view_to_click', t2 - t1,
+          |  'click_to_purchase', t3 - t2,
+          |  'view_to_purchase', t3 - t1) AS (metric, dur_us)""".stripMargin))
+    val w = Window.partitionBy($"metric").orderBy($"dur_us", $"user_id")
+    val ranked = durs
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"metric")))
+    val p50 = ranked.filter($"rn" === expr("(50 * n + 99) div 100"))
+      .select($"metric", $"dur_us".as("p50_us"))
+    val p90 = ranked.filter($"rn" === expr("(90 * n + 99) div 100"))
+      .select($"metric", $"dur_us".as("p90_us"))
+    durs.groupBy($"metric")
+      .agg(count(lit(1)).as("n_converted"), min($"dur_us").as("min_us"),
+        max($"dur_us").as("max_us"), sum($"dur_us").as("sum_us"))
+      .join(p50, "metric").join(p90, "metric")
+      .select($"metric", $"n_converted", $"min_us", $"p50_us", $"p90_us",
+        $"max_us",
+        ($"sum_us".cast("double") / $"n_converted".cast("double")).as("mean_us"))
+  }
+
+  /** q174: session rollup — the corpus-level sessionization datasheet
+    * off q28's sessions: session/user counts, bounce rate (single-event
+    * sessions, exact 1e6 integer ratio), exact middle-rank p50/p90 of
+    * events-per-session and p50 duration, single-division means. The
+    * report that tunes the 30-minute gap itself.
+    *
+    * Scale: sessions are already the per-user aggregate; the two rank
+    * picks are global windows over |sessions| rows (two-phase q156
+    * rank at corpus scale), the rest one scalar aggregate.
+    */
+  def sessionStats(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val s = sessionize(spark, d)
+    val we = Window.orderBy($"n_events", $"user_id", $"session_seq")
+    val wd = Window.orderBy($"duration_us", $"user_id", $"session_seq")
+    val ranked = s
+      .withColumn("rne", row_number().over(we).cast("long"))
+      .withColumn("rnd", row_number().over(wd).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    val p50e = ranked.filter($"rne" === expr("(50 * n + 99) div 100"))
+      .select($"n_events".as("p50_events"))
+    val p90e = ranked.filter($"rne" === expr("(90 * n + 99) div 100"))
+      .select($"n_events".as("p90_events"))
+    val p50d = ranked.filter($"rnd" === expr("(50 * n + 99) div 100"))
+      .select($"duration_us".as("p50_duration_us"))
+    s.agg(count(lit(1)).as("n_sessions"),
+        countDistinct($"user_id").as("n_users"),
+        sum(($"n_events" === 1L).cast("long")).as("bounce_n"),
+        sum($"n_events").as("sum_events"),
+        sum($"duration_us").as("sum_duration_us"))
+      .crossJoin(p50e).crossJoin(p90e).crossJoin(p50d)
+      .select($"n_sessions", $"n_users", $"bounce_n",
+        expr("bounce_n * 1000000L div n_sessions").as("bounce_q6"),
+        $"p50_events", $"p90_events", $"p50_duration_us",
+        ($"sum_events".cast("double") / $"n_sessions".cast("double"))
+          .as("mean_events"),
+        ($"sum_duration_us".cast("double") / $"n_sessions".cast("double"))
+          .as("mean_duration_us"))
+  }
+
   /** q120: daily retention cohorts — each user joins the cohort of
     * their first-ever event's epoch day; a cohort's day-N retention is
     * the fraction of its users active (≥1 event) N days later. The
