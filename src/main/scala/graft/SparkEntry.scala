@@ -201,6 +201,7 @@ object SparkEntry {
     "q172_reach_curve"    -> ((s, d) => Relational.hllReachCurve(s, d)),
     "q173_funnel_latency" -> ((s, d) => Windowed.funnelLatency(s, d)),
     "q174_session_stats"  -> ((s, d) => Windowed.sessionStats(s, d)),
+    "q175_dedup_eval"     -> ((s, d) => Dedup.dedupEval(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -650,6 +651,34 @@ object SparkEntry {
       |FROM inter JOIN sizes sa ON x = sa.doc_id JOIN sizes sb ON y = sb.doc_id
       |WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.5""".stripMargin
 
+  /** q23's full simhash re-derivation (also the prediction side of the
+    * q175 evaluation harness): md5 64-bit token hashes, per-bit votes,
+    * sign bits, brute Hamming ≤ 3 pairs.
+    */
+  private lazy val simhashPairsSql =
+    s"""WITH $cleanToksCte,
+       |tok AS (SELECT doc_id, unnest(ws) AS t FROM toks),
+       |th AS (SELECT doc_id,
+       |  ${md5Bits32Sql("t", 1)} AS hi,
+       |  ${md5Bits32Sql("t", 9)} AS lo
+       |  FROM tok),
+       |votes AS (SELECT doc_id, k,
+       |  sum(CASE WHEN (CASE WHEN k < 32 THEN (lo >> k::INT) & 1
+       |                      ELSE (hi >> (k - 32)::INT) & 1 END) = 1
+       |      THEN 1 ELSE -1 END) AS vote
+       |  FROM th, range(64) kk(k) GROUP BY 1, 2),
+       |skv AS (SELECT doc_id,
+       |  list(CASE WHEN vote > 0 THEN 1 ELSE 0 END ORDER BY k) AS bl
+       |  FROM votes GROUP BY 1),
+       |sk AS (SELECT d.doc_id, coalesce(s.bl, list_transform(range(64), z -> 0)) AS bl
+       |       FROM documents d LEFT JOIN skv s USING (doc_id))
+       |SELECT a.doc_id AS x, b.doc_id AS y,
+       |  list_sum(list_transform(range(1, 65), k ->
+       |    CASE WHEN a.bl[k::INT] <> b.bl[k::INT] THEN 1 ELSE 0 END))::INT AS dist
+       |FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+       |WHERE list_sum(list_transform(range(1, 65), k ->
+       |    CASE WHEN a.bl[k::INT] <> b.bl[k::INT] THEN 1 ELSE 0 END)) <= 3""".stripMargin
+
   /** Shared quantized-embedding CTEs (q14's oracle prelude). */
   private val embedCtes =
     """ex AS (SELECT vec_id, round(unnest(embedding)::DOUBLE * 10000000)::BIGINT AS e,
@@ -785,29 +814,7 @@ object SparkEntry {
     // per-bit ±1 vote sums → sign bits → brute-force Hamming ≤ 3 pairs
     // (the engine's pigeonhole banding is complete for d ≤ 3, so the
     // candidate-generation shortcut emits exactly this set)
-    "q23_simhash" ->
-      s"""WITH $cleanToksCte,
-         |tok AS (SELECT doc_id, unnest(ws) AS t FROM toks),
-         |th AS (SELECT doc_id,
-         |  ${md5Bits32Sql("t", 1)} AS hi,
-         |  ${md5Bits32Sql("t", 9)} AS lo
-         |  FROM tok),
-         |votes AS (SELECT doc_id, k,
-         |  sum(CASE WHEN (CASE WHEN k < 32 THEN (lo >> k::INT) & 1
-         |                      ELSE (hi >> (k - 32)::INT) & 1 END) = 1
-         |      THEN 1 ELSE -1 END) AS vote
-         |  FROM th, range(64) kk(k) GROUP BY 1, 2),
-         |skv AS (SELECT doc_id,
-         |  list(CASE WHEN vote > 0 THEN 1 ELSE 0 END ORDER BY k) AS bl
-         |  FROM votes GROUP BY 1),
-         |sk AS (SELECT d.doc_id, coalesce(s.bl, list_transform(range(64), z -> 0)) AS bl
-         |       FROM documents d LEFT JOIN skv s USING (doc_id))
-         |SELECT a.doc_id AS x, b.doc_id AS y,
-         |  list_sum(list_transform(range(1, 65), k ->
-         |    CASE WHEN a.bl[k::INT] <> b.bl[k::INT] THEN 1 ELSE 0 END))::INT AS dist
-         |FROM sk a JOIN sk b ON a.doc_id < b.doc_id
-         |WHERE list_sum(list_transform(range(1, 65), k ->
-         |    CASE WHEN a.bl[k::INT] <> b.bl[k::INT] THEN 1 ELSE 0 END)) <= 3""".stripMargin,
+    "q23_simhash" -> simhashPairsSql,
     // rolling polynomial fingerprint: fold (h*31 + md5_32(token)) mod 2^57
     "q27_rolling_fp" ->
       s"""WITH $cleanToksCte
@@ -3442,6 +3449,20 @@ object SparkEntry {
         |  sum_events::DOUBLE / n_sessions::DOUBLE AS mean_events,
         |  sum_duration_us::DOUBLE / n_sessions::DOUBLE AS mean_duration_us
         |FROM a, p50e, p90e, p50d""".stripMargin,
+    // dedup detector evaluation: SimHash (q23) vs exact Jaccard truth
+    // (q16), exact integer precision/recall/F1
+    "q175_dedup_eval" ->
+      s"""WITH truth AS (SELECT x, y FROM ($jaccardPairsSql)),
+         |pred AS (SELECT x, y FROM ($simhashPairsSql)),
+         |tp AS (SELECT count(*)::BIGINT AS n_tp
+         |       FROM truth JOIN pred USING (x, y)),
+         |a AS (SELECT count(*)::BIGINT AS n_truth FROM truth),
+         |b AS (SELECT count(*)::BIGINT AS n_pred FROM pred)
+         |SELECT n_truth, n_pred, n_tp,
+         |  n_tp * 1000000 // n_pred AS precision_q6,
+         |  n_tp * 1000000 // n_truth AS recall_q6,
+         |  2 * n_tp * 1000000 // (n_pred + n_truth) AS f1_q6
+         |FROM a, b, tp""".stripMargin,
   )
 
   /** q126's oracle: the deterministic sync-LPA trajectory unrolled —

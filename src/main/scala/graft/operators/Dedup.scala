@@ -766,4 +766,29 @@ object Dedup {
         levenshtein($"ta", $"tb").cast("long").as("dist"))
       .filter($"dist" <= maxDist)
   }
+
+  /** q175: dedup-method evaluation harness — precision/recall/F1 of the
+    * SimHash detector (q23, Hamming ≤ 3) against the exact 3-gram
+    * Jaccard ≥ 0.5 pair set (q16) as ground truth. The QA query a
+    * pipeline owes itself before swapping detectors: both pair sets are
+    * the memo-shared lineages the dedup queries already build, and all
+    * three metrics are exact integer ratios (F1 = 2·TP/(P+T) exactly,
+    * no double round-trip).
+    *
+    * Scale: the comparison is a full-outer join of two candidate-pair
+    * tables (corpus-sublinear, dup-density-bounded) and one scalar
+    * aggregate.
+    */
+  def dedupEval(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val truth = jaccardPairs(spark, d).select($"x", $"y", lit(1L).as("in_t"))
+    val pred = simhashPairs(spark, d).select($"x", $"y", lit(1L).as("in_p"))
+    truth.join(pred, Seq("x", "y"), "full_outer")
+      .agg(sum($"in_t").as("n_truth"), sum($"in_p").as("n_pred"),
+        sum($"in_t" * $"in_p").as("n_tp"))
+      .select($"n_truth", $"n_pred", $"n_tp",
+        expr("n_tp * 1000000L div n_pred").as("precision_q6"),
+        expr("n_tp * 1000000L div n_truth").as("recall_q6"),
+        expr("2L * n_tp * 1000000L div (n_pred + n_truth)").as("f1_q6"))
+  }
 }
