@@ -198,6 +198,77 @@ class AuditOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("reach curve: exact cumulative is monotone and the sketch tracks it") {
+    import spark.implicits._
+    val got = Relational.hllReachCurve(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (t, rows) =>
+      val sorted = rows.sortBy(_._2)
+      // distinct-so-far can only grow, for both the exact and the sketch
+      assert(sorted.map(_._3).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)),
+        s"$t exact monotone")
+      assert(sorted.map(_._6).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)),
+        s"$t sketch monotone")
+      // m=256 rsd ≈ 6.5%: generous 4-sigma bound like ApproxSpec's
+      sorted.foreach { case (_, dy, exact, _, _, est) =>
+        assert(math.abs(est - exact).toDouble / exact < 0.26, s"$t day $dy")
+      }
+      // the final day's sketch equals the all-time q127 sketch
+      val all = Relational.hllDistinct(spark, sf)
+        .as[(String, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> r._5).toMap
+      assert(sorted.last._6 == all(t), s"$t final merge == all-time sketch")
+    }
+  }
+
+  test("funnel latency percentiles are ordered and ride stage-3 users") {
+    import spark.implicits._
+    val got = Windowed.funnelLatency(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Double)].collect()
+    assert(got.map(_._1).toSet ==
+      Set("view_to_click", "click_to_purchase", "view_to_purchase"))
+    val nStage3 = Windowed.funnelStages(spark, sf)
+      .filter(col("stage") === 3L).count()
+    got.foreach { case (m, n, mn, p50, p90, mx, mean) =>
+      assert(n == nStage3, s"$m count")
+      assert(mn <= p50 && p50 <= p90 && p90 <= mx, s"$m order")
+      assert(mean >= mn.toDouble && mean <= mx.toDouble, s"$m mean")
+    }
+  }
+
+  test("session stats aggregate the q28 sessions consistently") {
+    import spark.implicits._
+    val s = Windowed.sessionize(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    val Array(got) = Windowed.sessionStats(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Double, Double)].collect()
+    val (nSess, nUsers, bounce, bounceQ6, p50e, p90e, p50d, meanE, meanD) =
+      (got._1, got._2, got._3, got._4, got._5, got._6, got._7, got._8, got._9)
+    assert(nSess == s.length.toLong)
+    assert(nUsers == s.map(_._1).distinct.length.toLong)
+    assert(bounce == s.count(_._3 == 1L).toLong)
+    assert(bounceQ6 == bounce * 1000000L / nSess)
+    val evs = s.map(_._3).sorted
+    assert(p50e == evs((((50 * nSess + 99) / 100) - 1).toInt))
+    assert(p90e == evs((((90 * nSess + 99) / 100) - 1).toInt))
+    val durs = s.map(_._5).sorted
+    assert(p50d == durs((((50 * nSess + 99) / 100) - 1).toInt))
+    assert(math.abs(meanE - evs.sum.toDouble / nSess) < 1e-9)
+    assert(math.abs(meanD - durs.sum.toDouble / nSess) < 1e-6)
+  }
+
+  test("dedupEval metrics satisfy the exact F1 identity") {
+    import spark.implicits._
+    val Array((nT, nP, nTp, prec, rec, f1)) =
+      graft.operators.Dedup.dedupEval(spark, sf)
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(nTp <= nT && nTp <= nP)
+    assert(prec == nTp * 1000000L / nP && rec == nTp * 1000000L / nT)
+    assert(f1 == 2L * nTp * 1000000L / (nP + nT))
+    assert(nT > 0L, "fixture has true near-dup pairs")
+  }
+
   test("RFM quartiles are balanced within one and segments are consistent") {
     import spark.implicits._
     val got = Windowed.rfmSegments(spark, sf)
