@@ -202,6 +202,7 @@ object SparkEntry {
     "q173_funnel_latency" -> ((s, d) => Windowed.funnelLatency(s, d)),
     "q174_session_stats"  -> ((s, d) => Windowed.sessionStats(s, d)),
     "q175_dedup_eval"     -> ((s, d) => Dedup.dedupEval(s, d)),
+    "q176_effective_tokens" -> ((s, d) => Dedup.effectiveTokens(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -444,6 +445,29 @@ object SparkEntry {
          |sz AS (SELECT label, count(*) AS cluster_size FROM l$iters GROUP BY 1)
          |SELECT r.label AS cluster_id, r.doc_id AS canonical_doc, sz.cluster_size
          |FROM r JOIN sz ON r.label = sz.label WHERE rn = 1""".stripMargin
+
+  /** q176's oracle: the q82 survivorship chain reduced to the canonical
+    * set, then one per-source raw-vs-effective token budget.
+    */
+  private def effectiveTokensSql(iters: Int): String =
+    dedupLabelCtes(iters) +
+      s""",
+         |r AS (SELECT l.label, l.doc_id,
+         |        row_number() OVER (PARTITION BY l.label
+         |                           ORDER BY d.n_chars DESC, l.doc_id) AS rn
+         |      FROM l$iters l JOIN documents d ON l.doc_id = d.doc_id),
+         |canon AS (SELECT doc_id FROM r WHERE rn = 1),
+         |t AS (SELECT d.doc_id, d.source,
+         |        len(regexp_split_to_array(lower(d.text), '\\s+'))::BIGINT AS ntok,
+         |        (d.doc_id IN (SELECT doc_id FROM canon))::BIGINT AS is_c
+         |      FROM documents d)
+         |SELECT source, count(*)::BIGINT AS raw_docs,
+         |  sum(ntok)::BIGINT AS raw_tokens,
+         |  sum(is_c)::BIGINT AS effective_docs,
+         |  sum(is_c * ntok)::BIGINT AS effective_tokens,
+         |  ((sum(ntok) - sum(is_c * ntok)) * 1000000 // sum(ntok))::BIGINT
+         |    AS discount_q6
+         |FROM t GROUP BY 1""".stripMargin
 
   /** Unrolled fixed-iteration PageRank oracle (DuckDB has no iterative
     * DataFrame loop; 10 chained CTEs replicate the loop exactly —
@@ -3463,6 +3487,8 @@ object SparkEntry {
          |  n_tp * 1000000 // n_truth AS recall_q6,
          |  2 * n_tp * 1000000 // (n_pred + n_truth) AS f1_q6
          |FROM a, b, tp""".stripMargin,
+    // dedup-adjusted per-source token budget off the q82 survivorship
+    "q176_effective_tokens" -> effectiveTokensSql(5),
   )
 
   /** q126's oracle: the deterministic sync-LPA trajectory unrolled —

@@ -767,6 +767,37 @@ object Dedup {
       .filter($"dist" <= maxDist)
   }
 
+  /** q176: dedup-adjusted token budget — per source, the raw doc/token
+    * mass vs the EFFECTIVE mass after near-dup survivorship (only each
+    * cluster's canonical doc counts, q82's keep-longest rule), with the
+    * duplication discount as an exact 1e6 integer ratio. The number a
+    * mixture planner actually needs: q54/q65 weight sources by token
+    * counts, and double-counting near-dups inflates exactly the crawl
+    * sources that need discounting most. Canonical ownership attributes
+    * a cross-source cluster to its representative's source — the
+    * standard survivorship convention, documented rather than hidden.
+    *
+    * Scale: rides the memo-shared dedupLabels/canonicalDocs lineage; the
+    * token side is one scan-stage size() projection; the report is one
+    * |sources|-row aggregate.
+    */
+  def effectiveTokens(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val canon = canonicalDocs(spark, d)
+      .select($"canonical_doc".as("doc_id"), lit(1L).as("is_canon"))
+    documents(spark, d)
+      .select($"doc_id", $"source",
+        size(graft.functions.TextFunctions.tokens($"text")).cast("long")
+          .as("ntok"))
+      .join(canon, Seq("doc_id"), "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("raw_docs"), sum($"ntok").as("raw_tokens"),
+        sum(coalesce($"is_canon", lit(0L))).as("effective_docs"),
+        sum(coalesce($"is_canon", lit(0L)) * $"ntok").as("effective_tokens"))
+      .withColumn("discount_q6",
+        expr("(raw_tokens - effective_tokens) * 1000000L div raw_tokens"))
+  }
+
   /** q175: dedup-method evaluation harness — precision/recall/F1 of the
     * SimHash detector (q23, Hamming ≤ 3) against the exact 3-gram
     * Jaccard ≥ 0.5 pair set (q16) as ground truth. The QA query a
