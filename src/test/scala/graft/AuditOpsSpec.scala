@@ -269,6 +269,22 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(nT > 0L, "fixture has true near-dup pairs")
   }
 
+  test("effectiveTokens conserves the canonical set and bounds the discount") {
+    import spark.implicits._
+    val got = graft.operators.Dedup.effectiveTokens(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (src, rd, rt, ed, et, disc) =>
+      assert(ed <= rd && et <= rt, s"$src effective ≤ raw")
+      assert(disc == (rt - et) * 1000000L / rt, s"$src discount")
+    }
+    val nClusters = graft.operators.Dedup.canonicalDocs(spark, sf).count()
+    assert(got.map(_._4).sum == nClusters,
+      "one effective doc per cluster, summed across sources")
+    assert(got.map(_._2).sum > got.map(_._4).sum,
+      "fixture has near-dups to discount")
+  }
+
   test("RFM quartiles are balanced within one and segments are consistent") {
     import spark.implicits._
     val got = Windowed.rfmSegments(spark, sf)
