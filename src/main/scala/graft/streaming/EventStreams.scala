@@ -527,6 +527,92 @@ object EventStreams {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  case class ReachRow(event_type: String, dy: Long, v_zero: Long,
+      hll_raw: Long, hll_est: Long, state_n: Long)
+
+  /** Day-keyed register table state (parallel arrays, product encoder):
+    * `days(i)` owns registers `regs(i*256 until (i+1)*256)`.
+    */
+  case class DayRegs(days: Array[Long], regs: Array[Long])
+
+  /** q172's cumulative reach curve in streaming form (transformWithState):
+    * per event type the state is the (day → 256 HLL registers) table;
+    * each micro-batch folds rows into their day's registers by bucket
+    * max — the HLL merge, order-free — and every batch re-emits the full
+    * cumulative curve (registers merged day by day in day order), so
+    * late rows for an EARLIER day legitimately revise every later day's
+    * estimate, exactly like the anomaly monitor. `state_n` (rows folded)
+    * stamps the final emission. State is 256 longs per observed
+    * (type, day) — the same mergeable table the batch query builds, held
+    * incrementally.
+    */
+  class ReachProcessor extends
+      org.apache.spark.sql.streaming.StatefulProcessor[String, Event, ReachRow] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+
+    @transient private var st: ValueState[DayRegs] = _
+    @transient private var nSt: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      st = getHandle.getValueState[DayRegs](
+        "dayRegisters", Encoders.product[DayRegs], TTLConfig.NONE)
+      nSt = getHandle.getValueState[Long](
+        "reachSeen", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[ReachRow] = {
+      val m = scala.collection.mutable.LongMap.empty[Array[Long]]
+      if (st.exists()) {
+        val dr = st.get()
+        dr.days.zipWithIndex.foreach { case (d, i) =>
+          m(d) = dr.regs.slice(i * 256, (i + 1) * 256)
+        }
+      }
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var folded = 0L
+      rows.foreach { e =>
+        val micros = e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+        val dy = micros / 86400000000L
+        val regs = m.getOrElseUpdate(dy, Array.fill(256)(0L))
+        val hex = md.digest(s"hll:${e.user_id}".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val h = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+        val b = (h & 255L).toInt
+        val w = h >> 8
+        val rank =
+          if (w == 0L) 25L
+          else 25L - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        if (rank > regs(b)) regs(b) = rank
+        folded += 1L
+      }
+      val days = m.keys.toArray.sorted
+      st.update(DayRegs(days, days.flatMap(m(_))))
+      val n = (if (nSt.exists()) nSt.get() else 0L) + folded
+      nSt.update(n)
+      // cumulative merge in day order, summarizing after each day
+      val cum = Array.fill(256)(0L)
+      days.iterator.map { dy =>
+        val dayRegs = m(dy)
+        var i = 0
+        while (i < 256) {
+          if (dayRegs(i) > cum(i)) cum(i) = dayRegs(i); i += 1
+        }
+        val h = hllSummary(key, cum)
+        ReachRow(key, dy, h.v_zero, h.hll_raw, h.hll_est, n)
+      }
+    }
+  }
+
+  def reachStream(events: Dataset[Event]): Dataset[ReachRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .transformWithState(new ReachProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   def runningUserTotals(events: Dataset[Event]): Dataset[UserTotals] = {
     import events.sparkSession.implicits._
     events

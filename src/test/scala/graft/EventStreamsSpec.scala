@@ -369,6 +369,41 @@ class EventStreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("reach stream curve equals the q172 batch sketch across a batch split") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val all = graft.core.Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect()
+    withRuntime(tws = true) {
+      val input = MemoryStream[Event]
+      val query = EventStreams.reachStream(input.toDS())
+        .writeStream.format("memory").queryName("reach_stream")
+        .outputMode("update").start()
+      try {
+        // per-day register max-merge is order-free, so the final curve
+        // must not depend on the micro-batch split — mid-stream batches
+        // emit provisional curves that later batches legitimately revise
+        all.grouped(math.max(1, all.length / 4 + 1)).foreach { chunk =>
+          input.addData(chunk.toIndexedSeq: _*)
+          query.processAllAvailable()
+        }
+        val rows = spark.table("reach_stream")
+          .as[(String, Long, Long, Long, Long, Long)].collect()
+        val fin = rows.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+          val last = rs.map(_._6).max
+          rs.filter(_._6 == last).toSeq
+        }.map(r => (r._1, r._2, r._3, r._4, r._5)).toSet
+        val batch = graft.operators.Relational.hllReachCurve(spark, sf)
+          .select($"event_type", $"dy", $"v_zero", $"hll_raw", $"hll_est")
+          .as[(String, Long, Long, Long, Long)].collect().toSet
+        assert(fin == batch)
+        assert(batch.nonEmpty)
+      } finally query.stop()
+    }
+  }
+
   test("histogram streams reject a degenerate range loudly") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
