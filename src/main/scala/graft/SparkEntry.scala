@@ -203,6 +203,7 @@ object SparkEntry {
     "q174_session_stats"  -> ((s, d) => Windowed.sessionStats(s, d)),
     "q175_dedup_eval"     -> ((s, d) => Dedup.dedupEval(s, d)),
     "q176_effective_tokens" -> ((s, d) => Dedup.effectiveTokens(s, d)),
+    "q177_watermark_advisor" -> ((s, d) => Windowed.watermarkAdvisor(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -3489,6 +3490,31 @@ object SparkEntry {
          |FROM a, b, tp""".stripMargin,
     // dedup-adjusted per-source token budget off the q82 survivorship
     "q176_effective_tokens" -> effectiveTokensSql(5),
+    // watermark advisor: lateness vs the running event-time max over the
+    // event_id arrival order, exact middle-rank p50/p99
+    "q177_watermark_advisor" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS tsu
+        |           FROM events),
+        |l AS (SELECT event_type, event_id,
+        |        greatest(0, coalesce(max(tsu) OVER (PARTITION BY event_type
+        |          ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |          AND 1 PRECEDING), tsu) - tsu) AS late_us
+        |      FROM e),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY late_us, event_id) AS rn,
+        |        count(*) OVER (PARTITION BY event_type) AS n FROM l),
+        |p50 AS (SELECT event_type, late_us AS p50_late_us FROM r
+        |        WHERE rn = (50 * n + 99) // 100),
+        |p99 AS (SELECT event_type, late_us AS p99_late_us FROM r
+        |        WHERE rn = (99 * n + 99) // 100),
+        |a AS (SELECT event_type, count(*)::BIGINT AS n_events,
+        |        sum((late_us > 0)::BIGINT)::BIGINT AS n_out_of_order,
+        |        max(late_us) AS max_late_us
+        |      FROM l GROUP BY 1)
+        |SELECT event_type, n_events, n_out_of_order,
+        |  n_out_of_order * 1000000 // n_events AS ooo_q6,
+        |  p50_late_us, p99_late_us, max_late_us
+        |FROM a JOIN p50 USING (event_type) JOIN p99 USING (event_type)""".stripMargin,
   )
 
   /** q126's oracle: the deterministic sync-LPA trajectory unrolled —

@@ -204,6 +204,46 @@ object Windowed {
           .as("mean_duration_us"))
   }
 
+  /** q177: watermark advisor — the event-time disorder audit that picks
+    * `withWatermark`'s delay: per event-type stream, each row's lateness
+    * vs the running event-time max over the arrival order (event_id —
+    * the ingestion sequence the sources contract), then the exact
+    * out-of-order fraction and middle-rank p50/p99/max lateness. A
+    * watermark of ~p99 lateness drops ≤1 % of rows; `max_late_us` is
+    * the zero-loss setting. The q153/q174 percentile discipline on the
+    * one streaming knob every deployment has to choose.
+    *
+    * Scale: the running max and the rank picks ride per-type windows
+    * over the arrival sequence; a type that out-scales one partition
+    * takes the q53-style decomposition (bucketed sub-windows with a
+    * carried max), noted not needed at fixture scale.
+    */
+  def watermarkAdvisor(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val arr = Window.partitionBy($"event_type").orderBy($"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val late = events(spark, d)
+      .select($"event_type", $"event_id", unix_micros($"ts").as("tsu"))
+      .withColumn("late_us",
+        greatest(lit(0L), coalesce(max($"tsu").over(arr), $"tsu") - $"tsu"))
+    val rk = Window.partitionBy($"event_type").orderBy($"late_us", $"event_id")
+    val ranked = late
+      .withColumn("rn", row_number().over(rk).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"event_type")))
+    val p50 = ranked.filter($"rn" === expr("(50 * n + 99) div 100"))
+      .select($"event_type", $"late_us".as("p50_late_us"))
+    val p99 = ranked.filter($"rn" === expr("(99 * n + 99) div 100"))
+      .select($"event_type", $"late_us".as("p99_late_us"))
+    late.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(($"late_us" > 0L).cast("long")).as("n_out_of_order"),
+        max($"late_us").as("max_late_us"))
+      .join(p50, "event_type").join(p99, "event_type")
+      .select($"event_type", $"n_events", $"n_out_of_order",
+        expr("n_out_of_order * 1000000L div n_events").as("ooo_q6"),
+        $"p50_late_us", $"p99_late_us", $"max_late_us")
+  }
+
   /** q120: daily retention cohorts — each user joins the cohort of
     * their first-ever event's epoch day; a cohort's day-N retention is
     * the fraction of its users active (≥1 event) N days later. The
