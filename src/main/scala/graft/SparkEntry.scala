@@ -204,6 +204,7 @@ object SparkEntry {
     "q175_dedup_eval"     -> ((s, d) => Dedup.dedupEval(s, d)),
     "q176_effective_tokens" -> ((s, d) => Dedup.effectiveTokens(s, d)),
     "q177_watermark_advisor" -> ((s, d) => Windowed.watermarkAdvisor(s, d)),
+    "q178_value_drift"    -> ((s, d) => Windowed.valueDrift(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -3515,6 +3516,39 @@ object SparkEntry {
         |  n_out_of_order * 1000000 // n_events AS ooo_q6,
         |  p50_late_us, p99_late_us, max_late_us
         |FROM a JOIN p50 USING (event_type) JOIN p99 USING (event_type)""".stripMargin,
+    // PSI drift vs the first week: add-one-smoothed 16-bin distributions,
+    // 1e6-quantized terms summed exactly
+    "q178_value_drift" ->
+      """WITH e AS (SELECT ((epoch_us(ts) // 1000000) // 604800) AS week_id,
+        |             value FROM events),
+        |b AS (SELECT min(value) AS lo, max(value) AS hi,
+        |        min(week_id) AS w0 FROM e),
+        |c0 AS (SELECT week_id,
+        |    least(15, greatest(0, floor((value - lo) / (hi - lo) * 16)::BIGINT))
+        |      AS bin, count(*)::BIGINT AS c
+        |  FROM e, b GROUP BY 1, 2),
+        |grid AS (SELECT week_id, bin
+        |  FROM (SELECT DISTINCT week_id FROM c0),
+        |       (SELECT unnest(range(16)) AS bin)),
+        |f AS (SELECT g.week_id, g.bin, coalesce(c0.c, 0)::BIGINT AS c
+        |      FROM grid g LEFT JOIN c0
+        |        ON g.week_id = c0.week_id AND g.bin = c0.bin),
+        |t AS (SELECT week_id, sum(c)::BIGINT AS n FROM f GROUP BY 1),
+        |base AS (SELECT bin, c AS cb FROM f, b WHERE week_id = w0),
+        |nbs AS (SELECT n AS nbase FROM t, b WHERE week_id = w0),
+        |j AS (SELECT f.week_id, t.n, f.c, base.cb, nbs.nbase
+        |      FROM f JOIN t USING (week_id) JOIN base USING (bin), nbs),
+        |terms AS (SELECT week_id, n,
+        |  round(((c + 1)::DOUBLE / (n + 16)::DOUBLE
+        |         - (cb + 1)::DOUBLE / (nbase + 16)::DOUBLE)
+        |    * ln((c + 1)::DOUBLE / (n + 16)::DOUBLE
+        |         / ((cb + 1)::DOUBLE / (nbase + 16)::DOUBLE))
+        |    * 1000000.0)::BIGINT AS termq
+        |  FROM j)
+        |SELECT week_id, max(n) AS n_events, sum(termq)::BIGINT AS psi_q,
+        |  sum(termq)::DOUBLE / 1000000.0 AS psi,
+        |  sum(termq)::DOUBLE / 1000000.0 > 0.2 AS is_drifted
+        |FROM terms GROUP BY 1""".stripMargin,
   )
 
   /** q126's oracle: the deterministic sync-LPA trajectory unrolled —

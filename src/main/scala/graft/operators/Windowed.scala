@@ -244,6 +244,58 @@ object Windowed {
         $"p50_late_us", $"p99_late_us", $"max_late_us")
   }
 
+  /** q178: population-stability drift monitor (PSI) — each week's
+    * `value` distribution vs the FIRST observed week's, over 16
+    * fixed-range bins with add-one smoothing (zero bins would blow up
+    * the log; Laplace is the standard PSI convention): PSI =
+    * Σ (p−q)·ln(p/q), each term one identical-shape double chain over
+    * exact integer bin counts, 1e6-quantized and summed exactly (the
+    * q96 KL discipline). PSI > 0.2 is the classic "investigate" flag —
+    * the ML-ops feature-drift monitor beside q153's volume monitor.
+    *
+    * Scale: one (week, bin) hash aggregate with map-side combine; the
+    * PSI join runs on the ≤ weeks·bins grid. Bin bounds are one
+    * 2-scalar driver-bounded aggregate (fixed a priori in a streaming
+    * deployment — the q129 convention).
+    */
+  def valueDrift(spark: SparkSession, d: String, nBins: Int = 16,
+      threshold: Double = 0.2): DataFrame = {
+    import spark.implicits._
+    val e = events(spark, d).select(
+      expr("(unix_micros(ts) div 1000000L) div 604800L").as("week_id"),
+      $"value")
+    val b = e.agg(min($"value"), max($"value"), min($"week_id")).head()
+    val (lo, hi, w0) = (b.getDouble(0), b.getDouble(1), b.getLong(2))
+    val bin = least(lit(nBins - 1L), greatest(lit(0L),
+      floor(($"value" - lo) / (hi - lo) * nBins).cast("long")))
+    val counts = e.select($"week_id", bin.as("bin"))
+      .groupBy($"week_id", $"bin").agg(count(lit(1)).as("c"))
+    val weeks = counts.select($"week_id").distinct()
+    val grid = weeks.crossJoin(
+      spark.range(nBins).select($"id".as("bin")))
+    val filled = grid.join(counts, Seq("week_id", "bin"), "left")
+      .select($"week_id", $"bin", coalesce($"c", lit(0L)).as("c"))
+    val totals = filled.groupBy($"week_id").agg(sum($"c").as("n"))
+    val base = filled.filter($"week_id" === w0)
+      .select($"bin", $"c".as("cb"))
+    val nb = totals.filter($"week_id" === w0)
+      .select($"n".as("nbase"))
+    val joined = filled.join(totals, "week_id")
+      .join(broadcast(base), "bin").crossJoin(broadcast(nb))
+    val pw = ($"c" + lit(1L)).cast("double") /
+      ($"n" + lit(nBins.toLong)).cast("double")
+    val pb = ($"cb" + lit(1L)).cast("double") /
+      ($"nbase" + lit(nBins.toLong)).cast("double")
+    joined
+      .select($"week_id", $"n",
+        round((pw - pb) * log(pw / pb) * lit(1e6)).cast("long").as("termq"))
+      .groupBy($"week_id")
+      .agg(max($"n").as("n_events"), sum($"termq").as("psi_q"))
+      .select($"week_id", $"n_events", $"psi_q",
+        ($"psi_q".cast("double") / 1e6).as("psi"),
+        ($"psi_q".cast("double") / 1e6 > threshold).as("is_drifted"))
+  }
+
   /** q120: daily retention cohorts — each user joins the cohort of
     * their first-ever event's epoch day; a cohort's day-N retention is
     * the fraction of its users active (≥1 event) N days later. The
