@@ -285,6 +285,47 @@ class AuditOpsSpec extends AnyFunSuite {
       "fixture has near-dups to discount")
   }
 
+  test("watermarkAdvisor lateness matches a driver running-max replay") {
+    import spark.implicits._
+    val ev = graft.core.Tables.events(spark, sf)
+      .select($"event_type", $"event_id", unix_micros($"ts").as("tsu"))
+      .as[(String, Long, Long)].collect()
+    val got = Windowed.watermarkAdvisor(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (t, n, ooo, oooQ6, p50, p99, mx) =>
+      val rows = ev.filter(_._1 == t).sortBy(_._2)
+      val lates = rows.scanLeft((Long.MinValue, 0L)) { case ((runMax, _), r) =>
+        val late = if (runMax == Long.MinValue) 0L
+          else math.max(0L, runMax - r._3)
+        (math.max(runMax, r._3), late)
+      }.tail.map(_._2)
+      assert(n == rows.length.toLong)
+      assert(ooo == lates.count(_ > 0L).toLong)
+      assert(oooQ6 == ooo * 1000000L / n)
+      assert(mx == lates.max)
+      val sorted = lates.sorted
+      assert(p50 == sorted((((50 * n + 99) / 100) - 1).toInt))
+      assert(p99 == sorted((((99 * n + 99) / 100) - 1).toInt))
+      assert(p50 <= p99 && p99 <= mx)
+    }
+  }
+
+  test("valueDrift: PSI is zero on the baseline week and non-negative after") {
+    import spark.implicits._
+    val got = Windowed.valueDrift(spark, sf)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    assert(got.length >= 2, "fixture spans multiple weeks")
+    val w0 = got.map(_._1).min
+    got.foreach { case (wk, n, psiQ, psi, flagged) =>
+      assert(n > 0L)
+      // every PSI term (p-q)ln(p/q) is >= 0, so the quantized sum is too
+      assert(psiQ >= 0L, s"week $wk")
+      assert(flagged == (psi > 0.2))
+      if (wk == w0) assert(psiQ == 0L, "self-comparison is exactly zero")
+    }
+  }
+
   test("RFM quartiles are balanced within one and segments are consistent") {
     import spark.implicits._
     val got = Windowed.rfmSegments(spark, sf)
