@@ -613,6 +613,69 @@ object EventStreams {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  case class TransitionRow(user_id: Long, from_type: String, to_type: String,
+      cnt: Long)
+
+  /** Per-user last-event + transition-count state (product encoder). */
+  case class UserTransitions(last_type: String, froms: Array[String],
+      tos: Array[String], counts: Array[Long])
+
+  /** q128's Markov transition counts in streaming form
+    * (transformWithState, keyed by USER — the partitioning the batch
+    * window uses): state is the user's last event type plus their
+    * (from, to) counts; each batch folds its rows in (ts, event_id)
+    * order, chaining across batches through the stored last type.
+    * Transition-count ADDITION makes the aggregate mergeable; the
+    * per-user chain is order-dependent, so determinism comes from the
+    * sorted fold (the MG convention). Emits the user's updated counts
+    * each batch; the corpus-level q128 matrix is one downstream
+    * aggregate away.
+    */
+  class TransitionProcessor extends
+      org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, TransitionRow] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+
+    @transient private var st: ValueState[UserTransitions] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[UserTransitions](
+        "userTransitions", Encoders.product[UserTransitions], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[TransitionRow] = {
+      val m = scala.collection.mutable.LinkedHashMap.empty[(String, String), Long]
+      var last: String = null
+      if (st.exists()) {
+        val ut = st.get()
+        last = ut.last_type
+        ut.froms.indices.foreach { i =>
+          m((ut.froms(i), ut.tos(i))) = ut.counts(i)
+        }
+      }
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        if (last != null) {
+          val k = (last, e.event_type)
+          m(k) = m.getOrElse(k, 0L) + 1L
+        }
+        last = e.event_type
+      }
+      val pairs = m.toSeq.sortBy { case ((f, t), _) => (f, t) }
+      st.update(UserTransitions(last,
+        pairs.map(_._1._1).toArray, pairs.map(_._1._2).toArray,
+        pairs.map(_._2).toArray))
+      pairs.iterator.map { case ((f, t), c) => TransitionRow(key, f, t, c) }
+    }
+  }
+
+  def transitionStream(events: Dataset[Event]): Dataset[TransitionRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new TransitionProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   def runningUserTotals(events: Dataset[Event]): Dataset[UserTotals] = {
     import events.sparkSession.implicits._
     events

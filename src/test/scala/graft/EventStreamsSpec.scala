@@ -404,6 +404,43 @@ class EventStreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("transition stream counts aggregate to the q128 batch matrix") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val all = graft.core.Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    withRuntime(tws = true) {
+      val input = MemoryStream[Event]
+      val query = EventStreams.transitionStream(input.toDS())
+        .writeStream.format("memory").queryName("trans_stream")
+        .outputMode("update").start()
+      try {
+        // in-order chunks chain per-user sequences across batches via the
+        // stored last event type
+        all.grouped(math.max(1, all.length / 4 + 1)).foreach { chunk =>
+          input.addData(chunk.toIndexedSeq: _*)
+          query.processAllAvailable()
+        }
+        val rows = spark.table("trans_stream")
+          .as[(Long, String, String, Long)].collect()
+        // per-(user, from, to) counts are monotone: final value = max
+        val fin = rows.groupBy(r => (r._1, r._2, r._3)).view
+          .mapValues(_.map(_._4).max)
+        val matrix = fin.toSeq.groupBy { case ((_, f, t), _) => (f, t) }.view
+          .mapValues(_.map(_._2).sum).toMap
+        val batch = graft.operators.Windowed.eventTransitions(spark, sf)
+          .select($"from_type", $"to_type", $"cnt")
+          .as[(String, String, Long)].collect()
+          .map(r => (r._1, r._2) -> r._3).toMap
+        assert(matrix == batch)
+        assert(batch.nonEmpty)
+      } finally query.stop()
+    }
+  }
+
   test("histogram streams reject a degenerate range loudly") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
