@@ -205,6 +205,7 @@ object SparkEntry {
     "q176_effective_tokens" -> ((s, d) => Dedup.effectiveTokens(s, d)),
     "q177_watermark_advisor" -> ((s, d) => Windowed.watermarkAdvisor(s, d)),
     "q178_value_drift"    -> ((s, d) => Windowed.valueDrift(s, d)),
+    "q179_k_anonymity"    -> ((s, d) => Relational.kAnonymityAudit(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -3549,6 +3550,21 @@ object SparkEntry {
         |  sum(termq)::DOUBLE / 1000000.0 AS psi,
         |  sum(termq)::DOUBLE / 1000000.0 > 0.2 AS is_drifted
         |FROM terms GROUP BY 1""".stripMargin,
+    // k-anonymity over the (type, weekday, value-bucket) quasi-identifier
+    "q179_k_anonymity" ->
+      """WITH qi AS (SELECT event_type,
+        |    ((((epoch_us(ts) // 1000000) // 86400) + 4) % 7) AS dow,
+        |    floor(value / 100.0)::BIGINT AS value_bin
+        |  FROM events),
+        |g AS (SELECT event_type, dow, value_bin, count(*)::BIGINT AS sz
+        |      FROM qi GROUP BY 1, 2, 3)
+        |SELECT sum(sz)::BIGINT AS n_rows, count(*)::BIGINT AS n_groups,
+        |  min(sz) AS min_group_size,
+        |  sum((sz < 5)::BIGINT)::BIGINT AS n_small_groups,
+        |  sum(CASE WHEN sz < 5 THEN sz ELSE 0 END)::BIGINT AS n_rows_at_risk,
+        |  (sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) * 1000000
+        |    // sum(sz))::BIGINT AS risk_q6
+        |FROM g""".stripMargin,
   )
 
   /** q126's oracle: the deterministic sync-LPA trajectory unrolled —

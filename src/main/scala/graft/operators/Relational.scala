@@ -845,6 +845,32 @@ object Relational {
           .otherwise(raw).as("hll_est"))
   }
 
+  /** q179: k-anonymity audit — group sizes over the quasi-identifier
+    * (event_type, weekday, value bucket): the privacy-side complement of
+    * q60's PII scan and q168's deletion audit. Rows whose QI group has
+    * fewer than k members are re-identifiable by linkage; the audit
+    * reports the minimum group size and the exact at-risk row mass
+    * before any release/aggregation decision. Weekday via the q139
+    * integer-calendar convention (engines number weekdays differently).
+    *
+    * Scale: one hash aggregate onto the QI grid (bounded by
+    * types·7·buckets) with map-side combine, then a scalar aggregate.
+    */
+  def kAnonymityAudit(spark: SparkSession, d: String, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val qi = events(spark, d).select($"event_type",
+      expr("(((unix_micros(ts) div 1000000L) div 86400L) + 4L) % 7L")
+        .as("dow"),
+      floor($"value" / 100.0).cast("long").as("value_bin"))
+    qi.groupBy($"event_type", $"dow", $"value_bin")
+      .agg(count(lit(1)).as("sz"))
+      .agg(sum($"sz").as("n_rows"), count(lit(1)).as("n_groups"),
+        min($"sz").as("min_group_size"),
+        sum(($"sz" < k).cast("long")).as("n_small_groups"),
+        sum(when($"sz" < k, $"sz").otherwise(0L)).as("n_rows_at_risk"))
+      .withColumn("risk_q6", expr("n_rows_at_risk * 1000000L div n_rows"))
+  }
+
   /** q167: join-skew advisor — the operational question behind every q33
     * salt and AQE skew split: for each audited join key, the exact key
     * histogram's shape (max/p50/p99 df, exact middle-rank picks — the
