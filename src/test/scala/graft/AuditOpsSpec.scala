@@ -326,6 +326,18 @@ class AuditOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("kAnonymityAudit conserves rows and its risk ratio") {
+    import spark.implicits._
+    val nEvents = graft.core.Tables.events(spark, sf).count()
+    val Array((nRows, nGroups, minSz, nSmall, atRisk, riskQ6)) =
+      Relational.kAnonymityAudit(spark, sf)
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(nRows == nEvents, "every event lands in exactly one QI group")
+    assert(minSz >= 1L && nGroups > 0L)
+    assert(atRisk <= nRows && nSmall <= nGroups)
+    assert(riskQ6 == atRisk * 1000000L / nRows)
+  }
+
   test("RFM quartiles are balanced within one and segments are consistent") {
     import spark.implicits._
     val got = Windowed.rfmSegments(spark, sf)
