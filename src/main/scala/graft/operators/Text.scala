@@ -1506,9 +1506,14 @@ object Text {
     */
   def vocabOverlap(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val v = documents(spark, d)
-      .select($"source", explode(cleanTokens($"text")).as("w"))
-      .distinct()
+    // memo-cached: the distinct (source, type) set feeds THREE consumers
+    // (both self-join sides + the size table) — without the cache each
+    // one re-runs the tokenize+distinct corpus pass
+    val v = graft.core.Memo(spark, cache = true, "sourceVocab", d) {
+      documents(spark, d)
+        .select($"source", explode(cleanTokens($"text")).as("w"))
+        .distinct()
+    }
     val sizes = v.groupBy($"source").agg(count(lit(1)).as("vsz"))
     val inter = v.as("a").join(v.as("b"),
         $"a.w" === $"b.w" && $"a.source" < $"b.source")
