@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan guarantees for the round-10 audit family — the shapes
+  * that make them 100 TB-safe, pinned so a regression (a lost broadcast,
+  * a surprise nested loop, a dropped memo) fails loudly rather than
+  * silently becoming a quadratic plan.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q158 vocabulary self-join reuses ONE memoized tokenize pass") {
+    val p = plan(graft.operators.Text.vocabOverlap(spark, sf))
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      s"expected the memo-cached vocab set to be reused:\n$p")
+  }
+
+  test("q160 attribution pairs by hash join on user_id, not a nested loop") {
+    val p = plan(graft.operators.Windowed.linearAttribution(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"range residual must ride the user_id equi-join:\n$p")
+  }
+
+  test("q162 CMS registers fan out AFTER the per-key aggregate") {
+    val df = graft.operators.Relational.cmsUserCounts(spark, sf)
+    val p = df.queryExecution.optimizedPlan.toString
+    // the explode (register fan-out) must sit above the user aggregate,
+    // so the d-way expansion touches |keys| rows, not |events|
+    val genIdx = p.indexOf("Generate explode")
+    val aggIdx = p.indexOf("Aggregate", genIdx)
+    assert(genIdx >= 0 && aggIdx > genIdx,
+      s"explode must consume the aggregate, not the raw scan:\n$p")
+  }
+
+  test("q172 reach grid joins hash-partitioned on the type key") {
+    val p = plan(graft.operators.Relational.hllReachCurve(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") || !p.contains("Inner BuildLeft"),
+      s"day-range residual must ride the type equi-join:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q169 FK probes broadcast the dimension side") {
+    val p = plan(graft.operators.Relational.refIntegrityAudit(spark, sf))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"orphan probes must be broadcast anti-joins:\n$p")
+  }
+}
