@@ -80,4 +80,66 @@ class PropertySpec extends AnyFunSuite {
       assert(counts(new scala.util.Random(seed).shuffle(rides)) == base, s"seed $seed")
     }
   }
+
+  test("property: Morton interleave is a bijection on 16-bit pairs (q164)") {
+    def interleave(x: Long, y: Long): Long =
+      (0 until 16).map(i => (((x >> i) & 1L) << (2 * i)) +
+        (((y >> i) & 1L) << (2 * i + 1))).sum
+    def deinterleave(z: Long): (Long, Long) = (
+      (0 until 16).map(i => ((z >> (2 * i)) & 1L) << i).sum,
+      (0 until 16).map(i => ((z >> (2 * i + 1)) & 1L) << i).sum)
+    val pairs = samples(Gen.zip(Gen.choose(0L, 65535L), Gen.choose(0L, 65535L)), 500)
+    pairs.foreach { case (x, y) =>
+      val z = interleave(x, y)
+      assert(z >= 0L && z < (1L << 32))
+      assert(deinterleave(z) == ((x, y)), s"($x,$y)")
+    }
+    // the q164 block property: fixing the top 3 z-bits bounds both dims
+    pairs.foreach { case (x, y) =>
+      val block = interleave(x, y) >> 29
+      // bit 31 = y's bit 15, bit 30 = x's bit 15, bit 29 = y's bit 14
+      assert((block >> 2) == (y >> 15), s"y top bit in block for ($x,$y)")
+      assert(((block >> 1) & 1L) == (x >> 15), s"x top bit for ($x,$y)")
+    }
+  }
+
+  test("property: Misra-Gries guarantee holds on adversarial random streams") {
+    val gen = Gen.listOfN(400, Gen.frequency(
+      (6, Gen.choose(0L, 3L)),      // heavy ids
+      (4, Gen.choose(100L, 199L)))) // long tail
+    samples(gen, 20).zipWithIndex.foreach { case (ids, i) =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+      val evs = ids.zipWithIndex.map { case (id, j) =>
+        graft.streaming.EventStreams.Event(j.toLong,
+          new Timestamp(1357000000000L + j * 1000L), id, "e", 0.0)
+      }
+      val n = graft.streaming.EventStreams.mgFold(m, 8, evs)
+      assert(n == ids.length.toLong)
+      assert(m.size <= 8)
+      val exact = ids.groupBy(identity).view.mapValues(_.length.toLong)
+      val mustHave = exact.filter(_._2 > n / 8).keys.toSet
+      assert(mustHave.subsetOf(m.keySet), s"sample $i: ${mustHave -- m.keySet}")
+      // MG counters never overcount
+      m.foreach { case (id, c) => assert(c <= exact(id), s"sample $i id $id") }
+    }
+  }
+
+  test("property: CMS point estimates never undercount (q162)") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(r: Int, k: Long): Int = {
+      val hex = md.digest(s"cms:$r:$k".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(0, 8), 16) % 256).toInt
+    }
+    val gen = Gen.listOfN(300, Gen.choose(0L, 49L))
+    samples(gen, 20).zipWithIndex.foreach { case (ids, i) =>
+      val regs = Array.ofDim[Long](4, 256)
+      ids.foreach(k => (0 until 4).foreach(r => regs(r)(h(r, k)) += 1L))
+      val exact = ids.groupBy(identity).view.mapValues(_.length.toLong)
+      exact.foreach { case (k, c) =>
+        val est = (0 until 4).map(r => regs(r)(h(r, k))).min
+        assert(est >= c, s"sample $i key $k: est $est < exact $c")
+      }
+    }
+  }
 }
