@@ -173,4 +173,42 @@ object Sharding {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("shard")
       .parquet(outDir)
+
+  /** Manifest-committed shard write — the transaction-log discipline a
+    * 100 TB materialization needs: data first, then a zone-map manifest
+    * written LAST as the commit record (readers treat its presence as
+    * the atomic marker, the Delta/Iceberg convention; Spark's own
+    * `_SUCCESS` only marks the job, not the contract). Underscore-named
+    * so parquet directory listings ignore it. One JSON line per
+    * shard: doc count, doc_id and n_chars min/max — enough for a reader
+    * to prune shards (the q157 zone-map payload) AND to audit the write
+    * (count mismatch ⇒ torn/partial output; `ShardManifestSpec`-style
+    * check in PipelineOpsSpec cross-reads data vs manifest).
+    *
+    * Scale: the stats ride the same single shuffle as the write plan
+    * (one aggregate over the shard key); the manifest itself is
+    * |shards| rows, driver-bounded by construction.
+    */
+  def writeShardsWithManifest(spark: SparkSession, d: String,
+      outDir: String, nShards: Int = 8): Unit = {
+    import spark.implicits._
+    writeShards(spark, d, outDir, nShards)
+    val stats = shardPlan(spark, d, nShards)
+      .select($"shard", $"doc_id", length($"text").cast("long").as("n_chars"))
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"doc_id").as("min_id"), max($"doc_id").as("max_id"),
+        min($"n_chars").as("min_chars"), max($"n_chars").as("max_chars"))
+      .orderBy($"shard")
+      .collect()
+    val lines = stats.map { r =>
+      s"""{"shard":${r.getLong(0)},"n_docs":${r.getLong(1)},""" +
+        s""""min_id":${r.getLong(2)},"max_id":${r.getLong(3)},""" +
+        s""""min_chars":${r.getLong(4)},"max_chars":${r.getLong(5)}}"""
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outDir, "_manifest.json"),
+      (lines.mkString("\n") + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
 }

@@ -222,6 +222,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("writeShardsWithManifest: the commit record matches the data exactly") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_manifest").toString
+    Sharding.writeShardsWithManifest(spark, sf, out, nShards = 8)
+    val manifest = scala.io.Source.fromFile(s"$out/_manifest.json").getLines()
+      .filter(_.nonEmpty).toSeq
+    assert(manifest.length == 8)
+    // cross-read: per-shard data stats must equal the committed manifest
+    val back = spark.read.parquet(out)
+      .select($"shard".cast("long").as("shard"), $"doc_id",
+        length($"text").cast("long").as("nc"))
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n"), min($"doc_id").as("mi"),
+        max($"doc_id").as("ma"), min($"nc").as("mc"), max($"nc").as("xc"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    manifest.foreach { line =>
+      val kv = "\"(\\w+)\":(\\d+)".r.findAllMatchIn(line)
+        .map(m => m.group(1) -> m.group(2).toLong).toMap
+      val d = back(kv("shard"))
+      assert(kv("n_docs") == d._2 && kv("min_id") == d._3 &&
+        kv("max_id") == d._4 && kv("min_chars") == d._5 &&
+        kv("max_chars") == d._6, s"manifest drift on shard ${kv("shard")}")
+    }
+  }
+
   test("incrementalDedup checks incoming against existing only") {
     import spark.implicits._
     val out = Dedup.incrementalDedup(spark, sf)
