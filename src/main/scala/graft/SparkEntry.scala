@@ -206,6 +206,8 @@ object SparkEntry {
     "q177_watermark_advisor" -> ((s, d) => Windowed.watermarkAdvisor(s, d)),
     "q178_value_drift"    -> ((s, d) => Windowed.valueDrift(s, d)),
     "q179_k_anonymity"    -> ((s, d) => Relational.kAnonymityAudit(s, d)),
+    "q180_dup_topology"   -> ((s, d) => Dedup.dupTopology(s, d)),
+    "q181_pack_waste"     -> ((s, d) => Sampling.packWaste(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -3492,6 +3494,45 @@ object SparkEntry {
          |FROM a, b, tp""".stripMargin,
     // dedup-adjusted per-source token budget off the q82 survivorship
     "q176_effective_tokens" -> effectiveTokensSql(5),
+    // cluster-size distribution of the near-dup graph
+    "q180_dup_topology" ->
+      (dedupLabelCtes(5) +
+      s""",
+         |cs AS (SELECT label, count(*)::BIGINT AS sz FROM l5 GROUP BY 1),
+         |tt AS (SELECT sum(sz)::BIGINT AS total FROM cs)
+         |SELECT sz, count(*)::BIGINT AS n_clusters,
+         |  sz * count(*)::BIGINT AS n_docs,
+         |  (sz * count(*) * 1000000 // total)::BIGINT AS doc_share_q6
+         |FROM cs, tt GROUP BY sz, total""".stripMargin),
+    // next-fit packing waste: identical fold in both engines
+    "q181_pack_waste" ->
+      """WITH tk AS (SELECT source, doc_id,
+        |    list_sum(list_transform(regexp_split_to_array(lower(text), '\s+'),
+        |      w -> floor((strlen(w)+3)/4)::BIGINT))::BIGINT AS t
+        |  FROM documents),
+        |g AS (SELECT source, count(*)::BIGINT AS n_docs,
+        |        sum(t)::BIGINT AS total_toks,
+        |        sum(greatest(0, t - 2048))::BIGINT AS overflow,
+        |        list(t ORDER BY doc_id) AS ts
+        |      FROM tk GROUP BY 1),
+        |-- fold state rides ONE bigint (p*2^24 + f: fill bounded by the
+        |-- largest single doc, far under 2^24 here) — DuckDB 1.0's
+        |-- multi-field struct extraction from list_reduce miscompiles the
+        |-- lambda, so struct state is off the table; waste then follows
+        |-- exactly from the capacity identity p*budget - total + overflow
+        |-- (an oversized doc owns one pack whose fill exceeds the budget)
+        |f AS (SELECT source, n_docs, total_toks, overflow,
+        |  list_reduce(list_prepend(16777216::BIGINT, ts),
+        |    (acc, t) -> CASE WHEN (acc % 16777216) + t <= 2048 THEN acc + t
+        |      ELSE ((acc // 16777216) + 1) * 16777216 + t END) AS st
+        |  FROM g)
+        |SELECT source, n_docs, total_toks, (st // 16777216) AS n_packs,
+        |  ((st // 16777216) * 2048 - total_toks + overflow)::BIGINT
+        |    AS waste_toks,
+        |  (((st // 16777216) * 2048 - total_toks + overflow) * 1000000
+        |    // ((st // 16777216) * 2048))::BIGINT AS waste_q6,
+        |  (total_toks + 2047) // 2048 AS n_packs_contig
+        |FROM f""".stripMargin,
     // watermark advisor: lateness vs the running event-time max over the
     // event_id arrival order, exact middle-rank p50/p99
     "q177_watermark_advisor" ->

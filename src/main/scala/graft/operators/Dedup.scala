@@ -798,6 +798,29 @@ object Dedup {
         expr("(raw_tokens - effective_tokens) * 1000000L div raw_tokens"))
   }
 
+  /** q180: duplication-topology datasheet — the cluster-size
+    * distribution of the near-dup graph: for each cluster size, how many
+    * clusters, how many documents they hold, and that mass's exact 1e6
+    * share of the corpus. The shape (singleton-dominated vs a few giant
+    * components) decides dedup strategy — giant components mean
+    * templated/boilerplate families where survivorship (q82) loses real
+    * content and containment (q108) or chunk-level (q99) tools apply.
+    *
+    * Scale: rides the memo-shared dedupLabels propagation; two tiny
+    * aggregates after it (|clusters| rows → |distinct sizes| rows).
+    */
+  def dupTopology(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val sizes = dedupLabels(spark, d).groupBy($"label")
+      .agg(count(lit(1)).as("sz"))
+    val total = sizes.agg(sum($"sz").as("total"))
+    sizes.groupBy($"sz").agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", $"sz" * $"n_clusters")
+      .crossJoin(broadcast(total))
+      .select($"sz", $"n_clusters", $"n_docs",
+        expr("n_docs * 1000000L div total").as("doc_share_q6"))
+  }
+
   /** q175: dedup-method evaluation harness — precision/recall/F1 of the
     * SimHash detector (q23, Hamming ≤ 3) against the exact 3-gram
     * Jaccard ≥ 0.5 pair set (q16) as ground truth. The QA query a

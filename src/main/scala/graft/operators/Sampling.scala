@@ -222,6 +222,55 @@ object Sampling {
           pmod($"cum" - $"n_toks", lit(budget.toLong)).as("pack_offset"))
     }
 
+  /** q181: next-fit packing-waste audit — the padding cost of packing
+    * WITHOUT splitting documents (every trainer that can't straddle a
+    * doc across context windows pays it): per source, fold the
+    * doc_id-ordered token sizes through a next-fit bin packer (close the
+    * pack when the next doc doesn't fit; oversized docs get their own
+    * pack) and report packs, wasted padding tokens, and the exact 1e6
+    * waste share of capacity — beside the contiguous q57 baseline
+    * (⌈total/budget⌉ packs, zero padding by construction) so the
+    * split-vs-pad trade is one relation.
+    *
+    * Scale: the fold is a scan-stage HOF over each source's collected
+    * size list (the q124 sorted-run-fold shape) — inherently sequential
+    * per source; a corpus-sized source shards into (source, shard)
+    * sub-streams first exactly as q57's writer does, paying one boundary
+    * pack per shard. The oracle replays the identical fold via DuckDB's
+    * list_reduce.
+    */
+  def packWaste(spark: SparkSession, d: String, budget: Int = 2048): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TextFunctions.{tokens, tokenSum, bpePieces}
+    val b = budget.toLong
+    val tk = documents(spark, d)
+      .select($"source", $"doc_id",
+        tokenSum(tokens($"text"), bpePieces).as("t"))
+    val g = tk.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"t").as("total_toks"),
+        sort_array(collect_list(struct($"doc_id", $"t"))).as("ds"))
+    val st = aggregate($"ds",
+      struct(lit(0L).as("f"), lit(1L).as("p"), lit(0L).as("w")),
+      (acc, x) => {
+        val t = x.getField("t")
+        when(acc.getField("f") + t <= b,
+          struct((acc.getField("f") + t).as("f"),
+            acc.getField("p").as("p"), acc.getField("w").as("w")))
+          .otherwise(struct(t.as("f"),
+            (acc.getField("p") + lit(1L)).as("p"),
+            (acc.getField("w") +
+              greatest(lit(0L), lit(b) - acc.getField("f"))).as("w")))
+      })
+    g.withColumn("st", st)
+      .select($"source", $"n_docs", $"total_toks",
+        $"st.p".as("n_packs"),
+        ($"st.w" + greatest(lit(0L), lit(b) - $"st.f")).as("waste_toks"))
+      .withColumn("waste_q6",
+        expr(s"waste_toks * 1000000L div (n_packs * ${b}L)"))
+      .withColumn("n_packs_contig",
+        expr(s"(total_toks + ${b - 1}L) div ${b}L"))
+  }
+
   /** Split-contamination audit: near-duplicate pairs that straddle
     * hashSplit's train/validation/test boundaries — the "is my test
     * split leaked into train" check that must run after any split of a

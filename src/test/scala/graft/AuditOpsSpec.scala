@@ -338,6 +338,48 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(riskQ6 == atRisk * 1000000L / nRows)
   }
 
+  test("dupTopology conserves the corpus and its share ratios") {
+    import spark.implicits._
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    val got = graft.operators.Dedup.dupTopology(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.map(_._3).sum == nDocs, "every doc in exactly one cluster")
+    got.foreach { case (sz, nc, nd, share) =>
+      assert(nd == sz * nc)
+      assert(share == nd * 1000000L / nDocs)
+    }
+    assert(got.exists(_._1 == 1L), "singletons exist")
+    assert(got.exists(_._1 > 1L), "fixture has non-trivial clusters")
+  }
+
+  test("packWaste matches a driver next-fit replay and the capacity identity") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"source", $"doc_id", $"text").as[(String, Long, String)].collect()
+    def bpe(text: String): Long =
+      text.toLowerCase.split("\\s+").map(w => (w.length + 3) / 4).sum.toLong
+    val got = graft.operators.Sampling.packWaste(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (src, nDocs, total, packs, waste, wasteQ6, contig) =>
+      val ts = docs.filter(_._1 == src).sortBy(_._2).map(r => bpe(r._3))
+      assert(nDocs == ts.length.toLong && total == ts.sum)
+      var (f, p, w) = (0L, 1L, 0L)
+      ts.foreach { t =>
+        if (f + t <= 2048L) f += t
+        else { w += math.max(0L, 2048L - f); p += 1; f = t }
+      }
+      val fullWaste = w + math.max(0L, 2048L - f)
+      assert(packs == p && waste == fullWaste, s"$src fold")
+      // capacity identity: waste = p·b − total + Σ oversize overflow
+      val overflow = ts.map(t => math.max(0L, t - 2048L)).sum
+      assert(waste == p * 2048L - total + overflow, s"$src identity")
+      assert(wasteQ6 == waste * 1000000L / (p * 2048L))
+      assert(contig == (total + 2047L) / 2048L && p >= contig,
+        s"$src next-fit never beats contiguous")
+    }
+  }
+
   test("RFM quartiles are balanced within one and segments are consistent") {
     import spark.implicits._
     val got = Windowed.rfmSegments(spark, sf)
