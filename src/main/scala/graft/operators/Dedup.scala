@@ -762,9 +762,13 @@ object Dedup {
       .join(ti.select($"doc_id".as("doc_a"), $"ti".as("ta")), Seq("doc_a"))
       .join(ti.select($"doc_id".as("doc_b"), $"ti".as("tb")), Seq("doc_b"))
       .filter(abs(length($"ta") - length($"tb")) <= maxDist)
+      // threshold form: the DP abandons a row as soon as every cell in a
+      // band exceeds maxDist (O(maxDist·n) per pair instead of O(n²)) and
+      // returns −1 for it — exact distances for everything kept, so the
+      // result is identical to the unbounded form the oracle replays
       .select($"doc_a", $"doc_b",
-        levenshtein($"ta", $"tb").cast("long").as("dist"))
-      .filter($"dist" <= maxDist)
+        levenshtein($"ta", $"tb", maxDist).cast("long").as("dist"))
+      .filter($"dist" >= 0L && $"dist" <= maxDist)
   }
 
   /** q176: dedup-adjusted token budget — per source, the raw doc/token
