@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The two-phase distributed global rank — rankedVocab's machinery
+  * (Text.scala) extracted so every operator that needs a total-order
+  * rank (RFM quartiles, session percentile picks, curriculum order)
+  * rides the same shape instead of a single-partition `Window.orderBy`:
+  *
+  *  1. `repartitionByRange` on the order columns (a sampled range
+  *     shuffle — each partition owns a contiguous slice of the order),
+  *  2. per-partition `row_number` (parallel local sorts),
+  *  3. driver-collected partition row counts → prefix offsets
+  *     (|partitions| scalars, the A3 closed-over-scalar shape),
+  *  4. global rank = local rank + partition offset.
+  *
+  * The `localCheckpoint` pins the sampled range boundaries so the two
+  * consumers (the count pass and the rank pass) see the SAME
+  * partitioning — without it the range sampler may re-draw and offsets
+  * would not match.
+  *
+  * The order MUST be total (include a tiebreak key), or ranks at
+  * partition boundaries become sampling-dependent.
+  */
+object Ranks {
+
+  /** Append `rankCol` (1-based, long) under the given total order. */
+  def globalRank(df: DataFrame, rankCol: String, order: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.sparkContext.defaultParallelism
+    val parted = df
+      .repartitionByRange(parts, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val sizes = parted.groupBy(col("__pid")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets: Map[Int, Long] = sizes.map(_._1)
+      .zip(sizes.scanLeft(0L)(_ + _._2)).toMap
+    parted
+      .withColumn(rankCol, row_number().over(
+        Window.partitionBy(col("__pid")).orderBy(order: _*)).cast("long")
+        + element_at(typedLit(offsets), col("__pid")))
+      .drop("__pid")
+  }
+}

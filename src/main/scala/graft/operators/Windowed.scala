@@ -171,18 +171,16 @@ object Windowed {
     * report that tunes the 30-minute gap itself.
     *
     * Scale: sessions are already the per-user aggregate; the two rank
-    * picks are global windows over |sessions| rows (two-phase q156
-    * rank at corpus scale), the rest one scalar aggregate.
+    * picks ride `Ranks.globalRank` (two-phase range-partition rank — no
+    * single-partition sort), the rest one scalar aggregate.
     */
   def sessionStats(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val s = sessionize(spark, d)
-    val we = Window.orderBy($"n_events", $"user_id", $"session_seq")
-    val wd = Window.orderBy($"duration_us", $"user_id", $"session_seq")
-    val ranked = s
-      .withColumn("rne", row_number().over(we).cast("long"))
-      .withColumn("rnd", row_number().over(wd).cast("long"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    val ranked = Ranks.globalRank(
+        Ranks.globalRank(s, "rne", $"n_events", $"user_id", $"session_seq"),
+        "rnd", $"duration_us", $"user_id", $"session_seq")
+      .crossJoin(broadcast(s.agg(count(lit(1)).as("n"))))
     val p50e = ranked.filter($"rne" === expr("(50 * n + 99) div 100"))
       .select($"n_events".as("p50_events"))
     val p90e = ranked.filter($"rne" === expr("(90 * n + 99) div 100"))
@@ -616,9 +614,9 @@ object Windowed {
     *
     * Scale: the per-user aggregate is the big reduction (fact volume →
     * |purchasing users| with map-side combine); the three quartile
-    * ranks are global windows over that aggregate — at corpus scale each
-    * decomposes by the rankedVocab two-phase range-partition rank
-    * (q156's machinery), so no single-partition sort is load-bearing.
+    * ranks run on the `Ranks.globalRank` two-phase range-partition rank
+    * (q156's machinery, extracted) — no single-partition sort anywhere,
+    * each metric pays one sampled range shuffle over the user aggregate.
     */
   def rfmSegments(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
@@ -631,13 +629,14 @@ object Windowed {
     val base = u.crossJoin(broadcast(mx))
       .select($"user_id", ($"mx" - $"last_dy").as("recency_days"),
         $"frequency", $"monetary_c")
-    def rn(c: Column): Column =
-      row_number().over(Window.orderBy(c, $"user_id")).cast("long")
-    base
-      .withColumn("n_all", count(lit(1)).over(Window.partitionBy()))
-      .withColumn("rn_r", rn($"recency_days"))
-      .withColumn("rn_f", rn($"frequency"))
-      .withColumn("rn_m", rn($"monetary_c"))
+    val ranked = Seq(
+      ("rn_r", $"recency_days"), ("rn_f", $"frequency"),
+      ("rn_m", $"monetary_c"))
+      .foldLeft(base) { case (df, (rc, c)) =>
+        Ranks.globalRank(df, rc, c, $"user_id")
+      }
+    ranked
+      .crossJoin(broadcast(u.agg(count(lit(1)).as("n_all"))))
       .withColumn("r_q", expr("(rn_r - 1L) * 4L div n_all"))
       .withColumn("f_q", expr("(rn_f - 1L) * 4L div n_all"))
       .withColumn("m_q", expr("(rn_m - 1L) * 4L div n_all"))

@@ -44,6 +44,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("q165/q174 ranks ride the two-phase range partition, not one sort") {
+    for ((name, df) <- Seq(
+        ("q165", graft.operators.Windowed.rfmSegments(spark, sf)),
+        ("q174", graft.operators.Windowed.sessionStats(spark, sf)))) {
+      val p = plan(df)
+      // the range shuffle ran eagerly behind the localCheckpoint — the
+      // final plan reads the pinned RDD and its rank windows partition
+      // on the range-bucket id, never an unpartitioned sort
+      assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+        s"$name: expected the checkpointed range partitioning:\n$p")
+      assert(p.contains("__pid"),
+        s"$name: rank windows must partition on the range bucket:\n$p")
+    }
+  }
+
   test("q169 FK probes broadcast the dimension side") {
     val p = plan(graft.operators.Relational.refIntegrityAudit(spark, sf))
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
