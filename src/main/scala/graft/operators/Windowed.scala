@@ -135,22 +135,28 @@ object Windowed {
     * funnel take" report that decides attribution windows and session
     * gaps.
     *
-    * Scale: rides q113's three chained min-aggregates; the unpivot is a
-    * scan-stage `stack`; percentile picks ride one metric-partitioned
-    * window over 3·|converted| rows.
+    * Scale: rides q113's three chained min-aggregates; the three
+    * duration ranks run on `Ranks.globalRank` BEFORE the scan-stage
+    * `stack` unpivot, so no metric is ever one sort partition.
     */
   def funnelLatency(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val durs = funnelStages(spark, d).filter($"stage" === 3L)
-      .select($"user_id", expr(
-        """stack(3,
-          |  'view_to_click', t2 - t1,
-          |  'click_to_purchase', t3 - t2,
-          |  'view_to_purchase', t3 - t1) AS (metric, dur_us)""".stripMargin))
-    val w = Window.partitionBy($"metric").orderBy($"dur_us", $"user_id")
+    val conv = funnelStages(spark, d).filter($"stage" === 3L)
+      .select($"user_id", ($"t2" - $"t1").as("d_vc"),
+        ($"t3" - $"t2").as("d_cp"), ($"t3" - $"t1").as("d_vp"))
+    val rankedCols = Seq(("rn_vc", $"d_vc"), ("rn_cp", $"d_cp"),
+      ("rn_vp", $"d_vp"))
+      .foldLeft(conv) { case (df, (rc, c)) =>
+        Ranks.globalRank(df, rc, c, $"user_id")
+      }
+    val durs = rankedCols.select($"user_id", expr(
+      """stack(3,
+        |  'view_to_click', d_vc, rn_vc,
+        |  'click_to_purchase', d_cp, rn_cp,
+        |  'view_to_purchase', d_vp, rn_vp) AS (metric, dur_us, rn)"""
+        .stripMargin))
     val ranked = durs
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy($"metric")))
+      .crossJoin(broadcast(conv.agg(count(lit(1)).as("n"))))
     val p50 = ranked.filter($"rn" === expr("(50 * n + 99) div 100"))
       .select($"metric", $"dur_us".as("p50_us"))
     val p90 = ranked.filter($"rn" === expr("(90 * n + 99) div 100"))
