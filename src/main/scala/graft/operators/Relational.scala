@@ -881,10 +881,9 @@ object Relational {
     * (corpus-sublinear), not the join.
     *
     * Scale: per-key dfs are one hash aggregate each; the percentile
-    * picks ride one relation-partitioned window over |keys| rows (two
-    * relations here — each window partition is one audited key's
-    * histogram, and the two-phase q156 rank drops in if |keys| ever
-    * out-scales a partition).
+    * picks rank each audited relation independently through
+    * `Ranks.globalRank` (two-phase range-partition rank), so a
+    * billion-key histogram is never one sort partition.
     */
   def joinSkewAdvisor(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
@@ -892,13 +891,15 @@ object Relational {
       df.groupBy(col(key).cast("long").as("k"))
         .agg(count(lit(1)).as("df"))
         .select(lit(rel).as("relation"), $"k", $"df")
+    def rankedRel(df: DataFrame, rel: String, key: String): DataFrame = {
+      val base = dfs(df, rel, key)
+      Ranks.globalRank(base, "rn", $"df", $"k")
+        .crossJoin(broadcast(base.agg(count(lit(1)).as("n_keys"))))
+    }
     val keys = dfs(lineitem(spark, d), "lineitem.l_partkey", "l_partkey")
       .unionByName(dfs(events(spark, d), "events.user_id", "user_id"))
-    val w = Window.partitionBy($"relation").orderBy($"df", $"k")
-    val ranked = keys
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("n_keys",
-        count(lit(1)).over(Window.partitionBy($"relation")))
+    val ranked = rankedRel(lineitem(spark, d), "lineitem.l_partkey", "l_partkey")
+      .unionByName(rankedRel(events(spark, d), "events.user_id", "user_id"))
     val agg = keys.groupBy($"relation")
       .agg(sum($"df").as("n_rows"), count(lit(1)).as("n_keys"),
         max($"df").as("max_df"))
