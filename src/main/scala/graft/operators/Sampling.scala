@@ -422,20 +422,8 @@ object Sampling {
       .select($"doc_id", $"decile",
         Hashing.md5Bits32(concat(lit("curr:"), $"doc_id".cast("string")), 1)
           .as("shuf"))
-    val parted = keyed
-      .repartitionByRange(spark.sparkContext.defaultParallelism,
+    Ranks.globalRank(keyed, "position",
         $"decile".desc, $"shuf".asc, $"doc_id".asc)
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
-    val sizes = parted.groupBy($"pid").agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets: Map[Int, Long] = sizes.map(_._1)
-      .zip(sizes.scanLeft(0L)(_ + _._2)).toMap
-    parted
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"pid")
-          .orderBy($"decile".desc, $"shuf".asc, $"doc_id".asc)))
-      .select($"doc_id", $"decile", $"shuf",
-        ($"rn".cast("long") + element_at(typedLit(offsets), $"pid")).as("position"))
+      .select($"doc_id", $"decile", $"shuf", $"position")
   }
 }
