@@ -71,9 +71,18 @@ object Hashing {
     * the cross-engine token hash primitive: DuckDB mirrors it with
     * per-nibble strpos arithmetic over the same md5 hex string, so every
     * sketch built on it is oracle-checkable (round 1 used xxhash64, which
-    * no other engine can reproduce).
+    * no other engine can reproduce). Since round 10 the Column form is
+    * the native codegen expression (plans.Md5Bits32Expr — digest nibbles
+    * read directly, no hex-string round trip); `md5Bits32Composed` keeps
+    * the built-in chain as the equality reference.
     */
   def md5Bits32(t: Column, from: Int): Column =
+    graft.plans.Md5Bits32s.md5Bits32(t, from)
+
+  /** The composed-builtin reference form of `md5Bits32` (hex encode →
+    * substring → radix parse) — value-identical; spec-asserted.
+    */
+  def md5Bits32Composed(t: Column, from: Int): Column =
     conv(substring(md5(t), from, 8), 16, 10).cast("long")
 
   /** JVM twin of `md5Bits32(_, 1) % mod` — for stateful processors that
