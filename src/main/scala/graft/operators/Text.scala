@@ -1378,7 +1378,49 @@ object Text {
     * sort); n rides the same partition as a count window — no second
     * exchange, no driver collection.
     */
-  def qualityRank(spark: SparkSession, d: String): DataFrame = {
+  def qualityRank(spark: SparkSession, d: String): DataFrame =
+    graft.core.Memo(spark, cache = true, "qualityRank", d) {
+      qualityRankDistributed(spark, d)
+    }
+
+  /** The q136 calibration with NO per-language sort partition: one
+    * `Ranks.globalRank` under the TOTAL order (lang, stop_ratio, doc_id)
+    * — a language is a contiguous RANGE of that order, spread over many
+    * range partitions — then per-lang ranks recovered arithmetically:
+    * rank-within-lang = (min global rank of the doc's (lang, score) tie
+    * group) − (lang's first global rank) + 1. The tie-group min is one
+    * hash aggregate on (lang, score) — rank() semantics (ties share)
+    * without any lang-partitioned window; the |langs|-row offset table
+    * broadcasts. Memo-cached: five downstream queries (q138 filter,
+    * q146/q149 manifests, q156 curriculum, q161 committee) ride this
+    * calibration.
+    */
+  private def qualityRankDistributed(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val q = qualityScore(spark, d).select($"doc_id", $"stop_ratio")
+      .join(documents(spark, d).select($"doc_id", $"lang"), "doc_id")
+    val ranked = graft.operators.Ranks.globalRank(q, "gr",
+      $"lang", $"stop_ratio", $"doc_id")
+    val langStats = ranked.groupBy($"lang")
+      .agg(min($"gr").as("goff"), count(lit(1)).as("n"))
+    val ties = ranked.groupBy($"lang", $"stop_ratio").agg(min($"gr").as("gmin"))
+    ranked
+      .join(ties, Seq("lang", "stop_ratio"))
+      .join(broadcast(langStats), "lang")
+      .withColumn("rnk", $"gmin" - $"goff" + 1L)
+      .select($"doc_id", $"lang", $"stop_ratio", $"rnk",
+        when($"n" === 1L, lit(0.0))
+          .otherwise(($"rnk" - 1L).cast("double") / ($"n" - 1L).cast("double"))
+          .as("pr"))
+      .withColumn("decile", least(floor($"pr" * 10), lit(9.0)).cast("long"))
+  }
+
+  /** The lang-partitioned single-window form — the directly-oracle-
+    * mirrorable reference rung (one `rank()` per language = one sort
+    * partition per language at corpus scale); kept as the spec's
+    * equality reference for the distributed form above.
+    */
+  private[graft] def qualityRankWindow(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val q = qualityScore(spark, d).select($"doc_id", $"stop_ratio")
       .join(documents(spark, d).select($"doc_id", $"lang"), "doc_id")

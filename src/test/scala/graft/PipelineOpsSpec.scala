@@ -1191,6 +1191,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("qualityRank: distributed form == lang-window form, no lang sort partition") {
+    import spark.implicits._
+    val dist = Text.qualityRank(spark, sf)
+      .as[(Long, String, Double, Long, Double, Long)].collect().toSet
+    val win = Text.qualityRankWindow(spark, sf)
+      .as[(Long, String, Double, Long, Double, Long)].collect().toSet
+    assert(dist == win, "two-phase per-lang ranks must equal the window form")
+    // the default plan ranks through the checkpointed range partitioning,
+    // never a per-lang Window sort
+    val plan = Text.qualityRank(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("windowspecdefinition(lang"),
+      s"no lang-partitioned window in the default plan:\n$plan")
+  }
+
   test("qualityFilter conserves documents and drops a bounded per-lang share") {
     import spark.implicits._
     val total = graft.core.Tables.documents(spark, sf).count()
