@@ -26,6 +26,33 @@ import org.apache.spark.sql.functions._
   */
 object Ranks {
 
+  /** Append `rankCol` = SQL `rank()` within each group (ties share a
+    * rank) WITHOUT a group-partitioned window: one `globalRank` under
+    * the total order (groups, values, tiebreaks) — each group is a
+    * contiguous range of that order, spread across many range
+    * partitions — then per-group ranks recovered arithmetically:
+    * rank = (min global rank of the row's (group, value) tie class)
+    * − (group's first global rank) + 1. The tie-class minima are one
+    * hash aggregate; the per-group offset table is |groups| rows,
+    * broadcast. This is how a group whose population out-scales one
+    * partition (a dominant language, a hot label) still ranks in
+    * parallel.
+    */
+  def groupRank(df: DataFrame, rankCol: String, groups: Seq[Column],
+      values: Seq[Column], ties: Seq[Column]): DataFrame = {
+    val gr = globalRank(df, "__gr", groups ++ values ++ ties: _*)
+    val goff = gr.groupBy(groups: _*)
+      .agg(min(col("__gr")).as("__goff"))
+    val gmin = gr.groupBy(groups ++ values: _*)
+      .agg(min(col("__gr")).as("__gmin"))
+    val groupNames = goff.columns.dropRight(1)
+    val tieNames = gmin.columns.dropRight(1)
+    gr.join(gmin, tieNames.toSeq)
+      .join(broadcast(goff), groupNames.toSeq)
+      .withColumn(rankCol, col("__gmin") - col("__goff") + lit(1L))
+      .drop("__gr", "__gmin", "__goff")
+  }
+
   /** Append `rankCol` (1-based, long) under the given total order. */
   def globalRank(df: DataFrame, rankCol: String, order: Column*): DataFrame = {
     val spark = df.sparkSession

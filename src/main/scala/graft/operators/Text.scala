@@ -1399,15 +1399,10 @@ object Text {
     import spark.implicits._
     val q = qualityScore(spark, d).select($"doc_id", $"stop_ratio")
       .join(documents(spark, d).select($"doc_id", $"lang"), "doc_id")
-    val ranked = graft.operators.Ranks.globalRank(q, "gr",
-      $"lang", $"stop_ratio", $"doc_id")
-    val langStats = ranked.groupBy($"lang")
-      .agg(min($"gr").as("goff"), count(lit(1)).as("n"))
-    val ties = ranked.groupBy($"lang", $"stop_ratio").agg(min($"gr").as("gmin"))
-    ranked
-      .join(ties, Seq("lang", "stop_ratio"))
-      .join(broadcast(langStats), "lang")
-      .withColumn("rnk", $"gmin" - $"goff" + 1L)
+    val ranked = graft.operators.Ranks.groupRank(q, "rnk",
+      Seq($"lang"), Seq($"stop_ratio"), Seq($"doc_id"))
+    val langN = q.groupBy($"lang").agg(count(lit(1)).as("n"))
+    ranked.join(broadcast(langN), "lang")
       .select($"doc_id", $"lang", $"stop_ratio", $"rnk",
         when($"n" === 1L, lit(0.0))
           .otherwise(($"rnk" - 1L).cast("double") / ($"n" - 1L).cast("double"))
@@ -1581,10 +1576,10 @@ object Text {
     * counterpart of q125's reciprocal-rank fusion.
     *
     * Scale: the signal derivations are the memo-shared q18/q140 lineages
-    * (one (doc, token) aggregate + scan-stage HOFs); the four rank
-    * windows are lang-partitioned over |docs| rows — the q53 sub-strata
-    * decomposition is the drop-in when one language dominates the
-    * corpus.
+    * (one (doc, token) aggregate + scan-stage HOFs); all four per-lang
+    * ranks run on `Ranks.groupRank` (the q136 two-phase decomposition —
+    * rank() semantics without a lang-partitioned window), so a dominant
+    * language is never one sort partition.
     */
   def qualityCommittee(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
@@ -1592,17 +1587,17 @@ object Text {
       .select($"doc_id", $"stop_ratio", $"alpha_ratio")
       .join(tokenEntropy(spark, d).select($"doc_id", $"entropy_q"), "doc_id")
       .join(documents(spark, d).select($"doc_id", $"lang"), "doc_id")
-    def rnk(c: Column): Column =
-      rank().over(Window.partitionBy($"lang").orderBy(c)).cast("long")
-    val ranked = sig
-      .withColumn("r_stop", rnk($"stop_ratio"))
-      .withColumn("r_alpha", rnk($"alpha_ratio"))
-      .withColumn("r_ent", rnk($"entropy_q"))
+    val ranked = Seq(("r_stop", $"stop_ratio"), ("r_alpha", $"alpha_ratio"),
+      ("r_ent", $"entropy_q"))
+      .foldLeft(sig) { case (df, (rc, c)) =>
+        graft.operators.Ranks.groupRank(df, rc, Seq($"lang"), Seq(c),
+          Seq($"doc_id"))
+      }
       .withColumn("committee", $"r_stop" + $"r_alpha" + $"r_ent")
-    ranked
-      .withColumn("c_rnk", rank().over(
-        Window.partitionBy($"lang").orderBy($"committee")).cast("long"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy($"lang")))
+    val langN = sig.groupBy($"lang").agg(count(lit(1)).as("n"))
+    graft.operators.Ranks.groupRank(ranked, "c_rnk",
+        Seq($"lang"), Seq($"committee"), Seq($"doc_id"))
+      .join(broadcast(langN), "lang")
       .withColumn("pr", when($"n" === 1L, lit(0.0))
         .otherwise(($"c_rnk" - 1L).cast("double") / ($"n" - 1L).cast("double")))
       .withColumn("decile", least(floor($"pr" * 10), lit(9.0)).cast("long"))
