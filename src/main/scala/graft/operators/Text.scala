@@ -689,16 +689,17 @@ object Text {
     */
   def perplexityBuckets(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val byLang = Window.partitionBy($"lang")
-    val rankW = byLang.orderBy($"mean_bigram_surprisal", $"doc_id")
-    bigramSurprisal(spark, d)
+    val base = bigramSurprisal(spark, d)
       .join(documents(spark, d).select($"doc_id", $"lang"), "doc_id")
-      .withColumn("rn", row_number().over(rankW).cast("long"))
-      .withColumn("n", count(lit(1)).over(byLang))
+    // (surprisal, doc_id) is already a TOTAL order within each lang, so
+    // the groupRank tie classes are singletons and rank == row_number;
+    // no lang-partitioned window anywhere (the q136 decomposition)
+    val ranked = graft.operators.Ranks.groupRank(base, "rn",
+      Seq($"lang"), Seq($"mean_bigram_surprisal", $"doc_id"), Seq())
+    val langN = base.groupBy($"lang").agg(count(lit(1)).as("n"))
+    ranked.join(broadcast(langN), "lang")
       .select($"doc_id", $"lang", $"n_bigrams", $"bits_q",
         $"mean_bigram_surprisal",
-        // rn is cast to LONG before the 3× products: row_number is Int32
-        // and 3·rn would overflow past ~715 M docs per language
         when(lit(3L) * $"rn" <= $"n", lit("head"))
           .when(lit(3L) * $"rn" <= lit(2L) * $"n", lit("middle"))
           .otherwise(lit("tail")).as("ppl_bucket"))
