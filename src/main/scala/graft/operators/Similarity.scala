@@ -688,8 +688,11 @@ object Similarity {
       .select($"vec_id", $"label",
         cosineFromParts(dotPreQ($"qemb", $"cqemb"), $"n2", $"cn2").as("ccos"))
       .join(broadcast(sz), "label")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"label").orderBy($"ccos".asc, $"vec_id".asc)))
+      // per-label rank via the two-phase group rank ((ccos, vec_id) is a
+      // total order, so rank == row_number) — a hot label's population is
+      // never one sort partition
+      .transform(df => Ranks.groupRank(df, "rn",
+        Seq($"label"), Seq($"ccos", $"vec_id"), Seq()))
       .select($"vec_id", $"label", $"ccos",
         ($"rn" <= ceil(lit(frac) * $"n")).as("outlier"))
   }

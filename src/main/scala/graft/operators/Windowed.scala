@@ -401,11 +401,12 @@ object Windowed {
       .filter($"prev".isNotNull)
       .select($"event_type", $"user_id", $"event_id",
         (unix_micros($"ts") - unix_micros($"prev")).as("gap"))
-    val medW = Window.partitionBy($"event_type")
-      .orderBy($"gap", $"user_id", $"event_id")
-    val med = gaps
-      .withColumn("rn", row_number().over(medW).cast("long"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy($"event_type")))
+    // per-type median rank via the two-phase group rank — a hot event
+    // type's gap population is never one sort partition
+    val med = Ranks.groupRank(gaps, "rn",
+        Seq($"event_type"), Seq($"gap", $"user_id", $"event_id"), Seq())
+      .join(broadcast(gaps.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"))), "event_type")
       .filter($"rn" === expr("(n + 1) div 2") || $"rn" === expr("(n + 2) div 2"))
       .groupBy($"event_type")
       .agg((sum($"gap").cast("double") / count(lit(1))).as("median_gap_us"))
