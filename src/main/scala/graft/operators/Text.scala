@@ -1239,14 +1239,16 @@ object Text {
   def robustSourceStats(spark: SparkSession, d: String, madK: Int = 3): DataFrame = {
     import spark.implicits._
     val x = documents(spark, d).select($"source", $"doc_id", $"n_chars".as("x"))
-    def medianOf(df: DataFrame, col: String, out: String): DataFrame = {
-      val w = Window.partitionBy($"source").orderBy(df(col), $"doc_id")
-      df.withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy($"source")))
+    // middle-rank picks via the two-phase group rank — a giant source's
+    // population is never one sort partition
+    def medianOf(df: DataFrame, col: String, out: String): DataFrame =
+      graft.operators.Ranks.groupRank(df, "rn",
+          Seq($"source"), Seq(df(col), $"doc_id"), Seq())
+        .join(broadcast(df.groupBy($"source").agg(count(lit(1)).as("n"))),
+          "source")
         .filter($"rn" === expr("(n + 1) div 2") || $"rn" === expr("(n + 2) div 2"))
         .groupBy($"source")
         .agg((sum(df(col)).cast("double") / count(lit(1))).as(out))
-    }
     val med = medianOf(x, "x", "median_chars")
     val dev = x.join(med, "source")
       .withColumn("dev", abs($"x".cast("double") - $"median_chars"))
