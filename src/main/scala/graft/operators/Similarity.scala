@@ -671,7 +671,16 @@ object Similarity {
     * rank threshold would come from an approx quantile of ccos instead.
     */
   def centroidOutliers(spark: SparkSession, d: String,
-      frac: Double = 0.05): DataFrame = {
+      frac: Double = 0.05): DataFrame =
+    // memo-shared: q66 and q78's cross-modal fusion both consume this
+    // (centroid build + group rank run once per session)
+    graft.core.Memo(spark, cache = true, "centroidOutliers", d,
+        frac.toString) {
+      centroidOutliersUncached(spark, d, frac)
+    }
+
+  private def centroidOutliersUncached(spark: SparkSession, d: String,
+      frac: Double): DataFrame = {
     import spark.implicits._
     val cent = embeddings(spark, d)
       .select($"label", posexplode(quantize($"embedding")).as(Seq("i", "q")))

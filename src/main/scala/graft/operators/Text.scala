@@ -696,7 +696,9 @@ object Text {
     // no lang-partitioned window anywhere (the q136 decomposition)
     val ranked = graft.operators.Ranks.groupRank(base, "rn",
       Seq($"lang"), Seq($"mean_bigram_surprisal", $"doc_id"), Seq())
-    val langN = base.groupBy($"lang").agg(count(lit(1)).as("n"))
+    // group sizes from the CHECKPOINTED rank output, not the base —
+    // counting from `base` would re-run the surprisal lineage
+    val langN = ranked.groupBy($"lang").agg(count(lit(1)).as("n"))
     ranked.join(broadcast(langN), "lang")
       .select($"doc_id", $"lang", $"n_bigrams", $"bits_q",
         $"mean_bigram_surprisal",
@@ -1241,14 +1243,15 @@ object Text {
     val x = documents(spark, d).select($"source", $"doc_id", $"n_chars".as("x"))
     // middle-rank picks via the two-phase group rank — a giant source's
     // population is never one sort partition
-    def medianOf(df: DataFrame, col: String, out: String): DataFrame =
-      graft.operators.Ranks.groupRank(df, "rn",
-          Seq($"source"), Seq(df(col), $"doc_id"), Seq())
-        .join(broadcast(df.groupBy($"source").agg(count(lit(1)).as("n"))),
+    def medianOf(df: DataFrame, col: String, out: String): DataFrame = {
+      val rk = graft.operators.Ranks.groupRank(df, "rn",
+        Seq($"source"), Seq(df(col), $"doc_id"), Seq())
+      rk.join(broadcast(rk.groupBy($"source").agg(count(lit(1)).as("n"))),
           "source")
         .filter($"rn" === expr("(n + 1) div 2") || $"rn" === expr("(n + 2) div 2"))
         .groupBy($"source")
-        .agg((sum(df(col)).cast("double") / count(lit(1))).as(out))
+        .agg((sum(col).cast("double") / count(lit(1))).as(out))
+    }
     val med = medianOf(x, "x", "median_chars")
     val dev = x.join(med, "source")
       .withColumn("dev", abs($"x".cast("double") - $"median_chars"))
@@ -1404,7 +1407,7 @@ object Text {
       .join(documents(spark, d).select($"doc_id", $"lang"), "doc_id")
     val ranked = graft.operators.Ranks.groupRank(q, "rnk",
       Seq($"lang"), Seq($"stop_ratio"), Seq($"doc_id"))
-    val langN = q.groupBy($"lang").agg(count(lit(1)).as("n"))
+    val langN = ranked.groupBy($"lang").agg(count(lit(1)).as("n"))
     ranked.join(broadcast(langN), "lang")
       .select($"doc_id", $"lang", $"stop_ratio", $"rnk",
         when($"n" === 1L, lit(0.0))
@@ -1597,9 +1600,12 @@ object Text {
           Seq($"doc_id"))
       }
       .withColumn("committee", $"r_stop" + $"r_alpha" + $"r_ent")
-    val langN = sig.groupBy($"lang").agg(count(lit(1)).as("n"))
-    graft.operators.Ranks.groupRank(ranked, "c_rnk",
-        Seq($"lang"), Seq($"committee"), Seq($"doc_id"))
+    val last = graft.operators.Ranks.groupRank(ranked, "c_rnk",
+      Seq($"lang"), Seq($"committee"), Seq($"doc_id"))
+    // sizes from the checkpointed rank output — not from `sig`, whose
+    // signal lineage would otherwise run a second time
+    val langN = last.groupBy($"lang").agg(count(lit(1)).as("n"))
+    last
       .join(broadcast(langN), "lang")
       .withColumn("pr", when($"n" === 1L, lit(0.0))
         .otherwise(($"c_rnk" - 1L).cast("double") / ($"n" - 1L).cast("double")))

@@ -402,19 +402,22 @@ object Windowed {
       .select($"event_type", $"user_id", $"event_id",
         (unix_micros($"ts") - unix_micros($"prev")).as("gap"))
     // per-type median rank via the two-phase group rank — a hot event
-    // type's gap population is never one sort partition
-    val med = Ranks.groupRank(gaps, "rn",
-        Seq($"event_type"), Seq($"gap", $"user_id", $"event_id"), Seq())
-      .join(broadcast(gaps.groupBy($"event_type")
-        .agg(count(lit(1)).as("n"))), "event_type")
-      .filter($"rn" === expr("(n + 1) div 2") || $"rn" === expr("(n + 2) div 2"))
-      .groupBy($"event_type")
-      .agg((sum($"gap").cast("double") / count(lit(1))).as("median_gap_us"))
-    gaps.groupBy($"event_type")
+    // type's gap population is never one sort partition; BOTH the count
+    // and the summary stats then ride the CHECKPOINTED rank output, so
+    // the per-user lag window runs exactly once
+    val rk = Ranks.groupRank(gaps, "rn",
+      Seq($"event_type"), Seq($"gap", $"user_id", $"event_id"), Seq())
+    val stats = rk.groupBy($"event_type")
       .agg(count(lit(1)).as("n_gaps"),
         (sum($"gap").cast("double") / count(lit(1))).as("mean_gap_us"),
         max($"gap").as("max_gap_us"))
-      .join(med, "event_type")
+    val med = rk
+      .join(broadcast(stats.select($"event_type", $"n_gaps".as("n"))),
+        "event_type")
+      .filter($"rn" === expr("(n + 1) div 2") || $"rn" === expr("(n + 2) div 2"))
+      .groupBy($"event_type")
+      .agg((sum($"gap").cast("double") / count(lit(1))).as("median_gap_us"))
+    stats.join(med, "event_type")
   }
 
   /** q139: activity heat-grid — event counts and exact value sums per
