@@ -57,10 +57,17 @@ object Ranks {
   def globalRank(df: DataFrame, rankCol: String, order: Column*): DataFrame = {
     val spark = df.sparkSession
     val parts = spark.sparkContext.defaultParallelism
-    val parted = df
+    // repartitionByRange SAMPLES its input in a separate job before the
+    // shuffle — without a cache the upstream lineage runs twice (sample
+    // + shuffle). Pin it for the pair, release once the checkpoint has
+    // materialized.
+    val pinned = df.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val parted = pinned
       .repartitionByRange(parts, order: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
+    pinned.unpersist()
     val sizes = parted.groupBy(col("__pid")).agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val offsets: Map[Int, Long] = sizes.map(_._1)
