@@ -676,6 +676,79 @@ object EventStreams {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  case class LatenessRow(event_type: String, n: Long, n_out_of_order: Long,
+      ooo_q6: Long, max_late_us: Long, p99_bin_hi_us: Long)
+
+  /** Running max + counters + log₂-bucketed lateness histogram
+    * (product encoder). Bin k holds lateness in [2^k, 2^(k+1)) µs,
+    * bin 0 also catches < 1 µs; 40 bins cover ~13 days.
+    */
+  case class LatenessState(run_max: Long, n: Long, n_late: Long,
+      max_late: Long, bins: Array[Long])
+
+  /** q177's watermark advisor in STREAMING form — the live disorder
+    * monitor that tunes `withWatermark` while the stream runs: per
+    * event type, state is the running event-time max (arrival order =
+    * stream order, which is exactly what the batch form's event_id
+    * proxy stands in for), exact out-of-order counters, and a log₂
+    * lateness histogram whose bins ADD (mergeable) — p99 lateness is
+    * then read off the histogram to within a factor-2 bin width, the
+    * honest resolution for picking a watermark. Exact fields (n, ooo,
+    * max) match the batch replay when events arrive in event_id order;
+    * the spec pins both laws.
+    */
+  class LatenessProcessor extends
+      org.apache.spark.sql.streaming.StatefulProcessor[String, Event, LatenessRow] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+
+    @transient private var st: ValueState[LatenessState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[LatenessState](
+        "lateness", Encoders.product[LatenessState], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[LatenessRow] = {
+      var s = if (st.exists()) st.get()
+        else LatenessState(Long.MinValue, 0L, 0L, 0L, Array.fill(40)(0L))
+      val bins = s.bins
+      var (runMax, n, nLate, maxLate) = (s.run_max, s.n, s.n_late, s.max_late)
+      rows.toSeq.sortBy(_.event_id).foreach { e =>
+        // event_id is the ingestion sequence (the batch form's arrival
+        // proxy) — sorting the batch by it makes the fold deterministic
+        // and batch-replayable; real deployments fold raw arrival order
+        val micros = e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+        val late = if (runMax == Long.MinValue) 0L
+          else math.max(0L, runMax - micros)
+        if (late > 0L) {
+          nLate += 1L
+          if (late > maxLate) maxLate = late
+          bins(math.min(39, 63 - java.lang.Long.numberOfLeadingZeros(
+            math.max(1L, late)))) += 1L
+        } else bins(0) += 1L
+        if (micros > runMax) runMax = micros
+        n += 1L
+      }
+      st.update(LatenessState(runMax, n, nLate, maxLate, bins))
+      // p99 bin: smallest bin whose cumulative count covers 99% of rows
+      val target = (99L * n + 99L) / 100L
+      var (cum, k, p99bin) = (0L, 0, 0)
+      while (k < 40 && cum < target) { cum += bins(k); p99bin = k; k += 1 }
+      Iterator.single(LatenessRow(key, n, nLate,
+        nLate * 1000000L / math.max(1L, n), maxLate,
+        if (p99bin == 0) 0L else (1L << (p99bin + 1)) - 1L))
+    }
+  }
+
+  def latenessStream(events: Dataset[Event]): Dataset[LatenessRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .transformWithState(new LatenessProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   def runningUserTotals(events: Dataset[Event]): Dataset[UserTotals] = {
     import events.sparkSession.implicits._
     events

@@ -441,6 +441,43 @@ class EventStreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("lateness stream matches the q177 batch advisor's exact fields") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val all = graft.core.Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect()
+      .sortBy(_.event_id)
+    withRuntime(tws = true) {
+      val input = MemoryStream[Event]
+      val query = EventStreams.latenessStream(input.toDS())
+        .writeStream.format("memory").queryName("late_stream")
+        .outputMode("update").start()
+      try {
+        // in-order chunks replay the batch form's event_id arrival proxy
+        all.grouped(math.max(1, all.length / 4 + 1)).foreach { chunk =>
+          input.addData(chunk.toIndexedSeq: _*)
+          query.processAllAvailable()
+        }
+        val rows = spark.table("late_stream")
+          .as[(String, Long, Long, Long, Long, Long)].collect()
+        val fin = rows.groupBy(_._1).map { case (_, rs) => rs.maxBy(_._2) }
+          .map(r => r._1 -> r).toMap
+        val batch = graft.operators.Windowed.watermarkAdvisor(spark, sf)
+          .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+        assert(batch.nonEmpty)
+        batch.foreach { case (t, n, ooo, oooQ6, _, p99, mx) =>
+          val s = fin(t)
+          assert(s._2 == n && s._3 == ooo && s._5 == mx, s"$t exact fields")
+          assert(s._4 == ooo * 1000000L / n, s"$t ooo ratio")
+          // the histogram p99 bound brackets the exact p99 (factor-2 bins)
+          assert(s._6 >= p99, s"$t p99 bound $p99 vs bin hi ${s._6}")
+        }
+      } finally query.stop()
+    }
+  }
+
   test("histogram streams reject a degenerate range loudly") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
