@@ -3221,8 +3221,8 @@ object SparkEntry {
         |b AS (SELECT min(o_custkey) AS clo, max(o_custkey) AS chi,
         |        min(dy) AS dlo, max(dy) AS dhi FROM o),
         |n AS (SELECT o_orderkey,
-        |    (o_custkey - clo) * 65535 // (chi - clo) AS c16,
-        |    (dy - dlo) * 65535 // (dhi - dlo) AS d16 FROM o, b),
+        |    (o_custkey - clo) * 65535 // greatest(1, chi - clo) AS c16,
+        |    (dy - dlo) * 65535 // greatest(1, dhi - dlo) AS d16 FROM o, b),
         |z AS (SELECT *, list_sum(list_transform(range(0, 16), i ->
         |    ((c16 >> i::INT) & 1) * (1::BIGINT << (2 * i)::INT) +
         |    ((d16 >> i::INT) & 1) * (1::BIGINT << (2 * i + 1)::INT)))::BIGINT
@@ -3566,7 +3566,8 @@ object SparkEntry {
         |b AS (SELECT min(value) AS lo, max(value) AS hi,
         |        min(week_id) AS w0 FROM e),
         |c0 AS (SELECT week_id,
-        |    least(15, greatest(0, floor((value - lo) / (hi - lo) * 16)::BIGINT))
+        |    least(15, greatest(0, floor((value - lo) /
+        |      (CASE WHEN hi = lo THEN 1.0 ELSE hi - lo END) * 16)::BIGINT))
         |      AS bin, count(*)::BIGINT AS c
         |  FROM e, b GROUP BY 1, 2),
         |grid AS (SELECT week_id, bin

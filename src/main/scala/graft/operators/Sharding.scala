@@ -137,9 +137,13 @@ object Sharding {
       min($"dy"), max($"dy")).head()
     val (cLo, cHi, dLo, dHi) =
       (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    // a constant column would make the span 0: Spark's `div 0` yields
+    // NULL silently while DuckDB errors — pin the degenerate case to a
+    // 1-wide span on BOTH engines (all rows land at coordinate 0)
+    val (cW, dW) = (math.max(1L, cHi - cLo), math.max(1L, dHi - dLo))
     val norm = o.select($"o_orderkey",
-      expr(s"(o_custkey - ${cLo}L) * 65535L div ${cHi - cLo}L").as("c16"),
-      expr(s"(dy - ${dLo}L) * 65535L div ${dHi - dLo}L").as("d16"))
+      expr(s"(o_custkey - ${cLo}L) * 65535L div ${cW}L").as("c16"),
+      expr(s"(dy - ${dLo}L) * 65535L div ${dW}L").as("d16"))
     val zv = (0 until 16).map { i =>
       shiftright($"c16", i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
         shiftright($"d16", i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))

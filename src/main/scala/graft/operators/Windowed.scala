@@ -270,8 +270,12 @@ object Windowed {
       $"value")
     val b = e.agg(min($"value"), max($"value"), min($"week_id")).head()
     val (lo, hi, w0) = (b.getDouble(0), b.getDouble(1), b.getLong(2))
+    // a constant column would make the bin expression 0/0 = NaN (silent
+    // null bins in Spark; the q129 batch special-cases mx == mn the same
+    // way): pin the degenerate range to one bin on both engines
+    val span = if (hi == lo) 1.0 else hi - lo
     val bin = least(lit(nBins - 1L), greatest(lit(0L),
-      floor(($"value" - lo) / (hi - lo) * nBins).cast("long")))
+      floor(($"value" - lo) / span * nBins).cast("long")))
     val counts = e.select($"week_id", bin.as("bin"))
       .groupBy($"week_id", $"bin").agg(count(lit(1)).as("c"))
     val weeks = counts.select($"week_id").distinct()
