@@ -37,6 +37,10 @@ object Ranks {
     * broadcast. This is how a group whose population out-scales one
     * partition (a dominant language, a hot label) still ranks in
     * parallel.
+    *
+    * `groups` and `values` must be SIMPLE column references (the
+    * re-join after the tie-class aggregate keys on their names);
+    * compute derived keys into named columns first.
     */
   def groupRank(df: DataFrame, rankCol: String, groups: Seq[Column],
       values: Seq[Column], ties: Seq[Column]): DataFrame = {
