@@ -66,7 +66,13 @@ object Retrieval {
   private def bm25Scored(spark: SparkSession, d: String,
       maxDf: Option[Long] = None): DataFrame =
     maxDf match {
-      // the memo-shared default (q116 + q125 consume one score table)
+      // the memo-shared default (q116 + q125 consume one score table).
+      // Profiled (tools.ProfileBm25): the table's one computation — the
+      // Σdf(t) ≈ 22M-row candidate aggregate — is ~17 s at sf0.1 and
+      // dominates both consumers; cache ON means the pair pays it once
+      // (~26 s total) vs twice uncached (~36 s). Beware when profiling:
+      // a bare .count() over this aggregate COLUMN-PRUNES the score sum
+      // and reads ~5× faster than any real consumer.
       case None => graft.core.Memo(spark, cache = true, "bm25scored", d) {
         bm25Aggregate(spark, bm25Candidates(spark, d, None))
       }
