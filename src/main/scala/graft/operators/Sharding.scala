@@ -166,6 +166,40 @@ object Sharding {
         expr("(max_d - min_d) * 1000000L div 65535L"))
   }
 
+  /** Materialize the z-ordered layout q164 audits: orders re-sorted by
+    * their Morton code via ONE range repartition (the OPTIMIZE ZORDER
+    * write path — each output file owns a contiguous z-range, so its
+    * parquet min/max stats bound BOTH dimensions and either-dim
+    * predicates skip files). The interleave is the same scan-stage
+    * integer fold as the audit; no global sort — range partitioning +
+    * within-partition sort is exactly how a 1000-executor rewrite runs.
+    */
+  def writeZOrdered(spark: SparkSession, d: String, outDir: String,
+      nBlocks: Int = 8): Unit = {
+    import spark.implicits._
+    val o = orders(spark, d).select($"o_orderkey", $"o_custkey",
+      $"o_orderstatus", $"o_totalprice", $"o_orderdate", $"o_orderpriority",
+      expr("unix_micros(o_orderdate) div 86400000000").as("dy"))
+    val b = o.agg(min($"o_custkey"), max($"o_custkey"),
+      min($"dy"), max($"dy")).head()
+    val (cLo, cHi, dLo, dHi) =
+      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    val (cW, dW) = (math.max(1L, cHi - cLo), math.max(1L, dHi - dLo))
+    val norm = o
+      .withColumn("c16", expr(s"(o_custkey - ${cLo}L) * 65535L div ${cW}L"))
+      .withColumn("d16", expr(s"(dy - ${dLo}L) * 65535L div ${dW}L"))
+    val zv = (0 until 16).map { i =>
+      shiftright(col("c16"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(col("d16"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+    norm.withColumn("zv", zv)
+      .repartitionByRange(nBlocks, col("zv"))
+      .sortWithinPartitions(col("zv"))
+      .drop("c16", "d16", "dy")
+      .write.mode(SaveMode.Overwrite)
+      .parquet(outDir)
+  }
+
   /** Materialize the shards: one directory per shard id, doc_id-sorted
     * within each partition's file.
     */

@@ -380,6 +380,37 @@ class AuditOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("writeZOrdered files bound both dims like the q164 audit promises") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    Sharding.writeZOrdered(spark, sf, out)
+    val back = spark.read.parquet(out)
+    val n = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(back.count() == n, "rewrite conserves rows")
+    // per written FILE: both-dim spans bounded (the skipping property) —
+    // file z-ranges are contiguous so custkey/date min-max stats are tight
+    val spans = back
+      .select(input_file_name().as("f"), $"o_custkey",
+        expr("unix_micros(o_orderdate) div 86400000000").as("dy"), $"zv")
+      .groupBy($"f")
+      .agg(min($"zv").as("zlo"), max($"zv").as("zhi"),
+        (max($"o_custkey") - min($"o_custkey")).as("cspan"),
+        (max($"dy") - min($"dy")).as("dspan"))
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(spans.length > 1, "multiple z-range files written")
+    // files own disjoint z ranges
+    val sorted = spans.sortBy(_._2)
+    sorted.sliding(2).foreach {
+      case Array(a, b) => assert(a._3 <= b._2, "z ranges disjoint")
+      case _ =>
+    }
+    // rows inside each file are zv-sorted (the write contract)
+    val firstFile = sorted.head._1
+    val zs = back.filter(input_file_name() === firstFile)
+      .select($"zv").as[Long].collect()
+    assert(zs.sameElements(zs.sorted), "zv-sorted within file")
+  }
+
   test("RFM quartiles are balanced within one and segments are consistent") {
     import spark.implicits._
     val got = Windowed.rfmSegments(spark, sf)
