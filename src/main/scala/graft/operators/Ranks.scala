@@ -23,8 +23,24 @@ import org.apache.spark.sql.functions._
   *
   * The order MUST be total (include a tiebreak key), or ranks at
   * partition boundaries become sampling-dependent.
+  *
+  * Fixed cost per rank call = one input materialization + the range
+  * sample job + the range shuffle/checkpoint + the count collect
+  * (~0.5–1.5 s at sf0.1, amortizing constants at 100×). Queries that
+  * rank the SAME base several times (three RFM quartiles, a signal
+  * committee) should `pinBase` once and call the `*Pinned` forms so
+  * the input materialization is paid once, not per rank.
   */
 object Ranks {
+
+  /** Eagerly materialize a base that several rank calls (or a rank
+    * call plus sibling aggregates over the same rows) will share.
+    * `localCheckpoint` both computes the lineage NOW and pins the
+    * result, so every consumer — the range sampler, the shuffle, a
+    * count — re-reads cached partitions instead of re-running the
+    * upstream plan.
+    */
+  def pinBase(df: DataFrame): DataFrame = df.localCheckpoint()
 
   /** Append `rankCol` = SQL `rank()` within each group (ties share a
     * rank) WITHOUT a group-partitioned window: one `globalRank` under
@@ -38,40 +54,170 @@ object Ranks {
     * partition (a dominant language, a hot label) still ranks in
     * parallel.
     *
+    * Implementation: rank() never needs ROW-level global ranks — only
+    * per-class prefix counts. So the machinery runs on the (group,
+    * value) CLASS HISTOGRAM, not the rows: one hash aggregate
+    * (map-side combined) to |classes| rows, a distributed exclusive
+    * prefix-sum of the class counts under the (groups, values) order
+    * (the same range-partition + partition-offset construction as
+    * `globalRank`, but over the histogram), the |groups|-row offset
+    * broadcast, then ONE join of the |classes|-row rank table back to
+    * the rows. The full row table is never range-shuffled or sorted —
+    * the expensive phases touch |classes| ≤ |rows| rows, and a
+    * dominant group still ranks in parallel (its classes spread over
+    * many range partitions).
+    *
+    * When (groups ++ values) is ALREADY a total order (every tie class
+    * a singleton), rank() == row_number() and `groupRowNumber` computes
+    * the same column from row-level ranks directly — use it (a
+    * singleton-class histogram would be as big as the rows).
+    *
     * `groups` and `values` must be SIMPLE column references (the
-    * re-join after the tie-class aggregate keys on their names);
-    * compute derived keys into named columns first.
+    * re-join after the class aggregate keys on their names); compute
+    * derived keys into named columns first. NULL group/value keys are
+    * re-joined with null-safe equality (`<=>`), matching the
+    * nulls-first window-rank semantics this replaces. `ties` is kept
+    * for signature stability but IGNORED: tiebreak columns never
+    * affected the output (the rank is a class-level min), only the
+    * internal row order of the old row-level construction, which no
+    * longer exists.
     */
   def groupRank(df: DataFrame, rankCol: String, groups: Seq[Column],
-      values: Seq[Column], ties: Seq[Column]): DataFrame = {
-    val gr = globalRank(df, "__gr", groups ++ values ++ ties: _*)
+      values: Seq[Column], ties: Seq[Column] = Seq()): DataFrame =
+    groupRankImpl(df, rankCol, groups, values, prePinned = false)
+
+  /** `groupRank` over a base already materialized via `pinBase` (or a
+    * prior rank's checkpointed output) — skips the per-call pin.
+    */
+  def groupRankPinned(df: DataFrame, rankCol: String, groups: Seq[Column],
+      values: Seq[Column], ties: Seq[Column] = Seq()): DataFrame =
+    groupRankImpl(df, rankCol, groups, values, prePinned = true)
+
+  private def groupRankImpl(df: DataFrame, rankCol: String,
+      groups: Seq[Column], values: Seq[Column],
+      prePinned: Boolean): DataFrame = {
+    // the base feeds two consumers (the histogram and the final join) —
+    // pin it so the upstream lineage runs once
+    val base = if (prePinned) df else pinBase(df)
+    val classes = base.groupBy(groups ++ values: _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val classNames = classes.columns.dropRight(1).toSeq
+    val groupNames = classNames.take(groups.size)
+    val cp = prefixSumImpl(classes, "__pfx", groups ++ values)
+    val goff = cp.groupBy(groups: _*).agg(min(col("__pfx")).as("__goff"))
+    val classRanks = joinNullSafe(cp, goff, groupNames, bcast = true)
+      .withColumn("__crank", col("__pfx") - col("__goff") + lit(1L))
+      .select(classNames.map(col) :+ col("__crank"): _*)
+    joinNullSafe(base, classRanks, classNames, bcast = false)
+      .withColumn(rankCol, col("__crank"))
+      .drop("__crank")
+  }
+
+  /** Distributed EXCLUSIVE prefix sum of `__cnt` under the given total
+    * order — `globalRank`'s construction with the per-partition offset
+    * carrying the running WEIGHT instead of the row count: range
+    * shuffle, per-partition running sum, driver-collected per-partition
+    * weight totals as offsets.
+    */
+  private def prefixSumImpl(df: DataFrame, outCol: String,
+      order: Seq[Column]): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.sparkContext.defaultParallelism
+    val input = df.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val parted = input
+      .repartitionByRange(parts, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    input.unpersist()
+    val sizes = parted.groupBy(col("__pid")).agg(sum(col("__cnt")).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets: Map[Int, Long] = sizes.map(_._1)
+      .zip(sizes.scanLeft(0L)(_ + _._2)).toMap
+    val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted
+      .withColumn(outCol,
+        sum(col("__cnt")).over(w) - col("__cnt")
+          + element_at(typedLit(offsets), col("__pid")))
+      .drop("__pid")
+  }
+
+  /** The fast path for the most common call shape: `rankCol` =
+    * `row_number()` within each group under `order`, which MUST be a
+    * total order within the group (include a unique tiebreak — doc_id,
+    * user_id…). Identical to `groupRank(groups, order, Seq())` when
+    * the order is total (every tie class is a singleton, so rank ==
+    * row_number — the q100 comment made law), but skips the tie-class
+    * aggregate and its full-table shuffle join: per-group rank =
+    * global rank − (group's first global rank) + 1, one |groups|-row
+    * broadcast join.
+    */
+  def groupRowNumber(df: DataFrame, rankCol: String, groups: Seq[Column],
+      order: Seq[Column]): DataFrame =
+    groupRowNumberImpl(df, rankCol, groups, order, prePinned = false)
+
+  /** `groupRowNumber` over a `pinBase`-materialized input. */
+  def groupRowNumberPinned(df: DataFrame, rankCol: String,
+      groups: Seq[Column], order: Seq[Column]): DataFrame =
+    groupRowNumberImpl(df, rankCol, groups, order, prePinned = true)
+
+  private def groupRowNumberImpl(df: DataFrame, rankCol: String,
+      groups: Seq[Column], order: Seq[Column], prePinned: Boolean): DataFrame = {
+    val gr = rankImpl(df, "__gr", groups ++ order, prePinned)
     val goff = gr.groupBy(groups: _*)
       .agg(min(col("__gr")).as("__goff"))
-    val gmin = gr.groupBy(groups ++ values: _*)
-      .agg(min(col("__gr")).as("__gmin"))
-    val groupNames = goff.columns.dropRight(1)
-    val tieNames = gmin.columns.dropRight(1)
-    gr.join(gmin, tieNames.toSeq)
-      .join(broadcast(goff), groupNames.toSeq)
-      .withColumn(rankCol, col("__gmin") - col("__goff") + lit(1L))
-      .drop("__gr", "__gmin", "__goff")
+    val groupNames = goff.columns.dropRight(1).toSeq
+    joinNullSafe(gr, goff, groupNames, bcast = true)
+      .withColumn(rankCol, col("__gr") - col("__goff") + lit(1L))
+      .drop("__gr", "__goff")
+  }
+
+  /** Null-safe equi-join on shared key column NAMES: the right side's
+    * keys are renamed and matched with `<=>` so NULL keys pair up
+    * (window ranks order nulls first; a plain using-join would
+    * silently drop null-keyed rows — the round-10 advice). `<=>` is
+    * still an equi-join key to the planner, so hash/broadcast
+    * strategies apply as before.
+    */
+  private def joinNullSafe(left: DataFrame, right: DataFrame,
+      keys: Seq[String], bcast: Boolean): DataFrame = {
+    val renamed = keys.foldLeft(right)((r, k) => r.withColumnRenamed(k, "__r_" + k))
+    val rhs = if (bcast) broadcast(renamed) else renamed
+    // plain col() refs: the rename makes every key name unique across
+    // the two sides, sidestepping same-lineage attribute ambiguity
+    val cond = keys.map(k => col(k) <=> col("__r_" + k)).reduce(_ && _)
+    left.join(rhs, cond).drop(keys.map("__r_" + _): _*)
   }
 
   /** Append `rankCol` (1-based, long) under the given total order. */
-  def globalRank(df: DataFrame, rankCol: String, order: Column*): DataFrame = {
+  def globalRank(df: DataFrame, rankCol: String, order: Column*): DataFrame =
+    rankImpl(df, rankCol, order, prePinned = false)
+
+  /** `globalRank` over a base already materialized via `pinBase` —
+    * skips the per-call persist (the range sampler and the shuffle
+    * both re-read the pinned partitions directly).
+    */
+  def globalRankPinned(df: DataFrame, rankCol: String, order: Column*): DataFrame =
+    rankImpl(df, rankCol, order, prePinned = true)
+
+  private def rankImpl(df: DataFrame, rankCol: String, order: Seq[Column],
+      prePinned: Boolean): DataFrame = {
     val spark = df.sparkSession
     val parts = spark.sparkContext.defaultParallelism
     // repartitionByRange SAMPLES its input in a separate job before the
     // shuffle — without a cache the upstream lineage runs twice (sample
     // + shuffle). Pin it for the pair, release once the checkpoint has
-    // materialized.
-    val pinned = df.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val parted = pinned
+    // materialized. A pre-pinned input (pinBase / a prior rank's
+    // checkpoint) is already cheap to re-read — skip the persist.
+    val input =
+      if (prePinned) df
+      else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val parted = input
       .repartitionByRange(parts, order: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
-    pinned.unpersist()
+    if (!prePinned) input.unpersist()
     val sizes = parted.groupBy(col("__pid")).agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val offsets: Map[Int, Long] = sizes.map(_._1)

@@ -698,10 +698,10 @@ object Similarity {
         cosineFromParts(dotPreQ($"qemb", $"cqemb"), $"n2", $"cn2").as("ccos"))
       .join(broadcast(sz), "label")
       // per-label rank via the two-phase group rank ((ccos, vec_id) is a
-      // total order, so rank == row_number) — a hot label's population is
-      // never one sort partition
-      .transform(df => Ranks.groupRank(df, "rn",
-        Seq($"label"), Seq($"ccos", $"vec_id"), Seq()))
+      // total order, so rank == row_number — the fast path) — a hot
+      // label's population is never one sort partition
+      .transform(df => Ranks.groupRowNumber(df, "rn",
+        Seq($"label"), Seq($"ccos", $"vec_id")))
       .select($"vec_id", $"label", $"ccos",
         ($"rn" <= ceil(lit(frac) * $"n")).as("outlier"))
   }

@@ -692,10 +692,10 @@ object Text {
     val base = bigramSurprisal(spark, d)
       .join(documents(spark, d).select($"doc_id", $"lang"), "doc_id")
     // (surprisal, doc_id) is already a TOTAL order within each lang, so
-    // the groupRank tie classes are singletons and rank == row_number;
-    // no lang-partitioned window anywhere (the q136 decomposition)
-    val ranked = graft.operators.Ranks.groupRank(base, "rn",
-      Seq($"lang"), Seq($"mean_bigram_surprisal", $"doc_id"), Seq())
+    // rank == row_number — the groupRowNumber fast path (no tie-class
+    // aggregate/join); no lang-partitioned window anywhere (q136)
+    val ranked = graft.operators.Ranks.groupRowNumber(base, "rn",
+      Seq($"lang"), Seq($"mean_bigram_surprisal", $"doc_id"))
     // group sizes from the CHECKPOINTED rank output, not the base —
     // counting from `base` would re-run the surprisal lineage
     val langN = ranked.groupBy($"lang").agg(count(lit(1)).as("n"))
@@ -1242,10 +1242,11 @@ object Text {
     import spark.implicits._
     val x = documents(spark, d).select($"source", $"doc_id", $"n_chars".as("x"))
     // middle-rank picks via the two-phase group rank — a giant source's
-    // population is never one sort partition
+    // population is never one sort partition; (col, doc_id) is total, so
+    // the row_number fast path applies (rank == row_number)
     def medianOf(df: DataFrame, col: String, out: String): DataFrame = {
-      val rk = graft.operators.Ranks.groupRank(df, "rn",
-        Seq($"source"), Seq(df(col), $"doc_id"), Seq())
+      val rk = graft.operators.Ranks.groupRowNumber(df, "rn",
+        Seq($"source"), Seq(df(col), $"doc_id"))
       rk.join(broadcast(rk.groupBy($"source").agg(count(lit(1)).as("n"))),
           "source")
         .filter($"rn" === expr("(n + 1) div 2") || $"rn" === expr("(n + 2) div 2"))
@@ -1589,16 +1590,22 @@ object Text {
     */
   def qualityCommittee(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val sig = qualityScore(spark, d)
+    // one pinned signal base shared by all three per-lang signal ranks
+    // (independent pinned calls, slim (doc_id, rank) projections joined
+    // back on the unique doc key) — the signal lineage runs once and no
+    // rank chains through another's output
+    val sig = graft.operators.Ranks.pinBase(qualityScore(spark, d)
       .select($"doc_id", $"stop_ratio", $"alpha_ratio")
       .join(tokenEntropy(spark, d).select($"doc_id", $"entropy_q"), "doc_id")
-      .join(documents(spark, d).select($"doc_id", $"lang"), "doc_id")
+      .join(documents(spark, d).select($"doc_id", $"lang"), "doc_id"))
     val ranked = Seq(("r_stop", $"stop_ratio"), ("r_alpha", $"alpha_ratio"),
       ("r_ent", $"entropy_q"))
-      .foldLeft(sig) { case (df, (rc, c)) =>
-        graft.operators.Ranks.groupRank(df, rc, Seq($"lang"), Seq(c),
+      .map { case (rc, c) =>
+        graft.operators.Ranks.groupRankPinned(sig, rc, Seq($"lang"), Seq(c),
           Seq($"doc_id"))
+          .select($"doc_id", col(rc))
       }
+      .foldLeft(sig)((df, r) => df.join(r, "doc_id"))
       .withColumn("committee", $"r_stop" + $"r_alpha" + $"r_ent")
     val last = graft.operators.Ranks.groupRank(ranked, "c_rnk",
       Seq($"lang"), Seq($"committee"), Seq($"doc_id"))

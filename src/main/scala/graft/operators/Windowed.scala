@@ -135,26 +135,24 @@ object Windowed {
     * funnel take" report that decides attribution windows and session
     * gaps.
     *
-    * Scale: rides q113's three chained min-aggregates; the three
-    * duration ranks run on `Ranks.globalRank` BEFORE the scan-stage
-    * `stack` unpivot, so no metric is ever one sort partition.
+    * Scale: rides q113's three chained min-aggregates; the converted-
+    * user table is `pinBase`-pinned once and the three duration ranks
+    * are INDEPENDENT pinned `Ranks.globalRank` calls unioned into the
+    * (metric, dur, rank) stream — no metric is ever one sort
+    * partition, no rank chains through another's output, and the
+    * funnel lineage runs exactly once.
     */
   def funnelLatency(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val conv = funnelStages(spark, d).filter($"stage" === 3L)
+    val conv = Ranks.pinBase(funnelStages(spark, d).filter($"stage" === 3L)
       .select($"user_id", ($"t2" - $"t1").as("d_vc"),
-        ($"t3" - $"t2").as("d_cp"), ($"t3" - $"t1").as("d_vp"))
-    val rankedCols = Seq(("rn_vc", $"d_vc"), ("rn_cp", $"d_cp"),
-      ("rn_vp", $"d_vp"))
-      .foldLeft(conv) { case (df, (rc, c)) =>
-        Ranks.globalRank(df, rc, c, $"user_id")
-      }
-    val durs = rankedCols.select($"user_id", expr(
-      """stack(3,
-        |  'view_to_click', d_vc, rn_vc,
-        |  'click_to_purchase', d_cp, rn_cp,
-        |  'view_to_purchase', d_vp, rn_vp) AS (metric, dur_us, rn)"""
-        .stripMargin))
+        ($"t3" - $"t2").as("d_cp"), ($"t3" - $"t1").as("d_vp")))
+    val durs = Seq(("view_to_click", $"d_vc"),
+      ("click_to_purchase", $"d_cp"), ("view_to_purchase", $"d_vp"))
+      .map { case (m, c) =>
+        Ranks.globalRankPinned(conv, "rn", c, $"user_id")
+          .select(lit(m).as("metric"), c.as("dur_us"), $"rn")
+      }.reduce(_ unionByName _)
     val ranked = durs
       .crossJoin(broadcast(conv.agg(count(lit(1)).as("n"))))
     val p50 = ranked.filter($"rn" === expr("(50 * n + 99) div 100"))
@@ -178,20 +176,28 @@ object Windowed {
     *
     * Scale: sessions are already the per-user aggregate; the two rank
     * picks ride `Ranks.globalRank` (two-phase range-partition rank — no
-    * single-partition sort), the rest one scalar aggregate.
+    * single-partition sort), the rest one scalar aggregate. The session
+    * table is `pinBase`-pinned ONCE and every consumer — both ranks,
+    * the count, the final aggregate — reads the pinned partitions, so
+    * the sessionize lineage (events scan + user window) runs exactly
+    * once and the two ranks are independent pinned calls, not a chain
+    * (each percentile pick reads only its own rank column).
     */
   def sessionStats(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val s = sessionize(spark, d)
-    val ranked = Ranks.globalRank(
-        Ranks.globalRank(s, "rne", $"n_events", $"user_id", $"session_seq"),
-        "rnd", $"duration_us", $"user_id", $"session_seq")
-      .crossJoin(broadcast(s.agg(count(lit(1)).as("n"))))
-    val p50e = ranked.filter($"rne" === expr("(50 * n + 99) div 100"))
+    val s = Ranks.pinBase(sessionize(spark, d))
+    val n = broadcast(s.agg(count(lit(1)).as("n")))
+    val rne = Ranks.globalRankPinned(
+        s, "rne", $"n_events", $"user_id", $"session_seq")
+      .crossJoin(n)
+    val rnd = Ranks.globalRankPinned(
+        s, "rnd", $"duration_us", $"user_id", $"session_seq")
+      .crossJoin(n)
+    val p50e = rne.filter($"rne" === expr("(50 * n + 99) div 100"))
       .select($"n_events".as("p50_events"))
-    val p90e = ranked.filter($"rne" === expr("(90 * n + 99) div 100"))
+    val p90e = rne.filter($"rne" === expr("(90 * n + 99) div 100"))
       .select($"n_events".as("p90_events"))
-    val p50d = ranked.filter($"rnd" === expr("(50 * n + 99) div 100"))
+    val p50d = rnd.filter($"rnd" === expr("(50 * n + 99) div 100"))
       .select($"duration_us".as("p50_duration_us"))
     s.agg(count(lit(1)).as("n_sessions"),
         countDistinct($"user_id").as("n_users"),
@@ -408,9 +414,10 @@ object Windowed {
     // per-type median rank via the two-phase group rank — a hot event
     // type's gap population is never one sort partition; BOTH the count
     // and the summary stats then ride the CHECKPOINTED rank output, so
-    // the per-user lag window runs exactly once
-    val rk = Ranks.groupRank(gaps, "rn",
-      Seq($"event_type"), Seq($"gap", $"user_id", $"event_id"), Seq())
+    // the per-user lag window runs exactly once. (gap, user, event) is
+    // total → the row_number fast path (no tie-class aggregate/join)
+    val rk = Ranks.groupRowNumber(gaps, "rn",
+      Seq($"event_type"), Seq($"gap", $"user_id", $"event_id"))
     val stats = rk.groupBy($"event_type")
       .agg(count(lit(1)).as("n_gaps"),
         (sum($"gap").cast("double") / count(lit(1))).as("mean_gap_us"),
@@ -640,17 +647,23 @@ object Windowed {
     val u = p.groupBy($"user_id").agg(max($"dy").as("last_dy"),
       count(lit(1)).as("frequency"), sum($"cents").as("monetary_c"))
     val mx = p.agg(max($"dy").as("mx"))
-    val base = u.crossJoin(broadcast(mx))
+    // one pinned per-user base; the three quartile ranks are INDEPENDENT
+    // pinned calls whose slim (user_id, rank) projections join back on
+    // the unique user key — no rank chains through another's output, and
+    // the purchase aggregate runs exactly once
+    val base = Ranks.pinBase(u.crossJoin(broadcast(mx))
       .select($"user_id", ($"mx" - $"last_dy").as("recency_days"),
-        $"frequency", $"monetary_c")
+        $"frequency", $"monetary_c"))
     val ranked = Seq(
       ("rn_r", $"recency_days"), ("rn_f", $"frequency"),
       ("rn_m", $"monetary_c"))
-      .foldLeft(base) { case (df, (rc, c)) =>
-        Ranks.globalRank(df, rc, c, $"user_id")
+      .map { case (rc, c) =>
+        Ranks.globalRankPinned(base, rc, c, $"user_id")
+          .select($"user_id", col(rc))
       }
+      .foldLeft(base)((df, r) => df.join(r, "user_id"))
     ranked
-      .crossJoin(broadcast(u.agg(count(lit(1)).as("n_all"))))
+      .crossJoin(broadcast(base.agg(count(lit(1)).as("n_all"))))
       .withColumn("r_q", expr("(rn_r - 1L) * 4L div n_all"))
       .withColumn("f_q", expr("(rn_f - 1L) * 4L div n_all"))
       .withColumn("m_q", expr("(rn_m - 1L) * 4L div n_all"))

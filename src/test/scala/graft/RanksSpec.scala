@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Ranks
+
+/** Laws for the two-phase distributed rank family — each form must be
+  * value-identical to the single-window SQL function it replaces, on a
+  * fixture with hot groups, ties, and (for the null-safety law) NULL
+  * group/value keys.
+  */
+class RanksSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def fixture = {
+    import spark.implicits._
+    // 3 groups with skewed sizes, deliberate ties in v (v = i % 7)
+    (0 until 500).map { i =>
+      val g = if (i % 10 < 7) "hot" else if (i % 10 < 9) "warm" else "cold"
+      (g, (i % 7).toLong, i.toLong)
+    }.toDF("g", "v", "id")
+  }
+
+  test("groupRank == rank() over (partition by g order by v) — ties share") {
+    import spark.implicits._
+    val df = fixture
+    val expected = df.withColumn("want",
+      rank().over(Window.partitionBy($"g").orderBy($"v")).cast("long"))
+    val got = Ranks.groupRank(df, "rn", Seq($"g"), Seq($"v"), Seq($"id"))
+    val joined = got.join(expected.select($"id".as("id2"), $"want"),
+      $"id" === $"id2")
+    assert(joined.filter($"rn" =!= $"want").count() === 0L)
+    assert(joined.count() === 500L)
+  }
+
+  test("groupRowNumber == row_number() under a total order, and == groupRank") {
+    import spark.implicits._
+    val df = fixture
+    val expected = df.withColumn("want",
+      row_number().over(Window.partitionBy($"g").orderBy($"v", $"id"))
+        .cast("long"))
+    val got = Ranks.groupRowNumber(df, "rn", Seq($"g"), Seq($"v", $"id"))
+    val joined = got.join(expected.select($"id".as("id2"), $"want"),
+      $"id" === $"id2")
+    assert(joined.filter($"rn" =!= $"want").count() === 0L)
+    assert(joined.count() === 500L)
+    // fast-path law: identical to the general form when the order is total
+    val slow = Ranks.groupRank(df, "rn2", Seq($"g"), Seq($"v", $"id"), Seq())
+      .select($"id".as("id3"), $"rn2")
+    assert(got.join(slow, $"id" === $"id3")
+      .filter($"rn" =!= $"rn2").count() === 0L)
+  }
+
+  test("NULL group/value keys rank like the window form (nulls first), not dropped") {
+    import spark.implicits._
+    val df = Seq[(Option[String], Option[java.lang.Long], Long)](
+      (None, Some(1L), 1L), (None, None, 2L), (Some("a"), Some(2L), 3L),
+      (Some("a"), None, 4L), (Some("a"), Some(2L), 5L), (Some("b"), Some(0L), 6L))
+      .toDF("g", "v", "id")
+    val expected = df.withColumn("want",
+      rank().over(Window.partitionBy($"g").orderBy($"v")).cast("long"))
+    val got = Ranks.groupRank(df, "rn", Seq($"g"), Seq($"v"), Seq($"id"))
+    assert(got.count() === 6L, "null-keyed rows must survive the re-joins")
+    val joined = got.join(expected.select($"id".as("id2"), $"want"),
+      $"id" === $"id2")
+    assert(joined.filter($"rn" =!= $"want").count() === 0L)
+    val rnNull = Ranks.groupRowNumber(df, "rn", Seq($"g"), Seq($"v", $"id"))
+    assert(rnNull.count() === 6L)
+  }
+
+  test("pinned forms are value-identical to the unpinned forms") {
+    import spark.implicits._
+    val df = fixture
+    val base = Ranks.pinBase(df)
+    val a = Ranks.globalRankPinned(base, "r", $"v", $"id")
+      .select($"id", $"r").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Ranks.globalRank(df, "r", $"v", $"id")
+      .select($"id", $"r").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+    val c = Ranks.groupRankPinned(base, "rn", Seq($"g"), Seq($"v"), Seq($"id"))
+      .select($"id", $"rn").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e = Ranks.groupRank(df, "rn", Seq($"g"), Seq($"v"), Seq($"id"))
+      .select($"id", $"rn").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c === e)
+  }
+}
