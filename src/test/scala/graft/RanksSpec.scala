@@ -70,6 +70,36 @@ class RanksSpec extends AnyFunSuite {
     assert(rnNull.count() === 6L)
   }
 
+  test("groupRunningSum == sum() over (partition by g order by ...) running window") {
+    import spark.implicits._
+    val df = fixture.withColumn("w", ($"id" % 13L) + 1L)
+    val expected = df.withColumn("want",
+      sum($"w").over(Window.partitionBy($"g").orderBy($"v", $"id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val got = Ranks.groupRunningSum(df, "cum", Seq($"g"), Seq($"v", $"id"), $"w")
+    val joined = got.join(expected.select($"id".as("id2"), $"want"),
+      $"id" === $"id2")
+    assert(joined.count() === 500L)
+    assert(joined.filter($"cum" =!= $"want").count() === 0L)
+  }
+
+  test("groupRunningMaxExcl == max() over (... rowsBetween(unboundedPreceding, -1))") {
+    import spark.implicits._
+    // value deliberately non-monotone in the scan order
+    val df = fixture.withColumn("w", ($"id" * 7919L) % 501L)
+    val expected = df.withColumn("want",
+      max($"w").over(Window.partitionBy($"g").orderBy($"v", $"id")
+        .rowsBetween(Window.unboundedPreceding, -1)))
+    val got = Ranks.groupRunningMaxExcl(df, "rmax", Seq($"g"), Seq($"v", $"id"), $"w")
+    val joined = got.join(expected.select($"id".as("id2"), $"want"),
+      $"id" === $"id2")
+    assert(joined.count() === 500L)
+    assert(joined.filter(!($"rmax" <=> $"want")).count() === 0L,
+      "exclusive running max must match, including NULL first rows")
+    // each group's first row in scan order must be NULL
+    assert(got.filter($"rmax".isNull).count() === 3L)
+  }
+
   test("pinned forms are value-identical to the unpinned forms") {
     import spark.implicits._
     val df = fixture
