@@ -456,11 +456,41 @@ object Dedup {
       .agg(count(lit(1)).as("cluster_size"))
   }
 
-  /** `dedupClusters` on the big-star/small-star CC primitive
+  /** (doc_id, label) via the big-star/small-star CC primitive
     * (Graph.connectedComponentsStar) — O(log n) ROUNDS instead of the
-    * propagation loop's O(diameter) supersteps: the variant that holds
-    * when near-dup chains are not just deep but astronomically deep
-    * (every round halves path lengths). Same output contract as
+    * propagation loop's O(diameter) supersteps (every round halves path
+    * lengths): the label provider that holds when near-dup chains are
+    * not just deep but astronomically deep. Labels are the component's
+    * MIN doc id — identical to `dedupLabelsConverged`'s fixpoint
+    * (DedupSimilaritySpec asserts equality); singletons label
+    * themselves, like every provider on this ladder. Memo-shared under
+    * the default generator: q87's cluster sizes and q132's
+    * leakage-safe split ride ONE star fixpoint.
+    */
+  def dedupLabelsStar(spark: SparkSession, d: String,
+      threshold: Double = 0.5,
+      pairGen: (SparkSession, String, Double) => DataFrame = MinhashLshGen): DataFrame =
+    if (pairGen eq MinhashLshGen)
+      graft.core.Memo(spark, cache = false, "dedupLabelsStar", d,
+        threshold.toString, "minhashLsh") {
+        dedupLabelsStarUncached(spark, d, threshold, pairGen)
+      }
+    else dedupLabelsStarUncached(spark, d, threshold, pairGen)
+
+  private def dedupLabelsStarUncached(spark: SparkSession, d: String,
+      threshold: Double,
+      pairGen: (SparkSession, String, Double) => DataFrame): DataFrame = {
+    import spark.implicits._
+    val labels = Graph.connectedComponentsStar(
+        pairGen(spark, d, threshold).select($"x", $"y"))
+      .select($"id".as("doc_id"), $"component".as("label"))
+    val singletons = documents(spark, d).select($"doc_id")
+      .join(labels.select($"doc_id"), Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"doc_id".as("label"))
+    labels.union(singletons)
+  }
+
+  /** `dedupClusters` on the star labels — same output contract as
     * q32/q86; GraphAppSpec property-tests the primitive against an
     * in-JVM union-find on random graphs.
     */
@@ -468,14 +498,9 @@ object Dedup {
       threshold: Double = 0.5,
       pairGen: (SparkSession, String, Double) => DataFrame = MinhashLshGen): DataFrame = {
     import spark.implicits._
-    val labels = Graph.connectedComponentsStar(
-      pairGen(spark, d, threshold).select($"x", $"y"))
-    val components = labels.groupBy($"component".as("cluster_id"))
+    dedupLabelsStar(spark, d, threshold, pairGen)
+      .groupBy($"label".as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
-    val singletons = documents(spark, d).select($"doc_id")
-      .join(labels.select($"id".as("doc_id")), Seq("doc_id"), "left_anti")
-      .select($"doc_id".as("cluster_id"), lit(1L).as("cluster_size"))
-    components.union(singletons)
   }
 
   /** Per-document n-gram NOVELTY against everything ingested before it:

@@ -207,9 +207,12 @@ object Graph {
     * form stars rooted at component minima.
     *
     * Input: undirected edges (x, y); output: (id, component) for every
-    * endpoint, component = the component's minimum id.
+    * endpoint, component = the component's minimum id. `roundsOut`, when
+    * non-null, receives the number of rounds run — the spec's O(log n)
+    * round-count pin.
     */
-  def connectedComponentsStar(edges0: DataFrame, maxRounds: Int = 40): DataFrame = {
+  def connectedComponentsStar(edges0: DataFrame, maxRounds: Int = 40,
+      roundsOut: java.util.concurrent.atomic.AtomicInteger = null): DataFrame = {
     val spark = edges0.sparkSession
     import spark.implicits._
     // large-star over the SYMMETRIC view: every node u points its
@@ -255,6 +258,7 @@ object Graph {
     // convergence means hitting maxRounds=40 is a pathology, not a corpus.
     require(stable,
       s"connected components did not reach the star fixpoint in $maxRounds rounds")
+    if (roundsOut ne null) roundsOut.set(round)
     // at the fixpoint edges form stars (member → root); roots label
     // themselves (a root never appears on the hi side of a star edge)
     val members = edges.select($"x".as("id"), $"y".as("component"))

@@ -48,21 +48,36 @@ object Sampling {
     * component of the near-dup graph lands in one split and cross-split
     * contamination between near-duplicates is zero BY CONSTRUCTION (the
     * spec asserts both the same-cluster⇒same-split law and zero leaking
-    * jaccard pairs). Rides the memo-shared CONVERGED propagation
-    * (round-9 advice: the fixed-5-superstep labels under-merge
-    * components deeper than 5 hops, which would let one chained
-    * component carry two labels and straddle splits — the convergence
-    * stop makes the zero-leakage law hold at ANY chain depth, not just
-    * this fixture's). q86 shares the same memoized propagation.
+    * jaccard pairs). Rides the memo-shared STAR labels (round-10
+    * verdict: the converged propagation is O(diameter) supersteps, each
+    * a join + checkpoint — per-round overhead dominated q132;
+    * `dedupLabelsStar` reaches the same min-id fixpoint in O(log n)
+    * rounds, labels identical at any chain depth —
+    * DedupSimilaritySpec asserts the equality). q87 shares the same
+    * memoized star fixpoint; the converged-propagation form is kept as
+    * `clusterSafeSplitConverged`, the equality rung.
     *
-    * Scale: the labels are the CC propagation's output (edge-bounded
-    * supersteps, see dedupLabelsConverged — O(diameter) with a
-    * change-count stop; dedupClustersStar is the O(log n) rung if
-    * chains go astronomically deep); the split itself is a scan-stage
-    * projection on the label — adding documents never moves an existing
-    * CLUSTER between splits, the same stability law q52 gives per-doc.
+    * Scale: the split itself is a scan-stage projection on the label —
+    * adding documents never moves an existing CLUSTER between splits,
+    * the same stability law q52 gives per-doc.
     */
   def clusterSafeSplit(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Dedup.dedupLabelsStar(spark, d)
+      .select($"doc_id", $"label".as("cluster_id"),
+        hashBucket($"label", "csplit:").as("bucket"))
+      .select($"doc_id", $"cluster_id", $"bucket",
+        when($"bucket" < 80, "train")
+          .when($"bucket" < 90, "validation")
+          .otherwise("test").as("split"))
+  }
+
+  /** `clusterSafeSplit` on the converged-propagation labels — the
+    * equality rung beside the star default (same min-id labels, so the
+    * same split; the spec asserts it).
+    */
+  private[graft] def clusterSafeSplitConverged(spark: SparkSession,
+      d: String): DataFrame = {
     import spark.implicits._
     Dedup.dedupLabelsConverged(spark, d)
       .select($"doc_id", $"label".as("cluster_id"),

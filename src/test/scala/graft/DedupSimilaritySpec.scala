@@ -533,6 +533,42 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(a == b, "converged == 5-step on shallow components")
   }
 
+  test("star labels == converged labels (min-id fixpoint), incl. deep chains") {
+    import spark.implicits._
+    import org.apache.spark.sql.SparkSession
+    // the deep-chain generator again: star must reach the same single
+    // min-id component in O(log n) rounds
+    val base = 2000000L
+    val chain = (0 until 20).map(i => (base + i, base + i + 1)).toDF("x", "y")
+    val gen = (_: SparkSession, _: String, _: Double) => chain
+    val rounds = new java.util.concurrent.atomic.AtomicInteger(-1)
+    val starChain = graft.operators.Graph
+      .connectedComponentsStar(chain, roundsOut = rounds)
+      .as[(Long, Long)].collect().toMap
+    assert(starChain.size == 21 && starChain.values.toSet == Set(base),
+      s"star must merge the 21-chain to its min id: $starChain")
+    // the O(log n) round pin: the 21-deep chain must close in far fewer
+    // rounds than its diameter (the propagation loop needs ~20 supersteps)
+    assert(rounds.get >= 1 && rounds.get <= 7,
+      s"expected O(log n) star rounds on the 21-chain, got ${rounds.get}")
+    val star = Dedup.dedupLabelsStar(spark, sf, pairGen = gen)
+      .filter($"doc_id" >= base).as[(Long, Long)].collect().toMap
+    assert(star.size == 21 && star.values.toSet == Set(base),
+      s"star must merge the 21-chain to its min id: $star")
+    // on the real corpus the full label tables agree — the q132 contract
+    // (the split is a pure function of the label)
+    val s = Dedup.dedupLabelsStar(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    val c = Dedup.dedupLabelsConverged(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(s == c, "star and converged label tables must be identical")
+    // and the split rungs agree row-for-row
+    val sp = graft.operators.Sampling.clusterSafeSplit(spark, sf)
+    val spc = graft.operators.Sampling.clusterSafeSplitConverged(spark, sf)
+    assert(sp.exceptAll(spc).isEmpty && spc.exceptAll(sp).isEmpty,
+      "clusterSafeSplit star default must equal the converged rung")
+  }
+
   test("scale rehearsal: PassJoin has no prefix hub on an all-shared-prefix corpus") {
     import spark.implicits._
     // EVERY title shares its first 25 characters - under the retired
