@@ -208,6 +208,7 @@ object SparkEntry {
     "q179_k_anonymity"    -> ((s, d) => Relational.kAnonymityAudit(s, d)),
     "q180_dup_topology"   -> ((s, d) => Dedup.dupTopology(s, d)),
     "q181_pack_waste"     -> ((s, d) => Sampling.packWaste(s, d)),
+    "q182_bm25_ceiling"   -> ((s, d) => Retrieval.bm25TopKCeiled(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -3533,6 +3534,40 @@ object SparkEntry {
         |    // ((st // 16777216) * 2048))::BIGINT AS waste_q6,
         |  (total_toks + 2047) // 2048 AS n_packs_contig
         |FROM f""".stripMargin,
+    // the maxDf-ceilinged deployment BM25 (q116 with query terms of
+    // df > N/10 shed BEFORE the posting join — the integer comparison
+    // df*10 <= n mirrors Spark's df <= n div 10 exactly); same exact
+    // integer-quantized weights as q116 on the surviving terms
+    "q182_bm25_ceiling" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |    t -> regexp_full_match(t, '[a-z]+') AND NOT list_contains($stopList, t))) AS t
+         |  FROM documents),
+         |ev AS (SELECT doc_id,
+         |  ${md5Bits32Sql("'eval:' || doc_id::VARCHAR", 1)} % 100 < 5 AS ev
+         |  FROM documents),
+         |tf AS (SELECT toks.doc_id, t, count(*)::BIGINT AS tf
+         |       FROM toks JOIN ev USING (doc_id) WHERE NOT ev GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+         |st AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sumdl FROM dl),
+         |dfT AS (SELECT t, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+         |q AS (SELECT DISTINCT toks.doc_id AS query_id, t
+         |      FROM toks JOIN ev USING (doc_id) WHERE ev),
+         |qk AS (SELECT query_id, t FROM q JOIN dfT USING (t), st
+         |       WHERE df * 10 <= n),
+         |sq AS (SELECT qk.query_id, tf.doc_id,
+         |  round(log2(((n - df + 0.5) / (df + 0.5)) + 1.0)
+         |    * (tf * 2.2)
+         |    / (tf + 1.2 * (0.25 + 0.75 * ((dl * n)::DOUBLE / sumdl::DOUBLE)))
+         |    * 1000000.0)::BIGINT AS sq
+         |  FROM qk JOIN tf USING (t) JOIN dfT USING (t)
+         |  JOIN dl ON tf.doc_id = dl.doc_id, st),
+         |sc AS (SELECT query_id, doc_id, sum(sq)::BIGINT AS score_q
+         |       FROM sq GROUP BY 1, 2),
+         |rk AS (SELECT query_id, doc_id, score_q,
+         |       row_number() OVER (PARTITION BY query_id
+         |         ORDER BY score_q DESC, doc_id)::BIGINT AS rank FROM sc)
+         |SELECT query_id, doc_id, rank, score_q FROM rk WHERE rank <= 10""".stripMargin,
     // watermark advisor: lateness vs the running event-time max over the
     // event_id arrival order, exact middle-rank p50/p99
     "q177_watermark_advisor" ->

@@ -26,8 +26,19 @@ object TextFunctions {
   /** Whitespace tokenization after lowercasing. */
   def tokens(text: Column): Column = split(lower(text), "\\s+")
 
-  /** Reference token filter: alphabetic-only and not a stop word. */
+  /** Reference token filter: alphabetic-only and not a stop word.
+    * Native single-pass expression (plans.CleanTokensExpr) — the HOF
+    * chain below is kept as the equality reference; every consumer of
+    * this column (TF-IDF, BM25 postings, quality gates, language-ID)
+    * shares the speedup.
+    */
   def cleanTokens(text: Column): Column =
+    graft.plans.CleanTokensOps.cleanTokens(text)
+
+  /** The composed-builtin form of `cleanTokens` — the directly-
+    * oracle-shaped rung and CleanTokensExprSpec's equality reference.
+    */
+  def cleanTokensHof(text: Column): Column =
     filter(tokens(text), t =>
       t.rlike("^[a-z]+$") && !array_contains(typedLit(StopWords), t))
 

@@ -42,41 +42,55 @@ object Retrieval {
   def bm25TopK(spark: SparkSession, d: String, k: Int = 10,
       maxDf: Option[Long] = None): DataFrame = {
     import spark.implicits._
-    val win = Window.partitionBy($"query_id")
-      .orderBy($"score_q".desc, $"doc_id")
-    bm25Scored(spark, d, maxDf)
-      .withColumn("rank", row_number().over(win).cast("long"))
-      .filter($"rank" <= k)
-      .select($"query_id", $"doc_id", $"rank", $"score_q")
+    if (k <= sharedTopK)
+      bm25Ranked(spark, d, maxDf).filter($"rank" <= k)
+    else {
+      val win = Window.partitionBy($"query_id")
+        .orderBy($"score_q".desc, $"doc_id")
+      bm25Aggregate(spark, bm25Candidates(spark, d, maxDf))
+        .withColumn("rank", row_number().over(win).cast("long"))
+        .filter($"rank" <= k)
+        .select($"query_id", $"doc_id", $"rank", $"score_q")
+    }
   }
 
-  /** The full (query, doc) BM25 score table — memo-cached because both
-    * retrieval queries (q116's top-10 cut, q125's top-20 fusion input)
-    * consume it; only the final per-query window differs.
-    *
-    * The per-posting weight w(t, d) is QUERY-INDEPENDENT, so it is
-    * computed once per (t, doc) posting — the double math and the 1e6
-    * quantization run on |postings| rows — and the (query-term ⋈
-    * posting) join then carries just the precomputed long. On the
-    * synthetic small-vocabulary corpus the candidate set degenerates
-    * toward |queries|×|corpus| (every doc shares terms with every
-    * query), which is exactly when keeping the per-candidate work to an
-    * integer sum matters.
+  /** q182: the `maxDf`-CEILINGED deployment form of q116 — the form a
+    * production index actually runs (see `bm25Candidates`' recall
+    * contract: the ceiling sheds exactly the lowest-idf query terms).
+    * Ceiling = N/`divisor` train docs (df·divisor ≤ N, exact integer
+    * comparison mirrored by the DuckDB oracle), N from the memo-shared
+    * postings table — one tiny driver action, the q07 eager-scalar
+    * shape.
     */
-  private def bm25Scored(spark: SparkSession, d: String,
-      maxDf: Option[Long] = None): DataFrame =
-    maxDf match {
-      // the memo-shared default (q116 + q125 consume one score table).
-      // Profiled (tools.ProfileBm25): the table's one computation — the
-      // Σdf(t) ≈ 22M-row candidate aggregate — is ~17 s at sf0.1 and
-      // dominates both consumers; cache ON means the pair pays it once
-      // (~26 s total) vs twice uncached (~36 s). Beware when profiling:
-      // a bare .count() over this aggregate COLUMN-PRUNES the score sum
-      // and reads ~5× faster than any real consumer.
-      case None => graft.core.Memo(spark, cache = true, "bm25scored", d) {
-        bm25Aggregate(spark, bm25Candidates(spark, d, None))
-      }
-      case some => bm25Aggregate(spark, bm25Candidates(spark, d, some))
+  def bm25TopKCeiled(spark: SparkSession, d: String, k: Int = 10,
+      divisor: Long = 10L): DataFrame = {
+    import spark.implicits._
+    val n = bm25Tf(spark, d).select($"doc_id").distinct().count()
+    bm25TopK(spark, d, k, Some(n / divisor))
+  }
+
+  /** Both consumers' cut depth: q116 reads the top 10, q125's fusion
+    * the top 20 — so the SHARED memo holds the top-`sharedTopK` ranked
+    * table (|queries|·20 rows), never the full (query, doc) score
+    * table. Round 10 memoized the full ~11 M-row score aggregate; the
+    * columnar cache build of that table was most of q116's bench cost
+    * (tools.ProfileBm25), and no consumer ever read past rank 20 of it.
+    * Ranks within the top-20 cut equal global ranks for every rank ≤ 20
+    * (the cut preserves the (score DESC, doc_id) prefix per query).
+    */
+  private val sharedTopK = 20
+
+  private def bm25Ranked(spark: SparkSession, d: String,
+      maxDf: Option[Long]): DataFrame =
+    graft.core.Memo(spark, cache = true, "bm25ranked", d,
+      maxDf.map(_.toString).getOrElse("none")) {
+      import spark.implicits._
+      val win = Window.partitionBy($"query_id")
+        .orderBy($"score_q".desc, $"doc_id")
+      bm25Aggregate(spark, bm25Candidates(spark, d, maxDf))
+        .withColumn("rank", row_number().over(win).cast("long"))
+        .filter($"rank" <= sharedTopK)
+        .select($"query_id", $"doc_id", $"rank", $"score_q")
     }
 
   /** Exact integer document scores from the candidate stream — one hash
@@ -113,27 +127,38 @@ object Retrieval {
     val toks = documents(spark, d)
       .select($"doc_id", isEval.as("ev"),
         explode(TextFunctions.cleanTokens($"text")).as("t"))
-    // the postings table feeds FOUR consumers (dl, df, the N/Σdl stats
-    // action, the score join) — memo-cached so the tokenize+count pass
-    // runs once per session, not once per consumer
-    val tf = graft.core.Memo(spark, cache = true, "bm25tf", d) {
-      toks.filter(!$"ev")
-        .groupBy($"doc_id", $"t").agg(count(lit(1)).as("tf"))
-    }
+    val tf = bm25Tf(spark, d)
     val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
     val dfT = tf.groupBy($"t").agg(count(lit(1)).as("df"))
     // corpus constants, driver-collected once (the q07 eager-scalar shape)
     val statsRow = dl.agg(count(lit(1)), sum($"dl")).head()
     val n = statsRow.getLong(0)
     val sumdl = statsRow.getLong(1)
-    val wtd = tf.join(dfT, "t").join(dl, "doc_id")
-      .select($"t", $"doc_id",
-        round(
-          log2(((lit(n) - $"df" + lit(0.5)) / ($"df" + lit(0.5))) + lit(1.0))
-            * ($"tf" * lit(2.2))
-            / ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75)
-                * (($"dl" * lit(n)).cast("double") / lit(sumdl).cast("double"))))
-            * lit(1000000.0)).cast("long").as("sq"))
+    // per-posting weights, memo-cached AND pre-partitioned by doc_id:
+    //  - the cache pins the one evaluation of the double weight chain per
+    //    posting (inside one codegen stage the projection fuses into the
+    //    query join's consume path and would re-evaluate per CANDIDATE —
+    //    ~18× per posting on this corpus; ProfileBm25b measured ~5 s);
+    //  - the doc_id partitioning flows through the broadcast query join
+    //    (streamed side), and HashPartitioning(doc_id) satisfies the
+    //    (query_id, doc_id) clustering the score aggregate requires —
+    //    every candidate row of a (query, doc) pair carries the same
+    //    doc_id — so the Σdf(t)-row candidate stream NEVER SHUFFLES: the
+    //    only exchanges left are the 1.2 M-posting repartition here and
+    //    the per-query top-k over the aggregated pairs.
+    // Query-independent, so the ceilinged (q182) and unceilinged (q116)
+    // forms share one table.
+    val wtd = graft.core.Memo(spark, cache = true, "bm25wtd", d) {
+      tf.join(dfT, "t").join(dl, "doc_id")
+        .repartition(col("doc_id"))
+        .select($"t", $"doc_id",
+          round(
+            log2(((lit(n) - $"df" + lit(0.5)) / ($"df" + lit(0.5))) + lit(1.0))
+              * ($"tf" * lit(2.2))
+              / ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75)
+                  * (($"dl" * lit(n)).cast("double") / lit(sumdl).cast("double"))))
+              * lit(1000000.0)).cast("long").as("sq"))
+    }
     val qterms = toks.filter($"ev")
       .select($"doc_id".as("query_id"), $"t").distinct()
     // the ceiling prunes the QUERY side before the posting join, so a
@@ -142,9 +167,27 @@ object Retrieval {
       case Some(m) => qterms.join(dfT.filter($"df" <= m).select($"t"), "t")
       case None    => qterms
     }
-    qkept.join(wtd, "t")
+    wtd.join(broadcast(qkept), "t")
       .select($"query_id", $"t", $"doc_id", $"sq")
   }
+
+  /** The train-split postings table (doc, term, tf) — memo-cached: it
+    * feeds FIVE consumers (dl, df, the N/Σdl stats action, the score
+    * join, the ceiling's N count) so the tokenize+count pass runs once
+    * per session, not once per consumer.
+    */
+  private def bm25Tf(spark: SparkSession, d: String): DataFrame =
+    graft.core.Memo(spark, cache = true, "bm25tf", d) {
+      import spark.implicits._
+      val isEval =
+        pmod(Hashing.md5Bits32(concat(lit("eval:"), $"doc_id".cast("string")), 1),
+          lit(100L)) < 5
+      documents(spark, d)
+        .select($"doc_id", isEval.as("ev"),
+          explode(TextFunctions.cleanTokens($"text")).as("t"))
+        .filter(!$"ev")
+        .groupBy($"doc_id", $"t").agg(count(lit(1)).as("tf"))
+    }
 
   /** The eval-split flag on the embedding corpus — vec_id ≡ doc_id, so
     * the same "eval:" md5 bucket that carves BM25's query workload
