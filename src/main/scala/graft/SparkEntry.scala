@@ -3522,9 +3522,13 @@ object SparkEntry {
         |-- lambda, so struct state is off the table; waste then follows
         |-- exactly from the capacity identity p*budget - total + overflow
         |-- (an oversized doc owns one pack whose fill exceeds the budget)
+        |-- acc%2^24 = 0 (open pack still empty): an oversized doc FILLS
+        |-- the open pack instead of closing it — no phantom pack when a
+        |-- source's first doc exceeds the budget (round-10 advice)
         |f AS (SELECT source, n_docs, total_toks, overflow,
         |  list_reduce(list_prepend(16777216::BIGINT, ts),
-        |    (acc, t) -> CASE WHEN (acc % 16777216) + t <= 2048 THEN acc + t
+        |    (acc, t) -> CASE WHEN (acc % 16777216) = 0
+        |        OR (acc % 16777216) + t <= 2048 THEN acc + t
         |      ELSE ((acc // 16777216) + 1) * 16777216 + t END) AS st
         |  FROM g)
         |SELECT source, n_docs, total_toks, (st // 16777216) AS n_packs,

@@ -866,12 +866,17 @@ object Dedup {
     import spark.implicits._
     val truth = jaccardPairs(spark, d).select($"x", $"y", lit(1L).as("in_t"))
     val pred = simhashPairs(spark, d).select($"x", $"y", lit(1L).as("in_p"))
+    // coalesce: on a degenerate corpus (empty truth/pred/intersection)
+    // the sums are NULL while the oracle's count(*) form yields 0 —
+    // report zero metrics, not NULLs (round-10 advice)
     truth.join(pred, Seq("x", "y"), "full_outer")
-      .agg(sum($"in_t").as("n_truth"), sum($"in_p").as("n_pred"),
-        sum($"in_t" * $"in_p").as("n_tp"))
+      .agg(coalesce(sum($"in_t"), lit(0L)).as("n_truth"),
+        coalesce(sum($"in_p"), lit(0L)).as("n_pred"),
+        coalesce(sum($"in_t" * $"in_p"), lit(0L)).as("n_tp"))
       .select($"n_truth", $"n_pred", $"n_tp",
-        expr("n_tp * 1000000L div n_pred").as("precision_q6"),
-        expr("n_tp * 1000000L div n_truth").as("recall_q6"),
-        expr("2L * n_tp * 1000000L div (n_pred + n_truth)").as("f1_q6"))
+        coalesce(expr("n_tp * 1000000L div n_pred"), lit(0L)).as("precision_q6"),
+        coalesce(expr("n_tp * 1000000L div n_truth"), lit(0L)).as("recall_q6"),
+        coalesce(expr("2L * n_tp * 1000000L div (n_pred + n_truth)"), lit(0L))
+          .as("f1_q6"))
   }
 }

@@ -124,18 +124,46 @@ object Relational {
       .agg(count(lit(1)).as("cnt"))
   }
 
-  /** Top-k per group (generalization of the reference's argmax, k=10):
-    * rank over a window partitioned by the group. At scale this is the
-    * canonical "local top-k then global top-k" — Spark's WindowExec sorts
-    * within partitions after one shuffle on o_orderpriority.
+  /** Top-k per group (generalization of the reference's argmax, k=10),
+    * as a TRUE two-phase top-k (the round-10 verdict's ask — the old
+    * single window fully sorted each of the 5 priority partitions):
+    * phase 1 ranks within (priority, salt) — `salts` sub-partitions per
+    * priority, so no priority is ever one sort partition — and keeps
+    * each sub-partition's top k (a guaranteed superset of the global
+    * top k); phase 2 ranks the ≤ groups·salts·k survivors. Same output
+    * as the single-window form (`topKOrdersWindow`, the spec's equality
+    * rung); the DuckDB oracle is unchanged.
     */
-  def topKOrders(spark: SparkSession, d: String): DataFrame = {
+  def topKOrders(spark: SparkSession, d: String, k: Int = 10,
+      salts: Int = 32): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"o_orderpriority").orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    val order = Seq($"o_totalprice".desc, $"o_orderkey".asc)
+    val local = Window.partitionBy($"o_orderpriority", $"__salt")
+      .orderBy(order: _*)
+    val global = Window.partitionBy($"o_orderpriority").orderBy(order: _*)
+    orders(spark, d)
+      .select($"o_orderpriority", $"o_orderkey", $"o_totalprice",
+        pmod(xxhash64($"o_orderkey"), lit(salts.toLong)).as("__salt"))
+      .withColumn("__r", row_number().over(local))
+      .filter($"__r" <= k)
+      .withColumn("rnk", row_number().over(global))
+      .filter($"rnk" <= k)
+      .drop("__salt", "__r")
+  }
+
+  /** The single-window form of `topKOrders` — one rank per priority
+    * (5 sort partitions at any scale); the directly-oracle-shaped rung
+    * and the spec's equality reference.
+    */
+  private[graft] def topKOrdersWindow(spark: SparkSession, d: String,
+      k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
     orders(spark, d)
       .select($"o_orderpriority", $"o_orderkey", $"o_totalprice")
       .withColumn("rnk", row_number().over(w))
-      .filter($"rnk" <= 10)
+      .filter($"rnk" <= k)
   }
 
   /** Skew-safe two-stage aggregation: salt the (few, hot) group keys

@@ -289,11 +289,17 @@ object Sampling {
     val g = tk.groupBy($"source")
       .agg(count(lit(1)).as("n_docs"), sum($"t").as("total_toks"),
         sort_array(collect_list(struct($"doc_id", $"t"))).as("ds"))
+    // `acc.f == 0` (the open pack is still EMPTY) admits the doc even
+    // when it alone exceeds the budget — an oversized doc fills the
+    // open pack rather than closing it, so a source whose FIRST doc is
+    // oversized no longer reports one phantom pack + a full budget of
+    // padding (round-10 advice); the next doc then always closes the
+    // over-full pack, so oversized docs still get a pack of their own
     val st = aggregate($"ds",
       struct(lit(0L).as("f"), lit(1L).as("p"), lit(0L).as("w")),
       (acc, x) => {
         val t = x.getField("t")
-        when(acc.getField("f") + t <= b,
+        when(acc.getField("f") === 0L || acc.getField("f") + t <= b,
           struct((acc.getField("f") + t).as("f"),
             acc.getField("p").as("p"), acc.getField("w").as("w")))
           .otherwise(struct(t.as("f"),

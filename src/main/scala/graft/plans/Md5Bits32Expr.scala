@@ -17,7 +17,7 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType}
   * round-trips to extract four bytes. This expression reads the nibbles
   * straight out of the digest (no hex string ever exists), with the
   * digest instance thread-local like SimHash's. Value-identical to the
-  * composed form for every input (asserted in GridCellExprSpec), so
+  * composed form for every input (asserted in Md5Bits32ExprSpec), so
   * every oracle built on the DuckDB strpos-arithmetic mirror is
   * untouched.
   */

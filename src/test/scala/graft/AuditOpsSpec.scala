@@ -366,7 +366,9 @@ class AuditOpsSpec extends AnyFunSuite {
       assert(nDocs == ts.length.toLong && total == ts.sum)
       var (f, p, w) = (0L, 1L, 0L)
       ts.foreach { t =>
-        if (f + t <= 2048L) f += t
+        // f == 0: the open pack is empty — an oversized doc fills it
+        // rather than closing it (no phantom pack, round-10 advice)
+        if (f == 0L || f + t <= 2048L) f += t
         else { w += math.max(0L, 2048L - f); p += 1; f = t }
       }
       val fullWaste = w + math.max(0L, 2048L - f)

@@ -59,6 +59,22 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q20 two-phase top-k equals the single window and never sorts one priority whole") {
+    val dec = graft.operators.Relational.topKOrders(spark, sf)
+    val win = graft.operators.Relational.topKOrdersWindow(spark, sf)
+    assert(dec.exceptAll(win).isEmpty && win.exceptAll(dec).isEmpty,
+      "salted two-phase top-k drifted from the single-window form")
+    val p = dec.queryExecution.optimizedPlan.toString
+    // the BOTTOM-MOST window (the one reading the full scan — plans
+    // print top-down, so it's the last match) must partition on
+    // (priority, salt); the priority-only window above it sees only the
+    // <= groups*salts*k survivors
+    val idxSalted = p.lastIndexOf("windowspecdefinition(o_orderpriority")
+    assert(idxSalted >= 0 && p.substring(idxSalted,
+        math.min(p.length, idxSalted + 80)).contains("__salt"),
+      s"expected the salted local top-k window below the global one:\n$p")
+  }
+
   test("q169 FK probes broadcast the dimension side") {
     val p = plan(graft.operators.Relational.refIntegrityAudit(spark, sf))
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
