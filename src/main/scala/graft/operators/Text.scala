@@ -1590,22 +1590,26 @@ object Text {
     */
   def qualityCommittee(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    // one pinned signal base shared by all three per-lang signal ranks
-    // (independent pinned calls, slim (doc_id, rank) projections joined
-    // back on the unique doc key) — the signal lineage runs once and no
-    // rank chains through another's output
+    // one pinned signal base; the three signals UNPIVOT into one
+    // (lang, signal, value) stream ranked by ONE groupRank machine
+    // ((lang, signal) is the group key — rank() semantics per signal
+    // per language, one machine instead of three), then pivot back onto
+    // the unique doc key. The double cast of entropy_q is exact (the
+    // 1e6-quantized entropies are far below 2^53) and order-preserving,
+    // so per-signal ranks are unchanged.
     val sig = graft.operators.Ranks.pinBase(qualityScore(spark, d)
       .select($"doc_id", $"stop_ratio", $"alpha_ratio")
       .join(tokenEntropy(spark, d).select($"doc_id", $"entropy_q"), "doc_id")
       .join(documents(spark, d).select($"doc_id", $"lang"), "doc_id"))
-    val ranked = Seq(("r_stop", $"stop_ratio"), ("r_alpha", $"alpha_ratio"),
-      ("r_ent", $"entropy_q"))
-      .map { case (rc, c) =>
-        graft.operators.Ranks.groupRankPinned(sig, rc, Seq($"lang"), Seq(c),
-          Seq($"doc_id"))
-          .select($"doc_id", col(rc))
-      }
-      .foldLeft(sig)((df, r) => df.join(r, "doc_id"))
+    val stacked = sig.select($"doc_id", $"lang", expr(
+      """stack(3, 'r_stop', stop_ratio, 'r_alpha', alpha_ratio,
+        |  'r_ent', cast(entropy_q AS double)) AS (sig_name, v)"""
+        .stripMargin))
+    val ranks = graft.operators.Ranks.groupRankPinned(stacked, "r",
+        Seq($"lang", $"sig_name"), Seq($"v"), Seq())
+      .groupBy($"doc_id").pivot("sig_name", Seq("r_stop", "r_alpha", "r_ent"))
+      .agg(first($"r"))
+    val ranked = sig.join(ranks, "doc_id")
       .withColumn("committee", $"r_stop" + $"r_alpha" + $"r_ent")
     val last = graft.operators.Ranks.groupRank(ranked, "c_rnk",
       Seq($"lang"), Seq($"committee"), Seq($"doc_id"))

@@ -136,23 +136,24 @@ object Windowed {
     * gaps.
     *
     * Scale: rides q113's three chained min-aggregates; the converted-
-    * user table is `pinBase`-pinned once and the three duration ranks
-    * are INDEPENDENT pinned `Ranks.globalRank` calls unioned into the
-    * (metric, dur, rank) stream — no metric is ever one sort
-    * partition, no rank chains through another's output, and the
-    * funnel lineage runs exactly once.
+    * user table is `pinBase`-pinned once, the three metrics UNPIVOT
+    * into one (metric, dur) stream, and ONE `Ranks.groupRowNumber`
+    * machine ranks all three (metric is a group key) — no metric is
+    * ever one sort partition, one rank machine instead of three, and
+    * the funnel lineage runs exactly once.
     */
   def funnelLatency(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val conv = Ranks.pinBase(funnelStages(spark, d).filter($"stage" === 3L)
       .select($"user_id", ($"t2" - $"t1").as("d_vc"),
         ($"t3" - $"t2").as("d_cp"), ($"t3" - $"t1").as("d_vp")))
-    val durs = Seq(("view_to_click", $"d_vc"),
-      ("click_to_purchase", $"d_cp"), ("view_to_purchase", $"d_vp"))
-      .map { case (m, c) =>
-        Ranks.globalRankPinned(conv, "rn", c, $"user_id")
-          .select(lit(m).as("metric"), c.as("dur_us"), $"rn")
-      }.reduce(_ unionByName _)
+    val stacked = conv.select($"user_id", expr(
+      """stack(3,
+        |  'view_to_click', d_vc,
+        |  'click_to_purchase', d_cp,
+        |  'view_to_purchase', d_vp) AS (metric, dur_us)""".stripMargin))
+    val durs = Ranks.groupRowNumberPinned(stacked, "rn",
+      Seq($"metric"), Seq($"dur_us", $"user_id"))
     val ranked = durs
       .crossJoin(broadcast(conv.agg(count(lit(1)).as("n"))))
     val p50 = ranked.filter($"rn" === expr("(50 * n + 99) div 100"))
@@ -174,31 +175,33 @@ object Windowed {
     * events-per-session and p50 duration, single-division means. The
     * report that tunes the 30-minute gap itself.
     *
-    * Scale: sessions are already the per-user aggregate; the two rank
-    * picks ride `Ranks.globalRank` (two-phase range-partition rank — no
-    * single-partition sort), the rest one scalar aggregate. The session
-    * table is `pinBase`-pinned ONCE and every consumer — both ranks,
-    * the count, the final aggregate — reads the pinned partitions, so
-    * the sessionize lineage (events scan + user window) runs exactly
-    * once and the two ranks are independent pinned calls, not a chain
-    * (each percentile pick reads only its own rank column).
+    * Scale: sessions are already the per-user aggregate; the two
+    * percentile metrics UNPIVOT into one (metric, v) stream ranked by
+    * ONE `Ranks.groupRowNumber` machine (metric is a group key — no
+    * single-partition sort, one rank machine instead of two), the rest
+    * one scalar aggregate. The session table is `pinBase`-pinned ONCE
+    * and every consumer — the rank, the count, the final aggregate —
+    * reads the pinned partitions, so the sessionize lineage (events
+    * scan + user window) runs exactly once.
     */
   def sessionStats(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val s = Ranks.pinBase(sessionize(spark, d))
     val n = broadcast(s.agg(count(lit(1)).as("n")))
-    val rne = Ranks.globalRankPinned(
-        s, "rne", $"n_events", $"user_id", $"session_seq")
+    val stacked = s.select($"user_id", $"session_seq", expr(
+      "stack(2, 'events', n_events, 'duration', duration_us) AS (metric, v)"))
+    val ranked = Ranks.groupRowNumberPinned(stacked, "rn",
+        Seq($"metric"), Seq($"v", $"user_id", $"session_seq"))
       .crossJoin(n)
-    val rnd = Ranks.globalRankPinned(
-        s, "rnd", $"duration_us", $"user_id", $"session_seq")
-      .crossJoin(n)
-    val p50e = rne.filter($"rne" === expr("(50 * n + 99) div 100"))
-      .select($"n_events".as("p50_events"))
-    val p90e = rne.filter($"rne" === expr("(90 * n + 99) div 100"))
-      .select($"n_events".as("p90_events"))
-    val p50d = rnd.filter($"rnd" === expr("(50 * n + 99) div 100"))
-      .select($"duration_us".as("p50_duration_us"))
+    val p50e = ranked.filter($"metric" === "events" &&
+        $"rn" === expr("(50 * n + 99) div 100"))
+      .select($"v".as("p50_events"))
+    val p90e = ranked.filter($"metric" === "events" &&
+        $"rn" === expr("(90 * n + 99) div 100"))
+      .select($"v".as("p90_events"))
+    val p50d = ranked.filter($"metric" === "duration" &&
+        $"rn" === expr("(50 * n + 99) div 100"))
+      .select($"v".as("p50_duration_us"))
     s.agg(count(lit(1)).as("n_sessions"),
         countDistinct($"user_id").as("n_users"),
         sum(($"n_events" === 1L).cast("long")).as("bounce_n"),
@@ -686,21 +689,22 @@ object Windowed {
     val u = p.groupBy($"user_id").agg(max($"dy").as("last_dy"),
       count(lit(1)).as("frequency"), sum($"cents").as("monetary_c"))
     val mx = p.agg(max($"dy").as("mx"))
-    // one pinned per-user base; the three quartile ranks are INDEPENDENT
-    // pinned calls whose slim (user_id, rank) projections join back on
-    // the unique user key — no rank chains through another's output, and
-    // the purchase aggregate runs exactly once
+    // one pinned per-user base; the three quartile metrics UNPIVOT into
+    // one (metric, v) stream ranked by ONE groupRowNumber machine
+    // (metric is a group key — one rank machine instead of three, no
+    // chains), then pivot back onto the unique user key; the purchase
+    // aggregate runs exactly once
     val base = Ranks.pinBase(u.crossJoin(broadcast(mx))
       .select($"user_id", ($"mx" - $"last_dy").as("recency_days"),
         $"frequency", $"monetary_c"))
-    val ranked = Seq(
-      ("rn_r", $"recency_days"), ("rn_f", $"frequency"),
-      ("rn_m", $"monetary_c"))
-      .map { case (rc, c) =>
-        Ranks.globalRankPinned(base, rc, c, $"user_id")
-          .select($"user_id", col(rc))
-      }
-      .foldLeft(base)((df, r) => df.join(r, "user_id"))
+    val stacked = base.select($"user_id", expr(
+      """stack(3, 'rn_r', recency_days, 'rn_f', frequency,
+        |  'rn_m', monetary_c) AS (metric, v)""".stripMargin))
+    val ranks = Ranks.groupRowNumberPinned(stacked, "rn",
+        Seq($"metric"), Seq($"v", $"user_id"))
+      .groupBy($"user_id").pivot("metric", Seq("rn_r", "rn_f", "rn_m"))
+      .agg(first($"rn"))
+    val ranked = base.join(ranks, "user_id")
     ranked
       .crossJoin(broadcast(base.agg(count(lit(1)).as("n_all"))))
       .withColumn("r_q", expr("(rn_r - 1L) * 4L div n_all"))
