@@ -209,6 +209,8 @@ object SparkEntry {
     "q180_dup_topology"   -> ((s, d) => Dedup.dupTopology(s, d)),
     "q181_pack_waste"     -> ((s, d) => Sampling.packWaste(s, d)),
     "q182_bm25_ceiling"   -> ((s, d) => Retrieval.bm25TopKCeiled(s, d)),
+    "q183_eval_contamination" -> ((s, d) => Dedup.evalContamination(s, d)),
+    "q184_surprisal_mixture" -> ((s, d) => Sampling.surprisalMixture(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -3572,6 +3574,79 @@ object SparkEntry {
          |       row_number() OVER (PARTITION BY query_id
          |         ORDER BY score_q DESC, doc_id)::BIGINT AS rank FROM sc)
          |SELECT query_id, doc_id, rank, score_q FROM rk WHERE rank <= 10""".stripMargin,
+    // eval near-dup contamination: the exact-Jaccard pair set (the LSH
+    // generator's oracle-gold twin on this corpus) split by the "eval:"
+    // md5 bucket, aggregated per train-side source
+    "q183_eval_contamination" ->
+      s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+         |              FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, s FROM (
+         |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+         |  FROM toks, unnest(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3)),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS inter
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |pr AS (SELECT x, y FROM inter
+         |       JOIN sizes sa ON x = sa.doc_id JOIN sizes sb ON y = sb.doc_id
+         |       WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.5),
+         |ev AS (SELECT doc_id, source,
+         |  ${md5Bits32Sql("'eval:' || doc_id::VARCHAR", 1)} % 100 < 5 AS ev
+         |  FROM documents),
+         |ed AS (SELECT CASE WHEN ax.ev THEN pr.y ELSE pr.x END AS train_doc,
+         |              CASE WHEN ax.ev THEN pr.x ELSE pr.y END AS eval_doc,
+         |              CASE WHEN ax.ev THEN ay.source ELSE ax.source END AS source
+         |       FROM pr JOIN ev ax ON pr.x = ax.doc_id
+         |                JOIN ev ay ON pr.y = ay.doc_id
+         |       WHERE ax.ev <> ay.ev),
+         |ps AS (SELECT source, count(*)::BIGINT AS n_pairs,
+         |         count(DISTINCT train_doc)::BIGINT AS n_train_flagged,
+         |         count(DISTINCT eval_doc)::BIGINT AS n_eval_implicated
+         |       FROM ed GROUP BY 1),
+         |sz AS (SELECT source, count(*)::BIGINT AS n_train_docs
+         |       FROM ev WHERE NOT ev GROUP BY 1)
+         |SELECT sz.source, n_train_docs,
+         |  coalesce(n_pairs, 0)::BIGINT AS n_pairs,
+         |  coalesce(n_train_flagged, 0)::BIGINT AS n_train_flagged,
+         |  coalesce(n_eval_implicated, 0)::BIGINT AS n_eval_implicated,
+         |  coalesce(n_train_flagged, 0) * 1000000 // n_train_docs
+         |    AS contamination_q6
+         |FROM sz LEFT JOIN ps ON sz.source = ps.source""".stripMargin,
+    // surprisal-guided mixture: the q77 LM chain aggregated per source,
+    // rational tilt max(1e5, 1e6 + 4*excess), one double division
+    "q184_surprisal_mixture" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |              FROM documents),
+        |bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        |       FROM toks, unnest(range(1, len(w))) AS t(i) WHERE len(w) >= 2),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM c12 GROUP BY 1),
+        |s AS (SELECT c12.w1, c12.w2,
+        |        round((-log2(c12.c12::DOUBLE / c1.c1::DOUBLE)) * 1000000.0)::BIGINT AS sq
+        |      FROM c12 JOIN c1 USING (w1)),
+        |pd AS (SELECT bg.doc_id, count(*) AS n_bigrams, sum(s.sq)::BIGINT AS bits_q
+        |       FROM bg JOIN s ON bg.w1 = s.w1 AND bg.w2 = s.w2 GROUP BY 1),
+        |per AS (SELECT d.source, count(*)::BIGINT AS n_docs,
+        |          sum(coalesce(pd.bits_q, 0))::BIGINT AS bits,
+        |          sum(coalesce(pd.n_bigrams, 0))::BIGINT AS nb
+        |        FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+        |        GROUP BY 1),
+        |tot AS (SELECT sum(bits)::BIGINT AS tbits, sum(nb)::BIGINT AS tnb
+        |        FROM per),
+        |t AS (SELECT source, n_docs,
+        |        coalesce(bits // nullif(nb, 0), tbits // tnb)::BIGINT AS mean_q6,
+        |        (coalesce(bits // nullif(nb, 0), tbits // tnb)
+        |          - tbits // tnb)::BIGINT AS excess_q6
+        |      FROM per, tot),
+        |t2 AS (SELECT source, n_docs, mean_q6, excess_q6,
+        |         greatest(100000, 1000000 + 4 * excess_q6)::BIGINT AS tilt_q6,
+        |         (n_docs * greatest(100000, 1000000 + 4 * excess_q6))::BIGINT AS raw
+        |       FROM t),
+        |sw AS (SELECT sum(raw)::BIGINT AS sw FROM t2)
+        |SELECT source, n_docs, mean_q6, excess_q6, tilt_q6,
+        |  raw::DOUBLE / sw::DOUBLE AS weight,
+        |  (raw::DOUBLE / sw::DOUBLE) * 100000.0 AS expected_docs
+        |FROM t2, sw""".stripMargin,
     // watermark advisor: lateness vs the running event-time max over the
     // event_id arrival order, exact middle-rank p50/p99
     "q177_watermark_advisor" ->

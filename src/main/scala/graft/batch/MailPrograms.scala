@@ -91,10 +91,12 @@ object MailPrograms {
       .filter(!$"sender".isin(MemberOtmBots: _*))
       .groupBy($"month", $"sender")
       .agg(count(lit(1)).as("cnt"))
-    counts
-      .withColumn("rnk", rank().over(
-        Window.partitionBy($"month").orderBy($"cnt".desc)))
-      .filter($"rnk" === 1)
+    // tie-preserving argmax as a broadcast max-join (the reference's own
+    // max-then-join shape) — a rank() window here would sort a month's
+    // whole sender population through one partition at corpus scale
+    val mx = counts.groupBy($"month").agg(max($"cnt").as("__mx"))
+    counts.join(broadcast(mx), "month")
+      .filter($"cnt" === $"__mx")
       .select($"month", $"sender")
   }
 }

@@ -503,6 +503,52 @@ object Dedup {
       .agg(count(lit(1)).as("cluster_size"))
   }
 
+  /** q183: eval-set NEAR-DUP contamination by train source — the
+    * near-duplicate counterpart of q59's exact n-gram decontamination:
+    * the q59/q116 "eval:" md5 bucket (5 % of docs) stands in for the
+    * held-out benchmark, and any near-dup pair (jac ≥ threshold) with
+    * EXACTLY one eval-side member is a contamination edge. Aggregated
+    * per TRAIN-side source: pair count, distinct flagged train docs,
+    * distinct implicated eval docs, the source's train population, and
+    * the exact 1e6 contamination rate — the per-provider audit that
+    * says which ingest feed leaks benchmark-adjacent text (q59 catches
+    * verbatim 5-gram overlap; this catches paraphrase-level overlap the
+    * n-gram dictionary misses).
+    *
+    * Scale: rides the memo-shared parameterized pair ladder (default =
+    * the LSH generator, exact-Jaccard `jaccardPairs` as the oracle-gold
+    * rung — identical output on this corpus); flags/source attach by
+    * two doc_id projections; the report is a ≤ |sources| aggregate.
+    */
+  def evalContamination(spark: SparkSession, d: String,
+      threshold: Double = 0.5,
+      pairGen: (SparkSession, String, Double) => DataFrame = MinhashLshGen): DataFrame = {
+    import spark.implicits._
+    val ev = pmod(md5Bits32(concat(lit("eval:"), $"doc_id".cast("string")), 1),
+      lit(100L)) < 5
+    val docs = documents(spark, d).select($"doc_id", $"source", ev.as("ev"))
+    val edges = pairGen(spark, d, threshold).select($"x", $"y")
+      .join(docs.select($"doc_id".as("x"), $"source".as("sx"), $"ev".as("ex")), "x")
+      .join(docs.select($"doc_id".as("y"), $"source".as("sy"), $"ev".as("ey")), "y")
+      .filter($"ex" =!= $"ey")
+      .select(when($"ex", $"y").otherwise($"x").as("train_doc"),
+        when($"ex", $"x").otherwise($"y").as("eval_doc"),
+        when($"ex", $"sy").otherwise($"sx").as("source"))
+    val perSource = edges.groupBy($"source")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct($"train_doc").as("n_train_flagged"),
+        countDistinct($"eval_doc").as("n_eval_implicated"))
+    docs.filter(!$"ev").groupBy($"source")
+      .agg(count(lit(1)).as("n_train_docs"))
+      .join(perSource, Seq("source"), "left")
+      .select($"source", $"n_train_docs",
+        coalesce($"n_pairs", lit(0L)).as("n_pairs"),
+        coalesce($"n_train_flagged", lit(0L)).as("n_train_flagged"),
+        coalesce($"n_eval_implicated", lit(0L)).as("n_eval_implicated"))
+      .withColumn("contamination_q6",
+        expr("n_train_flagged * 1000000L div n_train_docs"))
+  }
+
   /** Per-document n-gram NOVELTY against everything ingested before it:
     * the fraction of a doc's distinct 3-gram shingles whose FIRST corpus
     * occurrence (min doc_id — ingest order) is this doc. The

@@ -85,10 +85,13 @@ object Relational {
   }
 
   /** MemberOTMonth analog (table_java/memberotm/MemberOTMonth.java:64-81):
-    * argmax-per-group keeping ties — `rank` (not `row_number`) over a
-    * window, exactly the reference's max-join tie semantics (SURVEY §7.4.3).
-    * One shuffle for the count, one for the window partition — Spark reuses
-    * the hash partitioning on `month` between them (no second exchange).
+    * argmax-per-group keeping ties as a MAX-JOIN — a |months|-row max
+    * table broadcast back onto the counts, `cnt == month max` keeps
+    * every tied winner. This IS the reference's own max-then-join shape
+    * (SURVEY §7.4.3), and unlike the rank()-window form it never sorts
+    * a month's whole user population through one partition (months are
+    * few; users-per-month is corpus-sized at 100×) — the q20 lesson
+    * applied to argmax, where no sort is needed at all.
     */
   def memberOTM(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
@@ -97,10 +100,9 @@ object Relational {
       .select(date_format($"ts", "yyyy-MM").as("month"), $"user_id")
       .groupBy($"month", $"user_id")
       .agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy($"month").orderBy($"cnt".desc)
-    counts
-      .withColumn("rnk", rank().over(w))
-      .filter($"rnk" === 1)
+    val mx = counts.groupBy($"month").agg(max($"cnt").as("__mx"))
+    counts.join(broadcast(mx), "month")
+      .filter($"cnt" === $"__mx")
       .select($"month", $"user_id", $"cnt")
   }
 

@@ -399,6 +399,51 @@ object Sampling {
         explode(sequence(lit(1L), $"n_copies")).as("copy_id"))
   }
 
+  /** q184: surprisal-guided mixture reweighting — a deterministic,
+    * exp-free DoReMi-flavored tilt (Xie et al. 2023 reweight domains by
+    * excess loss; here the "loss" is the q77 reference bigram-LM
+    * surprisal): sources whose text the reference LM finds HARDER than
+    * the corpus average get upweighted, easier sources damped. Exact
+    * integer pipeline: per-source mean per-bigram surprisal = Σbits_q
+    * div Σbigrams (1e6-quantized), excess = source mean − corpus mean,
+    * tilt_q6 = max(1e5, 1e6 + η·excess) — a RATIONAL tilt instead of
+    * DoReMi's exp(η·excess), so both engines produce identical longs
+    * (exp is libm-dependent; the linearization is its first-order
+    * expansion with a 0.1× floor standing in for the exponential's
+    * positivity). weight = n_docs·tilt / Σ(n_docs·tilt), one double
+    * division; expected_docs at a fixed budget like q101.
+    *
+    * Scale: rides the memo-shared q77 LM lineage (corpus-sublinear
+    * vocabulary, broadcast score table); everything after the per-doc
+    * surprisal is a ≤ |sources| aggregate + scalar broadcasts.
+    */
+  def surprisalMixture(spark: SparkSession, d: String, eta: Long = 4L,
+      budget: Long = 100000L): DataFrame = {
+    import spark.implicits._
+    val per = Text.bigramSurprisal(spark, d)
+      .select($"doc_id", $"n_bigrams", $"bits_q")
+      .join(documents(spark, d).select($"doc_id", $"source"), "doc_id")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"bits_q").as("bits"),
+        sum($"n_bigrams").as("nb"))
+    val tot = per.agg(sum($"bits").as("tbits"), sum($"nb").as("tnb"))
+    val tilted = per.crossJoin(broadcast(tot))
+      .withColumn("corpus_q6", expr("tbits div tnb"))
+      // a bigram-free source carries no signal: excess 0, neutral tilt
+      .withColumn("mean_q6",
+        coalesce(expr("bits div nullif(nb, 0L)"), $"corpus_q6"))
+      .withColumn("excess_q6", $"mean_q6" - $"corpus_q6")
+      .withColumn("tilt_q6",
+        greatest(lit(100000L), lit(1000000L) + lit(eta) * $"excess_q6"))
+      .withColumn("raw", $"n_docs" * $"tilt_q6")
+    val sw = tilted.agg(sum($"raw").as("sw"))
+    tilted.crossJoin(broadcast(sw))
+      .select($"source", $"n_docs", $"mean_q6", $"excess_q6", $"tilt_q6",
+        ($"raw".cast("double") / $"sw".cast("double")).as("weight"),
+        (($"raw".cast("double") / $"sw".cast("double")) *
+          lit(budget.toDouble)).as("expected_docs"))
+  }
+
   /** q114: priority sampling (Duffield–Lund–Thorup, JACM 2007) — the
     * weighted top-k sample whose Horvitz–Thompson estimate
     * `max(w_i, τ)` is unbiased for any subset-sum query. Weight = the

@@ -149,6 +149,23 @@ class CurationOpsSpec extends AnyFunSuite {
       s"expected the pinned decomposition base in the plan:\n$plan")
   }
 
+  test("surprisalMixture: weights normalize, tilt follows excess, mass conserved") {
+    import spark.implicits._
+    val rows = Sampling.surprisalMixture(spark, sf)
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_._6).sum - 1.0) < 1e-9, "weights sum to 1")
+    assert(math.abs(rows.map(_._7).sum - 100000.0) < 1e-4,
+      "expected docs sum to the budget")
+    rows.foreach { case (src, _, _, excess, tilt, w, _) =>
+      assert(w > 0.0, s"$src weight positive")
+      if (excess > 0) assert(tilt > 1000000L, s"$src harder => upweighted")
+      if (excess < 0) assert(tilt < 1000000L, s"$src easier => damped")
+      assert(tilt >= 100000L, s"$src tilt floored at 0.1x")
+      assert(tilt == math.max(100000L, 1000000L + 4L * excess), s"$src tilt law")
+    }
+  }
+
   test("domainMixture weights rebalance to uniform") {
     import spark.implicits._
     val rows = Sampling.domainMixture(spark, sf)

@@ -533,6 +533,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(a == b, "converged == 5-step on shallow components")
   }
 
+  test("evalContamination: one eval side per edge, bounded rates, LSH == exact") {
+    import spark.implicits._
+    val evOf = (id: Long) => {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(("eval:" + id).getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % 100 < 5
+    }
+    val rows = Dedup.evalContamination(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, nTrain, nPairs, nFlag, nEval, rate) =>
+      assert(nFlag <= nTrain, s"$src flagged bounded by population")
+      assert(nFlag <= nPairs && nEval <= nPairs, s"$src distincts bounded by pairs")
+      assert(rate == nFlag * 1000000L / nTrain, s"$src rate law")
+    }
+    // the pair split law, re-derived from the shared generator directly:
+    // every contamination edge has EXACTLY one eval side
+    val pairs = Dedup.minhashLsh(spark, sf).select($"x", $"y")
+      .as[(Long, Long)].collect()
+    val mixed = pairs.count { case (x, y) => evOf(x) != evOf(y) }
+    assert(rows.map(_._3).sum == mixed.toLong,
+      "reported pairs == generator pairs with exactly one eval side")
+    // ladder law: the exact generator yields the identical report
+    val exact = Dedup.evalContamination(spark, sf,
+        pairGen = (s, dd, t) => Dedup.jaccardPairs(s, dd, t))
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(exact == rows.toSet, "LSH default == exact-Jaccard rung")
+  }
+
   test("star labels == converged labels (min-id fixpoint), incl. deep chains") {
     import spark.implicits._
     import org.apache.spark.sql.SparkSession
