@@ -245,11 +245,17 @@ object Graph {
       .localCheckpoint()
     var round = 0
     var stable = false
+    var edgeCount = edges.count()
     while (!stable && round < maxRounds) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
-      // fixpoint = the directed-canonical edge sets are equal
-      stable = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      // fixpoint = the directed-canonical edge SETS are equal; both are
+      // distinct by construction, so equality ⟺ same cardinality AND an
+      // empty one-sided difference — one count (cheap on the checkpoint)
+      // + one anti-join job per round, not two exceptAll jobs
+      val nextCount = next.count()
+      stable = nextCount == edgeCount && next.exceptAll(edges).isEmpty
       edges = next
+      edgeCount = nextCount
       round += 1
     }
     // non-star edges at this point would put a node on the hi side of
