@@ -160,11 +160,15 @@ object Dedup {
     * row-for-row (they share the q16 oracle; equality + candidate-volume
     * reduction asserted in DedupSimilaritySpec).
     *
-    * Scale: the df table is the shingle vocabulary (corpus-sublinear,
-    * broadcast); prefix selection is one per-doc window; the candidate
-    * join touches ~|S|/2 rows per doc, each among the rarest — candidate
-    * volume tracks duplicate density like LSH, with a completeness
-    * PROOF instead of a banding probability.
+    * Scale: the df table is the shingle vocabulary — it GROWS with the
+    * corpus (unlike the word vocabulary's Heaps curve), so the df join
+    * is deliberately UN-HINTED: AQE broadcasts it while it fits and
+    * falls back to a shuffle join on the shingle key at corpus scale
+    * (round-11 fix — a forced broadcast here was a driver OOM at 100×).
+    * Prefix selection is one per-doc window; the candidate join touches
+    * ~|S|/2 rows per doc, each among the rarest — candidate volume
+    * tracks duplicate density like LSH, with a completeness PROOF
+    * instead of a banding probability.
     */
   def jaccardPrefixJoin(spark: SparkSession, d: String,
       threshold: Double = 0.5): DataFrame = {
@@ -195,7 +199,8 @@ object Dedup {
     val sh = docShingles(spark, d)
     val dfT = sh.groupBy($"s").agg(count(lit(1)).as("df"))
     val byDoc = Window.partitionBy($"doc_id")
-    val prefix = sh.join(broadcast(dfT), "s")
+    // un-hinted: the shingle vocabulary is corpus-growing (see scaladoc)
+    val prefix = sh.join(dfT, "s")
       .withColumn("n", count(lit(1)).over(byDoc))
       .withColumn("r", row_number().over(byDoc.orderBy($"df", $"s")))
       .filter($"r" <= $"n" - ceil($"n" * threshold).cast("long") + 1L)

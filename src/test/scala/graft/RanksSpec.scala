@@ -100,6 +100,41 @@ class RanksSpec extends AnyFunSuite {
     assert(got.filter($"rmax".isNull).count() === 3L)
   }
 
+  test("randomized: all four machines match their window references on skewed data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val n = 200 + rnd.nextInt(600)
+      val nGroups = 1 + rnd.nextInt(6)
+      // zipf-ish group sizes: group 0 hot
+      val df = (0 until n).map { i =>
+        val g = if (rnd.nextInt(10) < 6) 0 else rnd.nextInt(nGroups)
+        (s"g$g", rnd.nextInt(20).toLong, i.toLong, rnd.nextInt(1000).toLong)
+      }.toDF("g", "v", "id", "w")
+      val byGv = Window.partitionBy($"g").orderBy($"v", $"id")
+      val want = df
+        .withColumn("wr", rank().over(Window.partitionBy($"g").orderBy($"v")).cast("long"))
+        .withColumn("wn", row_number().over(byGv).cast("long"))
+        .withColumn("ws", sum($"w").over(
+          byGv.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("wm", max($"w").over(
+          byGv.rowsBetween(Window.unboundedPreceding, -1)))
+        .select($"id".as("id2"), $"wr", $"wn", $"ws", $"wm")
+      val got = Ranks.groupRunningMaxExcl(
+        Ranks.groupRunningSum(
+          Ranks.groupRowNumber(
+            Ranks.groupRank(df, "gr", Seq($"g"), Seq($"v"), Seq($"id")),
+            "gn", Seq($"g"), Seq($"v", $"id")),
+          "gs", Seq($"g"), Seq($"v", $"id"), $"w"),
+        "gm", Seq($"g"), Seq($"v", $"id"), $"w")
+      val joined = got.join(want, $"id" === $"id2")
+      assert(joined.count() === n.toLong, s"trial $trial row conservation")
+      assert(joined.filter($"gr" =!= $"wr" || $"gn" =!= $"wn" ||
+        $"gs" =!= $"ws" || !($"gm" <=> $"wm")).count() === 0L,
+        s"trial $trial machine/window divergence")
+    }
+  }
+
   test("pinned forms are value-identical to the unpinned forms") {
     import spark.implicits._
     val df = fixture
