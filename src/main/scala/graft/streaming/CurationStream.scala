@@ -87,6 +87,48 @@ object CurationStream {
       }
   }
 
+  /** A pack assignment emitted by `packStream` — q57's row contract. */
+  case class PackAssign(doc_id: Long, source: String, n_toks: Long,
+    pack_id: Long, pack_offset: Long)
+
+  /** q57's STREAMING twin: contiguous sequence packing as the corpus
+    * streams in — the per-source cumulative token count lives in keyed
+    * state (one long per source), and each arriving doc's
+    * (pack_id, pack_offset) is the batch layout's pure function of the
+    * prefix sum before it: pack = start div budget, offset = start mod
+    * budget. Micro-batches sort per source by doc_id (the
+    * budgetAdmission discipline), so under per-source monotone arrival
+    * — the ingest contract the batch layout's doc_id order encodes —
+    * the output is ROW-IDENTICAL to batch `Sampling.packSequences` at
+    * ANY micro-batch boundary placement (CurationStreamSpec asserts the
+    * state≡batch law on the real corpus). The token count is the exact
+    * Scala mirror of the batch `tokenSum(tokens(text), bpePieces)`
+    * column: Σ ⌊(len+3)/4⌋ over whitespace-split lowercase tokens.
+    *
+    * Docs are projected to (doc_id, token count) BEFORE grouping —
+    * 24-byte tuples, never text, buffer through the per-batch sort.
+    */
+  def packStream(docs: Dataset[StreamDoc], budget: Long = 2048L): Dataset[PackAssign] = {
+    import docs.sparkSession.implicits._
+    docs
+      .map(d0 => (d0.doc_id, d0.source,
+        d0.text.toLowerCase.split("\\s+")
+          .map(w => ((w.length + 3) / 4).toLong).sum))
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (source: String, batch: Iterator[(Long, String, Long)],
+         state: GroupState[Long]) =>
+          var cum = state.getOption.getOrElse(0L)
+          val out = batch.toSeq.sortBy(_._1).map { case (id, _, n) =>
+            val start = cum
+            cum += n
+            PackAssign(id, source, n, start / budget, start % budget)
+          }
+          state.update(cum)
+          out.iterator
+      }
+  }
+
   /** A buffered admission candidate: doc metadata only, never text. */
   case class PendingDoc(doc_id: Long, n_tokens: Long, ts_ms: Long)
 

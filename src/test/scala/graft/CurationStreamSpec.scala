@@ -57,6 +57,38 @@ class CurationStreamSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("packStream state == batch packSequences on the real corpus, any batching") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    // the ingest contract: per-source monotone doc_id arrival (global
+    // doc_id order satisfies it); batch boundaries placed arbitrarily
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select($"doc_id", $"text", $"source").as[(Long, String, String)]
+      .collect().sortBy(_._1)
+      .map { case (id, text, src) =>
+        StreamDoc(id, ts("2024-01-01 00:00:00"), text, src)
+      }
+    val input = MemoryStream[StreamDoc]
+    val query = CurationStream.packStream(input.toDS())
+      .writeStream.format("memory").queryName("pack_stream")
+      .outputMode("append").start()
+    try {
+      docs.grouped(137).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq: _*)
+        query.processAllAvailable()
+      }
+      val got = spark.table("pack_stream")
+        .as[CurationStream.PackAssign].collect()
+        .map(p => (p.doc_id, p.source, p.n_toks, p.pack_id, p.pack_offset))
+        .toSet
+      val want = graft.operators.Sampling.packSequences(spark, sf)
+        .as[(Long, String, Long, Long, Long)].collect().toSet
+      assert(got == want,
+        "streaming pack assignment must be row-identical to the batch layout")
+    } finally query.stop()
+  }
+
   test("ordered admission folds a skewed out-of-order batch in event-time order") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
