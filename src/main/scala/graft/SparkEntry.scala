@@ -211,6 +211,7 @@ object SparkEntry {
     "q182_bm25_ceiling"   -> ((s, d) => Retrieval.bm25TopKCeiled(s, d)),
     "q183_eval_contamination" -> ((s, d) => Dedup.evalContamination(s, d)),
     "q184_surprisal_mixture" -> ((s, d) => Sampling.surprisalMixture(s, d)),
+    "q185_ivf_balance"    -> ((s, d) => Similarity.ivfBalance(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -3647,6 +3648,24 @@ object SparkEntry {
         |  raw::DOUBLE / sw::DOUBLE AS weight,
         |  (raw::DOUBLE / sw::DOUBLE) * 100000.0 AS expected_docs
         |FROM t2, sw""".stripMargin,
+    // IVF list balance: the q125 oracle's trained-quantizer assignment
+    // (exact integer L2, rn = 1 nearest list) aggregated per list
+    "q185_ivf_balance" ->
+      s"""WITH $embedCtes,
+         |${kmeansCentroidCtes(8, 2)},
+         |ad AS (SELECT x.vec_id, c.cid, sum((x.e - c.cq) * (x.e - c.cq))::BIGINT AS dist
+         |       FROM ex x JOIN c2 c ON x.i = c.i GROUP BY 1, 2),
+         |adr AS (SELECT vec_id, cid,
+         |          row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |        FROM ad),
+         |pl AS (SELECT cid AS list_id, count(*)::BIGINT AS n_vecs
+         |       FROM adr WHERE rn = 1 GROUP BY 1),
+         |tot AS (SELECT sum(n_vecs)::BIGINT AS n, max(n_vecs)::BIGINT AS mx
+         |        FROM pl)
+         |SELECT list_id, n_vecs,
+         |  n_vecs * 1000000 // n AS share_q6,
+         |  mx * 8 * 1000000 // n AS imbalance_q6
+         |FROM pl, tot""".stripMargin,
     // watermark advisor: lateness vs the running event-time max over the
     // event_id arrival order, exact middle-rank p50/p99
     "q177_watermark_advisor" ->

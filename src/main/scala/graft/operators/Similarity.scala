@@ -347,6 +347,43 @@ object Similarity {
     * q91 all train the same (8, 2) quantizer, so the scan+agg rounds run
     * ONCE per session and later callers collect the tiny cached table.
     */
+  /** q185: IVF list-balance audit — the index-ops datasheet behind the
+    * q125/q155 IVF deployments: assign EVERY corpus vector to its
+    * exact-L2-nearest trained list (the same memo-shared Lloyd (8, 2)
+    * quantizer and the same scan-stage literal-argsort assignment the
+    * probe path uses) and report each list's population, its exact 1e6
+    * corpus share, and the global imbalance factor max·nLists/N (1e6 =
+    * perfectly balanced). The probe cost model nProbe/nLists assumes
+    * balance; this is the query that says whether the assumption holds
+    * — a skewed list is the IVF analogue of a hot shuffle key, and the
+    * fix (train longer / more lists / split the hot list) starts from
+    * this table.
+    *
+    * Scale: assignment is one scan-stage expression over the corpus
+    * (centroids are a k·dims literal); the audit is a ≤ nLists
+    * aggregate + 1-row broadcast.
+    */
+  def ivfBalance(spark: SparkSession, d: String, nLists: Int = 8,
+      updates: Int = 2): DataFrame = {
+    import spark.implicits._
+    val cents = lloydCentroids(spark, d, nLists, updates)
+    val opts = cents.sortBy(_._1).map { case (cid, q) =>
+      val c2 = q.map(x => x * x).sum
+      struct(
+        ($"n2" - lit(2L) * dotPreQ($"qemb", typedLit(q)) + lit(c2)).as("dist2"),
+        lit(cid).as("cid"))
+    }
+    val pl = corpusWithNorm(spark, d)
+      .select(element_at(array_sort(array(opts: _*)), 1)
+        .getField("cid").as("list_id"))
+      .groupBy($"list_id").agg(count(lit(1)).as("n_vecs"))
+    val tot = pl.agg(sum($"n_vecs").as("n"), max($"n_vecs").as("mx"))
+    pl.crossJoin(broadcast(tot))
+      .select($"list_id", $"n_vecs",
+        expr("n_vecs * 1000000L div n").as("share_q6"),
+        expr(s"mx * ${nLists}L * 1000000L div n").as("imbalance_q6"))
+  }
+
   private[operators] def lloydCentroids(spark: SparkSession, d: String,
       k: Int, updates: Int): Array[(Long, Seq[Long])] = {
     import spark.implicits._

@@ -129,6 +129,54 @@ object CurationStream {
       }
   }
 
+  /** `packStream`'s processor on the Spark 4 `transformWithState`
+    * surface — same state (one cumulative-token long per source), same
+    * per-batch doc_id sort, same layout function; the runtime-parity
+    * twin (the HLL/histogram discipline: every stateful batch twin runs
+    * on BOTH stateful runtimes where applicable).
+    */
+  class PackProcessor(budget: Long) extends
+      org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (Long, String, Long), PackAssign] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+
+    @transient private var cum: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cum = getHandle.getValueState[Long](
+        "packCum", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String,
+        rows: Iterator[(Long, String, Long)],
+        timerValues: TimerValues): Iterator[PackAssign] = {
+      var c = if (cum.exists()) cum.get() else 0L
+      val out = rows.toSeq.sortBy(_._1).map { case (id, _, n) =>
+        val start = c
+        c += n
+        PackAssign(id, key, n, start / budget, start % budget)
+      }
+      cum.update(c)
+      out.iterator
+    }
+  }
+
+  /** `packStream` on the transformWithState runtime (see PackProcessor).
+    * Needs the RocksDB state store provider, like every
+    * transformWithState operator here.
+    */
+  def packStreamTws(docs: Dataset[StreamDoc], budget: Long = 2048L): Dataset[PackAssign] = {
+    import docs.sparkSession.implicits._
+    docs
+      .map(d0 => (d0.doc_id, d0.source,
+        d0.text.toLowerCase.split("\\s+")
+          .map(w => ((w.length + 3) / 4).toLong).sum))
+      .groupByKey(_._2)
+      .transformWithState(new PackProcessor(budget),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** A buffered admission candidate: doc metadata only, never text. */
   case class PendingDoc(doc_id: Long, n_tokens: Long, ts_ms: Long)
 

@@ -87,6 +87,36 @@ class CurationStreamSpec extends AnyFunSuite {
       assert(got == want,
         "streaming pack assignment must be row-identical to the batch layout")
     } finally query.stop()
+
+    // runtime parity: the transformWithState twin produces the same set
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input2 = MemoryStream[StreamDoc]
+    val query2 = CurationStream.packStreamTws(input2.toDS())
+      .writeStream.format("memory").queryName("pack_stream_tws")
+      .outputMode("append").start()
+    try {
+      docs.grouped(311).foreach { chunk =>
+        input2.addData(chunk.toIndexedSeq: _*)
+        query2.processAllAvailable()
+      }
+      val gotTws = spark.table("pack_stream_tws")
+        .as[CurationStream.PackAssign].collect()
+        .map(p => (p.doc_id, p.source, p.n_toks, p.pack_id, p.pack_offset))
+        .toSet
+      val want = graft.operators.Sampling.packSequences(spark, sf)
+        .as[(Long, String, Long, Long, Long)].collect().toSet
+      assert(gotTws == want, "transformWithState twin must match the batch layout")
+      assert(TestSpark.streamingPlan(query2).contains("TransformWithState"))
+    } finally {
+      query2.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
   }
 
   test("ordered admission folds a skewed out-of-order batch in event-time order") {

@@ -159,6 +159,23 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfBalance: populations conserve, shares and imbalance follow their laws") {
+    import spark.implicits._
+    val rows = graft.operators.Similarity.ivfBalance(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.length <= 8)
+    val total = rows.map(_._2).sum
+    val corpus = graft.core.Tables.embeddings(spark, sf).count()
+    assert(total == corpus, "every corpus vector lands in exactly one list")
+    val mx = rows.map(_._2).max
+    rows.foreach { case (lid, n, share, imb) =>
+      assert(share == n * 1000000L / total, s"list $lid share law")
+      assert(imb == mx * 8L * 1000000L / total, s"list $lid imbalance law")
+    }
+    // imbalance >= 1e6 always (max >= mean), == 1e6 iff perfectly balanced
+    assert(rows.head._4 >= 1000000L - 8L) // integer floor slack
+  }
+
   test("hardNegatives: labels differ, ranks contiguous, IVF default holds recall vs brute") {
     import spark.implicits._
     val labels = spark.read.parquet(s"$sf/embeddings.parquet")
