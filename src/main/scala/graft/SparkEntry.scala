@@ -212,6 +212,7 @@ object SparkEntry {
     "q183_eval_contamination" -> ((s, d) => Dedup.evalContamination(s, d)),
     "q184_surprisal_mixture" -> ((s, d) => Sampling.surprisalMixture(s, d)),
     "q185_ivf_balance"    -> ((s, d) => Similarity.ivfBalance(s, d)),
+    "q186_langid_confusion" -> ((s, d) => Text.langIdConfusion(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -3666,6 +3667,30 @@ object SparkEntry {
          |  n_vecs * 1000000 // n AS share_q6,
          |  mx * 8 * 1000000 // n AS imbalance_q6
          |FROM pl, tot""".stripMargin,
+    // language-ID confusion: the q17 prediction chain joined to the
+    // label, aggregated to the (label, predicted) matrix
+    "q186_langid_confusion" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+         |            FROM documents),
+         |m(mlang, w) AS (VALUES $markerValues),
+         |scores AS (SELECT doc_id, mlang, count(*) AS c
+         |           FROM tok JOIN m USING (w) GROUP BY 1, 2),
+         |best AS (SELECT doc_id, mlang, c,
+         |                row_number() OVER (PARTITION BY doc_id
+         |                                   ORDER BY c DESC, mlang ASC) AS rn
+         |         FROM scores),
+         |pred AS (SELECT d.doc_id, d.lang AS label,
+         |                coalesce(b.mlang, 'und') AS predicted
+         |         FROM documents d
+         |         LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)),
+         |cells AS (SELECT label, predicted, count(*)::BIGINT AS n_docs
+         |          FROM pred GROUP BY 1, 2),
+         |tot AS (SELECT label, sum(n_docs)::BIGINT AS n_label
+         |        FROM cells GROUP BY 1)
+         |SELECT cells.label, predicted, n_docs,
+         |  n_docs * 1000000 // n_label AS share_q6,
+         |  (cells.label = predicted) AS correct
+         |FROM cells JOIN tot ON cells.label = tot.label""".stripMargin,
     // watermark advisor: lateness vs the running event-time max over the
     // event_id arrival order, exact middle-rank p50/p99
     "q177_watermark_advisor" ->

@@ -85,6 +85,31 @@ object Text {
         coalesce($"c", lit(0L)).as("n_markers"))
   }
 
+  /** q186: language-ID confusion audit — q17's marker heuristic judged
+    * against the corpus's labeled `lang`: per (label, predicted) doc
+    * counts, each cell's exact 1e6 share of its label's population, and
+    * the diagonal flag. The eval table that decides where the heuristic
+    * is trustworthy enough to gate on — an off-diagonal hot cell is a
+    * marker list to fix BEFORE q53's strata or q136's calibration trust
+    * the `lang` column of an unlabeled crawl.
+    *
+    * Scale: rides q17's prediction (a broadcast marker join + per-doc
+    * argmax); the matrix is a ≤ |langs|·(|langs|+1) aggregate and the
+    * label totals broadcast.
+    */
+  def langIdConfusion(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val cells = documents(spark, d).select($"doc_id", $"lang")
+      .join(langId(spark, d).select($"doc_id", $"lang_pred"), "doc_id")
+      .groupBy($"lang".as("label"), $"lang_pred".as("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = cells.groupBy($"label").agg(sum($"n_docs").as("n_label"))
+    cells.join(broadcast(totals), "label")
+      .select($"label", $"predicted", $"n_docs",
+        expr("n_docs * 1000000L div n_label").as("share_q6"),
+        ($"label" === $"predicted").as("correct"))
+  }
+
   /** Per-document quality scores: token counts, stop-word ratio, mean
     * token length — the length/punct/stopword-ratio heuristics of large
     * corpus filtering, all codegen'd column math (no shuffle at all:

@@ -352,6 +352,25 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(got.exists(_._1 > 1L), "fixture has non-trivial clusters")
   }
 
+  test("langIdConfusion: cells conserve the corpus, shares and diagonal follow the laws") {
+    import spark.implicits._
+    val rows = graft.operators.Text.langIdConfusion(spark, sf)
+      .as[(String, String, Long, Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    val corpus = graft.core.Tables.documents(spark, sf).count()
+    assert(rows.map(_._3).sum == corpus, "every doc lands in exactly one cell")
+    rows.groupBy(_._1).foreach { case (label, cells) =>
+      val nLabel = cells.map(_._3).sum
+      cells.foreach { case (_, pred, n, share, correct) =>
+        assert(share == n * 1000000L / nLabel, s"$label->$pred share law")
+        assert(correct == (label == pred), s"$label->$pred diagonal flag")
+      }
+    }
+    // the prediction column is drawn from the marker languages + 'und'
+    val langs = graft.functions.TextFunctions.LangMarkers.map(_._1).toSet + "und"
+    assert(rows.map(_._2).toSet.subsetOf(langs))
+  }
+
   test("packWaste matches a driver next-fit replay and the capacity identity") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sf/documents.parquet")
