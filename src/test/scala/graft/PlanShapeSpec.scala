@@ -75,6 +75,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected the salted local top-k window below the global one:\n$p")
   }
 
+  test("q116 score aggregate rides the doc_id pre-partitioning — no (query, doc) exchange") {
+    val p = graft.operators.Retrieval.bm25TopK(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the weight table is cached pre-partitioned by doc_id and the
+    // broadcast query join preserves it, so HashPartitioning(doc_id)
+    // satisfies the (query_id, doc_id) clustering — a regression shows
+    // up as an Exchange keyed on BOTH columns over the candidate stream
+    val sig = """Exchange hashpartitioning\(query_id#\d+, doc_id#\d+""".r
+    assert(sig.findFirstIn(p).isEmpty,
+      s"the ~Σdf(t)-row candidate stream must never shuffle:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastQueryStage"),
+      s"query terms must broadcast into the posting scan:\n$p")
+  }
+
   test("q169 FK probes broadcast the dimension side") {
     val p = plan(graft.operators.Relational.refIntegrityAudit(spark, sf))
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
