@@ -213,6 +213,7 @@ object SparkEntry {
     "q184_surprisal_mixture" -> ((s, d) => Sampling.surprisalMixture(s, d)),
     "q185_ivf_balance"    -> ((s, d) => Similarity.ivfBalance(s, d)),
     "q186_langid_confusion" -> ((s, d) => Text.langIdConfusion(s, d)),
+    "q187_decontam_manifest" -> ((s, d) => Dedup.decontaminatedManifest(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -3667,6 +3668,45 @@ object SparkEntry {
          |  n_vecs * 1000000 // n AS share_q6,
          |  mx * 8 * 1000000 // n AS imbalance_q6
          |FROM pl, tot""".stripMargin,
+    // the q183 contamination edges applied: flagged train docs dropped,
+    // per-source doc/BPE-token manifest of what remains
+    "q187_decontam_manifest" ->
+      s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+         |              FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, s FROM (
+         |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+         |  FROM toks, unnest(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3)),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS inter
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |pr AS (SELECT x, y FROM inter
+         |       JOIN sizes sa ON x = sa.doc_id JOIN sizes sb ON y = sb.doc_id
+         |       WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.5),
+         |ev AS (SELECT doc_id, source,
+         |  ${md5Bits32Sql("'eval:' || doc_id::VARCHAR", 1)} % 100 < 5 AS ev
+         |  FROM documents),
+         |fl AS (SELECT DISTINCT CASE WHEN ax.ev THEN pr.y ELSE pr.x END AS doc_id
+         |       FROM pr JOIN ev ax ON pr.x = ax.doc_id
+         |                JOIN ev ay ON pr.y = ay.doc_id
+         |       WHERE ax.ev <> ay.ev),
+         |tk AS (SELECT e.doc_id, e.source,
+         |  list_sum(list_transform(regexp_split_to_array(lower(d.text), '\\s+'),
+         |    w -> floor((strlen(w)+3)/4)::BIGINT))::BIGINT AS n_toks,
+         |  (fl.doc_id IS NOT NULL) AS flagged
+         |  FROM ev e JOIN documents d ON e.doc_id = d.doc_id
+         |  LEFT JOIN fl ON e.doc_id = fl.doc_id
+         |  WHERE NOT e.ev)
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |  sum(n_toks)::BIGINT AS n_tokens,
+         |  sum(flagged::BIGINT)::BIGINT AS n_removed,
+         |  sum(CASE WHEN flagged THEN n_toks ELSE 0 END)::BIGINT AS tokens_removed,
+         |  (count(*) - sum(flagged::BIGINT))::BIGINT AS n_docs_kept,
+         |  (sum(n_toks) - sum(CASE WHEN flagged THEN n_toks ELSE 0 END))::BIGINT
+         |    AS n_tokens_kept,
+         |  (sum(CASE WHEN flagged THEN n_toks ELSE 0 END) * 1000000
+         |    // sum(n_toks))::BIGINT AS removed_q6
+         |FROM tk GROUP BY 1""".stripMargin,
     // language-ID confusion: the q17 prediction chain joined to the
     // label, aggregated to the (label, predicted) matrix
     "q186_langid_confusion" ->

@@ -529,16 +529,9 @@ object Dedup {
       threshold: Double = 0.5,
       pairGen: (SparkSession, String, Double) => DataFrame = MinhashLshGen): DataFrame = {
     import spark.implicits._
-    val ev = pmod(md5Bits32(concat(lit("eval:"), $"doc_id".cast("string")), 1),
-      lit(100L)) < 5
-    val docs = documents(spark, d).select($"doc_id", $"source", ev.as("ev"))
-    val edges = pairGen(spark, d, threshold).select($"x", $"y")
-      .join(docs.select($"doc_id".as("x"), $"source".as("sx"), $"ev".as("ex")), "x")
-      .join(docs.select($"doc_id".as("y"), $"source".as("sy"), $"ev".as("ey")), "y")
-      .filter($"ex" =!= $"ey")
-      .select(when($"ex", $"y").otherwise($"x").as("train_doc"),
-        when($"ex", $"x").otherwise($"y").as("eval_doc"),
-        when($"ex", $"sy").otherwise($"sx").as("source"))
+    val docs = documents(spark, d)
+      .select($"doc_id", $"source", evalBucket($"doc_id").as("ev"))
+    val edges = evalContaminationEdges(spark, d, threshold, pairGen)
     val perSource = edges.groupBy($"source")
       .agg(count(lit(1)).as("n_pairs"),
         countDistinct($"train_doc").as("n_train_flagged"),
@@ -552,6 +545,67 @@ object Dedup {
         coalesce($"n_eval_implicated", lit(0L)).as("n_eval_implicated"))
       .withColumn("contamination_q6",
         expr("n_train_flagged * 1000000L div n_train_docs"))
+  }
+
+  /** The q59/q116 "eval:" md5 bucket as a column predicate. */
+  private[operators] def evalBucket(id: org.apache.spark.sql.Column) =
+    pmod(md5Bits32(concat(lit("eval:"), id.cast("string")), 1), lit(100L)) < 5
+
+  /** The (train_doc, eval_doc, source) contamination edges behind q183
+    * and q187: near-dup pairs with EXACTLY one eval side, attributed to
+    * the train side's source.
+    */
+  private[operators] def evalContaminationEdges(spark: SparkSession,
+      d: String, threshold: Double,
+      pairGen: (SparkSession, String, Double) => DataFrame): DataFrame = {
+    import spark.implicits._
+    val docs = documents(spark, d)
+      .select($"doc_id", $"source", evalBucket($"doc_id").as("ev"))
+    pairGen(spark, d, threshold).select($"x", $"y")
+      .join(docs.select($"doc_id".as("x"), $"source".as("sx"), $"ev".as("ex")), "x")
+      .join(docs.select($"doc_id".as("y"), $"source".as("sy"), $"ev".as("ey")), "y")
+      .filter($"ex" =!= $"ey")
+      .select(when($"ex", $"y").otherwise($"x").as("train_doc"),
+        when($"ex", $"x").otherwise($"y").as("eval_doc"),
+        when($"ex", $"sy").otherwise($"sx").as("source"))
+  }
+
+  /** q187: the CONSTRUCTIVE follow-up to q183 — actually decontaminate:
+    * drop every train doc near-duplicate to an eval doc and emit the
+    * per-source manifest of what remains: docs and exact BPE-token mass
+    * before/after, removed counts, and the exact 1e6 removed token
+    * share. The decision record a training run keeps next to its data
+    * card ("we removed N docs / M tokens from source S for benchmark
+    * adjacency"), beside the audit that justified it.
+    *
+    * Scale: the flagged set is the q183 edge projection (dup-density-
+    * bounded); one anti-join-shaped aggregate per source — flags attach
+    * by doc_id, token mass is the memo-shared q57 BPE column convention.
+    */
+  def decontaminatedManifest(spark: SparkSession, d: String,
+      threshold: Double = 0.5,
+      pairGen: (SparkSession, String, Double) => DataFrame = MinhashLshGen): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TextFunctions.{tokens, tokenSum, bpePieces}
+    val flagged = evalContaminationEdges(spark, d, threshold, pairGen)
+      .select($"train_doc".as("doc_id")).distinct()
+      .withColumn("flagged", lit(true))
+    documents(spark, d)
+      .filter(!evalBucket($"doc_id"))
+      .select($"doc_id", $"source",
+        tokenSum(tokens($"text"), bpePieces).as("n_toks"))
+      .join(flagged, Seq("doc_id"), "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_toks").as("n_tokens"),
+        sum($"flagged".isNotNull.cast("long")).as("n_removed"),
+        sum(when($"flagged".isNotNull, $"n_toks").otherwise(0L))
+          .as("tokens_removed"))
+      .select($"source", $"n_docs", $"n_tokens", $"n_removed",
+        $"tokens_removed",
+        ($"n_docs" - $"n_removed").as("n_docs_kept"),
+        ($"n_tokens" - $"tokens_removed").as("n_tokens_kept"),
+        expr("tokens_removed * 1000000L div n_tokens").as("removed_q6"))
   }
 
   /** Per-document n-gram NOVELTY against everything ingested before it:

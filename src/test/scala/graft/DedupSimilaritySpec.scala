@@ -563,6 +563,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(exact == rows.toSet, "LSH default == exact-Jaccard rung")
   }
 
+  test("decontaminatedManifest agrees with the q183 audit and conserves mass") {
+    import spark.implicits._
+    val audit = Dedup.evalContamination(spark, sf)
+      .select($"source", $"n_train_docs", $"n_train_flagged")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val man = Dedup.decontaminatedManifest(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(man.nonEmpty && man.map(_._1).toSet == audit.keySet)
+    man.foreach { case (src, nDocs, nToks, nRem, tokRem, nKept, tokKept, q6) =>
+      val (auditDocs, auditFlagged) = audit(src)
+      assert(nDocs == auditDocs, s"$src train population == audit population")
+      assert(nRem == auditFlagged, s"$src removed == audit flagged")
+      assert(nKept == nDocs - nRem && tokKept == nToks - tokRem, s"$src conservation")
+      assert(q6 == tokRem * 1000000L / nToks, s"$src removed share law")
+    }
+  }
+
   test("star labels == converged labels (min-id fixpoint), incl. deep chains") {
     import spark.implicits._
     import org.apache.spark.sql.SparkSession
