@@ -1415,13 +1415,13 @@ object Text {
       qualityRankDistributed(spark, d)
     }
 
-  /** The q136 calibration with NO per-language sort partition: one
-    * `Ranks.globalRank` under the TOTAL order (lang, stop_ratio, doc_id)
-    * — a language is a contiguous RANGE of that order, spread over many
-    * range partitions — then per-lang ranks recovered arithmetically:
-    * rank-within-lang = (min global rank of the doc's (lang, score) tie
-    * group) − (lang's first global rank) + 1. The tie-group min is one
-    * hash aggregate on (lang, score) — rank() semantics (ties share)
+  /** The q136 calibration with NO per-language sort partition:
+    * `Ranks.groupRank`'s class-histogram construction — the (lang,
+    * stop_ratio) tie classes are one hash aggregate, their counts take
+    * a distributed exclusive prefix-sum under the (lang, score) range
+    * order (a language is a contiguous RANGE of that order, spread over
+    * many range partitions), and rank-within-lang = class prefix −
+    * (lang's first prefix) + 1 — rank() semantics (ties share)
     * without any lang-partitioned window; the |langs|-row offset table
     * broadcasts. Memo-cached: five downstream queries (q138 filter,
     * q146/q149 manifests, q156 curriculum, q161 committee) ride this
@@ -1608,9 +1608,10 @@ object Text {
     * counterpart of q125's reciprocal-rank fusion.
     *
     * Scale: the signal derivations are the memo-shared q18/q140 lineages
-    * (one (doc, token) aggregate + scan-stage HOFs); all four per-lang
-    * ranks run on `Ranks.groupRank` (the q136 two-phase decomposition —
-    * rank() semantics without a lang-partitioned window), so a dominant
+    * (one (doc, token) aggregate + scan-stage HOFs); the three signal
+    * ranks FUSE into one `Ranks.groupRank` machine via unpivot ((lang,
+    * signal) group key) and the committee rank is a fourth — rank()
+    * semantics without a lang-partitioned window, so a dominant
     * language is never one sort partition.
     */
   def qualityCommittee(spark: SparkSession, d: String): DataFrame = {

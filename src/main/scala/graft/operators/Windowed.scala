@@ -677,9 +677,10 @@ object Windowed {
     *
     * Scale: the per-user aggregate is the big reduction (fact volume →
     * |purchasing users| with map-side combine); the three quartile
-    * ranks run on the `Ranks.globalRank` two-phase range-partition rank
-    * (q156's machinery, extracted) — no single-partition sort anywhere,
-    * each metric pays one sampled range shuffle over the user aggregate.
+    * metrics UNPIVOT into one (metric, v) stream ranked by ONE
+    * `Ranks.groupRowNumber` machine (metric = group key, two-phase
+    * range-partition rank — no single-partition sort anywhere), then
+    * pivot back onto the unique user key.
     */
   def rfmSegments(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
