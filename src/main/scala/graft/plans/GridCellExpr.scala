@@ -63,15 +63,59 @@ object GridCell {
 }
 
 /** SparkSessionExtensions hook — `spark.sql.extensions=graft.plans.
-  * GraftExtensions` makes the native functions available in every
-  * session without touching application code.
+  * GraftExtensions` makes the native function FAMILY available to
+  * `spark.sql` in every session without touching application code:
+  * grid_cell, clean_tokens, md5_bits32, word_shingles, simhash,
+  * minhash_sigs, quantized_dot. Integer parameters (hex offset, shingle
+  * width, signature length) must be LITERALS — they parameterize the
+  * generated code. SqlSurfaceSpec exercises each through SQL against
+  * its Column-API twin.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(
-      (org.apache.spark.sql.catalyst.FunctionIdentifier("grid_cell"),
-        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-          classOf[MapToGridCellExpr].getName, "grid_cell"),
-        (exprs: Seq[Expression]) => MapToGridCellExpr(exprs(0), exprs(1))))
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}
+
+/** The registration triples behind GraftExtensions, exposed so a live
+  * session can also register them directly
+  * (`GraftFunctions.register(spark)` — SqlSurfaceSpec's path; builder
+  * extensions only apply at session construction).
+  */
+object GraftFunctions {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
   }
+
+  private def one(name: String, clazz: Class[_],
+      builder: Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), builder)
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    one("grid_cell", classOf[MapToGridCellExpr],
+      exprs => MapToGridCellExpr(exprs(0), exprs(1))),
+    one("clean_tokens", classOf[CleanTokensExpr],
+      exprs => CleanTokensExpr(exprs(0))),
+    one("md5_bits32", classOf[Md5Bits32Expr],
+      exprs => Md5Bits32Expr(exprs(0), litInt(exprs(1), "md5_bits32 offset"))),
+    one("word_shingles", classOf[WordShinglesExpr],
+      exprs => WordShinglesExpr(exprs(0),
+        litInt(exprs(1), "word_shingles width"), distinct = true)),
+    one("simhash", classOf[SimHashExpr],
+      exprs => SimHashExpr(exprs(0))),
+    one("minhash_sigs", classOf[MinHashSigExpr],
+      exprs => MinHashSigExpr(exprs(0), litInt(exprs(1), "minhash_sigs k"))),
+    one("quantized_dot", classOf[QuantizedDotExpr],
+      exprs => QuantizedDotExpr(exprs(0), exprs(1))))
+
+  /** Register the family into an already-running session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    all.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

@@ -24,4 +24,42 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(spark.sql("SELECT min(ts) FROM events").collect()(0)
       .getTimestamp(0).toString.startsWith("2024-01-01"))
   }
+
+  test("GraftFunctions exposes the native expression family to spark.sql") {
+    import spark.implicits._
+    Tables.registerViews(spark, "/root/testdata/sf0.001")
+    graft.plans.GraftFunctions.register(spark)
+    // each SQL call must equal its Column-API twin on real data
+    val viaSql = spark.sql(
+      """SELECT doc_id, clean_tokens(text) AS ct,
+        |       md5_bits32(text, 1) AS h,
+        |       word_shingles(clean_tokens(text), 3) AS sh,
+        |       simhash(clean_tokens(text)) AS sk
+        |FROM documents ORDER BY doc_id LIMIT 50""".stripMargin).collect()
+    val viaApi = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id",
+        graft.functions.TextFunctions.cleanTokens($"text").as("ct"),
+        graft.functions.Hashing.md5Bits32($"text", 1).as("h"),
+        graft.functions.Hashing.shingles(
+          graft.functions.TextFunctions.cleanTokens($"text"), 3).as("sh"),
+        graft.functions.Hashing.simhash(
+          graft.functions.TextFunctions.cleanTokens($"text")).as("sk"))
+      .orderBy($"doc_id").limit(50).collect()
+    assert(viaSql.length == 50)
+    viaSql.zip(viaApi).foreach { case (a, b) => assert(a == b) }
+    // quantized_dot through SQL over the embeddings view
+    val dot = spark.sql(
+      """SELECT quantized_dot(
+        |  transform(embedding, x -> cast(round(x * 10000000) AS bigint)),
+        |  transform(embedding, x -> cast(round(x * 10000000) AS bigint))) AS n2
+        |FROM embeddings ORDER BY vec_id LIMIT 1""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(dot > 0L, "self dot of a nonzero vector is positive")
+    // integer parameters must be literals — a column there is a loud error
+    val err = intercept[Exception](
+      spark.sql("SELECT md5_bits32(text, doc_id) FROM documents LIMIT 1")
+        .collect())
+    assert(err.getMessage.contains("integer literal")
+        || err.getMessage.contains("md5_bits32"))
+  }
 }
