@@ -214,6 +214,11 @@ object SparkEntry {
     "q185_ivf_balance"    -> ((s, d) => Similarity.ivfBalance(s, d)),
     "q186_langid_confusion" -> ((s, d) => Text.langIdConfusion(s, d)),
     "q187_decontam_manifest" -> ((s, d) => Dedup.decontaminatedManifest(s, d)),
+    "q188_phash_neardup"  -> ((s, d) => graft.multimodal.Multimodal.phashPairs(s, d)),
+    "q189_source_sample"  -> ((s, d) => Sampling.groupPrioritySample(s, d)),
+    "q190_snapshot_diff"  -> ((s, d) => Relational.snapshotDiff(s, d)),
+    "q191_equidepth_hist" -> ((s, d) => Relational.equiDepthHist(s, d)),
+    "q192_ivf_probe_sweep" -> ((s, d) => Similarity.ivfProbeSweep(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -3805,6 +3810,143 @@ object SparkEntry {
         |  (sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) * 1000000
         |    // sum(sz))::BIGINT AS risk_q6
         |FROM g""".stripMargin,
+    // aHash perceptual near-dup: the stub-decode (q171 byte arithmetic)
+    // 8x8 nearest-neighbor sample, bit = px*(h*w) > px_sum exact integer
+    // compare, FULL quadratic pair set (the banded Spark join must
+    // reproduce it — pigeonhole completeness at Hamming <= 3)
+    "q188_phash_neardup" ->
+      """WITH f AS (SELECT doc_id, text, length(text)::BIGINT AS n_px,
+        |    (n_chars % 64 + 1)::BIGINT AS w FROM documents),
+        |g AS (SELECT doc_id, text, n_px, w, (n_px + w - 1) // w AS h,
+        |    coalesce(list_sum(list_transform(range(1, n_px::INT + 1),
+        |      i -> ascii(substr(text, i::INT, 1)))), 0)::BIGINT AS px_sum
+        |  FROM f),
+        |fp AS (SELECT doc_id,
+        |    coalesce(list_sum(list_transform(range(0, 64), b ->
+        |      CASE WHEN
+        |        (CASE WHEN ((b // 8) * h // 8) * w + ((b % 8) * w // 8) < n_px
+        |              THEN ascii(substr(text,
+        |                (((b // 8) * h // 8) * w + ((b % 8) * w // 8) + 1)::INT, 1))
+        |              ELSE 0 END) * (h * w) > px_sum
+        |      -- bit 63 as its two's-complement value: DuckDB's checked
+        |      -- shift rejects 1 << 63, the engine's long wraps to it
+        |      THEN (CASE WHEN b = 63 THEN -9223372036854775807 - 1
+        |            ELSE (1::BIGINT << b::INT) END)
+        |      ELSE 0::BIGINT END)), 0)::BIGINT AS fp
+        |  FROM g)
+        |SELECT a.doc_id AS x, b.doc_id AS y,
+        |  bit_count(xor(a.fp, b.fp))::BIGINT AS dist
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin,
+    // per-source DLT priority sample: q114's exact-integer priority with
+    // an independent salt, per-source rank and (k+1)-th threshold
+    "q189_source_sample" ->
+      s"""WITH pri0 AS (SELECT source, doc_id, n_chars AS w,
+         |  (${md5Bits32Sql("'gps:' || doc_id::VARCHAR", 1)} + 1) AS h1
+         |  FROM documents),
+         |pri AS (SELECT source, doc_id, w,
+         |  (w * 4294967296)::DOUBLE / h1::DOUBLE AS pri FROM pri0),
+         |r AS (SELECT source, doc_id, w, pri,
+         |        row_number() OVER (PARTITION BY source
+         |          ORDER BY pri DESC, doc_id)::BIGINT AS rank FROM pri),
+         |tau AS (SELECT source, pri AS tau FROM r WHERE rank = 21)
+         |SELECT r.source, doc_id, w, pri, rank,
+         |  greatest(w::DOUBLE, coalesce(tau.tau, 0.0)) AS est_w
+         |FROM r LEFT JOIN tau ON r.source = tau.source
+         |WHERE rank <= 20""".stripMargin,
+    // snapshot diff: keyed latest-value state at T1 = T2 - 30d vs at
+    // T2 = newest event, classified added/changed/unchanged per type
+    "q190_snapshot_diff" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |             epoch_us(ts) AS ts_us, value FROM events),
+        |cut AS (SELECT max(ts_us) - 2592000000000 AS t1 FROM e),
+        |r2 AS (SELECT user_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |           ORDER BY ts_us DESC, event_id DESC) AS rn FROM e),
+        |s2 AS (SELECT user_id, event_type, value AS v2 FROM r2 WHERE rn = 1),
+        |r1 AS (SELECT user_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |           ORDER BY ts_us DESC, event_id DESC) AS rn
+        |       FROM e, cut WHERE ts_us <= t1),
+        |s1 AS (SELECT user_id, event_type, value AS v1 FROM r1 WHERE rn = 1),
+        |cl AS (SELECT s2.event_type, (s1.user_id IS NULL) AS added,
+        |         (s1.user_id IS NOT NULL AND s1.v1 <> s2.v2) AS changed
+        |       FROM s2 LEFT JOIN s1 ON s2.user_id = s1.user_id
+        |                           AND s2.event_type = s1.event_type)
+        |SELECT event_type,
+        |  sum(added::BIGINT)::BIGINT AS n_added,
+        |  sum(changed::BIGINT)::BIGINT AS n_changed,
+        |  sum((NOT added AND NOT changed)::BIGINT)::BIGINT AS n_unchanged,
+        |  (count(*) - sum(added::BIGINT))::BIGINT AS n_keys_t1,
+        |  count(*)::BIGINT AS n_keys_t2,
+        |  0::BIGINT AS n_removed,
+        |  (CASE WHEN count(*) - sum(added::BIGINT) = 0 THEN 0
+        |    ELSE sum(changed::BIGINT) * 1000000
+        |      // (count(*) - sum(added::BIGINT)) END)::BIGINT AS changed_q6
+        |FROM cl GROUP BY 1""".stripMargin,
+    // equi-depth histogram: exact rank under the total (value, event_id)
+    // order, bin = (rn-1)*8 div n, per-bin count + exact value bounds
+    "q191_equidepth_hist" ->
+      """WITH r AS (SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events)
+        |SELECT event_type, ((rn - 1) * 8 // n)::BIGINT AS bin,
+        |  count(*)::BIGINT AS n_rows, min(value) AS lo, max(value) AS hi
+        |FROM r GROUP BY 1, 2""".stripMargin,
+    // IVF probe sweep: the q67 trained-quantizer probe path at budgets
+    // 1/2/4/8 vs the exact brute top-10 (sentinel budget 0), shared
+    // rank tail, per-budget candidate volume and recall@10
+    "q192_ivf_probe_sweep" ->
+      s"""WITH $embedCtes,
+         |${kmeansCentroidCtes(8, 2)},
+         |ad AS (SELECT x.vec_id, c.cid, sum((x.e - c.cq) * (x.e - c.cq))::BIGINT AS dist
+         |       FROM ex x JOIN c2 c ON x.i = c.i GROUP BY 1, 2),
+         |adr AS (SELECT vec_id, cid,
+         |          row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |        FROM ad),
+         |asg AS (SELECT vec_id, cid FROM adr WHERE rn = 1),
+         |qp AS (SELECT vec_id AS q_id, cid, rn::BIGINT AS p_rn
+         |       FROM adr WHERE vec_id < 10 AND rn <= 8),
+         |cd AS (SELECT qp.q_id, a.vec_id AS n_id, qp.p_rn
+         |       FROM qp JOIN asg a ON qp.cid = a.cid AND a.vec_id <> qp.q_id),
+         |dots AS (SELECT c.q_id, c.n_id, min(c.p_rn) AS p_rn,
+         |           sum(a.e * b.e)::DOUBLE AS dot
+         |         FROM cd c JOIN ex a ON a.vec_id = c.q_id
+         |                   JOIN ex b ON b.vec_id = c.n_id AND b.i = a.i
+         |         GROUP BY 1, 2),
+         |bd AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+         |         sum(a.e * b.e)::DOUBLE AS dot
+         |       FROM ex a JOIN ex b ON a.i = b.i
+         |         AND a.vec_id < 10 AND b.vec_id <> a.vec_id
+         |       GROUP BY 1, 2),
+         |lv(n_probe) AS (VALUES (1), (2), (4), (8)),
+         |allx AS (SELECT 0::BIGINT AS n_probe, q_id, n_id, dot FROM bd
+         |         UNION ALL
+         |         SELECT lv.n_probe::BIGINT, d.q_id, d.n_id, d.dot
+         |         FROM dots d JOIN lv ON d.p_rn <= lv.n_probe),
+         |cosx AS (SELECT n_probe, q_id, n_id,
+         |           dot / (sqrt(qa.n2) * sqrt(qb.n2)) AS cos
+         |         FROM allx JOIN n2 qa ON q_id = qa.vec_id
+         |                   JOIN n2 qb ON n_id = qb.vec_id),
+         |rk AS (SELECT n_probe, q_id, n_id,
+         |         row_number() OVER (PARTITION BY n_probe, q_id
+         |           ORDER BY cos DESC, n_id) AS rnk FROM cosx),
+         |tk AS (SELECT n_probe, q_id, n_id FROM rk WHERE rnk <= 10),
+         |tr AS (SELECT q_id, n_id FROM tk WHERE n_probe = 0),
+         |h AS (SELECT tk.n_probe, count(*)::BIGINT AS n_hits
+         |      FROM tk JOIN tr ON tk.q_id = tr.q_id AND tk.n_id = tr.n_id
+         |      GROUP BY 1),
+         |cn AS (SELECT n_probe, count(*)::BIGINT AS n_candidates
+         |       FROM allx GROUP BY 1),
+         |sc AS (SELECT count(*)::BIGINT AS nv,
+         |         sum((vec_id < 10)::BIGINT)::BIGINT AS nq FROM embeddings)
+         |SELECT cn.n_probe, n_candidates,
+         |  coalesce(n_hits, 0)::BIGINT AS n_hits,
+         |  (coalesce(n_hits, 0) * 1000000 // (nq * 10))::BIGINT AS recall_q6,
+         |  (n_candidates * 1000000 // (nq * (nv - 1)))::BIGINT AS cand_q6
+         |FROM cn LEFT JOIN h ON cn.n_probe = h.n_probe, sc""".stripMargin,
   )
 
   /** q126's oracle: the deterministic sync-LPA trajectory unrolled —

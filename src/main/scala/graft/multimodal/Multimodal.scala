@@ -214,6 +214,77 @@ object Multimodal {
         $"height".cast("long").as("height"), $"mean_px")
   }
 
+  /** 64-bit average-hash (aHash) perceptual fingerprint per asset: the
+    * decoded luma matrix is 8×8 nearest-neighbor-sampled (the
+    * `resizeStub` kernel inlined) and each cell compares against the
+    * global mean — bit = px·(h·w) > Σpx, an EXACT integer comparison
+    * (never the double mean), so the fingerprint is engine- and
+    * platform-independent. Runs in the real `mapPartitions` decode
+    * batch (the extractFeatures shape): scan-stage, no shuffle.
+    */
+  def phashFingerprints(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, d).mapPartitions { it =>
+      it.map { rec =>
+        val img = decode(rec.content, rec.meta)
+        val h = img.length
+        val w = if (h == 0) math.max(1, rec.meta.width) else img(0).length
+        val area = h.toLong * w
+        var sum = 0L
+        var r = 0
+        while (r < h) {
+          val row = img(r); var c = 0
+          while (c < row.length) { sum += row(c); c += 1 }
+          r += 1
+        }
+        var fp = 0L
+        var b = 0
+        while (b < 64) {
+          val px =
+            if (h == 0) 0L
+            else img((b / 8) * h / 8)((b % 8) * w / 8).toLong
+          if (px * area > sum) fp |= (1L << b)
+          b += 1
+        }
+        (rec.doc_id, fp)
+      }
+    }.toDF("doc_id", "fp")
+  }
+
+  /** q188: perceptual-hash near-dup pairs — image dedup, the visual twin
+    * of q23's SimHash: assets whose aHash fingerprints sit within
+    * Hamming distance `maxHamming`. Exactly the SimHash pair machinery
+    * (16-bit pigeonhole bands — complete for Hamming ≤ 3 — banded
+    * equi-join, exact bit_count re-check); only the sketch differs
+    * (decoded pixels instead of tokens). This is how a multimodal
+    * corpus dedups re-encoded / resized copies of the same image that
+    * byte-level fingerprints (q26) can never pair.
+    *
+    * Scale: fingerprints are scan-stage (one decode pass, memo-cached);
+    * candidates come from the band equi-join — hash-partitioned on the
+    * 16-bit band key, never an all-pairs join. The DuckDB oracle
+    * replays the stub-decode aHash closed-form (the q171 byte
+    * arithmetic) and checks the FULL quadratic pair set — the banded
+    * join must reproduce it bit-for-bit (pigeonhole completeness).
+    */
+  def phashPairs(spark: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Hashing
+    val fps = graft.core.Memo(spark, cache = true, "phashFp", d) {
+      phashFingerprints(spark, d)
+    }
+    val bands = fps.select($"doc_id", $"fp",
+        explode(Hashing.hammingBands($"fp")).as("hb"))
+      .select($"doc_id", $"fp", $"hb.band".as("band"), $"hb.key".as("key"))
+    bands.as("a").join(bands.as("b"),
+        $"a.band" === $"b.band" && $"a.key" === $"b.key" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("x"), $"b.doc_id".as("y"),
+        Hashing.hamming($"a.fp", $"b.fp").as("dist"))
+      .distinct()
+      .filter($"dist" <= maxHamming)
+  }
+
   /** The full pipeline as one oracle-friendly query: media → features →
     * relational aggregate per width bucket. Exercises binary columns,
     * mapPartitions batching, and the downstream shuffle.

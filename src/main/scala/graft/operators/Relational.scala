@@ -424,6 +424,56 @@ object Relational {
             * (($"mx" - $"mn") / nBins)).as("est"))
   }
 
+  /** q190: EQUI-DEPTH histogram per group — q129's complement (equi-WIDTH
+    * bins answer "how many rows in this value range"; equi-depth bins
+    * answer "what value range holds each 1/B of the rows" — the
+    * histogram a cost-based optimizer actually stores, because skewed
+    * value distributions collapse an equi-width histogram into one hot
+    * bin). Exact: rows ranked per group under the total (value,
+    * event_id) order, bin = (rn−1)·B div n, then per-bin count + exact
+    * [lo, hi] value bounds.
+    *
+    * Scale: `value` is a near-unique continuous double, so the rank
+    * rides `Ranks.groupRowNumber` (the row-level fast path — a class
+    * histogram would be as big as the rows), never a per-type window: a
+    * hot event_type spans many range partitions. The per-group row
+    * counts are one map-side-combined aggregate of the raw scan,
+    * broadcast back on. The final aggregate touches |groups|·B cells.
+    */
+  def equiDepthHist(spark: SparkSession, d: String, bins: Int = 8): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, d).select($"event_type", $"event_id", $"value")
+    val counts = ev.groupBy($"event_type").agg(count(lit(1)).as("n"))
+    val ranked = Ranks.groupRowNumber(ev, "rn", Seq($"event_type"),
+      Seq($"value".asc, $"event_id".asc))
+    ranked.join(broadcast(counts), Seq("event_type"))
+      .withColumn("bin", expr(s"(rn - 1) * ${bins}L div n"))
+      .groupBy($"event_type", $"bin")
+      .agg(count(lit(1)).as("n_rows"),
+        min($"value").as("lo"), max($"value").as("hi"))
+      .select($"event_type", $"bin", $"n_rows", $"lo", $"hi")
+  }
+
+  /** The single-window form of `equiDepthHist` — one rank per event_type
+    * (|types| sort partitions at any scale); the directly-oracle-shaped
+    * rung and the spec's equality reference.
+    */
+  private[graft] def equiDepthHistWindow(spark: SparkSession, d: String,
+      bins: Int = 8): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"event_type")
+      .orderBy($"value".asc, $"event_id".asc)
+    val cw = Window.partitionBy($"event_type")
+    events(spark, d).select($"event_type", $"event_id", $"value")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(cw))
+      .withColumn("bin", expr(s"(rn - 1) * ${bins}L div n"))
+      .groupBy($"event_type", $"bin")
+      .agg(count(lit(1)).as("n_rows"),
+        min($"value").as("lo"), max($"value").as("hi"))
+      .select($"event_type", $"bin", $"n_rows", $"lo", $"hi")
+  }
+
   /** q148: percent-of-total contribution — each nation's share of global
     * order revenue with running cumulative share in revenue-descending
     * order (the Pareto/ABC analysis every revenue dashboard opens with).
@@ -471,6 +521,55 @@ object Relational {
       .filter($"rn" === 1)
       .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
         $"event_type", $"value")
+  }
+
+  /** q189: snapshot diff — the CDC primitive between two points in time:
+    * the keyed state ((user, event_type) → latest value) at cutoff T1
+    * vs at T2 = the newest event, T1 = T2 − 30 days, classified per key
+    * as added / changed / unchanged and aggregated per event_type. This
+    * is the "what must the incremental run actually recompute"
+    * question (q149's manifest asks it for documents; this is the
+    * relational form over an event log), and the audit a pipeline runs
+    * before choosing incremental vs full refresh.
+    *
+    * Both snapshots come out of ONE key-shuffle: per key, the latest
+    * record overall (T2 state) and the latest with ts ≤ T1 (T1 state)
+    * are two `max(struct(ts, event_id, value))` aggregates — the
+    * max-join argmax, map-side combinable, no window, no self-join, no
+    * second scan. The cutoffs are one 1-row aggregate broadcast. On an
+    * append-only log old keys never vanish, so `n_removed` is
+    * structurally 0 — kept in the output because the full-outer
+    * classification is the general CDC contract (a compacting source
+    * CAN drop keys).
+    */
+  def snapshotDiff(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, d)
+      .select($"user_id", $"event_type", $"event_id",
+        unix_micros($"ts").as("ts_us"), $"value")
+    val cuts = ev.agg(max($"ts_us").as("t2"))
+      .select($"t2", ($"t2" - lit(30L * 86400L * 1000000L)).as("t1"))
+    val states = ev.crossJoin(broadcast(cuts))
+      .groupBy($"user_id", $"event_type")
+      .agg(
+        max(struct($"ts_us", $"event_id", $"value")).as("s2"),
+        max(when($"ts_us" <= $"t1",
+          struct($"ts_us", $"event_id", $"value"))).as("s1"))
+    val classified = states.select($"event_type",
+      $"s1".isNull.as("added"),
+      ($"s1".isNotNull && $"s1.value" =!= $"s2.value").as("changed"))
+    classified.groupBy($"event_type")
+      .agg(
+        sum($"added".cast("long")).as("n_added"),
+        sum($"changed".cast("long")).as("n_changed"),
+        sum((!$"added" && !$"changed").cast("long")).as("n_unchanged"),
+        count(lit(1)).as("n_keys_t2"))
+      .select($"event_type", $"n_added", $"n_changed", $"n_unchanged",
+        ($"n_keys_t2" - $"n_added").as("n_keys_t1"), $"n_keys_t2",
+        lit(0L).as("n_removed"),
+        expr("CASE WHEN n_keys_t2 - n_added = 0 THEN 0L " +
+          "ELSE n_changed * 1000000L div (n_keys_t2 - n_added) END")
+          .as("changed_q6"))
   }
 
   /** q142: column profile audit — for every column of `events`: row

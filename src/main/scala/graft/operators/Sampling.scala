@@ -484,6 +484,52 @@ object Sampling {
         greatest($"w".cast("double"), coalesce($"tau", lit(0.0))).as("est_w"))
   }
 
+  /** q188: PER-SOURCE priority sampling — the q114 estimator applied
+    * within every stratum at once: k docs per source by the same
+    * exact-integer DLT priority (weight = n_chars, u from the doc's own
+    * md5 with an independent salt), per-source threshold τ_s = the
+    * (k+1)-th priority of THAT source, Horvitz–Thompson estimate
+    * `max(w, τ_s)`. This is how a mixture planner (q54/q65) draws a
+    * weighted evidence sample from every source in ONE pass instead of
+    * running q114 per source.
+    *
+    * Scale: the q20 two-phase top-k — `TakeOrderedAndProject` has no
+    * per-group form, so phase 1 takes each (source, salt) partition's
+    * local top-(k+1) (one bounded window over a salted shuffle — no
+    * source is ever one sort partition), phase 2 ranks the
+    * ≤ |sources|·salts·(k+1) survivors per source. A per-source
+    * `row_number` window over the RAW corpus is exactly the hot-group
+    * sort the rank machinery exists to avoid; over the pruned set it is
+    * a few hundred rows per source. Sources with ≤ k docs keep
+    * everything with τ_s = 0 (the q114 small-corpus path, per-group).
+    */
+  def groupPrioritySample(spark: SparkSession, d: String, k: Int = 20,
+      salts: Int = 32): DataFrame = {
+    import spark.implicits._
+    val pri = documents(spark, d)
+      .select($"source", $"doc_id", $"n_chars".as("w"),
+        (Hashing.md5Bits32(concat(lit("gps:"), $"doc_id".cast("string")), 1) + 1L)
+          .as("h1"),
+        pmod(xxhash64($"doc_id"), lit(salts.toLong)).as("__salt"))
+      .select($"source", $"doc_id", $"w", $"__salt",
+        (($"w" * lit(4294967296L)).cast("double") / $"h1".cast("double"))
+          .as("pri"))
+    val order = Seq($"pri".desc, $"doc_id".asc)
+    val local = Window.partitionBy($"source", $"__salt").orderBy(order: _*)
+    val global = Window.partitionBy($"source").orderBy(order: _*)
+    val survivors = pri
+      .withColumn("__r", row_number().over(local))
+      .filter($"__r" <= k + 1)
+      .withColumn("rank", row_number().over(global).cast("long"))
+      .filter($"rank" <= k + 1)
+    val tau = survivors.filter($"rank" === k + 1)
+      .select($"source", $"pri".as("tau"))
+    survivors.filter($"rank" <= k)
+      .join(broadcast(tau), Seq("source"), "left")
+      .select($"source", $"doc_id", $"w", $"pri", $"rank",
+        greatest($"w".cast("double"), coalesce($"tau", lit(0.0))).as("est_w"))
+  }
+
   /** q156: curriculum ordering — the final materialization step between
     * q138's quality filter and the trainer's data loader: a GLOBAL,
     * deterministic training order that presents higher-quality deciles

@@ -384,6 +384,86 @@ object Similarity {
         expr(s"mx * ${nLists}L * 1000000L div n").as("imbalance_q6"))
   }
 
+  /** q192: IVF probe sweep — the recall-vs-cost curve that picks
+    * `nProbe`: for each probe budget (1, 2, 4, 8 lists) the trained-IVF
+    * top-k (the q67 probe path) is compared against the EXACT brute
+    * top-k over the same queries, reporting candidate volume and
+    * recall@k per budget. q185 audits whether the lists are balanced;
+    * this audits what a probe budget actually buys — together they are
+    * the index-tuning datasheet an ANN deployment publishes before
+    * anyone trusts `nProbe = 3`.
+    *
+    * One pass per side, no per-budget re-joins: the candidate join runs
+    * ONCE at the maximum budget with each candidate carrying its list's
+    * probe rank (a corpus vector lives in exactly one list, so no
+    * dedup), then fans out to the budgets it satisfies via a scan-stage
+    * literal-array filter. The brute reference enters the SAME pipeline
+    * as sentinel budget 0 (its recall row is the 1.0 calibration
+    * check), so ALL (budget, query) top-k ranks come from ONE
+    * `Ranks.groupRowNumber` machine — cosines are near-unique doubles
+    * (the class-histogram degeneracy), and a per-query window would
+    * sort each query's whole candidate set through one partition.
+    *
+    * Scale: queries broadcast; the IVF candidate join hash-partitions
+    * on list id; the brute side is the declared exact reference (the
+    * q14/q25 rung discipline — recall cannot be measured without the
+    * truth), bounded by |queries| · corpus.
+    */
+  def ivfProbeSweep(spark: SparkSession, d: String, k: Int = 10,
+      nLists: Int = 8, updates: Int = 2,
+      probes: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    import spark.implicits._
+    val cents = lloydCentroids(spark, d, nLists, updates)
+    val c = corpusWithNorm(spark, d)
+    val opts = cents.sortBy(_._1).map { case (cid, q) =>
+      val c2 = q.map(x => x * x).sum
+      struct(
+        ($"n2" - lit(2L) * dotPreQ($"qemb", typedLit(q)) + lit(c2)).as("dist2"),
+        lit(cid).as("cid"))
+    }
+    val ranked = c.select($"vec_id", $"qemb", $"n2",
+      array_sort(array(opts: _*)).as("ds"))
+    val assigned = ranked.select($"vec_id", $"qemb", $"n2",
+      element_at($"ds", 1).getField("cid").as("list_id"))
+    val maxProbe = probes.max
+    val qp = ranked.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"qemb".as("q_qemb"), $"n2".as("q_n2"),
+        posexplode(slice($"ds", 1, maxProbe)).as(Seq("pp", "p")))
+      .select($"q_id", $"q_qemb", $"q_n2",
+        ($"pp" + 1).cast("long").as("p_rn"), $"p".getField("cid").as("p_list"))
+    val probeLit = typedLit(probes.map(_.toLong))
+    val leveled = assigned.join(broadcast(qp),
+        $"list_id" === $"p_list" && $"vec_id" =!= $"q_id")
+      .select(
+        explode(filter(probeLit, l => l >= $"p_rn")).as("n_probe"),
+        $"q_id", $"vec_id".as("n_id"),
+        cosineFromParts(dotPreQ($"q_qemb", $"qemb"), $"q_n2", $"n2").as("cos"))
+    val queries = c.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"qemb".as("q_qemb"), $"n2".as("q_n2"))
+    val brute = c.join(broadcast(queries), $"vec_id" =!= $"q_id")
+      .select(lit(0L).as("n_probe"), $"q_id", $"vec_id".as("n_id"),
+        cosineFromParts(dotPreQ($"q_qemb", $"qemb"), $"q_n2", $"n2").as("cos"))
+    val all = brute.unionByName(leveled)
+    val rankedAll = Ranks.groupRowNumber(all, "rnk",
+      Seq($"n_probe", $"q_id"), Seq($"cos".desc, $"n_id".asc))
+    val topk = rankedAll.filter($"rnk" <= k)
+      .select($"n_probe", $"q_id", $"n_id")
+    val truth = topk.filter($"n_probe" === 0L)
+      .select($"q_id".as("t_q"), $"n_id".as("t_n"))
+    val hits = topk.join(truth,
+        $"q_id" === $"t_q" && $"n_id" === $"t_n", "left_semi")
+      .groupBy($"n_probe").agg(count(lit(1)).as("n_hits"))
+    val cand = all.groupBy($"n_probe").agg(count(lit(1)).as("n_candidates"))
+    val sc = c.agg(count(lit(1)).as("nv"),
+      sum(($"vec_id" < 10).cast("long")).as("nq"))
+    cand.join(hits, Seq("n_probe"), "left")
+      .crossJoin(broadcast(sc))
+      .select($"n_probe", $"n_candidates",
+        coalesce($"n_hits", lit(0L)).as("n_hits"),
+        expr(s"coalesce(n_hits, 0L) * 1000000L div (nq * ${k}L)").as("recall_q6"),
+        expr("n_candidates * 1000000L div (nq * (nv - 1))").as("cand_q6"))
+  }
+
   private[operators] def lloydCentroids(spark: SparkSession, d: String,
       k: Int, updates: Int): Array[(Long, Seq[Long])] = {
     import spark.implicits._

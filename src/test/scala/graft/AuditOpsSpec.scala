@@ -448,4 +448,52 @@ class AuditOpsSpec extends AnyFunSuite {
       assert(seg == s"R${r}F${f}M${m}")
     }
   }
+
+  test("snapshotDiff matches a driver replay of both keyed snapshots") {
+    import spark.implicits._
+    val ev = graft.core.Tables.events(spark, sf)
+      .select($"user_id", $"event_type", $"event_id",
+        unix_micros($"ts"), $"value")
+      .as[(Long, String, Long, Long, Double)].collect()
+    val t1 = ev.map(_._4).max - 30L * 86400L * 1000000L
+    def latest(rows: Array[(Long, String, Long, Long, Double)]) =
+      rows.groupBy(r => (r._1, r._2)).view
+        .mapValues(_.maxBy(r => (r._4, r._3))._5).toMap
+    val s2 = latest(ev)
+    val s1 = latest(ev.filter(_._4 <= t1))
+    val expected = s2.keys.groupBy(_._2).map { case (tp, keys) =>
+      val added = keys.count(k => !s1.contains(k)).toLong
+      val changed = keys.count(k => s1.contains(k) && s1(k) != s2(k)).toLong
+      val t1k = keys.size - added
+      val cq = if (t1k == 0) 0L else changed * 1000000L / t1k
+      (tp, added, changed, keys.size - added - changed, t1k,
+        keys.size.toLong, 0L, cq)
+    }.toSet
+    val got = Relational.snapshotDiff(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSet
+    assert(got == expected)
+    assert(got.exists(r => r._2 > 0 || r._3 > 0),
+      "a 30-day window on this fixture adds or changes keys")
+  }
+
+  test("equiDepthHist: two-phase rank equals the window rung; depths balanced; bounds nest") {
+    import spark.implicits._
+    val dec = Relational.equiDepthHist(spark, sf)
+    val win = Relational.equiDepthHistWindow(spark, sf)
+    assert(dec.exceptAll(win).isEmpty && win.exceptAll(dec).isEmpty,
+      "two-phase rank drifted from the single-window rung")
+    val rows = dec.as[(String, Long, Long, Double, Double)].collect()
+    rows.groupBy(_._1).foreach { case (tp, bins) =>
+      assert(bins.length == 8, s"$tp bin count")
+      val sizes = bins.map(_._3)
+      assert(sizes.max - sizes.min <= 1, s"$tp equi-depth balance")
+      val byBin = bins.sortBy(_._2)
+      assert(byBin.map(_._2).toSeq == (0L until 8L), s"$tp dense bins")
+      byBin.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 <= b._4, s"$tp bounds nest")
+        case _ =>
+      }
+    }
+  }
 }

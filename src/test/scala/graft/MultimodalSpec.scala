@@ -184,4 +184,40 @@ class MultimodalSpec extends AnyFunSuite {
       assert(mean == expected, s"doc $id mean")
     }
   }
+
+  test("phash fingerprints match the closed-form byte replay") {
+    import spark.implicits._
+    val fps = Multimodal.phashFingerprints(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text", $"n_chars").as[(Long, String, Long)].collect()
+    assert(fps.size == docs.length)
+    docs.foreach { case (id, text, nChars) =>
+      val bytes = text.getBytes("UTF-8").map(_ & 0xff)
+      val w = (nChars % 64).toInt + 1
+      val h = (bytes.length + w - 1) / w
+      val area = h.toLong * w
+      val sum = bytes.map(_.toLong).sum
+      var fp = 0L
+      for (b <- 0 until 64) {
+        val idx = ((b / 8) * h / 8) * w + (b % 8) * w / 8
+        val px = if (idx < bytes.length) bytes(idx).toLong else 0L
+        if (px * area > sum) fp |= (1L << b)
+      }
+      assert(fps(id) == fp, s"doc $id fingerprint")
+    }
+  }
+
+  test("phashPairs: banded join reproduces the full quadratic Hamming<=3 pair set") {
+    import spark.implicits._
+    val fps = Multimodal.phashFingerprints(spark, sf).as[(Long, Long)].collect()
+    val brute = (for {
+      (a, fa) <- fps; (b, fb) <- fps if a < b
+      d = java.lang.Long.bitCount(fa ^ fb) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    val got = Multimodal.phashPairs(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == brute, "pigeonhole banding must be lossless at Hamming <= 3")
+    assert(got.nonEmpty, "fixture contains near-dup assets")
+  }
 }

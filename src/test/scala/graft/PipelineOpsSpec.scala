@@ -1294,4 +1294,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(prof.find(_._1 == "event_type").get._4 == 5L)
     assert(prof.find(_._1 == "event_id").get._4 == nRows, "event_id is unique")
   }
+
+  test("groupPrioritySample: per-source top-k with per-source tau matches a driver replay") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"source", $"doc_id", $"n_chars").as[(String, Long, Long)].collect()
+    val pri = docs.map { case (src, id, w) =>
+      val h1 = graft.functions.Hashing.md5BucketJvm(s"gps:$id", 1L << 32) + 1L
+      (src, id, w, (w * 4294967296L).toDouble / h1.toDouble)
+    }
+    val expected = pri.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+      val sorted = rows.sortBy(r => (-r._4, r._2))
+      val tau = if (sorted.length >= 21) sorted(20)._4 else 0.0
+      sorted.take(20).zipWithIndex.map { case ((_, id, w, p), i) =>
+        (src, id, w, p, (i + 1).toLong, math.max(w.toDouble, tau))
+      }
+    }.toSet
+    val got = Sampling.groupPrioritySample(spark, sf)
+      .as[(String, Long, Long, Double, Long, Double)].collect().toSet
+    assert(got == expected)
+    // every source contributes min(k, |source|) rows
+    val per = got.groupBy(_._1).view.mapValues(_.size).toMap
+    docs.groupBy(_._1).view.mapValues(_.size).foreach { case (s, n) =>
+      assert(per(s) == math.min(20, n), s"source $s")
+    }
+  }
 }

@@ -94,4 +94,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
       s"orphan probes must be broadcast anti-joins:\n$p")
   }
+
+  test("q191 equi-depth rank rides the two-phase range partition, not one type sort") {
+    val p = plan(graft.operators.Relational.equiDepthHist(spark, sf))
+    assert(p.contains("ExistingRDD"),
+      s"expected the checkpointed range partitioning:\n$p")
+    assert(p.contains("__pid"),
+      s"rank windows must partition on the range bucket:\n$p")
+  }
+
+  test("q188 phash candidates come from the band equi-join, not an all-pairs loop") {
+    val p = plan(graft.multimodal.Multimodal.phashPairs(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"phash pair join must stay a hash equi-join on the band key:\n$p")
+  }
 }

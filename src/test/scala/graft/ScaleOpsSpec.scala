@@ -261,4 +261,31 @@ class ScaleOpsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect()
     assert(again.map(r => r._1 -> r._4).toMap == expect)
   }
+
+  test("ivfProbeSweep: exact sentinel, monotone recall/candidates, full probe = full recall") {
+    import spark.implicits._
+    val rows = Similarity.ivfProbeSweep(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 2L, 4L, 8L))
+    val nv = graft.core.Tables.embeddings(spark, sf).count()
+    val nq = 10L
+    val brute = rows.head
+    assert(brute._2 == nq * (nv - 1), "sentinel scans the whole corpus")
+    assert(brute._4 == 1000000L && brute._5 == 1000000L,
+      "the brute sentinel row is the exact calibration reference")
+    val ivf = rows.tail
+    // candidate sets nest with the probe budget, and every truth member
+    // inside a candidate set surfaces into its top-k (the total order),
+    // so hits are monotone too
+    ivf.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 <= b._2 && a._3 <= b._3,
+        s"monotonicity ${a._1} -> ${b._1}")
+      case _ =>
+    }
+    // probing all 8 lists IS the exhaustive scan
+    assert(ivf.last._2 == nq * (nv - 1) && ivf.last._4 == 1000000L)
+    ivf.foreach(r => assert(r._4 >= 0 && r._4 <= 1000000L))
+    // the sweep should show a real trade: 1 probe scans < half the corpus
+    assert(ivf.head._2 < brute._2 / 2, "1-probe candidate volume is sub-corpus")
+  }
 }
