@@ -69,14 +69,30 @@ object Dedup {
         sum($"n_tokens").cast("double")).as("retained_frac"))
   }
 
-  /** (doc_id, shingle) inverted-index rows — memo-cached once per
-    * session+dir: q15/q16/q32/q42 all fold over this same lineage.
+  /** (doc_id, distinct-3-gram-shingle ARRAY) — the ONE tokenize+shingle
+    * pass of the whole dedup family, memo-cached: the exploded
+    * inverted-index view (docShingles) and the MinHash signatures
+    * (minhashCandidates) both derive from this cached column with cheap
+    * scan-stage ops (explode / the native sig fold). Before round 11
+    * each derivation re-ran the tokenize+shingle expression chain —
+    * two full passes over every document per session.
     */
-  private def docShingles(spark: SparkSession, d: String): DataFrame =
-    graft.core.Memo(spark, cache = true, "docShingles", d) {
+  private[graft] def docShingleArrays(spark: SparkSession, d: String): DataFrame =
+    graft.core.Memo(spark, cache = true, "docShingleArrays", d) {
       import spark.implicits._
       documents(spark, d)
-        .select($"doc_id", explode(shingles(tokens($"text"), 3)).as("s"))
+        .select($"doc_id", shingles(tokens($"text"), 3).as("shs"))
+    }
+
+  /** (doc_id, shingle) inverted-index rows — memo-cached once per
+    * session+dir: q15/q16/q32/q42 all fold over this same lineage, most
+    * of them in self-joins that read it twice — the cache keeps those
+    * reads in-memory scans instead of repeated explodes + shuffles.
+    */
+  private[graft] def docShingles(spark: SparkSession, d: String): DataFrame =
+    graft.core.Memo(spark, cache = true, "docShingles", d) {
+      import spark.implicits._
+      docShingleArrays(spark, d).select($"doc_id", explode($"shs").as("s"))
     }
 
   /** DIRECTED containment near-dup pairs (Broder's asymmetric Jaccard,
@@ -230,8 +246,8 @@ object Dedup {
     // materialized signature column, not re-derive it per band lambda
     // (interpreted HOFs re-evaluate non-attribute children — Hashing.scala)
     val sig = graft.core.Memo(spark, cache = true, "minhashSig", d) {
-      documents(spark, d)
-        .select($"doc_id", minhashSignature(shingles(tokens($"text"), 3), 64).as("sig"))
+      docShingleArrays(spark, d)
+        .select($"doc_id", minhashSignature($"shs", 64).as("sig"))
     }
     val bands = sig.select($"doc_id", posexplode(bandKeys($"sig", 64, 2)))
       .select($"doc_id", $"pos".as("band"), $"col".as("key"))

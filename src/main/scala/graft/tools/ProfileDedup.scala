@@ -22,7 +22,9 @@ object ProfileDedup {
       r
     }
     time("warmup scan")(graft.core.Tables.documents(spark, d).count())
-    time("minhashCandidates (shingles + sigs + band join)")(
+    time("docShingles cache fill")(
+      graft.operators.Dedup.docShingles(spark, d).count())
+    time("minhashCandidates (sigs + band join)")(
       graft.operators.Dedup.minhashCandidates(spark, d).count())
     time("minhashLsh pairs (exact re-check, memo fill)")(
       graft.operators.Dedup.minhashLsh(spark, d).count())
