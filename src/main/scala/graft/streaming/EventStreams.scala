@@ -749,6 +749,82 @@ object EventStreams {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  /** The T1 snapshot row fed to `snapshotDiffStream` as initial state:
+    * the keyed latest value as of the last batch diff (q190's s1 side).
+    */
+  case class SnapInit(user_id: Long, event_type: String, v1: Double)
+
+  case class SnapDiffRow(user_id: Long, event_type: String,
+      status: String, value: Double)
+
+  private case class SnapState(has1: Boolean, v1: Double,
+      hasCur: Boolean, ts_us: Long, event_id: Long, cur: Double)
+
+  /** q190's snapshot diff LIVE — the CDC classification computed while
+    * the post-T1 tail streams in, instead of re-scanning both snapshots:
+    * initial state is the T1 keyed latest-value snapshot
+    * (`StatefulProcessorWithInitialState`, the q149 manifest
+    * discipline — state-store-backed, never a broadcast), each arriving
+    * event advances the key's latest (ts, event_id, value) by a MAX fold
+    * (commutative — the emitted classification is a pure function of
+    * the key's event set, independent of micro-batch placement), and
+    * every update emits the key's current added/changed/unchanged
+    * status. Keys with no post-T1 events stay silently `unchanged` —
+    * exactly the batch form's classification for them.
+    */
+  class SnapshotDiffProcessor extends
+      org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        (Long, String), Event, SnapDiffRow, SnapInit] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+
+    @transient private var st: ValueState[SnapState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SnapState](
+        "snap", Encoders.product[SnapState], TTLConfig.NONE)
+
+    override def handleInitialState(key: (Long, String), init: SnapInit,
+        timerValues: TimerValues): Unit =
+      st.update(SnapState(has1 = true, init.v1,
+        hasCur = false, Long.MinValue, Long.MinValue, 0.0))
+
+    override def handleInputRows(key: (Long, String), rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[SnapDiffRow] = {
+      var s = if (st.exists()) st.get()
+        else SnapState(has1 = false, 0.0,
+          hasCur = false, Long.MinValue, Long.MinValue, 0.0)
+      rows.foreach { e =>
+        val micros = e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+        if (!s.hasCur || micros > s.ts_us ||
+            (micros == s.ts_us && e.event_id > s.event_id))
+          s = s.copy(hasCur = true, ts_us = micros,
+            event_id = e.event_id, cur = e.value)
+      }
+      st.update(s)
+      val status =
+        if (!s.has1) "added"
+        else if (s.hasCur && s.cur != s.v1) "changed"
+        else "unchanged"
+      Iterator.single(SnapDiffRow(key._1, key._2, status,
+        if (s.hasCur) s.cur else s.v1))
+    }
+  }
+
+  /** `SnapshotDiffProcessor` wired to a T1 snapshot. Needs the RocksDB
+    * provider (multi-column-family state), like every transformWithState
+    * operator here.
+    */
+  def snapshotDiffStream(events: Dataset[Event],
+      snapshot: Dataset[SnapInit]): Dataset[SnapDiffRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .transformWithState(new SnapshotDiffProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update(),
+        snapshot.groupByKey(s => (s.user_id, s.event_type)))
+  }
+
   def runningUserTotals(events: Dataset[Event]): Dataset[UserTotals] = {
     import events.sparkSession.implicits._
     events

@@ -489,4 +489,58 @@ class EventStreamsSpec extends AnyFunSuite {
       EventStreams.histogramStreamTws(input.toDS(), 7.0, 2.0)
     }
   }
+
+  test("snapshot diff stream classification aggregates to the q190 batch rows") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val all = graft.core.Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect()
+    def micros(e: Event): Long =
+      e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+    val t1 = all.map(micros).max - 30L * 86400L * 1000000L
+    def latest(rows: Array[Event]): Map[(Long, String), Double] =
+      rows.groupBy(e => (e.user_id, e.event_type)).view
+        .mapValues(_.maxBy(e => (micros(e), e.event_id)).value).toMap
+    val s1 = latest(all.filter(micros(_) <= t1))
+    val tail = all.filter(micros(_) > t1)
+    assert(tail.nonEmpty, "fixture has a post-T1 tail")
+    withRuntime(tws = true) {
+      val input = MemoryStream[Event]
+      val snap = s1.toSeq.map { case ((u, tp), v) =>
+        EventStreams.SnapInit(u, tp, v) }.toDS()
+      val query = EventStreams.snapshotDiffStream(input.toDS(), snap)
+        .writeStream.format("memory").queryName("snap_diff")
+        .outputMode("update").start()
+      try {
+        // arbitrary micro-batching: the MAX fold makes the final
+        // classification independent of the split
+        tail.grouped(math.max(1, tail.length / 3 + 1)).foreach { chunk =>
+          input.addData(chunk.toIndexedSeq: _*)
+          query.processAllAvailable()
+        }
+        val emitted = spark.table("snap_diff")
+          .as[(Long, String, String, Double)].collect()
+        // last emission per key wins; keys with no tail events are
+        // silently unchanged — add them back like the batch form sees
+        val finalByKey = emitted.zipWithIndex
+          .groupBy(r => (r._1._1, r._1._2)).view
+          .mapValues(_.maxBy(_._2)._1._3).toMap
+        val silent = s1.keySet -- finalByKey.keySet
+        val counts = (finalByKey.toSeq.map { case ((_, tp), st) => (tp, st) } ++
+            silent.toSeq.map { case (_, tp) => (tp, "unchanged") })
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val batch = graft.operators.Relational.snapshotDiff(spark, sf)
+          .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+        batch.foreach { case (tp, added, changed, unchanged, _, _, _, _) =>
+          assert(counts.getOrElse((tp, "added"), 0L) == added, s"$tp added")
+          assert(counts.getOrElse((tp, "changed"), 0L) == changed, s"$tp changed")
+          assert(counts.getOrElse((tp, "unchanged"), 0L) == unchanged,
+            s"$tp unchanged")
+        }
+        assert(batch.nonEmpty)
+      } finally query.stop()
+    }
+  }
 }
