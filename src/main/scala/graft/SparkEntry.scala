@@ -219,6 +219,7 @@ object SparkEntry {
     "q190_snapshot_diff"  -> ((s, d) => Relational.snapshotDiff(s, d)),
     "q191_equidepth_hist" -> ((s, d) => Relational.equiDepthHist(s, d)),
     "q192_ivf_probe_sweep" -> ((s, d) => Similarity.ivfProbeSweep(s, d)),
+    "q193_compaction_plan" -> ((s, d) => Sharding.compactionPlan(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -3947,6 +3948,28 @@ object SparkEntry {
          |  (coalesce(n_hits, 0) * 1000000 // (nq * 10))::BIGINT AS recall_q6,
          |  (n_candidates * 1000000 // (nq * (nv - 1)))::BIGINT AS cand_q6
          |FROM cn LEFT JOIN h ON cn.n_probe = h.n_probe, sc""".stripMargin,
+    // compaction plan: the per-type next-fit fold replayed per prefix
+    // with a single-BIGINT (file * 2^32 + load) state
+    "q193_compaction_plan" ->
+      """WITH p AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |             count(*)::BIGINT AS n_rows FROM events GROUP BY 1, 2),
+        |a AS (SELECT event_type,
+        |        list(day ORDER BY day) AS days,
+        |        list(n_rows ORDER BY day) AS arr
+        |      FROM p GROUP BY 1),
+        |x AS (SELECT event_type, days[i::INT] AS day, arr[i::INT] AS n_rows,
+        |        (list_reduce(list_prepend(0::BIGINT, list_slice(arr, 1, i::INT)),
+        |          (s, n) -> CASE WHEN (s % 4294967296) + n > 1000
+        |                          AND (s % 4294967296) > 0
+        |                     THEN ((s // 4294967296) + 1) * 4294967296 + n
+        |                     ELSE s + n END) // 4294967296)::BIGINT AS out_file
+        |      FROM a, unnest(range(1, len(arr) + 1)) AS t(i)),
+        |f AS (SELECT event_type, out_file, count(*)::BIGINT AS file_parts,
+        |        sum(n_rows)::BIGINT AS file_rows
+        |      FROM x GROUP BY 1, 2)
+        |SELECT x.event_type, day, n_rows, x.out_file, file_parts, file_rows
+        |FROM x JOIN f ON x.event_type = f.event_type
+        |            AND x.out_file = f.out_file""".stripMargin,
   )
 
   /** q126's oracle: the deterministic sync-LPA trajectory unrolled —

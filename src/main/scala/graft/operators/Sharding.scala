@@ -249,4 +249,58 @@ object Sharding {
       (lines.mkString("\n") + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
+
+  /** q193: small-file compaction plan — the OPTIMIZE/bin-packing
+    * primitive beside the layout audits (q147 balance, q157 zone maps,
+    * q164 z-order): the event log's (event_type, day) ingest partitions
+    * are next-fit packed IN DAY ORDER into output files of ≤ `capacity`
+    * rows. Day order (not first-fit-decreasing) is deliberate: compacted
+    * files stay time-contiguous, so the q157-style min/max day zones of
+    * the OUTPUT files remain disjoint and day-predicate pruning
+    * survives compaction — an FFD pack would shred the time locality it
+    * is supposed to preserve. An oversized single day keeps its own
+    * file (next-fit never splits a partition).
+    *
+    * Scale: the only corpus-sized work is the (type, day) count
+    * aggregate (map-side combined, ≤ |types|·|days| cells). The fold
+    * runs per type over its calendar-bounded day array — a scan-stage
+    * HOF over ≤ |days| elements, the q181 packWaste shape — and the
+    * plan it emits is metadata-sized. The DuckDB oracle replays the
+    * identical fold per prefix with a single-BIGINT (file, load) state.
+    */
+  def compactionPlan(spark: SparkSession, d: String,
+      capacity: Long = 1000L): DataFrame = {
+    import spark.implicits._
+    val parts = events(spark, d)
+      .groupBy($"event_type",
+        expr("unix_micros(ts) div 86400000000L").as("day"))
+      .agg(count(lit(1)).as("n_rows"))
+    val plan = parts.groupBy($"event_type")
+      .agg(sort_array(collect_list(struct($"day", $"n_rows"))).as("ps"))
+      .select($"event_type", explode(expr(
+        s"""aggregate(ps,
+           |  named_struct(
+           |    'out', cast(array() as array<struct<day:bigint,n_rows:bigint,out_file:bigint>>),
+           |    'f', 0L, 'load', 0L),
+           |  (acc, p) -> CASE
+           |    WHEN acc.load + p.n_rows > ${capacity}L AND acc.load > 0L
+           |    THEN named_struct(
+           |      'out', array_append(acc.out,
+           |        named_struct('day', p.day, 'n_rows', p.n_rows,
+           |                     'out_file', acc.f + 1L)),
+           |      'f', acc.f + 1L, 'load', p.n_rows)
+           |    ELSE named_struct(
+           |      'out', array_append(acc.out,
+           |        named_struct('day', p.day, 'n_rows', p.n_rows,
+           |                     'out_file', acc.f)),
+           |      'f', acc.f, 'load', acc.load + p.n_rows) END,
+           |  acc -> acc.out)""".stripMargin)).as("p"))
+      .select($"event_type", $"p.day".as("day"),
+        $"p.n_rows".as("n_rows"), $"p.out_file".as("out_file"))
+    val files = plan.groupBy($"event_type", $"out_file")
+      .agg(count(lit(1)).as("file_parts"), sum($"n_rows").as("file_rows"))
+    plan.join(files, Seq("event_type", "out_file"))
+      .select($"event_type", $"day", $"n_rows", $"out_file",
+        $"file_parts", $"file_rows")
+  }
 }

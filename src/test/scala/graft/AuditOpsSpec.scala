@@ -449,6 +449,48 @@ class AuditOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("compactionPlan: driver fold replay; capacity law; files stay time-contiguous") {
+    import spark.implicits._
+    // small capacity so the sf0.001 fixture forces multi-file packing
+    val cap = 100L
+    val parts = graft.core.Tables.events(spark, sf)
+      .groupBy($"event_type",
+        org.apache.spark.sql.functions.expr("unix_micros(ts) div 86400000000L").as("day"))
+      .agg(count(lit(1)).as("n_rows"))
+      .as[(String, Long, Long)].collect()
+    val expected = parts.groupBy(_._1).toSeq.flatMap { case (tp, ps) =>
+      val ordered = ps.sortBy(_._2)
+      var f = 0L; var load = 0L
+      val assigned = ordered.map { case (_, day, n) =>
+        if (load + n > cap && load > 0) { f += 1; load = n }
+        else load += n
+        (day, n, f)
+      }
+      val files = assigned.groupBy(_._3).view
+        .mapValues(rs => (rs.length.toLong, rs.map(_._2).sum)).toMap
+      assigned.map { case (day, n, fi) =>
+        (tp, day, n, fi, files(fi)._1, files(fi)._2) }
+    }.toSet
+    val got = graft.operators.Sharding.compactionPlan(spark, sf, cap)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(got.toSet == expected)
+    got.groupBy(r => (r._1, r._4)).foreach { case ((tp, fi), rs) =>
+      val fileRows = rs.head._6
+      // capacity respected unless the file is one oversized partition
+      assert(fileRows <= cap || rs.head._5 == 1L, s"$tp file $fi capacity")
+      // time-contiguity: the file's days are an interval within the
+      // type's day sequence (next-fit in day order guarantees it)
+      val tpDays = got.filter(_._1 == tp).map(_._2).sorted
+      val fDays = rs.map(_._2).sorted
+      val lo = tpDays.indexOf(fDays.head)
+      assert(tpDays.slice(lo, lo + fDays.length).toSeq == fDays.toSeq,
+        s"$tp file $fi contiguity")
+    }
+    // the fixture actually exercises multi-file packing
+    assert(got.map(r => (r._1, r._4)).distinct.length >
+      got.map(_._1).distinct.length)
+  }
+
   test("snapshotDiff matches a driver replay of both keyed snapshots") {
     import spark.implicits._
     val ev = graft.core.Tables.events(spark, sf)
