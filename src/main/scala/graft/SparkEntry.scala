@@ -220,6 +220,7 @@ object SparkEntry {
     "q191_equidepth_hist" -> ((s, d) => Relational.equiDepthHist(s, d)),
     "q192_ivf_probe_sweep" -> ((s, d) => Similarity.ivfProbeSweep(s, d)),
     "q193_compaction_plan" -> ((s, d) => Sharding.compactionPlan(s, d)),
+    "q194_negative_samples" -> ((s, d) => Graph.negativeSamples(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -3970,6 +3971,33 @@ object SparkEntry {
         |SELECT x.event_type, day, n_rows, x.out_file, file_parts, file_rows
         |FROM x JOIN f ON x.event_type = f.event_type
         |            AND x.out_file = f.out_file""".stripMargin,
+    // negative sampling: md5-drawn candidate ranks resolved through the
+    // dense vertex rank table, self/edge rejection, first k by draw
+    "q194_negative_samples" ->
+      s"""WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |e AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+         |      FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey
+         |                         AND a.l_partkey < b.l_partkey
+         |      GROUP BY 1, 2 HAVING count(*) >= 2),
+         |v AS (SELECT DISTINCT v FROM
+         |        (SELECT p1 AS v FROM e UNION ALL SELECT p2 FROM e)),
+         |rk AS (SELECT v, row_number() OVER (ORDER BY v)::BIGINT AS r FROM v),
+         |n AS (SELECT count(*)::BIGINT AS n FROM v),
+         |c AS (SELECT v.v, i AS draw,
+         |        (${md5Bits32Sql("'neg:' || v::VARCHAR || ':' || i::VARCHAR", 1)}
+         |          % n.n) + 1 AS cr
+         |      FROM v, unnest(range(0, 16)) AS t(i), n),
+         |cm AS (SELECT c.v, c.draw, rk.v AS neg FROM c JOIN rk ON c.cr = rk.r
+         |       WHERE rk.v <> c.v),
+         |ne AS (SELECT cm.v, cm.draw, cm.neg FROM cm
+         |       WHERE NOT EXISTS (SELECT 1 FROM e
+         |         WHERE e.p1 = least(cm.v, cm.neg)
+         |           AND e.p2 = greatest(cm.v, cm.neg))),
+         |p AS (SELECT v, draw, neg,
+         |        row_number() OVER (PARTITION BY v ORDER BY draw)::BIGINT AS rn
+         |      FROM ne)
+         |SELECT v AS part_id, neg AS neg_id, draw::BIGINT AS draw, rn
+         |FROM p WHERE rn <= 5""".stripMargin,
   )
 
   /** q126's oracle: the deterministic sync-LPA trajectory unrolled —

@@ -518,6 +518,56 @@ object Graph {
     walk.select($"start".as("start_id") +: (1 to steps).map(i => col(s"v$i")): _*)
   }
 
+  /** q194: deterministic NEGATIVE sampling over the co-purchase graph —
+    * the other half of the training table q118/q144/q145 prepare: a
+    * link-prediction or embedding trainer needs k non-edges per vertex
+    * to contrast against the positive edges, drawn reproducibly (the
+    * hash-not-rand discipline — membership survives re-materialization).
+    *
+    * Construction, mirrored exactly by the oracle: vertices get a dense
+    * 1-based rank under the id order (the two-phase `Ranks.globalRank` —
+    * no single-partition sort); each vertex draws `m` candidate RANKS
+    * as md5("neg:v:i") mod |V| (an alias-table pick — uniform over the
+    * vertex set); candidates resolve rank→id through the rank table,
+    * then self-hits and actual edges are rejected (one anti-join against
+    * the canonical p1<p2 edge list) and the first `k` survivors by draw
+    * index are kept. A vertex can yield < k rows if many draws hit its
+    * neighborhood — the trainer's standard oversample-and-reject
+    * contract (m = 16 draws for k = 5 keeps that probability negligible
+    * away from near-clique vertices).
+    *
+    * Scale: |V| comes from one aggregate broadcast (no driver collect);
+    * the rank resolve and the edge rejection are hash equi-joins; the
+    * first-k window partitions on the VERTEX — a high-cardinality key
+    * with ≤ m rows per group, the bounded-window shape (q128), not a
+    * hot-group sort.
+    */
+  def negativeSamples(spark: SparkSession, d: String,
+      k: Int = 5, m: Int = 16): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Hashing.md5Bits32
+    val edges = copurchaseEdges(spark, d).select($"p1", $"p2")
+    val verts = edges.select($"p1".as("v"))
+      .union(edges.select($"p2".as("v"))).distinct()
+    val ranked = Ranks.globalRank(verts, "r", $"v".asc)
+    val nDf = verts.agg(count(lit(1)).as("n"))
+    val cands = verts
+      .select($"v", explode(sequence(lit(0L), lit((m - 1).toLong))).as("draw"))
+      .crossJoin(broadcast(nDf))
+      .withColumn("cr", pmod(md5Bits32(concat(lit("neg:"), $"v".cast("string"),
+        lit(":"), $"draw".cast("string")), 1), $"n") + 1L)
+      .join(ranked.select($"r".as("cr"), $"v".as("neg_id")), "cr")
+      .filter($"neg_id" =!= $"v")
+    val nonEdges = cands.join(edges,
+        least($"v", $"neg_id") === $"p1" && greatest($"v", $"neg_id") === $"p2",
+        "left_anti")
+    nonEdges
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"v").orderBy($"draw")).cast("long"))
+      .filter($"rn" <= k)
+      .select($"v".as("part_id"), $"neg_id", $"draw", $"rn")
+  }
+
   /** q126: community detection by synchronous label propagation
     * (Raghavan et al. 2007) on the co-purchase graph, a fixed `rounds`
     * sweeps. Every vertex starts as its own label; each sweep it adopts

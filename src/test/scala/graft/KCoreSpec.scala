@@ -227,4 +227,37 @@ class KCoreSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("negativeSamples: true non-edges, hash-rule replay, first-k by draw, deterministic") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val edges = graft.operators.Graph.copurchasePairs(spark, sf)
+      .select($"p1", $"p2").as[(Long, Long)].collect().toSet
+    val verts = edges.flatMap(e => Seq(e._1, e._2))
+    val rankOf = verts.toSeq.sorted.zipWithIndex
+      .map { case (v, i) => (i + 1).toLong -> v }.toMap
+    val n = verts.size.toLong
+    val got = graft.operators.Graph.negativeSamples(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (v, neg, draw, _) =>
+      assert(v != neg, s"self sample at $v")
+      assert(verts(neg), s"$neg not a graph vertex")
+      val canon = (math.min(v, neg), math.max(v, neg))
+      assert(!edges(canon), s"sampled pair $canon is an actual edge")
+      // the draw resolves through the md5 alias pick, replayed here
+      val cr = graft.functions.Hashing.md5BucketJvm(s"neg:$v:$draw", n) + 1L
+      assert(rankOf(cr) == neg, s"draw $draw of $v hash-rule mismatch")
+    }
+    got.groupBy(_._1).foreach { case (v, rs) =>
+      assert(rs.length <= 5, s"vertex $v over k")
+      // rn is dense in draw order
+      assert(rs.sortBy(_._3).map(_._4).toSeq == (1L to rs.length.toLong),
+        s"vertex $v rn density")
+    }
+    // hash-determinism: a second evaluation is row-identical
+    val again = graft.operators.Graph.negativeSamples(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(again.toSet == got.toSet)
+  }
 }
