@@ -221,6 +221,7 @@ object SparkEntry {
     "q192_ivf_probe_sweep" -> ((s, d) => Similarity.ivfProbeSweep(s, d)),
     "q193_compaction_plan" -> ((s, d) => Sharding.compactionPlan(s, d)),
     "q194_negative_samples" -> ((s, d) => Graph.negativeSamples(s, d)),
+    "q195_epoch_plan"     -> ((s, d) => Sampling.epochPlan(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -3998,6 +3999,25 @@ object SparkEntry {
          |      FROM ne)
          |SELECT v AS part_id, neg AS neg_id, draw::BIGINT AS draw, rn
          |FROM p WHERE rn <= 5""".stripMargin,
+    // epoch plan: q101's sqrt-temperature weights over q176's
+    // dedup-adjusted token mass; epochs = weight*budget / effective
+    "q195_epoch_plan" ->
+      s"""WITH eff AS (SELECT source, effective_tokens
+         |             FROM (${effectiveTokensSql(5)})),
+         |t AS (SELECT sum(effective_tokens)::BIGINT AS tot FROM eff),
+         |w AS (SELECT source, effective_tokens,
+         |        round(sqrt(effective_tokens::DOUBLE / tot::DOUBLE)
+         |          * 1000000000000.0)::BIGINT AS wq
+         |      FROM eff, t),
+         |s AS (SELECT sum(wq)::BIGINT AS sw FROM w)
+         |SELECT source, effective_tokens,
+         |  wq::DOUBLE / sw::DOUBLE AS weight,
+         |  (wq::DOUBLE / sw::DOUBLE) * 1000000.0 AS target_tokens,
+         |  ((wq::DOUBLE / sw::DOUBLE) * 1000000.0)
+         |    / effective_tokens::DOUBLE AS epochs,
+         |  (((wq::DOUBLE / sw::DOUBLE) * 1000000.0)
+         |    / effective_tokens::DOUBLE > 4.0) AS over_repeated
+         |FROM w, s""".stripMargin,
   )
 
   /** q126's oracle: the deterministic sync-LPA trajectory unrolled —

@@ -530,6 +530,42 @@ object Sampling {
         greatest($"w".cast("double"), coalesce($"tau", lit(0.0))).as("est_w"))
   }
 
+  /** q195: per-source EPOCH plan — the "data table" a training run
+    * publishes (how many passes over each source at a fixed token
+    * budget): target shares from the q101 temperature rule (T = 0.5,
+    * √-law, 1e12-quantized normalizer — the cross-engine-exact form)
+    * computed over the q176 EFFECTIVE token mass (dedup-adjusted —
+    * planning epochs on raw tokens double-counts every near-dup
+    * cluster), then epochs_s = target_tokens_s / effective_tokens_s
+    * with an over-repetition flag at `maxEpochs` (the small-source
+    * warning a mixture reviewer acts on before training).
+    *
+    * Scale: composes two memo-shared bounded lineages (the survivorship
+    * labels behind q176; the |sources|-row aggregate) — everything
+    * after the q176 aggregate is arithmetic on |sources| rows with
+    * 1-row broadcast totals.
+    */
+  def epochPlan(spark: SparkSession, d: String,
+      budgetTokens: Long = 1000000L, maxEpochs: Double = 4.0): DataFrame = {
+    import spark.implicits._
+    val eff = Dedup.effectiveTokens(spark, d)
+      .select($"source", $"effective_tokens")
+    val tot = eff.agg(sum($"effective_tokens").as("tot"))
+    val w = eff.crossJoin(broadcast(tot))
+      .withColumn("wq",
+        round(sqrt($"effective_tokens".cast("double") / $"tot".cast("double"))
+          * lit(1000000000000.0)).cast("long"))
+    val sw = w.agg(sum($"wq").as("sw"))
+    val weight = $"wq".cast("double") / $"sw".cast("double")
+    val target = weight * lit(budgetTokens.toDouble)
+    val epochs = target / $"effective_tokens".cast("double")
+    w.crossJoin(broadcast(sw))
+      .select($"source", $"effective_tokens",
+        weight.as("weight"), target.as("target_tokens"),
+        epochs.as("epochs"),
+        (epochs > lit(maxEpochs)).as("over_repeated"))
+  }
+
   /** q156: curriculum ordering — the final materialization step between
     * q138's quality filter and the trainer's data loader: a GLOBAL,
     * deterministic training order that presents higher-quality deciles

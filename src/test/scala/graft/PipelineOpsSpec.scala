@@ -1295,6 +1295,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(prof.find(_._1 == "event_id").get._4 == nRows, "event_id is unique")
   }
 
+  test("epochPlan: weights normalize, targets fill the budget, epoch identity holds") {
+    import spark.implicits._
+    val rows = Sampling.epochPlan(spark, sf)
+      .as[(String, Long, Double, Double, Double, Boolean)].collect()
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-9, "weights sum to 1")
+    assert(math.abs(rows.map(_._4).sum - 1000000.0) < 1e-3,
+      "targets fill the token budget")
+    rows.foreach { case (src, eff, w, target, epochs, over) =>
+      assert(eff > 0, s"$src effective mass")
+      assert(target == w * 1000000.0, s"$src target identity")
+      assert(epochs == target / eff.toDouble, s"$src epoch identity")
+      assert(over == (epochs > 4.0), s"$src over-repetition flag")
+    }
+    // sqrt temperature upsamples small sources: the smallest source's
+    // weight share exceeds its effective-token share
+    val tot = rows.map(_._2).sum.toDouble
+    val smallest = rows.minBy(_._2)
+    assert(smallest._3 > smallest._2 / tot, "sqrt law flattens the mixture")
+  }
+
   test("groupPrioritySample: per-source top-k with per-source tau matches a driver replay") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sf/documents.parquet")
