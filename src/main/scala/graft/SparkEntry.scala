@@ -222,6 +222,7 @@ object SparkEntry {
     "q193_compaction_plan" -> ((s, d) => Sharding.compactionPlan(s, d)),
     "q194_negative_samples" -> ((s, d) => Graph.negativeSamples(s, d)),
     "q195_epoch_plan"     -> ((s, d) => Sampling.epochPlan(s, d)),
+    "q196_hll_overlap"    -> ((s, d) => Relational.hllOverlap(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -4018,6 +4019,59 @@ object SparkEntry {
          |  (((wq::DOUBLE / sw::DOUBLE) * 1000000.0)
          |    / effective_tokens::DOUBLE > 4.0) AS over_repeated
          |FROM w, s""".stripMargin,
+    // HLL set algebra: per-pair union registers (bucket max), the q127
+    // estimator on both, inclusion-exclusion intersection, exact audit
+    "q196_hll_overlap" -> {
+      val lc = sqlLongList(graft.operators.Relational.HllLcTable)
+      val estChain = "floor(0.7213 / (1.0 + 1.079 / 256.0) " +
+        "* 65536.0 / ((256 - nz)::DOUBLE + snz))::BIGINT"
+      s"""WITH h AS (SELECT event_type,
+         |  ${md5Bits32Sql("'hll:' || user_id::VARCHAR", 1)} AS h
+         |  FROM events),
+         |r AS (SELECT event_type, h & 255 AS b,
+         |  CASE WHEN (h >> 8) = 0 THEN 25
+         |       ELSE 25 - length(bin(h >> 8)) END AS rank FROM h),
+         |m AS (SELECT event_type, b, max(rank) AS m_j FROM r GROUP BY 1, 2),
+         |tp AS (SELECT DISTINCT event_type FROM events),
+         |prs AS (SELECT a.event_type AS ta, b.event_type AS tb
+         |        FROM tp a JOIN tp b ON a.event_type < b.event_type),
+         |um AS (SELECT ta, tb, b, max(m_j) AS m_j
+         |       FROM prs JOIN m ON m.event_type = ta OR m.event_type = tb
+         |       GROUP BY 1, 2, 3),
+         |us AS (SELECT ta, tb, count(*) AS nz, sum(power(2.0, -m_j)) AS snz
+         |       FROM um GROUP BY 1, 2),
+         |uu AS (SELECT ta, tb, (256 - nz)::BIGINT AS vz, $estChain AS raw
+         |       FROM us),
+         |ue AS (SELECT ta, tb, CASE WHEN vz > 0 AND raw <= 640
+         |         THEN $lc[vz + 1]::BIGINT ELSE raw END AS est_union FROM uu),
+         |s1 AS (SELECT event_type, count(*) AS nz, sum(power(2.0, -m_j)) AS snz
+         |       FROM m GROUP BY 1),
+         |u1 AS (SELECT event_type, (256 - nz)::BIGINT AS vz, $estChain AS raw
+         |       FROM s1),
+         |e1 AS (SELECT event_type, CASE WHEN vz > 0 AND raw <= 640
+         |         THEN $lc[vz + 1]::BIGINT ELSE raw END AS est FROM u1),
+         |du AS (SELECT DISTINCT event_type, user_id FROM events),
+         |xi AS (SELECT a.event_type AS ta, b.event_type AS tb,
+         |         count(*)::BIGINT AS exact_inter
+         |       FROM du a JOIN du b ON a.user_id = b.user_id
+         |                          AND a.event_type < b.event_type
+         |       GROUP BY 1, 2),
+         |xn AS (SELECT event_type, count(*)::BIGINT AS nx FROM du GROUP BY 1)
+         |SELECT ue.ta AS type_a, ue.tb AS type_b,
+         |  coalesce(xi.exact_inter, 0)::BIGINT AS exact_inter,
+         |  (xa.nx + xb.nx - coalesce(xi.exact_inter, 0))::BIGINT AS exact_union,
+         |  ea.est AS est_a, eb.est AS est_b, ue.est_union,
+         |  greatest(0, ea.est + eb.est - ue.est_union)::BIGINT AS est_inter,
+         |  (CASE WHEN ue.est_union > 0
+         |    THEN greatest(0, ea.est + eb.est - ue.est_union) * 1000000
+         |           // ue.est_union
+         |    ELSE 0 END)::BIGINT AS jaccard_q6
+         |FROM ue JOIN e1 ea ON ue.ta = ea.event_type
+         |        JOIN e1 eb ON ue.tb = eb.event_type
+         |        JOIN xn xa ON ue.ta = xa.event_type
+         |        JOIN xn xb ON ue.tb = xb.event_type
+         |        LEFT JOIN xi ON ue.ta = xi.ta AND ue.tb = xi.tb""".stripMargin
+    },
   )
 
   /** q126's oracle: the deterministic sync-LPA trajectory unrolled —

@@ -375,6 +375,86 @@ object Relational {
           .otherwise(raw).as("hll_est"))
   }
 
+  /** q196: HLL SET ALGEBRA — audience overlap between event types from
+    * the q127 sketches alone: union = per-bucket register MAX (the one
+    * operation HLL merges exactly — same algebra as q172's reach
+    * curve), intersection by inclusion–exclusion over the integer
+    * estimates (est_a + est_b − est_union, clamped at 0 — the standard
+    * HLL intersection, with its known error blow-up for small overlaps;
+    * that is exactly what the exact columns beside it audit). Answers
+    * "how much do these audiences overlap" without ever joining the
+    * raw user sets — the sketch question a 100 TB log can afford to ask
+    * for every pair.
+    *
+    * Scale: registers are |types|·256 rows (mergeable, from one
+    * scan-stage aggregate); all pair math happens on that table and the
+    * |pairs|-row grid. The exact audit columns do one distinct-user
+    * self-join — the declared exact rung beside the sketch (drop them
+    * at deployment scale; the estimator is the product).
+    */
+  def hllOverlap(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val h = graft.functions.Hashing
+      .md5Bits32(concat(lit("hll:"), $"user_id".cast("string")), 1)
+    val regs = events(spark, d)
+      .select($"event_type", h.as("h"))
+      .select($"event_type", $"h".bitwiseAND(lit(255L)).as("b"),
+        shiftright($"h", 8).as("w"))
+      .select($"event_type", $"b",
+        when($"w" === 0L, lit(25L))
+          .otherwise(lit(25L) - length(bin($"w")).cast("long")).as("rank"))
+      .groupBy($"event_type", $"b").agg(max($"rank").as("m_j"))
+    def estimate(sk: DataFrame, keys: Seq[String]): DataFrame = {
+      val kc = keys.map(col)
+      val grouped = sk.groupBy(kc: _*)
+        .agg(count(lit(1)).as("nz"), sum(pow(lit(2.0), -$"m_j")).as("snz"))
+        .select(kc :+ (lit(256L) - $"nz").as("vz") :+
+          ((lit(256L) - $"nz").cast("double") + $"snz").as("s"): _*)
+      val raw = floor(lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
+        * lit(65536.0) / $"s").cast("long")
+      grouped.select(kc :+
+        when($"vz" > 0L && raw <= lit(640L),
+          element_at(typedLit(HllLcTable), ($"vz" + 1L).cast("int")))
+          .otherwise(raw).as("est"): _*)
+    }
+    val types = regs.select($"event_type").distinct()
+    val pairs = types.select($"event_type".as("type_a"))
+      .join(types.select($"event_type".as("type_b")), $"type_a" < $"type_b")
+    val unionRegs = pairs
+      .join(regs.withColumnRenamed("event_type", "type_a"), Seq("type_a"))
+      .union(pairs
+        .join(regs.withColumnRenamed("event_type", "type_b"), Seq("type_b"))
+        .select($"type_a", $"type_b", $"b", $"m_j"))
+      .groupBy($"type_a", $"type_b", $"b").agg(max($"m_j").as("m_j"))
+    val estU = estimate(unionRegs, Seq("type_a", "type_b"))
+      .withColumnRenamed("est", "est_union")
+    val est1 = estimate(regs, Seq("event_type"))
+    val du = events(spark, d).select($"event_type", $"user_id").distinct()
+    val exactInter = du.as("a").join(du.as("b"),
+        $"a.user_id" === $"b.user_id" && $"a.event_type" < $"b.event_type")
+      .groupBy($"a.event_type".as("type_a"), $"b.event_type".as("type_b"))
+      .agg(count(lit(1)).as("exact_inter"))
+    val exactN = du.groupBy($"event_type").agg(count(lit(1)).as("nx"))
+    estU
+      .join(broadcast(est1.select($"event_type".as("type_a"), $"est".as("est_a"))),
+        Seq("type_a"))
+      .join(broadcast(est1.select($"event_type".as("type_b"), $"est".as("est_b"))),
+        Seq("type_b"))
+      .join(broadcast(exactN.select($"event_type".as("type_a"), $"nx".as("nx_a"))),
+        Seq("type_a"))
+      .join(broadcast(exactN.select($"event_type".as("type_b"), $"nx".as("nx_b"))),
+        Seq("type_b"))
+      .join(exactInter, Seq("type_a", "type_b"), "left")
+      .select($"type_a", $"type_b",
+        coalesce($"exact_inter", lit(0L)).as("exact_inter"),
+        ($"nx_a" + $"nx_b" - coalesce($"exact_inter", lit(0L))).as("exact_union"),
+        $"est_a", $"est_b", $"est_union",
+        greatest(lit(0L), $"est_a" + $"est_b" - $"est_union").as("est_inter"),
+        expr("CASE WHEN est_union > 0 THEN " +
+          "greatest(0L, est_a + est_b - est_union) * 1000000L div est_union " +
+          "ELSE 0L END").as("jaccard_q6"))
+  }
+
   /** q129: equi-width histogram quantile estimates — the deterministic,
     * fully oracle-checkable rung of the quantile family: q38 is exact
     * percentiles (global sort semantics), q44 checks the built-in KLL

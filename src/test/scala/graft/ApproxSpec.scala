@@ -108,4 +108,25 @@ class ApproxSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("hllOverlap: union dominates, estimates track exact sets, identities hold") {
+    import spark.implicits._
+    val rows = graft.operators.Relational.hllOverlap(spark, sf)
+      .as[(String, String, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, xi, xu, ea, eb, eu, ei, jq) =>
+      assert(a < b)
+      // register-max union dominates each side and never exceeds the sum
+      assert(eu >= math.max(ea, eb), s"($a,$b) union lower bound")
+      assert(eu <= ea + eb, s"($a,$b) union upper bound")
+      // inclusion-exclusion + quantized-jaccard identities
+      assert(ei == math.max(0L, ea + eb - eu), s"($a,$b) inter identity")
+      assert(jq == (if (eu > 0) ei * 1000000L / eu else 0L), s"($a,$b) jaccard")
+      // exact audit columns are internally consistent
+      assert(xu >= xi && xi >= 0, s"($a,$b) exact sanity")
+      // m=256 HLL rsd is ~6.5%; 4 sigma on the union estimate
+      assert(math.abs(eu - xu).toDouble <= 0.26 * xu,
+        s"($a,$b) union estimate off: est $eu vs exact $xu")
+    }
+  }
 }
