@@ -223,6 +223,7 @@ object SparkEntry {
     "q194_negative_samples" -> ((s, d) => Graph.negativeSamples(s, d)),
     "q195_epoch_plan"     -> ((s, d) => Sampling.epochPlan(s, d)),
     "q196_hll_overlap"    -> ((s, d) => Relational.hllOverlap(s, d)),
+    "q197_split_drift"    -> ((s, d) => Sampling.splitDriftAudit(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -4072,6 +4073,36 @@ object SparkEntry {
          |        JOIN xn xb ON ue.tb = xb.event_type
          |        LEFT JOIN xi ON ue.ta = xi.ta AND ue.tb = xi.tb""".stripMargin
     },
+    // split drift: exact per-split length stats with middle-rank picks,
+    // 1e6-quantized drift vs the train slice (both engines truncate
+    // integer division toward zero, so negative drift matches)
+    "q197_split_drift" ->
+      s"""WITH sp AS (SELECT doc_id, n_chars,
+         |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'validation'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT doc_id, n_chars,
+         |    ${md5Bits32Sql("'split:' || doc_id::VARCHAR", 1)} % 100 AS b
+         |    FROM documents)),
+         |c AS (SELECT split, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS tot
+         |      FROM sp GROUP BY 1),
+         |r AS (SELECT split, n_chars,
+         |        row_number() OVER (PARTITION BY split
+         |          ORDER BY n_chars, doc_id) AS rn FROM sp),
+         |p AS (SELECT r.split,
+         |        max(CASE WHEN rn = (50 * n + 99) // 100 THEN n_chars END)::BIGINT
+         |          AS p50_chars,
+         |        max(CASE WHEN rn = (90 * n + 99) // 100 THEN n_chars END)::BIGINT
+         |          AS p90_chars
+         |      FROM r JOIN c ON r.split = c.split GROUP BY 1),
+         |s AS (SELECT c.split, n AS n_docs, tot::DOUBLE / n::DOUBLE AS mean_chars,
+         |        p50_chars, p90_chars
+         |      FROM c JOIN p ON c.split = p.split),
+         |t AS (SELECT p50_chars AS t_p50, p90_chars AS t_p90 FROM s
+         |      WHERE split = 'train')
+         |SELECT split, n_docs, mean_chars, p50_chars, p90_chars,
+         |  ((p50_chars - t_p50) * 1000000 // t_p50)::BIGINT AS p50_drift_q6,
+         |  ((p90_chars - t_p90) * 1000000 // t_p90)::BIGINT AS p90_drift_q6
+         |FROM s, t""".stripMargin,
   )
 
   /** q126's oracle: the deterministic sync-LPA trajectory unrolled —

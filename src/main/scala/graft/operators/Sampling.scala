@@ -530,6 +530,50 @@ object Sampling {
         greatest($"w".cast("double"), coalesce($"tau", lit(0.0))).as("est_w"))
   }
 
+  /** q197: split DRIFT audit — the gate a pipeline runs right after
+    * carving q52's train/validation/test split: do the three slices
+    * actually look like the same corpus? Per split: doc count, exact
+    * mean/p50/p90 document length, and each statistic's 1e6-quantized
+    * drift against the TRAIN slice. A hash split should show near-zero
+    * drift BY CONSTRUCTION — a large drift means the split key leaked
+    * correlated structure (ids assigned by source, time-ordered ids) and
+    * every eval number downstream is suspect. The same machinery audits
+    * any other split column (q132's cluster-safe split, a time split).
+    *
+    * Scale: percentile picks ride `Ranks.groupRowNumber` under the
+    * total (n_chars, doc_id) order — a split IS a giant group (80 % of
+    * the corpus in one key), exactly the hot-group shape the machinery
+    * exists for; never a per-split sort partition. Everything after is
+    * arithmetic on 3 rows.
+    */
+  def splitDriftAudit(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val base = hashSplit(spark, d)
+      .join(documents(spark, d).select($"doc_id", $"n_chars"), "doc_id")
+      .select($"split", $"doc_id", $"n_chars")
+    val counts = base.groupBy($"split")
+      .agg(count(lit(1)).as("n"), sum($"n_chars").as("tot"))
+    val rk = Ranks.groupRowNumber(base, "rn",
+      Seq($"split"), Seq($"n_chars", $"doc_id"))
+    val picks = rk.join(broadcast(counts), "split")
+      .select($"split",
+        when($"rn" === expr("(50 * n + 99) div 100"), $"n_chars").as("c50"),
+        when($"rn" === expr("(90 * n + 99) div 100"), $"n_chars").as("c90"))
+      .groupBy($"split")
+      .agg(max($"c50").as("p50_chars"), max($"c90").as("p90_chars"))
+    val stats = counts.join(picks, "split")
+      .select($"split", $"n".as("n_docs"),
+        ($"tot".cast("double") / $"n".cast("double")).as("mean_chars"),
+        $"p50_chars", $"p90_chars")
+    val train = stats.filter($"split" === "train")
+      .select($"n_docs".as("t_n"), $"p50_chars".as("t_p50"),
+        $"p90_chars".as("t_p90"))
+    stats.crossJoin(broadcast(train))
+      .select($"split", $"n_docs", $"mean_chars", $"p50_chars", $"p90_chars",
+        expr("(p50_chars - t_p50) * 1000000L div t_p50").as("p50_drift_q6"),
+        expr("(p90_chars - t_p90) * 1000000L div t_p90").as("p90_drift_q6"))
+  }
+
   /** q195: per-source EPOCH plan — the "data table" a training run
     * publishes (how many passes over each source at a fixed token
     * budget): target shares from the q101 temperature rule (T = 0.5,

@@ -1295,6 +1295,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(prof.find(_._1 == "event_id").get._4 == nRows, "event_id is unique")
   }
 
+  test("splitDriftAudit: driver replay; train drift is zero; hash split drifts small") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"n_chars").as[(Long, Long)].collect()
+    val bySplit = docs.groupBy { case (id, _) =>
+      val b = graft.functions.Hashing.md5BucketJvm(s"split:$id", 100L)
+      if (b < 80) "train" else if (b < 90) "validation" else "test"
+    }
+    val expected = bySplit.map { case (sp, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._1)).map(_._2)
+      val n = sorted.length
+      def pick(p: Int) = sorted((p * n + 99) / 100 - 1)
+      sp -> ((n.toLong, rows.map(_._2).sum.toDouble / n, pick(50), pick(90)))
+    }
+    val got = Sampling.splitDriftAudit(spark, sf)
+      .as[(String, Long, Double, Long, Long, Long, Long)].collect()
+    assert(got.length == 3)
+    val t = expected("train")
+    got.foreach { case (sp, n, mean, p50, p90, d50, d90) =>
+      val e = expected(sp)
+      assert((n, mean, p50, p90) == e, s"$sp stats")
+      assert(d50 == (p50 - t._3) * 1000000L / t._3, s"$sp p50 drift identity")
+      assert(d90 == (p90 - t._4) * 1000000L / t._4, s"$sp p90 drift identity")
+      if (sp == "train") assert(d50 == 0L && d90 == 0L)
+      // a hash split is drift-free by construction up to sampling noise
+      assert(math.abs(d50) < 200000 && math.abs(d90) < 200000, s"$sp drift size")
+    }
+  }
+
   test("epochPlan: weights normalize, targets fill the budget, epoch identity holds") {
     import spark.implicits._
     val rows = Sampling.epochPlan(spark, sf)
