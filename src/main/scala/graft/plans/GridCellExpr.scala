@@ -66,8 +66,9 @@ object GridCell {
   * GraftExtensions` makes the native function FAMILY available to
   * `spark.sql` in every session without touching application code:
   * grid_cell, clean_tokens, md5_bits32, word_shingles, simhash,
-  * minhash_sigs, quantized_dot. Integer parameters (hex offset, shingle
-  * width, signature length) must be LITERALS — they parameterize the
+  * minhash_sigs, quantized_dot, hyperplane_sigs, cells_on_way_exact.
+  * Integer parameters (hex offset, shingle width, signature length,
+  * table/plane counts) must be LITERALS — they parameterize the
   * generated code. SqlSurfaceSpec exercises each through SQL against
   * its Column-API twin.
   */
@@ -111,7 +112,13 @@ object GraftFunctions {
     one("minhash_sigs", classOf[MinHashSigExpr],
       exprs => MinHashSigExpr(exprs(0), litInt(exprs(1), "minhash_sigs k"))),
     one("quantized_dot", classOf[QuantizedDotExpr],
-      exprs => QuantizedDotExpr(exprs(0), exprs(1))))
+      exprs => QuantizedDotExpr(exprs(0), exprs(1))),
+    one("hyperplane_sigs", classOf[HyperplaneSigsExpr],
+      exprs => HyperplaneSigsExpr(exprs(0),
+        litInt(exprs(1), "hyperplane_sigs nTables"),
+        litInt(exprs(2), "hyperplane_sigs nPlanes"))),
+    one("cells_on_way_exact", classOf[SlopeWalkExpr],
+      exprs => SlopeWalkExpr(exprs(0), exprs(1), exprs(2), exprs(3))))
 
   /** Register the family into an already-running session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

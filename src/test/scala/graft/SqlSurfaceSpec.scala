@@ -61,5 +61,24 @@ class SqlSurfaceSpec extends AnyFunSuite {
         .collect())
     assert(err.getMessage.contains("integer literal")
         || err.getMessage.contains("md5_bits32"))
+    // the similarity/geo natives: SQL call vs the Column-API twin
+    val sigSql = spark.sql(
+      """SELECT vec_id, hyperplane_sigs(
+        |  transform(embedding, x -> cast(round(x * 10000000) AS bigint)),
+        |  4, 8) AS sg
+        |FROM embeddings ORDER BY vec_id LIMIT 20""".stripMargin).collect()
+    val sigApi = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", graft.plans.HyperplaneSigs.hyperplaneSigs(
+        graft.functions.VectorFunctions.quantize($"embedding"), 4, 8).as("sg"))
+      .orderBy($"vec_id").limit(20).collect()
+    sigSql.zip(sigApi).foreach { case (a, b) => assert(a == b) }
+    val walk = spark.sql(
+      "SELECT cells_on_way_exact(10, 10, 13, 12) AS cs").collect()(0)
+      .getSeq[Int](0)
+    import org.apache.spark.sql.functions.lit
+    val walkApi = spark.range(1).select(graft.plans.SlopeWalkCells
+        .cellsOnWayExact(lit(10), lit(10), lit(13), lit(12)).as("cs"))
+      .collect()(0).getSeq[Int](0)
+    assert(walk == walkApi && walk.nonEmpty)
   }
 }
