@@ -108,4 +108,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"phash pair join must stay a hash equi-join on the band key:\n$p")
   }
+
+  test("q192 probe-sweep ranks ride ONE two-phase machine; candidates hash-join on list id") {
+    val p = plan(graft.operators.Similarity.ivfProbeSweep(spark, sf))
+    assert(p.contains("ExistingRDD") && p.contains("__pid"),
+      s"all (budget, query) ranks must come from the checkpointed range machine:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian anywhere in the sweep:\n$p")
+  }
+
+  test("q194 negative sampling: equi-joins only, the sole nested loop is the 1-row |V| broadcast") {
+    val p = plan(graft.operators.Graph.negativeSamples(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    val bnlj = p.sliding("BroadcastNestedLoopJoin".length + 200)
+      .count(_.startsWith("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, s"only the scalar |V| broadcast may nest:\n$p")
+  }
 }
