@@ -76,21 +76,20 @@ object Ranks {
     * re-join after the class aggregate keys on their names); compute
     * derived keys into named columns first. NULL group/value keys are
     * re-joined with null-safe equality (`<=>`), matching the
-    * nulls-first window-rank semantics this replaces. `ties` is kept
-    * for signature stability but IGNORED: tiebreak columns never
-    * affected the output (the rank is a class-level min), only the
-    * internal row order of the old row-level construction, which no
-    * longer exists.
+    * nulls-first window-rank semantics this replaces. There is no
+    * tiebreak parameter: rank() is a class-level min, so tiebreak
+    * columns cannot affect the output — callers needing a per-row
+    * total order want `groupRowNumber`.
     */
   def groupRank(df: DataFrame, rankCol: String, groups: Seq[Column],
-      values: Seq[Column], ties: Seq[Column] = Seq()): DataFrame =
+      values: Seq[Column]): DataFrame =
     groupRankImpl(df, rankCol, groups, values, prePinned = false)
 
   /** `groupRank` over a base already materialized via `pinBase` (or a
     * prior rank's checkpointed output) — skips the per-call pin.
     */
   def groupRankPinned(df: DataFrame, rankCol: String, groups: Seq[Column],
-      values: Seq[Column], ties: Seq[Column] = Seq()): DataFrame =
+      values: Seq[Column]): DataFrame =
     groupRankImpl(df, rankCol, groups, values, prePinned = true)
 
   private def groupRankImpl(df: DataFrame, rankCol: String,
@@ -130,8 +129,10 @@ object Ranks {
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
     input.unpersist()
-    val sizes = parted.groupBy(col("__pid")).agg(sum(col("__cnt")).as("n"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val sizes = graft.core.Bounded.collect(
+        parted.groupBy(col("__pid")).agg(sum(col("__cnt")).as("n")),
+        parts.toLong, "prefixSum partition offsets (|partitions| rows)")
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val offsets: Map[Int, Long] = sizes.map(_._1)
       .zip(sizes.scanLeft(0L)(_ + _._2)).toMap
     val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
@@ -295,8 +296,10 @@ object Ranks {
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
     if (!prePinned) input.unpersist()
-    val sizes = parted.groupBy(col("__pid")).agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val sizes = graft.core.Bounded.collect(
+        parted.groupBy(col("__pid")).agg(count(lit(1)).as("n")),
+        parts.toLong, "groupRowNumber partition offsets (|partitions| rows)")
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val offsets: Map[Int, Long] = sizes.map(_._1)
       .zip(sizes.scanLeft(0L)(_ + _._2)).toMap
     parted
@@ -304,5 +307,41 @@ object Ranks {
         Window.partitionBy(col("__pid")).orderBy(order: _*)).cast("long")
         + element_at(typedLit(offsets), col("__pid")))
       .drop("__pid")
+  }
+
+  /** Per-group top-k as ONE aggregate operator — no window, no salt, no
+    * row_number anywhere (round-11 verdict, next-round item 5): the
+    * native `plans.TopKRowsAgg` aggregate keeps a k-heap per group per
+    * partition (map-side partial aggregation — the hot group folds in
+    * parallel everywhere it lives), heaps MERGE in the one group
+    * shuffle (≤ |partitions|·k rows per group cross the wire), and
+    * `posexplode` of the ascending-sorted emission turns the retained
+    * set into (row, rank) output. This is the native grouped
+    * `TakeOrderedAndProject` the salted two-window form approximated:
+    * one operator, O(n log k) fold, never a sort of the raw rows.
+    *
+    * `sortStruct` must be a struct whose ASCENDING lexicographic order
+    * is the desired rank order (negate descending numeric keys) and
+    * must embed a unique tiebreak so the retained set and the emission
+    * order are deterministic; payload columns ride as extra trailing
+    * struct fields (they participate in ordering only after the
+    * tiebreak, i.e. never). Output: the group columns, then the struct
+    * fields, then `rankCol` (1-based int, rank 1 = first in ascending
+    * struct order).
+    */
+  def groupTopK(df: DataFrame, k: Int, rankCol: String,
+      groups: Seq[Column], sortStruct: Column): DataFrame = {
+    val agg = df.groupBy(groups: _*)
+      .agg(graft.plans.TopKRowsAgg.topKRows(sortStruct, k).as("__tk"))
+    val groupNames = agg.columns.dropRight(1).toSeq
+    val structFields = df.select(sortStruct.as("__s")).schema
+      .fields(0).dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq
+    agg
+      .select(groupNames.map(col) :+
+        posexplode(col("__tk")).as(Seq("__p", "__s")): _*)
+      .select(groupNames.map(col) ++
+        structFields.map(f => col(s"__s.$f").as(f)) :+
+        (col("__p") + 1).cast("int").as(rankCol): _*)
   }
 }

@@ -29,7 +29,7 @@ object Similarity {
   /** (vec_id, embedding, qemb = quantized longs, n2 = exact squared norm),
     * cached: every similarity operator joins against this twice.
     */
-  private[operators] def corpusWithNorm(spark: SparkSession, d: String): DataFrame =
+  private[graft] def corpusWithNorm(spark: SparkSession, d: String): DataFrame =
     graft.core.Memo(spark, cache = true, "corpusWithNorm", d) {
       import spark.implicits._
       embeddings(spark, d)
@@ -464,7 +464,7 @@ object Similarity {
         expr("n_candidates * 1000000L div (nq * (nv - 1))").as("cand_q6"))
   }
 
-  private[operators] def lloydCentroids(spark: SparkSession, d: String,
+  private[graft] def lloydCentroids(spark: SparkSession, d: String,
       k: Int, updates: Int): Array[(Long, Seq[Long])] = {
     import spark.implicits._
     graft.core.Memo(spark, cache = false, "lloydCentroids", d,
@@ -477,15 +477,18 @@ object Similarity {
       k: Int, updates: Int): Array[(Long, Seq[Long])] = {
     import spark.implicits._
     val c = corpusWithNorm(spark, d)
-    var cents: Array[(Long, Seq[Long])] = c.filter($"vec_id" < k)
-      .select($"vec_id", $"qemb").collect()
+    var cents: Array[(Long, Seq[Long])] = graft.core.Bounded.collect(
+        c.filter($"vec_id" < k).select($"vec_id", $"qemb"),
+        k, "lloydCentroids seeds (k rows)")
       .map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val dims = if (cents.isEmpty) 1L else cents(0)._2.length.toLong
     for (_ <- 1 to updates) {
-      val rows = assignTo(c, cents)
-        .select($"cluster", posexplode($"qemb").as(Seq("i", "q")))
-        .groupBy($"cluster", $"i")
-        .agg(round(sum($"q").cast("double") / count(lit(1))).cast("long").as("cq"))
-        .collect()
+      val rows = graft.core.Bounded.collect(
+        assignTo(c, cents)
+          .select($"cluster", posexplode($"qemb").as(Seq("i", "q")))
+          .groupBy($"cluster", $"i")
+          .agg(round(sum($"q").cast("double") / count(lit(1))).cast("long").as("cq")),
+        k * dims, "lloydCentroids update (k·dims rows)")
       cents = rows.groupBy(_.getLong(0)).map { case (cid, rs) =>
         (cid, rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq)
       }.toArray
@@ -597,8 +600,9 @@ object Similarity {
     val subs = assigned.select($"vec_id", $"list_id",
       posexplode(array((0 until m).map(s => subSlice($"resid", s)): _*))
         .as(Seq("sub", "sv")))
-    val seedRows = assigned.filter($"vec_id" < ks)
-      .select($"vec_id", $"resid").collect()
+    val seedRows = graft.core.Bounded.collect(
+        assigned.filter($"vec_id" < ks).select($"vec_id", $"resid"),
+        ks, "annIvfPq codebook seeds (ks rows)")
       .map(r => (r.getLong(0), r.getSeq[Long](1)))
     var books: Array[Array[(Long, Seq[Long])]] = Array.tabulate(m)(s =>
       seedRows.sortBy(_._1).map { case (id, res) =>
@@ -617,11 +621,12 @@ object Similarity {
         .groupBy($"vec_id", $"list_id", $"sub")
         .agg(min($"opt").getField("code").as("code"), first($"sv").as("sv"))
     for (_ <- 1 to pqUpdates) {
-      books = assignCodes(books)
-        .select($"sub", $"code", posexplode($"sv").as(Seq("i", "q")))
-        .groupBy($"sub", $"code", $"i")
-        .agg(round(sum($"q").cast("double") / count(lit(1))).cast("long").as("cq"))
-        .collect()
+      books = graft.core.Bounded.collect(
+        assignCodes(books)
+          .select($"sub", $"code", posexplode($"sv").as(Seq("i", "q")))
+          .groupBy($"sub", $"code", $"i")
+          .agg(round(sum($"q").cast("double") / count(lit(1))).cast("long").as("cq")),
+        m.toLong * ks * subDim, "annIvfPq codebook update (m·ks·subDim rows)")
         .groupBy(_.getInt(0)).toArray.sortBy(_._1).map { case (_, subRows) =>
           subRows.groupBy(_.getLong(1)).map { case (code, rs) =>
             (code, rs.sortBy(_.getInt(2)).map(_.getLong(3)).toSeq)
@@ -721,8 +726,10 @@ object Similarity {
         .filter($"m" <= 0)
         .select($"y", posexplode($"x3").as(Seq("i", "xi")))
         .groupBy($"i").agg(sum($"y" * $"xi").as("dw"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      w = w.zipWithIndex.map { case (wi, i) => wi + upd.getOrElse(i, 0L) }
+      val upd2 = graft.core.Bounded.collect(upd, w.length.toLong,
+          "linearProbe gradient (dims rows)")
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      w = w.zipWithIndex.map { case (wi, i) => wi + upd2.getOrElse(i, 0L) }
     }
     ex.withColumn("pos", (dotPreQ($"x3", typedLit(w)) > 0L).cast("long"))
       .groupBy($"label")
@@ -762,9 +769,11 @@ object Similarity {
         .select($"dv", posexplode($"eq").as(Seq("i", "e")))
         .groupBy($"i")
         .agg(sum($"e".cast("decimal(38,0)") * $"dv").as("u"))
-        .collect().map(r => r.getInt(0) -> r.getDecimal(1)).toMap
+      val u2 = graft.core.Bounded.collect(u, dims.toLong,
+          "powerIteration matvec (dims rows)")
+        .map(r => r.getInt(0) -> r.getDecimal(1)).toMap
       val ud = (0 until dims).map(i =>
-        u.getOrElse(i, java.math.BigDecimal.ZERO).doubleValue())
+        u2.getOrElse(i, java.math.BigDecimal.ZERO).doubleValue())
       val nrm = math.sqrt(ud.map(x => x * x).reduceLeft(_ + _))
       vq = ud.map(x => new java.math.BigDecimal(x / nrm * 1000000.0)
         .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact())

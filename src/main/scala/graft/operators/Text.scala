@@ -23,10 +23,22 @@ object Text {
   /** Tokenized view shared by the operators: (doc_id, ws[]), memo-cached
     * once per session+dir (tfIdf runs two actions over it).
     */
-  private def tokenized(spark: SparkSession, d: String): DataFrame =
+  private[graft] def tokenized(spark: SparkSession, d: String): DataFrame =
     graft.core.Memo(spark, cache = true, "cleanTokenized", d) {
       import spark.implicits._
       documents(spark, d).select($"doc_id", cleanTokens($"text").as("ws"))
+    }
+
+  /** (w, c) corpus vocabulary counts — memo-cached: surprisal,
+    * rankedVocab, interpSurprisal and dsirWeights all fold over this
+    * one tokenize+count pass (vocab-sized, so the cache is corpus-
+    * sublinear).
+    */
+  private[graft] def vocabCounts(spark: SparkSession, d: String): DataFrame =
+    graft.core.Memo(spark, cache = true, "vocabCounts", d) {
+      import spark.implicits._
+      documents(spark, d).select($"doc_id", explode(tokens($"text")).as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("c"))
     }
 
   /** TF-IDF with the reference's exact no-logarithm formula
@@ -299,7 +311,9 @@ object Text {
     */
   def bpeEncode(spark: SparkSession, d: String, nMerges: Int = 3): DataFrame = {
     import spark.implicits._
-    val merges = bpeTrained(spark, d, nMerges).orderBy($"step").collect()
+    val merges = graft.core.Bounded.collect(
+      bpeTrained(spark, d, nMerges).orderBy($"step"),
+      nMerges.toLong, "bpeEncode merge table (nMerges rows)")
     val words = documents(spark, d)
       .select($"doc_id", explode(tokens($"text")).as("w"))
       .filter($"w".rlike("^[a-z]+$") && length($"w") >= 2)
@@ -344,7 +358,9 @@ object Text {
     */
   def tokenizerFertility(spark: SparkSession, d: String, nMerges: Int = 3): DataFrame = {
     import spark.implicits._
-    val merges = bpeTrained(spark, d, nMerges).orderBy($"step").collect()
+    val merges = graft.core.Bounded.collect(
+      bpeTrained(spark, d, nMerges).orderBy($"step"),
+      nMerges.toLong, "tokenizerFertility merge table (nMerges rows)")
     val words = documents(spark, d)
       .select($"doc_id", $"lang", explode(tokens($"text")).as("w"))
       .filter($"w".rlike("^[a-z]+$") && length($"w") >= 2)
@@ -445,11 +461,7 @@ object Text {
   def surprisal(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val tk = documents(spark, d).select($"doc_id", explode(tokens($"text")).as("w"))
-    // vocab-sized; cached so the eager total and the score table share
-    // one tokenization pass
-    val wc = graft.core.Memo(spark, cache = true, "vocabCounts", d) {
-      tk.groupBy($"w").agg(count(lit(1)).as("c"))
-    }
+    val wc = vocabCounts(spark, d)
     val total = wc.agg(sum($"c")).head().getLong(0)
     val scores = wc.select($"w",
       round((-log2($"c".cast("double") / lit(total.toDouble))) * lit(1000000.0))
@@ -484,15 +496,16 @@ object Text {
   def rankedVocab(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val parted = graft.core.Memo(spark, cache = false, "vocabRanged", d) {
-      graft.core.Memo(spark, cache = true, "vocabCounts", d) {
-        documents(spark, d).select($"doc_id", explode(tokens($"text")).as("w"))
-          .groupBy($"w").agg(count(lit(1)).as("c"))
-      }.repartitionByRange(spark.sparkContext.defaultParallelism, $"c".desc, $"w".asc)
+      vocabCounts(spark, d)
+        .repartitionByRange(spark.sparkContext.defaultParallelism, $"c".desc, $"w".asc)
         .withColumn("pid", spark_partition_id())
         .localCheckpoint()
     }
-    val sizes = parted.groupBy($"pid").agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val sizes = graft.core.Bounded.collect(
+        parted.groupBy($"pid").agg(count(lit(1)).as("n")),
+        spark.sparkContext.defaultParallelism.toLong,
+        "rankedVocab partition offsets (|partitions| rows)")
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val offsets: Map[Int, Long] = sizes.map(_._1)
       .zip(sizes.scanLeft(0L)(_ + _._2)).toMap
     parted
@@ -596,9 +609,12 @@ object Text {
       }
       counters.keysIterator.map(w => (Option(w), 0L)) ++
         Iterator((Option.empty[String], np))
-    }.collect()
-    val n = summary.collect { case (None, np) => np }.sum
-    val cands = summary.collect { case (Some(w), _) => w }.distinct.toSeq
+    }
+    val collected = graft.core.Bounded.collectDs(summary,
+      summary.rdd.getNumPartitions.toLong * (k + 1),
+      "heavyHitters MG summary (partitions·(k+1) rows)")
+    val n = collected.collect { case (None, np) => np }.sum
+    val cands = collected.collect { case (Some(w), _) => w }.distinct.toSeq
       .toDF("w")
     tk.toDF("w").join(broadcast(cands), "w")
       .groupBy($"w").agg(count(lit(1)).as("cnt"))
@@ -640,7 +656,7 @@ object Text {
     * session. (q89's backoff trains on the 80% split and keeps its own
     * "bigramCountsSplit" memo.)
     */
-  private def bigramCounts(spark: SparkSession, d: String): DataFrame =
+  private[graft] def bigramCounts(spark: SparkSession, d: String): DataFrame =
     graft.core.Memo(spark, cache = true, "bigramCounts", d) {
       import spark.implicits._
       documents(spark, d)
@@ -748,10 +764,7 @@ object Text {
   def interpSurprisal(spark: SparkSession, d: String,
       lambda: Double = 0.7): DataFrame = {
     import spark.implicits._
-    val wc = graft.core.Memo(spark, cache = true, "vocabCounts", d) {
-      documents(spark, d).select($"doc_id", explode(tokens($"text")).as("w"))
-        .groupBy($"w").agg(count(lit(1)).as("c"))
-    }
+    val wc = vocabCounts(spark, d)
     val total = wc.agg(sum($"c")).head().getLong(0)
     val scores = bigramLm(spark, d)
       .join(broadcast(wc.select($"w".as("w2"), $"c".as("cu"))), "w2")
@@ -963,10 +976,7 @@ object Text {
     import spark.implicits._
     val tk = documents(spark, d)
       .select($"doc_id", $"lang", explode(tokens($"text")).as("w"))
-    val wc = graft.core.Memo(spark, cache = true, "vocabCounts", d) {
-      documents(spark, d).select($"doc_id", explode(tokens($"text")).as("w"))
-        .groupBy($"w").agg(count(lit(1)).as("c"))
-    }
+    val wc = vocabCounts(spark, d)
     val tc = tk.filter($"lang" === targetLang)
       .groupBy($"w").agg(count(lit(1)).as("ct"))
     val total = wc.agg(sum($"c")).head().getLong(0)
@@ -1432,7 +1442,7 @@ object Text {
     val q = qualityScore(spark, d).select($"doc_id", $"stop_ratio")
       .join(documents(spark, d).select($"doc_id", $"lang"), "doc_id")
     val ranked = graft.operators.Ranks.groupRank(q, "rnk",
-      Seq($"lang"), Seq($"stop_ratio"), Seq($"doc_id"))
+      Seq($"lang"), Seq($"stop_ratio"))
     val langN = ranked.groupBy($"lang").agg(count(lit(1)).as("n"))
     ranked.join(broadcast(langN), "lang")
       .select($"doc_id", $"lang", $"stop_ratio", $"rnk",
@@ -1632,13 +1642,13 @@ object Text {
         |  'r_ent', cast(entropy_q AS double)) AS (sig_name, v)"""
         .stripMargin))
     val ranks = graft.operators.Ranks.groupRankPinned(stacked, "r",
-        Seq($"lang", $"sig_name"), Seq($"v"), Seq())
+        Seq($"lang", $"sig_name"), Seq($"v"))
       .groupBy($"doc_id").pivot("sig_name", Seq("r_stop", "r_alpha", "r_ent"))
       .agg(first($"r"))
     val ranked = sig.join(ranks, "doc_id")
       .withColumn("committee", $"r_stop" + $"r_alpha" + $"r_ent")
     val last = graft.operators.Ranks.groupRank(ranked, "c_rnk",
-      Seq($"lang"), Seq($"committee"), Seq($"doc_id"))
+      Seq($"lang"), Seq($"committee"))
     // sizes from the checkpointed rank output — not from `sig`, whose
     // signal lineage would otherwise run a second time
     val langN = last.groupBy($"lang").agg(count(lit(1)).as("n"))
