@@ -2303,7 +2303,7 @@ object SparkEntry {
          |  (${md5Bits32Sql("'ps:' || doc_id::VARCHAR", 1)} + 1) AS h1
          |  FROM documents),
          |pri AS (SELECT doc_id, w,
-         |  (w * 4294967296)::DOUBLE / h1::DOUBLE AS pri FROM pri0),
+         |  (w::DOUBLE * 4294967296) / h1::DOUBLE AS pri FROM pri0),
          |top AS (SELECT doc_id, w, pri,
          |        row_number() OVER (ORDER BY pri DESC, doc_id) AS rn
          |        FROM pri ORDER BY pri DESC, doc_id LIMIT 51),
@@ -3850,7 +3850,7 @@ object SparkEntry {
          |  (${md5Bits32Sql("'gps:' || doc_id::VARCHAR", 1)} + 1) AS h1
          |  FROM documents),
          |pri AS (SELECT source, doc_id, w,
-         |  (w * 4294967296)::DOUBLE / h1::DOUBLE AS pri FROM pri0),
+         |  (w::DOUBLE * 4294967296) / h1::DOUBLE AS pri FROM pri0),
          |r AS (SELECT source, doc_id, w, pri,
          |        row_number() OVER (PARTITION BY source
          |          ORDER BY pri DESC, doc_id)::BIGINT AS rank FROM pri),

@@ -452,10 +452,15 @@ object Sampling {
     * the rest of this file). τ = the (k+1)-th largest priority.
     *
     * Cross-engine exactness: u is materialized as the integer h+1 over
-    * 2^32, so pri = (w · 2^32) / (h+1) is one exact integer product
-    * (< 2^53) and one correctly-rounded IEEE division — bit-identical
-    * in any IEEE engine, no transcendentals (the reason this is
-    * priority sampling and not Efraimidis–Spirakis, which needs pow).
+    * 2^32, so pri = (w · 2^32) / (h+1) is one exact product for
+    * w < 2^21 (then < 2^53, exactly representable) and one
+    * correctly-rounded IEEE division — bit-identical in any IEEE
+    * engine, no transcendentals (the reason this is priority sampling
+    * and not Efraimidis–Spirakis, which needs pow). The product is
+    * computed in DOUBLE on both engines: a BIGINT product would wrap
+    * silently in Spark but RAISE in DuckDB for w ≥ 2^31, so the
+    * double form is the one whose overflow behavior (graceful
+    * precision loss, same on both sides) agrees across engines.
     *
     * Scale: one scan-stage projection, then `orderBy.limit(k+1)` —
     * Spark plans TakeOrderedAndProject: per-partition top-(k+1) heaps,
@@ -469,7 +474,7 @@ object Sampling {
         (Hashing.md5Bits32(concat(lit("ps:"), $"doc_id".cast("string")), 1) + 1L)
           .as("h1"))
       .select($"doc_id", $"w",
-        (($"w" * lit(4294967296L)).cast("double") / $"h1".cast("double"))
+        (($"w".cast("double") * lit(4294967296.0)) / $"h1".cast("double"))
           .as("pri"))
     val top = pri.orderBy($"pri".desc, $"doc_id").limit(k + 1)
     val win = Window.orderBy($"pri".desc, $"doc_id")
@@ -484,7 +489,7 @@ object Sampling {
         greatest($"w".cast("double"), coalesce($"tau", lit(0.0))).as("est_w"))
   }
 
-  /** q188: PER-SOURCE priority sampling — the q114 estimator applied
+  /** q189: PER-SOURCE priority sampling — the q114 estimator applied
     * within every stratum at once: k docs per source by the same
     * exact-integer DLT priority (weight = n_chars, u from the doc's own
     * md5 with an independent salt), per-source threshold τ_s = the
@@ -493,27 +498,57 @@ object Sampling {
     * weighted evidence sample from every source in ONE pass instead of
     * running q114 per source.
     *
-    * Scale: the q20 two-phase top-k — `TakeOrderedAndProject` has no
-    * per-group form, so phase 1 takes each (source, salt) partition's
-    * local top-(k+1) (one bounded window over a salted shuffle — no
-    * source is ever one sort partition), phase 2 ranks the
-    * ≤ |sources|·salts·(k+1) survivors per source. A per-source
-    * `row_number` window over the RAW corpus is exactly the hot-group
-    * sort the rank machinery exists to avoid; over the pruned set it is
-    * a few hundred rows per source. Sources with ≤ k docs keep
-    * everything with τ_s = 0 (the q114 small-corpus path, per-group).
+    * Scale: ONE bounded-heap aggregate (`Ranks.groupTopK`, the native
+    * per-group `TakeOrderedAndProject` — round-11 verdict item 5): each
+    * partition folds a (k+1)-heap per source map-side, the single
+    * source shuffle merges heaps, and τ_s falls out of the sorted array
+    * INLINE (`element_at(k+1)`) — no τ join, no window, no salt. A
+    * per-source `row_number` window over the RAW corpus is exactly the
+    * hot-group sort the rank machinery exists to avoid. Sources with
+    * ≤ k docs keep everything with τ_s = 0 (the q114 small-corpus
+    * path, per-group). The round-11 salted two-window decomposition is
+    * kept as `groupPrioritySampleSalted`, the spec equality rung.
     */
-  def groupPrioritySample(spark: SparkSession, d: String, k: Int = 20,
-      salts: Int = 32): DataFrame = {
+  def groupPrioritySample(spark: SparkSession, d: String, k: Int = 20): DataFrame = {
     import spark.implicits._
-    val pri = documents(spark, d)
+    val pri = priBySource(spark, d)
+    val agged = pri.groupBy($"source")
+      .agg(graft.plans.TopKRowsAgg.topKRows(
+        struct((-$"pri").as("__np"), $"doc_id", $"w", $"pri"), k + 1)
+        .as("__tk"))
+    agged
+      // τ_s from the retained array — `when` guards the ANSI
+      // out-of-bounds on sources smaller than k+1
+      .withColumn("__tau",
+        when(size($"__tk") >= k + 1,
+          element_at($"__tk", k + 1).getField("pri")).otherwise(lit(0.0)))
+      .select($"source", $"__tau",
+        posexplode(slice($"__tk", 1, k)).as(Seq("__p", "__s")))
+      .select($"source", $"__s.doc_id".as("doc_id"), $"__s.w".as("w"),
+        $"__s.pri".as("pri"), ($"__p" + 1).cast("long").as("rank"),
+        greatest($"__s.w".cast("double"), $"__tau").as("est_w"))
+  }
+
+  private def priBySource(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, d)
       .select($"source", $"doc_id", $"n_chars".as("w"),
         (Hashing.md5Bits32(concat(lit("gps:"), $"doc_id".cast("string")), 1) + 1L)
-          .as("h1"),
-        pmod(xxhash64($"doc_id"), lit(salts.toLong)).as("__salt"))
-      .select($"source", $"doc_id", $"w", $"__salt",
-        (($"w" * lit(4294967296L)).cast("double") / $"h1".cast("double"))
+          .as("h1"))
+      .select($"source", $"doc_id", $"w",
+        (($"w".cast("double") * lit(4294967296.0)) / $"h1".cast("double"))
           .as("pri"))
+  }
+
+  /** The salted two-window form `groupPrioritySample` shipped in round
+    * 11 — kept as the decomposition rung the heap aggregate is
+    * spec-pinned against.
+    */
+  private[graft] def groupPrioritySampleSalted(spark: SparkSession,
+      d: String, k: Int = 20, salts: Int = 32): DataFrame = {
+    import spark.implicits._
+    val pri = priBySource(spark, d)
+      .withColumn("__salt", pmod(xxhash64($"doc_id"), lit(salts.toLong)))
     val order = Seq($"pri".desc, $"doc_id".asc)
     val local = Window.partitionBy($"source", $"__salt").orderBy(order: _*)
     val global = Window.partitionBy($"source").orderBy(order: _*)

@@ -1351,7 +1351,7 @@ class PipelineOpsSpec extends AnyFunSuite {
       .select($"source", $"doc_id", $"n_chars").as[(String, Long, Long)].collect()
     val pri = docs.map { case (src, id, w) =>
       val h1 = graft.functions.Hashing.md5BucketJvm(s"gps:$id", 1L << 32) + 1L
-      (src, id, w, (w * 4294967296L).toDouble / h1.toDouble)
+      (src, id, w, w.toDouble * 4294967296.0 / h1.toDouble)
     }
     val expected = pri.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
       val sorted = rows.sortBy(r => (-r._4, r._2))
@@ -1363,6 +1363,11 @@ class PipelineOpsSpec extends AnyFunSuite {
     val got = Sampling.groupPrioritySample(spark, sf)
       .as[(String, Long, Long, Double, Long, Double)].collect().toSet
     assert(got == expected)
+    // the round-11 salted two-window decomposition is the retained rung:
+    // the heap aggregate must reproduce it exactly
+    val salted = Sampling.groupPrioritySampleSalted(spark, sf)
+      .as[(String, Long, Long, Double, Long, Double)].collect().toSet
+    assert(got == salted, "heap form drifted from the salted rung")
     // every source contributes min(k, |source|) rows
     val per = got.groupBy(_._1).view.mapValues(_.size).toMap
     docs.groupBy(_._1).view.mapValues(_.size).foreach { case (s, n) =>

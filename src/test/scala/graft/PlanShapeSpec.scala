@@ -59,20 +59,23 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
-  test("q20 two-phase top-k equals the single window and never sorts one priority whole") {
-    val dec = graft.operators.Relational.topKOrders(spark, sf)
+  test("q20 heap top-k equals the window AND salted rungs; plan has no window at all") {
+    val heap = graft.operators.Relational.topKOrders(spark, sf)
     val win = graft.operators.Relational.topKOrdersWindow(spark, sf)
-    assert(dec.exceptAll(win).isEmpty && win.exceptAll(dec).isEmpty,
-      "salted two-phase top-k drifted from the single-window form")
-    val p = dec.queryExecution.optimizedPlan.toString
-    // the BOTTOM-MOST window (the one reading the full scan — plans
-    // print top-down, so it's the last match) must partition on
-    // (priority, salt); the priority-only window above it sees only the
-    // <= groups*salts*k survivors
-    val idxSalted = p.lastIndexOf("windowspecdefinition(o_orderpriority")
-    assert(idxSalted >= 0 && p.substring(idxSalted,
-        math.min(p.length, idxSalted + 80)).contains("__salt"),
-      s"expected the salted local top-k window below the global one:\n$p")
+    val salted = graft.operators.Relational.topKOrdersSalted(spark, sf)
+    assert(heap.exceptAll(win).isEmpty && win.exceptAll(heap).isEmpty,
+      "heap top-k drifted from the single-window form")
+    assert(heap.exceptAll(salted).isEmpty && salted.exceptAll(heap).isEmpty,
+      "heap top-k drifted from the salted two-window rung")
+    val p = plan(heap)
+    // ONE aggregate operator: the bounded heap runs in
+    // ObjectHashAggregate with a partial (map-side) mode — no
+    // row_number, no Window, no sort of the raw rows
+    assert(p.contains("ObjectHashAggregate") && p.contains("topk_rows"),
+      s"expected the native bounded-heap aggregate:\n$p")
+    assert(!p.contains("Window"), s"no window may remain in the heap form:\n$p")
+    assert(p.contains("partial_topk_rows"),
+      s"map-side partial heaps must fold before the shuffle:\n$p")
   }
 
   test("q116 score aggregate rides the doc_id pre-partitioning — no (query, doc) exchange") {
