@@ -825,6 +825,284 @@ object EventStreams {
         snapshot.groupByKey(s => (s.user_id, s.event_type)))
   }
 
+  case class DepthBinRow(event_type: String, bin: Long, n_rows: Long,
+      lo: Double, hi: Double, state_n: Long)
+
+  /** Distinct-value histogram state (parallel arrays, value-sorted). */
+  case class ValueCounts(vs: Array[Double], cs: Array[Long])
+
+  /** q191's equi-depth histogram LIVE (transformWithState) — the CBO
+    * statistic maintained while the log streams in: per event_type the
+    * state is the exact distinct-(value → count) table; each batch folds
+    * its rows in by count ADDITION (mergeable, split-independent) and
+    * re-emits the full B-bin equi-depth histogram. Rank-order ties all
+    * share one value, so bin counts/lo/hi are a pure function of the
+    * count table — the streamed emission equals the batch q191 rows
+    * EXACTLY, whatever the micro-batch split (the spec's law).
+    *
+    * State is |distinct values| per type — the exact rung, like the
+    * batch form's exactness; at deployment scale the same emission
+    * contract runs off a mergeable KLL sketch (q44's built-in) with
+    * rank-error bounds instead of exact distinct values.
+    */
+  class EquiDepthProcessor(bins: Int) extends
+      org.apache.spark.sql.streaming.StatefulProcessor[String, Event, DepthBinRow] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+
+    @transient private var st: ValueState[ValueCounts] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[ValueCounts](
+        "valueCounts", Encoders.product[ValueCounts], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[DepthBinRow] = {
+      val m = scala.collection.mutable.HashMap.empty[Double, Long]
+      if (st.exists()) {
+        val vc = st.get()
+        vc.vs.indices.foreach(i => m(vc.vs(i)) = vc.cs(i))
+      }
+      rows.foreach(e => m(e.value) = m.getOrElse(e.value, 0L) + 1L)
+      val sorted = m.toArray.sortBy(_._1)
+      st.update(ValueCounts(sorted.map(_._1), sorted.map(_._2)))
+      val n = sorted.map(_._2).sum
+      // walk the value groups once, splitting each across the rank-bins
+      // it spans: bin of rank rn is (rn-1)*B div n (the batch formula)
+      val out = Array.fill(bins)((0L, Double.MaxValue, Double.MinValue))
+      var rank = 1L
+      sorted.foreach { case (v, c) =>
+        var left = c
+        while (left > 0L) {
+          val b = ((rank - 1L) * bins / n).toInt
+          // last rank rn of bin b satisfies (rn−1)·B div n == b, i.e.
+          // rn−1 ≤ (n·(b+1)−1) div B — inverting the bin formula
+          // exactly (a naive floor((b+1)·n/B) end misses the bins the
+          // formula leaves empty when n < B and loops forever)
+          val binEnd = (n * (b + 1L) - 1L) / bins + 1L
+          val take = math.min(left, binEnd - rank + 1L)
+          val (bn, blo, bhi) = out(b)
+          out(b) = (bn + take, math.min(blo, v), math.max(bhi, v))
+          rank += take
+          left -= take
+        }
+      }
+      out.iterator.zipWithIndex.filter(_._1._1 > 0L).map {
+        case ((bn, blo, bhi), b) => DepthBinRow(key, b.toLong, bn, blo, bhi, n)
+      }
+    }
+  }
+
+  def equiDepthStream(events: Dataset[Event], bins: Int = 8): Dataset[DepthBinRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .transformWithState(new EquiDepthProcessor(bins),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
+  case class CompactRow(event_type: String, day: Long, n_rows: Long,
+      out_file: Long, file_parts: Long, file_rows: Long, state_n: Long)
+
+  /** q193's compaction plan LIVE (transformWithState) — the OPTIMIZE
+    * planner running against the ingest stream instead of a nightly
+    * scan: per event_type the state is the (day → row count) table
+    * (calendar-bounded, count ADDITION = the merge, like the reach
+    * curve's day table); each batch re-runs the next-fit fold IN DAY
+    * ORDER over that tiny table and re-emits the whole plan. Re-running
+    * the fold is deliberate, not a shortcut: next-fit is order-
+    * dependent, so a late row for an EARLIER day legitimately revises
+    * the packing of every later day — same revision semantics as the
+    * anomaly monitor and the reach curve. The q57 packStream state shape
+    * (running (file, load) next-fit state) applies per day-ordered fold;
+    * `state_n` (rows folded) stamps emissions for the final-row law.
+    */
+  class CompactionProcessor(capacity: Long) extends
+      org.apache.spark.sql.streaming.StatefulProcessor[String, Event, CompactRow] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+
+    @transient private var st: ValueState[DayCounts] = _
+    @transient private var nSt: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      st = getHandle.getValueState[DayCounts](
+        "dayRows", Encoders.product[DayCounts], TTLConfig.NONE)
+      nSt = getHandle.getValueState[Long](
+        "compactSeen", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[CompactRow] = {
+      val m = scala.collection.mutable.LongMap.empty[Long]
+      if (st.exists()) {
+        val dc = st.get()
+        dc.days.indices.foreach(i => m(dc.days(i)) = dc.counts(i))
+      }
+      var folded = 0L
+      rows.foreach { e =>
+        val micros = e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+        val dy = micros / 86400000000L
+        m(dy) = m.getOrElse(dy, 0L) + 1L
+        folded += 1L
+      }
+      val days = m.keys.toArray.sorted
+      st.update(DayCounts(days, days.map(m(_))))
+      val n = (if (nSt.exists()) nSt.get() else 0L) + folded
+      nSt.update(n)
+      // the batch fold, verbatim: next-fit in day order, an oversized
+      // day keeps its own file, a partition is never split
+      var (f, load) = (0L, 0L)
+      val packed = days.map { dy =>
+        val c = m(dy)
+        if (load + c > capacity && load > 0L) { f += 1L; load = c }
+        else load += c
+        (dy, c, f)
+      }
+      val files = packed.groupBy(_._3).map { case (fi, ps) =>
+        fi -> (ps.length.toLong, ps.map(_._2).sum)
+      }
+      packed.iterator.map { case (dy, c, fi) =>
+        val (parts, frows) = files(fi)
+        CompactRow(key, dy, c, fi, parts, frows, n)
+      }
+    }
+  }
+
+  def compactionStream(events: Dataset[Event],
+      capacity: Long = 1000L): Dataset[CompactRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .transformWithState(new CompactionProcessor(capacity),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
+  /** A type's full current register vector — the wire row between the
+    * per-type register-merge stage and the overlap stage.
+    */
+  case class HllRegsRow(event_type: String, regs: Array[Long], state_n: Long)
+
+  /** Stage 1 of streaming q196: the q127 register merge, emitting the
+    * REGISTERS (not the summary) so a downstream stage can do set
+    * algebra on them. Same fold as hllSketchStreamTws; `state_n` stamps
+    * the emission.
+    */
+  class HllRegsProcessor extends
+      org.apache.spark.sql.streaming.StatefulProcessor[String, Event, HllRegsRow] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+
+    @transient private var st: ValueState[HllRegs] = _
+    @transient private var nSt: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      st = getHandle.getValueState[HllRegs](
+        "hllRegisters", Encoders.product[HllRegs], TTLConfig.NONE)
+      nSt = getHandle.getValueState[Long](
+        "hllSeen", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[HllRegsRow] = {
+      val regs = if (st.exists()) st.get().regs else Array.fill(256)(0L)
+      var folded = 0L
+      val counted = rows.map { e => folded += 1L; e }
+      hllFold(regs, counted)
+      st.update(HllRegs(regs))
+      val n = (if (nSt.exists()) nSt.get() else 0L) + folded
+      nSt.update(n)
+      Iterator.single(HllRegsRow(key, regs, n))
+    }
+  }
+
+  def hllRegisterStream(events: Dataset[Event]): Dataset[HllRegsRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .transformWithState(new HllRegsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
+  case class OverlapRow(type_a: String, type_b: String, est_a: Long,
+      est_b: Long, est_union: Long, est_inter: Long, jaccard_q6: Long)
+
+  /** All types' latest registers (parallel arrays: `types(i)` owns
+    * `regs(i*256 until (i+1)*256)`, stamped by `stamps(i)` = the
+    * highest state_n folded — replays/reorders on the hop can never
+    * regress a type's registers).
+    */
+  case class TypeRegs(types: Array[String], stamps: Array[Long],
+      regs: Array[Long])
+
+  /** Stage 2 of streaming q196: pairwise HLL set algebra over the
+    * register rows stage 1 emits (in production the hop is a topic; the
+    * spec chains the two stages through a memory sink the same way).
+    * One constant key holds the |types|·256-long latest-register table —
+    * the state is SKETCH-sized, never user-sized, which is the entire
+    * point of the q196 estimator — and each batch re-emits every pair's
+    * (est_a, est_b, est_union, est_inter, jaccard). Incoming rows
+    * REPLACE their type's registers (stage 1 emits cumulative state, so
+    * replace-by-latest is the merge). Estimates ride the same
+    * `hllSummary` constants as the batch query; the batch form's exact
+    * audit columns are its declared batch-only rung — the stream emits
+    * the estimator, which is the product.
+    */
+  class OverlapProcessor extends
+      org.apache.spark.sql.streaming.StatefulProcessor[Long, HllRegsRow, OverlapRow] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+
+    @transient private var st: ValueState[TypeRegs] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[TypeRegs](
+        "typeRegisters", Encoders.product[TypeRegs], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[HllRegsRow],
+        timerValues: TimerValues): Iterator[OverlapRow] = {
+      val m = scala.collection.mutable.LinkedHashMap
+        .empty[String, (Long, Array[Long])]
+      if (st.exists()) {
+        val tr = st.get()
+        tr.types.zipWithIndex.foreach { case (t, i) =>
+          m(t) = (tr.stamps(i), tr.regs.slice(i * 256, (i + 1) * 256))
+        }
+      }
+      // keep each type's highest-state_n registers — stage 1 emits
+      // cumulative state, so newest-wins IS the merge, and the stored
+      // stamp makes a replayed older row a no-op
+      rows.foreach { r =>
+        if (!m.contains(r.event_type) || r.state_n > m(r.event_type)._1)
+          m(r.event_type) = (r.state_n, r.regs)
+      }
+      val types = m.keys.toArray.sorted
+      st.update(TypeRegs(types, types.map(m(_)._1),
+        types.flatMap(t => m(t)._2)))
+      (for {
+        i <- types.indices.iterator
+        j <- (i + 1) until types.length
+      } yield {
+        val (a, b) = (types(i), types(j))
+        val (ra, rb) = (m(a)._2, m(b)._2)
+        val union = Array.tabulate(256)(x => math.max(ra(x), rb(x)))
+        val (estA, estB, estU) = (hllSummary(a, ra).hll_est,
+          hllSummary(b, rb).hll_est, hllSummary(a, union).hll_est)
+        val inter = math.max(0L, estA + estB - estU)
+        OverlapRow(a, b, estA, estB, estU, inter,
+          if (estU > 0L) inter * 1000000L / estU else 0L)
+      })
+    }
+  }
+
+  def hllOverlapStream(regRows: Dataset[HllRegsRow]): Dataset[OverlapRow] = {
+    import regRows.sparkSession.implicits._
+    regRows
+      .groupByKey(_ => 0L)
+      .transformWithState(new OverlapProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   def runningUserTotals(events: Dataset[Event]): Dataset[UserTotals] = {
     import events.sparkSession.implicits._
     events

@@ -543,4 +543,120 @@ class EventStreamsSpec extends AnyFunSuite {
       } finally query.stop()
     }
   }
+
+  test("equi-depth stream bins equal the q191 batch histogram across a batch split") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val all = graft.core.Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect()
+    withRuntime(tws = true) {
+      val input = MemoryStream[Event]
+      val query = EventStreams.equiDepthStream(input.toDS())
+        .writeStream.format("memory").queryName("depth_stream")
+        .outputMode("update").start()
+      try {
+        // the state folds by count ADDITION over the distinct-value
+        // table, so the final bins must not depend on the split; ties
+        // all carry one value, so bin (count, lo, hi) is well-defined
+        // even when a bin boundary cuts a tie group
+        all.grouped(math.max(1, all.length / 4 + 1)).foreach { chunk =>
+          input.addData(chunk.toIndexedSeq: _*)
+          query.processAllAvailable()
+        }
+        val rows = spark.table("depth_stream")
+          .as[(String, Long, Long, Double, Double, Long)].collect()
+        val fin = rows.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+          val last = rs.map(_._6).max
+          rs.filter(_._6 == last).toSeq
+        }.map(r => (r._1, r._2, r._3, r._4, r._5)).toSet
+        val batch = graft.operators.Relational.equiDepthHist(spark, sf)
+          .as[(String, Long, Long, Double, Double)].collect().toSet
+        assert(fin == batch)
+        assert(batch.nonEmpty)
+      } finally query.stop()
+    }
+  }
+
+  test("compaction stream plan equals the q193 batch next-fit across a batch split") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val all = graft.core.Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect()
+    withRuntime(tws = true) {
+      val input = MemoryStream[Event]
+      val query = EventStreams.compactionStream(input.toDS())
+        .writeStream.format("memory").queryName("compact_stream")
+        .outputMode("update").start()
+      try {
+        // the (day → count) state adds across batches; each emission
+        // re-runs the day-ordered next-fit, so a late row for an early
+        // day revises later days' packing — the final plan must equal
+        // the batch fold over the whole log, whatever the split
+        all.grouped(math.max(1, all.length / 4 + 1)).foreach { chunk =>
+          input.addData(chunk.toIndexedSeq: _*)
+          query.processAllAvailable()
+        }
+        val rows = spark.table("compact_stream")
+          .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+        val fin = rows.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+          val last = rs.map(_._7).max
+          rs.filter(_._7 == last).toSeq
+        }.map(r => (r._1, r._2, r._3, r._4, r._5, r._6)).toSet
+        val batch = graft.operators.Sharding.compactionPlan(spark, sf)
+          .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+        assert(fin == batch)
+        assert(batch.nonEmpty)
+      } finally query.stop()
+    }
+  }
+
+  test("chained register→overlap streams equal the q196 batch estimates") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val all = graft.core.Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect()
+    withRuntime(tws = true) {
+      // stage 1: the per-type register merge, emitting registers
+      val input = MemoryStream[Event]
+      val q1 = EventStreams.hllRegisterStream(input.toDS())
+        .writeStream.format("memory").queryName("regs_stream")
+        .outputMode("update").start()
+      // stage 2: constant-key set algebra over the register rows —
+      // chained through the memory table the way production would hop
+      // through a topic
+      val regsIn = MemoryStream[EventStreams.HllRegsRow]
+      val q2 = EventStreams.hllOverlapStream(regsIn.toDS())
+        .writeStream.format("memory").queryName("overlap_stream")
+        .outputMode("update").start()
+      try {
+        all.grouped(math.max(1, all.length / 3 + 1)).foreach { chunk =>
+          input.addData(chunk.toIndexedSeq: _*)
+          q1.processAllAvailable()
+          val emitted = spark.table("regs_stream")
+            .as[EventStreams.HllRegsRow].collect()
+          regsIn.addData(emitted.toIndexedSeq: _*)
+          q2.processAllAvailable()
+        }
+        val rows = spark.table("overlap_stream")
+          .as[(String, String, Long, Long, Long, Long, Long)].collect()
+        // the last emission per pair is the final estimate (overlap rows
+        // carry no stamp; dedupe by keeping the LAST occurrence in
+        // arrival order — the memory sink appends in batch order)
+        val fin = rows.zipWithIndex.groupBy(r => (r._1._1, r._1._2))
+          .map { case (_, rs) => rs.maxBy(_._2)._1 }.toSet
+        val batch = graft.operators.Relational.hllOverlap(spark, sf)
+          .select($"type_a", $"type_b", $"est_a", $"est_b", $"est_union",
+            $"est_inter", $"jaccard_q6")
+          .as[(String, String, Long, Long, Long, Long, Long)].collect().toSet
+        assert(fin == batch)
+        assert(batch.nonEmpty)
+      } finally { q1.stop(); q2.stop() }
+    }
+  }
 }
