@@ -14,19 +14,36 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val errors = scala.collection.mutable.ArrayBuffer[String]()
     // warm the JVM/codegen/scan paths once so the first measured query
     // doesn't absorb session startup (~5s); errors are non-fatal
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // declared warm phase: materialize the shared memo lineages FIRST and
+    // time each as a build, so per-query times measure the query itself
+    // instead of whichever family member happens to pay a shared build
+    // (the round-11 q86/q32 attribution noise). A failed build is an
+    // error — the queries riding it still run (they rebuild on miss).
+    val builds = Builds.all.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir) }
+      catch { case _: Throwable => errors += s"build:$name" }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() }
+      catch { case _: Throwable => errors += name }
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    def jmap(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val buildTotal = builds.map(_._2).sum
+    val queryTotal = results.values.sum
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // "value" stays the TOTAL wall time of all measured work (builds +
+    // queries) — the same work previous rounds charged to the queries
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${buildTotal + queryTotal},"unit":"sec","builds_total":$buildTotal,"queries_total":$queryTotal,"builds":${jmap(builds)},"errors":$errJson,"queries":${jmap(results)},"sf":"$sfDir"}"""
     println(json)
     // stdout tail-capture truncates long lines (BENCH_r02 lost the totals);
     // the file is the whole artifact
@@ -36,5 +53,8 @@ object Bench {
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
     spark.stop()
+    // a crashed query must not look like a fast one (round-11 verdict):
+    // the JSON carries the names, the exit code carries the signal
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

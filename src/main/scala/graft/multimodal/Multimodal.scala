@@ -267,12 +267,18 @@ object Multimodal {
     * arithmetic) and checks the FULL quadratic pair set — the banded
     * join must reproduce it bit-for-bit (pigeonhole completeness).
     */
+  /** phashFingerprints, memo-cached — the band explode and the re-check
+    * join both fold over one materialization.
+    */
+  private[graft] def phashFpCached(spark: SparkSession, d: String): DataFrame =
+    graft.core.Memo(spark, cache = true, "phashFp", d) {
+      phashFingerprints(spark, d)
+    }
+
   def phashPairs(spark: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
     import spark.implicits._
     import graft.functions.Hashing
-    val fps = graft.core.Memo(spark, cache = true, "phashFp", d) {
-      phashFingerprints(spark, d)
-    }
+    val fps = phashFpCached(spark, d)
     val bands = fps.select($"doc_id", $"fp",
         explode(Hashing.hammingBands($"fp")).as("hb"))
       .select($"doc_id", $"fp", $"hb.band".as("band"), $"hb.key".as("key"))

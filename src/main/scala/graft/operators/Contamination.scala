@@ -38,7 +38,7 @@ object Contamination {
     * q105's exact re-check all read this one materialization instead of
     * re-deriving the eval-side shingle pass per use.
     */
-  private def evalGramSet(spark: SparkSession, d: String,
+  private[graft] def evalGramSet(spark: SparkSession, d: String,
       n: Int, evalPct: Int): DataFrame =
     graft.core.Memo(spark, cache = true, "evalGrams", d, s"$n:$evalPct") {
       import spark.implicits._
@@ -116,12 +116,13 @@ object Contamination {
     def probes(s: Column): Seq[Column] =
       (0 until 3).map(i => pmod(Hashing.md5Bits32(s, 1 + 8 * i), lit(m)))
     val pow2 = typedlit((0 until 64).map(1L << _))
-    val bitRows = evalGrams
-      .select(explode(array(probes($"s"): _*)).as("p"))
-      .select(($"p" / 64).cast("int").as("wi"),
-        element_at(pow2, ($"p" % 64).cast("int") + 1).as("mk"))
-      .groupBy($"wi").agg(bit_or($"mk").as("word"))
-      .collect()
+    val bitRows = graft.core.Bounded.collect(
+      evalGrams
+        .select(explode(array(probes($"s"): _*)).as("p"))
+        .select(($"p" / 64).cast("int").as("wi"),
+          element_at(pow2, ($"p" % 64).cast("int") + 1).as("mk"))
+        .groupBy($"wi").agg(bit_or($"mk").as("word")),
+      words.toLong, "bloomDecontaminate filter words (m/64 rows)")
     val filterWords = new Array[Long](words)
     bitRows.foreach(r => filterWords(r.getInt(0)) = r.getLong(1))
     val wlit = typedlit(filterWords.toSeq)

@@ -240,15 +240,21 @@ object Dedup {
     * (not corpus²) for the 100 TB story — DedupSimilaritySpec's scale
     * rehearsal measures exactly this.
     */
-  def minhashCandidates(spark: SparkSession, d: String): DataFrame = {
-    import spark.implicits._
-    // cache = collapse barrier: band extraction must reference the
-    // materialized signature column, not re-derive it per band lambda
-    // (interpreted HOFs re-evaluate non-attribute children — Hashing.scala)
-    val sig = graft.core.Memo(spark, cache = true, "minhashSig", d) {
+  /** (doc_id, sig) MinHash signatures, memo-cached. The cache is also a
+    * collapse barrier: band extraction must reference the materialized
+    * signature column, not re-derive it per band lambda (interpreted
+    * HOFs re-evaluate non-attribute children — Hashing.scala).
+    */
+  private[graft] def minhashSignatures(spark: SparkSession, d: String): DataFrame =
+    graft.core.Memo(spark, cache = true, "minhashSig", d) {
+      import spark.implicits._
       docShingleArrays(spark, d)
         .select($"doc_id", minhashSignature($"shs", 64).as("sig"))
     }
+
+  def minhashCandidates(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val sig = minhashSignatures(spark, d)
     val bands = sig.select($"doc_id", posexplode(bandKeys($"sig", 64, 2)))
       .select($"doc_id", $"pos".as("band"), $"col".as("key"))
     bands.as("a").join(bands.as("b"),
@@ -657,12 +663,19 @@ object Dedup {
     * chunks (complete for Hamming ≤ 3), Hamming re-check. Rows-only
     * (engine-specific hash); sketch locality is property-tested.
     */
-  def simhashPairs(spark: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
-    import spark.implicits._
-    val sk = graft.core.Memo(spark, cache = true, "simhashSketch", d) {
+  /** (doc_id, sk) 64-bit SimHash sketches, memo-cached (the cache is a
+    * collapse barrier, as in minhashLsh).
+    */
+  private[graft] def simhashSketch(spark: SparkSession, d: String): DataFrame =
+    graft.core.Memo(spark, cache = true, "simhashSketch", d) {
+      import spark.implicits._
       documents(spark, d)
         .select($"doc_id", simhash(cleanTokens($"text")).as("sk"))
-    } // cache = collapse barrier, as in minhashLsh
+    }
+
+  def simhashPairs(spark: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
+    import spark.implicits._
+    val sk = simhashSketch(spark, d)
     val bands = sk.select($"doc_id", $"sk", explode(hammingBands($"sk")).as("hb"))
       .select($"doc_id", $"sk", $"hb.band".as("band"), $"hb.key".as("key"))
     bands.as("a").join(bands.as("b"),
@@ -881,7 +894,9 @@ object Dedup {
     // titleLen+1 values — collect it once (the eager-scalar pattern) and
     // only generate for lengths that actually occur: with a 40-char cap
     // almost every title is exactly 40, cutting the fan-out ~(2·maxDist+1)×
-    val lens = t.select($"l").distinct().as[Int].collect().toSet
+    val lens = graft.core.Bounded.collectDs(
+      t.select($"l").distinct().as[Int], 4096,
+      "passJoin length dictionary (≤ title-length-cap distinct values)").toSet
     val subs = t
       .select($"doc_id", $"ti", length($"ti").as("lb"),
         explode(sequence(greatest(length($"ti") - maxDist, lit(0)),

@@ -286,7 +286,7 @@ object Graph {
     * the pair aggregate is one shuffle with map-side combine. This is
     * the standard market-basket projection plan.
     */
-  private[operators] def copurchaseEdges(spark: SparkSession, d: String,
+  private[graft] def copurchaseEdges(spark: SparkSession, d: String,
       minCount: Int = 2): DataFrame =
     graft.core.Memo(spark, cache = true, "copurchaseEdges", d, minCount.toString) {
       import spark.implicits._

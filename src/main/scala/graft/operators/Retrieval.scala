@@ -128,37 +128,8 @@ object Retrieval {
       .select($"doc_id", isEval.as("ev"),
         explode(TextFunctions.cleanTokens($"text")).as("t"))
     val tf = bm25Tf(spark, d)
-    val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
     val dfT = tf.groupBy($"t").agg(count(lit(1)).as("df"))
-    // corpus constants, driver-collected once (the q07 eager-scalar shape)
-    val statsRow = dl.agg(count(lit(1)), sum($"dl")).head()
-    val n = statsRow.getLong(0)
-    val sumdl = statsRow.getLong(1)
-    // per-posting weights, memo-cached AND pre-partitioned by doc_id:
-    //  - the cache pins the one evaluation of the double weight chain per
-    //    posting (inside one codegen stage the projection fuses into the
-    //    query join's consume path and would re-evaluate per CANDIDATE —
-    //    ~18× per posting on this corpus; ProfileBm25b measured ~5 s);
-    //  - the doc_id partitioning flows through the broadcast query join
-    //    (streamed side), and HashPartitioning(doc_id) satisfies the
-    //    (query_id, doc_id) clustering the score aggregate requires —
-    //    every candidate row of a (query, doc) pair carries the same
-    //    doc_id — so the Σdf(t)-row candidate stream NEVER SHUFFLES: the
-    //    only exchanges left are the 1.2 M-posting repartition here and
-    //    the per-query top-k over the aggregated pairs.
-    // Query-independent, so the ceilinged (q182) and unceilinged (q116)
-    // forms share one table.
-    val wtd = graft.core.Memo(spark, cache = true, "bm25wtd", d) {
-      tf.join(dfT, "t").join(dl, "doc_id")
-        .repartition(col("doc_id"))
-        .select($"t", $"doc_id",
-          round(
-            log2(((lit(n) - $"df" + lit(0.5)) / ($"df" + lit(0.5))) + lit(1.0))
-              * ($"tf" * lit(2.2))
-              / ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75)
-                  * (($"dl" * lit(n)).cast("double") / lit(sumdl).cast("double"))))
-              * lit(1000000.0)).cast("long").as("sq"))
-    }
+    val wtd = bm25Weights(spark, d)
     val qterms = toks.filter($"ev")
       .select($"doc_id".as("query_id"), $"t").distinct()
     // the ceiling prunes the QUERY side before the posting join, so a
@@ -171,12 +142,52 @@ object Retrieval {
       .select($"query_id", $"t", $"doc_id", $"sq")
   }
 
+  /** Per-posting BM25 weights (t, doc_id, sq), memo-cached AND
+    * pre-partitioned by doc_id:
+    *  - the cache pins the one evaluation of the double weight chain per
+    *    posting (inside one codegen stage the projection fuses into the
+    *    query join's consume path and would re-evaluate per CANDIDATE —
+    *    ~18× per posting on this corpus; ProfileBm25b measured ~5 s);
+    *  - the doc_id partitioning flows through the broadcast query join
+    *    (streamed side), and HashPartitioning(doc_id) satisfies the
+    *    (query_id, doc_id) clustering the score aggregate requires —
+    *    every candidate row of a (query, doc) pair carries the same
+    *    doc_id — so the Σdf(t)-row candidate stream NEVER SHUFFLES: the
+    *    only exchanges left are the 1.2 M-posting repartition here and
+    *    the per-query top-k over the aggregated pairs.
+    * Query-independent, so the ceilinged (q182) and unceilinged (q116)
+    * forms share one table (and Bench's warm phase materializes it once,
+    * attribution-stable).
+    */
+  private[graft] def bm25Weights(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val tf = bm25Tf(spark, d)
+    val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+    val dfT = tf.groupBy($"t").agg(count(lit(1)).as("df"))
+    // the by-name memo body runs only on miss, so the corpus-constant
+    // collect (the q07 eager-scalar shape) is paid once per session
+    graft.core.Memo(spark, cache = true, "bm25wtd", d) {
+      val statsRow = dl.agg(count(lit(1)), sum($"dl")).head()
+      val n = statsRow.getLong(0)
+      val sumdl = statsRow.getLong(1)
+      tf.join(dfT, "t").join(dl, "doc_id")
+        .repartition(col("doc_id"))
+        .select($"t", $"doc_id",
+          round(
+            log2(((lit(n) - $"df" + lit(0.5)) / ($"df" + lit(0.5))) + lit(1.0))
+              * ($"tf" * lit(2.2))
+              / ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75)
+                  * (($"dl" * lit(n)).cast("double") / lit(sumdl).cast("double"))))
+              * lit(1000000.0)).cast("long").as("sq"))
+    }
+  }
+
   /** The train-split postings table (doc, term, tf) — memo-cached: it
     * feeds FIVE consumers (dl, df, the N/Σdl stats action, the score
     * join, the ceiling's N count) so the tokenize+count pass runs once
     * per session, not once per consumer.
     */
-  private def bm25Tf(spark: SparkSession, d: String): DataFrame =
+  private[graft] def bm25Tf(spark: SparkSession, d: String): DataFrame =
     graft.core.Memo(spark, cache = true, "bm25tf", d) {
       import spark.implicits._
       val isEval =

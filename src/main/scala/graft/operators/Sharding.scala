@@ -238,8 +238,9 @@ object Sharding {
         min($"doc_id").as("min_id"), max($"doc_id").as("max_id"),
         min($"n_chars").as("min_chars"), max($"n_chars").as("max_chars"))
       .orderBy($"shard")
-      .collect()
-    val lines = stats.map { r =>
+    val statRows = graft.core.Bounded.collect(stats, nShards.toLong,
+      "shard manifest stats (nShards rows)")
+    val lines = statRows.map { r =>
       s"""{"shard":${r.getLong(0)},"n_docs":${r.getLong(1)},""" +
         s""""min_id":${r.getLong(2)},"max_id":${r.getLong(3)},""" +
         s""""min_chars":${r.getLong(4)},"max_chars":${r.getLong(5)}}"""

@@ -7,12 +7,15 @@ import org.apache.spark.sql.SparkSession
   * behind PERF.md's same-host pairs. Same session shape as Bench
   * (local[32], 32 shuffle partitions, UTC), fresh JVM per run.
   *
-  * Usage: runMain graft.tools.BenchSome <sfDir> <q1> <q2> ...
+  * Usage: runMain graft.tools.BenchSome <sfDir> [--warm] <q1> <q2> ...
+  * `--warm` first materializes the shared Builds lineages (as Bench's
+  * declared warm phase does), so the per-query times are build-free.
   */
 object BenchSome {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val names = args.drop(1)
+    val warm = args.drop(1).contains("--warm")
+    val names = args.drop(1).filterNot(_ == "--warm")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -22,6 +25,11 @@ object BenchSome {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try graft.SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    if (warm) graft.Builds.all.foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir) catch { case e: Throwable => println(s"ERR build:$name: $e") }
+      println(f"build:$name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
     val qs = if (names.isEmpty) graft.SparkEntry.queries.keys.toSeq.sorted
              else names.toSeq
     val results = qs.map { name =>
