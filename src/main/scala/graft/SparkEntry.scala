@@ -224,6 +224,9 @@ object SparkEntry {
     "q195_epoch_plan"     -> ((s, d) => Sampling.epochPlan(s, d)),
     "q196_hll_overlap"    -> ((s, d) => Relational.hllOverlap(s, d)),
     "q197_split_drift"    -> ((s, d) => Sampling.splitDriftAudit(s, d)),
+    "q198_span_corruption" -> ((s, d) => Text.spanCorruptionPlan(s, d)),
+    "q199_cluster_spectrum" -> ((s, d) => Dedup.clusterSpectrum(s, d)),
+    "q200_vocab_coverage" -> ((s, d) => Text.vocabCoverage(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -4103,7 +4106,65 @@ object SparkEntry {
          |  ((p50_chars - t_p50) * 1000000 // t_p50)::BIGINT AS p50_drift_q6,
          |  ((p90_chars - t_p90) * 1000000 // t_p90)::BIGINT AS p90_drift_q6
          |FROM s, t""".stripMargin,
+    // span-corruption plan: seed iff md5("span:doc:p") % 8 = 0, spans of
+    // 3, overlaps merge; mask geometry is a pure function of (doc, p)
+    "q198_span_corruption" -> spanCorruptionSql(8, 3),
+    // cluster-size spectrum over the SAME converged labels the q132
+    // family replays (star ≡ converged, spec-pinned)
+    "q199_cluster_spectrum" -> (dedupLabelCtes(5) +
+      s""",
+         |sz AS (SELECT label, count(*) AS sz FROM l5 GROUP BY 1)
+         |SELECT (length(bin(sz)) - 1)::BIGINT AS bucket,
+         |  count(*)::BIGINT AS n_clusters, sum(sz)::BIGINT AS n_docs,
+         |  max(sz)::BIGINT AS max_size
+         |FROM sz GROUP BY 1""".stripMargin),
+    // vocabulary coverage: global top-1000 under (count desc, word) —
+    // the q72 rank order — then per-source occurrence/type coverage
+    "q200_vocab_coverage" ->
+      """WITH tk AS (SELECT source, unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        |            FROM documents),
+        |wc AS (SELECT w, count(*) AS c FROM tk GROUP BY 1),
+        |v AS (SELECT w, row_number() OVER (ORDER BY c DESC, w) AS token_id FROM wc),
+        |top AS (SELECT w FROM v WHERE token_id <= 1000)
+        |SELECT source, count(*)::BIGINT AS n_occ,
+        |  sum(CASE WHEN top.w IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_covered,
+        |  count(DISTINCT tk.w)::BIGINT AS n_types,
+        |  count(DISTINCT CASE WHEN top.w IS NULL THEN tk.w END)::BIGINT AS n_oov_types,
+        |  (sum(CASE WHEN top.w IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+        |     // count(*))::BIGINT AS covered_q6,
+        |  ((count(*) - sum(CASE WHEN top.w IS NOT NULL THEN 1 ELSE 0 END)) * 1000000
+        |     // count(*))::BIGINT AS oov_q6
+        |FROM tk LEFT JOIN top ON tk.w = top.w
+        |GROUP BY 1""".stripMargin,
   )
+
+  /** q198's oracle: the identical seed/mask/island derivation over
+    * DuckDB list lambdas — seed array, bounded-lookback mask array,
+    * island starts; mirrors Text.spanCorruptionPlan exactly.
+    */
+  private def spanCorruptionSql(density: Int, spanLen: Int): String = {
+    val lookback = (0 until spanLen).map { k =>
+      if (k == 0) "seed[p]"
+      else s"CASE WHEN p > $k THEN seed[p - $k] ELSE 0 END"
+    }.mkString("greatest(", ", ", ")")
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ws
+       |           FROM documents),
+       |b AS (SELECT doc_id, len(ws) AS n,
+       |  list_transform(range(1, len(ws) + 1), p ->
+       |    CASE WHEN (${md5Bits32Sql("'span:' || doc_id::VARCHAR || ':' || p::VARCHAR", 1)})
+       |           % $density = 0 THEN 1 ELSE 0 END) AS seed
+       |  FROM t),
+       |m AS (SELECT doc_id, n,
+       |  list_transform(range(1, n + 1), p -> $lookback) AS mk
+       |  FROM b)
+       |SELECT doc_id, n::BIGINT AS n_tokens,
+       |  list_sum(list_transform(range(1, n + 1), p ->
+       |    CASE WHEN mk[p] = 1 AND (p = 1 OR mk[p - 1] = 0)
+       |         THEN 1 ELSE 0 END))::BIGINT AS n_spans,
+       |  list_sum(mk)::BIGINT AS n_masked,
+       |  (list_sum(mk) * 1000000 // n)::BIGINT AS mask_q6
+       |FROM m""".stripMargin
+  }
 
   /** q126's oracle: the deterministic sync-LPA trajectory unrolled —
     * per sweep, neighbor-label counts then the (c DESC, lbl ASC) argmax,

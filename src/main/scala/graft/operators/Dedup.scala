@@ -1015,4 +1015,32 @@ object Dedup {
         coalesce(expr("2L * n_tp * 1000000L div (n_pred + n_truth)"), lit(0L))
           .as("f1_q6"))
   }
+
+  /** q199: duplicate-cluster SIZE SPECTRUM — the power-law audit over
+    * the q132 star labels: cluster sizes bucketed by ⌊log₂(size)⌋, per
+    * bucket the cluster count, total document mass, and the largest
+    * cluster. Natural web-scale corpora show a heavy but smoothly
+    * decaying tail; a spike in a high bucket is the signature of
+    * template flooding or a mirror site, and the bucket's doc mass is
+    * exactly how many documents dedup will collapse. This is the audit
+    * a curation run reads BEFORE committing to a dedup threshold
+    * (q180's topology metrics summarize edges; this summarizes the
+    * resulting components).
+    *
+    * Scale: rides the memo-shared star labels (O(log n) fixpoint); the
+    * spectrum is two aggregates — (label) with map-side combine, then
+    * ≤64 bucket rows. log₂ via `length(bin(x))−1` (exact on integers,
+    * identical in both engines — the HLL rank trick).
+    */
+  def clusterSpectrum(spark: SparkSession, d: String,
+      threshold: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    dedupLabelsStar(spark, d, threshold)
+      .groupBy($"label").agg(count(lit(1)).as("sz"))
+      .groupBy((length(bin($"sz")) - 1).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum($"sz").as("n_docs"),
+        max($"sz").as("max_size"))
+      .select($"bucket", $"n_clusters", $"n_docs", $"max_size")
+  }
 }

@@ -1660,4 +1660,81 @@ object Text {
       .select($"doc_id", $"lang", $"r_stop", $"r_alpha", $"r_ent",
         $"committee", $"c_rnk", $"decile")
   }
+
+  /** q198: span-corruption mask plan — the deterministic T5/UL2-style
+    * denoising layout a pretraining pipeline computes per document
+    * BEFORE tokenizer sharding: position p seeds a mask span iff
+    * md5("span:doc:p") ≡ 0 (mod `density`), every seed masks
+    * [p, p+spanLen), overlapping spans merge, and the plan row reports
+    * the exact mask geometry (token count, merged span count, masked
+    * tokens, 1e6-quantized mask ratio ≈ 1 − (1−1/density)^spanLen).
+    * Hash-seeded, so the mask is reproducible from (doc_id, position)
+    * alone — any worker can re-derive its shard's masks with no
+    * coordination, the same property the q52 split hashing relies on.
+    *
+    * Scale: pure scan stage — the seed array, the mask array (a
+    * position is masked iff ANY of its spanLen predecessors seeds, a
+    * bounded lookback, no window), and the island count (mask start =
+    * masked ∧ ¬masked(p−1)) are three HOFs over attribute-projected
+    * arrays; no shuffle at all before the (nonexistent) aggregate —
+    * one output row per input row.
+    */
+  def spanCorruptionPlan(spark: SparkSession, d: String,
+      density: Int = 8, spanLen: Int = 3): DataFrame = {
+    import spark.implicits._
+    // project each derived array to an ATTRIBUTE before the next HOF
+    // references it (interpreted lambdas re-evaluate non-attribute
+    // children per element — the Hashing.scala discipline)
+    val seeded = documents(spark, d)
+      .select($"doc_id", size(tokens($"text")).as("n"))
+      .select($"doc_id", $"n",
+        transform(sequence(lit(1), $"n"), p =>
+          when(graft.functions.Hashing.md5Bits32(concat(lit("span:"),
+              $"doc_id".cast("string"), lit(":"), p.cast("string")), 1)
+            % density === 0, 1L).otherwise(0L)).as("seed"))
+    val masked = seeded.select($"doc_id", $"n",
+      transform(sequence(lit(1), $"n"), p =>
+        greatest((0 until spanLen).map(k =>
+          when(p > k, element_at($"seed", (p - k).cast("int")))
+            .otherwise(lit(0L))): _*)).as("mk"))
+    masked.select($"doc_id", $"n".cast("long").as("n_tokens"),
+        aggregate($"mk", lit(0L), (a, x) => a + x).as("n_masked"),
+        aggregate(sequence(lit(1), $"n"), lit(0L), (a, p) =>
+          a + when(element_at($"mk", p.cast("int")) === 1L &&
+              (p === 1 || element_at($"mk", (p - 1).cast("int")) === 0L),
+            1L).otherwise(0L)).as("n_spans"))
+      .select($"doc_id", $"n_tokens", $"n_spans", $"n_masked",
+        expr("n_masked * 1000000L div n_tokens").as("mask_q6"))
+  }
+
+  /** q200: vocabulary coverage / OOV audit — for each source, the share
+    * of its token OCCURRENCES covered by the global top-`topN`
+    * vocabulary (the q83 two-phase rank order: count desc, word asc).
+    * This is the go/no-go check before freezing a tokenizer vocab: a
+    * source whose coverage is far below the corpus mean will shatter
+    * into UNK/byte fallbacks and its effective sequence length silently
+    * explodes. Reports exact occurrence counts, distinct-type counts,
+    * and 1e6-quantized coverage/OOV rates.
+    *
+    * Scale: the vocabulary is corpus-sublinear and memo-shared
+    * (`rankedVocab`); the top-N cut broadcasts to the one token scan;
+    * the aggregate is (source)-keyed with map-side combine.
+    */
+  def vocabCoverage(spark: SparkSession, d: String,
+      topN: Int = 1000): DataFrame = {
+    import spark.implicits._
+    val top = rankedVocab(spark, d).filter($"token_id" <= topN)
+      .select($"w", lit(1L).as("__in"))
+    documents(spark, d)
+      .select($"source", explode(tokens($"text")).as("w"))
+      .join(broadcast(top), Seq("w"), "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_occ"),
+        sum(coalesce($"__in", lit(0L))).as("n_covered"),
+        count_distinct($"w").as("n_types"),
+        count_distinct(when($"__in".isNull, $"w")).as("n_oov_types"))
+      .select($"source", $"n_occ", $"n_covered", $"n_types", $"n_oov_types",
+        expr("n_covered * 1000000L div n_occ").as("covered_q6"),
+        expr("(n_occ - n_covered) * 1000000L div n_occ").as("oov_q6"))
+  }
 }

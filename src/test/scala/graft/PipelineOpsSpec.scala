@@ -1374,4 +1374,56 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(per(s) == math.min(20, n), s"source $s")
     }
   }
+  test("spanCorruptionPlan: mask geometry invariants + driver replay of one doc") {
+    import spark.implicits._
+    val rows = graft.operators.Text.spanCorruptionPlan(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.length == spark.read.parquet(s"$sf/documents.parquet").count())
+    rows.foreach { case (id, n, spans, masked, q6) =>
+      // chained seeds merge into islands longer than one span, so the
+      // only hard geometry bounds are containment and island counting
+      assert(masked <= n && spans <= masked,
+        s"doc $id geometry: n=$n spans=$spans masked=$masked")
+      assert(q6 == masked * 1000000L / n, s"doc $id ratio")
+    }
+    // independent JVM replay of one document's mask
+    val (docId, text) = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].head()
+    val n = text.toLowerCase.split("\\s+", -1).length
+    def seed(p: Int): Boolean =
+      graft.functions.Hashing.md5BucketJvm(s"span:$docId:$p", 1L << 32) % 8 == 0
+    val mk = (1 to n).map(p => (0 until 3).exists(k => p - k >= 1 && seed(p - k)))
+    val expSpans = (1 to n).count(p => mk(p - 1) && (p == 1 || !mk(p - 2)))
+    val got = rows.find(_._1 == docId).get
+    assert(got._2 == n && got._3 == expSpans && got._4 == mk.count(identity))
+  }
+
+  test("clusterSpectrum: buckets partition the corpus and agree with cluster sizes") {
+    import spark.implicits._
+    val spec = graft.operators.Dedup.clusterSpectrum(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    val sizes = graft.operators.Dedup.dedupClustersStar(spark, sf)
+      .as[(Long, Long)].collect().map(_._2)
+    assert(spec.map(_._3).sum == sizes.sum, "doc mass conserved")
+    assert(spec.map(_._2).sum == sizes.length, "cluster count conserved")
+    spec.foreach { case (b, _, _, mx) =>
+      assert((java.lang.Long.numberOfTrailingZeros(java.lang.Long.highestOneBit(mx))) == b
+        || mx >= (1L << b) && mx < (1L << (b + 1)), s"bucket $b max $mx")
+    }
+  }
+
+  test("vocabCoverage: occurrence totals conserved; coverage bounds hold") {
+    import spark.implicits._
+    val rows = graft.operators.Text.vocabCoverage(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    val totalToks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(lower($"text"), "\\s+")).as("w")).count()
+    assert(rows.map(_._2).sum == totalToks, "occurrences conserved")
+    rows.foreach { case (src, occ, cov, types, oov, cq6, oq6) =>
+      assert(cov <= occ && oov <= types, s"$src bounds")
+      assert(cq6 == cov * 1000000L / occ && oq6 == (occ - cov) * 1000000L / occ)
+    }
+    // the top-1000 vocab must cover a majority of a natural corpus
+    assert(rows.map(_._3).sum * 2 > totalToks, "top-1000 coverage sanity")
+  }
 }
