@@ -227,6 +227,8 @@ object SparkEntry {
     "q198_span_corruption" -> ((s, d) => Text.spanCorruptionPlan(s, d)),
     "q199_cluster_spectrum" -> ((s, d) => Dedup.clusterSpectrum(s, d)),
     "q200_vocab_coverage" -> ((s, d) => Text.vocabCoverage(s, d)),
+    "q201_sliding_actives" -> ((s, d) => Relational.slidingActives(s, d)),
+    "q202_bootstrap_ci"   -> ((s, d) => Sampling.bootstrapCi(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -4136,6 +4138,63 @@ object SparkEntry {
         |     // count(*))::BIGINT AS oov_q6
         |FROM tk LEFT JOIN top ON tk.w = top.w
         |GROUP BY 1""".stripMargin,
+    // 7-day sliding actives: the q172 register algebra with a BETWEEN
+    // window instead of the cumulative prefix; exact audit beside it
+    "q201_sliding_actives" ->
+      s"""WITH base AS (SELECT epoch_us(ts) // 86400000000 AS dy, user_id,
+         |    ${md5Bits32Sql("'hll:' || user_id::VARCHAR", 1)} AS h
+         |  FROM events),
+         |r AS (SELECT dy, h & 255 AS b,
+         |  CASE WHEN (h >> 8) = 0 THEN 25
+         |       ELSE 25 - length(bin(h >> 8)) END AS rank FROM base),
+         |m AS (SELECT dy, b, max(rank) AS m_j FROM r GROUP BY 1, 2),
+         |days AS (SELECT DISTINCT dy FROM base),
+         |w AS (SELECT d.dy AS g_dy, m.b, max(m.m_j) AS m_j
+         |      FROM days d JOIN m ON m.dy BETWEEN d.dy - 6 AND d.dy
+         |      GROUP BY 1, 2),
+         |nd AS (SELECT d.dy AS g_dy, count(DISTINCT m.dy) AS n_days
+         |       FROM days d JOIN m ON m.dy BETWEEN d.dy - 6 AND d.dy
+         |       GROUP BY 1),
+         |s AS (SELECT g_dy, count(*) AS nz, sum(power(2.0, -m_j)) AS snz
+         |      FROM w GROUP BY 1),
+         |est AS (SELECT g_dy, (256 - nz)::BIGINT AS v_zero,
+         |  floor(0.7213 / (1.0 + 1.079 / 256.0)
+         |    * 65536.0 / ((256 - nz)::DOUBLE + snz))::BIGINT AS hll_raw
+         |  FROM s),
+         |du AS (SELECT DISTINCT dy, user_id FROM base),
+         |x AS (SELECT d.dy AS g_dy,
+         |        count(DISTINCT du.user_id)::BIGINT AS exact_active
+         |      FROM days d JOIN du ON du.dy BETWEEN d.dy - 6 AND d.dy
+         |      GROUP BY 1)
+         |SELECT est.g_dy AS dy, nd.n_days::BIGINT AS n_days, est.v_zero,
+         |  est.hll_raw,
+         |  CASE WHEN est.v_zero > 0 AND est.hll_raw <= 640
+         |       THEN ${sqlLongList(graft.operators.Relational.HllLcTable)}[est.v_zero + 1]::BIGINT
+         |       ELSE est.hll_raw END AS hll_est,
+         |  x.exact_active
+         |FROM est JOIN nd ON est.g_dy = nd.g_dy
+         |JOIN x ON est.g_dy = x.g_dy""".stripMargin,
+    // deterministic multiplier bootstrap: w = md5("boot:b:doc") mod 3,
+    // replicate means as exact integer ratios, min/max spread
+    "q202_bootstrap_ci" ->
+      s"""WITH reps AS (SELECT source, rep, n_chars,
+         |    (${md5Bits32Sql("'boot:' || rep::VARCHAR || ':' || doc_id::VARCHAR", 1)} % 3) AS w
+         |  FROM documents, unnest(range(0, 16)) AS t(rep)),
+         |agg AS (SELECT source, rep, sum(w * n_chars) AS swx, sum(w) AS sw
+         |        FROM reps GROUP BY 1, 2),
+         |rm AS (SELECT source, rep,
+         |        CASE WHEN sw > 0 THEN (swx * 1000000) // sw END AS rep_mean_q6
+         |      FROM agg),
+         |base AS (SELECT source, count(*)::BIGINT AS n_docs,
+         |        (sum(n_chars) * 1000000 // count(*))::BIGINT AS mean_q6
+         |      FROM documents GROUP BY 1)
+         |SELECT rm.source, base.n_docs, base.mean_q6,
+         |  count(rep_mean_q6)::BIGINT AS n_reps,
+         |  min(rep_mean_q6)::BIGINT AS boot_lo_q6,
+         |  max(rep_mean_q6)::BIGINT AS boot_hi_q6,
+         |  (max(rep_mean_q6) - min(rep_mean_q6))::BIGINT AS boot_spread_q6
+         |FROM rm JOIN base USING (source)
+         |GROUP BY 1, 2, 3""".stripMargin,
   )
 
   /** q198's oracle: the identical seed/mask/island derivation over

@@ -1067,6 +1067,72 @@ object Relational {
           .otherwise(raw).as("hll_est"))
   }
 
+  /** q201: SLIDING-window active users (the WAU curve) — q172's
+    * cumulative reach turned into a rolling 7-day window: per observed
+    * day D, the HLL estimate of distinct users active in [D−6, D],
+    * with the exact distinct count beside it as the audit rung. The
+    * window union is register algebra over the (day, bucket) table —
+    * each day's 256 registers are EXPLODED to the ≤ `window` future
+    * days they participate in and bucket-MAXed per target day, so the
+    * sliding merge never revisits events: the corpus-sized work is the
+    * one (day, bucket) register aggregate q172 already pays, and the
+    * window pass touches |days|·window·256 sketch rows. `n_days`
+    * counts the observed days inside each window (ramp-up days and
+    * ingest gaps are visible instead of silently diluting the rate).
+    *
+    * Scale: exactly the mergeable-sketch discipline — per-day registers
+    * are what a 100 TB log stores; any window size is a re-merge of
+    * register rows, not a rescan. The exact audit column does one
+    * window-exploded distinct over daily-distinct users — the declared
+    * exact rung, dropped at deployment scale.
+    */
+  def slidingActives(spark: SparkSession, d: String,
+      window: Int = 7): DataFrame = {
+    import spark.implicits._
+    val h = graft.functions.Hashing
+      .md5Bits32(concat(lit("hll:"), $"user_id".cast("string")), 1)
+    val base = events(spark, d)
+      .select(expr("unix_micros(ts) div 86400000000L").as("dy"),
+        $"user_id", h.as("h"))
+    val regs = base
+      .select($"dy", $"h".bitwiseAND(lit(255L)).as("b"),
+        shiftright($"h", 8).as("w"))
+      .select($"dy", $"b",
+        when($"w" === 0L, lit(25L))
+          .otherwise(lit(25L) - length(bin($"w")).cast("long")).as("rank"))
+      .groupBy($"dy", $"b").agg(max($"rank").as("m_j"))
+    val days = base.select($"dy").distinct()
+    // each day's registers fan out to the window days they belong to;
+    // only OBSERVED target days emit (semi join against the day grid)
+    val win = regs
+      .select(explode(sequence($"dy", $"dy" + (window - 1))).as("g_dy"),
+        $"dy", $"b", $"m_j")
+      .join(days.select($"dy".as("g_dy")), Seq("g_dy"), "left_semi")
+    val merged = win.groupBy($"g_dy", $"b").agg(max($"m_j").as("m_j"))
+    val nDays = win.select($"g_dy", $"dy").distinct()
+      .groupBy($"g_dy").agg(count(lit(1)).as("n_days"))
+    val sketch = merged.groupBy($"g_dy")
+      .agg(count(lit(1)).as("nz"), sum(pow(lit(2.0), -$"m_j")).as("snz"))
+      .select($"g_dy", (lit(256L) - $"nz").as("v_zero"),
+        ((lit(256L) - $"nz").cast("double") + $"snz").as("s"))
+    val raw = floor(lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
+      * lit(65536.0) / $"s").cast("long")
+    val du = base.select($"dy", $"user_id").distinct()
+    val exact = du
+      .select(explode(sequence($"dy", $"dy" + (window - 1))).as("g_dy"),
+        $"user_id")
+      .join(days.select($"dy".as("g_dy")), Seq("g_dy"), "left_semi")
+      .groupBy($"g_dy").agg(count_distinct($"user_id").as("exact_active"))
+    sketch
+      .join(broadcast(nDays), Seq("g_dy"))
+      .join(exact, Seq("g_dy"))
+      .select($"g_dy".as("dy"), $"n_days", $"v_zero", raw.as("hll_raw"),
+        when($"v_zero" > 0L && raw <= lit(640L),
+          element_at(typedLit(HllLcTable), ($"v_zero" + 1L).cast("int")))
+          .otherwise(raw).as("hll_est"),
+        $"exact_active")
+  }
+
   /** q179: k-anonymity audit — group sizes over the quasi-identifier
     * (event_type, weekday, value bucket): the privacy-side complement of
     * q60's PII scan and q168's deletion audit. Rows whose QI group has

@@ -85,12 +85,15 @@ object Retrieval {
     graft.core.Memo(spark, cache = true, "bm25ranked", d,
       maxDf.map(_.toString).getOrElse("none")) {
       import spark.implicits._
-      val win = Window.partitionBy($"query_id")
-        .orderBy($"score_q".desc, $"doc_id")
-      bm25Aggregate(spark, bm25Candidates(spark, d, maxDf))
-        .withColumn("rank", row_number().over(win).cast("long"))
-        .filter($"rank" <= sharedTopK)
-        .select($"query_id", $"doc_id", $"rank", $"score_q")
+      // per-query top-20 as the native bounded-heap aggregate (round 12):
+      // partial heaps fold the doc_id-partitioned score rows map-side, so
+      // the one query shuffle carries ≤ |partitions|·|queries|·20 rows and
+      // nothing is ever sorted (the window form sorted every query group)
+      Ranks.groupTopK(
+          bm25Aggregate(spark, bm25Candidates(spark, d, maxDf)),
+          sharedTopK, "rk",
+          Seq($"query_id"), struct((-$"score_q").as("__ns"), $"doc_id", $"score_q"))
+        .select($"query_id", $"doc_id", $"rk".cast("long").as("rank"), $"score_q")
     }
 
   /** Exact integer document scores from the candidate stream — one hash

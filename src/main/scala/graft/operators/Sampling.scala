@@ -678,4 +678,49 @@ object Sampling {
         $"decile".desc, $"shuf".asc, $"doc_id".asc)
       .select($"doc_id", $"decile", $"shuf", $"position")
   }
+
+  /** q202: deterministic multiplier-BOOTSTRAP confidence spread for a
+    * per-source corpus statistic (mean document length) — the error
+    * bar a curation report should print next to every mean before
+    * anyone compares sources on it. Replicate b reweights each doc by
+    * w = md5("boot:b:doc") mod 3 ∈ {0,1,2} (E[w] = 1, Var[w] = 2/3 —
+    * a multiplier bootstrap with a hash-deterministic draw both
+    * engines replay bit-for-bit, the same reproducibility contract as
+    * the q52 split and q198 masks); replicate means are exact-integer
+    * ratios, and the reported spread is the min/max over the B
+    * replicates (order-statistic bounds — crude but exactly
+    * reproducible, no transcendentals).
+    *
+    * Scale: the doc scan fans out ×B into a (source, replicate)
+    * aggregate — map-side combined to |sources|·B cells, then B-row
+    * per-source min/max. B is a constant knob; there is no per-doc
+    * state and no shuffle beyond the one keyed aggregate.
+    */
+  def bootstrapCi(spark: SparkSession, d: String, b: Int = 16): DataFrame = {
+    import spark.implicits._
+    val reps = documents(spark, d)
+      .select($"source", $"doc_id", $"n_chars",
+        explode(sequence(lit(0), lit(b - 1))).as("rep"))
+      .select($"source", $"rep", $"n_chars",
+        (Hashing.md5Bits32(concat(lit("boot:"), $"rep".cast("string"),
+          lit(":"), $"doc_id".cast("string")), 1) % 3).as("w"))
+      .groupBy($"source", $"rep")
+      .agg(sum($"w" * $"n_chars").as("swx"), sum($"w").as("sw"))
+      // an all-zero replicate (possible only on tiny sources) falls
+      // back to the unweighted mean contract via NULL → dropped from
+      // the spread by min/max ignoring nulls
+      .select($"source", $"rep",
+        when($"sw" > 0L, expr("swx * 1000000L div sw")).as("rep_mean_q6"))
+    val base = documents(spark, d).groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(n_chars) * 1000000L div count(1)").as("mean_q6"))
+    reps.groupBy($"source")
+      .agg(min($"rep_mean_q6").as("boot_lo_q6"),
+        max($"rep_mean_q6").as("boot_hi_q6"),
+        count($"rep_mean_q6").as("n_reps"))
+      .join(broadcast(base), Seq("source"))
+      .select($"source", $"n_docs", $"mean_q6", $"n_reps",
+        $"boot_lo_q6", $"boot_hi_q6",
+        ($"boot_hi_q6" - $"boot_lo_q6").as("boot_spread_q6"))
+  }
 }

@@ -1103,6 +1103,87 @@ object EventStreams {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  case class SlidingRow(dy: Long, n_days: Long, v_zero: Long,
+      hll_raw: Long, hll_est: Long, state_n: Long)
+
+  /** q201's sliding-window actives LIVE (transformWithState) — the WAU
+    * monitor on the stream: state is the same (day → 256 HLL
+    * registers) table as the reach curve, and each batch re-emits the
+    * whole observed-day grid with every day's estimate merged from its
+    * [d−window+1, d] register rows — late rows for an earlier day
+    * legitimately revise every window containing it. Global users, so
+    * one constant key holds the day-bounded register table; a
+    * deployment shards stage 1 per partition and merges through a hop
+    * exactly like the q196 register→overlap chain — the state algebra
+    * is identical, only the routing differs.
+    */
+  class SlidingActivesProcessor(window: Int) extends
+      org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, SlidingRow] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+
+    @transient private var st: ValueState[DayRegs] = _
+    @transient private var nSt: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      st = getHandle.getValueState[DayRegs](
+        "slidingDayRegisters", Encoders.product[DayRegs], TTLConfig.NONE)
+      nSt = getHandle.getValueState[Long](
+        "slidingSeen", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[SlidingRow] = {
+      val m = scala.collection.mutable.LongMap.empty[Array[Long]]
+      if (st.exists()) {
+        val dr = st.get()
+        dr.days.zipWithIndex.foreach { case (d, i) =>
+          m(d) = dr.regs.slice(i * 256, (i + 1) * 256)
+        }
+      }
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var folded = 0L
+      rows.foreach { e =>
+        val micros = e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+        val dy = micros / 86400000000L
+        val regs = m.getOrElseUpdate(dy, Array.fill(256)(0L))
+        val hex = md.digest(s"hll:${e.user_id}".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val h = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+        val b = (h & 255L).toInt
+        val w = h >> 8
+        val rank =
+          if (w == 0L) 25L
+          else 25L - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        if (rank > regs(b)) regs(b) = rank
+        folded += 1L
+      }
+      val days = m.keys.toArray.sorted
+      st.update(DayRegs(days, days.flatMap(m(_))))
+      val n = (if (nSt.exists()) nSt.get() else 0L) + folded
+      nSt.update(n)
+      days.iterator.map { dy =>
+        val inWin = days.filter(d => d >= dy - (window - 1) && d <= dy)
+        val merged = Array.fill(256)(0L)
+        inWin.foreach { d =>
+          val r = m(d); var i = 0
+          while (i < 256) { if (r(i) > merged(i)) merged(i) = r(i); i += 1 }
+        }
+        val h = hllSummary("all", merged)
+        SlidingRow(dy, inWin.length.toLong, h.v_zero, h.hll_raw, h.hll_est, n)
+      }
+    }
+  }
+
+  def slidingActivesStream(events: Dataset[Event],
+      window: Int = 7): Dataset[SlidingRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_ => 0L)
+      .transformWithState(new SlidingActivesProcessor(window),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   def runningUserTotals(events: Dataset[Event]): Dataset[UserTotals] = {
     import events.sparkSession.implicits._
     events

@@ -659,4 +659,37 @@ class EventStreamsSpec extends AnyFunSuite {
       } finally { q1.stop(); q2.stop() }
     }
   }
+  test("sliding actives stream equals the q201 batch sketch columns across a batch split") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val all = graft.core.Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect()
+    withRuntime(tws = true) {
+      val input = MemoryStream[Event]
+      val query = EventStreams.slidingActivesStream(input.toDS())
+        .writeStream.format("memory").queryName("sliding_stream")
+        .outputMode("update").start()
+      try {
+        // register max-merge per day, window merge at emission: the
+        // final grid must not depend on the split, and late rows for
+        // an early day revise every window containing it
+        all.grouped(math.max(1, all.length / 4 + 1)).foreach { chunk =>
+          input.addData(chunk.toIndexedSeq: _*)
+          query.processAllAvailable()
+        }
+        val rows = spark.table("sliding_stream")
+          .as[(Long, Long, Long, Long, Long, Long)].collect()
+        val last = rows.map(_._6).max
+        val fin = rows.filter(_._6 == last)
+          .map(r => (r._1, r._2, r._3, r._4, r._5)).toSet
+        val batch = graft.operators.Relational.slidingActives(spark, sf)
+          .select($"dy", $"n_days", $"v_zero", $"hll_raw", $"hll_est")
+          .as[(Long, Long, Long, Long, Long)].collect().toSet
+        assert(fin == batch)
+        assert(batch.nonEmpty)
+      } finally query.stop()
+    }
+  }
 }

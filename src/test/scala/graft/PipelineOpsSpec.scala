@@ -1426,4 +1426,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     // the top-1000 vocab must cover a majority of a natural corpus
     assert(rows.map(_._3).sum * 2 > totalToks, "top-1000 coverage sanity")
   }
+  test("bootstrapCi: replicate count, bounds ordering, and a driver replay of one source") {
+    import spark.implicits._
+    val rows = graft.operators.Sampling.bootstrapCi(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, n, mean, reps, lo, hi, spread) =>
+      assert(reps == 16L && lo <= hi && spread == hi - lo, s"$src shape")
+    }
+    // exact replay of one source's replicates
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"source", $"doc_id", $"n_chars").as[(String, Long, Long)].collect()
+    val src = docs.head._1
+    val mine = docs.filter(_._1 == src)
+    val repMeans = (0 until 16).flatMap { b =>
+      val ws = mine.map { case (_, id, nc) =>
+        (graft.functions.Hashing.md5BucketJvm(s"boot:$b:$id", 1L << 32) % 3, nc)
+      }
+      val sw = ws.map(_._1).sum
+      if (sw > 0) Some(ws.map { case (w, nc) => w * nc }.sum * 1000000L / sw)
+      else None
+    }
+    val got = rows.find(_._1 == src).get
+    assert(got._5 == repMeans.min && got._6 == repMeans.max, s"$src replay")
+  }
 }
