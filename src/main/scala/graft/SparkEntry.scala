@@ -229,6 +229,7 @@ object SparkEntry {
     "q200_vocab_coverage" -> ((s, d) => Text.vocabCoverage(s, d)),
     "q201_sliding_actives" -> ((s, d) => Relational.slidingActives(s, d)),
     "q202_bootstrap_ci"   -> ((s, d) => Sampling.bootstrapCi(s, d)),
+    "q203_fisher_separation" -> ((s, d) => Similarity.fisherSeparation(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -4195,6 +4196,33 @@ object SparkEntry {
          |  (max(rep_mean_q6) - min(rep_mean_q6))::BIGINT AS boot_spread_q6
          |FROM rm JOIN base USING (source)
          |GROUP BY 1, 2, 3""".stripMargin,
+    // Fisher separation: exact integer sums/squares, then the identical
+    // short double chain (single divisions) in both engines
+    "q203_fisher_separation" ->
+      """WITH ex AS (SELECT vec_id, label,
+        |    round(unnest(embedding)::DOUBLE * 10000000)::BIGINT AS v,
+        |    unnest(range(len(embedding))) AS i FROM embeddings),
+        |nn AS (SELECT count(*) AS n FROM embeddings),
+        |nl AS (SELECT label, count(DISTINCT vec_id) AS n_l FROM ex GROUP BY 1),
+        |sli AS (SELECT label, i, sum(v)::BIGINT AS s_li FROM ex GROUP BY 1, 2),
+        |si AS (SELECT i, sum(s_li)::BIGINT AS s_i FROM sli GROUP BY 1),
+        |dotl AS (SELECT label, sum(v::HUGEINT * v::HUGEINT) AS sumdot_l
+        |         FROM ex GROUP BY 1),
+        |agg AS (SELECT label, nl.n_l,
+        |    sum(((s_li * nn.n - s_i * nl.n_l)::HUGEINT)
+        |        * ((s_li * nn.n - s_i * nl.n_l)::HUGEINT)) AS b_num,
+        |    sum(s_li::HUGEINT * s_li::HUGEINT) AS ssq_l
+        |  FROM sli JOIN si USING (i) JOIN nl USING (label), nn
+        |  GROUP BY 1, 2),
+        |fin AS (SELECT agg.label, agg.n_l AS n,
+        |    b_num::DOUBLE / (agg.n_l * nn.n * nn.n)::DOUBLE AS between_ms,
+        |    (sumdot_l::DOUBLE - (ssq_l::DOUBLE / agg.n_l::DOUBLE)) AS within_ss
+        |  FROM agg JOIN dotl USING (label), nn)
+        |SELECT label, n::BIGINT AS n, between_ms, within_ss,
+        |  CASE WHEN within_ss > 0.0
+        |       THEN round(((between_ms / within_ss) * n::DOUBLE) * 1000000.0)::BIGINT
+        |       ELSE 0 END AS fisher_q6
+        |FROM fin""".stripMargin,
   )
 
   /** q198's oracle: the identical seed/mask/island derivation over

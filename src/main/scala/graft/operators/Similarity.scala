@@ -1028,4 +1028,55 @@ object Similarity {
           (($"n".cast(dec38) * $"sumsq" - $"sum_q" * $"sum_q").cast("double")
             / ($"n" * ($"n" - 1L)).cast("double") / 1e14)).as("var_samp"))
   }
+
+  /** q203: Fisher class-separation audit — per label, the between-class
+    * mean square (n·‖µ_ℓ − µ‖² spread over its n, i.e. ‖µ_ℓ − µ‖²) and
+    * the within-class scatter (Σ‖x − µ_ℓ‖²), plus their quantized
+    * ratio. This is the one-table answer to "are these labels even
+    * separable in this embedding space" — read BEFORE training the
+    * probe q98 fits (a label with Fisher ratio ≈ 0 will never probe
+    * above chance, whatever the classifier).
+    *
+    * Exactness discipline: everything until the final divisions is
+    * integer — per-(label, dim) quantized sums, centroid differences
+    * as the cross-multiplied d = s_ℓi·n − s_i·n_ℓ (exact longs),
+    * squares summed in DECIMAL(38,0)/HUGEINT, the within scatter via
+    * the Σ‖x‖² − ‖S_ℓ‖²/n_ℓ identity — then an identical short chain
+    * of double ops in both engines (the q129 rule).
+    *
+    * Scale: two aggregates over the exploded (vector, dim) stream
+    * (map-side combined to |labels|·dims and dims cells), one scalar
+    * count, one |labels|-row join — nothing quadratic, nothing
+    * collected beyond the row count.
+    */
+  def fisherSeparation(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val ex = embeddings(spark, d).select($"label", quantize($"embedding").as("q"))
+    val n = ex.count()
+    val perDim = ex.select($"label", posexplode($"q").as(Seq("i", "v")))
+    val sli = perDim.groupBy($"label", $"i").agg(sum($"v").as("s_li"))
+    val si = sli.groupBy($"i").agg(sum($"s_li").as("s_i"))
+    val nl = ex.groupBy($"label").agg(count(lit(1)).as("n_l"))
+    val dotl = ex.select($"label", dotPreQ($"q", $"q").as("dd"))
+      .groupBy($"label").agg(sum($"dd".cast(dec38)).as("sumdot_l"))
+    val dExpr = $"s_li" * lit(n) - $"s_i" * $"n_l"
+    val agg = sli.join(broadcast(si), "i").join(broadcast(nl), "label")
+      .select($"label", $"n_l",
+        (dExpr.cast(dec38) * dExpr.cast(dec38)).as("dsq"),
+        ($"s_li".cast(dec38) * $"s_li".cast(dec38)).as("ssq"))
+      .groupBy($"label", $"n_l")
+      .agg(sum($"dsq").as("b_num"), sum($"ssq").as("ssq_l"))
+    agg.join(dotl, "label")
+      .select($"label", $"n_l".as("n"),
+        ($"b_num".cast("double")
+          / ($"n_l" * lit(n) * lit(n)).cast("double")).as("between_ms"),
+        ($"sumdot_l".cast("double")
+          - ($"ssq_l".cast("double") / $"n_l".cast("double"))).as("within_ss"))
+      .select($"label", $"n", $"between_ms", $"within_ss",
+        when($"within_ss" > 0.0,
+          round((($"between_ms" / $"within_ss") * $"n".cast("double"))
+            * lit(1000000.0)).cast("long"))
+          .otherwise(lit(0L)).as("fisher_q6"))
+  }
 }

@@ -1450,4 +1450,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     val got = rows.find(_._1 == src).get
     assert(got._5 == repMeans.min && got._6 == repMeans.max, s"$src replay")
   }
+
+  test("fisherSeparation: exact driver replay of between/within per label") {
+    import spark.implicits._
+    val rows = Similarity.fisherSeparation(spark, sf)
+      .as[(Long, Long, Double, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"label".cast("long"), $"embedding")
+      .as[(Long, Array[Float])].collect()
+      .map { case (l, e) => (l, e.map(x => math.round(x.toDouble * 1e7))) }
+    val n = vecs.length.toLong
+    val dims = vecs.head._2.length
+    val byLabel = vecs.groupBy(_._1)
+    val sI = Array.tabulate(dims)(i => vecs.map(_._2(i)).sum)
+    assert(rows.keySet == byLabel.keySet && rows.values.map(_._2).sum == n)
+    byLabel.foreach { case (l, vs) =>
+      val nL = vs.length.toLong
+      val sLi = Array.tabulate(dims)(i => vs.map(_._2(i)).sum)
+      val bNum = (0 until dims).map { i =>
+        val d = BigInt(sLi(i) * n - sI(i) * nL); d * d
+      }.sum
+      val betweenMs = bNum.toDouble / (nL * n * n).toDouble
+      val sumdot = vs.map(v => v._2.map(x => BigInt(x) * BigInt(x)).sum).sum
+      val ssqL = sLi.map(s => BigInt(s) * BigInt(s)).sum
+      val withinSs = sumdot.toDouble - (ssqL.toDouble / nL.toDouble)
+      val fisher =
+        if (withinSs > 0.0)
+          BigDecimal(((betweenMs / withinSs) * nL.toDouble) * 1000000.0)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        else 0L
+      val got = rows(l)
+      assert(got._2 == nL && got._3 == betweenMs && got._4 == withinSs
+        && got._5 == fisher, s"label $l replay")
+    }
+  }
 }
