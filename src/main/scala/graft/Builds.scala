@@ -43,6 +43,7 @@ object Builds {
     "bm25_weights"   -> ((s, d) => operators.Retrieval.bm25Weights(s, d).count()),
     "eval_grams"     -> ((s, d) => operators.Contamination.evalGramSet(s, d, 5, 5).count()),
     "pack_sequences" -> ((s, d) => operators.Sampling.packSequences(s, d).count()),
-    "copurchase"     -> ((s, d) => operators.Graph.copurchaseEdges(s, d).count())
+    "copurchase"     -> ((s, d) => operators.Graph.copurchaseEdges(s, d).count()),
+    "lp_labels"      -> ((s, d) => operators.Graph.labelPropagation(s, d).count())
   )
 }

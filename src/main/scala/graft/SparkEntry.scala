@@ -230,6 +230,9 @@ object SparkEntry {
     "q201_sliding_actives" -> ((s, d) => Relational.slidingActives(s, d)),
     "q202_bootstrap_ci"   -> ((s, d) => Sampling.bootstrapCi(s, d)),
     "q203_fisher_separation" -> ((s, d) => Similarity.fisherSeparation(s, d)),
+    "q204_modularity"     -> ((s, d) => Graph.modularity(s, d)),
+    "q205_threshold_sweep" -> ((s, d) => Dedup.thresholdSweep(s, d)),
+    "q206_centroid_sim"   -> ((s, d) => Similarity.centroidSimilarity(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -2613,6 +2616,46 @@ object SparkEntry {
     // synchronous LPA, 4 sweeps unrolled as MATERIALIZED stages (the
     // q112/q123 discipline); argmax = (count DESC, label ASC) row_number
     "q126_label_prop" -> labelPropagationSql(4),
+    // per-community modularity over the SAME unrolled label trajectory
+    "q204_modularity" -> modularitySql(4),
+    // threshold sweep over the exact pair table: τ/100.0 is a single
+    // exact division — the identical IEEE double in both engines
+    "q205_threshold_sweep" ->
+      s"""WITH pairs AS (
+         |$jaccardPairsSql),
+         |taus AS (SELECT unnest([50,55,60,65,70,75,80,85,90]::BIGINT[]) AS tau_pct),
+         |hits AS (SELECT tau_pct, x, y FROM pairs, taus
+         |         WHERE jac >= tau_pct::DOUBLE / 100.0),
+         |per AS (SELECT tau_pct, count(*)::BIGINT AS n_pairs,
+         |        count(DISTINCT y)::BIGINT AS n_dominated FROM hits GROUP BY 1),
+         |docs AS (SELECT tau_pct, count(DISTINCT dd)::BIGINT AS n_docs FROM (
+         |  SELECT tau_pct, x AS dd FROM hits
+         |  UNION ALL SELECT tau_pct, y AS dd FROM hits) GROUP BY 1)
+         |SELECT taus.tau_pct AS tau_pct,
+         |  coalesce(n_pairs, 0)::BIGINT AS n_pairs,
+         |  coalesce(n_dominated, 0)::BIGINT AS n_dominated,
+         |  coalesce(n_docs, 0)::BIGINT AS n_docs
+         |FROM taus LEFT JOIN per USING (tau_pct)
+         |  LEFT JOIN docs USING (tau_pct)""".stripMargin,
+    // centroid cosine via the sum-vector identity: exact (label, dim)
+    // integer sums, HUGEINT dots/norms, then the canonical
+    // dot/(sqrt·sqrt) chain
+    "q206_centroid_sim" ->
+      """WITH ex AS (SELECT label,
+        |    round(unnest(embedding)::DOUBLE * 10000000)::BIGINT AS v,
+        |    unnest(range(len(embedding))) AS i FROM embeddings),
+        |sli AS (SELECT label, i, sum(v)::BIGINT AS s FROM ex GROUP BY 1, 2),
+        |n2 AS (SELECT label, sum(s::HUGEINT * s::HUGEINT) AS n2
+        |       FROM sli GROUP BY 1),
+        |dots AS (SELECT a.label AS label_a, b.label AS label_b,
+        |    sum(a.s::HUGEINT * b.s::HUGEINT) AS dot
+        |  FROM sli a JOIN sli b ON a.i = b.i AND a.label < b.label
+        |  GROUP BY 1, 2)
+        |SELECT label_a, label_b,
+        |  round((dot::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)))
+        |    * 1000000.0)::BIGINT AS cos_q6
+        |FROM dots JOIN n2 na ON label_a = na.label
+        |  JOIN n2 nb ON label_b = nb.label""".stripMargin,
     // hash-driven walks unrolled: per step, one join onto the ranked
     // adjacency at the md5-chosen neighbor index
     "q145_random_walks" -> randomWalksSql(4),
@@ -4257,7 +4300,12 @@ object SparkEntry {
     * per sweep, neighbor-label counts then the (c DESC, lbl ASC) argmax,
     * mirroring Graph.labelPropagation sweep for sweep.
     */
-  private def labelPropagationSql(rounds: Int): String = {
+  /** Shared CTE chain for the label-propagation trajectory: the edge
+    * list `e`, the symmetric neighbor list `nb`, and labels l0..l{rounds}
+    * — reused verbatim by the q126 oracle and the q204 modularity oracle
+    * so the two replays can never diverge.
+    */
+  private def labelPropagationCtes(rounds: Int): String = {
     val stages = (1 to rounds).map { t =>
       s""",
          |l$t AS MATERIALIZED (SELECT v, lbl FROM (
@@ -4267,7 +4315,7 @@ object SparkEntry {
          |        FROM nb JOIN l${t - 1} ON nb.u = l${t - 1}.v GROUP BY 1, 2))
          |  WHERE rn = 1)""".stripMargin
     }.mkString
-    s"""WITH e AS MATERIALIZED (
+    s"""e AS MATERIALIZED (
        |  WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
        |  SELECT p1, p2 FROM (
        |    SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS cnt
@@ -4276,9 +4324,35 @@ object SparkEntry {
        |    GROUP BY 1, 2) WHERE cnt >= 2),
        |nb AS MATERIALIZED (
        |  SELECT p1 AS v, p2 AS u FROM e UNION ALL SELECT p2, p1 FROM e),
-       |l0 AS (SELECT DISTINCT v, v AS lbl FROM nb)$stages
-       |SELECT v AS partkey, lbl AS community FROM l$rounds""".stripMargin
+       |l0 AS (SELECT DISTINCT v, v AS lbl FROM nb)$stages""".stripMargin
   }
+
+  private def labelPropagationSql(rounds: Int): String =
+    s"""WITH ${labelPropagationCtes(rounds)}
+       |SELECT v AS partkey, lbl AS community FROM l$rounds""".stripMargin
+
+  /** q204's oracle: the identical label trajectory, then per community
+    * exact member/degree/intra-edge counts and the same two-division
+    * double chain for the modularity contribution.
+    */
+  private def modularitySql(rounds: Int): String =
+    s"""WITH ${labelPropagationCtes(rounds)},
+       |lbl AS (SELECT v, lbl AS community FROM l$rounds),
+       |m AS (SELECT count(*)::BIGINT AS m FROM e),
+       |deg AS (SELECT v, count(*)::BIGINT AS deg FROM nb GROUP BY 1),
+       |perc AS (SELECT community, count(*)::BIGINT AS n_vertices,
+       |    sum(deg)::BIGINT AS degree_sum
+       |  FROM deg JOIN lbl USING (v) GROUP BY 1),
+       |intra AS (SELECT c1.community, count(*)::BIGINT AS intra_edges
+       |  FROM e JOIN lbl c1 ON e.p1 = c1.v JOIN lbl c2 ON e.p2 = c2.v
+       |  WHERE c1.community = c2.community GROUP BY 1)
+       |SELECT perc.community, n_vertices, degree_sum,
+       |  coalesce(intra_edges, 0)::BIGINT AS intra_edges,
+       |  round((coalesce(intra_edges, 0)::DOUBLE / m::DOUBLE
+       |    - (degree_sum::DOUBLE / (2 * m)::DOUBLE)
+       |      * (degree_sum::DOUBLE / (2 * m)::DOUBLE))
+       |    * 1000000.0)::BIGINT AS contrib_q6
+       |FROM perc LEFT JOIN intra ON perc.community = intra.community, m""".stripMargin
 
   /** q119's oracle: the power-iteration trajectory unrolled — per step,
     * the projection Xv as exact BIGINT dots, the backprojection XᵀXv as

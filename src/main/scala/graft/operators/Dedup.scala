@@ -1043,4 +1043,37 @@ object Dedup {
         max($"sz").as("max_size"))
       .select($"bucket", $"n_clusters", $"n_docs", $"max_size")
   }
+
+  /** q205: dedup threshold-sensitivity sweep — for each candidate
+    * threshold τ ∈ {0.50, 0.55, …, 0.90}, the pair count, the number of
+    * dominated docs (docs with SOME ≥τ near-dup of smaller id — what a
+    * keep-the-smallest greedy would drop), and the number of docs
+    * touched by any ≥τ pair. The curve a curation run reads to PICK the
+    * dedup threshold (q175 evaluates one τ against truth; this shows
+    * how pair volume and collapse mass move across the dial — a cliff
+    * between adjacent τ means the corpus has a near-dup band there).
+    *
+    * Scale: the sweep rides the memo-shared exact pair table (built
+    * once, dup-density-bounded — NOT corpus-sized), fans it out ×9 with
+    * a broadcast τ table, and everything after is map-side-combinable
+    * aggregates on (τ) keys. τ compares as tau/100.0 — a single exact
+    * division producing the identical IEEE double in both engines.
+    */
+  def thresholdSweep(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val pairs = jaccardPairs(spark, d).select($"x", $"y", $"jac")
+    val taus = (50L to 90L by 5L).toDF("tau_pct")
+    val hits = pairs.crossJoin(broadcast(taus))
+      .filter($"jac" >= $"tau_pct".cast("double") / lit(100.0))
+    val per = hits.groupBy($"tau_pct").agg(count(lit(1)).as("n_pairs"),
+      countDistinct($"y").as("n_dominated"))
+    val docs = hits.select($"tau_pct", $"x".as("dd"))
+      .union(hits.select($"tau_pct", $"y".as("dd")))
+      .groupBy($"tau_pct").agg(countDistinct($"dd").as("n_docs"))
+    taus.join(per, Seq("tau_pct"), "left").join(docs, Seq("tau_pct"), "left")
+      .select($"tau_pct",
+        coalesce($"n_pairs", lit(0L)).as("n_pairs"),
+        coalesce($"n_dominated", lit(0L)).as("n_dominated"),
+        coalesce($"n_docs", lit(0L)).as("n_docs"))
+  }
 }

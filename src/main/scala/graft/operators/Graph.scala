@@ -584,7 +584,13 @@ object Graph {
     * map-side combinable, state ∝ |edges|; `localCheckpoint` per sweep
     * truncates loop lineage (the PageRank/k-core discipline).
     */
-  def labelPropagation(spark: SparkSession, d: String, rounds: Int = 4): DataFrame = {
+  def labelPropagation(spark: SparkSession, d: String, rounds: Int = 4): DataFrame =
+    graft.core.Memo(spark, cache = true, "lpLabels", d, rounds.toString) {
+      labelPropagationBody(spark, d, rounds)
+    }
+
+  private def labelPropagationBody(spark: SparkSession, d: String,
+      rounds: Int): DataFrame = {
     import spark.implicits._
     val edges = copurchaseEdges(spark, d).select($"p1", $"p2")
     val nb = edges.select($"p1".as("v"), $"p2".as("u"))
@@ -603,5 +609,50 @@ object Graph {
         .localCheckpoint()
     }
     labels.select($"v".as("partkey"), $"lbl".as("community"))
+  }
+
+  /** q204: modularity audit of the q126 label-propagation communities —
+    * per community: member count, intra-community edge count e_c, total
+    * degree mass d_c, and the 1e6-quantized Newman modularity
+    * contribution e_c/m − (d_c/2m)². The sum over communities is the
+    * partition's modularity Q — the "did label prop find real structure
+    * or noise" gate (Q ≈ 0 ⇒ the communities are no better than random,
+    * whatever the label table claims); per-community rows localize WHICH
+    * communities carry the structure.
+    *
+    * Exactness: e_c, d_c, m are exact longs; the contribution is the
+    * identical short double chain in both engines (two single divisions,
+    * one multiply-subtract — the q129 rule), HALF_UP-quantized.
+    *
+    * Scale: the label table rides the lpLabels memo (built once for
+    * q126/q204), degrees are one map-side-combined aggregate over the
+    * edge list, intra edges are two vertex-keyed shuffle joins of edges
+    * against labels + one aggregate — everything keyed, nothing
+    * quadratic, |communities| output rows.
+    */
+  def modularity(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val edges = copurchaseEdges(spark, d).select($"p1", $"p2")
+    val labels = labelPropagation(spark, d)
+      .select($"partkey".as("v"), $"community")
+    val m = edges.count()
+    val deg = edges.select($"p1".as("v")).union(edges.select($"p2".as("v")))
+      .groupBy($"v").agg(count(lit(1)).as("deg"))
+    val perC = deg.join(labels, "v")
+      .groupBy($"community")
+      .agg(count(lit(1)).as("n_vertices"), sum($"deg").as("degree_sum"))
+    val intra = edges
+      .join(labels.select($"v".as("p1"), $"community".as("c1")), "p1")
+      .join(labels.select($"v".as("p2"), $"community".as("c2")), "p2")
+      .filter($"c1" === $"c2")
+      .groupBy($"c1".as("community")).agg(count(lit(1)).as("intra_edges"))
+    perC.join(intra, Seq("community"), "left")
+      .select($"community", $"n_vertices", $"degree_sum",
+        coalesce($"intra_edges", lit(0L)).as("intra_edges"))
+      .withColumn("contrib_q6",
+        round(($"intra_edges".cast("double") / lit(m).cast("double")
+          - ($"degree_sum".cast("double") / lit(2L * m).cast("double"))
+            * ($"degree_sum".cast("double") / lit(2L * m).cast("double")))
+          * lit(1000000.0)).cast("long"))
   }
 }

@@ -1079,4 +1079,44 @@ object Similarity {
             * lit(1000000.0)).cast("long"))
           .otherwise(lit(0L)).as("fisher_q6"))
   }
+
+  /** q206: label-centroid similarity matrix — the pairwise cosine
+    * between class centroids, the "which labels are semantically
+    * adjacent" audit read next to q203's Fisher gate (two labels with
+    * centroid cosine ≈ 1 will confuse any classifier however separable
+    * each is from the rest) and before designing label-balanced
+    * mixtures.
+    *
+    * Exactness via the centroid-cosine identity: cos(µ_a, µ_b) =
+    * cos(S_a, S_b) — the 1/n_ℓ scalings cancel in the cosine — so the
+    * whole computation is exact integer math on per-label SUM vectors
+    * (one map-side-combined (label, dim) aggregate over the quantized
+    * corpus), dots and norms in DECIMAL(38,0)/HUGEINT, then the one
+    * canonical double chain dot/(√n2a·√n2b) (cosineFromParts
+    * parenthesization, the cross-engine contract).
+    *
+    * Scale: the only corpus-sized work is the (label, dim) sum — the
+    * pairwise stage runs on |labels|·dims ≈ 640 rows and emits
+    * |labels|²/2 rows, both corpus-independent.
+    */
+  def centroidSimilarity(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val sli = embeddings(spark, d)
+      .select($"label", posexplode(quantize($"embedding")).as(Seq("i", "v")))
+      .groupBy($"label", $"i").agg(sum($"v").as("s"))
+    val n2 = sli.groupBy($"label")
+      .agg(sum($"s".cast(dec38) * $"s".cast(dec38)).as("n2"))
+    val dots = sli.as("a").join(sli.as("b"),
+        $"a.i" === $"b.i" && $"a.label" < $"b.label")
+      .groupBy($"a.label".as("label_a"), $"b.label".as("label_b"))
+      .agg(sum($"a.s".cast(dec38) * $"b.s".cast(dec38)).as("dot"))
+    dots
+      .join(n2.select($"label".as("label_a"), $"n2".as("n2a")), "label_a")
+      .join(n2.select($"label".as("label_b"), $"n2".as("n2b")), "label_b")
+      .select($"label_a", $"label_b",
+        round(($"dot".cast("double")
+          / (sqrt($"n2a".cast("double")) * sqrt($"n2b".cast("double"))))
+          * lit(1000000.0)).cast("long").as("cos_q6"))
+  }
 }

@@ -158,4 +158,37 @@ class GraphAppSpec extends AnyFunSuite {
     assert(start1.getAs[java.sql.Timestamp]("endTime") ==
       java.sql.Timestamp.valueOf("1970-01-01 00:00:00"))
   }
+
+  test("modularity: conservation laws and an exact driver replay (q204)") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.operators.Graph.modularity(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val edges = graft.operators.Graph.copurchaseEdges(spark, sf)
+      .select($"p1", $"p2").as[(Long, Long)].collect()
+    val labels = graft.operators.Graph.labelPropagation(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    val m = edges.length.toLong
+    assert(rows.map(_._2).sum == labels.size, "every vertex in one community")
+    assert(rows.map(_._3).sum == 2 * m, "degree mass = 2m")
+    assert(rows.map(_._4).sum <= m, "intra edges bounded by m")
+    // exact replay per community + global Q in (-0.5, 1]
+    val degByC = edges.flatMap(e => Seq(labels(e._1), labels(e._2)))
+      .groupBy(identity).map { case (c, xs) => c -> xs.length.toLong }
+    val intraByC = edges.filter(e => labels(e._1) == labels(e._2))
+      .groupBy(e => labels(e._1)).map { case (c, xs) => c -> xs.length.toLong }
+    var q = 0.0
+    rows.foreach { case (c, _, dSum, intra, q6) =>
+      assert(dSum == degByC(c) && intra == intraByC.getOrElse(c, 0L), s"community $c")
+      val contrib = intra.toDouble / m.toDouble -
+        (dSum.toDouble / (2 * m).toDouble) * (dSum.toDouble / (2 * m).toDouble)
+      assert(q6 == BigDecimal(contrib * 1000000.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong, s"community $c contrib")
+      q += contrib
+    }
+    assert(q > -0.5 && q <= 1.0, s"modularity Q=$q out of range")
+    // a single-community partition has Q = 1 - 1 = 0 exactly; with more
+    // than one community, label-prop-found structure must beat random
+    if (rows.length > 1) assert(q > 0.0, s"modularity Q=$q should be positive")
+  }
 }

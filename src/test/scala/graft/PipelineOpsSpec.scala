@@ -1485,4 +1485,46 @@ class PipelineOpsSpec extends AnyFunSuite {
         && got._5 == fisher, s"label $l replay")
     }
   }
+
+  test("thresholdSweep: monotone in tau, base row = the pair table, bounds") {
+    import spark.implicits._
+    val rows = Dedup.thresholdSweep(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (50L to 90L by 5L).toSeq)
+    val base = Dedup.jaccardPairs(spark, sf).count()
+    assert(rows.head._2 == base, "tau=50 row counts the whole pair table")
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi._2 <= lo._2 && hi._3 <= lo._3 && hi._4 <= lo._4,
+        s"monotone ${lo._1}->${hi._1}")
+    }
+    rows.foreach { case (t, p, dom, docs) =>
+      assert(dom <= docs && docs <= 2 * p, s"tau $t bounds")
+      if (p == 0) assert(dom == 0 && docs == 0)
+    }
+  }
+
+  test("centroidSimilarity: driver replay via the sum-vector identity") {
+    import spark.implicits._
+    val rows = Similarity.centroidSimilarity(spark, sf)
+      .as[(Int, Int, Long)].collect()
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"label", $"embedding").as[(Int, Array[Float])].collect()
+      .map { case (l, e) => (l, e.map(x => math.round(x.toDouble * 1e7))) }
+    val labels = vecs.map(_._1).distinct.sorted
+    assert(rows.length == labels.length * (labels.length - 1) / 2)
+    val sums = labels.map { l =>
+      val vs = vecs.filter(_._1 == l).map(_._2)
+      l -> Array.tabulate(vs.head.length)(i => vs.map(_(i)).sum)
+    }.toMap
+    rows.foreach { case (a, b, q6) =>
+      assert(a < b)
+      val dot = sums(a).zip(sums(b)).map { case (x, y) => BigInt(x) * BigInt(y) }.sum
+      val n2a = sums(a).map(x => BigInt(x) * BigInt(x)).sum
+      val n2b = sums(b).map(x => BigInt(x) * BigInt(x)).sum
+      val cos = dot.toDouble / (math.sqrt(n2a.toDouble) * math.sqrt(n2b.toDouble))
+      val exp = BigDecimal(cos * 1000000.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      assert(q6 == exp && math.abs(q6) <= 1000000L, s"pair ($a,$b)")
+    }
+  }
 }
