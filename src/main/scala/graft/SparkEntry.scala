@@ -233,6 +233,7 @@ object SparkEntry {
     "q204_modularity"     -> ((s, d) => Graph.modularity(s, d)),
     "q205_threshold_sweep" -> ((s, d) => Dedup.thresholdSweep(s, d)),
     "q206_centroid_sim"   -> ((s, d) => Similarity.centroidSimilarity(s, d)),
+    "q207_aspect_batching" -> ((s, d) => graft.multimodal.Multimodal.aspectBatching(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -2656,6 +2657,31 @@ object SparkEntry {
         |    * 1000000.0)::BIGINT AS cos_q6
         |FROM dots JOIN n2 na ON label_a = na.label
         |  JOIN n2 nb ON label_b = nb.label""".stripMargin,
+    // aspect-bucket batch packing: the q170 metadata derivation,
+    // log2 via length(bin(x))-1, row_number batching, integer pad sums
+    "q207_aspect_batching" ->
+      """WITH a AS (SELECT doc_id, strlen(text)::BIGINT AS n_bytes,
+        |    (n_chars % 64 + 1)::BIGINT AS w FROM documents),
+        |b AS (SELECT doc_id, w,
+        |    greatest((n_bytes + w - 1) // w, 1) AS h FROM a),
+        |c AS (SELECT doc_id, w, h,
+        |    (length(bin(greatest((w * 16) // h, 1))) - 1)::BIGINT AS bucket
+        |  FROM b),
+        |r AS (SELECT *, row_number() OVER (
+        |    PARTITION BY bucket ORDER BY doc_id) AS rn FROM c),
+        |pb AS (SELECT bucket, (rn - 1) // 32 AS batch_id,
+        |    max(w) AS mw, max(h) AS mh, count(*)::BIGINT AS cnt,
+        |    sum(w * h)::BIGINT AS px
+        |  FROM r GROUP BY 1, 2),
+        |pk AS (SELECT bucket, sum(cnt)::BIGINT AS n_assets,
+        |    count(*)::BIGINT AS n_batches,
+        |    sum(mw * mh * cnt)::BIGINT AS batch_px,
+        |    sum(px)::BIGINT AS asset_px FROM pb GROUP BY 1)
+        |SELECT bucket, n_assets, n_batches,
+        |  (batch_px - asset_px)::BIGINT AS pad_px,
+        |  round((batch_px - asset_px)::DOUBLE / batch_px::DOUBLE
+        |    * 1000000.0)::BIGINT AS pad_ratio_q6
+        |FROM pk""".stripMargin,
     // hash-driven walks unrolled: per step, one join onto the ranked
     // adjacency at the md5-chosen neighbor index
     "q145_random_walks" -> randomWalksSql(4),

@@ -303,4 +303,53 @@ object Multimodal {
         sum($"n_bytes").as("total_bytes"),
         max($"height").as("max_height"))
   }
+
+  /** q207: aspect-ratio bucketed batch-packing plan — assets are
+    * bucketed by ⌊log₂(16·w/h)⌋ (the standard variable-aspect training
+    * trick: batch only shape-compatible images so per-batch padding is
+    * small), ordered by doc_id within bucket, cut into batches of
+    * `batch`, and each batch pads to its own max width × max height.
+    * Per bucket: asset/batch counts, total pad pixels, and the
+    * 1e6-quantized pad share of batch pixels — the number that tells a
+    * multimodal pipeline whether its bucketing is tight enough before
+    * it burns accelerator hours on padding.
+    *
+    * Exactness: width/height are the declared metadata derivation
+    * (q170/q171's n_chars%64+1 and ceil-division, height clamped ≥1 so
+    * empty payloads still batch); log₂ via length(bin(x))−1 (exact on
+    * ints, identical in both engines); everything integer until one
+    * final division.
+    *
+    * Scale: ~11 log buckets over the whole corpus = maximally hot
+    * groups, so the batch index comes from `Ranks.groupRowNumber`
+    * (range-partitioned on (bucket, doc_id) — no bucket ever lands on
+    * one partition); both downstream aggregates are map-side
+    * combinable; output is |buckets| rows.
+    */
+  def aspectBatching(spark: SparkSession, d: String, batch: Int = 32): DataFrame = {
+    import spark.implicits._
+    val assets = documents(spark, d)
+      .select($"doc_id",
+        expr("octet_length(text)").cast("long").as("n_bytes"),
+        (($"n_chars" % 64) + 1).cast("long").as("w"))
+      .withColumn("h", greatest(expr("(n_bytes + w - 1) div w"), lit(1L)))
+      .withColumn("bucket",
+        (length(bin(greatest(expr("(w * 16) div h"), lit(1L)))) - 1).cast("long"))
+      .select($"doc_id", $"w", $"h", $"bucket")
+    val rn = graft.operators.Ranks.groupRowNumber(
+      assets, "rn", Seq($"bucket"), Seq($"doc_id"))
+    val perBatch = rn
+      .withColumn("batch_id", expr(s"(rn - 1) div $batch"))
+      .groupBy($"bucket", $"batch_id")
+      .agg(max($"w").as("mw"), max($"h").as("mh"),
+        count(lit(1)).as("cnt"), sum($"w" * $"h").as("px"))
+    perBatch.groupBy($"bucket")
+      .agg(sum($"cnt").as("n_assets"), count(lit(1)).as("n_batches"),
+        sum($"mw" * $"mh" * $"cnt").as("batch_px"), sum($"px").as("asset_px"))
+      .select($"bucket", $"n_assets", $"n_batches",
+        ($"batch_px" - $"asset_px").as("pad_px"),
+        round(($"batch_px" - $"asset_px").cast("double")
+          / $"batch_px".cast("double") * lit(1000000.0))
+          .cast("long").as("pad_ratio_q6"))
+  }
 }

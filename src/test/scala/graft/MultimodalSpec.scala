@@ -220,4 +220,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == brute, "pigeonhole banding must be lossless at Hamming <= 3")
     assert(got.nonEmpty, "fixture contains near-dup assets")
   }
+
+  test("aspectBatching: conservation, batch arithmetic, and an exact bucket replay") {
+    import spark.implicits._
+    val rows = Multimodal.aspectBatching(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text", $"n_chars").as[(Long, String, Long)].collect()
+      .map { case (id, text, nc) =>
+        val w = nc % 64 + 1
+        val nb = text.getBytes("UTF-8").length.toLong
+        val h = math.max((nb + w - 1) / w, 1L)
+        val bucket = 63 - java.lang.Long.numberOfLeadingZeros(math.max(w * 16 / h, 1L))
+        (id, w, h, bucket.toLong)
+      }
+    assert(rows.map(_._2).sum == docs.length, "every asset in one bucket")
+    rows.foreach { case (b, n, nb, pad, q6) =>
+      assert(nb == (n + 31) / 32, s"bucket $b batch count")
+      assert(pad >= 0 && q6 >= 0 && q6 < 1000000L, s"bucket $b pad bounds")
+    }
+    // exact replay of the fullest bucket's padding
+    val hot = docs.groupBy(_._4).maxBy(_._2.length)
+    val sorted = hot._2.sortBy(_._1)
+    val (batchPx, assetPx) = sorted.grouped(32).map { g =>
+      (g.map(_._2).max * g.map(_._3).max * g.length, g.map(x => x._2 * x._3).sum)
+    }.toSeq.unzip
+    val got = rows.find(_._1 == hot._1).get
+    assert(got._4 == batchPx.sum - assetPx.sum, s"bucket ${hot._1} pad replay")
+  }
 }
