@@ -234,6 +234,7 @@ object SparkEntry {
     "q205_threshold_sweep" -> ((s, d) => Dedup.thresholdSweep(s, d)),
     "q206_centroid_sim"   -> ((s, d) => Similarity.centroidSimilarity(s, d)),
     "q207_aspect_batching" -> ((s, d) => graft.multimodal.Multimodal.aspectBatching(s, d)),
+    "q208_heaps_fit"      -> ((s, d) => Text.heapsFit(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -2682,6 +2683,44 @@ object SparkEntry {
         |  round((batch_px - asset_px)::DOUBLE / batch_px::DOUBLE
         |    * 1000000.0)::BIGINT AS pad_ratio_q6
         |FROM pk""".stripMargin,
+    // Heaps fit over shingle types: first-prefix trick for cumulative
+    // distincts, then the q95 quantized-OLS chain over 16 points
+    "q208_heaps_fit" ->
+      """WITH toksw AS (SELECT doc_id,
+         |    regexp_split_to_array(lower(text), '\s+') AS w FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, s FROM (
+         |    SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+         |    FROM toksw, unnest(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3)),
+         |nd AS (SELECT count(*)::BIGINT AS n FROM documents),
+         |rk AS (SELECT doc_id,
+         |    row_number() OVER (ORDER BY doc_id)::BIGINT AS r FROM documents),
+         |pd AS (SELECT doc_id, (r - 1) * 16 // n + 1 AS p FROM rk, nd),
+         |shp AS (SELECT s, p FROM sh JOIN pd USING (doc_id)),
+         |ptc AS (SELECT p, count(*)::BIGINT AS tc FROM shp GROUP BY 1),
+         |fw AS (SELECT s, min(p) AS p FROM shp GROUP BY 1),
+         |pv AS (SELECT p, count(*)::BIGINT AS nv FROM fw GROUP BY 1),
+         |allp AS (SELECT unnest(range(1, 17))::BIGINT AS p),
+         |cur AS (SELECT allp.p AS p,
+         |    sum(coalesce(tc, 0)) OVER (ORDER BY allp.p)::BIGINT AS cum_tokens,
+         |    sum(coalesce(nv, 0)) OVER (ORDER BY allp.p)::BIGINT AS vocab
+         |  FROM allp LEFT JOIN ptc ON allp.p = ptc.p
+         |    LEFT JOIN pv ON allp.p = pv.p),
+         |q AS (SELECT
+         |    round(log2(cum_tokens::DOUBLE) * 1000000.0)::BIGINT AS xq,
+         |    round(log2(vocab::DOUBLE) * 1000000.0)::BIGINT AS yq
+         |  FROM cur WHERE cum_tokens > 0 AND vocab > 0),
+         |s AS (SELECT count(*)::BIGINT AS n, sum(xq)::BIGINT AS sx,
+         |    sum(yq)::BIGINT AS sy, sum(xq * yq)::BIGINT AS sxy,
+         |    sum(xq * xq)::BIGINT AS sxx FROM q),
+         |tot AS (SELECT max(cum_tokens)::BIGINT AS n_tokens,
+         |    max(vocab)::BIGINT AS n_vocab FROM cur)
+         |SELECT n AS n_points, n_tokens, n_vocab,
+         |  (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+         |    / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) AS beta,
+         |  (sy::DOUBLE - ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+         |      / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE))
+         |    * sx::DOUBLE) / (n::DOUBLE * 1000000.0) AS log2k
+         |FROM s, tot""".stripMargin,
     // hash-driven walks unrolled: per step, one join onto the ranked
     // adjacency at the md5-chosen neighbor index
     "q145_random_walks" -> randomWalksSql(4),

@@ -561,6 +561,71 @@ object Text {
         ($"n".cast("double") * lit(1000000.0))).as("intercept"))
   }
 
+  /** q208: Heaps'-law type-growth fit — V(N) ≈ K·N^β estimated by OLS
+    * of log₂(cumulative distinct 3-gram shingle types) on
+    * log₂(cumulative shingle instances) over 16 corpus prefixes
+    * (doc_id order). The capacity-planning twin of q95's Zipf fit: β
+    * says how fast the type inventory (and hence every type-keyed
+    * structure the dedup/retrieval machinery carries — the shingle
+    * index, MinHash band tables, DF tables) grows as the corpus
+    * scales; β drifting toward 1 means unbounded novel types (noise,
+    * ids), toward 0 means template flooding. Shingle types rather than
+    * word types because n-gram inventories keep growing combinatorially
+    * where a word vocabulary saturates (on the synthetic fixture the
+    * word vocabulary is ~30 types and saturates in the first prefix —
+    * the degenerate case this fit would exist to DETECT).
+    *
+    * The prefix trick makes cumulative-distinct scalable: a type's
+    * contribution to EVERY prefix is determined by its FIRST prefix
+    * (min over a type-level aggregate), so the 16 cumulative
+    * inventory sizes come from one type-sized min-aggregate and a
+    * 16-row running sum — never 16 distinct-counts over growing
+    * slices. Doc ranks via `Ranks.globalRank` (range-partitioned);
+    * the fit follows the q12/q95 quantized-OLS discipline (log₂ points
+    * quantized to 1e6 longs once, exact integer sums, identical final
+    * double chain in both engines). Rides the dedup family's
+    * docShingleArrays memo — zero new corpus passes in a session that
+    * already deduped.
+    */
+  def heapsFit(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val tok = graft.operators.Dedup.docShingleArrays(spark, d) // (doc_id, shs)
+    val n = tok.count()
+    val ranked = graft.operators.Ranks.globalRank(tok, "r", $"doc_id".asc)
+      .withColumn("p", expr(s"((r - 1) * 16) div ${n}L + 1"))
+    val ptc = ranked.groupBy($"p").agg(sum(size($"shs")).as("tc"))
+    val pv = ranked.select($"p", explode($"shs").as("w"))
+      .groupBy($"w").agg(min($"p").as("p"))
+      .groupBy($"p").agg(count(lit(1)).as("nv"))
+    val allp = (1L to 16L).toDF("p")
+    val w16 = org.apache.spark.sql.expressions.Window.orderBy($"p")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // 16-row table: the running sums are windows over an aggregate,
+    // never over row-level data
+    val cur = allp
+      .join(ptc, Seq("p"), "left").join(pv, Seq("p"), "left")
+      .select($"p", coalesce($"tc", lit(0L)).as("tc"),
+        coalesce($"nv", lit(0L)).as("nv"))
+      .select($"p", sum($"tc").over(w16).as("cum_tokens"),
+        sum($"nv").over(w16).as("vocab"))
+    val q = cur.filter($"cum_tokens" > 0L && $"vocab" > 0L).select(
+      round(log2($"cum_tokens".cast("double")) * lit(1000000.0)).cast("long").as("xq"),
+      round(log2($"vocab".cast("double")) * lit(1000000.0)).cast("long").as("yq"))
+    // 16 points: every OLS sum fits Int64 with orders of magnitude to
+    // spare (xq ≲ 5e7 even at 100 TB, so sxx ≤ 16·2.5e15)
+    val s = q.agg(count(lit(1)).as("n"), sum($"xq").as("sx"), sum($"yq").as("sy"),
+      sum($"xq" * $"yq").as("sxy"), sum($"xq" * $"xq").as("sxx"))
+    val beta = ($"n".cast("double") * $"sxy".cast("double") -
+        $"sx".cast("double") * $"sy".cast("double")) /
+      ($"n".cast("double") * $"sxx".cast("double") -
+        $"sx".cast("double") * $"sx".cast("double"))
+    val tot = cur.agg(max($"cum_tokens").as("n_tokens"), max($"vocab").as("n_vocab"))
+    s.crossJoin(tot).select($"n".as("n_points"), $"n_tokens", $"n_vocab",
+      beta.as("beta"),
+      (($"sy".cast("double") - beta * $"sx".cast("double")) /
+        ($"n".cast("double") * lit(1000000.0))).as("log2k"))
+  }
+
   /** Distributed heavy hitters: EXACT frequent-token mining with a
     * Misra-Gries candidate prune (the mergeable-summary pattern of
     * Misra & Gries 1982 / the MG row of Agarwal et al.'s mergeable

@@ -1527,4 +1527,20 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(q6 == exp && math.abs(q6) <= 1000000L, s"pair ($a,$b)")
     }
   }
+
+  test("heapsFit: totals equal corpus-wide counts; beta in the natural band") {
+    import spark.implicits._
+    val row = Text.heapsFit(spark, sf)
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    val (nPoints, nTokens, nVocab, beta, log2k) = row
+    val sh = Dedup.docShingles(spark, sf)
+    assert(nPoints == 16)
+    assert(nTokens == sh.count(), "cumulative instances end at the corpus total")
+    assert(nVocab == sh.select("s").distinct().count(), "cumulative types end at |V|")
+    assert(beta > 0.0 && beta < 1.0, s"Heaps beta=$beta outside (0,1)")
+    // the fitted curve must roughly reproduce the endpoint: K·N^beta vs V
+    val predicted = math.pow(2.0, log2k + beta * (math.log(nTokens.toDouble) / math.log(2.0)))
+    assert(predicted > nVocab * 0.5 && predicted < nVocab * 2.0,
+      s"fit endpoint $predicted vs $nVocab")
+  }
 }
