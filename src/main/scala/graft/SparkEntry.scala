@@ -235,6 +235,8 @@ object SparkEntry {
     "q206_centroid_sim"   -> ((s, d) => Similarity.centroidSimilarity(s, d)),
     "q207_aspect_batching" -> ((s, d) => graft.multimodal.Multimodal.aspectBatching(s, d)),
     "q208_heaps_fit"      -> ((s, d) => Text.heapsFit(s, d)),
+    "q209_canonical_policy" -> ((s, d) => Dedup.canonicalPolicy(s, d)),
+    "q210_knn_purity"     -> ((s, d) => Similarity.knnLabelPurity(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -2721,6 +2723,50 @@ object SparkEntry {
          |      / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE))
          |    * sx::DOUBLE) / (n::DOUBLE * 1000000.0) AS log2k
          |FROM s, tot""".stripMargin,
+    // canonical-policy audit: the CC label chain + keep/best picks as
+    // window row_number=1 (the oracle may window; the engine argmaxes)
+    "q209_canonical_policy" -> (dedupLabelCtes(5) +
+      s""",
+         |srq AS (SELECT doc_id,
+         |    len(list_filter(w, x -> list_contains($stopList, x)))::DOUBLE
+         |      / len(w) AS sr FROM toks),
+         |j AS (SELECT l5.doc_id, label, sr FROM l5 JOIN srq USING (doc_id)),
+         |g AS (SELECT label, count(*)::BIGINT AS size FROM j GROUP BY 1),
+         |k AS (SELECT label, doc_id AS keep_doc, sr AS keep_sr FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY label
+         |      ORDER BY doc_id) AS rn FROM j) WHERE rn = 1),
+         |b AS (SELECT label, doc_id AS best_doc, sr AS best_sr FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY label
+         |      ORDER BY sr DESC, doc_id) AS rn FROM j) WHERE rn = 1)
+         |SELECT g.label, size, keep_doc, best_doc,
+         |  (CASE WHEN best_sr > keep_sr THEN 1 ELSE 0 END)::BIGINT AS upgraded,
+         |  round((best_sr - keep_sr) * 1000000.0)::BIGINT AS gain_q6
+         |FROM g JOIN k USING (label) JOIN b USING (label)
+         |WHERE size >= 2""".stripMargin),
+    // 1-NN label purity: the q14 exact-cosine chain, argmax per query
+    // (ties -> smallest id), label join both sides, per-label rate
+    "q210_knn_purity" ->
+      """WITH ex AS (SELECT vec_id, label,
+        |    round(unnest(embedding)::DOUBLE * 10000000)::BIGINT AS v,
+        |    unnest(range(len(embedding))) AS i FROM embeddings),
+        |n2 AS (SELECT vec_id, label, sum(v::HUGEINT * v::HUGEINT) AS n2
+        |       FROM ex GROUP BY 1, 2),
+        |dots AS (SELECT a.vec_id AS x, b.vec_id AS y,
+        |    sum(a.v::HUGEINT * b.v::HUGEINT) AS dot
+        |  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id <> b.vec_id
+        |  GROUP BY 1, 2),
+        |sc AS (SELECT x, y,
+        |    dot::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)) AS cos
+        |  FROM dots JOIN n2 na ON x = na.vec_id JOIN n2 nb ON y = nb.vec_id),
+        |nn AS (SELECT x, y AS nn_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY x
+        |      ORDER BY cos DESC, y) AS rn FROM sc) WHERE rn = 1)
+        |SELECT la.label, count(*)::BIGINT AS n_vecs,
+        |  sum(CASE WHEN lb.label = la.label THEN 1 ELSE 0 END)::BIGINT AS nn_same,
+        |  round(sum(CASE WHEN lb.label = la.label THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*)::DOUBLE * 1000000.0)::BIGINT AS purity_q6
+        |FROM nn JOIN n2 la ON nn.x = la.vec_id JOIN n2 lb ON nn.nn_id = lb.vec_id
+        |GROUP BY 1""".stripMargin,
     // hash-driven walks unrolled: per step, one join onto the ranked
     // adjacency at the md5-chosen neighbor index
     "q145_random_walks" -> randomWalksSql(4),

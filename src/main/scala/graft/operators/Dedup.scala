@@ -1059,6 +1059,39 @@ object Dedup {
     * aggregates on (τ) keys. τ compares as tau/100.0 — a single exact
     * division producing the identical IEEE double in both engines.
     */
+  /** q209: canonical-selection policy audit — for every dup cluster
+    * (size ≥ 2), what the default keep-the-smallest-id policy keeps vs
+    * what a keep-the-best-quality policy would keep (quality = q18's
+    * stop-word ratio, the q136 calibration direction), whether the
+    * upgrade is strict, and the 1e6-quantized quality gain. The number
+    * that decides if canonical selection is worth a policy change
+    * before a 100 TB dedup pass bakes the losers in.
+    *
+    * Shape: labels ride the star-CC memo; the whole audit is ONE
+    * aggregate — keep = min(struct(doc_id, sr)), best =
+    * max(struct(sr, −doc_id)) — the struct-extreme argmax (no window,
+    * no join-back; ties on quality resolve to the smaller id, so
+    * best ≡ keep on all-equal clusters).
+    */
+  def canonicalPolicy(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val labels = dedupLabelsStar(spark, d)
+    val sr = Text.qualityScore(spark, d).select($"doc_id", $"stop_ratio")
+    labels.join(sr, "doc_id")
+      .groupBy($"label").agg(
+        count(lit(1)).as("size"),
+        min(struct($"doc_id", $"stop_ratio")).as("ks"),
+        max(struct($"stop_ratio", (-$"doc_id").as("nd"))).as("bs"))
+      .filter($"size" >= 2L)
+      .select($"label", $"size",
+        $"ks.doc_id".as("keep_doc"),
+        (-$"bs.nd").as("best_doc"),
+        when($"bs.stop_ratio" > $"ks.stop_ratio", lit(1L)).otherwise(lit(0L))
+          .as("upgraded"),
+        round(($"bs.stop_ratio" - $"ks.stop_ratio") * lit(1000000.0))
+          .cast("long").as("gain_q6"))
+  }
+
   def thresholdSweep(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val pairs = jaccardPairs(spark, d).select($"x", $"y", $"jac")

@@ -1099,6 +1099,45 @@ object Similarity {
     * pairwise stage runs on |labels|·dims ≈ 640 rows and emits
     * |labels|²/2 rows, both corpus-independent.
     */
+  /** q210: nearest-neighbor label purity — per label, the fraction of
+    * vectors whose single nearest neighbor (exact quantized cosine,
+    * ties → smallest id) shares the label. THE standard intrinsic
+    * embedding-quality audit (1-NN accuracy): read next to q203's
+    * Fisher gate before trusting the embedding column for semantic
+    * dedup (q55) or ANN retrieval (q39/q91) — high Fisher with low 1-NN
+    * purity means the classes separate only on average, not pointwise.
+    *
+    * Shape: the exact quadratic score join (the q14/q25 rung — native
+    * QuantizedDot, memo-shared corpusWithNorm) feeding a struct-max
+    * argmax per query (ONE aggregate, no window, no join-back), then a
+    * broadcast label join and a |labels|-row aggregate. The quadratic
+    * is the declared exact rung; at 100 TB the candidate generator is
+    * the IVF probe machinery (q39/q91/q192) feeding the same argmax.
+    */
+  def knnLabelPurity(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val lbl = embeddings(spark, d).select($"vec_id", $"label")
+    val c = corpusWithNorm(spark, d)
+    val a = c.select($"vec_id".as("x"), $"qemb".as("qa"), $"n2".as("na"))
+    val b = c.select($"vec_id".as("y"), $"qemb".as("qb"), $"n2".as("nb"))
+    val nn = a.join(b, $"x" =!= $"y")
+      .select($"x",
+        struct(cosineFromParts(dotPreQ($"qa", $"qb"), $"na", $"nb").as("cos"),
+          (-$"y").as("ny")).as("s"))
+      .groupBy($"x").agg(max($"s").as("m"))
+      .select($"x", (-$"m.ny").as("nn_id"))
+    // both label joins are id-keyed shuffle joins: the label table is
+    // corpus-sized, never broadcast
+    nn.join(lbl.select($"vec_id".as("x"), $"label"), "x")
+      .join(lbl.select($"vec_id".as("nn_id"), $"label".as("nn_label")), "nn_id")
+      .groupBy($"label").agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when($"nn_label" === $"label", 1L).otherwise(0L)).as("nn_same"))
+      .select($"label", $"n_vecs", $"nn_same",
+        round($"nn_same".cast("double") / $"n_vecs".cast("double")
+          * lit(1000000.0)).cast("long").as("purity_q6"))
+  }
+
   def centroidSimilarity(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val dec38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)

@@ -1543,4 +1543,61 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(predicted > nVocab * 0.5 && predicted < nVocab * 2.0,
       s"fit endpoint $predicted vs $nVocab")
   }
+
+  test("canonicalPolicy: keep/best laws and a full driver replay") {
+    import spark.implicits._
+    val rows = Dedup.canonicalPolicy(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val labels = Dedup.dedupLabelsStar(spark, sf)
+      .as[(Long, Long)].collect()
+    val srs = Text.qualityScore(spark, sf)
+      .select($"doc_id", $"stop_ratio").as[(Long, Double)].collect().toMap
+    val clusters = labels.groupBy(_._2).filter(_._2.length >= 2)
+    assert(rows.keySet == clusters.keySet, "exactly the size>=2 clusters")
+    clusters.foreach { case (lbl, members) =>
+      val ids = members.map(_._1)
+      val keep = ids.min
+      val best = ids.map(id => (srs(id), -id)).max match { case (_, ni) => -ni }
+      val (_, size, keepGot, bestGot, upgraded, gainQ6) = rows(lbl)
+      assert(size == ids.length && keepGot == keep && bestGot == best, s"cluster $lbl")
+      val strict = srs(best) > srs(keep)
+      assert(upgraded == (if (strict) 1L else 0L), s"cluster $lbl upgraded")
+      if (upgraded == 0L) assert(bestGot == keepGot && gainQ6 == 0L,
+        s"cluster $lbl: no strict upgrade must mean identical pick")
+      assert(gainQ6 >= 0L)
+    }
+  }
+
+  test("knnLabelPurity: brute-force 1-NN replay over the whole fixture") {
+    import spark.implicits._
+    val rows = Similarity.knnLabelPurity(spark, sf)
+      .as[(Int, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"label", $"embedding")
+      .as[(Long, Int, Array[Float])].collect()
+      .map { case (id, l, e) => (id, l, e.map(x => math.round(x.toDouble * 1e7))) }
+    // quantized components are ~1e7, so 64-dim dots stay far below 2^63
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      var dot = 0L; var na = 0L; var nb = 0L
+      var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    }
+    val byLabel = vecs.groupBy(_._2)
+    val purity = vecs.map { case (id, l, q) =>
+      val nn = vecs.iterator.filter(_._1 != id)
+        .map(v => (cos(q, v._3), -v._1, v._2))
+        .max
+      (l, nn._3 == l)
+    }
+    byLabel.keys.foreach { l =>
+      val mine = purity.filter(_._1 == l)
+      val same = mine.count(_._2).toLong
+      val got = rows(l)
+      assert(got._2 == mine.size && got._3 == same, s"label $l 1-NN replay")
+    }
+  }
 }
