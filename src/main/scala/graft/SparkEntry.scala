@@ -237,6 +237,7 @@ object SparkEntry {
     "q208_heaps_fit"      -> ((s, d) => Text.heapsFit(s, d)),
     "q209_canonical_policy" -> ((s, d) => Dedup.canonicalPolicy(s, d)),
     "q210_knn_purity"     -> ((s, d) => Similarity.knnLabelPurity(s, d)),
+    "q211_cross_source_dups" -> ((s, d) => Dedup.crossSourceDups(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -2767,6 +2768,18 @@ object SparkEntry {
         |    / count(*)::DOUBLE * 1000000.0)::BIGINT AS purity_q6
         |FROM nn JOIN n2 la ON nn.x = la.vec_id JOIN n2 lb ON nn.nn_id = lb.vec_id
         |GROUP BY 1""".stripMargin,
+    // cross-source dup matrix over the exact pair table
+    "q211_cross_source_dups" ->
+      s"""WITH pairs AS (
+         |$jaccardPairsSql),
+         |lab AS (SELECT least(sx.source, sy.source) AS source_a,
+         |    greatest(sx.source, sy.source) AS source_b
+         |  FROM pairs JOIN documents sx ON pairs.x = sx.doc_id
+         |    JOIN documents sy ON pairs.y = sy.doc_id),
+         |tot AS (SELECT count(*)::BIGINT AS t FROM lab)
+         |SELECT source_a, source_b, count(*)::BIGINT AS n_pairs,
+         |  round(count(*)::DOUBLE / t::DOUBLE * 1000000.0)::BIGINT AS share_q6
+         |FROM lab, tot GROUP BY 1, 2, t""".stripMargin,
     // hash-driven walks unrolled: per step, one join onto the ranked
     // adjacency at the md5-chosen neighbor index
     "q145_random_walks" -> randomWalksSql(4),

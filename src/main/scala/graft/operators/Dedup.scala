@@ -1092,6 +1092,34 @@ object Dedup {
           .cast("long").as("gain_q6"))
   }
 
+  /** q211: cross-source duplication matrix — near-dup pair counts per
+    * unordered source pair, with each cell's share of all pairs. The
+    * mirror-site detector at mixture-design time: a heavy off-diagonal
+    * cell means two sources are republishing each other (dedup them
+    * JOINTLY or down-weight one); a heavy diagonal means a source
+    * self-duplicates (templates). q180 summarizes the dup graph's
+    * topology; this attributes its edges to the source mixture.
+    *
+    * Shape: rides the memo-shared exact pair table; two doc_id-keyed
+    * joins against the (doc_id, source) projection (never broadcast —
+    * corpus-sized), one |sources|²-bounded aggregate, one scalar total.
+    */
+  def crossSourceDups(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val src = documents(spark, d).select($"doc_id", $"source")
+    val pairs = jaccardPairs(spark, d)
+      .join(src.select($"doc_id".as("x"), $"source".as("sx")), "x")
+      .join(src.select($"doc_id".as("y"), $"source".as("sy")), "y")
+      .select(least($"sx", $"sy").as("source_a"),
+        greatest($"sx", $"sy").as("source_b"))
+    val total = pairs.count()
+    pairs.groupBy($"source_a", $"source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .select($"source_a", $"source_b", $"n_pairs",
+        round($"n_pairs".cast("double") / lit(total).cast("double")
+          * lit(1000000.0)).cast("long").as("share_q6"))
+  }
+
   def thresholdSweep(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val pairs = jaccardPairs(spark, d).select($"x", $"y", $"jac")

@@ -1600,4 +1600,27 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(got._2 == mine.size && got._3 == same, s"label $l 1-NN replay")
     }
   }
+
+  test("crossSourceDups: cells partition the pair table; shares sum to ~1e6") {
+    import spark.implicits._
+    val rows = Dedup.crossSourceDups(spark, sf)
+      .as[(String, String, Long, Long)].collect()
+    val total = Dedup.jaccardPairs(spark, sf).count()
+    assert(rows.map(_._3).sum == total, "cells partition the pair table")
+    rows.foreach { case (a, b, _, _) => assert(a <= b, "unordered cell key") }
+    val shareSum = rows.map(_._4).sum
+    assert(math.abs(shareSum - 1000000L) <= rows.length,
+      s"shares sum to ~1e6 (got $shareSum)")
+    // replay one cell
+    val srcs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"source").as[(Long, String)].collect().toMap
+    val cells = Dedup.jaccardPairs(spark, sf).select($"x", $"y")
+      .as[(Long, Long)].collect()
+      .groupBy { case (x, y) =>
+        val (a, b) = (srcs(x), srcs(y))
+        (if (a <= b) a else b, if (a <= b) b else a)
+      }.map { case (k, v) => k -> v.length.toLong }
+    rows.foreach { case (a, b, n, _) =>
+      assert(cells((a, b)) == n, s"cell ($a,$b)") }
+  }
 }
