@@ -177,6 +177,105 @@ object CurationStream {
         OutputMode.Append())
   }
 
+  /** An arriving media asset's metadata — the aspect-batching stream's
+    * input contract (a media ingest ships decode metadata, never
+    * payload, through the batching planner).
+    */
+  case class AssetIn(doc_id: Long, n_chars: Long, n_bytes: Long)
+
+  /** A batch-slot assignment emitted by `aspectBatchStream` — q207's
+    * per-asset row (the per-bucket pad stats are a downstream aggregate
+    * of these).
+    */
+  case class AspectAssign(doc_id: Long, bucket: Long, batch_id: Long,
+    slot: Long, w: Long, h: Long)
+
+  /** q207's STREAMING twin: aspect-bucketed batch assignment as assets
+    * stream in. The batch layout's within-bucket row_number is a pure
+    * function of the count of assets before it, so state is ONE LONG
+    * per aspect bucket (≤ ~11 buckets — the smallest state in the
+    * file); batch_id = cnt div B, slot = cnt mod B. Micro-batches sort
+    * per bucket by doc_id (the packStream discipline), so under
+    * per-bucket monotone arrival the assignments are ROW-IDENTICAL to
+    * the batch `Multimodal.aspectBatching` layout at any micro-batch
+    * boundary placement (CurationStreamSpec asserts the aggregated
+    * state≡batch law). Geometry is the shared q170 metadata derivation
+    * (w = n_chars%64+1, h = ⌈bytes/w⌉ clamped ≥ 1, bucket =
+    * ⌊log₂(16w/h)⌋).
+    */
+  def aspectBatchStream(assets: Dataset[AssetIn], batch: Int = 32): Dataset[AspectAssign] = {
+    import assets.sparkSession.implicits._
+    assets
+      .map { a =>
+        val w = a.n_chars % 64 + 1
+        val h = math.max((a.n_bytes + w - 1) / w, 1L)
+        val b = (63 - java.lang.Long.numberOfLeadingZeros(
+          math.max(w * 16 / h, 1L))).toLong
+        (a.doc_id, b, w, h)
+      }
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (bucket: Long, rows: Iterator[(Long, Long, Long, Long)],
+         state: GroupState[Long]) =>
+          var cnt = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_._1).map { case (id, _, w, h) =>
+            val asg = AspectAssign(id, bucket, cnt / batch, cnt % batch, w, h)
+            cnt += 1
+            asg
+          }
+          state.update(cnt)
+          out.iterator
+      }
+  }
+
+  /** `aspectBatchStream`'s processor on the Spark 4 `transformWithState`
+    * surface — same one-long-per-bucket state, same per-batch doc_id
+    * sort, same layout function (the PackProcessor runtime-parity
+    * discipline).
+    */
+  class AspectProcessor(batch: Int) extends
+      org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long, Long), AspectAssign] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+
+    @transient private var cnt: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cnt = getHandle.getValueState[Long](
+        "aspectCnt", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, Long, Long)],
+        timerValues: TimerValues): Iterator[AspectAssign] = {
+      var c = if (cnt.exists()) cnt.get() else 0L
+      val out = rows.toSeq.sortBy(_._1).map { case (id, _, w, h) =>
+        val asg = AspectAssign(id, key, c / batch, c % batch, w, h)
+        c += 1
+        asg
+      }
+      cnt.update(c)
+      out.iterator
+    }
+  }
+
+  /** `aspectBatchStream` on the transformWithState runtime. */
+  def aspectBatchStreamTws(assets: Dataset[AssetIn], batch: Int = 32): Dataset[AspectAssign] = {
+    import assets.sparkSession.implicits._
+    assets
+      .map { a =>
+        val w = a.n_chars % 64 + 1
+        val h = math.max((a.n_bytes + w - 1) / w, 1L)
+        val b = (63 - java.lang.Long.numberOfLeadingZeros(
+          math.max(w * 16 / h, 1L))).toLong
+        (a.doc_id, b, w, h)
+      }
+      .groupByKey(_._2)
+      .transformWithState(new AspectProcessor(batch),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** A buffered admission candidate: doc metadata only, never text. */
   case class PendingDoc(doc_id: Long, n_tokens: Long, ts_ms: Long)
 

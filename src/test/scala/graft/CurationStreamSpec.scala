@@ -233,4 +233,72 @@ class CurationStreamSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("aspectBatchStream: aggregated assignments == batch q207 on both runtimes") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val assets = graft.core.Tables.documents(spark, sf)
+      .select($"doc_id", $"n_chars",
+        org.apache.spark.sql.functions.expr("octet_length(text)").cast("long"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+      .map { case (id, nc, nb) => CurationStream.AssetIn(id, nc, nb) }
+    val want = graft.multimodal.Multimodal.aspectBatching(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+
+    def aggregated(table: String): Set[(Long, Long, Long, Long, Long)] = {
+      val asg = spark.table(table).as[CurationStream.AspectAssign].collect()
+      asg.groupBy(a => (a.bucket, a.batch_id)).toSeq
+        .map { case ((b, _), g) =>
+          (b, g.length.toLong, g.map(_.w).max * g.map(_.h).max * g.length,
+            g.map(x => x.w * x.h).sum)
+        }
+        .groupBy(_._1).map { case (b, cells) =>
+          val n = cells.map(_._2).sum
+          val batchPx = cells.map(_._3).sum
+          val assetPx = cells.map(_._4).sum
+          val pad = batchPx - assetPx
+          (b, n, cells.length.toLong, pad,
+            BigDecimal(pad.toDouble / batchPx.toDouble * 1000000.0)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+        }.toSet
+    }
+
+    val input = MemoryStream[CurationStream.AssetIn]
+    val query = CurationStream.aspectBatchStream(input.toDS())
+      .writeStream.format("memory").queryName("aspect_stream")
+      .outputMode("append").start()
+    try {
+      assets.grouped(89).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq: _*)
+        query.processAllAvailable()
+      }
+      assert(aggregated("aspect_stream") == want,
+        "stream assignments must aggregate to the batch plan")
+    } finally query.stop()
+
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input2 = MemoryStream[CurationStream.AssetIn]
+    val query2 = CurationStream.aspectBatchStreamTws(input2.toDS())
+      .writeStream.format("memory").queryName("aspect_stream_tws")
+      .outputMode("append").start()
+    try {
+      assets.grouped(211).foreach { chunk =>
+        input2.addData(chunk.toIndexedSeq: _*)
+        query2.processAllAvailable()
+      }
+      assert(aggregated("aspect_stream_tws") == want,
+        "transformWithState twin must aggregate to the batch plan")
+      assert(TestSpark.streamingPlan(query2).contains("TransformWithState"))
+    } finally {
+      query2.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
