@@ -44,6 +44,7 @@ object Builds {
     "eval_grams"     -> ((s, d) => operators.Contamination.evalGramSet(s, d, 5, 5).count()),
     "pack_sequences" -> ((s, d) => operators.Sampling.packSequences(s, d).count()),
     "copurchase"     -> ((s, d) => operators.Graph.copurchaseEdges(s, d).count()),
-    "lp_labels"      -> ((s, d) => operators.Graph.labelPropagation(s, d).count())
+    "lp_labels"      -> ((s, d) => operators.Graph.labelPropagation(s, d).count()),
+    "label_dim_sums" -> ((s, d) => operators.Similarity.labelDimSums(s, d).count())
   )
 }

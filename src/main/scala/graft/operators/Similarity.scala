@@ -283,14 +283,28 @@ object Similarity {
         sum(($"n2" < 10000000000L).cast("long")).as("n_near_zero"))
   }
 
+  /** (label, i, s = Σ quantized component, cnt = vectors in the label)
+    * — memo-cached once per session+dir: q58's centroids, q203's Fisher
+    * between-class sums and q206's centroid-similarity matrix all fold
+    * over this ONE exploded (vector, dim) aggregate (|labels|·dims
+    * rows, trivially cacheable). `cnt` equals the label's vector count
+    * at every dim because vectors share one dimensionality — the q141
+    * embeddingAudit ingest contract.
+    */
+  private[graft] def labelDimSums(spark: SparkSession, d: String): DataFrame =
+    graft.core.Memo(spark, cache = true, "labelDimSums", d) {
+      import spark.implicits._
+      embeddings(spark, d)
+        .select($"label", posexplode(quantize($"embedding")).as(Seq("i", "v")))
+        .groupBy($"label", $"i")
+        .agg(sum($"v").as("s"), count(lit(1)).as("cnt"))
+    }
+
   def labelCentroids(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    embeddings(spark, d)
-      .select($"label", posexplode(quantize($"embedding")).as(Seq("i", "q")))
-      .groupBy($"label", $"i")
-      .agg(sum($"q").as("qsum"), count(lit(1)).as("n"))
+    labelDimSums(spark, d)
       .select($"label", $"i".cast("long").as("i"),
-        (($"qsum".cast("double") / lit(1e7)) / $"n").as("mean"))
+        (($"s".cast("double") / lit(1e7)) / $"cnt").as("mean"))
   }
 
   /** Lloyd's k-means over the quantized embedding corpus: `iters`
@@ -1054,10 +1068,11 @@ object Similarity {
     val dec38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
     val ex = embeddings(spark, d).select($"label", quantize($"embedding").as("q"))
     val n = ex.count()
-    val perDim = ex.select($"label", posexplode($"q").as(Seq("i", "v")))
-    val sli = perDim.groupBy($"label", $"i").agg(sum($"v").as("s_li"))
+    // the (label, dim) sums ride the shared labelDimSums memo (q58/q206)
+    val lds = labelDimSums(spark, d)
+    val sli = lds.select($"label", $"i", $"s".as("s_li"))
     val si = sli.groupBy($"i").agg(sum($"s_li").as("s_i"))
-    val nl = ex.groupBy($"label").agg(count(lit(1)).as("n_l"))
+    val nl = lds.groupBy($"label").agg(max($"cnt").as("n_l"))
     val dotl = ex.select($"label", dotPreQ($"q", $"q").as("dd"))
       .groupBy($"label").agg(sum($"dd".cast(dec38)).as("sumdot_l"))
     val dExpr = $"s_li" * lit(n) - $"s_i" * $"n_l"
@@ -1141,9 +1156,7 @@ object Similarity {
   def centroidSimilarity(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val dec38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
-    val sli = embeddings(spark, d)
-      .select($"label", posexplode(quantize($"embedding")).as(Seq("i", "v")))
-      .groupBy($"label", $"i").agg(sum($"v").as("s"))
+    val sli = labelDimSums(spark, d).select($"label", $"i", $"s")
     val n2 = sli.groupBy($"label")
       .agg(sum($"s".cast(dec38) * $"s".cast(dec38)).as("n2"))
     val dots = sli.as("a").join(sli.as("b"),
