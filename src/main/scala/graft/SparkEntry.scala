@@ -238,6 +238,7 @@ object SparkEntry {
     "q209_canonical_policy" -> ((s, d) => Dedup.canonicalPolicy(s, d)),
     "q210_knn_purity"     -> ((s, d) => Similarity.knnLabelPurity(s, d)),
     "q211_cross_source_dups" -> ((s, d) => Dedup.crossSourceDups(s, d)),
+    "q212_source_zipf"    -> ((s, d) => Text.sourceZipf(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -2780,6 +2781,27 @@ object SparkEntry {
          |SELECT source_a, source_b, count(*)::BIGINT AS n_pairs,
          |  round(count(*)::DOUBLE / t::DOUBLE * 1000000.0)::BIGINT AS share_q6
          |FROM lab, tot GROUP BY 1, 2, t""".stripMargin,
+    // per-source Zipf: the q95 quantized-OLS chain grouped by source
+    "q212_source_zipf" ->
+      """WITH u AS (SELECT source, w, count(*) AS c FROM (
+        |        SELECT source, unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        |        FROM documents) GROUP BY 1, 2),
+        |r AS (SELECT source, c, row_number() OVER (PARTITION BY source
+        |        ORDER BY c DESC, w) AS rank FROM u),
+        |q AS (SELECT source,
+        |        round(log2(rank::DOUBLE) * 1000000.0)::BIGINT AS xq,
+        |        round(log2(c::DOUBLE) * 1000000.0)::BIGINT AS yq FROM r),
+        |s AS (SELECT source, count(*)::BIGINT AS n,
+        |        sum(xq::HUGEINT) AS sx, sum(yq::HUGEINT) AS sy,
+        |        sum((xq * yq)::HUGEINT) AS sxy,
+        |        sum((xq * xq)::HUGEINT) AS sxx FROM q GROUP BY 1)
+        |SELECT source, n AS n_vocab,
+        |  (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |    / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) AS slope,
+        |  (sy::DOUBLE - ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |      / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE))
+        |    * sx::DOUBLE) / (n::DOUBLE * 1000000.0) AS intercept
+        |FROM s""".stripMargin,
     // hash-driven walks unrolled: per step, one join onto the ranked
     // adjacency at the md5-chosen neighbor index
     "q145_random_walks" -> randomWalksSql(4),

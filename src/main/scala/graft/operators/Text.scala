@@ -626,6 +626,49 @@ object Text {
         ($"n".cast("double") * lit(1000000.0))).as("log2k"))
   }
 
+  /** q212: per-source Zipf slopes — q95's rank-frequency OLS fit, one
+    * row per source. The per-source corpus health panel: a source whose
+    * slope sits far from the global fit (or from −1) is synthetic,
+    * template-flooded, or OCR noise — exactly the per-source signal the
+    * q54/q101 mixture designers reweight on, where the global q95
+    * number averages it away.
+    *
+    * Shape: per-source (w, c) counts are one map-side-combined
+    * aggregate; within-source frequency ranks ride
+    * `Ranks.groupRowNumber` ((c desc, w) is a total order — and a hot
+    * source is never one sort partition); the per-source OLS sums
+    * follow the q95 quantized-exact discipline (log₂ points → 1e6
+    * longs, DECIMAL(38,0) sums, identical final double chain), so the
+    * whole fit is |sources| exact aggregates over vocabulary-sized
+    * data.
+    */
+  def sourceZipf(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val sw = documents(spark, d)
+      .select($"source", explode(tokens($"text")).as("w"))
+      .groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+    val ranked = graft.operators.Ranks.groupRowNumber(
+      sw, "rank", Seq($"source"), Seq($"c".desc, $"w".asc))
+    val q = ranked.select($"source",
+      round(log2($"rank".cast("double")) * lit(1000000.0)).cast("long").as("xq"),
+      round(log2($"c".cast("double")) * lit(1000000.0)).cast("long").as("yq"))
+    val s = q.groupBy($"source").agg(
+      count(lit(1)).as("n"),
+      sum($"xq".cast(dec38)).as("sx"),
+      sum($"yq".cast(dec38)).as("sy"),
+      sum(($"xq" * $"yq").cast(dec38)).as("sxy"),
+      sum(($"xq" * $"xq").cast(dec38)).as("sxx"))
+    val slope = ($"n".cast("double") * $"sxy".cast("double") -
+        $"sx".cast("double") * $"sy".cast("double")) /
+      ($"n".cast("double") * $"sxx".cast("double") -
+        $"sx".cast("double") * $"sx".cast("double"))
+    s.select($"source", $"n".as("n_vocab"),
+      slope.as("slope"),
+      (($"sy".cast("double") - slope * $"sx".cast("double")) /
+        ($"n".cast("double") * lit(1000000.0))).as("intercept"))
+  }
+
   /** Distributed heavy hitters: EXACT frequent-token mining with a
     * Misra-Gries candidate prune (the mergeable-summary pattern of
     * Misra & Gries 1982 / the MG row of Agarwal et al.'s mergeable

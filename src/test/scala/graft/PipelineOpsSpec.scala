@@ -1623,4 +1623,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     rows.foreach { case (a, b, n, _) =>
       assert(cells((a, b)) == n, s"cell ($a,$b)") }
   }
+
+  test("sourceZipf: per-source vocab sizes, negative slopes, exact OLS replay") {
+    import spark.implicits._
+    val rows = Text.sourceZipf(spark, sf)
+      .as[(String, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    val counts = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"source", explode(split(lower($"text"), "\\s+")).as("w"))
+      .groupBy($"source", $"w").count()
+      .as[(String, String, Long)].collect()
+    val bySource = counts.groupBy(_._1)
+    assert(rows.keySet == bySource.keySet)
+    bySource.foreach { case (src, ws) =>
+      val (_, nVocab, slope, intercept) = rows(src)
+      assert(nVocab == ws.length, s"$src vocab size")
+      assert(slope < 0.0, s"$src slope must be negative")
+      // exact replay of the quantized OLS
+      val pts = ws.sortBy(t => (-t._3, t._2)).zipWithIndex.map { case ((_, _, c), i) =>
+        def q(x: Double) = BigDecimal(math.log(x) / math.log(2.0) * 1000000.0)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        (q((i + 1).toDouble), q(c.toDouble))
+      }
+      val n = pts.length.toLong
+      val sx = pts.map(p => BigInt(p._1)).sum
+      val sy = pts.map(p => BigInt(p._2)).sum
+      val sxy = pts.map(p => BigInt(p._1) * p._2).sum
+      val sxx = pts.map(p => BigInt(p._1) * p._1).sum
+      val expSlope = (n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+        (n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble)
+      val expIcpt = (sy.toDouble - expSlope * sx.toDouble) / (n.toDouble * 1000000.0)
+      assert(slope == expSlope && intercept == expIcpt, s"$src OLS replay")
+    }
+  }
 }
