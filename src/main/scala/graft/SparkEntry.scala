@@ -239,6 +239,7 @@ object SparkEntry {
     "q210_knn_purity"     -> ((s, d) => Similarity.knnLabelPurity(s, d)),
     "q211_cross_source_dups" -> ((s, d) => Dedup.crossSourceDups(s, d)),
     "q212_source_zipf"    -> ((s, d) => Text.sourceZipf(s, d)),
+    "q213_shard_diversity" -> ((s, d) => Sharding.shardDiversity(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -2802,6 +2803,21 @@ object SparkEntry {
         |      / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE))
         |    * sx::DOUBLE) / (n::DOUBLE * 1000000.0) AS intercept
         |FROM s""".stripMargin,
+    // shard source-mix entropy: per-cell -p*log2(p) quantized to 1e12
+    // longs (the q96 discipline), exact integer sums per shard
+    "q213_shard_diversity" ->
+      s"""WITH pl AS (SELECT
+         |    ${md5Bits32Sql("'shard:' || doc_id::VARCHAR", 1)} % 8 AS shard,
+         |    source FROM documents),
+         |cells AS (SELECT shard, source, count(*)::BIGINT AS c
+         |          FROM pl GROUP BY 1, 2),
+         |tot AS (SELECT shard, sum(c)::BIGINT AS n_docs,
+         |    count(*)::BIGINT AS n_sources FROM cells GROUP BY 1)
+         |SELECT shard, n_docs, n_sources,
+         |  sum(round(-((c::DOUBLE / n_docs::DOUBLE)
+         |      * log2(c::DOUBLE / n_docs::DOUBLE))
+         |    * 1000000000000.0)::BIGINT)::BIGINT AS entropy_q12
+         |FROM cells JOIN tot USING (shard) GROUP BY 1, 2, 3""".stripMargin,
     // hash-driven walks unrolled: per step, one join onto the ranked
     // adjacency at the md5-chosen neighbor index
     "q145_random_walks" -> randomWalksSql(4),

@@ -93,6 +93,38 @@ object Sharding {
     * windows, no joins. At 100 TB this IS the manifest the writer
     * emits file by file.
     */
+  /** q213: shard diversity audit — per shard of the q70 plan: doc
+    * count, distinct sources, and the Shannon entropy (bits) of its
+    * source mix, 1e12-quantized. The training-order health check a
+    * sharded corpus needs beyond q147's SIZE balance: a size-balanced
+    * shard that is all one source still trains badly (correlated
+    * batches); entropy far below the corpus mix's says the shard hash
+    * correlates with source. Uniform-hash sharding keeps every shard's
+    * mix near the corpus mix BY CONSTRUCTION — this query is the
+    * evidence.
+    *
+    * Exactness: a float sum of per-source entropy terms would be
+    * aggregation-order dependent — each (shard, source) term −p·log₂p
+    * quantizes once to a 1e12 integer (the q96 KL discipline) and
+    * per-shard totals are exact integer adds.
+    *
+    * Scale: one (shard, source) aggregate with map-side combine onto
+    * |shards|·|sources| cells; everything after runs on those cells.
+    */
+  def shardDiversity(spark: SparkSession, d: String, nShards: Int = 8): DataFrame = {
+    import spark.implicits._
+    val cells = shardPlan(spark, d, nShards).select($"shard", $"source")
+      .groupBy($"shard", $"source").agg(count(lit(1)).as("c"))
+    val totals = cells.groupBy($"shard")
+      .agg(sum($"c").as("n_docs"), count(lit(1)).as("n_sources"))
+    val p = $"c".cast("double") / $"n_docs".cast("double")
+    cells.join(broadcast(totals), "shard")
+      .select($"shard", $"n_docs", $"n_sources",
+        round(-(p * log2(p)) * lit(1000000000000.0)).cast("long").as("tq"))
+      .groupBy($"shard", $"n_docs", $"n_sources")
+      .agg(sum($"tq").as("entropy_q12"))
+  }
+
   def shardZoneMap(spark: SparkSession, d: String, nShards: Int = 8): DataFrame = {
     import spark.implicits._
     val docs = documents(spark, d).select($"doc_id", $"n_chars")

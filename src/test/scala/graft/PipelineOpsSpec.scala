@@ -1655,4 +1655,30 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(slope == expSlope && intercept == expIcpt, s"$src OLS replay")
     }
   }
+
+  test("shardDiversity: conservation, entropy bounds, exact term replay") {
+    import spark.implicits._
+    val rows = Sharding.shardDiversity(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"source").as[(Long, String)].collect()
+    assert(rows.map(_._2).sum == docs.length, "shards partition the corpus")
+    val nSources = docs.map(_._2).distinct.length
+    rows.foreach { case (sh, nDocs, nSrc, eq12) =>
+      assert(nSrc <= nSources && eq12 >= 0L, s"shard $sh bounds")
+      // entropy <= log2(n_sources) + per-cell rounding slack
+      assert(eq12 <= math.ceil(math.log(nSrc.toDouble) / math.log(2.0) * 1e12).toLong + nSrc,
+        s"shard $sh entropy above log2(n_sources)")
+      // exact replay
+      val mine = docs.filter { case (id, _) =>
+        graft.functions.Hashing.md5BucketJvm(s"shard:$id", 1L << 32) % 8 == sh }
+      val cells = mine.groupBy(_._2).map(_._2.length.toLong)
+      val exp = cells.map { c =>
+        val p = c.toDouble / nDocs.toDouble
+        BigDecimal(-(p * (math.log(p) / math.log(2.0))) * 1e12)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }.sum
+      assert(nDocs == mine.length && eq12 == exp, s"shard $sh replay")
+    }
+  }
 }
