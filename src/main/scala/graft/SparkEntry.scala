@@ -240,6 +240,8 @@ object SparkEntry {
     "q211_cross_source_dups" -> ((s, d) => Dedup.crossSourceDups(s, d)),
     "q212_source_zipf"    -> ((s, d) => Text.sourceZipf(s, d)),
     "q213_shard_diversity" -> ((s, d) => Sharding.shardDiversity(s, d)),
+    "q214_trending"       -> ((s, d) => Relational.trendingTypes(s, d)),
+    "q215_dup_agreement"  -> ((s, d) => Similarity.dupModalityAgreement(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -2818,6 +2820,37 @@ object SparkEntry {
          |      * log2(c::DOUBLE / n_docs::DOUBLE))
          |    * 1000000000000.0)::BIGINT)::BIGINT AS entropy_q12
          |FROM cells JOIN tot USING (shard) GROUP BY 1, 2, 3""".stripMargin,
+    // hourly trending: the bounded-heap top-k mirrored as row_number
+    "q214_trending" ->
+      """SELECT hour, event_type, cnt, rnk FROM (
+        |  SELECT hour, event_type, cnt, row_number() OVER (
+        |      PARTITION BY hour ORDER BY cnt DESC, event_type) AS rnk
+        |  FROM (SELECT date_trunc('hour', ts) AS hour, event_type,
+        |        count(*)::BIGINT AS cnt FROM events GROUP BY 1, 2))
+        |WHERE rnk <= 3""".stripMargin,
+    // detector agreement: scalar counts over the two pair derivations
+    "q215_dup_agreement" ->
+      s"""WITH lex AS (
+         |$jaccardPairsSql),
+         |ex AS (SELECT vec_id, round(unnest(embedding)::DOUBLE * 10000000)::BIGINT AS v,
+         |       unnest(range(len(embedding))) AS i FROM embeddings),
+         |n2 AS (SELECT vec_id, sum(v*v)::DOUBLE AS n2 FROM ex GROUP BY 1),
+         |dots AS (SELECT a.vec_id AS x, b.vec_id AS y, sum(a.v*b.v)::DOUBLE AS dot
+         |         FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+         |         GROUP BY 1, 2),
+         |embp AS (SELECT x, y
+         |  FROM dots JOIN n2 na ON x = na.vec_id JOIN n2 nb ON y = nb.vec_id
+         |  WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.4),
+         |c AS (SELECT
+         |    (SELECT count(*)::BIGINT FROM lex) AS n_lex,
+         |    (SELECT count(*)::BIGINT FROM embp) AS n_emb,
+         |    (SELECT count(*)::BIGINT
+         |     FROM lex JOIN embp USING (x, y)) AS n_both)
+         |SELECT n_lex, n_emb, n_both,
+         |  (n_lex + n_emb - n_both)::BIGINT AS n_union,
+         |  round(n_both::DOUBLE / (n_lex + n_emb - n_both)::DOUBLE
+         |    * 1000000.0)::BIGINT AS agreement_q6
+         |FROM c""".stripMargin,
     // hash-driven walks unrolled: per step, one join onto the ranked
     // adjacency at the md5-chosen neighbor index
     "q145_random_walks" -> randomWalksSql(4),

@@ -605,6 +605,23 @@ object Relational {
     * compacts a 100 TB changelog into current state (one key shuffle,
     * per-partition sort, rank filter — no self-join, no global sort).
     */
+  /** q214: hourly trending event types — per hour, the top-3 event
+    * types by count (ties → type asc). The dashboard query every event
+    * pipeline serves, and the third rider on the native bounded-heap
+    * top-k (`plans.TopKRowsAgg`): the hourly count table is one
+    * map-side-combined aggregate, then ONE heap aggregate per hour — no
+    * row_number, no per-hour sort partition, |hours|·k output rows.
+    */
+  def trendingTypes(spark: SparkSession, d: String, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val hourly = events(spark, d)
+      .select(date_trunc("hour", $"ts").as("hour"), $"event_type")
+      .groupBy($"hour", $"event_type").agg(count(lit(1)).as("cnt"))
+    Ranks.groupTopK(hourly, k, "rnk", Seq($"hour"),
+        struct((-$"cnt").as("__nc"), $"event_type", $"cnt"))
+      .select($"hour", $"event_type", $"cnt", $"rnk")
+  }
+
   def latestPerUser(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val w = Window.partitionBy($"user_id")

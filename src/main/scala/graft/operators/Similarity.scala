@@ -1153,6 +1153,37 @@ object Similarity {
           * lit(1000000.0)).cast("long").as("purity_q6"))
   }
 
+  /** q215: lexical-vs-semantic near-dup agreement — the pair sets of
+    * the exact Jaccard detector (q16, τ=0.5) and the embedding-cosine
+    * detector (q25, cos ≥ 0.4) compared as sets (vec_id ≡ doc_id):
+    * counts of each, their intersection and union, and the Jaccard
+    * agreement of the two DETECTORS. The threshold-tuning audit a
+    * curation run reads before trusting either modality alone:
+    * lexical-only mass is paraphrase-blind templating, embedding-only
+    * mass is surface-divergent semantic dup — each is the other
+    * detector's blind spot, quantified.
+    *
+    * Shape: both pair tables are memo-shared (built once per session);
+    * the agreement is one full-outer join on the (x, y) pair key + one
+    * scalar aggregate — pair-table-sized, never corpus-sized.
+    */
+  def dupModalityAgreement(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val lex = graft.operators.Dedup.jaccardPairs(spark, d)
+      .select($"x", $"y", lit(1L).as("in_lex"))
+    val emb = embeddingNearDup(spark, d)
+      .select($"x", $"y", lit(1L).as("in_emb"))
+    lex.join(emb, Seq("x", "y"), "full_outer")
+      .agg(count(lit(1)).as("n_union"),
+        sum(coalesce($"in_lex", lit(0L))).as("n_lex"),
+        sum(coalesce($"in_emb", lit(0L))).as("n_emb"),
+        sum(when($"in_lex".isNotNull && $"in_emb".isNotNull, 1L)
+          .otherwise(0L)).as("n_both"))
+      .select($"n_lex", $"n_emb", $"n_both", $"n_union",
+        round($"n_both".cast("double") / $"n_union".cast("double")
+          * lit(1000000.0)).cast("long").as("agreement_q6"))
+  }
+
   def centroidSimilarity(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val dec38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)

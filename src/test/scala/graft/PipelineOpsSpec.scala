@@ -1681,4 +1681,33 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(nDocs == mine.length && eq12 == exp, s"shard $sh replay")
     }
   }
+
+  test("trendingTypes: heap top-k equals the window form per hour") {
+    import spark.implicits._
+    val got = graft.operators.Relational.trendingTypes(spark, sf)
+      .as[(java.sql.Timestamp, String, Long, Int)].collect().toSet
+    val hourly = graft.core.Tables.events(spark, sf)
+      .select(date_trunc("hour", $"ts").as("hour"), $"event_type")
+      .groupBy($"hour", $"event_type").agg(count(lit(1)).as("cnt"))
+      .as[(java.sql.Timestamp, String, Long)].collect()
+    val want = hourly.groupBy(_._1).toSeq.flatMap { case (h, g) =>
+      g.sortBy(t => (-t._3, t._2)).take(3).zipWithIndex
+        .map { case ((_, ty, c), i) => (h, ty, c, i + 1) }
+    }.toSet
+    assert(got == want, "bounded-heap trending must equal the sorted replay")
+  }
+
+  test("dupModalityAgreement: set-algebra replay of both detectors") {
+    import spark.implicits._
+    val row = Similarity.dupModalityAgreement(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    val lex = Dedup.jaccardPairs(spark, sf).select($"x", $"y")
+      .as[(Long, Long)].collect().toSet
+    val emb = Similarity.embeddingNearDup(spark, sf).select($"x", $"y")
+      .as[(Long, Long)].collect().toSet
+    val both = lex.intersect(emb)
+    assert(row._1 == lex.size && row._2 == emb.size && row._3 == both.size)
+    assert(row._4 == lex.union(emb).size, "union count")
+    assert(row._4 == row._1 + row._2 - row._3, "inclusion-exclusion")
+  }
 }
