@@ -757,7 +757,11 @@ object EventStreams {
   case class SnapDiffRow(user_id: Long, event_type: String,
       status: String, value: Double)
 
-  private case class SnapState(has1: Boolean, v1: Double,
+  // NOT private: Janino-generated encoder code can't access private
+  // classes — a private state class silently drops the whole state
+  // serializer to interpreter mode (observed as an UnsafeProjection
+  // codegen-fallback warning in the suite)
+  case class SnapState(has1: Boolean, v1: Double,
       hasCur: Boolean, ts_us: Long, event_id: Long, cur: Double)
 
   /** q190's snapshot diff LIVE — the CDC classification computed while
