@@ -242,6 +242,7 @@ object SparkEntry {
     "q213_shard_diversity" -> ((s, d) => Sharding.shardDiversity(s, d)),
     "q214_trending"       -> ((s, d) => Relational.trendingTypes(s, d)),
     "q215_dup_agreement"  -> ((s, d) => Similarity.dupModalityAgreement(s, d)),
+    "q216_length_gini"    -> ((s, d) => Text.lengthGini(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -2851,6 +2852,18 @@ object SparkEntry {
          |  round(n_both::DOUBLE / (n_lex + n_emb - n_both)::DOUBLE
          |    * 1000000.0)::BIGINT AS agreement_q6
          |FROM c""".stripMargin,
+    // per-source Gini from the exact rank-weighted form; HUGEINT sums
+    "q216_length_gini" ->
+      """WITH r AS (SELECT source, n_chars, row_number() OVER (
+        |    PARTITION BY source ORDER BY n_chars, doc_id) AS i
+        |  FROM documents),
+        |s AS (SELECT source, count(*)::BIGINT AS n,
+        |    sum(n_chars::HUGEINT) AS s0, sum(i::HUGEINT * n_chars) AS s1
+        |  FROM r GROUP BY 1)
+        |SELECT source, n, s0::BIGINT AS total_chars,
+        |  round((2 * s1 - (n + 1) * s0)::DOUBLE
+        |    / (n::HUGEINT * s0)::DOUBLE * 1000000.0)::BIGINT AS gini_q6
+        |FROM s""".stripMargin,
     // hash-driven walks unrolled: per step, one join onto the ranked
     // adjacency at the md5-chosen neighbor index
     "q145_random_walks" -> randomWalksSql(4),

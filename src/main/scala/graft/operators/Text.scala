@@ -669,6 +669,40 @@ object Text {
         ($"n".cast("double") * lit(1000000.0))).as("intercept"))
   }
 
+  /** q216: per-source length concentration (Gini) — the Gini
+    * coefficient of the doc-length distribution inside each source,
+    * from the exact rank-weighted form G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) /
+    * (n·Σx). The "is this source a few megadocs wearing a trench coat"
+    * audit: a source where 1 % of docs carry 90 % of bytes needs
+    * chunking (q56) or per-doc caps before it dominates every batch it
+    * appears in; q147 balances SHARDS, this audits the distribution
+    * inside a source.
+    *
+    * Exactness: ranks are integers (ties break by doc_id — exchanging
+    * equal lengths leaves Σ i·x unchanged, so the tiebreak cannot leak
+    * into the result), both sums accumulate in DECIMAL(38,0)/HUGEINT,
+    * and the single division happens once in both engines.
+    *
+    * Scale: within-source ranks on `Ranks.groupRowNumber` (a hot
+    * source is never one sort partition), then one map-side-combined
+    * aggregate onto |sources| rows.
+    */
+  def lengthGini(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val r = graft.operators.Ranks.groupRowNumber(
+      documents(spark, d).select($"source", $"doc_id", $"n_chars"),
+      "i", Seq($"source"), Seq($"n_chars".asc, $"doc_id".asc))
+    r.groupBy($"source").agg(
+        count(lit(1)).as("n"),
+        sum($"n_chars".cast(dec38)).as("s0"),
+        sum(($"i" * $"n_chars").cast(dec38)).as("s1"))
+      .select($"source", $"n", $"s0".cast("long").as("total_chars"),
+        round((lit(2L) * $"s1" - ($"n" + lit(1L)) * $"s0").cast("double")
+          / ($"n" * $"s0").cast("double") * lit(1000000.0))
+          .cast("long").as("gini_q6"))
+  }
+
   /** Distributed heavy hitters: EXACT frequent-token mining with a
     * Misra-Gries candidate prune (the mergeable-summary pattern of
     * Misra & Gries 1982 / the MG row of Agarwal et al.'s mergeable

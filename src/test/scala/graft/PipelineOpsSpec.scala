@@ -1710,4 +1710,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(row._4 == lex.union(emb).size, "union count")
     assert(row._4 == row._1 + row._2 - row._3, "inclusion-exclusion")
   }
+
+  test("lengthGini: exact replay; Gini in [0,1); uniform-lengths edge = 0") {
+    import spark.implicits._
+    val rows = Text.lengthGini(spark, sf)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"source", $"n_chars").as[(String, Long)].collect()
+    docs.groupBy(_._1).foreach { case (src, ds) =>
+      val xs = ds.map(_._2).sorted
+      val n = xs.length.toLong
+      val s0 = xs.map(BigInt(_)).sum
+      val s1 = xs.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+      val gini = (BigInt(2) * s1 - BigInt(n + 1) * s0).toDouble / (BigInt(n) * s0).toDouble
+      val exp = BigDecimal(gini * 1000000.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      val got = rows(src)
+      assert(got._2 == n && got._3 == s0.toLong && got._4 == exp, s"$src replay")
+      assert(got._4 >= 0L && got._4 < 1000000L, s"$src Gini range")
+    }
+    // degenerate check: equal lengths => Gini exactly 0
+    val uni = Seq(("s", 1L, 7L), ("s", 2L, 7L), ("s", 3L, 7L))
+      .toDF("source", "doc_id", "n_chars")
+    val r = graft.operators.Ranks.groupRowNumber(uni, "i",
+      Seq($"source"), Seq($"n_chars".asc, $"doc_id".asc))
+    val g = r.groupBy($"source").agg(count(lit(1)).as("n"),
+        sum($"n_chars").as("s0"), sum($"i" * $"n_chars").as("s1"))
+      .select(((lit(2L) * $"s1" - ($"n" + 1L) * $"s0").cast("double")
+        / ($"n" * $"s0").cast("double")).as("gini"))
+      .as[Double].collect().head
+    assert(g == 0.0, "uniform lengths must give Gini 0")
+  }
 }
