@@ -32,8 +32,12 @@ object PlanStats {
     out.println("broadcast-hash / sort-merge / nested-loop joins. Nested loops are")
     out.println("expected ONLY against 1-row/scalar or literal-bounded builds (corpus")
     out.println("bounds, totals, k-row grids) — audited: every bnlj > 0 row is one of")
-    out.println("those or the declared-quadratic oracle rung q25 — never between two")
-    out.println("data-bearing sides.")
+    out.println("those or a declared-quadratic exact rung (q25; q210's 1-NN purity and")
+    out.println("q215's agreement audit, which score the same quadratic embedding join;")
+    out.println("their 100 TB path is the IVF probe candidate generator) — never between")
+    out.println("two data-bearing sides. Scan counts are UNCACHED logical lineages: a")
+    out.println("memo-shared table (e.g. the q205/q211/q215 pair table) re-lists its")
+    out.println("scans per reference here but materializes once at execution.")
     out.println()
     out.println("| query | shuffles | scans | bhj | smj | bnlj |")
     out.println("|---|---|---|---|---|---|")
