@@ -1188,6 +1188,85 @@ object EventStreams {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  /** Stage-1 row of streaming q214: one closed hourly (hour, type)
+    * count, emitted by the ENGINE's watermarked window aggregate.
+    */
+  case class HourTypeCount(hour_us: Long, event_type: String, cnt: Long)
+
+  /** A trending emission: the hour's current top-`k` with ranks;
+    * `state_n` stamps the fold so the final emission per hour is
+    * identifiable under replays (the compaction-stream convention).
+    */
+  case class TrendRow(hour_us: Long, event_type: String, cnt: Long,
+      rnk: Int, state_n: Long)
+
+  /** Stage 1 of streaming q214: hourly per-type counts on the engine's
+    * OWN windowed-aggregate state — `withWatermark` + `window()` in
+    * append mode, so a (hour, type) row emits exactly once, when the
+    * watermark passes the hour's end (the W1–W3 machinery, where every
+    * other stage-1 in this file is hand-rolled keyed state). State is
+    * engine-managed and hour-bounded; late rows inside the delay fold
+    * in, later ones drop — the standard trade.
+    */
+  def hourlyTypeCounts(events: Dataset[Event],
+      delay: String = "1 hour"): Dataset[HourTypeCount] = {
+    import events.sparkSession.implicits._
+    events.toDF()
+      .withWatermark("ts", delay)
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_micros($"window.start").as("hour_us"), $"event_type", $"cnt")
+      .as[HourTypeCount]
+  }
+
+  /** All of one hour's type counts (parallel arrays, replace-by-type on
+    * duplicate arrivals) — bounded by |event types|, never by events.
+    */
+  case class HourTrendState(types: Array[String], cnts: Array[Long], n: Long)
+
+  /** Stage 2 of streaming q214: per-hour top-k fold over the closed
+    * count rows stage 1 emits (chained through a topic-shaped hop, the
+    * q196 convention). State is the hour's (type, cnt) table —
+    * |types|-bounded — and each batch re-emits the hour's current
+    * top-k (ties → type asc, the `plans.TopKRowsAgg` order), so the
+    * final emission per hour is the q214 batch answer.
+    */
+  class TrendProcessor(k: Int) extends
+      org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, HourTypeCount, TrendRow] {
+    import org.apache.spark.sql.{Encoders => Encs}
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+
+    @transient private var st: ValueState[HourTrendState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[HourTrendState](
+        "hourTrend", Encs.product[HourTrendState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[HourTypeCount],
+        timerValues: TimerValues): Iterator[TrendRow] = {
+      val prior = if (st.exists()) st.get()
+        else HourTrendState(Array.empty, Array.empty, 0L)
+      var m = prior.types.zip(prior.cnts).toMap
+      var n = prior.n
+      rows.foreach { r => m += (r.event_type -> r.cnt); n += 1 }
+      val ts = m.keys.toArray.sorted
+      st.update(HourTrendState(ts, ts.map(m), n))
+      m.toSeq.sortBy { case (t, c) => (-c, t) }.take(k).zipWithIndex
+        .map { case ((t, c), i) => TrendRow(key, t, c, i + 1, n) }
+        .iterator
+    }
+  }
+
+  /** Streaming q214 (stage 2 entry point). */
+  def trendingStream(rows: Dataset[HourTypeCount], k: Int = 3): Dataset[TrendRow] = {
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(_.hour_us)
+      .transformWithState(new TrendProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   def runningUserTotals(events: Dataset[Event]): Dataset[UserTotals] = {
     import events.sparkSession.implicits._
     events

@@ -692,4 +692,52 @@ class EventStreamsSpec extends AnyFunSuite {
       } finally query.stop()
     }
   }
+
+  test("chained window->top-k streams equal the q214 batch trending") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val all = graft.core.Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().sortBy(_.ts.getTime)
+    // a far-future sentinel advances the watermark past every real
+    // hour's close; its own (still-open) hour never emits
+    val sentinel = Event(-1L,
+      new java.sql.Timestamp(all.last.ts.getTime + 3L * 3600 * 1000),
+      -1L, "zz_sentinel", 0.0)
+    withRuntime(tws = true) {
+      val input = MemoryStream[Event]
+      val q1 = EventStreams.hourlyTypeCounts(input.toDS())
+        .writeStream.format("memory").queryName("hourly_counts")
+        .outputMode("append").start()
+      val hopIn = MemoryStream[EventStreams.HourTypeCount]
+      val q2 = EventStreams.trendingStream(hopIn.toDS())
+        .writeStream.format("memory").queryName("trend_stream")
+        .outputMode("update").start()
+      try {
+        (all :+ sentinel).grouped(all.length / 3 + 1).foreach { chunk =>
+          input.addData(chunk.toIndexedSeq: _*)
+          q1.processAllAvailable()
+          // hop re-ships the WHOLE emitted table each round — stage 2's
+          // replace-by-type fold makes replays no-ops (the q196 law)
+          val emitted = spark.table("hourly_counts")
+            .as[EventStreams.HourTypeCount].collect()
+          hopIn.addData(emitted.toIndexedSeq: _*)
+          q2.processAllAvailable()
+        }
+        val rows = spark.table("trend_stream")
+          .as[EventStreams.TrendRow].collect()
+        val fin = rows.groupBy(_.hour_us).toSeq.flatMap { case (_, rs) =>
+          val last = rs.map(_.state_n).max
+          rs.filter(_.state_n == last).toSeq
+        }.map(r => (r.hour_us, r.event_type, r.cnt, r.rnk)).toSet
+        val batch = graft.operators.Relational.trendingTypes(spark, sf)
+          .as[(java.sql.Timestamp, String, Long, Int)].collect()
+          .map { case (h, t, c, r) => (h.getTime * 1000L, t, c, r) }.toSet
+        assert(fin == batch,
+          "final per-hour emissions must equal the batch trending table")
+        assert(batch.nonEmpty)
+      } finally { q1.stop(); q2.stop() }
+    }
+  }
 }
