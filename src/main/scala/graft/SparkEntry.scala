@@ -243,6 +243,7 @@ object SparkEntry {
     "q214_trending"       -> ((s, d) => Relational.trendingTypes(s, d)),
     "q215_dup_agreement"  -> ((s, d) => Similarity.dupModalityAgreement(s, d)),
     "q216_length_gini"    -> ((s, d) => Text.lengthGini(s, d)),
+    "q217_hill_tail"      -> ((s, d) => Relational.hillTail(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -2864,6 +2865,23 @@ object SparkEntry {
         |  round((2 * s1 - (n + 1) * s0)::DOUBLE
         |    / (n::HUGEINT * s0)::DOUBLE * 1000000.0)::BIGINT AS gini_q6
         |FROM s""".stripMargin,
+    // Hill tail index over the top-k order statistics (quantized lns)
+    "q217_hill_tail" ->
+      """WITH c AS (SELECT user_id, count(*)::BIGINT AS x
+        |           FROM events GROUP BY 1),
+        |ke AS (SELECT least(100, count(*) - 1)::BIGINT AS k FROM c),
+        |t AS (SELECT x, row_number() OVER (ORDER BY x DESC, user_id) AS rnk
+        |      FROM c),
+        |s AS (SELECT sum(round(ln(x::DOUBLE) * 1000000.0)::BIGINT)::BIGINT
+        |        AS sum_lnq FROM t, ke WHERE rnk <= ke.k),
+        |tl AS (SELECT x AS x_k1,
+        |    round(ln(x::DOUBLE) * 1000000.0)::BIGINT AS lnq_k1
+        |  FROM t, ke WHERE rnk = ke.k + 1)
+        |SELECT ke.k, x_k1,
+        |  (sum_lnq - ke.k * lnq_k1)::BIGINT AS denom_q6,
+        |  ke.k::DOUBLE * 1000000.0
+        |    / (sum_lnq - ke.k * lnq_k1)::DOUBLE AS alpha
+        |FROM s, tl, ke""".stripMargin,
     // hash-driven walks unrolled: per step, one join onto the ranked
     // adjacency at the md5-chosen neighbor index
     "q145_random_walks" -> randomWalksSql(4),

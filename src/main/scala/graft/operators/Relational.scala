@@ -622,6 +622,43 @@ object Relational {
       .select($"hour", $"event_type", $"cnt", $"rnk")
   }
 
+  /** q217: Hill tail-index estimate of the events-per-user
+    * distribution — α̂ = k / (Σᵢ₌₁..ₖ ln xᵢ − k·ln x₍ₖ₊₁₎) over the
+    * top-k order statistics. THE number behind every skew decision this
+    * engine makes: α < 2 means the per-key load distribution has
+    * infinite variance — salting (q33) and AQE skew splits are
+    * mandatory, not optional — while α > 3 means uniform hashing is
+    * fine. q167 flags today's hot keys; this says whether the TAIL LAW
+    * generates new ones forever.
+    *
+    * Shape: one map-side-combined per-user count, the global top-(k+1)
+    * via the native bounded-heap aggregate (`plans.TopKRowsAgg` as a
+    * single-group fold — no global sort, no row_number), then the
+    * quantized-log discipline: ln x → 1e6 longs, exact integer sums
+    * over k rows, one final division chain identical in both engines.
+    */
+  def hillTail(spark: SparkSession, d: String, k: Int = 100): DataFrame = {
+    import spark.implicits._
+    val cnts = events(spark, d).groupBy($"user_id").agg(count(lit(1)).as("x"))
+    // adapt to small key spaces: k_eff = min(k, |users| - 1), so the
+    // estimator is defined whenever at least two users exist (the
+    // (k_eff+1)-th order statistic must exist); |users| is a scalar
+    val kEff = math.min(k.toLong, cnts.count() - 1L)
+    val top = Ranks.groupTopK(cnts, (kEff + 1).toInt, "rnk", Seq(),
+      struct((-$"x").as("__nx"), $"user_id", $"x"))
+    val s = top.filter($"rnk" <= kEff)
+      .agg(sum(round(log($"x".cast("double")) * lit(1000000.0)).cast("long"))
+        .as("sum_lnq"))
+    val tail = top.filter($"rnk" === kEff + 1L)
+      .select($"x".as("x_k1"),
+        round(log($"x".cast("double")) * lit(1000000.0)).cast("long").as("lnq_k1"))
+    s.crossJoin(tail)
+      .select(lit(kEff).as("k"), $"x_k1",
+        ($"sum_lnq" - lit(kEff) * $"lnq_k1").as("denom_q6"),
+        (lit(kEff).cast("double") * lit(1000000.0)
+          / ($"sum_lnq" - lit(kEff) * $"lnq_k1").cast("double")).as("alpha"))
+  }
+
   def latestPerUser(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val w = Window.partitionBy($"user_id")

@@ -1741,4 +1741,22 @@ class PipelineOpsSpec extends AnyFunSuite {
       .as[Double].collect().head
     assert(g == 0.0, "uniform lengths must give Gini 0")
   }
+
+  test("hillTail: exact driver replay of the order-statistic estimator") {
+    import spark.implicits._
+    val row = graft.operators.Relational.hillTail(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().head
+    val counts = graft.core.Tables.events(spark, sf)
+      .groupBy($"user_id").count().as[(Long, Long)].collect()
+    val kEff = math.min(100L, counts.length - 1L)
+    val sorted = counts.sortBy { case (u, x) => (-x, u) }
+    def lnq(x: Long) = BigDecimal(math.log(x.toDouble) * 1000000.0)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val sumLnq = sorted.take(kEff.toInt).map(t => lnq(t._2)).sum
+    val xk1 = sorted(kEff.toInt)._2
+    val denom = sumLnq - kEff * lnq(xk1)
+    assert(row._1 == kEff && row._2 == xk1 && row._3 == denom, "order stats")
+    assert(row._4 == kEff.toDouble * 1000000.0 / denom.toDouble, "alpha chain")
+    assert(row._4 > 0.0, "tail index positive")
+  }
 }
