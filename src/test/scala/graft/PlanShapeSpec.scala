@@ -78,6 +78,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"map-side partial heaps must fold before the shuffle:\n$p")
   }
 
+  test("q214/q217: the new heap-top-k riders keep the no-window plan shape") {
+    for ((name, df) <- Seq(
+        "q214" -> graft.operators.Relational.trendingTypes(spark, sf),
+        "q217" -> graft.operators.Relational.hillTail(spark, sf))) {
+      val p = plan(df)
+      assert(p.contains("topk_rows"),
+        s"$name must ride the native bounded-heap aggregate:\n$p")
+      assert(!p.contains("Window"), s"$name: no window may appear:\n$p")
+      assert(p.contains("partial_topk_rows"),
+        s"$name: map-side partial heaps must fold before the shuffle:\n$p")
+    }
+  }
+
   test("q116 score aggregate rides the doc_id pre-partitioning — no (query, doc) exchange") {
     val p = graft.operators.Retrieval.bm25TopK(spark, sf)
       .queryExecution.executedPlan.toString
