@@ -244,6 +244,7 @@ object SparkEntry {
     "q215_dup_agreement"  -> ((s, d) => Similarity.dupModalityAgreement(s, d)),
     "q216_length_gini"    -> ((s, d) => Text.lengthGini(s, d)),
     "q217_hill_tail"      -> ((s, d) => Relational.hillTail(s, d)),
+    "q218_signal_corr"    -> ((s, d) => Text.signalCorrelation(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -2882,6 +2883,9 @@ object SparkEntry {
         |  ke.k::DOUBLE * 1000000.0
         |    / (sum_lnq - ke.k * lnq_k1)::DOUBLE AS alpha
         |FROM s, tl, ke""".stripMargin,
+    // pairwise Pearson over the quantized quality panel: one wide
+    // aggregate, six assembled rows
+    "q218_signal_corr" -> signalCorrSql,
     // hash-driven walks unrolled: per step, one join onto the ranked
     // adjacency at the md5-chosen neighbor index
     "q145_random_walks" -> randomWalksSql(4),
@@ -4551,6 +4555,46 @@ object SparkEntry {
        |nb AS MATERIALIZED (
        |  SELECT p1 AS v, p2 AS u FROM e UNION ALL SELECT p2, p1 FROM e),
        |l0 AS (SELECT DISTINCT v, v AS lbl FROM nb)$stages""".stripMargin
+  }
+
+  /** q218's oracle: the q18 feature CTE quantized to 1e6 integers, one
+    * wide HUGEINT-sum aggregate, six UNION ALL rows assembled from it
+    * (generated per pair so the Spark/SQL pair lists can never drift).
+    */
+  private lazy val signalCorrSql: String = {
+    val feats = Seq("alpha", "len", "mtl", "stop")
+    val featSums = feats.flatMap(f => Seq(
+      s"sum(q_$f::HUGEINT) AS s_$f",
+      s"sum((q_$f * q_$f)::HUGEINT) AS ss_$f")).mkString(",\n|  ")
+    val pairSums = (for { a <- feats; b <- feats if a < b }
+      yield s"sum((q_$a * q_$b)::HUGEINT) AS sp_${a}_$b").mkString(",\n|  ")
+    val blocks = (for { a <- feats; b <- feats if a < b } yield
+      s"""SELECT '$a' AS feat_a, '$b' AS feat_b, n::BIGINT AS n,
+         |  CASE WHEN (n * ss_$a - s_$a * s_$a) > 0
+         |        AND (n * ss_$b - s_$b * s_$b) > 0
+         |    THEN (n * sp_${a}_$b - s_$a * s_$b)::DOUBLE
+         |      / (sqrt((n * ss_$a - s_$a * s_$a)::DOUBLE)
+         |         * sqrt((n * ss_$b - s_$b * s_$b)::DOUBLE))
+         |    ELSE 0.0 END AS corr
+         |FROM g""").mkString("\n|UNION ALL\n|")
+    s"""WITH t AS (SELECT doc_id, n_chars,
+       |    regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents),
+       |s AS (SELECT doc_id, n_chars, len(ws)::BIGINT AS n_tokens,
+       |  len(list_filter(ws, x -> list_contains($stopList, x)))::BIGINT AS n_stop,
+       |  len(list_filter(ws, x -> regexp_full_match(x, '[a-z]+')))::BIGINT AS n_alpha,
+       |  list_sum(list_transform(ws, x -> strlen(x)))::BIGINT AS sum_tok_len
+       |  FROM t),
+       |q AS (SELECT
+       |  round(n_alpha::DOUBLE / n_tokens * 1000000.0)::BIGINT AS q_alpha,
+       |  n_chars::BIGINT AS q_len,
+       |  round(sum_tok_len::DOUBLE / n_tokens * 1000000.0)::BIGINT AS q_mtl,
+       |  round(n_stop::DOUBLE / n_tokens * 1000000.0)::BIGINT AS q_stop
+       |  FROM s),
+       |g AS (SELECT count(*)::HUGEINT AS n,
+       |  $featSums,
+       |  $pairSums
+       |  FROM q)
+       |$blocks""".stripMargin
   }
 
   private def labelPropagationSql(rounds: Int): String =

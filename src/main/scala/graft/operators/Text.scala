@@ -703,6 +703,57 @@ object Text {
           .cast("long").as("gini_q6"))
   }
 
+  /** q218: quality-signal correlation matrix — pairwise Pearson r over
+    * the four per-doc quality signals (alpha ratio, doc length, mean
+    * token length, stop-word ratio). The feature-redundancy audit read
+    * before fitting the q74 calibrated filter or the q161 committee: a
+    * pair with |r| ≈ 1 is one signal wearing two names (drop one,
+    * weights split arbitrarily otherwise); a low-|r| panel actually
+    * spans quality space.
+    *
+    * Shape: the scale-right Pearson needs NO unpivot and NO self-join —
+    * with a fixed 4-signal panel, every Σx, Σx², Σxy lives in ONE
+    * map-side-combined global aggregate over the wide row (4+4+6
+    * DECIMAL(38,0) sums of quantized-1e6 integers), and the 6 output
+    * rows assemble from that single row. Degenerate variance guards to
+    * r = 0 via exact-integer comparisons, so both engines branch
+    * identically; the final chain is num/(√vx·√vy), once.
+    */
+  def signalCorrelation(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val base = qualityScore(spark, d)
+      .join(documents(spark, d).select($"doc_id", $"n_chars"), "doc_id")
+      .select(
+        round($"alpha_ratio" * lit(1000000.0)).cast("long").as("q_alpha"),
+        $"n_chars".as("q_len"),
+        round($"mean_tok_len" * lit(1000000.0)).cast("long").as("q_mtl"),
+        round($"stop_ratio" * lit(1000000.0)).cast("long").as("q_stop"))
+    val feats = Seq("alpha", "len", "mtl", "stop")
+    val sums = Seq(count(lit(1)).as("n")) ++
+      feats.flatMap(f => Seq(
+        sum(col(s"q_$f").cast(dec38)).as(s"s_$f"),
+        sum((col(s"q_$f") * col(s"q_$f")).cast(dec38)).as(s"ss_$f"))) ++
+      (for { a <- feats; b <- feats if a < b } yield
+        sum((col(s"q_$a") * col(s"q_$b")).cast(dec38)).as(s"sp_${a}_$b"))
+    val one = base.agg(sums.head, sums.tail: _*)
+    // ONE evaluation of the aggregate row, exploded to the 6 pairs —
+    // a union of per-pair selects would re-plan the corpus scan 6×
+    val pairStructs = for { a <- feats; b <- feats if a < b } yield {
+      val num = $"n".cast(dec38) * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b")
+      val vx = $"n".cast(dec38) * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a")
+      val vy = $"n".cast(dec38) * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b")
+      struct(lit(a).as("feat_a"), lit(b).as("feat_b"),
+        when(vx > 0 && vy > 0,
+          num.cast("double")
+            / (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))))
+          .otherwise(lit(0.0)).as("corr"))
+    }
+    one.select($"n", explode(array(pairStructs: _*)).as("p"))
+      .select($"p.feat_a".as("feat_a"), $"p.feat_b".as("feat_b"),
+        $"n", $"p.corr".as("corr"))
+  }
+
   /** Distributed heavy hitters: EXACT frequent-token mining with a
     * Misra-Gries candidate prune (the mergeable-summary pattern of
     * Misra & Gries 1982 / the MG row of Agarwal et al.'s mergeable

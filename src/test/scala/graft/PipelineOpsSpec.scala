@@ -1759,4 +1759,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(row._4 == kEff.toDouble * 1000000.0 / denom.toDouble, "alpha chain")
     assert(row._4 > 0.0, "tail index positive")
   }
+
+  test("signalCorrelation: |r| <= 1, symmetric-pair coverage, exact replay of one pair") {
+    import spark.implicits._
+    val rows = Text.signalCorrelation(spark, sf)
+      .as[(String, String, Long, Double)].collect()
+    val feats = Seq("alpha", "len", "mtl", "stop")
+    assert(rows.map(r => (r._1, r._2)).toSet ==
+      (for { a <- feats; b <- feats if a < b } yield (a, b)).toSet)
+    rows.foreach { case (a, b, n, r) =>
+      assert(math.abs(r) <= 1.0 + 1e-12, s"($a,$b) |r|=$r")
+      assert(n == rows.head._3, "one corpus count")
+    }
+    // exact replay of (mtl, stop): quantize, exact sums, same chain
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"text").as[String].collect()
+    def q(x: Double) = BigDecimal(x * 1000000.0)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val stop = graft.functions.TextFunctions.StopWords.toSet
+    val pts = docs.map { t =>
+      val ws = t.toLowerCase.split("\\s+")
+      val mtl = q(ws.map(_.length).sum.toDouble / ws.length)
+      val sr = q(ws.count(stop).toDouble / ws.length)
+      (mtl, sr)
+    }
+    val n = BigInt(pts.length)
+    val sx = pts.map(p => BigInt(p._1)).sum; val sy = pts.map(p => BigInt(p._2)).sum
+    val sxy = pts.map(p => BigInt(p._1) * p._2).sum
+    val sxx = pts.map(p => BigInt(p._1) * p._1).sum
+    val syy = pts.map(p => BigInt(p._2) * p._2).sum
+    val exp = (n * sxy - sx * sy).toDouble /
+      (math.sqrt((n * sxx - sx * sx).toDouble) * math.sqrt((n * syy - sy * sy).toDouble))
+    val got = rows.find(r => r._1 == "mtl" && r._2 == "stop").get
+    assert(got._4 == exp, s"(mtl,stop) replay: ${got._4} vs $exp")
+  }
 }
