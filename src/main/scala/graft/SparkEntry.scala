@@ -245,6 +245,7 @@ object SparkEntry {
     "q216_length_gini"    -> ((s, d) => Text.lengthGini(s, d)),
     "q217_hill_tail"      -> ((s, d) => Relational.hillTail(s, d)),
     "q218_signal_corr"    -> ((s, d) => Text.signalCorrelation(s, d)),
+    "q219_batch_sweep"    -> ((s, d) => graft.multimodal.Multimodal.batchSizeSweep(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -2886,6 +2887,31 @@ object SparkEntry {
     // pairwise Pearson over the quantized quality panel: one wide
     // aggregate, six assembled rows
     "q218_signal_corr" -> signalCorrSql,
+    // the q207 geometry fanned out over B in {8,16,32,64}
+    "q219_batch_sweep" ->
+      """WITH a AS (SELECT doc_id, strlen(text)::BIGINT AS n_bytes,
+        |    (n_chars % 64 + 1)::BIGINT AS w FROM documents),
+        |b2 AS (SELECT doc_id, w,
+        |    greatest((n_bytes + w - 1) // w, 1) AS h FROM a),
+        |c AS (SELECT doc_id, w, h,
+        |    (length(bin(greatest((w * 16) // h, 1))) - 1)::BIGINT AS bucket
+        |  FROM b2),
+        |r AS (SELECT *, row_number() OVER (
+        |    PARTITION BY bucket ORDER BY doc_id) AS rn FROM c),
+        |bs AS (SELECT unnest([8,16,32,64]::BIGINT[]) AS b),
+        |pb AS (SELECT b, bucket, (rn - 1) // b AS batch_id,
+        |    max(w) AS mw, max(h) AS mh, count(*)::BIGINT AS cnt,
+        |    sum(w * h)::BIGINT AS px
+        |  FROM r, bs GROUP BY 1, 2, 3),
+        |pk AS (SELECT b, sum(cnt)::BIGINT AS n_assets,
+        |    count(*)::BIGINT AS n_batches,
+        |    sum(mw * mh * cnt)::BIGINT AS batch_px,
+        |    sum(px)::BIGINT AS asset_px FROM pb GROUP BY 1)
+        |SELECT b, n_assets, n_batches,
+        |  (batch_px - asset_px)::BIGINT AS pad_px,
+        |  round((batch_px - asset_px)::DOUBLE / batch_px::DOUBLE
+        |    * 1000000.0)::BIGINT AS pad_ratio_q6
+        |FROM pk""".stripMargin,
     // hash-driven walks unrolled: per step, one join onto the ranked
     // adjacency at the md5-chosen neighbor index
     "q145_random_walks" -> randomWalksSql(4),

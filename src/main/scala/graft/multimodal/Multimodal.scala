@@ -326,9 +326,44 @@ object Multimodal {
     * one partition); both downstream aggregates are map-side
     * combinable; output is |buckets| rows.
     */
-  def aspectBatching(spark: SparkSession, d: String, batch: Int = 32): DataFrame = {
+  /** q219: batch-size sweep for the q207 aspect-bucketed packing —
+    * per B ∈ {8, 16, 32, 64}: batches, pad pixels, 1e6-quantized pad
+    * share. The tuning datasheet next to q207's single answer (the
+    * q192 probe-sweep pattern): padding waste falls with B only while
+    * buckets stay full — the knee is the batch size to ship.
+    *
+    * Shape: ONE `groupRowNumber` ranking serves every B — batch_id =
+    * (rn−1) div B is a pure function of the same rank — so the sweep
+    * is a ×4 broadcast fan-out off one shared rank table, then the
+    * same two bounded aggregates per B.
+    */
+  def batchSizeSweep(spark: SparkSession, d: String,
+      sizes: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
     import spark.implicits._
-    val assets = documents(spark, d)
+    val rn = graft.operators.Ranks.groupRowNumber(
+      assetGeometry(spark, d), "rn", Seq($"bucket"), Seq($"doc_id"))
+    val bs = sizes.map(_.toLong).toDF("b")
+    val perBatch = rn.crossJoin(broadcast(bs))
+      .withColumn("batch_id", expr("(rn - 1) div b"))
+      .groupBy($"b", $"bucket", $"batch_id")
+      .agg(max($"w").as("mw"), max($"h").as("mh"),
+        count(lit(1)).as("cnt"), sum($"w" * $"h").as("px"))
+    perBatch.groupBy($"b")
+      .agg(sum($"cnt").as("n_assets"), count(lit(1)).as("n_batches"),
+        sum($"mw" * $"mh" * $"cnt").as("batch_px"), sum($"px").as("asset_px"))
+      .select($"b", $"n_assets", $"n_batches",
+        ($"batch_px" - $"asset_px").as("pad_px"),
+        round(($"batch_px" - $"asset_px").cast("double")
+          / $"batch_px".cast("double") * lit(1000000.0))
+          .cast("long").as("pad_ratio_q6"))
+  }
+
+  /** The shared (doc_id, w, h, bucket) geometry projection of the
+    * aspect-batching family (q207/q219).
+    */
+  private def assetGeometry(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, d)
       .select($"doc_id",
         expr("octet_length(text)").cast("long").as("n_bytes"),
         (($"n_chars" % 64) + 1).cast("long").as("w"))
@@ -336,8 +371,12 @@ object Multimodal {
       .withColumn("bucket",
         (length(bin(greatest(expr("(w * 16) div h"), lit(1L)))) - 1).cast("long"))
       .select($"doc_id", $"w", $"h", $"bucket")
+  }
+
+  def aspectBatching(spark: SparkSession, d: String, batch: Int = 32): DataFrame = {
+    import spark.implicits._
     val rn = graft.operators.Ranks.groupRowNumber(
-      assets, "rn", Seq($"bucket"), Seq($"doc_id"))
+      assetGeometry(spark, d), "rn", Seq($"bucket"), Seq($"doc_id"))
     val perBatch = rn
       .withColumn("batch_id", expr(s"(rn - 1) div $batch"))
       .groupBy($"bucket", $"batch_id")

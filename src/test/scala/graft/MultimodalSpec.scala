@@ -248,4 +248,24 @@ class MultimodalSpec extends AnyFunSuite {
     val got = rows.find(_._1 == hot._1).get
     assert(got._4 == batchPx.sum - assetPx.sum, s"bucket ${hot._1} pad replay")
   }
+
+  test("batchSizeSweep: B=32 row equals the q207 totals; conservation per B") {
+    import spark.implicits._
+    val sweep = Multimodal.batchSizeSweep(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(sweep.keySet == Set(8L, 16L, 32L, 64L))
+    val q207 = Multimodal.aspectBatching(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val r32 = sweep(32L)
+    assert(r32._2 == q207.map(_._2).sum, "B=32 assets == q207 total")
+    assert(r32._3 == q207.map(_._3).sum, "B=32 batches == q207 total")
+    assert(r32._4 == q207.map(_._4).sum, "B=32 pad == q207 total")
+    sweep.values.foreach { case (b, n, nb, pad, q6) =>
+      assert(n == r32._2, s"B=$b conservation")
+      assert(pad >= 0 && q6 >= 0 && q6 < 1000000L, s"B=$b bounds")
+    }
+    // smaller batches can only have >= as many batches
+    assert(sweep(8L)._3 >= sweep(16L)._3 && sweep(16L)._3 >= sweep(32L)._3
+      && sweep(32L)._3 >= sweep(64L)._3, "batch count monotone in B")
+  }
 }
