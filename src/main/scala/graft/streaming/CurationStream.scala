@@ -276,6 +276,68 @@ object CurationStream {
         OutputMode.Append())
   }
 
+  /** One shard's per-source counts (parallel arrays) — bounded by
+    * |sources|, the aspect/pack state discipline.
+    */
+  case class ShardMix(sources: Array[String], cnts: Array[Long], n: Long)
+
+  /** A shard-diversity emission: the q213 row plus the fold stamp. */
+  case class ShardDivRow(shard: Long, n_docs: Long, n_sources: Long,
+    entropy_q12: Long, state_n: Long)
+
+  /** q213's STREAMING twin: the shard source-mix entropy monitored
+    * LIVE as docs are routed — the "is my ingest keeping shards mixed"
+    * gauge. State per shard is the (source → count) table
+    * (|sources|-bounded); each batch re-emits the shard's current
+    * (n_docs, n_sources, entropy) with the exact same per-cell
+    * quantized −p·log₂p terms as the batch query (JVM math.log ratio +
+    * HALF_UP ≡ Spark's `round(log2(...))` — the q213 spec's proven
+    * identity), so the final emission per shard IS the batch row.
+    */
+  class ShardDivProcessor extends
+      org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String), ShardDivRow] {
+    import org.apache.spark.sql.{Encoders => Encs}
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+
+    @transient private var st: ValueState[ShardMix] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[ShardMix](
+        "shardMix", Encs.product[ShardMix], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+        timerValues: TimerValues): Iterator[ShardDivRow] = {
+      val prior = if (st.exists()) st.get() else ShardMix(Array.empty, Array.empty, 0L)
+      var m = prior.sources.zip(prior.cnts).toMap
+      var n = prior.n
+      rows.foreach { case (_, src) => m += (src -> (m.getOrElse(src, 0L) + 1L)); n += 1 }
+      val srcs = m.keys.toArray.sorted
+      st.update(ShardMix(srcs, srcs.map(m), n))
+      val nDocs = m.values.sum
+      val entropy = m.values.map { c =>
+        val p = c.toDouble / nDocs.toDouble
+        BigDecimal(-(p * (math.log(p) / math.log(2.0))) * 1e12)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }.sum
+      Iterator.single(ShardDivRow(key, nDocs, m.size.toLong, entropy, n))
+    }
+  }
+
+  /** Streaming q213 entry point: docs route to their md5 shard and the
+    * per-shard mix folds in keyed state.
+    */
+  def shardDiversityStream(docs: Dataset[StreamDoc],
+      nShards: Int = 8): Dataset[ShardDivRow] = {
+    import docs.sparkSession.implicits._
+    docs
+      .map(d0 => (graft.functions.Hashing.md5BucketJvm(
+        s"shard:${d0.doc_id}", 1L << 32) % nShards, d0.source))
+      .groupByKey(_._1)
+      .transformWithState(new ShardDivProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** A buffered admission candidate: doc metadata only, never text. */
   case class PendingDoc(doc_id: Long, n_tokens: Long, ts_ms: Long)
 

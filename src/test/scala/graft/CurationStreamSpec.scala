@@ -301,4 +301,46 @@ class CurationStreamSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("shardDiversityStream: final per-shard emissions equal the q213 batch rows") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select($"doc_id", $"text", $"source").as[(Long, String, String)]
+      .collect().sortBy(_._1)
+      .map { case (id, text, src) =>
+        CurationStream.StreamDoc(id, ts("2024-01-01 00:00:00"), text, src)
+      }
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[CurationStream.StreamDoc]
+    val query = CurationStream.shardDiversityStream(input.toDS())
+      .writeStream.format("memory").queryName("shard_div_stream")
+      .outputMode("update").start()
+    try {
+      docs.grouped(127).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq: _*)
+        query.processAllAvailable()
+      }
+      val rows = spark.table("shard_div_stream")
+        .as[CurationStream.ShardDivRow].collect()
+      val fin = rows.groupBy(_.shard).toSeq.map { case (_, rs) =>
+        val last = rs.maxBy(_.state_n)
+        (last.shard, last.n_docs, last.n_sources, last.entropy_q12)
+      }.toSet
+      val batch = graft.operators.Sharding.shardDiversity(spark, sf)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(fin == batch,
+        "final shard-mix emissions must equal the batch diversity audit")
+    } finally {
+      query.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
