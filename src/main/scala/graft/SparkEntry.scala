@@ -246,6 +246,7 @@ object SparkEntry {
     "q217_hill_tail"      -> ((s, d) => Relational.hillTail(s, d)),
     "q218_signal_corr"    -> ((s, d) => Text.signalCorrelation(s, d)),
     "q219_batch_sweep"    -> ((s, d) => graft.multimodal.Multimodal.batchSizeSweep(s, d)),
+    "q220_labelprop_churn" -> ((s, d) => Graph.labelPropChurn(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -2631,6 +2632,18 @@ object SparkEntry {
     "q126_label_prop" -> labelPropagationSql(4),
     // per-community modularity over the SAME unrolled label trajectory
     "q204_modularity" -> modularitySql(4),
+    // per-sweep churn over the SAME trajectory: diff l_{t-1} vs l_t
+    "q220_labelprop_churn" ->
+      s"""WITH ${labelPropagationCtes(4)},
+         |nv AS (SELECT count(*)::BIGINT AS n FROM l0),
+         |ch AS (${(1 to 4).map { t =>
+             s"""SELECT $t::BIGINT AS round, count(*)::BIGINT AS n_changed
+                |  FROM l$t a JOIN l${t - 1} b ON a.v = b.v
+                |  WHERE a.lbl <> b.lbl""".stripMargin
+           }.mkString("\n|UNION ALL\n|")})
+         |SELECT round, n_changed, n AS n_vertices,
+         |  round(n_changed::DOUBLE / n::DOUBLE * 1000000.0)::BIGINT AS churn_q6
+         |FROM ch, nv""".stripMargin,
     // threshold sweep over the exact pair table: τ/100.0 is a single
     // exact division — the identical IEEE double in both engines
     "q205_threshold_sweep" ->

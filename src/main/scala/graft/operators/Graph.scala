@@ -611,6 +611,47 @@ object Graph {
     labels.select($"v".as("partkey"), $"lbl".as("community"))
   }
 
+  /** q220: label-propagation churn curve — per sweep t of the q126
+    * trajectory: how many vertices changed label, and the 1e6-quantized
+    * churn rate. The convergence gate beside q204's quality gate: q126
+    * pins 4 sweeps, and this is the evidence the fixpoint is (or is
+    * not) near — churn still high at the last sweep means the label
+    * table is an artifact of the cutoff, not of the graph.
+    *
+    * Shape: the same cached sweep loop as q126 with ONE extra
+    * vertex-keyed join + count per sweep (a scalar each — the counts
+    * are the output, so the driver holds 4 longs, nothing else); the
+    * final table assembles from those scalars.
+    */
+  def labelPropChurn(spark: SparkSession, d: String, rounds: Int = 4): DataFrame = {
+    import spark.implicits._
+    val edges = copurchaseEdges(spark, d).select($"p1", $"p2")
+    val nb = edges.select($"p1".as("v"), $"p2".as("u"))
+      .union(edges.select($"p2".as("v"), $"p1".as("u")))
+      .localCheckpoint()
+    var labels = nb.select($"v").distinct().withColumn("lbl", $"v")
+      .localCheckpoint()
+    val nV = labels.count()
+    val churn = (1 to rounds).map { t =>
+      val next = nb
+        .join(labels.select($"v".as("u"), $"lbl"), "u")
+        .groupBy($"v", $"lbl").agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"v").orderBy($"c".desc, $"lbl".asc)))
+        .filter($"rn" === 1)
+        .select($"v", $"lbl")
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("lbl", "prev"), "v")
+        .filter($"lbl" =!= $"prev").count()
+      labels = next
+      (t.toLong, changed)
+    }
+    churn.toDF("round", "n_changed")
+      .select($"round", $"n_changed", lit(nV).as("n_vertices"),
+        round($"n_changed".cast("double") / lit(nV).cast("double")
+          * lit(1000000.0)).cast("long").as("churn_q6"))
+  }
+
   /** q204: modularity audit of the q126 label-propagation communities —
     * per community: member count, intra-community edge count e_c, total
     * degree mass d_c, and the 1e6-quantized Newman modularity

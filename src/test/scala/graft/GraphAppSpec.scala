@@ -191,4 +191,37 @@ class GraphAppSpec extends AnyFunSuite {
     // than one community, label-prop-found structure must beat random
     if (rows.length > 1) assert(q > 0.0, s"modularity Q=$q should be positive")
   }
+
+  test("labelPropChurn: monotone-ish decay to the pinned cutoff; exact replay (q220)") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.operators.Graph.labelPropChurn(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    val nV = rows.head._3
+    rows.foreach { case (t, ch, nv, q6) =>
+      assert(nv == nV && ch <= nV, s"round $t bounds")
+      assert(q6 == BigDecimal(ch.toDouble / nV.toDouble * 1000000.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong, s"round $t q6")
+    }
+    // driver replay of the sweep trajectory's churn counts
+    val edges = graft.operators.Graph.copurchaseEdges(spark, sf)
+      .select($"p1", $"p2").as[(Long, Long)].collect()
+    val nb = (edges ++ edges.map(e => (e._2, e._1))).groupBy(_._1)
+      .map { case (v, es) => v -> es.map(_._2) }
+    var lbl = nb.keys.map(v => v -> v).toMap
+    val want = (1 to 4).map { _ =>
+      val next = nb.map { case (v, us) =>
+        val freq = us.map(lbl).groupBy(identity)
+          .map { case (l, xs) => (l, xs.size) }
+        v -> freq.toSeq.map { case (l, c) => (-c, l) }.min._2
+      }
+      val changed = next.count { case (v, l) => lbl(v) != l }.toLong
+      lbl = next
+      changed
+    }
+    assert(rows.map(_._2).toSeq == want, "churn trajectory replay")
+    // the pinned 4 sweeps must have largely settled on this fixture
+    assert(rows.last._2 * 10 <= nV, "last-sweep churn under 10%")
+  }
 }
