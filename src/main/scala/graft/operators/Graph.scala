@@ -584,32 +584,42 @@ object Graph {
     * map-side combinable, state ∝ |edges|; `localCheckpoint` per sweep
     * truncates loop lineage (the PageRank/k-core discipline).
     */
-  def labelPropagation(spark: SparkSession, d: String, rounds: Int = 4): DataFrame =
-    graft.core.Memo(spark, cache = true, "lpLabels", d, rounds.toString) {
-      labelPropagationBody(spark, d, rounds)
-    }
-
-  private def labelPropagationBody(spark: SparkSession, d: String,
-      rounds: Int): DataFrame = {
+  def labelPropagation(spark: SparkSession, d: String, rounds: Int = 4): DataFrame = {
     import spark.implicits._
-    val edges = copurchaseEdges(spark, d).select($"p1", $"p2")
-    val nb = edges.select($"p1".as("v"), $"p2".as("u"))
-      .union(edges.select($"p2".as("v"), $"p1".as("u")))
-      .localCheckpoint()
-    var labels = nb.select($"v").distinct().withColumn("lbl", $"v")
-      .localCheckpoint()
-    for (_ <- 1 to rounds) {
-      labels = nb
-        .join(labels.select($"v".as("u"), $"lbl"), "u")
-        .groupBy($"v", $"lbl").agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy($"v").orderBy($"c".desc, $"lbl".asc)))
-        .filter($"rn" === 1)
-        .select($"v", $"lbl")
-        .localCheckpoint()
-    }
-    labels.select($"v".as("partkey"), $"lbl".as("community"))
+    lpTrajectory(spark, d, rounds).filter($"round" === rounds)
+      .select($"v".as("partkey"), $"lbl".as("community"))
   }
+
+  /** The FULL label-propagation trajectory — (round, v, lbl) for
+    * rounds 0..`rounds` — memo-cached so the sweep loop runs ONCE per
+    * session for the whole family: q126 takes the last round, q204's
+    * modularity reads the same labels, q220's churn curve diffs
+    * consecutive rounds. (rounds+1)·|V| cached rows.
+    */
+  private[graft] def lpTrajectory(spark: SparkSession, d: String,
+      rounds: Int = 4): DataFrame =
+    graft.core.Memo(spark, cache = true, "lpTrajectory", d, rounds.toString) {
+      import spark.implicits._
+      val edges = copurchaseEdges(spark, d).select($"p1", $"p2")
+      val nb = edges.select($"p1".as("v"), $"p2".as("u"))
+        .union(edges.select($"p2".as("v"), $"p1".as("u")))
+        .localCheckpoint()
+      var labels = nb.select($"v").distinct().withColumn("lbl", $"v")
+        .localCheckpoint()
+      var acc = labels.withColumn("round", lit(0L))
+      for (t <- 1 to rounds) {
+        labels = nb
+          .join(labels.select($"v".as("u"), $"lbl"), "u")
+          .groupBy($"v", $"lbl").agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"v").orderBy($"c".desc, $"lbl".asc)))
+          .filter($"rn" === 1)
+          .select($"v", $"lbl")
+          .localCheckpoint()
+        acc = acc.union(labels.withColumn("round", lit(t.toLong)))
+      }
+      acc.select($"round", $"v", $"lbl")
+    }
 
   /** q220: label-propagation churn curve — per sweep t of the q126
     * trajectory: how many vertices changed label, and the 1e6-quantized
@@ -618,35 +628,20 @@ object Graph {
     * not) near — churn still high at the last sweep means the label
     * table is an artifact of the cutoff, not of the graph.
     *
-    * Shape: the same cached sweep loop as q126 with ONE extra
-    * vertex-keyed join + count per sweep (a scalar each — the counts
-    * are the output, so the driver holds 4 longs, nothing else); the
-    * final table assembles from those scalars.
+    * Shape: reads the memo-shared `lpTrajectory` (the sweep loop runs
+    * ONCE per session for q126/q204/q220), diffs consecutive rounds
+    * with one vertex-keyed self-join, and aggregates to `rounds` rows
+    * — no extra loop, nothing driver-side but the vertex count.
     */
   def labelPropChurn(spark: SparkSession, d: String, rounds: Int = 4): DataFrame = {
     import spark.implicits._
-    val edges = copurchaseEdges(spark, d).select($"p1", $"p2")
-    val nb = edges.select($"p1".as("v"), $"p2".as("u"))
-      .union(edges.select($"p2".as("v"), $"p1".as("u")))
-      .localCheckpoint()
-    var labels = nb.select($"v").distinct().withColumn("lbl", $"v")
-      .localCheckpoint()
-    val nV = labels.count()
-    val churn = (1 to rounds).map { t =>
-      val next = nb
-        .join(labels.select($"v".as("u"), $"lbl"), "u")
-        .groupBy($"v", $"lbl").agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy($"v").orderBy($"c".desc, $"lbl".asc)))
-        .filter($"rn" === 1)
-        .select($"v", $"lbl")
-        .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("lbl", "prev"), "v")
-        .filter($"lbl" =!= $"prev").count()
-      labels = next
-      (t.toLong, changed)
-    }
-    churn.toDF("round", "n_changed")
+    val tr = lpTrajectory(spark, d, rounds)
+    val nV = tr.filter($"round" === 0L).count()
+    tr.filter($"round" >= 1L)
+      .join(tr.select(($"round" + 1L).as("round"), $"v", $"lbl".as("prev")),
+        Seq("round", "v"))
+      .groupBy($"round")
+      .agg(sum(when($"lbl" =!= $"prev", 1L).otherwise(0L)).as("n_changed"))
       .select($"round", $"n_changed", lit(nV).as("n_vertices"),
         round($"n_changed".cast("double") / lit(nV).cast("double")
           * lit(1000000.0)).cast("long").as("churn_q6"))
