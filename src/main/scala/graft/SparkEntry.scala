@@ -247,6 +247,7 @@ object SparkEntry {
     "q218_signal_corr"    -> ((s, d) => Text.signalCorrelation(s, d)),
     "q219_batch_sweep"    -> ((s, d) => graft.multimodal.Multimodal.batchSizeSweep(s, d)),
     "q220_labelprop_churn" -> ((s, d) => Graph.labelPropChurn(s, d)),
+    "q221_source_dup_rate" -> ((s, d) => Dedup.sourceDupRate(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -2644,6 +2645,21 @@ object SparkEntry {
          |SELECT round, n_changed, n AS n_vertices,
          |  round(n_changed::DOUBLE / n::DOUBLE * 1000000.0)::BIGINT AS churn_q6
          |FROM ch, nv""".stripMargin,
+    // per-source dup rate over the SAME label chain
+    "q221_source_dup_rate" -> (dedupLabelCtes(5) +
+      s""",
+         |st AS (SELECT label, count(*)::BIGINT AS sz,
+         |    min(doc_id) AS keep FROM l5 GROUP BY 1),
+         |j AS (SELECT l5.doc_id, d.source, st.sz, st.keep
+         |  FROM l5 JOIN st USING (label)
+         |    JOIN documents d ON l5.doc_id = d.doc_id)
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |  sum(CASE WHEN sz >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_in_clusters,
+         |  sum(CASE WHEN sz >= 2 AND doc_id <> keep THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_noncanonical,
+         |  round(sum(CASE WHEN sz >= 2 AND doc_id <> keep THEN 1 ELSE 0 END)::DOUBLE
+         |    / count(*)::DOUBLE * 1000000.0)::BIGINT AS dup_rate_q6
+         |FROM j GROUP BY 1""".stripMargin),
     // threshold sweep over the exact pair table: τ/100.0 is a single
     // exact division — the identical IEEE double in both engines
     "q205_threshold_sweep" ->

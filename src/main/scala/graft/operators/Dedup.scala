@@ -1092,6 +1092,34 @@ object Dedup {
           .cast("long").as("gain_q6"))
   }
 
+  /** q221: per-source duplication rate — per source: docs, docs sitting
+    * in a dup cluster (size ≥ 2), non-canonical docs (cluster members
+    * that are not the smallest id — what dedup actually deletes), and
+    * the 1e6-quantized dup rate. The "which source do I dedup harder"
+    * dial: q211 attributes pairs to source PAIRS, this attributes the
+    * collapse mass to each source's own budget.
+    *
+    * Shape: star labels memo-shared; cluster sizes and minima are one
+    * label-keyed aggregate joined back to the member table (doc-keyed),
+    * then a |sources|-row aggregate.
+    */
+  def sourceDupRate(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val labels = dedupLabelsStar(spark, d)
+    val stats = labels.groupBy($"label")
+      .agg(count(lit(1)).as("sz"), min($"doc_id").as("keep"))
+    val j = labels.join(stats, "label")
+      .join(documents(spark, d).select($"doc_id", $"source"), "doc_id")
+    j.groupBy($"source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"sz" >= 2L, 1L).otherwise(0L)).as("n_in_clusters"),
+        sum(when($"sz" >= 2L && $"doc_id" =!= $"keep", 1L).otherwise(0L))
+          .as("n_noncanonical"))
+      .select($"source", $"n_docs", $"n_in_clusters", $"n_noncanonical",
+        round($"n_noncanonical".cast("double") / $"n_docs".cast("double")
+          * lit(1000000.0)).cast("long").as("dup_rate_q6"))
+  }
+
   /** q211: cross-source duplication matrix — near-dup pair counts per
     * unordered source pair, with each cell's share of all pairs. The
     * mirror-site detector at mixture-design time: a heavy off-diagonal

@@ -1793,4 +1793,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     val got = rows.find(r => r._1 == "mtl" && r._2 == "stop").get
     assert(got._4 == exp, s"(mtl,stop) replay: ${got._4} vs $exp")
   }
+
+  test("sourceDupRate: conservation vs clusters and q209's keep picks") {
+    import spark.implicits._
+    val rows = Dedup.sourceDupRate(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    val labels = Dedup.dedupLabelsStar(spark, sf).as[(Long, Long)].collect()
+    val srcs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"source").as[(Long, String)].collect().toMap
+    assert(rows.map(_._2).sum == labels.length, "docs partition across sources")
+    val clusters = labels.groupBy(_._2).filter(_._2.length >= 2)
+    val inClusters = clusters.values.flatten.map(_._1).toSet
+    val nonCanon = clusters.values.flatMap { ms =>
+      val keep = ms.map(_._1).min; ms.map(_._1).filter(_ != keep)
+    }.toSet
+    rows.foreach { case (src, n, inC, nc, q6) =>
+      assert(inC == inClusters.count(id => srcs(id) == src), s"$src in-cluster")
+      assert(nc == nonCanon.count(id => srcs(id) == src), s"$src non-canonical")
+      assert(q6 == BigDecimal(nc.toDouble / n.toDouble * 1000000.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong, s"$src rate")
+    }
+    // global consistency: non-canonical mass = docs minus clusters
+    assert(rows.map(_._4).sum == clusters.values.map(_.length - 1).sum)
+  }
 }
