@@ -248,6 +248,7 @@ object SparkEntry {
     "q219_batch_sweep"    -> ((s, d) => graft.multimodal.Multimodal.batchSizeSweep(s, d)),
     "q220_labelprop_churn" -> ((s, d) => Graph.labelPropChurn(s, d)),
     "q221_source_dup_rate" -> ((s, d) => Dedup.sourceDupRate(s, d)),
+    "q222_rule_matrix"    -> ((s, d) => Text.sourceRuleMatrix(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -2660,6 +2661,39 @@ object SparkEntry {
          |  round(sum(CASE WHEN sz >= 2 AND doc_id <> keep THEN 1 ELSE 0 END)::DOUBLE
          |    / count(*)::DOUBLE * 1000000.0)::BIGINT AS dup_rate_q6
          |FROM j GROUP BY 1""".stripMargin),
+    // q117's rule CTE keyed by source instead of doc_id, one GROUP BY —
+    // all counters exact integers, the one double is the final rate
+    "q222_rule_matrix" ->
+      s"""WITH w AS (SELECT source,
+         |  list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |    t -> strlen(t) > 0) AS w
+         |  FROM documents),
+         |c AS (SELECT source,
+         |  len(w)::BIGINT AS n_words,
+         |  coalesce(list_sum(list_transform(w, t -> strlen(t))), 0)::BIGINT AS n_wchars,
+         |  len(list_filter(w, t -> regexp_matches(t, '[a-z]')))::BIGINT AS n_alpha,
+         |  len(list_filter(w, t -> contains(t, '#') OR contains(t, '...')))::BIGINT AS n_sym,
+         |  len(list_intersect(list_distinct(w), $stopList))::BIGINT AS n_req
+         |  FROM w),
+         |f AS (SELECT source,
+         |  (n_words >= 50 AND n_words <= 100000) AS pass_words,
+         |  (n_wchars >= n_words * 3 AND n_wchars <= n_words * 10) AS pass_mean,
+         |  (n_alpha * 10 >= n_words * 8) AS pass_alpha,
+         |  (n_sym * 10 < n_words) AS pass_sym,
+         |  (n_req >= 2) AS pass_req
+         |  FROM c)
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |  sum(CASE WHEN NOT pass_words THEN 1 ELSE 0 END)::BIGINT AS fail_words,
+         |  sum(CASE WHEN NOT pass_mean THEN 1 ELSE 0 END)::BIGINT AS fail_mean,
+         |  sum(CASE WHEN NOT pass_alpha THEN 1 ELSE 0 END)::BIGINT AS fail_alpha,
+         |  sum(CASE WHEN NOT pass_sym THEN 1 ELSE 0 END)::BIGINT AS fail_sym,
+         |  sum(CASE WHEN NOT pass_req THEN 1 ELSE 0 END)::BIGINT AS fail_req,
+         |  sum(CASE WHEN pass_words AND pass_mean AND pass_alpha AND pass_sym
+         |      AND pass_req THEN 1 ELSE 0 END)::BIGINT AS n_pass,
+         |  round(sum(CASE WHEN pass_words AND pass_mean AND pass_alpha
+         |      AND pass_sym AND pass_req THEN 1 ELSE 0 END)::DOUBLE
+         |    / count(*)::DOUBLE * 1000000.0)::BIGINT AS pass_rate_q6
+         |FROM f GROUP BY 1""".stripMargin,
     // threshold sweep over the exact pair table: τ/100.0 is a single
     // exact division — the identical IEEE double in both engines
     "q205_threshold_sweep" ->

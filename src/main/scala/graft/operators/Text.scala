@@ -1554,18 +1554,30 @@ object Text {
   def gopherQuality(spark: SparkSession, d: String,
       required: Seq[String] = GopherRequiredWords): DataFrame = {
     import spark.implicits._
+    gopherFlags(documents(spark, d).select($"doc_id", $"text"),
+      Seq($"doc_id"), required)(spark)
+  }
+
+  /** The shared rule projection behind q117/q222: appends the Gopher
+    * counters, per-rule verdicts, and the conjunction to any frame with
+    * a `text` column, carrying `keep` through. Map-only — one
+    * scan-stage projection, no shuffle; q117 keys it by doc_id, q222 by
+    * source so the matrix aggregate needs no join back.
+    */
+  private def gopherFlags(df: DataFrame, keep: Seq[Column],
+      required: Seq[String])(spark: SparkSession): DataFrame = {
+    import spark.implicits._
     val ws = filter(tokens($"text"), t => length(t) > 0)
-    documents(spark, d)
-      .select($"doc_id", ws.as("w"))
-      .select($"doc_id",
+    df.select(keep :+ ws.as("w"): _*)
+      .select(keep ++ Seq[Column](
         size($"w").cast("long").as("n_words"),
         aggregate($"w", lit(0L), (acc, t) => acc + length(t)).as("n_wchars"),
         size(filter($"w", t => t.rlike("[a-z]"))).cast("long").as("n_alpha"),
         size(filter($"w", t => t.contains("#") || t.contains("...")))
           .cast("long").as("n_sym"),
         size(array_intersect(array_distinct($"w"),
-          typedLit(required))).cast("long").as("n_req"))
-      .select($"doc_id", $"n_words", $"n_wchars",
+          typedLit(required))).cast("long").as("n_req")): _*)
+      .select(keep ++ Seq[Column]($"n_words", $"n_wchars",
         ($"n_wchars".cast("double") / $"n_words".cast("double"))
           .as("mean_wlen"),
         $"n_alpha", $"n_sym", $"n_req",
@@ -1574,9 +1586,44 @@ object Text {
           .as("pass_mean"),
         ($"n_alpha" * 10 >= $"n_words" * 8).as("pass_alpha"),
         ($"n_sym" * 10 < $"n_words").as("pass_sym"),
-        ($"n_req" >= 2).as("pass_req"))
+        ($"n_req" >= 2).as("pass_req")): _*)
       .withColumn("pass",
         $"pass_words" && $"pass_mean" && $"pass_alpha" && $"pass_sym" && $"pass_req")
+  }
+
+  /** q222: per-source Gopher rule-failure matrix — for each source:
+    * docs, per-rule failure counts (words/mean-length/alpha/symbol/
+    * required-words), overall pass count, and the 1e6-quantized pass
+    * rate. The "which rule kills which source" curation dial: q117
+    * emits the per-doc verdicts, this attributes the kill mass so a
+    * mixture designer can see that e.g. one crawl source fails almost
+    * entirely on the symbol rule (a markup-stripping bug upstream)
+    * while another fails on length (fragments) — different remediations
+    * for the same headline pass rate.
+    *
+    * Shape: the shared `gopherFlags` projection keyed by `source`
+    * directly (no doc-keyed join back), then ONE |sources|-row
+    * aggregate with partial map-side combine — at 100 TB a map-only
+    * scan plus a 20-row exchange.
+    */
+  def sourceRuleMatrix(spark: SparkSession, d: String,
+      required: Seq[String] = graft.functions.TextFunctions.StopWords): DataFrame = {
+    import spark.implicits._
+    gopherFlags(documents(spark, d).select($"source", $"text"),
+      Seq($"source"), required)(spark)
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(!$"pass_words", 1L).otherwise(0L)).as("fail_words"),
+        sum(when(!$"pass_mean", 1L).otherwise(0L)).as("fail_mean"),
+        sum(when(!$"pass_alpha", 1L).otherwise(0L)).as("fail_alpha"),
+        sum(when(!$"pass_sym", 1L).otherwise(0L)).as("fail_sym"),
+        sum(when(!$"pass_req", 1L).otherwise(0L)).as("fail_req"),
+        sum(when($"pass", 1L).otherwise(0L)).as("n_pass"))
+      .select($"source", $"n_docs", $"fail_words", $"fail_mean",
+        $"fail_alpha", $"fail_sym", $"fail_req", $"n_pass",
+        round($"n_pass".cast("double") / $"n_docs".cast("double")
+          * lit(1000000.0)).cast("long").as("pass_rate_q6"))
   }
 
   /** q124: Gopher repetition signals (Rae et al. 2021, §A1.1 — the

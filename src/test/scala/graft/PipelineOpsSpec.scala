@@ -909,6 +909,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(passes > 0 && passes < docs.length, "gate must discriminate")
   }
 
+  test("sourceRuleMatrix is the per-source aggregation of the q117 verdicts") {
+    import spark.implicits._
+    val perDoc = graft.operators.Text
+      .gopherQuality(spark, sf, graft.functions.TextFunctions.StopWords)
+      .join(spark.read.parquet(s"$sf/documents.parquet")
+        .select($"doc_id", $"source"), "doc_id")
+    val expected = perDoc.groupBy($"source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(!$"pass_words", 1L).otherwise(0L)).as("fail_words"),
+        sum(when(!$"pass_sym", 1L).otherwise(0L)).as("fail_sym"),
+        sum(when($"pass", 1L).otherwise(0L)).as("n_pass"))
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    val got = graft.operators.Text.sourceRuleMatrix(spark, sf)
+      .select($"source", $"n_docs", $"fail_words", $"fail_sym", $"n_pass")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got == expected)
+    // rate is exactly the quantized pass share, and fails are bounded
+    graft.operators.Text.sourceRuleMatrix(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().foreach { case (s, n, fw, fm, fa, fs, fr, np, rq) =>
+        assert(Seq(fw, fm, fa, fs, fr).forall(f => f >= 0 && f <= n), s)
+        assert(np <= n && rq == math.round(np.toDouble / n * 1000000.0), s)
+      }
+  }
+
   test("retentionCohorts: day-0 is always 1.0, counts bounded by cohort size") {
     import spark.implicits._
     val rows = Windowed.retentionCohorts(spark, sf)
