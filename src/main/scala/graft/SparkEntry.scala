@@ -249,6 +249,7 @@ object SparkEntry {
     "q220_labelprop_churn" -> ((s, d) => Graph.labelPropChurn(s, d)),
     "q221_source_dup_rate" -> ((s, d) => Dedup.sourceDupRate(s, d)),
     "q222_rule_matrix"    -> ((s, d) => Text.sourceRuleMatrix(s, d)),
+    "q223_shard_dedup_miss" -> ((s, d) => Sharding.shardDedupMiss(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -2661,6 +2662,24 @@ object SparkEntry {
          |  round(sum(CASE WHEN sz >= 2 AND doc_id <> keep THEN 1 ELSE 0 END)::DOUBLE
          |    / count(*)::DOUBLE * 1000000.0)::BIGINT AS dup_rate_q6
          |FROM j GROUP BY 1""".stripMargin),
+    // the exact pair table fanned out against the k list; md5 shard per
+    // side, intra/cross counts, and the (k-1)/k random expectation
+    "q223_shard_dedup_miss" ->
+      s"""WITH pairs AS (
+         |$jaccardPairsSql),
+         |ks AS (SELECT unnest([2,4,8,16,32]::BIGINT[]) AS n_shards),
+         |t AS (SELECT n_shards,
+         |  (${md5Bits32Sql("'shard:' || x::VARCHAR", 1)} % n_shards =
+         |   ${md5Bits32Sql("'shard:' || y::VARCHAR", 1)} % n_shards) AS intra
+         |  FROM pairs, ks)
+         |SELECT n_shards, count(*)::BIGINT AS n_pairs,
+         |  sum(CASE WHEN intra THEN 1 ELSE 0 END)::BIGINT AS n_intra,
+         |  sum(CASE WHEN NOT intra THEN 1 ELSE 0 END)::BIGINT AS n_cross,
+         |  round(sum(CASE WHEN NOT intra THEN 1 ELSE 0 END)::DOUBLE
+         |    / count(*)::DOUBLE * 1000000.0)::BIGINT AS miss_rate_q6,
+         |  round((n_shards - 1)::DOUBLE / n_shards::DOUBLE
+         |    * 1000000.0)::BIGINT AS random_miss_q6
+         |FROM t GROUP BY 1""".stripMargin,
     // q117's rule CTE keyed by source instead of doc_id, one GROUP BY —
     // all counters exact integers, the one double is the final rate
     "q222_rule_matrix" ->

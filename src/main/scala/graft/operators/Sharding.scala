@@ -66,6 +66,45 @@ object Sharding {
           * 1000000.0).cast("long"))
   }
 
+  /** q223: shard-local dedup miss audit — for each candidate shard
+    * count k: how many of the corpus' near-dup pairs land with both
+    * members in the SAME md5 shard (caught by a shard-local dedup pass)
+    * vs across shards (silently missed), with the 1e6-quantized miss
+    * rate and the random-placement expectation (k−1)/k beside it. The
+    * "can I dedup shard-locally" design dial: content-blind hash
+    * sharding scatters dup pairs uniformly, so the measured miss rate
+    * hugging the (k−1)/k line is the evidence that per-shard dedup is
+    * NOT a shortcut — global (band-keyed) candidate generation is
+    * load-bearing, at any k.
+    *
+    * Shape: the memoized exact pair table (q16's lineage) fanned out
+    * |shardCounts|-fold against a broadcast k list — |pairs|·5 rows
+    * through one map-side-combinable aggregate to |shardCounts| rows.
+    * Never touches doc text; at 100 TB the pair table is the already-
+    * bucketed dedup output and this is one cheap pass over it.
+    */
+  def shardDedupMiss(spark: SparkSession, d: String,
+      shardCounts: Seq[Int] = Seq(2, 4, 8, 16, 32)): DataFrame = {
+    import spark.implicits._
+    def shardK(idCol: org.apache.spark.sql.Column) =
+      pmod(Hashing.md5Bits32(concat(lit("shard:"), idCol.cast("string")), 1),
+        $"n_shards")
+    val ks = shardCounts.map(_.toLong).toDF("n_shards")
+    Dedup.jaccardPairs(spark, d).select($"x", $"y")
+      .crossJoin(broadcast(ks))
+      .select($"n_shards",
+        (shardK($"x") === shardK($"y")).as("intra"))
+      .groupBy($"n_shards")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when($"intra", 1L).otherwise(0L)).as("n_intra"),
+        sum(when(!$"intra", 1L).otherwise(0L)).as("n_cross"))
+      .select($"n_shards", $"n_pairs", $"n_intra", $"n_cross",
+        round($"n_cross".cast("double") / $"n_pairs".cast("double")
+          * lit(1000000.0)).cast("long").as("miss_rate_q6"),
+        round(($"n_shards" - 1L).cast("double") / $"n_shards".cast("double")
+          * lit(1000000.0)).cast("long").as("random_miss_q6"))
+  }
+
   /** q157: shard zone-map manifest — the per-file min/max statistics a
     * table format (Iceberg/Delta-style data skipping) keeps for every
     * shard, computed for BOTH layouts this engine can write, so the
