@@ -250,6 +250,7 @@ object SparkEntry {
     "q221_source_dup_rate" -> ((s, d) => Dedup.sourceDupRate(s, d)),
     "q222_rule_matrix"    -> ((s, d) => Text.sourceRuleMatrix(s, d)),
     "q223_shard_dedup_miss" -> ((s, d) => Sharding.shardDedupMiss(s, d)),
+    "q224_dup_quality"    -> ((s, d) => Dedup.dupQualityAudit(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -2661,6 +2662,29 @@ object SparkEntry {
          |    AS n_noncanonical,
          |  round(sum(CASE WHEN sz >= 2 AND doc_id <> keep THEN 1 ELSE 0 END)::DOUBLE
          |    / count(*)::DOUBLE * 1000000.0)::BIGINT AS dup_rate_q6
+         |FROM j GROUP BY 1""".stripMargin),
+    // star-label chain + q18 counters; pooled exact-integer ratios, one
+    // final double division per rate, explicit CASE buckets
+    "q224_dup_quality" -> (dedupLabelCtes(5) +
+      s""",
+         |st AS (SELECT label, count(*)::BIGINT AS sz FROM l5 GROUP BY 1),
+         |qc AS (SELECT doc_id, len(ws)::BIGINT AS n_tokens,
+         |  len(list_filter(ws, x -> list_contains($stopList, x)))::BIGINT AS n_stop,
+         |  len(list_filter(ws, x -> regexp_full_match(x, '[a-z]+')))::BIGINT AS n_alpha
+         |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ws
+         |        FROM documents)),
+         |j AS (SELECT CASE WHEN sz = 1 THEN 0 WHEN sz = 2 THEN 1
+         |        WHEN sz <= 4 THEN 2 WHEN sz <= 8 THEN 3 ELSE 4 END AS size_bucket,
+         |      l5.label, qc.n_tokens, qc.n_stop, qc.n_alpha
+         |      FROM l5 JOIN st USING (label) JOIN qc USING (doc_id))
+         |SELECT size_bucket,
+         |  count(DISTINCT label)::BIGINT AS n_clusters,
+         |  count(*)::BIGINT AS n_docs,
+         |  sum(n_tokens)::BIGINT AS sum_tokens,
+         |  round(sum(n_stop)::DOUBLE / sum(n_tokens)::DOUBLE
+         |    * 1000000.0)::BIGINT AS stop_q6,
+         |  round(sum(n_alpha)::DOUBLE / sum(n_tokens)::DOUBLE
+         |    * 1000000.0)::BIGINT AS alpha_q6
          |FROM j GROUP BY 1""".stripMargin),
     // the exact pair table fanned out against the k list; md5 shard per
     // side, intra/cross counts, and the (k-1)/k random expectation

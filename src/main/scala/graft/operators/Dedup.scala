@@ -530,6 +530,51 @@ object Dedup {
       .agg(count(lit(1)).as("cluster_size"))
   }
 
+  /** q224: duplication-vs-quality audit — pooled quality signals per
+    * dup-cluster-size bucket (singleton / pair / 3–4 / 5–8 / 9+): does
+    * duplicated content skew low-quality? The curation question behind
+    * "dedup first or filter first": if the 9+ bucket's stop-word and
+    * alpha ratios sit well below the singleton bucket, heavy duplication
+    * marks template/spam families and dedup doubles as a quality filter;
+    * if flat, the two passes are independent dials.
+    *
+    * Exactness: per-bucket ratios are POOLED (sum of exact per-doc
+    * integer counters, ONE double division at the end) rather than
+    * means of per-doc doubles — deterministic across engines, and the
+    * statistically right pooling for token-weighted rates. Buckets are
+    * an explicit CASE chain, not floor(log2(sz)) (log2 of an exact
+    * power can land a hair under the integer in either engine).
+    *
+    * Shape: star labels memo-shared (q132/q221's lineage), one
+    * label-keyed size aggregate, one doc-keyed join onto the q18
+    * counters, then a 5-row aggregate. No text re-scan beyond the
+    * shared quality projection.
+    */
+  def dupQualityAudit(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val labels = dedupLabelsStar(spark, d)
+    val sizes = labels.groupBy($"label").agg(count(lit(1)).as("sz"))
+    val q = Text.qualityScore(spark, d)
+      .select($"doc_id", $"n_tokens", $"n_stop", $"n_alpha")
+    labels.join(sizes, "label").join(q, "doc_id")
+      .select(
+        when($"sz" === 1L, 0L).when($"sz" === 2L, 1L)
+          .when($"sz" <= 4L, 2L).when($"sz" <= 8L, 3L).otherwise(4L)
+          .as("size_bucket"),
+        $"label", $"n_tokens", $"n_stop", $"n_alpha")
+      .groupBy($"size_bucket")
+      .agg(countDistinct($"label").as("n_clusters"),
+        count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("sum_tokens"),
+        sum($"n_stop").as("sum_stop"),
+        sum($"n_alpha").as("sum_alpha"))
+      .select($"size_bucket", $"n_clusters", $"n_docs", $"sum_tokens",
+        round($"sum_stop".cast("double") / $"sum_tokens".cast("double")
+          * lit(1000000.0)).cast("long").as("stop_q6"),
+        round($"sum_alpha".cast("double") / $"sum_tokens".cast("double")
+          * lit(1000000.0)).cast("long").as("alpha_q6"))
+  }
+
   /** q183: eval-set NEAR-DUP contamination by train source — the
     * near-duplicate counterpart of q59's exact n-gram decontamination:
     * the q59/q116 "eval:" md5 bucket (5 % of docs) stands in for the

@@ -1841,4 +1841,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     // global consistency: non-canonical mass = docs minus clusters
     assert(rows.map(_._4).sum == clusters.values.map(_.length - 1).sum)
   }
+
+  test("dupQualityAudit: buckets partition docs and clusters; pooled rates replay") {
+    import spark.implicits._
+    val rows = Dedup.dupQualityAudit(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    val labels = Dedup.dedupLabelsStar(spark, sf).as[(Long, Long)].collect()
+    val nDocs = labels.length.toLong
+    val nClusters = labels.groupBy(_._2).size.toLong
+    assert(rows.map(_._3).sum == nDocs, "every doc lands in one bucket")
+    assert(rows.map(_._2).sum == nClusters, "every cluster lands in one bucket")
+    assert(rows.map(_._1).distinct.length == rows.length)
+    assert(rows.forall(r => r._1 >= 0 && r._1 <= 4))
+    // pooled-rate law vs a driver recomputation on the bucket sums
+    val qs = graft.operators.Text.qualityScore(spark, sf)
+      .select($"doc_id", $"n_tokens", $"n_stop", $"n_alpha")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val szOf = labels.groupBy(_._2).map { case (l, ms) => l -> ms.length }
+    val bucketOf = labels.map { case (id, l) =>
+      val sz = szOf(l)
+      id -> (if (sz == 1) 0L else if (sz == 2) 1L else if (sz <= 4) 2L
+             else if (sz <= 8) 3L else 4L)
+    }.toMap
+    rows.foreach { case (b, _, _, sumTok, stopQ, alphaQ) =>
+      val members = bucketOf.collect { case (id, bb) if bb == b => qs(id) }
+      assert(sumTok == members.map(_._2).sum, s"bucket $b token sum")
+      val expStop = BigDecimal(members.map(_._3).sum.toDouble / sumTok * 1000000.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      assert(stopQ == expStop, s"bucket $b pooled stop rate")
+      val expAlpha = BigDecimal(members.map(_._4).sum.toDouble / sumTok * 1000000.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      assert(alphaQ == expAlpha, s"bucket $b pooled alpha rate")
+    }
+  }
 }
