@@ -251,6 +251,7 @@ object SparkEntry {
     "q222_rule_matrix"    -> ((s, d) => Text.sourceRuleMatrix(s, d)),
     "q223_shard_dedup_miss" -> ((s, d) => Sharding.shardDedupMiss(s, d)),
     "q224_dup_quality"    -> ((s, d) => Dedup.dupQualityAudit(s, d)),
+    "q225_cross_lang_dups" -> ((s, d) => Dedup.crossLangDups(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -2663,6 +2664,36 @@ object SparkEntry {
          |  round(sum(CASE WHEN sz >= 2 AND doc_id <> keep THEN 1 ELSE 0 END)::DOUBLE
          |    / count(*)::DOUBLE * 1000000.0)::BIGINT AS dup_rate_q6
          |FROM j GROUP BY 1""".stripMargin),
+    // lang-pair grid from exact populations; observed vs possible pair
+    // mass, identical double chain for share/expected/lift
+    "q225_cross_lang_dups" ->
+      s"""WITH pairs AS (
+         |$jaccardPairsSql),
+         |lg AS (SELECT doc_id, lang FROM documents),
+         |nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+         |tp AS (SELECT count(*)::BIGINT AS t FROM pairs),
+         |cnt AS (SELECT lang, count(*)::BIGINT AS c FROM lg GROUP BY 1),
+         |grid AS (SELECT a.lang AS lang_a, b.lang AS lang_b,
+         |    (CASE WHEN a.lang = b.lang THEN a.c * (a.c - 1) // 2
+         |          ELSE a.c * b.c END)::BIGINT AS poss
+         |  FROM cnt a JOIN cnt b ON a.lang <= b.lang),
+         |lab AS (SELECT least(la.lang, lb.lang) AS lang_a,
+         |               greatest(la.lang, lb.lang) AS lang_b
+         |  FROM pairs JOIN lg la ON pairs.x = la.doc_id
+         |             JOIN lg lb ON pairs.y = lb.doc_id),
+         |obs AS (SELECT lang_a, lang_b, count(*)::BIGINT AS n_obs
+         |        FROM lab GROUP BY 1, 2)
+         |SELECT g.lang_a, g.lang_b,
+         |  coalesce(n_obs, 0)::BIGINT AS n_pairs, g.poss,
+         |  round(coalesce(n_obs, 0)::DOUBLE / t::DOUBLE
+         |    * 1000000.0)::BIGINT AS share_q6,
+         |  round(poss::DOUBLE / (n * (n - 1) // 2)::DOUBLE
+         |    * 1000000.0)::BIGINT AS expected_q6,
+         |  round((coalesce(n_obs, 0)::DOUBLE / t::DOUBLE)
+         |    / (poss::DOUBLE / (n * (n - 1) // 2)::DOUBLE)
+         |    * 1000.0)::BIGINT AS lift_q3
+         |FROM grid g LEFT JOIN obs USING (lang_a, lang_b), nn, tp
+         |WHERE g.poss >= 1""".stripMargin,
     // star-label chain + q18 counters; pooled exact-integer ratios, one
     // final double division per rate, explicit CASE buckets
     "q224_dup_quality" -> (dedupLabelCtes(5) +

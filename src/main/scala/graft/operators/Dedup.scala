@@ -1193,6 +1193,61 @@ object Dedup {
           * lit(1000000.0)).cast("long").as("share_q6"))
   }
 
+  /** q225: cross-language duplication lift matrix — for every language
+    * pair (including diagonals): observed near-dup pairs, the pair mass
+    * possible under that cell's populations, observed and expected
+    * shares, and the independence lift. q211's source matrix counts
+    * WHERE dup pairs land; this one normalizes by how many pairs COULD
+    * land there (cₐ·c_b cross, c(c−1)/2 diagonal, over N(N−1)/2), so a
+    * small language pair with few absolute pairs but lift ≫ 1 still
+    * surfaces — the systematic-translation / mirror-corpus detector
+    * that raw counts bury under the dominant language's diagonal.
+    *
+    * Exactness: populations, possible-pair counts, and observed counts
+    * are exact longs (possible-pair products bounded by |docs|² — fine
+    * as an audit at any testable SF; the matrix itself is |langs|²
+    * rows); shares and lift are the identical double chain in both
+    * engines, quantized 1e6 / 1e3. Cells with zero possible pairs are
+    * dropped rather than divided by zero.
+    *
+    * Shape: memoized pair table joined twice against the narrow
+    * (doc_id, lang) projection, one |langs|²-cell aggregate, the grid
+    * built from the |langs|-row count table — nothing here scales with
+    * corpus size except the shared pair lineage.
+    */
+  def crossLangDups(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val lg = documents(spark, d).select($"doc_id", $"lang")
+    val nDocs = documents(spark, d).count()
+    val pTot = nDocs * (nDocs - 1L) / 2L
+    val cnt = lg.groupBy($"lang").agg(count(lit(1)).as("c"))
+    val grid = cnt.select($"lang".as("lang_a"), $"c".as("ca"))
+      .crossJoin(cnt.select($"lang".as("lang_b"), $"c".as("cb")))
+      .filter($"lang_a" <= $"lang_b")
+      .select($"lang_a", $"lang_b",
+        when($"lang_a" === $"lang_b", $"ca" * ($"ca" - 1L) / lit(2.0))
+          .otherwise($"ca" * $"cb").cast("long").as("poss"))
+      .filter($"poss" >= 1L)
+    val pairs = jaccardPairs(spark, d)
+      .join(lg.select($"doc_id".as("x"), $"lang".as("lx")), "x")
+      .join(lg.select($"doc_id".as("y"), $"lang".as("ly")), "y")
+      .select(least($"lx", $"ly").as("lang_a"),
+        greatest($"lx", $"ly").as("lang_b"))
+    val total = pairs.count()
+    val obs = pairs.groupBy($"lang_a", $"lang_b")
+      .agg(count(lit(1)).as("n_obs"))
+    grid.join(obs, Seq("lang_a", "lang_b"), "left")
+      .select($"lang_a", $"lang_b",
+        coalesce($"n_obs", lit(0L)).as("n_pairs"), $"poss",
+        round(coalesce($"n_obs", lit(0L)).cast("double")
+          / lit(total.toDouble) * lit(1000000.0)).cast("long").as("share_q6"),
+        round($"poss".cast("double") / lit(pTot.toDouble)
+          * lit(1000000.0)).cast("long").as("expected_q6"),
+        round((coalesce($"n_obs", lit(0L)).cast("double") / lit(total.toDouble))
+          / ($"poss".cast("double") / lit(pTot.toDouble))
+          * lit(1000.0)).cast("long").as("lift_q3"))
+  }
+
   def thresholdSweep(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val pairs = jaccardPairs(spark, d).select($"x", $"y", $"jac")

@@ -1842,6 +1842,40 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.map(_._4).sum == clusters.values.map(_.length - 1).sum)
   }
 
+  test("crossLangDups: complete grid, pair conservation, possible-mass and lift laws") {
+    import spark.implicits._
+    val rows = Dedup.crossLangDups(spark, sf)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+    val langOf = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"lang").as[(Long, String)].collect().toMap
+    val nLangs = langOf.values.toSet.size
+    assert(rows.length == nLangs * (nLangs + 1) / 2, "full unordered grid")
+    assert(rows.forall { case (a, b, _, _, _, _, _) => a <= b })
+    val pairs = Dedup.jaccardPairs(spark, sf)
+      .select($"x", $"y").as[(Long, Long)].collect()
+    assert(rows.map(_._3).sum == pairs.length, "every pair lands in one cell")
+    // possible-pair mass: diagonal c(c-1)/2, off-diagonal ca*cb
+    val cOf = langOf.values.groupBy(identity).map { case (l, v) => l -> v.size.toLong }
+    rows.foreach { case (a, b, nObs, poss, _, _, liftQ) =>
+      val expPoss = if (a == b) cOf(a) * (cOf(a) - 1) / 2 else cOf(a) * cOf(b)
+      assert(poss == expPoss, s"($a,$b) possible mass")
+      val obs = pairs.count { case (x, y) =>
+        val (la, lb) = (langOf(x), langOf(y))
+        (if (la <= lb) la else lb) == a && (if (la <= lb) lb else la) == b
+      }
+      assert(nObs == obs, s"($a,$b) observed count")
+      val n = langOf.size.toLong
+      val lift = (nObs.toDouble / pairs.length) /
+        (poss.toDouble / (n * (n - 1) / 2))
+      assert(liftQ == BigDecimal(lift * 1000.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong, s"($a,$b) lift")
+    }
+    // the fixture's dominant-language diagonal must carry lift > 1
+    // (near-dups are same-language by construction of the generator)
+    assert(rows.filter(r => r._1 == r._2 && r._3 > 0).exists(_._7 > 1000L),
+      "some same-language cell duplicates above the independence line")
+  }
+
   test("dupQualityAudit: buckets partition docs and clusters; pooled rates replay") {
     import spark.implicits._
     val rows = Dedup.dupQualityAudit(spark, sf)
