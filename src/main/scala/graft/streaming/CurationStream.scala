@@ -338,6 +338,80 @@ object CurationStream {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  case class RuleCounts(n: Long, fw: Long, fm: Long, fa: Long, fs: Long,
+    fr: Long, np: Long)
+
+  case class RuleMatrixRow(source: String, n_docs: Long, fail_words: Long,
+    fail_mean: Long, fail_alpha: Long, fail_sym: Long, fail_req: Long,
+    n_pass: Long, pass_rate_q6: Long)
+
+  /** q222's STREAMING twin: the per-source Gopher rule-failure matrix
+    * monitored LIVE as the crawl feed arrives — "which rule is killing
+    * which source's docs RIGHT NOW" (an upstream markup-stripping
+    * regression shows up as one source's symbol-rule failures spiking
+    * mid-ingest, long before the batch audit would run). State per
+    * source is seven longs; each batch folds its arrivals' verdicts in
+    * and re-emits the source's running matrix row, so the final
+    * emission per source IS the q222 batch row (the state≡batch law
+    * CurationStreamSpec pins). Verdicts replicate the batch
+    * `gopherFlags` column math exactly: same tokenizer split, same
+    * exact-integer cross-product thresholds, same distinct-required
+    * intersection.
+    */
+  class RuleMatrixProcessor(required: Set[String]) extends
+      org.apache.spark.sql.streaming.StatefulProcessor[
+        String, StreamDoc, RuleMatrixRow] {
+    import org.apache.spark.sql.{Encoders => Encs}
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+
+    @transient private var st: ValueState[RuleCounts] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[RuleCounts](
+        "ruleCounts", Encs.product[RuleCounts], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[StreamDoc],
+        timerValues: TimerValues): Iterator[RuleMatrixRow] = {
+      var c = if (st.exists()) st.get() else RuleCounts(0, 0, 0, 0, 0, 0, 0)
+      rows.foreach { d0 =>
+        val w = d0.text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        val nw = w.length.toLong
+        val nc = w.map(_.length.toLong).sum
+        val na = w.count(_.exists(ch => ch >= 'a' && ch <= 'z')).toLong
+        val ns = w.count(x => x.contains("#") || x.contains("...")).toLong
+        val nr = w.distinct.count(required).toLong
+        val pw = nw >= 50 && nw <= 100000
+        val pm = nc >= nw * 3 && nc <= nw * 10
+        val pa = na * 10 >= nw * 8
+        val ps = ns * 10 < nw
+        val pr = nr >= 2
+        c = RuleCounts(c.n + 1,
+          c.fw + (if (pw) 0 else 1), c.fm + (if (pm) 0 else 1),
+          c.fa + (if (pa) 0 else 1), c.fs + (if (ps) 0 else 1),
+          c.fr + (if (pr) 0 else 1),
+          c.np + (if (pw && pm && pa && ps && pr) 1 else 0))
+      }
+      st.update(c)
+      val rate = BigDecimal(c.np.toDouble / c.n.toDouble * 1000000.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      Iterator.single(RuleMatrixRow(key, c.n, c.fw, c.fm, c.fa, c.fs,
+        c.fr, c.np, rate))
+    }
+  }
+
+  /** Streaming q222 entry point: docs key by source, the seven-counter
+    * matrix row folds in keyed state.
+    */
+  def ruleMatrixStream(docs: Dataset[StreamDoc],
+      required: Seq[String] = graft.functions.TextFunctions.StopWords)
+      : Dataset[RuleMatrixRow] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.source)
+      .transformWithState(new RuleMatrixProcessor(required.toSet),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** A buffered admission candidate: doc metadata only, never text. */
   case class PendingDoc(doc_id: Long, n_tokens: Long, ts_ms: Long)
 

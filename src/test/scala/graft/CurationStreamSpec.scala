@@ -343,4 +343,49 @@ class CurationStreamSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("ruleMatrixStream: final per-source emissions equal the q222 batch rows") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select($"doc_id", $"text", $"source").as[(Long, String, String)]
+      .collect().sortBy(_._1)
+      .map { case (id, text, src) =>
+        CurationStream.StreamDoc(id, ts("2024-01-01 00:00:00"), text, src)
+      }
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[CurationStream.StreamDoc]
+    val query = CurationStream.ruleMatrixStream(input.toDS())
+      .writeStream.format("memory").queryName("rule_matrix_stream")
+      .outputMode("update").start()
+    try {
+      docs.grouped(113).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq: _*)
+        query.processAllAvailable()
+      }
+      val rows = spark.table("rule_matrix_stream")
+        .as[CurationStream.RuleMatrixRow].collect()
+      val fin = rows.groupBy(_.source).toSeq.map { case (_, rs) =>
+        val last = rs.maxBy(_.n_docs)
+        (last.source, last.n_docs, last.fail_words, last.fail_mean,
+          last.fail_alpha, last.fail_sym, last.fail_req, last.n_pass,
+          last.pass_rate_q6)
+      }.toSet
+      val batch = graft.operators.Text.sourceRuleMatrix(spark, sf)
+        .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)]
+        .collect().toSet
+      assert(fin == batch,
+        "final rule-matrix emissions must equal the q222 batch audit")
+    } finally {
+      query.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
