@@ -252,6 +252,7 @@ object SparkEntry {
     "q223_shard_dedup_miss" -> ((s, d) => Sharding.shardDedupMiss(s, d)),
     "q224_dup_quality"    -> ((s, d) => Dedup.dupQualityAudit(s, d)),
     "q225_cross_lang_dups" -> ((s, d) => Dedup.crossLangDups(s, d)),
+    "q226_cluster_cohesion" -> ((s, d) => Dedup.clusterCohesion(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -2664,6 +2665,29 @@ object SparkEntry {
          |  round(sum(CASE WHEN sz >= 2 AND doc_id <> keep THEN 1 ELSE 0 END)::DOUBLE
          |    / count(*)::DOUBLE * 1000000.0)::BIGINT AS dup_rate_q6
          |FROM j GROUP BY 1""".stripMargin),
+    // star-label chain reuses its own `pairs` CTE for per-label edge
+    // counts; clique test and density on exact integers
+    "q226_cluster_cohesion" -> (dedupLabelCtes(5) +
+      s""",
+         |st AS (SELECT label, count(*)::BIGINT AS sz FROM l5
+         |       GROUP BY 1 HAVING count(*) >= 2),
+         |pe AS (SELECT l.label, count(*)::BIGINT AS n_edges
+         |       FROM pairs p JOIN l5 l ON p.x = l.doc_id GROUP BY 1),
+         |cl AS (SELECT st.label, sz,
+         |         coalesce(n_edges, 0)::BIGINT AS n_edges,
+         |         (sz * (sz - 1) // 2)::BIGINT AS poss
+         |       FROM st LEFT JOIN pe USING (label)),
+         |b AS (SELECT CASE WHEN sz = 2 THEN 1 WHEN sz <= 4 THEN 2
+         |        WHEN sz <= 8 THEN 3 ELSE 4 END AS size_bucket,
+         |        n_edges, poss FROM cl)
+         |SELECT size_bucket, count(*)::BIGINT AS n_clusters,
+         |  sum(CASE WHEN n_edges = poss THEN 1 ELSE 0 END)::BIGINT AS n_cliques,
+         |  sum(CASE WHEN n_edges < poss THEN 1 ELSE 0 END)::BIGINT AS n_chains,
+         |  sum(n_edges)::BIGINT AS sum_edges,
+         |  sum(poss)::BIGINT AS sum_possible,
+         |  round(sum(n_edges)::DOUBLE / sum(poss)::DOUBLE
+         |    * 1000000.0)::BIGINT AS density_q6
+         |FROM b GROUP BY 1""".stripMargin),
     // lang-pair grid from exact populations; observed vs possible pair
     // mass, identical double chain for share/expected/lift
     "q225_cross_lang_dups" ->

@@ -1248,6 +1248,52 @@ object Dedup {
           * lit(1000.0)).cast("long").as("lift_q3"))
   }
 
+  /** q226: dup-cluster cohesion audit — per cluster-size bucket
+    * (pair / 3–4 / 5–8 / 9+): how many clusters are CLIQUES (every
+    * member pair is an observed near-dup edge) vs CHAINS (held together
+    * only by transitivity), with pooled edge density. The over-merge
+    * risk gauge for connected-component dedup: a chain cluster contains
+    * member pairs that never individually passed the similarity
+    * threshold — A~B~C with A≁C — so deleting down to one canonical doc
+    * destroys documents no pairwise judgment condemned. A chain-heavy
+    * bucket says tighten the threshold or switch that size range to
+    * centroid/medoid re-verification; a clique-heavy one says the
+    * closure is faithful. q180 gives the size spectrum; this grades
+    * each size class's internal evidence.
+    *
+    * Shape: both lineages memo-shared (star labels + the exact pair
+    * table — the same generator family, so every pair is intra-cluster
+    * by construction); one label-keyed edge count, one ≤4-row
+    * aggregate. Density is exact-integer sums with ONE final division.
+    */
+  def clusterCohesion(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val labels = dedupLabelsStar(spark, d)
+    val sizes = labels.groupBy($"label").agg(count(lit(1)).as("sz"))
+      .filter($"sz" >= 2L)
+    val edges = jaccardPairs(spark, d)
+      .join(labels.select($"doc_id".as("x"), $"label"), "x")
+      .groupBy($"label").agg(count(lit(1)).as("n_edges"))
+    sizes.join(edges, Seq("label"), "left")
+      .select($"label", $"sz",
+        coalesce($"n_edges", lit(0L)).as("n_edges"),
+        ($"sz" * ($"sz" - 1L) / lit(2.0)).cast("long").as("poss"))
+      .select(
+        when($"sz" === 2L, 1L).when($"sz" <= 4L, 2L)
+          .when($"sz" <= 8L, 3L).otherwise(4L).as("size_bucket"),
+        $"n_edges", $"poss")
+      .groupBy($"size_bucket")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(when($"n_edges" === $"poss", 1L).otherwise(0L)).as("n_cliques"),
+        sum(when($"n_edges" < $"poss", 1L).otherwise(0L)).as("n_chains"),
+        sum($"n_edges").as("sum_edges"),
+        sum($"poss").as("sum_possible"))
+      .select($"size_bucket", $"n_clusters", $"n_cliques", $"n_chains",
+        $"sum_edges", $"sum_possible",
+        round($"sum_edges".cast("double") / $"sum_possible".cast("double")
+          * lit(1000000.0)).cast("long").as("density_q6"))
+  }
+
   def thresholdSweep(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val pairs = jaccardPairs(spark, d).select($"x", $"y", $"jac")

@@ -1876,6 +1876,37 @@ class PipelineOpsSpec extends AnyFunSuite {
       "some same-language cell duplicates above the independence line")
   }
 
+  test("clusterCohesion: clique/chain split and density replay vs driver recomputation") {
+    import spark.implicits._
+    val rows = Dedup.clusterCohesion(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    val labels = Dedup.dedupLabelsStar(spark, sf).as[(Long, Long)].collect()
+    val labelOf = labels.toMap
+    val pairs = Dedup.jaccardPairs(spark, sf)
+      .select($"x", $"y").as[(Long, Long)].collect()
+    // every observed pair is intra-cluster by construction
+    pairs.foreach { case (x, y) => assert(labelOf(x) == labelOf(y)) }
+    val szOf = labels.groupBy(_._2).map { case (l, ms) => l -> ms.length.toLong }
+    val edgesOf = pairs.groupBy(p => labelOf(p._1))
+      .map { case (l, es) => l -> es.length.toLong }
+    val clusters = szOf.filter(_._2 >= 2L).map { case (l, sz) =>
+      (if (sz == 2) 1L else if (sz <= 4) 2L else if (sz <= 8) 3L else 4L,
+        edgesOf.getOrElse(l, 0L), sz * (sz - 1) / 2)
+    }.toSeq
+    assert(rows.map(_._2).sum == clusters.size.toLong,
+      "every size>=2 cluster lands in one bucket")
+    rows.foreach { case (b, nC, nClq, nChn, sumE, sumP, dq) =>
+      val mine = clusters.filter(_._1 == b)
+      assert(nC == mine.size.toLong)
+      assert(nClq == mine.count(c => c._2 == c._3).toLong, s"bucket $b cliques")
+      assert(nChn == mine.count(c => c._2 < c._3).toLong, s"bucket $b chains")
+      assert(nClq + nChn == nC, "cohesion dichotomy")
+      assert(sumE == mine.map(_._2).sum && sumP == mine.map(_._3).sum)
+      assert(dq == BigDecimal(sumE.toDouble / sumP * 1000000.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong, s"bucket $b density")
+    }
+  }
+
   test("dupQualityAudit: buckets partition docs and clusters; pooled rates replay") {
     import spark.implicits._
     val rows = Dedup.dupQualityAudit(spark, sf)
