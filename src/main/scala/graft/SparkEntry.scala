@@ -253,6 +253,7 @@ object SparkEntry {
     "q224_dup_quality"    -> ((s, d) => Dedup.dupQualityAudit(s, d)),
     "q225_cross_lang_dups" -> ((s, d) => Dedup.crossLangDups(s, d)),
     "q226_cluster_cohesion" -> ((s, d) => Dedup.clusterCohesion(s, d)),
+    "q227_decayed_rank"   -> ((s, d) => Windowed.decayedLeaderboard(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -2665,6 +2666,25 @@ object SparkEntry {
          |  round(sum(CASE WHEN sz >= 2 AND doc_id <> keep THEN 1 ELSE 0 END)::DOUBLE
          |    / count(*)::DOUBLE * 1000000.0)::BIGINT AS dup_rate_q6
          |FROM j GROUP BY 1""".stripMargin),
+    // integer-only decay: cnt << (H - min(age,H)) summed as BIGINT,
+    // one final division by 2^H; ranks over the |types|-row table
+    "q227_decayed_rank" ->
+      """WITH grid AS (SELECT event_type, ts::DATE AS day,
+        |    count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |mx AS (SELECT max(day) AS max_day FROM grid),
+        |per AS (SELECT event_type,
+        |    sum(cnt)::BIGINT AS raw_cnt,
+        |    sum(cnt * (CAST(1 AS BIGINT) << (32 - least(
+        |      date_diff('day', day, max_day), 32))))::BIGINT AS dec_num
+        |  FROM grid, mx GROUP BY 1)
+        |SELECT event_type, raw_cnt,
+        |  round(dec_num::DOUBLE / 4294967296.0 * 1000.0)::BIGINT AS decayed_q3,
+        |  row_number() OVER (ORDER BY raw_cnt DESC, event_type)::BIGINT
+        |    AS rank_raw,
+        |  row_number() OVER (ORDER BY dec_num DESC, event_type)::BIGINT
+        |    AS rank_decayed
+        |FROM per""".stripMargin,
     // star-label chain reuses its own `pairs` CTE for per-label edge
     // counts; clique test and density on exact integers
     "q226_cluster_cohesion" -> (dedupLabelCtes(5) +

@@ -21,6 +21,51 @@ import graft.functions.StableNum._
   */
 object Windowed {
 
+  /** q227: freshness-decayed event leaderboard — per event type: raw
+    * count, the exponentially-decayed count Σ cnt_day · 2^−age (daily
+    * half-life, age in days behind the corpus' newest day), and both
+    * ranks side by side. The recency dial raw counts don't have: a type
+    * that dominated last month but died yesterday outranks a surging
+    * one on raw volume yet drops below it decayed — the ordering a
+    * trending feed, cache-eviction policy, or freshness-weighted
+    * mixture actually wants.
+    *
+    * Exactness: the decayed sum is computed ENTIRELY in integers —
+    * term = cnt << (H − min(age, H)) with horizon H = 32, summed as
+    * longs (order-free), then ONE division by 2^H — so both engines
+    * hash-match bit-for-bit; no floating-point accumulation ordering
+    * anywhere. Ages beyond H collapse to the 2^−H floor (weight ≈ 0,
+    * kept nonzero so raw mass is never silently dropped). Contract:
+    * per-(type, day) counts < 2^30, i.e. the shifted terms stay inside
+    * a long — holds to ~10⁹ events per type-day.
+    *
+    * Shape: one (type, day) map-side-combinable aggregate (the only
+    * corpus-scale pass), two driver scalars off it, then windows over
+    * the |types|-row table. At 100 TB: the daily grid is
+    * |types|·|days| rows; everything after is free.
+    */
+  def decayedLeaderboard(spark: SparkSession, d: String,
+      horizon: Int = 32): DataFrame = {
+    import spark.implicits._
+    val grid = events(spark, d)
+      .select($"event_type", to_date($"ts").as("day"))
+      .groupBy($"event_type", $"day").agg(count(lit(1)).as("cnt"))
+    val maxDay = grid.agg(max($"day")).head().getDate(0)
+    val per = grid.select($"event_type", $"cnt",
+        least(datediff(lit(maxDay), $"day"), lit(horizon)).as("age"))
+      .groupBy($"event_type")
+      .agg(sum($"cnt").as("raw_cnt"),
+        sum($"cnt" * expr(s"shiftleft(CAST(1 AS BIGINT), $horizon - age)"))
+          .as("dec_num"))
+    val byDec = Window.orderBy($"dec_num".desc, $"event_type")
+    val byRaw = Window.orderBy($"raw_cnt".desc, $"event_type")
+    per.select($"event_type", $"raw_cnt",
+        round($"dec_num".cast("double") / lit(math.pow(2.0, horizon))
+          * lit(1000.0)).cast("long").as("decayed_q3"),
+        row_number().over(byRaw).cast("long").as("rank_raw"),
+        row_number().over(byDec).cast("long").as("rank_decayed"))
+  }
+
   /** Sliding event-time window (1 day / 6 h) count + exact value sum per
     * event type, with the popularity threshold ≥ 20
     * (PopularPlaces.java:58,83-88). Emits unix-second window bounds

@@ -934,6 +934,39 @@ class PipelineOpsSpec extends AnyFunSuite {
       }
   }
 
+  test("decayedLeaderboard: integer decay law and both rank permutations replay") {
+    import spark.implicits._
+    val rows = Windowed.decayedLeaderboard(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    val ev = graft.core.Tables.events(spark, sf)
+      .select($"event_type", to_date($"ts").as("day"))
+      .groupBy($"event_type", $"day").agg(count(lit(1)).as("cnt"))
+      .as[(String, java.sql.Date, Long)].collect()
+    val maxDay = ev.map(_._2.toLocalDate).max(Ordering.by[java.time.LocalDate, Long](_.toEpochDay))
+    val expected = ev.groupBy(_._1).map { case (t, cells) =>
+      val raw = cells.map(_._3).sum
+      val num = cells.map { case (_, d0, c) =>
+        val age = math.min(
+          maxDay.toEpochDay - d0.toLocalDate.toEpochDay, 32L).toInt
+        c * (1L << (32 - age))
+      }.sum
+      t -> (raw, num)
+    }
+    rows.foreach { case (t, raw, decQ, _, _) =>
+      assert(raw == expected(t)._1, s"$t raw")
+      assert(decQ == BigDecimal(expected(t)._2.toDouble / 4294967296.0 * 1000.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong, s"$t decayed")
+    }
+    // ranks are permutations of 1..n, consistent with their sort keys
+    val n = rows.length
+    assert(rows.map(_._4).sorted.toSeq == (1L to n).toSeq)
+    assert(rows.map(_._5).sorted.toSeq == (1L to n).toSeq)
+    val byRaw = rows.sortBy(r => (-r._2, r._1)).map(_._1).toSeq
+    assert(rows.sortBy(_._4).map(_._1).toSeq == byRaw, "raw rank ordering")
+    val byDec = rows.sortBy(r => (-expected(r._1)._2, r._1)).map(_._1).toSeq
+    assert(rows.sortBy(_._5).map(_._1).toSeq == byDec, "decayed rank ordering")
+  }
+
   test("retentionCohorts: day-0 is always 1.0, counts bounded by cohort size") {
     import spark.implicits._
     val rows = Windowed.retentionCohorts(spark, sf)
