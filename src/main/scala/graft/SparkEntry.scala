@@ -254,6 +254,10 @@ object SparkEntry {
     "q225_cross_lang_dups" -> ((s, d) => Dedup.crossLangDups(s, d)),
     "q226_cluster_cohesion" -> ((s, d) => Dedup.clusterCohesion(s, d)),
     "q227_decayed_rank"   -> ((s, d) => Windowed.decayedLeaderboard(s, d)),
+    "q228_rule_ablation"  -> ((s, d) => Text.ruleAblation(s, d)),
+    "q229_twonn_dim"      -> ((s, d) => Similarity.twoNNDim(s, d)),
+    "q230_assortativity"  -> ((s, d) => Graph.degreeAssortativity(s, d)),
+    "q231_bloom_fpr"      -> ((s, d) => Contamination.bloomFprAudit(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -2685,6 +2689,141 @@ object SparkEntry {
         |  row_number() OVER (ORDER BY dec_num DESC, event_type)::BIGINT
         |    AS rank_decayed
         |FROM per""".stripMargin,
+    // same flags CTEs as q222 (global, no source key); unique = fails
+    // the rule AND passes the other four; the unpivot is 5 literal rows
+    "q228_rule_ablation" ->
+      s"""WITH w AS (SELECT
+         |  list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |    t -> strlen(t) > 0) AS w
+         |  FROM documents),
+         |c AS (SELECT
+         |  len(w)::BIGINT AS n_words,
+         |  coalesce(list_sum(list_transform(w, t -> strlen(t))), 0)::BIGINT AS n_wchars,
+         |  len(list_filter(w, t -> regexp_matches(t, '[a-z]')))::BIGINT AS n_alpha,
+         |  len(list_filter(w, t -> contains(t, '#') OR contains(t, '...')))::BIGINT AS n_sym,
+         |  len(list_intersect(list_distinct(w), $stopList))::BIGINT AS n_req
+         |  FROM w),
+         |f AS (SELECT
+         |  (n_words >= 50 AND n_words <= 100000) AS pass_words,
+         |  (n_wchars >= n_words * 3 AND n_wchars <= n_words * 10) AS pass_mean,
+         |  (n_alpha * 10 >= n_words * 8) AS pass_alpha,
+         |  (n_sym * 10 < n_words) AS pass_sym,
+         |  (n_req >= 2) AS pass_req
+         |  FROM c),
+         |g AS (SELECT count(*)::BIGINT AS n_docs,
+         |  sum(CASE WHEN NOT pass_words THEN 1 ELSE 0 END)::BIGINT AS fail_words,
+         |  sum(CASE WHEN NOT pass_words AND pass_mean AND pass_alpha AND pass_sym AND pass_req THEN 1 ELSE 0 END)::BIGINT AS uniq_words,
+         |  sum(CASE WHEN NOT pass_mean THEN 1 ELSE 0 END)::BIGINT AS fail_mean,
+         |  sum(CASE WHEN NOT pass_mean AND pass_words AND pass_alpha AND pass_sym AND pass_req THEN 1 ELSE 0 END)::BIGINT AS uniq_mean,
+         |  sum(CASE WHEN NOT pass_alpha THEN 1 ELSE 0 END)::BIGINT AS fail_alpha,
+         |  sum(CASE WHEN NOT pass_alpha AND pass_words AND pass_mean AND pass_sym AND pass_req THEN 1 ELSE 0 END)::BIGINT AS uniq_alpha,
+         |  sum(CASE WHEN NOT pass_sym THEN 1 ELSE 0 END)::BIGINT AS fail_sym,
+         |  sum(CASE WHEN NOT pass_sym AND pass_words AND pass_mean AND pass_alpha AND pass_req THEN 1 ELSE 0 END)::BIGINT AS uniq_sym,
+         |  sum(CASE WHEN NOT pass_req THEN 1 ELSE 0 END)::BIGINT AS fail_req,
+         |  sum(CASE WHEN NOT pass_req AND pass_words AND pass_mean AND pass_alpha AND pass_sym THEN 1 ELSE 0 END)::BIGINT AS uniq_req
+         |  FROM f),
+         |u AS (
+         |  SELECT 'words' AS rule, fail_words AS fail_total, uniq_words AS fail_unique, n_docs FROM g
+         |  UNION ALL SELECT 'mean', fail_mean, uniq_mean, n_docs FROM g
+         |  UNION ALL SELECT 'alpha', fail_alpha, uniq_alpha, n_docs FROM g
+         |  UNION ALL SELECT 'sym', fail_sym, uniq_sym, n_docs FROM g
+         |  UNION ALL SELECT 'req', fail_req, uniq_req, n_docs FROM g)
+         |SELECT rule, fail_total, fail_unique,
+         |  (fail_total - fail_unique)::BIGINT AS fail_shared,
+         |  round(fail_unique::DOUBLE / n_docs::DOUBLE * 1000000.0)::BIGINT AS regain_q6
+         |FROM u""".stripMargin,
+    // exact quantized squared-L2 two-NN (d² = n2a + n2b − 2·dot, all
+    // BIGINT); per-point ln μ quantized to 1e6 BEFORE the global sum so
+    // the estimator folds exact integers in any order
+    "q229_twonn_dim" ->
+      """WITH ex AS (SELECT vec_id, round(unnest(embedding)::DOUBLE * 10000000)::BIGINT AS v,
+        |                   unnest(range(len(embedding))) AS i FROM embeddings),
+        |n2 AS (SELECT vec_id, sum(v*v)::BIGINT AS n2 FROM ex GROUP BY 1),
+        |dots AS (SELECT a.vec_id AS x, b.vec_id AS y, sum(a.v*b.v)::BIGINT AS dot
+        |         FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id <> b.vec_id
+        |         GROUP BY 1, 2),
+        |dsq AS (SELECT x, y, (na.n2 + nb.n2 - 2*dot)::BIGINT AS dsq
+        |        FROM dots JOIN n2 na ON x = na.vec_id
+        |                  JOIN n2 nb ON y = nb.vec_id),
+        |r AS (SELECT x, dsq,
+        |        row_number() OVER (PARTITION BY x ORDER BY dsq ASC, y ASC) AS rk
+        |      FROM dsq),
+        |tw AS (SELECT x, max(CASE WHEN rk = 1 THEN dsq END) AS d1,
+        |         max(CASE WHEN rk = 2 THEN dsq END) AS d2
+        |       FROM r WHERE rk <= 2 GROUP BY 1),
+        |pt AS (SELECT CASE WHEN d1 > 0
+        |         THEN round(0.5 * ln(d2::DOUBLE / d1::DOUBLE) * 1000000.0)::BIGINT
+        |         ELSE NULL END AS lnmu_q6 FROM tw)
+        |SELECT count(*)::BIGINT AS n_pts,
+        |  sum(CASE WHEN lnmu_q6 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_used,
+        |  coalesce(sum(lnmu_q6), 0)::BIGINT AS sum_lnmu_q6,
+        |  CASE WHEN coalesce(sum(lnmu_q6), 0) > 0
+        |    THEN round(sum(CASE WHEN lnmu_q6 IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+        |      * 1000000.0 / sum(lnmu_q6)::DOUBLE * 1000.0)::BIGINT
+        |    ELSE 0 END AS id_q3
+        |FROM pt""".stripMargin,
+    // full Bloom re-derivation: the filter's realized bit positions are
+    // the distinct md5-window probes of the eval grams; occupancy-
+    // predicted FPR = (bits/m)³ on exact integers (bits³ < 2^53)
+    "q231_bloom_fpr" ->
+      s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w,
+         |  ${md5Bits32Sql("'eval:' || doc_id::VARCHAR", 1)} % 100 AS b FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, b, s FROM (
+         |  SELECT doc_id, b,
+         |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS s
+         |  FROM toks, unnest(range(1, len(w)-3)) AS t(i) WHERE len(w) >= 5)),
+         |ev AS (SELECT DISTINCT s FROM sh WHERE b < 5),
+         |evp AS (SELECT DISTINCT p FROM (
+         |  SELECT (${md5Bits32Sql("s", 1)} % 131072) AS p FROM ev
+         |  UNION ALL SELECT (${md5Bits32Sql("s", 9)} % 131072) FROM ev
+         |  UNION ALL SELECT (${md5Bits32Sql("s", 17)} % 131072) FROM ev)),
+         |bits AS (SELECT count(*)::BIGINT AS nb FROM evp),
+         |tg AS (SELECT DISTINCT s FROM sh WHERE b >= 5),
+         |pos AS (SELECT
+         |    ((${md5Bits32Sql("s", 1)} % 131072) IN (SELECT p FROM evp)
+         |     AND (${md5Bits32Sql("s", 9)} % 131072) IN (SELECT p FROM evp)
+         |     AND (${md5Bits32Sql("s", 17)} % 131072) IN (SELECT p FROM evp))
+         |      AS bloom_pos,
+         |    s IN (SELECT s FROM ev) AS member
+         |  FROM tg),
+         |g AS (SELECT count(*)::BIGINT AS n_probes,
+         |  sum(CASE WHEN member THEN 1 ELSE 0 END)::BIGINT AS n_members,
+         |  sum(CASE WHEN bloom_pos AND NOT member THEN 1 ELSE 0 END)::BIGINT AS n_fp,
+         |  sum(CASE WHEN member AND NOT bloom_pos THEN 1 ELSE 0 END)::BIGINT AS n_fn
+         |  FROM pos)
+         |SELECT 131072::BIGINT AS m_bits, 3::BIGINT AS k_probes,
+         |  nb AS n_bits_set, n_probes, n_members, n_fp, n_fn,
+         |  CASE WHEN n_probes > n_members
+         |    THEN round(n_fp::DOUBLE / (n_probes - n_members)::DOUBLE
+         |      * 1000000000.0)::BIGINT
+         |    ELSE 0 END AS fpr_emp_q9,
+         |  round((nb * nb * nb)::DOUBLE
+         |    / (131072::BIGINT * 131072 * 131072)::DOUBLE
+         |    * 1000000000.0)::BIGINT AS fpr_pred_q9
+         |FROM g, bits""".stripMargin,
+    // both stub orientations make the marginals identical, so Pearson r
+    // needs three HUGEINT sums; the division is the only FP op
+    "q230_assortativity" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        |      FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey
+        |        AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |nb AS (SELECT p1 AS z, p2 AS x FROM e
+        |       UNION ALL SELECT p2, p1 FROM e),
+        |deg AS (SELECT x AS id, count(*)::BIGINT AS deg FROM nb GROUP BY 1),
+        |st AS (SELECT da.deg AS du, db.deg AS dv
+        |       FROM nb JOIN deg da ON nb.z = da.id
+        |               JOIN deg db ON nb.x = db.id),
+        |g AS (SELECT count(*)::HUGEINT AS n, sum(du::HUGEINT) AS sx,
+        |        sum(du::HUGEINT * dv::HUGEINT) AS sxy,
+        |        sum(du::HUGEINT * du::HUGEINT) AS sxx FROM st)
+        |SELECT (n // 2)::BIGINT AS n_edges,
+        |  round(sx::DOUBLE / n::DOUBLE * 1000000.0)::BIGINT AS mean_deg_q6,
+        |  CASE WHEN n * sxx - sx * sx > 0
+        |    THEN (n * sxy - sx * sx)::DOUBLE / (n * sxx - sx * sx)::DOUBLE
+        |    ELSE 0.0 END AS assortativity
+        |FROM g""".stripMargin,
     // star-label chain reuses its own `pairs` CTE for per-label edge
     // counts; clique test and density on exact integers
     "q226_cluster_cohesion" -> (dedupLabelCtes(5) +

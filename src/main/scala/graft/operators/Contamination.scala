@@ -141,6 +141,79 @@ object Contamination {
         (coalesce($"n_overlap", lit(0L)) > 0L).as("contaminated"))
   }
 
+  /** q231: Bloom false-positive-rate audit of the q105 pre-filter — the
+    * operational calibration read a pipeline takes before TRUSTING a
+    * deployed sketch tier: per distinct training 5-gram, whether the
+    * broadcast Bloom admits it and whether it truly belongs to the eval
+    * dictionary, aggregated to the empirical FPR next to the
+    * occupancy-PREDICTED FPR (realized-bits form: p̂ = bits_set/m per
+    * probe, FPR ≈ p̂³ — sharper than the Poisson (1−e^{−kn/m})^k
+    * formula because it uses the filter's actual fill, and, unlike it,
+    * integer-exact: bits_set³ < 2^53 and m³ = 2^51 are both exact
+    * doubles, so no libm transcendental enters the contract). A
+    * divergence between the two columns means the probe hashes are
+    * correlated for this key distribution — the filter needs wider
+    * windows, not more bits. `n_fn` is emitted as the Bloom guarantee
+    * audit: anything nonzero is a build bug, not noise.
+    *
+    * Shape: the filter build and the eval dictionary are the SAME
+    * memo-shared lineages as q59/q105 (driver-bounded m/64-word
+    * collect); the probe stream is one distinct-shingle scan against
+    * plan-literal bit tests (codegen'd, no join for the Bloom side) +
+    * the exact membership left-join, then ONE 1-row aggregate.
+    */
+  def bloomFprAudit(spark: SparkSession, d: String,
+      n: Int = 5, evalPct: Int = 5, logM: Int = 17): DataFrame = {
+    import spark.implicits._
+    val m = 1L << logM
+    val words = (m / 64).toInt
+    val evalGrams = evalGramSet(spark, d, n, evalPct)
+    def probes(s: Column): Seq[Column] =
+      (0 until 3).map(i => pmod(Hashing.md5Bits32(s, 1 + 8 * i), lit(m)))
+    val pow2 = typedlit((0 until 64).map(1L << _))
+    val bitRows = graft.core.Bounded.collect(
+      evalGrams
+        .select(explode(array(probes($"s"): _*)).as("p"))
+        .select(($"p" / 64).cast("int").as("wi"),
+          element_at(pow2, ($"p" % 64).cast("int") + 1).as("mk"))
+        .groupBy($"wi").agg(bit_or($"mk").as("word")),
+      words.toLong, "bloomFprAudit filter words (m/64 rows)")
+    val filterWords = new Array[Long](words)
+    bitRows.foreach(r => filterWords(r.getInt(0)) = r.getLong(1))
+    val bitsSet = filterWords.map(java.lang.Long.bitCount(_).toLong).sum
+    val wlit = typedlit(filterWords.toSeq)
+    def bloomHas(s: Column): Column =
+      probes(s).map { p =>
+        (element_at(wlit, (p / 64).cast("int") + 1)
+          .bitwiseAND(element_at(pow2, (p % 64).cast("int") + 1))) =!= 0L
+      }.reduce(_ && _)
+    val trainGrams = documents(spark, d)
+      .select($"doc_id", tokens($"text").as("ws"), evalBucket($"doc_id").as("b"))
+      .filter($"b" >= evalPct)
+      .select(explode(Hashing.shingles($"ws", n)).as("s"))
+      .distinct()
+    val probed = trainGrams
+      .join(evalGrams.select($"s", lit(1L).as("in_eval")), Seq("s"), "left")
+      .select(bloomHas($"s").as("pos"), $"in_eval".isNotNull.as("member"))
+    val fprPredQ9 = math.round(
+      bitsSet.toDouble * bitsSet * bitsSet / (m.toDouble * m * m)
+        * 1000000000.0)
+    probed.agg(
+        count(lit(1)).as("n_probes"),
+        sum(when($"member", 1L).otherwise(0L)).as("n_members"),
+        sum(when($"pos" && !$"member", 1L).otherwise(0L)).as("n_fp"),
+        sum(when($"member" && !$"pos", 1L).otherwise(0L)).as("n_fn"))
+      .select(lit(m).as("m_bits"), lit(3L).as("k_probes"),
+        lit(bitsSet).as("n_bits_set"),
+        $"n_probes", $"n_members", $"n_fp", $"n_fn",
+        when($"n_probes" > $"n_members",
+          round($"n_fp".cast("double")
+            / ($"n_probes" - $"n_members").cast("double")
+            * lit(1000000000.0)).cast("long"))
+          .otherwise(lit(0L)).as("fpr_emp_q9"),
+        lit(fprPredQ9).as("fpr_pred_q9"))
+  }
+
   def substringDecontaminate(spark: SparkSession, d: String,
       n: Int = 8, evalPct: Int = 5): DataFrame = {
     import spark.implicits._

@@ -372,6 +372,54 @@ object Graph {
           .as("jaccard"))
   }
 
+  /** q230: degree assortativity (Newman 2002, PRL 89 208701) of the
+    * co-purchase graph — the Pearson correlation of end-point degrees
+    * over the 2m directed stubs of the undirected edge set. Positive r:
+    * hubs link to hubs (a core–periphery basket graph, where hub
+    * removal fragments little); negative r: hubs link to leaves (a
+    * star-like graph whose diameter and component structure hinge on a
+    * few parts). Read next to q110/q112/q144 before trusting sampled
+    * subgraphs: degree-biased samplers (random walks q145, frontier BFS
+    * q123) over- or under-visit by exactly this correlation.
+    *
+    * Exactness: degrees are exact integers; both stub orientations make
+    * the x/y marginals identical (Σx = Σy, Σx² = Σy²), so r = (n·Σxy −
+    * (Σx)²) / (n·Σx² − (Σx)²) needs only THREE decimal(38,0) sums; the
+    * single final division is the only FP op — cross-engine bit-equal.
+    *
+    * Shape: one degree aggregate (vertex-keyed shuffle with map-side
+    * combine), two vertex-keyed joins of the stub list against the
+    * degree table, ONE 1-row global aggregate. No window, no self-join,
+    * nothing collected — at 100 TB this is two edge-list-sized hash
+    * joins and a scalar reduce.
+    */
+  def degreeAssortativity(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dec38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val edges = copurchaseEdges(spark, d).select($"p1", $"p2")
+    val nb = edges.select($"p1".as("z"), $"p2".as("x"))
+      .union(edges.select($"p2".as("z"), $"p1".as("x")))
+    val deg = nb.groupBy($"x".as("id")).agg(count(lit(1)).as("deg"))
+    val st = nb
+      .join(deg.select($"id".as("z"), $"deg".as("du")), "z")
+      .join(deg.select($"id".as("x"), $"deg".as("dv")), "x")
+      .select($"du", $"dv")
+    st.agg(
+        count(lit(1)).as("n_stubs"),
+        sum($"du".cast(dec38)).as("sx"),
+        sum(($"du".cast(dec38) * $"dv".cast(dec38))).as("sxy"),
+        sum(($"du".cast(dec38) * $"du".cast(dec38))).as("sxx"))
+      .select(
+        ($"n_stubs" / lit(2L)).cast("long").as("n_edges"),
+        round($"sx".cast("double") / $"n_stubs".cast("double")
+          * lit(1000000.0)).cast("long").as("mean_deg_q6"),
+        when($"n_stubs".cast(dec38) * $"sxx" - $"sx" * $"sx" > 0,
+          ($"n_stubs".cast(dec38) * $"sxy" - $"sx" * $"sx").cast("double")
+            / ($"n_stubs".cast(dec38) * $"sxx" - $"sx" * $"sx").cast("double"))
+          .otherwise(lit(0.0)).as("assortativity"))
+  }
+
   /** q123: single-source BFS hop distances on the co-purchase graph from
     * its minimum vertex id — frontier-expansion form: each round joins
     * the adjacency ONLY against the vertices discovered last round,

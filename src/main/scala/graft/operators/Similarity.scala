@@ -1153,6 +1153,64 @@ object Similarity {
           * lit(1000000.0)).cast("long").as("purity_q6"))
   }
 
+  /** q229: two-NN intrinsic-dimensionality estimate (Facco et al. 2017,
+    * "Estimating the intrinsic dimension of datasets by a minimal
+    * neighborhood information"): for each vector take the distances to
+    * its two nearest neighbors, μ = r2/r1; the MLE of the manifold
+    * dimension is d = n / Σ ln μ. THE capacity audit for the embedding
+    * column read next to q203 (Fisher) and q210 (1-NN purity): a
+    * 64-dim column whose data lives on a ~9-dim manifold quantizes
+    * (q152) and PQ-compresses (q91) with far less recall loss than its
+    * nominal width suggests, and IVF list counts (q39/q185) should
+    * scale with the INTRINSIC dimension, not the ambient one.
+    *
+    * Exactness: squared L2 distances come from the quantized-integer
+    * identity d² = n2(a) + n2(b) − 2·dot(a,b) — exact longs, so the
+    * two-NN selection is engine/partitioning-independent; each point's
+    * ln μ = ½·ln(d2²/d1²) is quantized to 1e6 BEFORE the global sum, so
+    * the estimator folds an exact integer sum (no FP summation-order
+    * leak) and the final d̂ is two IEEE ops off two exact integers.
+    * Coincident points (d1² = 0, where μ is undefined) are excluded and
+    * reported via n_used; ties at the 2-NN boundary don't matter — only
+    * the distance VALUES enter, and min-2 over a multiset is unique.
+    *
+    * Shape: the exact quadratic pair scan (the q14/q25/q210 rung —
+    * native QuantizedDot over the memo-shared corpusWithNorm) feeding
+    * the native bounded-heap `Ranks.groupTopK` (k=2 — map-side heaps,
+    * ≤ 2·|partitions| rows per group cross the wire, no window), one
+    * per-point pivot, one 1-row global aggregate. The quadratic is the
+    * declared exact rung; at 100 TB the candidate generator is the IVF
+    * probe machinery (q39/q91/q192) feeding the same two-NN heap.
+    */
+  def twoNNDim(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val c = corpusWithNorm(spark, d)
+    val a = c.select($"vec_id".as("x"), $"qemb".as("qa"), $"n2".as("na"))
+    val b = c.select($"vec_id".as("y"), $"qemb".as("qb"), $"n2".as("nb"))
+    val pairs = a.join(b, $"x" =!= $"y")
+      .select($"x", struct(
+        ($"na" + $"nb" - lit(2L) * dotPreQ($"qa", $"qb")).as("dsq"),
+        $"y".as("ny")).as("s"))
+    val two = graft.operators.Ranks
+      .groupTopK(pairs, 2, "rk", Seq($"x"), $"s")
+      .groupBy($"x").agg(
+        max(when($"rk" === 1, $"dsq")).as("d1"),
+        max(when($"rk" === 2, $"dsq")).as("d2"))
+    val pt = two.select(
+      when($"d1" > 0L,
+        round(lit(0.5) * log($"d2".cast("double") / $"d1".cast("double"))
+          * lit(1000000.0)).cast("long")).as("lnmu_q6"))
+    pt.agg(
+        count(lit(1)).as("n_pts"),
+        sum(when($"lnmu_q6".isNotNull, 1L).otherwise(0L)).as("n_used"),
+        coalesce(sum($"lnmu_q6"), lit(0L)).as("sum_lnmu_q6"))
+      .select($"n_pts", $"n_used", $"sum_lnmu_q6",
+        when($"sum_lnmu_q6" > 0L,
+          round($"n_used".cast("double") * lit(1000000.0)
+            / $"sum_lnmu_q6".cast("double") * lit(1000.0)).cast("long"))
+          .otherwise(lit(0L)).as("id_q3"))
+  }
+
   /** q215: lexical-vs-semantic near-dup agreement — the pair sets of
     * the exact Jaccard detector (q16, τ=0.5) and the embedding-cosine
     * detector (q25, cos ≥ 0.4) compared as sets (vec_id ≡ doc_id):

@@ -1626,6 +1626,50 @@ object Text {
           * lit(1000000.0)).cast("long").as("pass_rate_q6"))
   }
 
+  /** q228: quality-rule ablation — each Gopher rule's kill mass split
+    * into UNIQUE kills (docs failing ONLY that rule — exactly the docs
+    * the corpus regains if the rule is dropped, so `regain_q6` is the
+    * pass-rate lift of the ablation) vs SHARED kills (some other rule
+    * also rejects the doc, so dropping this one changes nothing). The
+    * dial q222's per-source matrix cannot answer: two rules with equal
+    * fail counts can have wildly different marginal value — a rule
+    * whose kills are 95% shared is near-free to drop (cheaper to
+    * compute at 100 TB, zero yield change), while a high-unique rule is
+    * load-bearing. Inclusion–exclusion without enumerating the 2^5
+    * lattice: unique(r) = fail(r) ∧ pass(all others) needs only one
+    * conjunction per rule, computable in the same pass.
+    *
+    * Shape: the SAME shared map-only `gopherFlags` projection as
+    * q117/q222, ONE global aggregate (12 conditional sums with partial
+    * map-side combine → a single row), then a 5-row `stack` over the
+    * aggregated scalars — at 100 TB a scan plus a 1-row exchange; the
+    * unpivot touches five rows, never the data.
+    */
+  def ruleAblation(spark: SparkSession, d: String,
+      required: Seq[String] = graft.functions.TextFunctions.StopWords): DataFrame = {
+    import spark.implicits._
+    val f = gopherFlags(documents(spark, d).select($"text"),
+      Seq.empty, required)(spark)
+    val rules = Seq("words", "mean", "alpha", "sym", "req")
+    def othersPass(r: String): Column =
+      rules.filter(_ != r).map(o => col(s"pass_$o")).reduce(_ && _)
+    val aggs = Seq(count(lit(1)).as("n_docs"),
+        sum(when($"pass", 1L).otherwise(0L)).as("n_pass")) ++
+      rules.flatMap { r => Seq(
+        sum(when(!col(s"pass_$r"), 1L).otherwise(0L)).as(s"fail_$r"),
+        sum(when(!col(s"pass_$r") && othersPass(r), 1L).otherwise(0L))
+          .as(s"uniq_$r"))
+      }
+    val one = f.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = rules.map(r => s"'$r', fail_$r, uniq_$r").mkString(", ")
+    one.select($"n_docs", $"n_pass",
+        expr(s"stack(${rules.size}, $stackArgs) AS (rule, fail_total, fail_unique)"))
+      .select($"rule", $"fail_total", $"fail_unique",
+        ($"fail_total" - $"fail_unique").as("fail_shared"),
+        round($"fail_unique".cast("double") / $"n_docs".cast("double")
+          * lit(1000000.0)).cast("long").as("regain_q6"))
+  }
+
   /** q124: Gopher repetition signals (Rae et al. 2021, §A1.1 — the
     * repetition-rule half that complements q117's quality gate): per
     * document,

@@ -412,6 +412,82 @@ object CurationStream {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  case class AblationCounts(n: Long, np: Long,
+    fw: Long, uw: Long, fm: Long, um: Long, fa: Long, ua: Long,
+    fs: Long, us: Long, fr: Long, ur: Long)
+
+  case class AblationRow(source: String, n_docs: Long, n_pass: Long,
+    fail_words: Long, uniq_words: Long, fail_mean: Long, uniq_mean: Long,
+    fail_alpha: Long, uniq_alpha: Long, fail_sym: Long, uniq_sym: Long,
+    fail_req: Long, uniq_req: Long)
+
+  /** q228's STREAMING twin: the rule-ablation counters monitored live.
+    * Both halves of the ablation — a rule's total kills AND its unique
+    * kills (fails it, passes the other four) — are per-doc predicates,
+    * so they fold ADDITIVELY in per-source keyed state (12 longs each;
+    * the stream stays partition-parallel, no global key funnel), and
+    * the corpus-level q228 table is a 5-row sum over the final
+    * per-source emissions — CurationStreamSpec pins that assembly
+    * against the batch `Text.ruleAblation` exactly. The live read: a
+    * rule whose unique-kill share starts climbing mid-ingest is
+    * becoming load-bearing for whatever source is currently arriving —
+    * the batch audit only sees the blended endpoint.
+    */
+  class RuleAblationProcessor(required: Set[String]) extends
+      org.apache.spark.sql.streaming.StatefulProcessor[
+        String, StreamDoc, AblationRow] {
+    import org.apache.spark.sql.{Encoders => Encs}
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+
+    @transient private var st: ValueState[AblationCounts] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[AblationCounts](
+        "ablationCounts", Encs.product[AblationCounts], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[StreamDoc],
+        timerValues: TimerValues): Iterator[AblationRow] = {
+      var c = if (st.exists()) st.get()
+        else AblationCounts(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+      rows.foreach { d0 =>
+        // identical verdict math to batch gopherFlags / RuleMatrixProcessor
+        val w = d0.text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        val nw = w.length.toLong
+        val nc = w.map(_.length.toLong).sum
+        val na = w.count(_.exists(ch => ch >= 'a' && ch <= 'z')).toLong
+        val ns = w.count(x => x.contains("#") || x.contains("...")).toLong
+        val nr = w.distinct.count(required).toLong
+        val p = Array(nw >= 50 && nw <= 100000,
+          nc >= nw * 3 && nc <= nw * 10,
+          na * 10 >= nw * 8, ns * 10 < nw, nr >= 2)
+        def uniq(i: Int): Long =
+          if (!p(i) && p.indices.forall(j => j == i || p(j))) 1L else 0L
+        def fail(i: Int): Long = if (p(i)) 0L else 1L
+        c = AblationCounts(c.n + 1,
+          c.np + (if (p.forall(identity)) 1L else 0L),
+          c.fw + fail(0), c.uw + uniq(0), c.fm + fail(1), c.um + uniq(1),
+          c.fa + fail(2), c.ua + uniq(2), c.fs + fail(3), c.us + uniq(3),
+          c.fr + fail(4), c.ur + uniq(4))
+      }
+      st.update(c)
+      Iterator.single(AblationRow(key, c.n, c.np, c.fw, c.uw, c.fm, c.um,
+        c.fa, c.ua, c.fs, c.us, c.fr, c.ur))
+    }
+  }
+
+  /** Streaming q228 entry point: per-source additive ablation counters;
+    * the global 5-row table is a sum over the sources' final rows.
+    */
+  def ruleAblationStream(docs: Dataset[StreamDoc],
+      required: Seq[String] = graft.functions.TextFunctions.StopWords)
+      : Dataset[AblationRow] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.source)
+      .transformWithState(new RuleAblationProcessor(required.toSet),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** A buffered admission candidate: doc metadata only, never text. */
   case class PendingDoc(doc_id: Long, n_tokens: Long, ts_ms: Long)
 

@@ -214,6 +214,42 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(tiny.sameElements(exact), "high-FP Bloom must still be exact")
   }
 
+  test("bloomFprAudit: Bloom guarantee, counts replay, formula identities") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val Array((m, k, bits, nProbes, nMembers, nFp, nFn, empQ9, predQ9)) =
+      Contamination.bloomFprAudit(spark, sf)
+        .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+        .collect()
+    assert(m == (1L << 17) && k == 3L)
+    // the Bloom guarantee: a true member can never be rejected
+    assert(nFn == 0L, "false negatives are a build bug")
+    // occupancy is bounded by insertions and by the filter width
+    assert(bits > 0 && bits <= m)
+    // probe-set replay from the raw shingle streams
+    def grams(evalSide: Boolean) = {
+      import graft.functions.{Hashing, TextFunctions}
+      val b = pmod(Hashing.md5Bits32(
+        concat(lit("eval:"), $"doc_id".cast("string")), 1), lit(100L))
+      spark.read.parquet(s"$sf/documents.parquet")
+        .select($"doc_id", TextFunctions.tokens($"text").as("ws"), b.as("b"))
+        .filter(if (evalSide) $"b" < 5 else $"b" >= 5)
+        .select(explode(Hashing.shingles($"ws", 5)).as("s"))
+        .distinct().as[String].collect().toSet
+    }
+    val ev = grams(evalSide = true)
+    val tg = grams(evalSide = false)
+    assert(nProbes == tg.size.toLong, "probe stream = distinct train grams")
+    assert(nMembers == (tg & ev).size.toLong, "members = train ∩ eval")
+    assert(bits <= 3L * ev.size, "≤ k bits per inserted gram")
+    // formula identities off the row's own integers
+    assert(empQ9 == math.round(nFp.toDouble / (nProbes - nMembers) * 1e9))
+    assert(predQ9 == math.round(
+      bits.toDouble * bits * bits / (m.toDouble * m * m) * 1e9))
+    // the audit must exercise the FP path on this fixture's filter load
+    assert(nFp >= 0 && nFp <= nProbes - nMembers)
+  }
+
   test("temperatureMixture flattens toward uniform under the sqrt law") {
     import spark.implicits._
     val rows = Sampling.temperatureMixture(spark, sf)

@@ -388,4 +388,56 @@ class CurationStreamSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("ruleAblationStream: summed final emissions assemble the q228 batch table") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select($"doc_id", $"text", $"source").as[(Long, String, String)]
+      .collect().sortBy(_._1)
+      .map { case (id, text, src) =>
+        CurationStream.StreamDoc(id, ts("2024-01-01 00:00:00"), text, src)
+      }
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[CurationStream.StreamDoc]
+    val query = CurationStream.ruleAblationStream(input.toDS())
+      .writeStream.format("memory").queryName("rule_ablation_stream")
+      .outputMode("update").start()
+    try {
+      docs.grouped(97).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq: _*)
+        query.processAllAvailable()
+      }
+      val fin = spark.table("rule_ablation_stream")
+        .as[CurationStream.AblationRow].collect()
+        .groupBy(_.source).values.map(_.maxBy(_.n_docs)).toSeq
+      val nDocs = fin.map(_.n_docs).sum
+      // the additive counters assemble the corpus-level 5-row ablation
+      val assembled = Seq(
+        ("words", fin.map(_.fail_words).sum, fin.map(_.uniq_words).sum),
+        ("mean", fin.map(_.fail_mean).sum, fin.map(_.uniq_mean).sum),
+        ("alpha", fin.map(_.fail_alpha).sum, fin.map(_.uniq_alpha).sum),
+        ("sym", fin.map(_.fail_sym).sum, fin.map(_.uniq_sym).sum),
+        ("req", fin.map(_.fail_req).sum, fin.map(_.uniq_req).sum)
+      ).map { case (r, f, u) =>
+        (r, f, u, f - u,
+          BigDecimal(u.toDouble / nDocs * 1000000.0)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      }.toSet
+      val batch = graft.operators.Text.ruleAblation(spark, sf)
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      assert(assembled == batch,
+        "summed ablation emissions must equal the q228 batch table")
+    } finally {
+      query.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }

@@ -224,4 +224,33 @@ class GraphAppSpec extends AnyFunSuite {
     // the pinned 4 sweeps must have largely settled on this fixture
     assert(rows.last._2 * 10 <= nV, "last-sweep churn under 10%")
   }
+
+  test("degreeAssortativity: stub-level Pearson replay on the fixture") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val edges = graft.operators.Graph.copurchasePairs(spark, sf)
+      .select($"p1", $"p2").as[(Long, Long)].collect()
+    val deg = scala.collection.mutable.HashMap.empty[Long, Long]
+    edges.foreach { case (a, b) =>
+      deg(a) = deg.getOrElse(a, 0L) + 1; deg(b) = deg.getOrElse(b, 0L) + 1
+    }
+    val stubs = edges.flatMap { case (a, b) =>
+      Seq((deg(a), deg(b)), (deg(b), deg(a)))
+    }
+    val n = stubs.length.toLong
+    val sx = stubs.map(_._1).sum
+    val sxy = stubs.map { case (x, y) => x * y }.sum
+    val sxx = stubs.map { case (x, _) => x * x }.sum
+    val expect =
+      if (n * sxx - sx * sx > 0)
+        (n * sxy - sx * sx).toDouble / (n * sxx - sx * sx).toDouble
+      else 0.0
+    val Array((m, meanQ6, r)) =
+      graft.operators.Graph.degreeAssortativity(spark, sf)
+        .as[(Long, Long, Double)].collect()
+    assert(m == edges.length.toLong)
+    assert(meanQ6 == math.round(sx.toDouble / n * 1e6))
+    assert(r == expect, s"got $r want $expect")
+    assert(math.abs(r) <= 1.0 + 1e-12, "Pearson bound")
+  }
 }

@@ -1972,4 +1972,68 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(alphaQ == expAlpha, s"bucket $b pooled alpha rate")
     }
   }
+
+  test("ruleAblation: unique/shared split replays the per-doc verdicts") {
+    import spark.implicits._
+    val perDoc = Text
+      .gopherQuality(spark, sf, graft.functions.TextFunctions.StopWords)
+      .select($"pass_words", $"pass_mean", $"pass_alpha", $"pass_sym",
+        $"pass_req")
+      .as[(Boolean, Boolean, Boolean, Boolean, Boolean)].collect()
+    val n = perDoc.length.toLong
+    val byRule = Seq("words", "mean", "alpha", "sym", "req").zipWithIndex
+    def flags(t: (Boolean, Boolean, Boolean, Boolean, Boolean)) =
+      Array(t._1, t._2, t._3, t._4, t._5)
+    val got = graft.operators.Text.ruleAblation(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet == byRule.map(_._1).toSet)
+    byRule.foreach { case (rule, i) =>
+      val fail = perDoc.count(t => !flags(t)(i)).toLong
+      val uniq = perDoc.count { t =>
+        val f = flags(t)
+        !f(i) && f.indices.forall(j => j == i || f(j))
+      }.toLong
+      val (_, gf, gu, gs, rq) = got(rule)
+      assert(gf == fail && gu == uniq && gs == fail - uniq, s"rule $rule")
+      assert(rq == BigDecimal(uniq.toDouble / n * 1000000.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong, s"rule $rule lift")
+    }
+    // unique kills partition into disjoint doc sets: their sum can never
+    // exceed the total rejected mass
+    val rejected = perDoc.count(t => !flags(t).forall(identity)).toLong
+    assert(got.values.map(_._3).sum <= rejected, "unique kills bounded")
+  }
+
+  test("twoNNDim: exact two-NN distances and the MLE fold replay") {
+    import spark.implicits._
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, e) => (id, e.map(x => math.round(x.toDouble * 1e7))) }
+    def dsq(a: Array[Long], b: Array[Long]): Long = {
+      var na = 0L; var nb = 0L; var dot = 0L; var i = 0
+      while (i < a.length) {
+        na += a(i) * a(i); nb += b(i) * b(i); dot += a(i) * b(i); i += 1
+      }
+      na + nb - 2 * dot
+    }
+    val lnmus = vecs.map { case (id, q) =>
+      val ds = vecs.iterator.filter(_._1 != id).map(v => dsq(q, v._2)).toArray
+      scala.util.Sorting.quickSort(ds)
+      (ds(0), ds(1))
+    }.collect { case (d1, d2) if d1 > 0 =>
+      math.round(0.5 * math.log(d2.toDouble / d1.toDouble) * 1e6)
+    }
+    val Array((nPts, nUsed, sumQ6, idQ3)) =
+      graft.operators.Similarity.twoNNDim(spark, sf)
+        .as[(Long, Long, Long, Long)].collect()
+    assert(nPts == vecs.length.toLong)
+    assert(nUsed == lnmus.length.toLong, "zero-distance points excluded")
+    assert(sumQ6 == lnmus.sum, "exact integer ln-mu fold")
+    assert(idQ3 == math.round(nUsed.toDouble * 1e6 / sumQ6.toDouble * 1000.0))
+    // the 64-dim synthetic embeddings must report a plausible intrinsic
+    // dimension: positive and no larger than the ambient dimension
+    assert(idQ3 > 0 && idQ3 <= 64000, s"intrinsic dim sane: $idQ3")
+  }
 }
