@@ -258,6 +258,7 @@ object SparkEntry {
     "q229_twonn_dim"      -> ((s, d) => Similarity.twoNNDim(s, d)),
     "q230_assortativity"  -> ((s, d) => Graph.degreeAssortativity(s, d)),
     "q231_bloom_fpr"      -> ((s, d) => Contamination.bloomFprAudit(s, d)),
+    "q232_ks_split"       -> ((s, d) => Sampling.ksSplitAudit(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -2762,6 +2763,47 @@ object SparkEntry {
         |      * 1000000.0 / sum(lnmu_q6)::DOUBLE * 1000.0)::BIGINT
         |    ELSE 0 END AS id_q3
         |FROM pt""".stripMargin,
+    // exact cross-multiplied KS numerators (HUGEINT) so the supremum and
+    // its argmax (smallest length on ties) are value-exact; the single
+    // division by n_t*n_split is the only FP op
+    "q232_ks_split" ->
+      s"""WITH s AS (SELECT n_chars,
+         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'validation'
+         |       ELSE 'test' END AS split
+         |  FROM (SELECT n_chars,
+         |    ${md5Bits32Sql("'split:' || doc_id::VARCHAR", 1)} % 100 AS b
+         |    FROM documents)),
+         |g AS (SELECT n_chars,
+         |  sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)::BIGINT AS c_t,
+         |  sum(CASE WHEN split = 'validation' THEN 1 ELSE 0 END)::BIGINT AS c_v,
+         |  sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END)::BIGINT AS c_s
+         |  FROM s GROUP BY 1),
+         |c AS (SELECT n_chars,
+         |  (sum(c_t) OVER w)::HUGEINT AS a_t,
+         |  (sum(c_v) OVER w)::HUGEINT AS a_v,
+         |  (sum(c_s) OVER w)::HUGEINT AS a_s
+         |  FROM g WINDOW w AS (ORDER BY n_chars
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |t AS (SELECT sum(c_t)::HUGEINT AS n_t, sum(c_v)::HUGEINT AS n_v,
+         |  sum(c_s)::HUGEINT AS n_s FROM g),
+         |nv AS (SELECT abs(a_t * n_v - a_v * n_t) AS num, n_chars FROM c, t),
+         |ns AS (SELECT abs(a_t * n_s - a_s * n_t) AS num, n_chars FROM c, t),
+         |u AS (
+         |  SELECT 'validation' AS split, (SELECT n_v FROM t) AS n_split,
+         |    (SELECT max(num) FROM nv) AS num,
+         |    (SELECT min(n_chars) FROM nv
+         |     WHERE num = (SELECT max(num) FROM nv)) AS at_chars
+         |  UNION ALL
+         |  SELECT 'test', (SELECT n_s FROM t),
+         |    (SELECT max(num) FROM ns),
+         |    (SELECT min(n_chars) FROM ns
+         |     WHERE num = (SELECT max(num) FROM ns)))
+         |SELECT split, (SELECT n_t FROM t)::BIGINT AS n_train,
+         |  n_split::BIGINT AS n_split, at_chars::BIGINT AS at_chars,
+         |  round(num::DOUBLE
+         |    / ((SELECT n_t FROM t)::DOUBLE * n_split::DOUBLE)
+         |    * 1000000.0)::BIGINT AS ks_q6
+         |FROM u""".stripMargin,
     // full Bloom re-derivation: the filter's realized bit positions are
     // the distinct md5-window probes of the eval grams; occupancy-
     // predicted FPR = (bits/m)³ on exact integers (bits³ < 2^53)

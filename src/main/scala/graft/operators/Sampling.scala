@@ -609,6 +609,65 @@ object Sampling {
         expr("(p90_chars - t_p90) * 1000000L div t_p90").as("p90_drift_q6"))
   }
 
+  /** q232: exact two-sample Kolmogorov–Smirnov split audit — for each
+    * held-out split (validation, test) vs train: D = max over the
+    * length domain of |F̂_train(x) − F̂_split(x)|, the WHOLE-distribution
+    * complement of q197's moment panel (a split can match mean/p50/p90
+    * and still diverge between the probe quantiles; KS is the "drift at
+    * ANY quantile" gauge, and a hash split should pass it by
+    * construction). Also emits the length at which the supremum is
+    * attained (smallest on ties) — the diagnostic pointer.
+    *
+    * Exactness: D's numerator max is taken over exact integers
+    * (|cum_t·N_s − cum_s·N_t| in decimal(38,0) — cross-multiplied CDFs,
+    * no per-length division), so the argmax and the supremum are
+    * engine/partitioning-independent; the single final division by
+    * N_t·N_s is the only FP op.
+    *
+    * Scale: the corpus collapses FIRST to the (n_chars → per-split
+    * count) aggregate — value-domain-bounded (|distinct lengths|, not
+    * |docs|) — and the one global-order running-sum window runs over
+    * THAT table, the same windows-over-aggregates shape as the
+    * |nations|/|types| panels; then a 1-row struct-max aggregate. No
+    * corpus-sized sort anywhere.
+    */
+  def ksSplitAudit(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val base = hashSplit(spark, d)
+      .join(documents(spark, d).select($"doc_id", $"n_chars"), "doc_id")
+    val g = base.groupBy($"n_chars").agg(
+      sum(when($"split" === "train", 1L).otherwise(0L)).as("c_t"),
+      sum(when($"split" === "validation", 1L).otherwise(0L)).as("c_v"),
+      sum(when($"split" === "test", 1L).otherwise(0L)).as("c_s"))
+    val w = Window.orderBy($"n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = g.select($"n_chars",
+      sum($"c_t").over(w).as("a_t"),
+      sum($"c_v").over(w).as("a_v"),
+      sum($"c_s").over(w).as("a_s"))
+    val tot = g.agg(sum($"c_t").as("n_t"), sum($"c_v").as("n_v"),
+      sum($"c_s").as("n_s"))
+    val m = cum.crossJoin(broadcast(tot)).agg(
+      max($"n_t").as("n_t"), max($"n_v").as("n_v"), max($"n_s").as("n_s"),
+      max(struct(abs($"a_t".cast(dec38) * $"n_v".cast(dec38)
+          - $"a_v".cast(dec38) * $"n_t".cast(dec38)).as("num"),
+        (-$"n_chars").as("nl"))).as("mv"),
+      max(struct(abs($"a_t".cast(dec38) * $"n_s".cast(dec38)
+          - $"a_s".cast(dec38) * $"n_t".cast(dec38)).as("num"),
+        (-$"n_chars").as("nl"))).as("ms"))
+    m.select($"n_t", explode(array(
+        struct(lit("validation").as("split"), $"n_v".as("n_split"),
+          $"mv.num".as("num"), (-$"mv.nl").as("at_chars")),
+        struct(lit("test").as("split"), $"n_s".as("n_split"),
+          $"ms.num".as("num"), (-$"ms.nl").as("at_chars")))).as("p"))
+      .select($"p.split".as("split"), $"n_t".as("n_train"),
+        $"p.n_split".as("n_split"), $"p.at_chars".as("at_chars"),
+        round($"p.num".cast("double")
+          / ($"n_t".cast("double") * $"p.n_split".cast("double"))
+          * lit(1000000.0)).cast("long").as("ks_q6"))
+  }
+
   /** q195: per-source EPOCH plan — the "data table" a training run
     * publishes (how many passes over each source at a fixed token
     * budget): target shares from the q101 temperature rule (T = 0.5,

@@ -2036,4 +2036,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     // dimension: positive and no larger than the ambient dimension
     assert(idQ3 > 0 && idQ3 <= 64000, s"intrinsic dim sane: $idQ3")
   }
+
+  test("ksSplitAudit: exact ECDF supremum and argmax replay") {
+    import spark.implicits._
+    val rows = Sampling.ksSplitAudit(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(rows.keySet == Set("validation", "test"))
+    val lens = Sampling.hashSplit(spark, sf).select($"doc_id", $"split")
+      .join(spark.read.parquet(s"$sf/documents.parquet")
+        .select($"doc_id", $"n_chars"), "doc_id")
+      .select($"split", $"n_chars").as[(String, Long)].collect()
+    val domain = lens.map(_._2).distinct.sorted
+    def cdfCounts(split: String): (Long, Map[Long, Long]) = {
+      val mine = lens.filter(_._1 == split).map(_._2)
+      var cum = 0L
+      val m = domain.map { x =>
+        cum += mine.count(_ == x).toLong; x -> cum
+      }.toMap
+      (mine.length.toLong, m)
+    }
+    val (nT, cdfT) = cdfCounts("train")
+    Seq("validation", "test").foreach { s =>
+      val (nS, cdfS) = cdfCounts(s)
+      val nums = domain.map(x => (cdfT(x) * nS - cdfS(x) * nT).abs -> x)
+      val mx = nums.map(_._1).max
+      val at = nums.filter(_._1 == mx).map(_._2).min
+      val (_, gNt, gNs, gAt, gKs) = rows(s)
+      assert(gNt == nT && gNs == nS, s"$s counts")
+      assert(gAt == at, s"$s argmax length")
+      assert(gKs == math.round(mx.toDouble / (nT.toDouble * nS) * 1e6), s"$s D")
+      // KS is a probability-scale statistic
+      assert(gKs >= 0 && gKs <= 1000000L, s"$s bound")
+    }
+  }
 }
