@@ -259,6 +259,7 @@ object SparkEntry {
     "q230_assortativity"  -> ((s, d) => Graph.degreeAssortativity(s, d)),
     "q231_bloom_fpr"      -> ((s, d) => Contamination.bloomFprAudit(s, d)),
     "q232_ks_split"       -> ((s, d) => Sampling.ksSplitAudit(s, d)),
+    "q233_pos_entropy"    -> ((s, d) => Text.positionalEntropy(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -2763,6 +2764,30 @@ object SparkEntry {
         |      * 1000000.0 / sum(lnmu_q6)::DOUBLE * 1000.0)::BIGINT
         |    ELSE 0 END AS id_q3
         |FROM pt""".stripMargin,
+    // q140's quantized-term entropy discipline per POSITION; modal token
+    // via ORDER BY c DESC, tok DESC mirroring the engine's struct-max
+    "q233_pos_entropy" ->
+      """WITH toks AS (SELECT regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents),
+        |tc AS (SELECT i AS pos, w[i] AS tok, count(*)::BIGINT AS c
+        |  FROM toks, unnest(range(1, least(len(w), 16) + 1)) AS t(i)
+        |  GROUP BY 1, 2),
+        |n AS (SELECT pos, sum(c)::BIGINT AS n, count(*)::BIGINT AS n_types
+        |  FROM tc GROUP BY 1),
+        |top AS (SELECT pos, c AS top_count, tok AS top_token FROM (
+        |  SELECT pos, c, tok,
+        |    row_number() OVER (PARTITION BY pos ORDER BY c DESC, tok DESC)
+        |      AS rk FROM tc) WHERE rk = 1)
+        |SELECT tc.pos::BIGINT AS pos, max(n.n) AS n_docs,
+        |  max(n.n_types) AS n_types,
+        |  sum(round((c::DOUBLE / n.n::DOUBLE)
+        |    * log2(n.n::DOUBLE / c::DOUBLE) * 1000000.0)::BIGINT)::BIGINT
+        |    AS entropy_q6,
+        |  max(top.top_token) AS top_token, max(top.top_count) AS top_count,
+        |  round(max(top.top_count)::DOUBLE / max(n.n)::DOUBLE
+        |    * 1000000.0)::BIGINT AS top_frac_q6
+        |FROM tc JOIN n USING (pos) JOIN top USING (pos)
+        |GROUP BY 1""".stripMargin,
     // exact cross-multiplied KS numerators (HUGEINT) so the supremum and
     // its argmax (smallest length on ties) are value-exact; the single
     // division by n_t*n_split is the only FP op

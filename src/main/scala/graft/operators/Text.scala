@@ -1809,6 +1809,55 @@ object Text {
         sum($"eq").as("entropy_q"))
   }
 
+  /** q233: positional token entropy — for each of the first `maxPos`
+    * token positions: the Shannon entropy (log2, q140's exact
+    * quantized-term discipline) of the token DISTRIBUTION at that
+    * position across the corpus, plus the modal token and its share.
+    * The template/boilerplate-opening detector q61 (cross-doc n-gram
+    * boilerplate) can't give: q61 needs a frequent n-gram anywhere,
+    * this reads positional anchoring — a crawl whose docs all open with
+    * the same header shows H(pos 1..k) collapsing toward 0 with
+    * top_frac → 1, while a healthy corpus's positional entropy is flat
+    * near the unigram entropy. Read before training: low-entropy
+    * openings teach the model a spurious BOS template.
+    *
+    * Exactness: per-(pos, token) terms round((c/n)·log2(n/c)·1e6) are
+    * quantized BEFORE the per-position sum (exact integer fold — the
+    * q140 contract); the modal token is a struct-max on (count, token),
+    * ties → greatest token, mirrored by the oracle's ORDER BY.
+    *
+    * Shape: one scan exploding only the first `maxPos` tokens per doc
+    * (slice BEFORE explode — corpus cost is maxPos·|docs|, not
+    * Σ doc_len), one (pos, token) hash aggregate with map-side combine,
+    * a broadcast join against the ≤ maxPos-row position totals, and a
+    * maxPos-row final aggregate. No window, nothing corpus-sized
+    * shuffles twice.
+    */
+  def positionalEntropy(spark: SparkSession, d: String,
+      maxPos: Int = 16): DataFrame = {
+    import spark.implicits._
+    val tc = documents(spark, d)
+      .select(posexplode(slice(tokens($"text"), 1, maxPos)).as(Seq("p0", "w")))
+      .select(($"p0" + 1).cast("long").as("pos"), $"w")
+      .groupBy($"pos", $"w").agg(count(lit(1)).as("c"))
+    val n = tc.groupBy($"pos")
+      .agg(sum($"c").as("n"), count(lit(1)).as("n_types"))
+    tc.join(broadcast(n), "pos")
+      .select($"pos", $"n", $"n_types",
+        round(($"c".cast("double") / $"n".cast("double"))
+          * log2($"n".cast("double") / $"c".cast("double"))
+          * lit(1000000.0)).cast("long").as("eq"),
+        struct($"c", $"w").as("tw"))
+      .groupBy($"pos").agg(
+        max($"n").as("n_docs"), max($"n_types").as("n_types"),
+        sum($"eq").as("entropy_q6"),
+        max($"tw").as("top"))
+      .select($"pos", $"n_docs", $"n_types", $"entropy_q6",
+        $"top.w".as("top_token"), $"top.c".as("top_count"),
+        round($"top.c".cast("double") / $"n_docs".cast("double")
+          * lit(1000000.0)).cast("long").as("top_frac_q6"))
+  }
+
   def topNgramRepetition(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     import graft.functions.Hashing.shinglesAll

@@ -2069,4 +2069,33 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(gKs >= 0 && gKs <= 1000000L, s"$s bound")
     }
   }
+
+  test("positionalEntropy: per-position distribution replay and bounds") {
+    import spark.implicits._
+    val rows = Text.positionalEntropy(spark, sf)
+      .as[(Long, Long, Long, Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(lower($"text")).as[String].collect()
+      .map(_.split("\\s+", -1).take(16))
+    (1 to 16).foreach { p =>
+      val at = toks.filter(_.length >= p).map(_(p - 1))
+      val counts = at.groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+      val n = at.length.toLong
+      val h = counts.values.map { c =>
+        val term = c.toDouble / n *
+          (math.log(n.toDouble / c) / math.log(2.0)) * 1e6
+        BigDecimal(term).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }.sum
+      val (_, nDocs, nTypes, hQ6, topTok, topCnt, topFrac) = rows(p.toLong)
+      assert(nDocs == n && nTypes == counts.size.toLong, s"pos $p counts")
+      assert(hQ6 == h, s"pos $p entropy")
+      val best = counts.toSeq.map { case (w, c) => (c, w) }.max
+      assert((topCnt, topTok) == best, s"pos $p modal token")
+      assert(topFrac == math.round(topCnt.toDouble / nDocs * 1e6))
+      // entropy of an n_types-ary distribution is bounded by log2(types)
+      assert(hQ6 <= math.ceil(math.log(nTypes.toDouble) / math.log(2.0) * 1e6)
+        .toLong + nTypes, s"pos $p bound")
+    }
+  }
 }
