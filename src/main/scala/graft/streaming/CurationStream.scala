@@ -488,6 +488,74 @@ object CurationStream {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  case class PosEntropyRow(pos: Long, n_docs: Long, n_types: Long,
+    entropy_q6: Long, top_token: String, top_count: Long, top_frac_q6: Long)
+
+  /** q233's STREAMING twin: positional token entropy monitored live on
+    * the Spark 4 `MapState` surface — per position key (1..maxPos), the
+    * token→count histogram lives in a state-store-backed map (RocksDB
+    * at scale: vocabulary-bounded state PER POSITION, never a heap
+    * materialization), each arrival bumps `maxPos` map cells, and every
+    * batch re-emits the position's full entropy row from state. The
+    * live read: a template suddenly dominating a source's openings
+    * shows as pos-1 entropy collapsing mid-ingest. Emission math
+    * replays the batch contract exactly (per-token quantized HALF_UP
+    * terms, struct-max tie order), so the final emission per position
+    * IS the q233 batch row — CurationStreamSpec pins the law.
+    */
+  class PosEntropyProcessor extends
+      org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String), PosEntropyRow] {
+    import org.apache.spark.sql.{Encoders => Encs}
+    import org.apache.spark.sql.streaming.{MapState, TTLConfig, TimeMode, TimerValues}
+
+    @transient private var counts: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long](
+        "posTokenCounts", Encs.STRING, Encs.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+        timerValues: TimerValues): Iterator[PosEntropyRow] = {
+      rows.foreach { case (_, w) =>
+        val prev = if (counts.containsKey(w)) counts.getValue(w) else 0L
+        counts.updateValue(w, prev + 1L)
+      }
+      val hist = counts.iterator().map { p => (p._1, p._2) }.toArray
+      if (hist.isEmpty) Iterator.empty
+      else {
+        val n = hist.map(_._2).sum
+        val h = hist.map { case (_, c) =>
+          val term = c.toDouble / n *
+            (math.log(n.toDouble / c) / math.log(2.0)) * 1000000.0
+          BigDecimal(term).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        }.sum
+        val (topC, topW) = hist.map { case (w, c) => (c, w) }.max
+        val frac = BigDecimal(topC.toDouble / n * 1000000.0)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        Iterator.single(PosEntropyRow(key, n, hist.length.toLong, h,
+          topW, topC, frac))
+      }
+    }
+  }
+
+  /** Streaming q233 entry point: docs explode to their first `maxPos`
+    * (position, token) pairs, keyed by position; each position's
+    * histogram folds in MapState.
+    */
+  def posEntropyStream(docs: Dataset[StreamDoc], maxPos: Int = 16)
+      : Dataset[PosEntropyRow] = {
+    import docs.sparkSession.implicits._
+    docs
+      .flatMap { d0 =>
+        d0.text.toLowerCase.split("\\s+", -1).take(maxPos).zipWithIndex
+          .map { case (w, i) => ((i + 1).toLong, w) }
+      }
+      .groupByKey(_._1)
+      .transformWithState(new PosEntropyProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** A buffered admission candidate: doc metadata only, never text. */
   case class PendingDoc(doc_id: Long, n_tokens: Long, ts_ms: Long)
 

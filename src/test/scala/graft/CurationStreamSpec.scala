@@ -440,4 +440,46 @@ class CurationStreamSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("posEntropyStream: final MapState emissions equal the q233 batch rows") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select($"doc_id", $"text", $"source").as[(Long, String, String)]
+      .collect().sortBy(_._1)
+      .map { case (id, text, src) =>
+        CurationStream.StreamDoc(id, ts("2024-01-01 00:00:00"), text, src)
+      }
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[CurationStream.StreamDoc]
+    val query = CurationStream.posEntropyStream(input.toDS())
+      .writeStream.format("memory").queryName("pos_entropy_stream")
+      .outputMode("update").start()
+    try {
+      docs.grouped(131).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq: _*)
+        query.processAllAvailable()
+      }
+      val fin = spark.table("pos_entropy_stream")
+        .as[CurationStream.PosEntropyRow].collect()
+        .groupBy(_.pos).values.map(_.maxBy(_.n_docs)).map { r =>
+          (r.pos, r.n_docs, r.n_types, r.entropy_q6, r.top_token,
+            r.top_count, r.top_frac_q6)
+        }.toSet
+      val batch = graft.operators.Text.positionalEntropy(spark, sf)
+        .as[(Long, Long, Long, Long, String, Long, Long)].collect().toSet
+      assert(fin == batch,
+        "final positional-entropy emissions must equal the q233 batch rows")
+    } finally {
+      query.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
