@@ -260,6 +260,7 @@ object SparkEntry {
     "q231_bloom_fpr"      -> ((s, d) => Contamination.bloomFprAudit(s, d)),
     "q232_ks_split"       -> ((s, d) => Sampling.ksSplitAudit(s, d)),
     "q233_pos_entropy"    -> ((s, d) => Text.positionalEntropy(s, d)),
+    "q234_burstiness"     -> ((s, d) => Windowed.burstiness(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -2764,6 +2765,27 @@ object SparkEntry {
         |      * 1000000.0 / sum(lnmu_q6)::DOUBLE * 1000.0)::BIGINT
         |    ELSE 0 END AS id_q3
         |FROM pt""".stripMargin,
+    // B = (√D − Σg)/(√D + Σg) with D = n·Σg² − (Σg)² exact HUGEINT —
+    // one sqrt + one division is the whole FP tail, mirrored exactly
+    "q234_burstiness" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |  epoch_us(ts) AS ts_us FROM events),
+        |g AS (SELECT user_id, event_type,
+        |  ts_us - lag(ts_us) OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts_us, event_id) AS gap
+        |  FROM e),
+        |f AS (SELECT * FROM g WHERE gap IS NOT NULL),
+        |a AS (SELECT event_type, count(*)::BIGINT AS n_gaps,
+        |  count(DISTINCT user_id)::BIGINT AS n_users,
+        |  sum(gap::HUGEINT) AS sg, sum(gap::HUGEINT * gap::HUGEINT) AS sgg
+        |  FROM f GROUP BY 1)
+        |SELECT event_type, n_users, n_gaps,
+        |  sg::DOUBLE / n_gaps::DOUBLE AS mean_gap_us,
+        |  CASE WHEN n_gaps > 1 AND sg > 0 THEN
+        |    (sqrt((n_gaps::HUGEINT * sgg - sg * sg)::DOUBLE) - sg::DOUBLE)
+        |    / (sqrt((n_gaps::HUGEINT * sgg - sg * sg)::DOUBLE) + sg::DOUBLE)
+        |  ELSE 0.0 END AS burstiness
+        |FROM a""".stripMargin,
     // q140's quantized-term entropy discipline per POSITION; modal token
     // via ORDER BY c DESC, tok DESC mirroring the engine's struct-max
     "q233_pos_entropy" ->

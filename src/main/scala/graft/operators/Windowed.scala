@@ -229,6 +229,52 @@ object Windowed {
     * reads the pinned partitions, so the sessionize lineage (events
     * scan + user window) runs exactly once.
     */
+  /** q234: inter-arrival burstiness per event type — Goh & Barabási's
+    * B = (σ−μ)/(σ+μ) over every user's consecutive same-type event
+    * gaps. THE automation signal the count panels (q153 anomaly, q159
+    * growth, q214 trending) can't see: human activity is bursty
+    * (B > 0 — long silences, dense flurries), cron-like bot traffic is
+    * periodic (B < 0, σ ≪ μ), and a type whose B collapses toward −1
+    * mid-corpus is being farmed. Read before trusting events-derived
+    * training signals (q113 funnels, q120 retention, q135 dwell).
+    *
+    * Exactness: multiply B's numerator and denominator by n: with
+    * D = n·Σg² − (Σg)² (exact decimal(38,0) — n²σ² by the computational
+    * identity) B = (√D − Σg)/(√D + Σg) — two exact integers into one
+    * sqrt and one division, the whole FP tail mirrored in the oracle.
+    * Gap multiset is tie-order invariant (equal timestamps contribute
+    * the same zero gaps either way); the lag order still pins event_id
+    * so the PLAN is deterministic, not just the answer.
+    *
+    * Shape: one lag window per (user, type) — key-bounded partitions,
+    * the blessed shape — then ONE |types|-row aggregate with map-side
+    * combine. Nothing corpus-sized shuffles twice, nothing collected.
+    */
+  def burstiness(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val w = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"ts_us", $"event_id")
+    val gaps = events(spark, d)
+      .select($"user_id", $"event_type", $"event_id",
+        unix_micros($"ts").as("ts_us"))
+      .withColumn("gap", $"ts_us" - lag($"ts_us", 1).over(w))
+      .filter($"gap".isNotNull)
+    gaps.groupBy($"event_type").agg(
+        count(lit(1)).as("n_gaps"),
+        countDistinct($"user_id").as("n_users"),
+        sum($"gap".cast(dec38)).as("sg"),
+        sum(($"gap".cast(dec38) * $"gap".cast(dec38))).as("sgg"))
+      .select($"event_type", $"n_users", $"n_gaps",
+        ($"sg".cast("double") / $"n_gaps".cast("double")).as("mean_gap_us"),
+        when($"n_gaps" > 1 && $"sg" > 0, {
+          val dd = ($"n_gaps".cast(dec38) * $"sgg" - $"sg" * $"sg")
+            .cast("double")
+          (sqrt(dd) - $"sg".cast("double")) /
+            (sqrt(dd) + $"sg".cast("double"))
+        }).otherwise(lit(0.0)).as("burstiness"))
+  }
+
   def sessionStats(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val s = Ranks.pinBase(sessionize(spark, d))

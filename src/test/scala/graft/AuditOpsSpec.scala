@@ -17,6 +17,39 @@ class AuditOpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sf = "/root/testdata/sf0.001"
 
+  test("burstiness: exact per-type gap-multiset replay; Goh-Barabási bounds") {
+    import spark.implicits._
+    val got = Windowed.burstiness(spark, sf)
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val ev = graft.core.Tables.events(spark, sf)
+      .select($"user_id", $"event_type", $"event_id",
+        unix_micros($"ts").as("t"))
+      .as[(Long, String, Long, Long)].collect()
+    ev.groupBy(_._2).foreach { case (typ, rows) =>
+      val byUser = rows.groupBy(_._1)
+      val gaps = byUser.values.flatMap { u =>
+        val s = u.sortBy(r => (r._4, r._3)).map(_._4).toSeq
+        s.zip(s.tail).map { case (a, b) => b - a }
+      }.toSeq
+      val users = byUser.count { case (_, u) => u.size >= 2 }.toLong
+      val n = gaps.size.toLong
+      val sg = gaps.map(BigInt(_)).sum
+      val sgg = gaps.map(g => BigInt(g) * BigInt(g)).sum
+      val dd = BigInt(n) * sgg - sg * sg
+      val expB = if (n > 1 && sg > 0)
+        (math.sqrt(dd.toDouble) - sg.toDouble) /
+          (math.sqrt(dd.toDouble) + sg.toDouble)
+      else 0.0
+      val (_, nu, ng, mean, b) = got(typ)
+      assert(ng == n && nu == users, s"type $typ counts")
+      assert(mean == sg.toDouble / n, s"type $typ mean gap")
+      assert(b == expB, s"type $typ burstiness")
+      // B lives strictly inside (-1, 1) for positive gaps
+      assert(b > -1.0 && b < 1.0, s"type $typ bound")
+    }
+  }
+
   private def quantHalfUp(x: Float): Long =
     new java.math.BigDecimal(x.toDouble * 1e7)
       .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
