@@ -261,6 +261,7 @@ object SparkEntry {
     "q232_ks_split"       -> ((s, d) => Sampling.ksSplitAudit(s, d)),
     "q233_pos_entropy"    -> ((s, d) => Text.positionalEntropy(s, d)),
     "q234_burstiness"     -> ((s, d) => Windowed.burstiness(s, d)),
+    "q235_centroid_drift" -> ((s, d) => Similarity.centroidDriftAudit(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -2765,6 +2766,41 @@ object SparkEntry {
         |      * 1000000.0 / sum(lnmu_q6)::DOUBLE * 1000.0)::BIGINT
         |    ELSE 0 END AS id_q3
         |FROM pt""".stripMargin,
+    // exact integer half-centroid sums (the q206 discipline, cosine is
+    // scale-free); member cosines quantized to 1e6 BEFORE the per-half
+    // mean so the coherence fold is an exact integer sum
+    "q235_centroid_drift" ->
+      """WITH ex AS (SELECT vec_id,
+        |    round(unnest(embedding)::DOUBLE * 10000000)::BIGINT AS v,
+        |    unnest(range(len(embedding))) AS i FROM embeddings),
+        |mm AS (SELECT min(vec_id) AS mn, max(vec_id) AS mx FROM embeddings),
+        |h AS (SELECT ex.vec_id, (vec_id <= (mn + mx) // 2) AS early, i, v
+        |      FROM ex, mm),
+        |sli AS (SELECT early, i, sum(v)::BIGINT AS s, count(*)::BIGINT AS cnt
+        |        FROM h GROUP BY 1, 2),
+        |n2h AS (SELECT early, sum(s::HUGEINT * s::HUGEINT) AS n2s,
+        |        max(cnt) AS n_vecs FROM sli GROUP BY 1),
+        |n2v AS (SELECT vec_id, sum(v*v)::BIGINT AS n2 FROM ex GROUP BY 1),
+        |cc AS (SELECT sum(a.s::HUGEINT * b.s::HUGEINT) AS dot
+        |  FROM sli a JOIN sli b ON a.i = b.i AND a.early AND NOT b.early),
+        |md AS (SELECT h.vec_id, h.early,
+        |    sum(h.v::HUGEINT * sli.s::HUGEINT) AS dot
+        |  FROM h JOIN sli ON h.early = sli.early AND h.i = sli.i
+        |  GROUP BY 1, 2),
+        |co AS (SELECT md.early,
+        |    round(sum(round(md.dot::DOUBLE
+        |      / (sqrt(n2v.n2::DOUBLE) * sqrt(n2h.n2s::DOUBLE))
+        |      * 1000000.0)::BIGINT)::DOUBLE / count(*)::DOUBLE)::BIGINT AS coh
+        |  FROM md JOIN n2v USING (vec_id) JOIN n2h ON md.early = n2h.early
+        |  GROUP BY 1)
+        |SELECT (SELECT n_vecs FROM n2h WHERE early) AS n_early,
+        |  (SELECT n_vecs FROM n2h WHERE NOT early) AS n_late,
+        |  round((SELECT dot FROM cc)::DOUBLE
+        |    / (sqrt((SELECT n2s FROM n2h WHERE early)::DOUBLE)
+        |       * sqrt((SELECT n2s FROM n2h WHERE NOT early)::DOUBLE))
+        |    * 1000000.0)::BIGINT AS centroid_cos_q6,
+        |  (SELECT coh FROM co WHERE early) AS coherence_early_q6,
+        |  (SELECT coh FROM co WHERE NOT early) AS coherence_late_q6""".stripMargin,
     // B = (√D − Σg)/(√D + Σg) with D = n·Σg² − (Σg)² exact HUGEINT —
     // one sqrt + one division is the whole FP tail, mirrored exactly
     "q234_burstiness" ->

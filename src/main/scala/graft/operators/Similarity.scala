@@ -1211,6 +1211,80 @@ object Similarity {
           .otherwise(lit(0L)).as("id_q3"))
   }
 
+  /** q235: semantic stationarity audit — split the corpus at the vec_id
+    * midpoint into an EARLY and a LATE half (ids track ingest order, so
+    * this is "first half of the crawl vs second") and report: the
+    * cosine between the two half-centroids, and each half's internal
+    * coherence (mean member-to-own-centroid cosine). The topic-drift
+    * gauge a mixture designer reads before assuming one epoch of the
+    * corpus is exchangeable with the next: centroid_cos well below both
+    * coherence columns means the crawl's subject matter MOVED mid-
+    * corpus, and q54/q101 mixture weights fitted on the early half
+    * mis-weight the late one. Complements q206 (label-conditioned
+    * centroids) with an unconditioned temporal cut.
+    *
+    * Exactness: half centroids are exact integer dim-sums (the
+    * labelDimSums/q206 discipline — cosine is scale-free so the 1/n
+    * never happens); member cosines quantize to 1e6 BEFORE the per-half
+    * sum (exact integer fold, no FP order leak); products go through
+    * decimal(38,0) (dot terms v·s reach ~1e19 at corpus scale — past
+    * long, inside dec38).
+    *
+    * Shape: one posexplode pass → (half, i) dim sums (≤ 2·dims rows
+    * broadcast), one broadcast join back for the member dots, two
+    * scalar aggregates. Nothing corpus-sized shuffles; the half
+    * boundary is a 1-row min/max broadcast, never a rank.
+    */
+  def centroidDriftAudit(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val c = corpusWithNorm(spark, d)
+    val mm = c.agg(min($"vec_id").as("mn"), max($"vec_id").as("mx"))
+    val withHalf = c.crossJoin(broadcast(mm))
+      .select($"vec_id", $"qemb", $"n2",
+        ($"vec_id" <= expr("(mn + mx) div 2")).as("early"))
+    val sli = withHalf
+      .select($"early", posexplode($"qemb").as(Seq("i", "v")))
+      .groupBy($"early", $"i")
+      .agg(sum($"v").as("s"), count(lit(1)).as("cnt"))
+    val n2h = sli.groupBy($"early")
+      .agg(sum($"s".cast(dec38) * $"s".cast(dec38)).as("n2s"),
+        max($"cnt").as("n_vecs"))
+    // centroid-vs-centroid: ONE dot over dims
+    val cc = sli.filter($"early").select($"i", $"s".as("sa"))
+      .join(sli.filter(!$"early").select($"i", $"s".as("sb")), "i")
+      .agg(sum($"sa".cast(dec38) * $"sb".cast(dec38)).as("dot"))
+      .crossJoin(broadcast(n2h.filter($"early")
+        .select($"n2s".as("na"), $"n_vecs".as("n_early"))))
+      .crossJoin(broadcast(n2h.filter(!$"early")
+        .select($"n2s".as("nb"), $"n_vecs".as("n_late"))))
+      .select($"n_early", $"n_late",
+        round($"dot".cast("double")
+          / (sqrt($"na".cast("double")) * sqrt($"nb".cast("double")))
+          * lit(1000000.0)).cast("long").as("centroid_cos_q6"))
+    // member-to-own-centroid coherence, quantized before the sum
+    val memberDots = withHalf
+      .select($"vec_id", $"early", $"n2", posexplode($"qemb").as(Seq("i", "v")))
+      .join(broadcast(sli.select($"early", $"i", $"s")), Seq("early", "i"))
+      .groupBy($"vec_id", $"early", $"n2")
+      .agg(sum($"v".cast(dec38) * $"s".cast(dec38)).as("dot"))
+    val disp = memberDots
+      .join(broadcast(n2h.select($"early", $"n2s")), "early")
+      .select($"early",
+        round($"dot".cast("double")
+          / (sqrt($"n2".cast("double")) * sqrt($"n2s".cast("double")))
+          * lit(1000000.0)).cast("long").as("eq"))
+      .groupBy($"early").agg(sum($"eq").as("se"), count(lit(1)).as("n"))
+      .select($"early",
+        round($"se".cast("double") / $"n".cast("double")).cast("long").as("coh"))
+    cc.crossJoin(broadcast(disp.filter($"early")
+        .select($"coh".as("coherence_early_q6"))))
+      .crossJoin(broadcast(disp.filter(!$"early")
+        .select($"coh".as("coherence_late_q6"))))
+      .select($"n_early", $"n_late", $"centroid_cos_q6",
+        $"coherence_early_q6", $"coherence_late_q6")
+  }
+
   /** q215: lexical-vs-semantic near-dup agreement — the pair sets of
     * the exact Jaccard detector (q16, τ=0.5) and the embedding-cosine
     * detector (q25, cos ≥ 0.4) compared as sets (vec_id ≡ doc_id):

@@ -2098,4 +2098,46 @@ class PipelineOpsSpec extends AnyFunSuite {
         .toLong + nTypes, s"pos $p bound")
     }
   }
+
+  test("centroidDriftAudit: exact half-centroid and coherence replay") {
+    import spark.implicits._
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, e) => (id, e.map(x => math.round(x.toDouble * 1e7))) }
+    val bound = (vecs.map(_._1).min + vecs.map(_._1).max) / 2
+    val halves = vecs.groupBy(_._1 <= bound)
+    def dimSums(h: Boolean): Array[BigInt] = {
+      val dims = halves(h).head._2.length
+      val s = Array.fill(dims)(BigInt(0))
+      halves(h).foreach { case (_, q) =>
+        var i = 0; while (i < dims) { s(i) += q(i); i += 1 }
+      }
+      s
+    }
+    val (sa, sb) = (dimSums(true), dimSums(false))
+    def dot(a: Array[BigInt], b: Array[BigInt]): BigInt =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val ccQ6 = math.round(dot(sa, sb).toDouble /
+      (math.sqrt(dot(sa, sa).toDouble) * math.sqrt(dot(sb, sb).toDouble)) * 1e6)
+    def coh(h: Boolean): Long = {
+      val s = if (h) sa else sb
+      val n2s = dot(s, s)
+      val eqs = halves(h).map { case (_, q) =>
+        val d = q.zip(s).map { case (v, sv) => BigInt(v) * sv }.sum
+        val n2v = q.map(v => BigInt(v) * BigInt(v)).sum
+        math.round(d.toDouble /
+          (math.sqrt(n2v.toDouble) * math.sqrt(n2s.toDouble)) * 1e6)
+      }
+      math.round(eqs.sum.toDouble / eqs.length)
+    }
+    val Array((nE, nL, gotCc, cohE, cohL)) =
+      graft.operators.Similarity.centroidDriftAudit(spark, sf)
+        .as[(Long, Long, Long, Long, Long)].collect()
+    assert(nE == halves(true).length.toLong && nL == halves(false).length.toLong)
+    assert(gotCc == ccQ6, "half-centroid cosine")
+    assert(cohE == coh(true) && cohL == coh(false), "coherence replay")
+    // cosines are q6 probabilities in [-1, 1]
+    Seq(gotCc, cohE, cohL).foreach(v => assert(v.abs <= 1000000L))
+  }
 }
