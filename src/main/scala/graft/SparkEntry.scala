@@ -262,6 +262,7 @@ object SparkEntry {
     "q233_pos_entropy"    -> ((s, d) => Text.positionalEntropy(s, d)),
     "q234_burstiness"     -> ((s, d) => Windowed.burstiness(s, d)),
     "q235_centroid_drift" -> ((s, d) => Similarity.centroidDriftAudit(s, d)),
+    "q236_pad_split"      -> ((s, d) => Sampling.padSplitPlan(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -2766,6 +2767,33 @@ object SparkEntry {
         |      * 1000000.0 / sum(lnmu_q6)::DOUBLE * 1000.0)::BIGINT
         |    ELSE 0 END AS id_q3
         |FROM pt""".stripMargin,
+    // waste2(b) from histogram prefix sums — one value-domain window
+    // pass scores every candidate boundary; ties to the smallest b
+    "q236_pad_split" ->
+      """WITH hist AS (SELECT n_chars AS len, count(*)::BIGINT AS cnt
+        |  FROM documents GROUP BY 1),
+        |cum AS (SELECT len, cnt,
+        |  (sum(cnt) OVER w)::HUGEINT AS cn,
+        |  (sum(len::HUGEINT * cnt::HUGEINT) OVER w)::HUGEINT AS cs
+        |  FROM hist WINDOW w AS (ORDER BY len
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tot AS (SELECT sum(cnt)::HUGEINT AS n_docs,
+        |  sum(len::HUGEINT * cnt::HUGEINT) AS s_chars,
+        |  max(len)::HUGEINT AS max_len FROM hist),
+        |wst AS (SELECT len, (len::HUGEINT * cn - cs)
+        |    + (max_len * (n_docs - cn) - (s_chars - cs)) AS waste2
+        |  FROM cum, tot),
+        |best AS (SELECT waste2, len FROM wst
+        |  ORDER BY waste2 ASC, len ASC LIMIT 1)
+        |SELECT n_docs::BIGINT AS n_docs, max_len::BIGINT AS max_len,
+        |  best.len::BIGINT AS boundary_chars,
+        |  (max_len * n_docs - s_chars)::BIGINT AS waste_one_bucket,
+        |  best.waste2::BIGINT AS waste_two_buckets,
+        |  CASE WHEN max_len * n_docs - s_chars > 0 THEN
+        |    round(((max_len * n_docs - s_chars) - best.waste2)::DOUBLE
+        |      / (max_len * n_docs - s_chars)::DOUBLE * 1000000.0)::BIGINT
+        |  ELSE 0 END AS savings_q6
+        |FROM tot, best""".stripMargin,
     // exact integer half-centroid sums (the q206 discipline, cosine is
     // scale-free); member cosines quantized to 1e6 BEFORE the per-half
     // mean so the coherence fold is an exact integer sum

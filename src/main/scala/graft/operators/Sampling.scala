@@ -668,6 +668,58 @@ object Sampling {
           * lit(1000000.0)).cast("long").as("ks_q6"))
   }
 
+  /** q236: optimal two-bucket padding split — pick the length boundary
+    * b that minimizes total padding when every document is padded to
+    * its bucket's ceiling (b for docs ≤ b, max length L for the rest):
+    * the bucketed-batching boundary chooser (q207 packs into GIVEN
+    * aspect buckets, q219 sweeps batch sizes at fixed geometry — this
+    * OPTIMIZES the bucket geometry itself). Emitted beside the
+    * single-bucket baseline waste and the savings share, so the dial
+    * reads "a second bucket at b chars buys X% less padding".
+    *
+    * Exactness & the scale trick: waste2(b) = (b·cum(b) − csum(b)) +
+    * (L·(N − cum(b)) − (S − csum(b))) is a pure function of the length
+    * HISTOGRAM's prefix sums, so the argmin over ALL candidate
+    * boundaries costs one value-domain-bounded window pass (|distinct
+    * lengths| rows, never |docs|) — no per-candidate rescan, no
+    * quadratic sweep. All terms are exact decimal(38,0) products; ties
+    * break to the smallest boundary via struct-min; the savings ratio's
+    * single division is the only FP op.
+    */
+  def padSplitPlan(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val hist = documents(spark, d).groupBy($"n_chars".as("len"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy($"len")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.select($"len", $"cnt",
+      sum($"cnt").over(w).as("cn"),
+      sum($"len".cast(dec38) * $"cnt".cast(dec38)).over(w).as("cs"))
+    val tot = hist.agg(sum($"cnt").as("n_docs"),
+      sum($"len".cast(dec38) * $"cnt".cast(dec38)).as("s_chars"),
+      max($"len").as("max_len"))
+    val m = cum.crossJoin(broadcast(tot)).select($"n_docs", $"s_chars",
+        $"max_len", $"len",
+        (($"len".cast(dec38) * $"cn".cast(dec38) - $"cs")
+          + ($"max_len".cast(dec38) * ($"n_docs" - $"cn").cast(dec38)
+            - ($"s_chars" - $"cs"))).as("waste2"))
+      .agg(max($"n_docs").as("n_docs"), max($"max_len").as("max_len"),
+        max($"s_chars").as("s_chars"),
+        min(struct($"waste2", $"len")).as("best"))
+    m.select($"n_docs", $"max_len",
+        $"best.len".as("boundary_chars"),
+        ($"max_len".cast(dec38) * $"n_docs".cast(dec38) - $"s_chars")
+          .cast("long").as("waste_one_bucket"),
+        $"best.waste2".cast("long").as("waste_two_buckets"))
+      .select($"n_docs", $"max_len", $"boundary_chars",
+        $"waste_one_bucket", $"waste_two_buckets",
+        when($"waste_one_bucket" > 0,
+          round(($"waste_one_bucket" - $"waste_two_buckets").cast("double")
+            / $"waste_one_bucket".cast("double") * lit(1000000.0))
+            .cast("long")).otherwise(lit(0L)).as("savings_q6"))
+  }
+
   /** q195: per-source EPOCH plan — the "data table" a training run
     * publishes (how many passes over each source at a fixed token
     * budget): target shares from the q101 temperature rule (T = 0.5,

@@ -2140,4 +2140,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     // cosines are q6 probabilities in [-1, 1]
     Seq(gotCc, cohE, cohL).foreach(v => assert(v.abs <= 1000000L))
   }
+
+  test("padSplitPlan: brute-force optimality over every candidate boundary") {
+    import spark.implicits._
+    val lens = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"n_chars").as[Long].collect()
+    val n = lens.length.toLong
+    val s = lens.map(BigInt(_)).sum
+    val mx = lens.max
+    def waste2(b: Long): BigInt =
+      lens.map(l => BigInt(if (l <= b) b - l else mx - l)).sum
+    val candidates = lens.distinct.map(b => (waste2(b), b)).sortBy(identity)
+    val (bestW, bestB) = candidates.head
+    val waste1 = BigInt(mx) * n - s
+    val Array((gN, gMx, gB, gW1, gW2, gSav)) =
+      graft.operators.Sampling.padSplitPlan(spark, sf)
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(gN == n && gMx == mx)
+    assert(gB == bestB && BigInt(gW2) == bestW, "argmin boundary + waste")
+    assert(BigInt(gW1) == waste1 && gW2 <= gW1, "two buckets never worse")
+    assert(gSav == math.round((waste1 - bestW).toDouble / waste1.toDouble * 1e6))
+    // optimality against EVERY candidate, not just the reported one
+    candidates.foreach { case (w, b) => assert(bestW <= w, s"boundary $b") }
+  }
 }
