@@ -263,6 +263,7 @@ object SparkEntry {
     "q234_burstiness"     -> ((s, d) => Windowed.burstiness(s, d)),
     "q235_centroid_drift" -> ((s, d) => Similarity.centroidDriftAudit(s, d)),
     "q236_pad_split"      -> ((s, d) => Sampling.padSplitPlan(s, d)),
+    "q237_retrieval_eval" -> ((s, d) => Retrieval.retrievalEval(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -2767,6 +2768,68 @@ object SparkEntry {
         |      * 1000000.0 / sum(lnmu_q6)::DOUBLE * 1000.0)::BIGINT
         |    ELSE 0 END AS id_q3
         |FROM pt""".stripMargin,
+    // the q116 BM25 chain (rank table) × the q16 Jaccard truth pairs;
+    // reciprocal ranks are exact integer floor-divs, misses are 0
+    "q237_retrieval_eval" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |    t -> regexp_full_match(t, '[a-z]+') AND NOT list_contains($stopList, t))) AS t
+         |  FROM documents),
+         |ev AS (SELECT doc_id,
+         |  ${md5Bits32Sql("'eval:' || doc_id::VARCHAR", 1)} % 100 < 5 AS ev
+         |  FROM documents),
+         |tf AS (SELECT toks.doc_id, t, count(*)::BIGINT AS tf
+         |       FROM toks JOIN ev USING (doc_id) WHERE NOT ev GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+         |st AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sumdl FROM dl),
+         |dfT AS (SELECT t, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+         |q AS (SELECT DISTINCT toks.doc_id AS query_id, t
+         |      FROM toks JOIN ev USING (doc_id) WHERE ev),
+         |sq AS (SELECT q.query_id, tf.doc_id,
+         |  round(log2(((n - df + 0.5) / (df + 0.5)) + 1.0)
+         |    * (tf * 2.2)
+         |    / (tf + 1.2 * (0.25 + 0.75 * ((dl * n)::DOUBLE / sumdl::DOUBLE)))
+         |    * 1000000.0)::BIGINT AS sq
+         |  FROM q JOIN tf USING (t) JOIN dfT USING (t)
+         |  JOIN dl ON tf.doc_id = dl.doc_id, st),
+         |sc AS (SELECT query_id, doc_id, sum(sq)::BIGINT AS score_q
+         |       FROM sq GROUP BY 1, 2),
+         |rk AS (SELECT query_id, doc_id,
+         |       row_number() OVER (PARTITION BY query_id
+         |         ORDER BY score_q DESC, doc_id)::BIGINT AS rank FROM sc),
+         |wtk AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+         |        FROM documents),
+         |sh3 AS (SELECT DISTINCT doc_id, s FROM (
+         |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+         |  FROM wtk, unnest(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3)),
+         |szs AS (SELECT doc_id, count(*) AS sz FROM sh3 GROUP BY 1),
+         |itr AS (SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS inter
+         |        FROM sh3 a JOIN sh3 b ON a.s = b.s AND a.doc_id < b.doc_id
+         |        GROUP BY 1, 2),
+         |prs AS (SELECT x, y FROM itr
+         |  JOIN szs sa ON x = sa.doc_id JOIN szs sb ON y = sb.doc_id
+         |  WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.5),
+         |tr AS (SELECT CASE WHEN ea.ev THEN p.x ELSE p.y END AS query_id,
+         |              CASE WHEN ea.ev THEN p.y ELSE p.x END AS doc_id
+         |       FROM prs p JOIN ev ea ON p.x = ea.doc_id
+         |                  JOIN ev eb ON p.y = eb.doc_id
+         |       WHERE ea.ev <> eb.ev),
+         |fr AS (SELECT tr.query_id, min(rk.rank) AS r
+         |       FROM tr JOIN rk ON tr.query_id = rk.query_id
+         |                      AND tr.doc_id = rk.doc_id
+         |       WHERE rk.rank <= 20 GROUP BY 1),
+         |pq AS (SELECT DISTINCT query_id FROM tr),
+         |pj AS (SELECT pq.query_id, fr.r FROM pq LEFT JOIN fr USING (query_id)),
+         |ks AS (SELECT unnest([1, 5, 10, 20]::BIGINT[]) AS k)
+         |SELECT k, count(*)::BIGINT AS n_queries,
+         |  sum(CASE WHEN r IS NOT NULL AND r <= k THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_hit,
+         |  round(sum(CASE WHEN r IS NOT NULL AND r <= k THEN 1 ELSE 0 END)::DOUBLE
+         |    / count(*)::DOUBLE * 1000000.0)::BIGINT AS recall_q6,
+         |  round(sum(CASE WHEN r IS NOT NULL AND r <= k
+         |      THEN 1000000 // r ELSE 0 END)::DOUBLE
+         |    / count(*)::DOUBLE)::BIGINT AS mrr_q6
+         |FROM pj, ks GROUP BY 1""".stripMargin,
     // waste2(b) from histogram prefix sums — one value-domain window
     // pass scores every candidate boundary; ties to the smallest b
     "q236_pad_split" ->

@@ -324,4 +324,54 @@ object Retrieval {
       .filter($"rank" <= k)
       .select($"query_id", $"doc_id", $"rrf", $"rank")
   }
+
+  /** q237: retrieval evaluation harness — recall@k and MRR@k of the
+    * BM25 index (q116's ranked table, train-only corpus) against
+    * lexical near-dup ground truth: an eval query's RELEVANT documents
+    * are its q183 contamination partners (train docs Jaccard-≥0.5-
+    * near-dup to it) — "can the index find the documents we already
+    * know match?". The missing piece between building a retriever
+    * (q116/q125/q155) and TRUSTING it: the number a pipeline gates an
+    * index rollout on, and the lexical analogue of q192's IVF recall
+    * sweep. MRR uses first-relevant rank with misses contributing 0,
+    * cut at the shared top-20.
+    *
+    * Exactness: reciprocal ranks are exact integers (1e6 div r — no FP
+    * anywhere until the two final mean divisions, both mirrored);
+    * ground truth rides the memo-shared pair ladder (LSH generator,
+    * recall-1 contract vs exact Jaccard), rankings the memo-shared
+    * bm25ranked top-20.
+    *
+    * Shape: truth pairs are dup-density-bounded, the rank join is
+    * |truth|-sized, and the metric table is ONE aggregate over
+    * |eval queries with truth| × |ks| rows — everything downstream of
+    * the two memos is audit-sized.
+    */
+  def retrievalEval(spark: SparkSession, d: String,
+      ks: Seq[Int] = Seq(1, 5, 10, 20)): DataFrame = {
+    import spark.implicits._
+    val truth = graft.operators.Dedup
+      .evalContaminationEdges(spark, d, 0.5,
+        graft.operators.Dedup.MinhashLshGen)
+      .select($"eval_doc".as("query_id"), $"train_doc".as("doc_id"))
+      .distinct()
+    val ranked = bm25TopK(spark, d, sharedTopK)
+      .select($"query_id", $"doc_id", $"rank")
+    val firstRel = truth.join(ranked, Seq("query_id", "doc_id"))
+      .groupBy($"query_id").agg(min($"rank").as("r"))
+    val pq = truth.select($"query_id").distinct()
+      .join(firstRel, Seq("query_id"), "left")
+    pq.select($"r", explode(typedLit(ks.map(_.toLong))).as("k"))
+      .groupBy($"k").agg(
+        count(lit(1)).as("n_queries"),
+        sum(when($"r".isNotNull && $"r" <= $"k", 1L).otherwise(0L))
+          .as("n_hit"),
+        sum(when($"r".isNotNull && $"r" <= $"k",
+          expr("1000000L div r")).otherwise(0L)).as("rr_sum"))
+      .select($"k", $"n_queries", $"n_hit",
+        round($"n_hit".cast("double") / $"n_queries".cast("double")
+          * lit(1000000.0)).cast("long").as("recall_q6"),
+        round($"rr_sum".cast("double") / $"n_queries".cast("double"))
+          .cast("long").as("mrr_q6"))
+  }
 }

@@ -202,4 +202,48 @@ class RetrievalSpec extends AnyFunSuite {
       s"ceilinged candidate volume $gotCeil != $expectedCeil")
     assert(gotCeil < gotAll, "the ceiling must bound the saturated term's fan-out")
   }
+
+  test("retrievalEval: metric fold replay from truth x rankings; k-monotonicity") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val got = Retrieval.retrievalEval(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1L, 5L, 10L, 20L))
+    // independent metric fold off the two source frames
+    val truth = graft.operators.Dedup.jaccardPairs(spark, sf)
+      .select($"x", $"y").as[(Long, Long)].collect()
+    def isEval(id: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"eval:$id".getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 100 < 5
+    }
+    val pairs = truth.collect {
+      case (x, y) if isEval(x) != isEval(y) =>
+        if (isEval(x)) (x, y) else (y, x)
+    }
+    assert(pairs.nonEmpty, "fixture must have cross-bucket near-dups")
+    val ranked = Retrieval.bm25TopK(spark, sf, 20)
+      .select($"query_id", $"doc_id", $"rank")
+      .as[(Long, Long, Long)].collect()
+      .map { case (q, d0, r) => (q, d0) -> r }.toMap
+    val firstRel = pairs.groupBy(_._1).map { case (q, ps) =>
+      q -> ps.flatMap(p => ranked.get((p._1, p._2))).sorted.headOption
+    }
+    got.foreach { case (k, nq, nh, rec, mrr) =>
+      assert(nq == firstRel.size.toLong, s"k=$k query count")
+      val hits = firstRel.values.count(r => r.exists(_ <= k)).toLong
+      val rrSum = firstRel.values.collect {
+        case Some(r) if r <= k => 1000000L / r
+      }.sum
+      assert(nh == hits, s"k=$k hits")
+      assert(rec == math.round(hits.toDouble / nq * 1e6), s"k=$k recall")
+      assert(mrr == math.round(rrSum.toDouble / nq), s"k=$k MRR")
+      assert(mrr <= rec, s"k=$k MRR bounded by recall")
+    }
+    // both metrics are monotone nondecreasing in k
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 <= b._4 && a._5 <= b._5, "k-monotonicity")
+    }
+  }
 }
