@@ -264,6 +264,7 @@ object SparkEntry {
     "q235_centroid_drift" -> ((s, d) => Similarity.centroidDriftAudit(s, d)),
     "q236_pad_split"      -> ((s, d) => Sampling.padSplitPlan(s, d)),
     "q237_retrieval_eval" -> ((s, d) => Retrieval.retrievalEval(s, d)),
+    "q238_simhash_bits"   -> ((s, d) => Dedup.simhashBitBias(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -2768,6 +2769,34 @@ object SparkEntry {
         |      * 1000000.0 / sum(lnmu_q6)::DOUBLE * 1000.0)::BIGINT
         |    ELSE 0 END AS id_q3
         |FROM pt""".stripMargin,
+    // the q23 sketch re-derivation's bit lists, unnested per position;
+    // bias = |2·ones − n| on exact integers
+    "q238_simhash_bits" ->
+      s"""WITH $cleanToksCte,
+         |tok AS (SELECT doc_id, unnest(ws) AS t FROM toks),
+         |th AS (SELECT doc_id,
+         |  ${md5Bits32Sql("t", 1)} AS hi,
+         |  ${md5Bits32Sql("t", 9)} AS lo
+         |  FROM tok),
+         |votes AS (SELECT doc_id, k,
+         |  sum(CASE WHEN (CASE WHEN k < 32 THEN (lo >> k::INT) & 1
+         |                      ELSE (hi >> (k - 32)::INT) & 1 END) = 1
+         |      THEN 1 ELSE -1 END) AS vote
+         |  FROM th, range(64) kk(k) GROUP BY 1, 2),
+         |skv AS (SELECT doc_id,
+         |  list(CASE WHEN vote > 0 THEN 1 ELSE 0 END ORDER BY k) AS bl
+         |  FROM votes GROUP BY 1),
+         |sk AS (SELECT d.doc_id, coalesce(s.bl, list_transform(range(64), z -> 0)) AS bl
+         |       FROM documents d LEFT JOIN skv s USING (doc_id)),
+         |bits AS (SELECT k AS bit, bl[(k + 1)::INT] AS one
+         |         FROM sk, range(64) kk(k))
+         |SELECT bit::BIGINT AS bit, count(*)::BIGINT AS n_docs,
+         |  sum(one)::BIGINT AS n_ones,
+         |  round(sum(one)::DOUBLE / count(*)::DOUBLE * 1000000.0)::BIGINT
+         |    AS ones_frac_q6,
+         |  round(abs(sum(one) * 2 - count(*))::DOUBLE / count(*)::DOUBLE
+         |    * 1000000.0)::BIGINT AS bias_q6
+         |FROM bits GROUP BY 1""".stripMargin,
     // the q116 BM25 chain (rank table) × the q16 Jaccard truth pairs;
     // reciprocal ranks are exact integer floor-divs, misses are 0
     "q237_retrieval_eval" ->

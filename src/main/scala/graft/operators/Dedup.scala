@@ -718,6 +718,37 @@ object Dedup {
         .select($"doc_id", simhash(cleanTokens($"text")).as("sk"))
     }
 
+  /** q238: SimHash bit-bias audit — per bit position of the 64-bit
+    * sketch, the fraction of documents with that bit set and its
+    * absolute deviation from the unbiased ½ (|2f − 1|, the standard
+    * hash-balance statistic). The sketch-health check read BEFORE
+    * trusting q23's near-dup pairs or q215's agreement numbers: a bit
+    * stuck near 0 or 1 carries no information, so the sketch's
+    * effective width shrinks below 64 and the Hamming-≤3 banding's
+    * false-positive mass inflates — the per-bit panel localizes WHICH
+    * hash windows are weak (the same realized-vs-nominal discipline as
+    * q231's Bloom occupancy and q185's IVF balance). All integers
+    * until the two final quantized divisions.
+    *
+    * Shape: rides the memo-shared (doc_id, sk) sketch table; one
+    * map-only 64-way bit explode, ONE 64-row aggregate with map-side
+    * combine. Nothing corpus-sized shuffles.
+    */
+  def simhashBitBias(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    simhashSketch(spark, d)
+      .select($"sk", explode(sequence(lit(0), lit(63))).as("b"))
+      .groupBy($"b".cast("long").as("bit"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("shiftright(sk, b) & 1")).as("n_ones"))
+      .select($"bit", $"n_docs", $"n_ones",
+        round($"n_ones".cast("double") / $"n_docs".cast("double")
+          * lit(1000000.0)).cast("long").as("ones_frac_q6"),
+        round(abs($"n_ones" * 2 - $"n_docs").cast("double")
+          / $"n_docs".cast("double")
+          * lit(1000000.0)).cast("long").as("bias_q6"))
+  }
+
   def simhashPairs(spark: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
     import spark.implicits._
     val sk = simhashSketch(spark, d)

@@ -648,4 +648,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.toSet == expected,
       s"planted-pair mismatch: got ${got.length}, expected ${expected.size}")
   }
+
+  test("simhashBitBias: per-bit replay off the sketch table; balance on the fixture") {
+    import spark.implicits._
+    val sks = Dedup.simhashSketch(spark, sf)
+      .select($"sk").as[Long].collect()
+    val got = Dedup.simhashBitBias(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == (0L to 63L).toSet)
+    (0 to 63).foreach { b =>
+      val ones = sks.count(s => ((s >> b) & 1L) == 1L).toLong
+      val (_, n, gOnes, frac, bias) = got(b.toLong)
+      assert(n == sks.length.toLong && gOnes == ones, s"bit $b count")
+      assert(frac == math.round(ones.toDouble / n * 1e6), s"bit $b frac")
+      assert(bias == math.round((ones * 2 - n).abs.toDouble / n * 1e6), s"bit $b bias")
+    }
+    // the fixture's ~30-word vocabulary genuinely STICKS some sketch
+    // bits (few tokens → a bit's vote is dominated by one hash) — the
+    // panel must expose that spread rather than flatten it: some bits
+    // near balance, some far, i.e. the audit discriminates
+    val biases = got.values.map(_._5)
+    assert(biases.min < 300000L, "some bits near balance")
+    assert(biases.max > biases.min + 100000L, "audit discriminates across bits")
+  }
 }
