@@ -265,6 +265,7 @@ object SparkEntry {
     "q236_pad_split"      -> ((s, d) => Sampling.padSplitPlan(s, d)),
     "q237_retrieval_eval" -> ((s, d) => Retrieval.retrievalEval(s, d)),
     "q238_simhash_bits"   -> ((s, d) => Dedup.simhashBitBias(s, d)),
+    "q239_theil_sen"      -> ((s, d) => Windowed.theilSenTrend(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -2769,6 +2770,29 @@ object SparkEntry {
         |      * 1000000.0 / sum(lnmu_q6)::DOUBLE * 1000.0)::BIGINT
         |    ELSE 0 END AS id_q3
         |FROM pt""".stripMargin,
+    // pairwise slopes quantized to 1e9 (one exact-int division each);
+    // LOWER median at rank (n+1)//2 under a fully deterministic order
+    "q239_theil_sen" ->
+      """WITH grid AS (SELECT event_type, ts::DATE AS day,
+        |    count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |nd AS (SELECT event_type, count(*)::BIGINT AS n_days
+        |       FROM grid GROUP BY 1),
+        |pairs AS (SELECT a.event_type, a.day AS da, b.day AS db,
+        |    round((b.cnt - a.cnt)::DOUBLE
+        |      / date_diff('day', a.day, b.day)::DOUBLE
+        |      * 1000000000.0)::BIGINT AS slope_q9
+        |  FROM grid a JOIN grid b
+        |    ON a.event_type = b.event_type AND a.day < b.day),
+        |rk AS (SELECT event_type, slope_q9,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY slope_q9, da, db)::BIGINT AS rk,
+        |    count(*) OVER (PARTITION BY event_type)::BIGINT AS np
+        |  FROM pairs)
+        |SELECT rk.event_type, nd.n_days, rk.np AS n_pairs,
+        |  rk.slope_q9 AS sen_slope_q9
+        |FROM rk JOIN nd USING (event_type)
+        |WHERE rk.rk = (rk.np + 1) // 2""".stripMargin,
     // the q23 sketch re-derivation's bit lists, unnested per position;
     // bias = |2·ones − n| on exact integers
     "q238_simhash_bits" ->

@@ -275,6 +275,51 @@ object Windowed {
         }).otherwise(lit(0.0)).as("burstiness"))
   }
 
+  /** q239: Theil–Sen robust trend per event type — the median of all
+    * pairwise day-to-day slopes over the (day, count) grid. The robust
+    * TREND complement of q121's robust location: q159's period ratios
+    * and q153's z-scores both break on one anomalous day (a single
+    * spike drags an OLS slope arbitrarily), while the pairwise-slope
+    * median has a 29% breakdown point — the "is this type actually
+    * growing" number a capacity planner reads next to the anomaly
+    * panel, immune to the very anomalies q153 flags.
+    *
+    * Exactness: each pairwise slope is ONE correctly-rounded division
+    * of two exact integers quantized to 1e9; the median is the LOWER
+    * median (rank (n+1) div 2 — integer-exact selection, no averaging
+    * of middle elements), picked under a fully deterministic
+    * (slope, day_a, day_b) order.
+    *
+    * Shape: the corpus collapses to the (type, day) count grid first
+    * (map-side combine); the pairwise join and the rank window run over
+    * THAT — |days|² per type, calendar-bounded (≈2k rows per type-year)
+    * — the blessed windows-over-aggregates shape, never corpus rows.
+    */
+  def theilSenTrend(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val grid = events(spark, d)
+      .select($"event_type", to_date($"ts").as("day"))
+      .groupBy($"event_type", $"day").agg(count(lit(1)).as("cnt"))
+    val nd = grid.groupBy($"event_type").agg(count(lit(1)).as("n_days"))
+    val pairs = grid.as("a").join(grid.as("b"),
+        $"a.event_type" === $"b.event_type" && $"a.day" < $"b.day")
+      .select($"a.event_type".as("event_type"), $"a.day".as("da"),
+        $"b.day".as("db"),
+        round(($"b.cnt" - $"a.cnt").cast("double")
+          / datediff($"b.day", $"a.day").cast("double")
+          * lit(1000000000.0)).cast("long").as("slope_q9"))
+    val w = Window.partitionBy($"event_type")
+      .orderBy($"slope_q9", $"da", $"db")
+    pairs
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("np", count(lit(1)).over(
+        Window.partitionBy($"event_type")))
+      .filter($"rk" === expr("(np + 1) div 2"))
+      .join(broadcast(nd), "event_type")
+      .select($"event_type", $"n_days", $"np".as("n_pairs"),
+        $"slope_q9".as("sen_slope_q9"))
+  }
+
   def sessionStats(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val s = Ranks.pinBase(sessionize(spark, d))

@@ -17,6 +17,35 @@ class AuditOpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sf = "/root/testdata/sf0.001"
 
+  test("theilSenTrend: lower-median pairwise slope replay per type") {
+    import spark.implicits._
+    val grid = graft.core.Tables.events(spark, sf)
+      .select($"event_type", to_date($"ts").as("day"))
+      .groupBy($"event_type", $"day").agg(count(lit(1)).as("cnt"))
+      .as[(String, java.sql.Date, Long)].collect()
+    val got = Windowed.theilSenTrend(spark, sf)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    grid.groupBy(_._1).foreach { case (t, cells) =>
+      val days = cells.map(c => (c._2.toLocalDate.toEpochDay, c._3)).sortBy(_._1)
+      val slopes = for {
+        i <- days.indices; j <- days.indices if days(i)._1 < days(j)._1
+      } yield {
+        val s = (days(j)._2 - days(i)._2).toDouble /
+          (days(j)._1 - days(i)._1) * 1e9
+        (BigDecimal(s).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong,
+          days(i)._1, days(j)._1)
+      }
+      val sorted = slopes.sortBy(identity)
+      val median = sorted((sorted.size + 1) / 2 - 1)._1
+      val (_, nDays, nPairs, sen) = got(t)
+      assert(nDays == days.size.toLong, s"type $t days")
+      assert(nPairs == slopes.size.toLong, s"type $t pairs")
+      assert(sen == median, s"type $t lower-median slope")
+      // the median slope is bracketed by the extreme pairwise slopes
+      assert(sen >= sorted.head._1 && sen <= sorted.last._1, s"type $t bracket")
+    }
+  }
+
   test("burstiness: exact per-type gap-multiset replay; Goh-Barabási bounds") {
     import spark.implicits._
     val got = Windowed.burstiness(spark, sf)
