@@ -266,6 +266,7 @@ object SparkEntry {
     "q237_retrieval_eval" -> ((s, d) => Retrieval.retrievalEval(s, d)),
     "q238_simhash_bits"   -> ((s, d) => Dedup.simhashBitBias(s, d)),
     "q239_theil_sen"      -> ((s, d) => Windowed.theilSenTrend(s, d)),
+    "q240_axis_isotropy"  -> ((s, d) => Similarity.axisIsotropy(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -2770,6 +2771,28 @@ object SparkEntry {
         |      * 1000000.0 / sum(lnmu_q6)::DOUBLE * 1000.0)::BIGINT
         |    ELSE 0 END AS id_q3
         |FROM pt""".stripMargin,
+    // exact per-dim variance numerators; shares quantized to 1e9 BEFORE
+    // the PR fold so Σ sq² is an exact integer (v² would overflow)
+    "q240_axis_isotropy" ->
+      """WITH ex AS (SELECT vec_id,
+        |    round(unnest(embedding)::DOUBLE * 10000000)::BIGINT AS v,
+        |    unnest(range(len(embedding))) AS i FROM embeddings),
+        |st AS (SELECT i, count(*)::HUGEINT AS n, sum(v)::HUGEINT AS sx,
+        |       sum(v::HUGEINT * v::HUGEINT) AS sxx FROM ex GROUP BY 1),
+        |vr AS (SELECT i, n, (n * sxx - sx * sx) AS vnum FROM st),
+        |tot AS (SELECT sum(vnum) AS sv, count(*)::BIGINT AS dims FROM vr),
+        |sh AS (SELECT i, vnum,
+        |    round(vnum::DOUBLE / sv::DOUBLE * 1000000000.0)::BIGINT AS sq
+        |  FROM vr, tot),
+        |top AS (SELECT i AS top_dim, sq AS top_share_q9 FROM sh
+        |        ORDER BY vnum DESC, i ASC LIMIT 1),
+        |pr AS (SELECT sum(sq::HUGEINT * sq::HUGEINT) AS ssq FROM sh)
+        |SELECT (SELECT max(n) FROM st)::BIGINT AS n_vecs,
+        |  (SELECT dims FROM tot) AS dims,
+        |  top.top_dim::BIGINT AS top_dim, top.top_share_q9,
+        |  round(1000000000000000000.0 / (SELECT ssq FROM pr)::DOUBLE
+        |    * 1000.0)::BIGINT AS pr_q3
+        |FROM top""".stripMargin,
     // pairwise slopes quantized to 1e9 (one exact-int division each);
     // LOWER median at rank (n+1)//2 under a fully deterministic order
     "q239_theil_sen" ->

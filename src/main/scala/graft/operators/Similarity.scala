@@ -1285,6 +1285,52 @@ object Similarity {
         $"coherence_early_q6", $"coherence_late_q6")
   }
 
+  /** q240: axis-aligned isotropy audit — per-dimension variance shares
+    * of the embedding column and their participation ratio
+    * PR = (Σv)²/Σv², the LINEAR effective-dimension count (PR = d for
+    * perfectly isotropic axes, → 1 when one axis dominates). The
+    * complement of q229's two-NN INTRINSIC dimension: q229 reads the
+    * manifold, this reads the coordinate system — low PR with high
+    * intrinsic dim says the representation wastes width (whiten before
+    * PQ/IVF: q91's codebooks and q39's lists key on exactly these
+    * axes), and `top_dim`/`top_share_q9` name the dominating axis (the
+    * classic "rogue dimension" pathology of contrastive encoders).
+    *
+    * Exactness: per-dim variance numerators v_i = n·Σx² − (Σx)² are
+    * exact decimal(38,0); v_i² would overflow ANY fixed width at corpus
+    * scale, so shares quantize to 1e9 integers FIRST (one exact-int
+    * division each — correctly rounded, engine-identical) and the PR
+    * folds their exact integer squares: PR = 1e18/Σ sq_i². Ties on the
+    * top axis break to the smallest dim via struct-max.
+    *
+    * Shape: one posexplode pass → a dims-row aggregate; everything
+    * after is arithmetic on ≤ dims rows. Nothing corpus-sized moves.
+    */
+  def axisIsotropy(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val ex = embeddings(spark, d)
+      .select(posexplode(quantize($"embedding")).as(Seq("i", "v")))
+    val st = ex.groupBy($"i").agg(count(lit(1)).as("n"), sum($"v").as("sx"),
+      sum(($"v".cast(dec38) * $"v".cast(dec38))).as("sxx"))
+    val vr = st.select($"i", $"n",
+      ($"n".cast(dec38) * $"sxx" - $"sx".cast(dec38) * $"sx".cast(dec38))
+        .as("vnum"))
+    val tot = vr.agg(sum($"vnum").as("sv"), count(lit(1)).as("dims"))
+    val sh = vr.crossJoin(broadcast(tot))
+      .select($"i", $"n", $"dims", $"vnum",
+        round($"vnum".cast("double") / $"sv".cast("double")
+          * lit(1000000000.0)).cast("long").as("sq"))
+    sh.agg(max($"n").as("n_vecs"), max($"dims").as("dims"),
+        max(struct($"vnum", (-$"i").as("ni"), $"sq")).as("top"),
+        sum($"sq".cast(dec38) * $"sq".cast(dec38)).as("ssq"))
+      .select($"n_vecs", $"dims",
+        (-$"top.ni").cast("long").as("top_dim"),
+        $"top.sq".as("top_share_q9"),
+        round(lit(1.0e18) / $"ssq".cast("double") * lit(1000.0))
+          .cast("long").as("pr_q3"))
+  }
+
   /** q215: lexical-vs-semantic near-dup agreement — the pair sets of
     * the exact Jaccard detector (q16, τ=0.5) and the embedding-cosine
     * detector (q25, cos ≥ 0.4) compared as sets (vec_id ≡ doc_id):

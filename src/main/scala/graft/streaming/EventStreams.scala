@@ -1267,6 +1267,73 @@ object EventStreams {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  case class GapState(last_us: Long, n: Long, sg: Long, sggStr: String)
+
+  case class GapRow(user_id: Long, event_type: String, n_gaps: Long,
+    sg: Long, sggStr: String)
+
+  /** q234's STREAMING twin: the burstiness SUFFICIENT STATISTIC
+    * (n, Σg, Σg², last event time) folded live in per-(user, type)
+    * keyed state — the right decomposition for a monitor, because
+    * B = (√D − Σg)/(√D + Σg) with D = n·Σg² − (Σg)² needs only these
+    * additive counters, so the corpus-level per-type B assembles from
+    * the final per-key emissions by plain addition (the law
+    * EventStreamsSpec pins against batch `Windowed.burstiness`). Σg²
+    * exceeds 64 bits (a month-long gap squares to ~1e26), so it rides
+    * the state as a decimal string — an exact 128-bit limb the encoder
+    * stores as bytes anyway; everything else is two longs.
+    *
+    * Contract: per-key arrivals must be event-time ordered (a per-key
+    * ordered log, or a watermark-buffered upstream like the q92 twin);
+    * rows are sorted within each batch and a violation fails loudly
+    * rather than folding a wrong gap.
+    */
+  class GapStatsProcessor extends
+      org.apache.spark.sql.streaming.StatefulProcessor[
+        (Long, String), Event, GapRow] {
+    import org.apache.spark.sql.{Encoders => Encs}
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+
+    @transient private var st: ValueState[GapState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[GapState](
+        "gapStats", Encs.product[GapState], TTLConfig.NONE)
+
+    override def handleInputRows(key: (Long, String), rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[GapRow] = {
+      var s = if (st.exists()) st.get() else GapState(Long.MinValue, 0L, 0L, "0")
+      var sgg = BigInt(s.sggStr)
+      def micros(e: Event): Long =
+        e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+      rows.toArray.sortBy(e => (micros(e), e.event_id)).foreach { e =>
+        val tUs = micros(e)
+        require(s.last_us == Long.MinValue || tUs >= s.last_us,
+          s"out-of-order arrival for key $key: $tUs < ${s.last_us}")
+        if (s.last_us != Long.MinValue) {
+          val g = tUs - s.last_us
+          sgg += BigInt(g) * BigInt(g)
+          s = GapState(tUs, s.n + 1, s.sg + g, s.sggStr)
+        } else s = GapState(tUs, s.n, s.sg, s.sggStr)
+      }
+      s = s.copy(sggStr = sgg.toString)
+      st.update(s)
+      if (s.n == 0) Iterator.empty
+      else Iterator.single(GapRow(key._1, key._2, s.n, s.sg, s.sggStr))
+    }
+  }
+
+  /** Streaming q234 entry point: events key by (user, type); gap
+    * sufficient statistics fold in keyed state.
+    */
+  def burstinessStream(events: Dataset[Event]): Dataset[GapRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .transformWithState(new GapStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   def runningUserTotals(events: Dataset[Event]): Dataset[UserTotals] = {
     import events.sparkSession.implicits._
     events

@@ -740,4 +740,48 @@ class EventStreamsSpec extends AnyFunSuite {
       } finally { q1.stop(); q2.stop() }
     }
   }
+
+  test("burstiness stream sufficient statistics assemble the q234 batch rows") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    def micros(e: Event): Long =
+      e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+    val all = graft.core.Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().sortBy(e => (micros(e), e.event_id))
+    withRuntime(tws = true) {
+      val input = MemoryStream[Event]
+      val query = EventStreams.burstinessStream(input.toDS())
+        .writeStream.format("memory").queryName("burst_stream")
+        .outputMode("update").start()
+      try {
+        all.grouped(all.length / 3 + 1).foreach { chunk =>
+          input.addData(chunk.toIndexedSeq: _*)
+          query.processAllAvailable()
+        }
+        val fin = spark.table("burst_stream")
+          .as[EventStreams.GapRow].collect()
+          .groupBy(r => (r.user_id, r.event_type)).values
+          .map(_.maxBy(_.n_gaps)).toSeq
+        // the additive sufficient statistic assembles the per-type B
+        val assembled = fin.groupBy(_.event_type).map { case (t, ks) =>
+          val n = ks.map(_.n_gaps).sum
+          val sg = ks.map(r => BigInt(r.sg)).sum
+          val sgg = ks.map(r => BigInt(r.sggStr)).sum
+          val dd = BigInt(n) * sgg - sg * sg
+          val b = if (n > 1 && sg > 0)
+            (math.sqrt(dd.toDouble) - sg.toDouble) /
+              (math.sqrt(dd.toDouble) + sg.toDouble)
+          else 0.0
+          (t, ks.size.toLong, n, sg.toDouble / n.toDouble, b)
+        }.toSet
+        val batch = graft.operators.Windowed.burstiness(spark, sf)
+          .as[(String, Long, Long, Double, Double)].collect().toSet
+        assert(assembled == batch,
+          "assembled gap statistics must equal the q234 batch audit")
+        assert(batch.nonEmpty)
+      } finally query.stop()
+    }
+  }
 }

@@ -2141,6 +2141,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     Seq(gotCc, cohE, cohL).foreach(v => assert(v.abs <= 1000000L))
   }
 
+  test("axisIsotropy: exact variance-share and participation-ratio replay") {
+    import spark.implicits._
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"embedding").as[Array[Float]].collect()
+      .map(_.map(x => math.round(x.toDouble * 1e7)))
+    val dims = vecs.head.length
+    val n = vecs.length.toLong
+    val vnums = (0 until dims).map { i =>
+      val xs = vecs.map(_(i))
+      val sx = xs.map(BigInt(_)).sum
+      val sxx = xs.map(x => BigInt(x) * BigInt(x)).sum
+      BigInt(n) * sxx - sx * sx
+    }
+    val sv = vnums.sum
+    val sqs = vnums.map { v =>
+      BigDecimal(v.toDouble / sv.toDouble * 1e9)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val topI = vnums.indices.minBy(i => (-vnums(i), i))
+    val ssq = sqs.map(s => BigInt(s) * BigInt(s)).sum
+    val expPr = math.round(1.0e18 / ssq.toDouble * 1000.0)
+    val Array((gN, gD, gTop, gShare, gPr)) =
+      graft.operators.Similarity.axisIsotropy(spark, sf)
+        .as[(Long, Long, Long, Long, Long)].collect()
+    assert(gN == n && gD == dims.toLong)
+    assert(gTop == topI.toLong && gShare == sqs(topI), "dominant axis")
+    assert(gPr == expPr, "participation ratio")
+    // PR is bounded by the ambient dimension (up to quantization slack)
+    assert(gPr > 0 && gPr <= dims * 1000L + dims, "PR within ambient dims")
+  }
+
   test("padSplitPlan: brute-force optimality over every candidate boundary") {
     import spark.implicits._
     val lens = spark.read.parquet(s"$sf/documents.parquet")
