@@ -267,6 +267,7 @@ object SparkEntry {
     "q238_simhash_bits"   -> ((s, d) => Dedup.simhashBitBias(s, d)),
     "q239_theil_sen"      -> ((s, d) => Windowed.theilSenTrend(s, d)),
     "q240_axis_isotropy"  -> ((s, d) => Similarity.axisIsotropy(s, d)),
+    "q241_source_hhi"     -> ((s, d) => Sampling.sourceConcentration(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -2771,6 +2772,29 @@ object SparkEntry {
         |      * 1000000.0 / sum(lnmu_q6)::DOUBLE * 1000.0)::BIGINT
         |    ELSE 0 END AS id_q3
         |FROM pt""".stripMargin,
+    // HHI from exact Σm²/M²; coverage ranks compare exact integers
+    // (cum·2 ≥ M, cum·10 ≥ 9M) under the total (mass desc, source) order
+    "q241_source_hhi" ->
+      """WITH m AS (SELECT source, sum(n_chars)::BIGINT AS m
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT count(*)::BIGINT AS n_sources, sum(m)::BIGINT AS mm,
+        |  sum(m::HUGEINT * m::HUGEINT) AS sq FROM m),
+        |r AS (SELECT source, m,
+        |  row_number() OVER (ORDER BY m DESC, source)::BIGINT AS rk,
+        |  (sum(m) OVER (ORDER BY m DESC, source
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::HUGEINT AS cum
+        |  FROM m)
+        |SELECT tot.n_sources, tot.mm AS total_chars,
+        |  round(tot.sq::DOUBLE / (tot.mm::DOUBLE * tot.mm::DOUBLE)
+        |    * 1000000000.0)::BIGINT AS hhi_q9,
+        |  (SELECT min(rk) FROM r, tot WHERE cum * 2 >= tot.mm::HUGEINT)
+        |    AS k50,
+        |  (SELECT min(rk) FROM r, tot
+        |   WHERE cum * 10 >= tot.mm::HUGEINT * 9) AS k90,
+        |  (SELECT source FROM r WHERE rk = 1) AS top_source,
+        |  round((SELECT m FROM r WHERE rk = 1)::DOUBLE / tot.mm::DOUBLE
+        |    * 1000000.0)::BIGINT AS top_share_q6
+        |FROM tot""".stripMargin,
     // exact per-dim variance numerators; shares quantized to 1e9 BEFORE
     // the PR fold so Σ sq² is an exact integer (v² would overflow)
     "q240_axis_isotropy" ->

@@ -668,6 +668,55 @@ object Sampling {
           * lit(1000000.0)).cast("long").as("ks_q6"))
   }
 
+  /** q241: source-concentration report — the Herfindahl–Hirschman index
+    * of char mass across sources plus the coverage counts k50/k90 (how
+    * many sources, largest-first, cover 50%/90% of the corpus) and the
+    * dominant source's share. The single-row risk summary behind the
+    * q54/q101/q213 mixture panels: HHI → 1 means the corpus IS one
+    * source wearing a mixture's name (its failure modes are that
+    * source's failure modes), and k90 = 2 tells a capacity planner that
+    * provider churn risk concentrates in two contracts. Entropy (q213)
+    * weights the tail; HHI weights the HEAD — the two disagree exactly
+    * when it matters.
+    *
+    * Exactness: HHI = Σm² / M² on exact decimal(38,0) sums (one final
+    * division); the coverage ranks compare exact integers (cum·2 ≥ M,
+    * cum·10 ≥ 9M — no share rounding anywhere near the threshold);
+    * the rank order (mass desc, source) is total, so every output is
+    * partitioning-independent.
+    *
+    * Shape: one |sources|-row aggregate off the corpus scan, then
+    * windows and arithmetic over those ≤ |sources| rows — the blessed
+    * windows-over-aggregates shape; a 1-row result.
+    */
+  def sourceConcentration(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val m = documents(spark, d).groupBy($"source")
+      .agg(sum($"n_chars").as("m"))
+    val tot = m.agg(count(lit(1)).as("n_sources"), sum($"m").as("mm"),
+      sum($"m".cast(dec38) * $"m".cast(dec38)).as("sq"))
+    val ord = Window.orderBy($"m".desc, $"source")
+    val cumW = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    m.withColumn("rk", row_number().over(ord).cast("long"))
+      .withColumn("cum", sum($"m").over(cumW))
+      .crossJoin(broadcast(tot))
+      .agg(max($"n_sources").as("n_sources"), max($"mm").as("total_chars"),
+        max($"sq").as("sq"),
+        min(when($"cum".cast(dec38) * 2 >= $"mm".cast(dec38), $"rk"))
+          .as("k50"),
+        min(when($"cum".cast(dec38) * 10 >= $"mm".cast(dec38) * 9, $"rk"))
+          .as("k90"),
+        max(when($"rk" === 1L, struct($"m", $"source"))).as("top"))
+      .select($"n_sources", $"total_chars",
+        round($"sq".cast("double")
+          / ($"total_chars".cast("double") * $"total_chars".cast("double"))
+          * lit(1000000000.0)).cast("long").as("hhi_q9"),
+        $"k50", $"k90", $"top.source".as("top_source"),
+        round($"top.m".cast("double") / $"total_chars".cast("double")
+          * lit(1000000.0)).cast("long").as("top_share_q6"))
+  }
+
   /** q236: optimal two-bucket padding split — pick the length boundary
     * b that minimizes total padding when every document is padded to
     * its bucket's ceiling (b for docs ≤ b, max length L for the rest):

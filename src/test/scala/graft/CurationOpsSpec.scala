@@ -250,6 +250,31 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(nFp >= 0 && nFp <= nProbes - nMembers)
   }
 
+  test("sourceConcentration: exact HHI / coverage-rank replay and bounds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val masses = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy($"source").agg(sum($"n_chars").as("m"))
+      .as[(String, Long)].collect()
+    val mm = masses.map(r => BigInt(r._2)).sum
+    val sq = masses.map(r => BigInt(r._2) * BigInt(r._2)).sum
+    val ordered = masses.sortBy(r => (-r._2, r._1))
+    val cums = ordered.scanLeft(BigInt(0))(_ + _._2).tail
+    def kAt(num: Int, den: Int): Long =
+      (cums.indexWhere(c => c * den >= mm * num) + 1).toLong
+    val Array((n, tot, hhi, k50, k90, topS, topShare)) =
+      graft.operators.Sampling.sourceConcentration(spark, sf)
+        .as[(Long, Long, Long, Long, Long, String, Long)].collect()
+    assert(n == masses.length.toLong && BigInt(tot) == mm)
+    assert(hhi == math.round(sq.toDouble / (mm.toDouble * mm.toDouble) * 1e9))
+    assert(k50 == kAt(1, 2) && k90 == kAt(9, 10), "coverage ranks")
+    assert(topS == ordered.head._1 &&
+      topShare == math.round(ordered.head._2.toDouble / mm.toDouble * 1e6))
+    // 1/n <= HHI <= 1; coverage ranks are ordered and bounded
+    assert(hhi >= 1000000000L / n && hhi <= 1000000000L)
+    assert(k50 >= 1 && k50 <= k90 && k90 <= n)
+  }
+
   test("temperatureMixture flattens toward uniform under the sqrt law") {
     import spark.implicits._
     val rows = Sampling.temperatureMixture(spark, sf)
