@@ -268,6 +268,7 @@ object SparkEntry {
     "q239_theil_sen"      -> ((s, d) => Windowed.theilSenTrend(s, d)),
     "q240_axis_isotropy"  -> ((s, d) => Similarity.axisIsotropy(s, d)),
     "q241_source_hhi"     -> ((s, d) => Sampling.sourceConcentration(s, d)),
+    "q242_skip_rate"      -> ((s, d) => Sharding.skipRateSim(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -2772,6 +2773,42 @@ object SparkEntry {
         |      * 1000000.0 / sum(lnmu_q6)::DOUBLE * 1000.0)::BIGINT
         |    ELSE 0 END AS id_q3
         |FROM pt""".stripMargin,
+    // the q164 zone-map chain + an integer predicate sweep: skip iff
+    // max < lo or min > hi, the parquet min/max prune test verbatim
+    "q242_skip_rate" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |    epoch_us(o_orderdate) // 86400000000 AS dy FROM orders),
+        |b AS (SELECT min(o_custkey) AS clo, max(o_custkey) AS chi,
+        |        min(dy) AS dlo, max(dy) AS dhi FROM o),
+        |n AS (SELECT o_orderkey,
+        |    (o_custkey - clo) * 65535 // greatest(1, chi - clo) AS c16,
+        |    (dy - dlo) * 65535 // greatest(1, dhi - dlo) AS d16 FROM o, b),
+        |z AS (SELECT *, list_sum(list_transform(range(0, 16), i ->
+        |    ((c16 >> i::INT) & 1) * (1::BIGINT << (2 * i)::INT) +
+        |    ((d16 >> i::INT) & 1) * (1::BIGINT << (2 * i + 1)::INT)))::BIGINT
+        |    AS zv FROM n),
+        |blk AS (SELECT 'zorder' AS layout, zv // 536870912 AS block, c16, d16
+        |        FROM z
+        |        UNION ALL
+        |        SELECT 'linear', d16 // 8192, c16, d16 FROM z),
+        |stats AS (SELECT layout, block,
+        |    min(c16) AS min_c, max(c16) AS max_c,
+        |    min(d16) AS min_d, max(d16) AS max_d
+        |  FROM blk GROUP BY 1, 2),
+        |pr AS (SELECT unnest(range(8)) AS p),
+        |chk AS (
+        |  SELECT layout, 'c' AS dim,
+        |    (max_c < p * 8192 OR min_c > p * 8192 + 8191) AS skip
+        |  FROM stats, pr
+        |  UNION ALL
+        |  SELECT layout, 'd',
+        |    (max_d < p * 8192 OR min_d > p * 8192 + 8191)
+        |  FROM stats, pr)
+        |SELECT layout, dim, count(*)::BIGINT AS n_checks,
+        |  sum(CASE WHEN skip THEN 1 ELSE 0 END)::BIGINT AS n_skipped,
+        |  round(sum(CASE WHEN skip THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*)::DOUBLE * 1000000.0)::BIGINT AS skip_rate_q6
+        |FROM chk GROUP BY 1, 2""".stripMargin,
     // HHI from exact Σm²/M²; coverage ranks compare exact integers
     // (cum·2 ≥ M, cum·10 ≥ 9M) under the total (mass desc, source) order
     "q241_source_hhi" ->

@@ -237,6 +237,44 @@ object Sharding {
         expr("(max_d - min_d) * 1000000L div 65535L"))
   }
 
+  /** q242: zone-map skip-rate simulation — the q164 layout audit taken
+    * to its decision number: sweep `nPreds` equal-width range
+    * predicates over EACH dimension against each layout's per-block
+    * zone maps and report the fraction of block-checks that prune
+    * (block max < lo or min > hi — exactly the parquet min/max skip
+    * test a scan planner runs). q164 shows the span geometry; this is
+    * the "so how many files does a customer-key query actually skip
+    * under each layout" table the OPTIMIZE ZORDER decision is made on —
+    * linear stays near 0 on the non-sort dimension, z-order prunes on
+    * BOTH.
+    *
+    * Exactness: predicate edges and skip tests are pure integer
+    * comparisons on the exact zone bounds; the one division is the
+    * final quantized rate. Shape: the block-stats table is ≤ 2·nBlocks
+    * rows — the whole simulation is arithmetic over blocks × preds ×
+    * 2 dims (≤ 256 rows), one aggregate to 4 rows.
+    */
+  def skipRateSim(spark: SparkSession, d: String, nBlocks: Int = 8,
+      nPreds: Int = 8): DataFrame = {
+    import spark.implicits._
+    val w = 65536L / nPreds
+    zOrderAudit(spark, d, nBlocks)
+      .select($"layout", $"min_c", $"max_c", $"min_d", $"max_d",
+        explode(sequence(lit(0L), lit((nPreds - 1).toLong))).as("p"))
+      .select($"layout", explode(array(
+        struct(lit("c").as("dim"),
+          ($"max_c" < $"p" * w || $"min_c" > $"p" * w + (w - 1)).as("skip")),
+        struct(lit("d").as("dim"),
+          ($"max_d" < $"p" * w || $"min_d" > $"p" * w + (w - 1)).as("skip"))))
+        .as("e"))
+      .groupBy($"layout", $"e.dim".as("dim"))
+      .agg(count(lit(1)).as("n_checks"),
+        sum(when($"e.skip", 1L).otherwise(0L)).as("n_skipped"))
+      .select($"layout", $"dim", $"n_checks", $"n_skipped",
+        round($"n_skipped".cast("double") / $"n_checks".cast("double")
+          * lit(1000000.0)).cast("long").as("skip_rate_q6"))
+  }
+
   /** Materialize the z-ordered layout q164 audits: orders re-sorted by
     * their Morton code via ONE range repartition (the OPTIMIZE ZORDER
     * write path — each output file owns a contiguous z-range, so its

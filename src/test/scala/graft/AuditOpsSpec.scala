@@ -17,6 +17,34 @@ class AuditOpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sf = "/root/testdata/sf0.001"
 
+  test("skipRateSim: zone-map prune replay; z-order prunes the non-sort dim") {
+    import spark.implicits._
+    val stats = Sharding.zOrderAudit(spark, sf)
+      .select($"layout", $"min_c", $"max_c", $"min_d", $"max_d")
+      .as[(String, Long, Long, Long, Long)].collect()
+    val got = Sharding.skipRateSim(spark, sf)
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(got.keySet ==
+      Set(("zorder", "c"), ("zorder", "d"), ("linear", "c"), ("linear", "d")))
+    for (layout <- Seq("zorder", "linear"); dim <- Seq("c", "d")) {
+      val blocks = stats.filter(_._1 == layout)
+      val checks = for (b <- blocks; p <- 0 until 8) yield {
+        val (lo, hi) = (p * 8192L, p * 8192L + 8191L)
+        val (mn, mx) = if (dim == "c") (b._2, b._3) else (b._4, b._5)
+        mx < lo || mn > hi
+      }
+      val (_, _, nC, nS, rate) = got((layout, dim))
+      assert(nC == checks.size.toLong, s"$layout/$dim checks")
+      assert(nS == checks.count(identity).toLong, s"$layout/$dim skips")
+      assert(rate == math.round(nS.toDouble / nC * 1e6), s"$layout/$dim rate")
+    }
+    // the point of z-order: it prunes the NON-sort dimension where the
+    // linear layout cannot
+    assert(got(("zorder", "c"))._5 > got(("linear", "c"))._5,
+      "z-order must out-prune linear on the non-sort dim")
+  }
+
   test("theilSenTrend: lower-median pairwise slope replay per type") {
     import spark.implicits._
     val grid = graft.core.Tables.events(spark, sf)
