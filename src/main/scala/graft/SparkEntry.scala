@@ -269,6 +269,9 @@ object SparkEntry {
     "q240_axis_isotropy"  -> ((s, d) => Similarity.axisIsotropy(s, d)),
     "q241_source_hhi"     -> ((s, d) => Sampling.sourceConcentration(s, d)),
     "q242_skip_rate"      -> ((s, d) => Sharding.skipRateSim(s, d)),
+    "q243_canonical_bias" -> ((s, d) => Dedup.canonicalLengthBias(s, d)),
+    "q244_pii_by_source"  -> ((s, d) => Text.piiBySource(s, d)),
+    "q245_session_sweep"  -> ((s, d) => Windowed.sessionGapSweep(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -2773,6 +2776,66 @@ object SparkEntry {
         |      * 1000000.0 / sum(lnmu_q6)::DOUBLE * 1000.0)::BIGINT
         |    ELSE 0 END AS id_q3
         |FROM pt""".stripMargin,
+    // star-label chain + per-cluster canonical (min doc_id) vs mean
+    // length, ratios quantized BEFORE the bucket mean
+    "q243_canonical_bias" -> (dedupLabelCtes(5) +
+      s""",
+         |wl AS (SELECT l5.doc_id, l5.label, d.n_chars
+         |       FROM l5 JOIN documents d USING (doc_id)),
+         |per AS (SELECT label, count(*)::BIGINT AS sz, min(doc_id) AS canon_id,
+         |        sum(n_chars)::BIGINT AS sum_len
+         |        FROM wl GROUP BY 1 HAVING count(*) >= 2),
+         |cl AS (SELECT per.sz, per.sum_len, d.n_chars AS canon_len
+         |       FROM per JOIN documents d ON per.canon_id = d.doc_id),
+         |bb AS (SELECT CASE WHEN sz = 2 THEN 1 WHEN sz <= 4 THEN 2
+         |         WHEN sz <= 8 THEN 3 ELSE 4 END AS size_bucket,
+         |  round(canon_len::DOUBLE * sz::DOUBLE / sum_len::DOUBLE
+         |    * 1000000.0)::BIGINT AS rq,
+         |  (canon_len * sz < sum_len) AS shorter FROM cl)
+         |SELECT size_bucket, count(*)::BIGINT AS n_clusters,
+         |  round(sum(rq)::DOUBLE / count(*)::DOUBLE)::BIGINT AS mean_ratio_q6,
+         |  sum(CASE WHEN shorter THEN 1 ELSE 0 END)::BIGINT AS n_shorter
+         |FROM bb GROUP BY 1""".stripMargin),
+    // q60's exact regex counters keyed by source; exposure = any-match
+    // share per source
+    "q244_pii_by_source" -> {
+      import graft.functions.TextFunctions.PiiPatterns
+      val counts = PiiPatterns.map { case (k, p) =>
+        s"len(regexp_extract_all(text, '$p'))::BIGINT AS n_$k"
+      }.mkString(",\n|  ")
+      val sums = PiiPatterns.map { case (k, _) =>
+        s"sum(n_$k)::BIGINT AS sum_$k"
+      }.mkString(",\n|  ")
+      val anyHit = PiiPatterns.map { case (k, _) => s"n_$k > 0" }
+        .mkString(" OR ")
+      s"""WITH c AS (SELECT source,
+         |  $counts
+         |  FROM documents)
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |  sum(CASE WHEN $anyHit THEN 1 ELSE 0 END)::BIGINT AS n_flagged,
+         |  $sums,
+         |  round(sum(CASE WHEN $anyHit THEN 1 ELSE 0 END)::DOUBLE
+         |    / count(*)::DOUBLE * 1000000.0)::BIGINT AS exposure_q6
+         |FROM c GROUP BY 1""".stripMargin
+    },
+    // one gap scan scores every threshold: n_sessions(tau) =
+    // n_active_users + |gaps > tau| (q28's strict-> convention)
+    "q245_session_sweep" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |g AS (SELECT user_id, ts_us - lag(ts_us) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id) AS gap FROM e),
+        |tot AS (SELECT count(*)::BIGINT AS n_events,
+        |  count(DISTINCT user_id)::BIGINT AS n_users FROM e),
+        |ks AS (SELECT unnest([5, 15, 30, 60]::BIGINT[]) AS gap_min),
+        |br AS (SELECT gap_min,
+        |  sum(CASE WHEN gap > gap_min * 60000000 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_breaks
+        |  FROM g, ks WHERE gap IS NOT NULL GROUP BY 1)
+        |SELECT gap_min, n_users, (n_users + n_breaks)::BIGINT AS n_sessions,
+        |  round(n_events::DOUBLE / (n_users + n_breaks)::DOUBLE
+        |    * 1000.0)::BIGINT AS mean_events_q3
+        |FROM br, tot""".stripMargin,
     // the q164 zone-map chain + an integer predicate sweep: skip iff
     // max < lo or min > hi, the parquet min/max prune test verbatim
     "q242_skip_rate" ->

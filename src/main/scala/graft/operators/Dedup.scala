@@ -1325,6 +1325,48 @@ object Dedup {
           * lit(1000000.0)).cast("long").as("density_q6"))
   }
 
+  /** q243: canonical-selection length-bias audit — per cluster-size
+    * bucket (the q226 convention), how the kept document's length
+    * compares to its cluster's mean: mean of per-cluster ratios
+    * canon_len·sz/Σlen (quantized to 1e6 BEFORE the bucket mean — exact
+    * integer fold) and the count of clusters whose canonical is
+    * SHORTER than its cluster mean (an exact-integer comparison,
+    * canon_len·sz < Σlen). The systematic-bias check on q82's
+    * min-doc_id canonical policy: if ingest order correlates with
+    * length (crawl frontiers often emit stubs first), "keep the
+    * earliest" quietly becomes "keep the shortest" and dedup shaves
+    * token mass beyond the duplicates themselves — q209 audits
+    * alternative policies, this measures what the DEFAULT one costs.
+    *
+    * Shape: the memo-shared star labels + one label-keyed aggregate,
+    * a doc_id-keyed join for the canonical's length, a ≤4-row output.
+    */
+  def canonicalLengthBias(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val withLen = dedupLabelsStar(spark, d)
+      .join(documents(spark, d).select($"doc_id", $"n_chars"), "doc_id")
+    val per = withLen.groupBy($"label").agg(
+        count(lit(1)).as("sz"),
+        min($"doc_id").as("canon_id"),
+        sum($"n_chars").as("sum_len"))
+      .filter($"sz" >= 2L)
+    per
+      .join(documents(spark, d)
+        .select($"doc_id".as("canon_id"), $"n_chars".as("canon_len")),
+        "canon_id")
+      .select(
+        when($"sz" === 2L, 1L).when($"sz" <= 4L, 2L)
+          .when($"sz" <= 8L, 3L).otherwise(4L).as("size_bucket"),
+        round($"canon_len".cast("double") * $"sz".cast("double")
+          / $"sum_len".cast("double") * lit(1000000.0)).cast("long").as("rq"),
+        ($"canon_len" * $"sz" < $"sum_len").as("shorter"))
+      .groupBy($"size_bucket")
+      .agg(count(lit(1)).as("n_clusters"),
+        round(sum($"rq").cast("double") / count(lit(1)).cast("double"))
+          .cast("long").as("mean_ratio_q6"),
+        sum(when($"shorter", 1L).otherwise(0L)).as("n_shorter"))
+  }
+
   def thresholdSweep(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val pairs = jaccardPairs(spark, d).select($"x", $"y", $"jac")

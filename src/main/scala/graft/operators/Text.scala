@@ -443,6 +443,37 @@ object Text {
         length(piiRedact($"text")).cast("long").as("redacted_len"): _*)
   }
 
+  /** q244: per-source PII exposure panel — q60's per-doc match counts
+    * rolled up to the governance readout a data-protection review
+    * actually consumes: per source, documents scanned, documents with
+    * ANY match, per-kind match totals (email/phone/ssn/ip), and the
+    * 1e6-quantized exposure rate. The provider dial: q60 tells an
+    * engineer which docs to redact, this tells a review WHICH INGEST
+    * CONTRACT leaks (one feed shipping unredacted logs shows as an ip/
+    * ssn column spike under a single source — a remediation letter, not
+    * a regex fix). Pure integer counts; one division per source.
+    *
+    * Shape: the same single map-only regex scan as q60 (no shuffle
+    * until the aggregate), one |sources|-row hash aggregate.
+    */
+  def piiBySource(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val counts = PiiPatterns.map { case (kind, pat) =>
+      regexp_count($"text", lit(pat)).cast("long").as(s"n_$kind")
+    }
+    val scanned = documents(spark, d).select($"source" +: counts: _*)
+    val anyHit = PiiPatterns.map { case (k, _) => col(s"n_$k") > 0L }
+      .reduce(_ || _)
+    val aggs = Seq(count(lit(1)).as("n_docs"),
+      sum(when(anyHit, 1L).otherwise(0L)).as("n_flagged")) ++
+      PiiPatterns.map { case (k, _) => sum(col(s"n_$k")).as(s"sum_$k") }
+    scanned.groupBy($"source").agg(aggs.head, aggs.tail: _*)
+      .select($"source" +: $"n_docs" +: $"n_flagged" +:
+        PiiPatterns.map { case (k, _) => col(s"sum_$k") } :+
+        round($"n_flagged".cast("double") / $"n_docs".cast("double")
+          * lit(1000000.0)).cast("long").as("exposure_q6"): _*)
+  }
+
   /** Unigram-LM surprisal scoring: the corpus is its own language model
     * (p(w) = count/total) and each document reports its total and mean
     * per-token surprisal in bits — the cheap perplexity-style quality

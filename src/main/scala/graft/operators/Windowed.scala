@@ -275,6 +275,42 @@ object Windowed {
         }).otherwise(lit(0.0)).as("burstiness"))
   }
 
+  /** q245: session-gap sensitivity sweep — session counts and mean
+    * session size at gap thresholds τ ∈ {5, 15, 30, 60} minutes, from
+    * ONE gap scan: a session breaks at gap > τ, so
+    * n_sessions(τ) = n_active_users + |{gaps > τ}| — the whole sweep is
+    * four conditional counters over the same lag column, no
+    * re-sessionization per τ (the q205 threshold-sweep discipline
+    * applied to q28). The tuning table read BEFORE trusting any
+    * session-derived signal (q28/q41/q135/q150/q174 all fix τ = 30 min):
+    * if n_sessions still moves steeply at 30, the corpus has no
+    * natural gap and "session" is an artifact of the constant.
+    *
+    * Exactness: gap comparisons are exact integer µs (strict >, q28's
+    * convention); the one division per τ is the final quantized mean.
+    * Shape: one (user)-key-bounded lag window, one 4-row aggregate.
+    */
+  def sessionGapSweep(spark: SparkSession, d: String,
+      gapsMin: Seq[Int] = Seq(5, 15, 30, 60)): DataFrame = {
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val g = events(spark, d)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"))
+      .withColumn("gap", $"ts_us" - lag($"ts_us", 1).over(byUser))
+    val tot = g.agg(count(lit(1)).as("n_events"),
+      countDistinct($"user_id").as("n_users"))
+    g.filter($"gap".isNotNull)
+      .select(explode(typedLit(gapsMin.map(_.toLong))).as("gap_min"), $"gap")
+      .groupBy($"gap_min")
+      .agg(sum(when($"gap" > $"gap_min" * lit(60000000L), 1L).otherwise(0L))
+        .as("n_breaks"))
+      .crossJoin(broadcast(tot))
+      .select($"gap_min", $"n_users", ($"n_users" + $"n_breaks").as("n_sessions"),
+        round($"n_events".cast("double")
+          / ($"n_users" + $"n_breaks").cast("double") * lit(1000.0))
+          .cast("long").as("mean_events_q3"))
+  }
+
   /** q239: Theil–Sen robust trend per event type — the median of all
     * pairwise day-to-day slopes over the (day, count) grid. The robust
     * TREND complement of q121's robust location: q159's period ratios

@@ -17,6 +17,36 @@ class AuditOpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sf = "/root/testdata/sf0.001"
 
+  test("sessionGapSweep: one-scan sweep equals full re-sessionization at every tau") {
+    import spark.implicits._
+    val got = Windowed.sessionGapSweep(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(5L, 15L, 30L, 60L))
+    val ev = graft.core.Tables.events(spark, sf)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("t"))
+      .as[(Long, Long, Long)].collect()
+    val nEvents = ev.length.toLong
+    val byUser = ev.groupBy(_._1).values.map(_.sortBy(r => (r._3, r._2)))
+    got.foreach { case (tau, (_, nUsers, nSessions, meanQ3)) =>
+      // full independent re-sessionization at this tau
+      val sessions = byUser.map { u =>
+        val ts = u.map(_._3).toSeq
+        1L + ts.zip(ts.tail).count { case (a, b) =>
+          b - a > tau * 60000000L
+        }.toLong
+      }.sum
+      assert(nUsers == byUser.size.toLong, s"tau $tau users")
+      assert(nSessions == sessions, s"tau $tau sessions")
+      assert(meanQ3 == math.round(nEvents.toDouble / sessions * 1000.0))
+    }
+    // tau=30 must agree with the q28 sessionizer it sweeps around
+    val q28 = Windowed.sessionize(spark, sf).count()
+    assert(got(30L)._3 == q28, "tau=30 equals q28 session count")
+    // monotone: larger gaps merge sessions
+    assert(got(5L)._3 >= got(15L)._3 && got(15L)._3 >= got(30L)._3
+      && got(30L)._3 >= got(60L)._3)
+  }
+
   test("skipRateSim: zone-map prune replay; z-order prunes the non-sort dim") {
     import spark.implicits._
     val stats = Sharding.zOrderAudit(spark, sf)

@@ -671,4 +671,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(biases.min < 300000L, "some bits near balance")
     assert(biases.max > biases.min + 100000L, "audit discriminates across bits")
   }
+
+  test("canonicalLengthBias: per-bucket ratio replay off the star labels") {
+    import spark.implicits._
+    val labels = Dedup.dedupLabelsStar(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    val lens = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"n_chars").as[(Long, Long)].collect().toMap
+    val clusters = labels.groupBy(_._2).values.map(_.keys.toSeq)
+      .filter(_.size >= 2)
+    assert(clusters.nonEmpty, "fixture has multi-doc clusters")
+    val expected = clusters.map { ids =>
+      val sz = ids.size.toLong
+      val canonLen = lens(ids.min)
+      val sumLen = ids.map(lens).sum
+      val bucket = if (sz == 2) 1L else if (sz <= 4) 2L
+        else if (sz <= 8) 3L else 4L
+      val rq = BigDecimal(canonLen.toDouble * sz / sumLen * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      (bucket, rq, canonLen * sz < sumLen)
+    }.toSeq.groupBy(_._1).map { case (b, rs) =>
+      (b, rs.size.toLong,
+        math.round(rs.map(_._2).sum.toDouble / rs.size),
+        rs.count(_._3).toLong)
+    }.toSet
+    val got = Dedup.canonicalLengthBias(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == expected, "canonical bias replay")
+  }
 }

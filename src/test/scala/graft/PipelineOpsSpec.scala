@@ -2141,6 +2141,41 @@ class PipelineOpsSpec extends AnyFunSuite {
     Seq(gotCc, cohE, cohL).foreach(v => assert(v.abs <= 1000000L))
   }
 
+  test("piiBySource: rollup equals the per-doc q60 scan joined to sources") {
+    import spark.implicits._
+    val perDoc = Text.piiScan(spark, sf)
+      .join(spark.read.parquet(s"$sf/documents.parquet")
+        .select($"doc_id", $"source"), "doc_id")
+      .select($"source", $"n_email", $"n_phone", $"n_ssn", $"n_ip")
+      .as[(String, Long, Long, Long, Long)].collect()
+    val expected = perDoc.groupBy(_._1).map { case (s, rs) =>
+      val flagged = rs.count(r => r._2 > 0 || r._3 > 0 || r._4 > 0 || r._5 > 0)
+      (s, rs.size.toLong, flagged.toLong, rs.map(_._2).sum, rs.map(_._3).sum,
+        rs.map(_._4).sum, rs.map(_._5).sum,
+        math.round(flagged.toDouble / rs.size * 1e6))
+    }.toSet
+    val got = Text.piiBySource(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == expected, "per-source PII rollup replay")
+    // the synthetic corpus is PII-free BY CONSTRUCTION (q60's spec
+    // drives the regexes on adversarial strings instead) — the healthy
+    // all-zero panel is exactly what a clean-corpus review reads
+    assert(got.forall(r => r._3 == 0L && r._8 == 0L), "clean corpus reads clean")
+    // discrimination: the same rollup over a planted-PII frame flags it
+    val planted = Seq(
+      (1L, "contact me at a.b@example.com or 555-123-4567", "s1"),
+      (2L, "nothing sensitive here", "s1"),
+      (3L, "ssn 123-45-6789 from 10.0.0.1", "s2"))
+      .toDF("doc_id", "text", "source")
+    import graft.functions.TextFunctions.PiiPatterns
+    val hits = planted.select(PiiPatterns.map { case (k, p) =>
+      regexp_count($"text", lit(p)).cast("long").as(s"n_$k")
+    }: _*).as[(Long, Long, Long, Long)].collect()
+    assert(hits(0) == ((1L, 1L, 0L, 0L)), "email+phone doc")
+    assert(hits(1) == ((0L, 0L, 0L, 0L)), "clean doc")
+    assert(hits(2)._3 == 1L && hits(2)._4 == 1L, "ssn+ip doc")
+  }
+
   test("axisIsotropy: exact variance-share and participation-ratio replay") {
     import spark.implicits._
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
