@@ -272,6 +272,7 @@ object SparkEntry {
     "q243_canonical_bias" -> ((s, d) => Dedup.canonicalLengthBias(s, d)),
     "q244_pii_by_source"  -> ((s, d) => Text.piiBySource(s, d)),
     "q245_session_sweep"  -> ((s, d) => Windowed.sessionGapSweep(s, d)),
+    "q246_cusum"          -> ((s, d) => Windowed.cusumChangePoint(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -2818,6 +2819,31 @@ object SparkEntry {
          |    / count(*)::DOUBLE * 1000000.0)::BIGINT AS exposure_q6
          |FROM c GROUP BY 1""".stripMargin
     },
+    // cross-multiplied |S_k·n − k·S_n| (the q232 discipline on the time
+    // axis): supremum and argmax value-exact, ties to the earliest day
+    "q246_cusum" ->
+      """WITH grid AS (SELECT event_type, ts::DATE AS day,
+        |    count(*)::BIGINT AS cnt FROM events GROUP BY 1, 2),
+        |cum AS (SELECT event_type, day,
+        |    (sum(cnt) OVER w)::BIGINT AS sk,
+        |    (count(*) OVER w)::BIGINT AS k
+        |  FROM grid WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tot AS (SELECT event_type, sum(cnt)::BIGINT AS sn,
+        |    count(*)::BIGINT AS n_days FROM grid GROUP BY 1),
+        |sc AS (SELECT c.event_type, c.day, c.sk, c.k, t.sn, t.n_days,
+        |    abs(c.sk::HUGEINT * t.n_days - c.k::HUGEINT * t.sn) AS dev
+        |  FROM cum c JOIN tot t USING (event_type)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY dev DESC, day ASC) AS rk FROM sc)
+        |SELECT event_type, n_days, sn AS n_events, day AS break_day,
+        |  dev::BIGINT AS cusum_dev,
+        |  round(sk::DOUBLE / k::DOUBLE * 1000.0)::BIGINT AS rate_before_q3,
+        |  CASE WHEN n_days > k
+        |    THEN round((sn - sk)::DOUBLE / (n_days - k)::DOUBLE
+        |      * 1000.0)::BIGINT
+        |    ELSE 0 END AS rate_after_q3
+        |FROM r WHERE rk = 1""".stripMargin,
     // one gap scan scores every threshold: n_sessions(tau) =
     // n_active_users + |gaps > tau| (q28's strict-> convention)
     "q245_session_sweep" ->

@@ -275,6 +275,61 @@ object Windowed {
         }).otherwise(lit(0.0)).as("burstiness"))
   }
 
+  /** q246: CUSUM change-point locator per event type — the day k*
+    * maximizing |S_k·n − k·S_n| over the daily count series (the
+    * classic cumulative-sum deviation from the constant-rate line,
+    * Page's statistic in its scan form), with the exact integer
+    * statistic and the rate levels before/after the located break.
+    * The WHEN complement of q153's per-day z-anomalies and q178's
+    * distribution drift: a level shift too small for any single day to
+    * flag accumulates linearly in the CUSUM and the argmax names the
+    * day the regime changed (deploy, crawler change, bot onset) — the
+    * first question an incident review asks.
+    *
+    * Exactness: the statistic is cross-multiplied |S_k·n − k·S_n| in
+    * decimal(38,0) — no per-day division, so the supremum AND its
+    * argmax are value-exact (the q232 KS discipline on the time axis);
+    * ties break to the earliest day; the two rate columns are the only
+    * divisions, quantized.
+    *
+    * Shape: corpus → (type, day) counts (map-side combine), ONE
+    * calendar-bounded running-sum window per type, a |types|-row
+    * struct-max aggregate + a broadcast join back for the break-day
+    * levels. Never corpus rows past the first aggregate.
+    */
+  def cusumChangePoint(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dec38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val grid = events(spark, d)
+      .select($"event_type", to_date($"ts").as("day"))
+      .groupBy($"event_type", $"day").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid.select($"event_type", $"day", $"cnt",
+      sum($"cnt").over(w).as("sk"),
+      count(lit(1)).over(w).as("k"))
+    val tot = grid.groupBy($"event_type")
+      .agg(sum($"cnt").as("sn"), count(lit(1)).as("n_days"))
+    val scored = cum.join(broadcast(tot), "event_type")
+      .select($"event_type", $"day", $"sk", $"k", $"sn", $"n_days",
+        abs($"sk".cast(dec38) * $"n_days".cast(dec38)
+          - $"k".cast(dec38) * $"sn".cast(dec38)).as("dev"))
+    val best = scored.groupBy($"event_type").agg(
+      max(struct($"dev", expr("unix_date(day) * -1").as("nd"),
+        $"sk", $"k")).as("b"))
+    best
+      .join(broadcast(tot), "event_type")
+      .select($"event_type", $"n_days", $"sn".as("n_events"),
+        expr("date_from_unix_date(CAST(-b.nd AS INT))").as("break_day"),
+        $"b.dev".cast("long").as("cusum_dev"),
+        round($"b.sk".cast("double") / $"b.k".cast("double")
+          * lit(1000.0)).cast("long").as("rate_before_q3"),
+        when($"n_days" > $"b.k",
+          round(($"sn" - $"b.sk").cast("double")
+            / ($"n_days" - $"b.k").cast("double") * lit(1000.0))
+            .cast("long")).otherwise(lit(0L)).as("rate_after_q3"))
+  }
+
   /** q245: session-gap sensitivity sweep — session counts and mean
     * session size at gap thresholds τ ∈ {5, 15, 30, 60} minutes, from
     * ONE gap scan: a session breaks at gap > τ, so

@@ -17,6 +17,37 @@ class AuditOpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sf = "/root/testdata/sf0.001"
 
+  test("cusumChangePoint: exact deviation supremum, argmax, and rate replay") {
+    import spark.implicits._
+    val grid = graft.core.Tables.events(spark, sf)
+      .select($"event_type", to_date($"ts").as("day"))
+      .groupBy($"event_type", $"day").agg(count(lit(1)).as("cnt"))
+      .as[(String, java.sql.Date, Long)].collect()
+    val got = Windowed.cusumChangePoint(spark, sf)
+      .as[(String, Long, Long, java.sql.Date, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    grid.groupBy(_._1).foreach { case (t, cells) =>
+      val days = cells.sortBy(_._2.toLocalDate.toEpochDay)
+      val n = days.length.toLong
+      val sn = days.map(_._3).sum
+      var sk = 0L
+      val devs = days.zipWithIndex.map { case ((_, d0, c), i) =>
+        sk += c
+        (BigInt(sk) * n - BigInt(i + 1) * sn).abs ->
+          ((d0, i + 1, sk))
+      }
+      val mx = devs.map(_._1).max
+      val (bd, bk, bsk) = devs.find(_._1 == mx).get._2
+      val (_, nDays, nEv, gotDay, dev, rb, ra) = got(t)
+      assert(nDays == n && nEv == sn, s"type $t totals")
+      assert(gotDay == bd && BigInt(dev) == mx, s"type $t break day")
+      assert(rb == math.round(bsk.toDouble / bk * 1000.0), s"type $t before")
+      val expAfter = if (n > bk)
+        math.round((sn - bsk).toDouble / (n - bk) * 1000.0) else 0L
+      assert(ra == expAfter, s"type $t after")
+    }
+  }
+
   test("sessionGapSweep: one-scan sweep equals full re-sessionization at every tau") {
     import spark.implicits._
     val got = Windowed.sessionGapSweep(spark, sf)
