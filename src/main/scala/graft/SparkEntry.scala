@@ -273,6 +273,7 @@ object SparkEntry {
     "q244_pii_by_source"  -> ((s, d) => Text.piiBySource(s, d)),
     "q245_session_sweep"  -> ((s, d) => Windowed.sessionGapSweep(s, d)),
     "q246_cusum"          -> ((s, d) => Windowed.cusumChangePoint(s, d)),
+    "q247_survivorship"   -> ((s, d) => Dedup.dedupSurvivorship(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -2777,6 +2778,23 @@ object SparkEntry {
         |      * 1000000.0 / sum(lnmu_q6)::DOUBLE * 1000.0)::BIGINT
         |    ELSE 0 END AS id_q3
         |FROM pt""".stripMargin,
+    // star-label chain + the canonical's source absorbing every other
+    // member's source; diagonal = within-source redundancy baseline
+    "q247_survivorship" -> (dedupLabelCtes(5) +
+      s""",
+         |dd AS (SELECT doc_id, source, n_chars FROM documents),
+         |wl AS (SELECT l5.doc_id, l5.label, dd.source, dd.n_chars
+         |       FROM l5 JOIN dd USING (doc_id)),
+         |cn AS (SELECT label, min(doc_id) AS canon_id
+         |       FROM wl GROUP BY 1 HAVING count(*) >= 2),
+         |cs AS (SELECT cn.label, cn.canon_id, dd.source AS canon_source
+         |       FROM cn JOIN dd ON cn.canon_id = dd.doc_id)
+         |SELECT cs.canon_source, wl.source AS member_source,
+         |  count(*)::BIGINT AS n_absorbed,
+         |  sum(wl.n_chars)::BIGINT AS chars_absorbed
+         |FROM wl JOIN cs USING (label)
+         |WHERE wl.doc_id <> cs.canon_id
+         |GROUP BY 1, 2""".stripMargin),
     // star-label chain + per-cluster canonical (min doc_id) vs mean
     // length, ratios quantized BEFORE the bucket mean
     "q243_canonical_bias" -> (dedupLabelCtes(5) +

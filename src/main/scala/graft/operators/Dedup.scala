@@ -1367,6 +1367,40 @@ object Dedup {
         sum(when($"shorter", 1L).otherwise(0L)).as("n_shorter"))
   }
 
+  /** q247: dedup survivorship matrix — for every multi-doc near-dup
+    * cluster, the canonical's source ABSORBS each other member's
+    * source: emit the (canon_source, member_source) matrix of absorbed
+    * docs plus each cell's absorbed char mass. The post-dedup mixture
+    * accounting q211's symmetric pair counts can't express: q211 says
+    * sources A and B duplicate each other, this says WHO KEEPS the doc
+    * under the q82 min-doc_id policy — a provider systematically on the
+    * losing diagonal contributes near-zero post-dedup mass no matter
+    * what the raw mixture table (q54) claims, and the q243 length-bias
+    * audit explains whether that's ingest-order artifact or real
+    * redundancy. Diagonal cells (self-absorption) are kept: they are
+    * the within-source redundancy baseline.
+    *
+    * Shape: memo-shared star labels + one label-keyed canonical
+    * aggregate, a broadcast-sized join back to members, ONE
+    * ≤ |sources|²-row aggregate.
+    */
+  def dedupSurvivorship(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val docs = documents(spark, d).select($"doc_id", $"source", $"n_chars")
+    val labeled = dedupLabelsStar(spark, d).join(docs, "doc_id")
+    val canon = labeled.groupBy($"label").agg(
+        count(lit(1)).as("sz"), min($"doc_id").as("canon_id"))
+      .filter($"sz" >= 2L)
+      .join(docs.select($"doc_id".as("canon_id"),
+        $"source".as("canon_source")), "canon_id")
+      .select($"label", $"canon_id", $"canon_source")
+    labeled.join(canon, "label")
+      .filter($"doc_id" =!= $"canon_id")
+      .groupBy($"canon_source", $"source".as("member_source"))
+      .agg(count(lit(1)).as("n_absorbed"),
+        sum($"n_chars").as("chars_absorbed"))
+  }
+
   def thresholdSweep(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val pairs = jaccardPairs(spark, d).select($"x", $"y", $"jac")

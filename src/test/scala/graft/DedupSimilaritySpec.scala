@@ -699,4 +699,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(got == expected, "canonical bias replay")
   }
+
+  test("dedupSurvivorship: absorption matrix replay and conservation") {
+    import spark.implicits._
+    val labels = Dedup.dedupLabelsStar(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    val meta = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"source", $"n_chars")
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val clusters = labels.groupBy(_._2).values.map(_.keys.toSeq)
+      .filter(_.size >= 2).toSeq
+    val expected = clusters.flatMap { ids =>
+      val canonSrc = meta(ids.min)._1
+      ids.filter(_ != ids.min).map { m =>
+        (canonSrc, meta(m)._1, meta(m)._2)
+      }
+    }.groupBy(t => (t._1, t._2)).map { case ((c, m), rs) =>
+      (c, m, rs.size.toLong, rs.map(_._3).sum)
+    }.toSet
+    val got = Dedup.dedupSurvivorship(spark, sf)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == expected, "survivorship matrix replay")
+    // conservation: every non-canonical member of a multi-doc cluster is
+    // absorbed exactly once
+    val absorbed = clusters.map(_.size - 1).sum.toLong
+    assert(got.toSeq.map(_._3).sum == absorbed, "absorption conservation")
+  }
 }
