@@ -1267,6 +1267,78 @@ object EventStreams {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  case class CusumRow(event_type: String, n_days: Long, n_events: Long,
+    break_dy: Long, cusum_dev: Long, rate_before_q3: Long,
+    rate_after_q3: Long, state_n: Long)
+
+  /** q246's STREAMING twin: the CUSUM change-point monitor live — per
+    * event type the state is the same additive (day → count) vector as
+    * the q153 anomaly twin (histogram merge, micro-batch-split
+    * independent), and every batch re-emits the CURRENT located break
+    * day with its deviation and before/after rates, recomputed from
+    * state with the batch operator's exact integer math (cross-
+    * multiplied BigInt deviations, earliest-day ties). This is the form
+    * an on-call screen actually wants: the break-day column CHANGES the
+    * moment accumulating evidence relocates the regime shift —
+    * something the batch scan only shows on re-run. `state_n` stamps
+    * the final emission for the state≡batch law (EventStreamsSpec).
+    */
+  class CusumProcessor extends
+      org.apache.spark.sql.streaming.StatefulProcessor[String, Event, CusumRow] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+
+    @transient private var st: ValueState[DayCounts] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[DayCounts](
+        "cusumDayCounts", Encoders.product[DayCounts], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[CusumRow] = {
+      val m = scala.collection.mutable.LongMap.empty[Long]
+      if (st.exists()) {
+        val dc = st.get()
+        dc.days.zip(dc.counts).foreach { case (d, c) => m(d) = c }
+      }
+      rows.foreach { e =>
+        val micros = e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+        val dy = micros / 86400000000L
+        m(dy) = m.getOrElse(dy, 0L) + 1L
+      }
+      val pairs = m.toSeq.sortBy(_._1)
+      st.update(DayCounts(pairs.map(_._1).toArray, pairs.map(_._2).toArray))
+      val n = pairs.length.toLong
+      val sn = pairs.map(_._2).sum
+      var sk = 0L
+      var best: (BigInt, Long, Long, Long) = null // (dev, dy, k, sk)
+      pairs.zipWithIndex.foreach { case ((dy, c), i) =>
+        sk += c
+        val dev = (BigInt(sk) * n - BigInt(i + 1) * sn).abs
+        if (best == null || dev > best._1) best = (dev, dy, i + 1L, sk)
+      }
+      val (dev, bd, bk, bsk) = best
+      val rb = BigDecimal(bsk.toDouble / bk * 1000.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      val ra = if (n > bk)
+        BigDecimal((sn - bsk).toDouble / (n - bk) * 1000.0)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      else 0L
+      Iterator.single(CusumRow(key, n, sn, bd, dev.toLong, rb, ra, sn))
+    }
+  }
+
+  /** Streaming q246 entry point: events key by type; the day histogram
+    * folds additively and every batch re-emits the current break.
+    */
+  def cusumStream(events: Dataset[Event]): Dataset[CusumRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .transformWithState(new CusumProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   case class GapState(last_us: Long, n: Long, sg: Long, sggStr: String)
 
   case class GapRow(user_id: Long, event_type: String, n_gaps: Long,

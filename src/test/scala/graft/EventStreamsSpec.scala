@@ -741,6 +741,42 @@ class EventStreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("cusum stream locates the q246 batch break across an arbitrary batch split") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val all = graft.core.Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect()
+    withRuntime(tws = true) {
+      val input = MemoryStream[Event]
+      val query = EventStreams.cusumStream(input.toDS())
+        .writeStream.format("memory").queryName("cusum_stream")
+        .outputMode("update").start()
+      try {
+        all.grouped(all.length / 3 + 1).foreach { chunk =>
+          input.addData(chunk.toIndexedSeq: _*)
+          query.processAllAvailable()
+        }
+        val fin = spark.table("cusum_stream")
+          .as[EventStreams.CusumRow].collect()
+          .groupBy(_.event_type).values.map(_.maxBy(_.state_n))
+          .map(r => (r.event_type, r.n_days, r.n_events,
+            r.break_dy, r.cusum_dev, r.rate_before_q3, r.rate_after_q3))
+          .toSet
+        val batch = graft.operators.Windowed.cusumChangePoint(spark, sf)
+          .as[(String, Long, Long, java.sql.Date, Long, Long, Long)]
+          .collect()
+          .map(r => (r._1, r._2, r._3, r._4.toLocalDate.toEpochDay,
+            r._5, r._6, r._7))
+          .toSet
+        assert(fin == batch,
+          "final cusum emissions must equal the q246 batch break table")
+        assert(batch.nonEmpty)
+      } finally query.stop()
+    }
+  }
+
   test("burstiness stream sufficient statistics assemble the q234 batch rows") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
