@@ -274,6 +274,7 @@ object SparkEntry {
     "q245_session_sweep"  -> ((s, d) => Windowed.sessionGapSweep(s, d)),
     "q246_cusum"          -> ((s, d) => Windowed.cusumChangePoint(s, d)),
     "q247_survivorship"   -> ((s, d) => Dedup.dedupSurvivorship(s, d)),
+    "q248_arm_agreement"  -> ((s, d) => Retrieval.retrievalAgreement(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -3012,6 +3013,70 @@ object SparkEntry {
          |  round(abs(sum(one) * 2 - count(*))::DOUBLE / count(*)::DOUBLE
          |    * 1000000.0)::BIGINT AS bias_q6
          |FROM bits GROUP BY 1""".stripMargin,
+    // the q116 BM25 rank chain × the exact dense cosine rank chain;
+    // overlaps are integer set intersections, one division per k
+    "q248_arm_agreement" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |    t -> regexp_full_match(t, '[a-z]+') AND NOT list_contains($stopList, t))) AS t
+         |  FROM documents),
+         |ev AS (SELECT doc_id,
+         |  ${md5Bits32Sql("'eval:' || doc_id::VARCHAR", 1)} % 100 < 5 AS ev
+         |  FROM documents),
+         |tf AS (SELECT toks.doc_id, t, count(*)::BIGINT AS tf
+         |       FROM toks JOIN ev USING (doc_id) WHERE NOT ev GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+         |st AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sumdl FROM dl),
+         |dfT AS (SELECT t, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+         |q AS (SELECT DISTINCT toks.doc_id AS query_id, t
+         |      FROM toks JOIN ev USING (doc_id) WHERE ev),
+         |sq AS (SELECT q.query_id, tf.doc_id,
+         |  round(log2(((n - df + 0.5) / (df + 0.5)) + 1.0)
+         |    * (tf * 2.2)
+         |    / (tf + 1.2 * (0.25 + 0.75 * ((dl * n)::DOUBLE / sumdl::DOUBLE)))
+         |    * 1000000.0)::BIGINT AS sq
+         |  FROM q JOIN tf USING (t) JOIN dfT USING (t)
+         |  JOIN dl ON tf.doc_id = dl.doc_id, st),
+         |sc AS (SELECT query_id, doc_id, sum(sq)::BIGINT AS score_q
+         |       FROM sq GROUP BY 1, 2),
+         |lrk AS (SELECT query_id, doc_id,
+         |       row_number() OVER (PARTITION BY query_id
+         |         ORDER BY score_q DESC, doc_id)::BIGINT AS lrank FROM sc),
+         |emq AS (SELECT vec_id,
+         |    round(unnest(embedding)::DOUBLE * 10000000)::BIGINT AS v,
+         |    unnest(range(len(embedding))) AS i FROM embeddings),
+         |n2e AS (SELECT vec_id, sum(v*v)::BIGINT AS n2 FROM emq GROUP BY 1),
+         |dot AS (SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+         |    sum(a.v * b.v)::BIGINT AS dot
+         |  FROM emq a JOIN ev ea ON a.vec_id = ea.doc_id AND ea.ev
+         |  JOIN emq b ON a.i = b.i
+         |  JOIN ev eb ON b.vec_id = eb.doc_id AND NOT eb.ev
+         |  GROUP BY 1, 2),
+         |drk AS (SELECT query_id, doc_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY
+         |      dot::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)) DESC,
+         |      doc_id ASC)::BIGINT AS drank
+         |  FROM dot JOIN n2e na ON query_id = na.vec_id
+         |           JOIN n2e nb ON doc_id = nb.vec_id),
+         |base AS (SELECT DISTINCT query_id FROM q),
+         |ks AS (SELECT unnest([5, 10, 20]::BIGINT[]) AS k),
+         |bo AS (SELECT l.query_id, l.lrank, dr.drank
+         |  FROM (SELECT * FROM lrk WHERE lrank <= 20) l
+         |  JOIN (SELECT * FROM drk WHERE drank <= 20) dr
+         |    USING (query_id, doc_id)),
+         |ov AS (SELECT base.query_id, ks.k,
+         |    sum(CASE WHEN bo.lrank IS NOT NULL
+         |      AND bo.lrank <= ks.k AND bo.drank <= ks.k
+         |      THEN 1 ELSE 0 END)::BIGINT AS ov
+         |  FROM base CROSS JOIN ks
+         |  LEFT JOIN bo ON base.query_id = bo.query_id
+         |  GROUP BY 1, 2)
+         |SELECT k, count(*)::BIGINT AS n_queries,
+         |  sum(CASE WHEN ov = 0 THEN 1 ELSE 0 END)::BIGINT AS n_disjoint,
+         |  sum(ov)::BIGINT AS sum_overlap,
+         |  round(sum(ov)::DOUBLE / (count(*) * k)::DOUBLE
+         |    * 1000000.0)::BIGINT AS mean_overlap_q6
+         |FROM ov GROUP BY 1""".stripMargin,
     // the q116 BM25 chain (rank table) × the q16 Jaccard truth pairs;
     // reciprocal ranks are exact integer floor-divs, misses are 0
     "q237_retrieval_eval" ->

@@ -325,6 +325,54 @@ object Retrieval {
       .select($"query_id", $"doc_id", $"rrf", $"rank")
   }
 
+  /** q248: lexical-vs-dense retrieval agreement — per eval query, the
+    * overlap of BM25's and the exact dense arm's top-k sets, summarized
+    * at k ∈ {5, 10, 20}: mean overlap@k, plus the count of queries
+    * where the two retrievers are fully DISJOINT. The audit behind
+    * q125's fusion: RRF only helps where the arms disagree (a mean
+    * overlap near 1 says dense re-ranks what lexical already found —
+    * drop the second index), while a large disjoint count says each arm
+    * is the other's blind spot and fusion is load-bearing — q215 makes
+    * this exact argument for the dup detectors, this makes it for the
+    * retrievers. Dense arm = `DenseBruteGen`, the exact rung (the
+    * deployed IVF arm's recall vs this truth is q192's sweep — keeping
+    * the audit on the exact arm separates modality disagreement from
+    * ANN approximation error). Base query set = the lexical arm's
+    * (token-bearing eval docs); dense answers every query by
+    * construction.
+    *
+    * Exactness: overlaps are exact integer set intersections off the
+    * two rank tables; the one division per k is the final mean.
+    * Shape: both rank tables are memo-shared; the agreement join is
+    * (query, doc)-keyed over |queries|·20-row tables — audit-sized.
+    */
+  def retrievalAgreement(spark: SparkSession, d: String,
+      ks: Seq[Int] = Seq(5, 10, 20)): DataFrame = {
+    import spark.implicits._
+    val lex = bm25TopK(spark, d, sharedTopK)
+      .select($"query_id", $"doc_id", $"rank")
+    val dense = DenseBruteGen(spark, d, sharedTopK)
+      .select($"query_id", $"doc_id", $"rank".as("drank"))
+    val both = lex.join(dense, Seq("query_id", "doc_id"))
+    val base = lex.select($"query_id").distinct()
+      .select($"query_id", explode(typedLit(ks.map(_.toLong))).as("k"))
+    val perQ = both
+      .select($"query_id", explode(typedLit(ks.map(_.toLong))).as("k"),
+        $"rank", $"drank")
+      .groupBy($"query_id", $"k")
+      .agg(sum(when($"rank" <= $"k" && $"drank" <= $"k", 1L).otherwise(0L))
+        .as("ov"))
+    base.join(perQ, Seq("query_id", "k"), "left")
+      .select($"k", coalesce($"ov", lit(0L)).as("ov"))
+      .groupBy($"k").agg(count(lit(1)).as("n_queries"),
+        sum(when($"ov" === 0L, 1L).otherwise(0L)).as("n_disjoint"),
+        sum($"ov").as("sum_overlap"))
+      .select($"k", $"n_queries", $"n_disjoint", $"sum_overlap",
+        round($"sum_overlap".cast("double")
+          / ($"n_queries" * $"k").cast("double") * lit(1000000.0))
+          .cast("long").as("mean_overlap_q6"))
+  }
+
   /** q237: retrieval evaluation harness — recall@k and MRR@k of the
     * BM25 index (q116's ranked table, train-only corpus) against
     * lexical near-dup ground truth: an eval query's RELEVANT documents

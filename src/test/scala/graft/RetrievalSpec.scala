@@ -203,6 +203,35 @@ class RetrievalSpec extends AnyFunSuite {
     assert(gotCeil < gotAll, "the ceiling must bound the saturated term's fan-out")
   }
 
+  test("retrievalAgreement: overlap fold replay off both rank tables") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val lex = Retrieval.bm25TopK(spark, sf, 20)
+      .select($"query_id", $"doc_id", $"rank")
+      .as[(Long, Long, Long)].collect()
+    val dense = Retrieval.DenseBruteGen(spark, sf, 20)
+      .select($"query_id", $"doc_id", $"rank")
+      .as[(Long, Long, Long)].collect()
+    val queries = lex.map(_._1).distinct
+    val got = Retrieval.retrievalAgreement(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(5L, 10L, 20L))
+    got.foreach { case (k, (_, nq, nd, so, mo)) =>
+      val ovs = queries.map { q =>
+        val l = lex.filter(r => r._1 == q && r._3 <= k).map(_._2).toSet
+        val d0 = dense.filter(r => r._1 == q && r._3 <= k).map(_._2).toSet
+        (l & d0).size.toLong
+      }
+      assert(nq == queries.length.toLong, s"k=$k queries")
+      assert(so == ovs.sum && nd == ovs.count(_ == 0).toLong, s"k=$k overlap")
+      assert(mo == math.round(so.toDouble / (nq * k) * 1e6), s"k=$k mean")
+    }
+    // intersections grow with k; full disjointness can only shrink
+    val Seq(a, b, c) = Seq(5L, 10L, 20L).map(got)
+    assert(a._4 <= b._4 && b._4 <= c._4, "sum overlap monotone")
+    assert(a._3 >= b._3 && b._3 >= c._3, "disjoint count nonincreasing")
+  }
+
   test("retrievalEval: metric fold replay from truth x rankings; k-monotonicity") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"
