@@ -275,6 +275,7 @@ object SparkEntry {
     "q246_cusum"          -> ((s, d) => Windowed.cusumChangePoint(s, d)),
     "q247_survivorship"   -> ((s, d) => Dedup.dedupSurvivorship(s, d)),
     "q248_arm_agreement"  -> ((s, d) => Retrieval.retrievalAgreement(s, d)),
+    "q249_source_quality" -> ((s, d) => Text.sourceQualityPanel(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -3013,6 +3014,19 @@ object SparkEntry {
          |  round(abs(sum(one) * 2 - count(*))::DOUBLE / count(*)::DOUBLE
          |    * 1000000.0)::BIGINT AS bias_q6
          |FROM bits GROUP BY 1""".stripMargin,
+    // the q136 calibration CTEs keyed by source; per-doc pr quantized
+    // BEFORE the mean so the fold is an exact integer sum
+    "q249_source_quality" ->
+      s"""WITH j AS (SELECT qr.doc_id,
+         |    round(qr.pr * 1000000.0)::BIGINT AS prq,
+         |    (qr.decile = 9) AS top, d.source
+         |  FROM ($qualityRankSql) qr JOIN documents d USING (doc_id))
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |  round(sum(prq)::DOUBLE / count(*)::DOUBLE)::BIGINT AS mean_pr_q6,
+         |  sum(CASE WHEN top THEN 1 ELSE 0 END)::BIGINT AS n_top_decile,
+         |  round(sum(CASE WHEN top THEN 1 ELSE 0 END)::DOUBLE
+         |    / count(*)::DOUBLE * 1000000.0)::BIGINT AS top_share_q6
+         |FROM j GROUP BY 1""".stripMargin,
     // the q116 BM25 rank chain × the exact dense cosine rank chain;
     // overlaps are integer set intersections, one division per k
     "q248_arm_agreement" ->

@@ -1786,6 +1786,40 @@ object Text {
       .withColumn("decile", least(floor($"pr" * 10), lit(9.0)).cast("long"))
   }
 
+  /** q249: per-source quality-percentile panel — q136's within-language
+    * rank calibration rolled up to the mixture designer's actual
+    * question: per source, the mean calibrated percentile (per-doc pr
+    * quantized to 1e6 BEFORE the sum — exact integer fold) and the
+    * share of docs in the TOP decile. Raw quality signals are not
+    * comparable across languages (the whole point of q136), so this is
+    * the only per-source quality comparison that is legitimate on a
+    * multilingual corpus: a source whose mean percentile sits at 0.35
+    * supplies mostly below-median text in every language it ships, and
+    * the q54/q101 mixture weights should know that BEFORE q138's filter
+    * silently halves its contribution.
+    *
+    * Shape: rides the memo-shared q136 calibration (five other queries
+    * already read it), one doc_id-keyed source join, ONE |sources|-row
+    * aggregate.
+    */
+  def sourceQualityPanel(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    qualityRank(spark, d)
+      .select($"doc_id", round($"pr" * lit(1000000.0)).cast("long").as("prq"),
+        ($"decile" === 9L).as("top"))
+      .join(documents(spark, d).select($"doc_id", $"source"), "doc_id")
+      .groupBy($"source").agg(
+        count(lit(1)).as("n_docs"),
+        sum($"prq").as("sum_prq"),
+        sum(when($"top", 1L).otherwise(0L)).as("n_top_decile"))
+      .select($"source", $"n_docs",
+        round($"sum_prq".cast("double") / $"n_docs".cast("double"))
+          .cast("long").as("mean_pr_q6"),
+        $"n_top_decile",
+        round($"n_top_decile".cast("double") / $"n_docs".cast("double")
+          * lit(1000000.0)).cast("long").as("top_share_q6"))
+  }
+
   /** q138: rank-calibrated quality filtering — the decision q136's
     * calibration exists for: drop each language's worst `minDecile`
     * deciles (rank-based, so the SAME proportion is dropped from every

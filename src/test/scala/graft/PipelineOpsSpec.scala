@@ -2141,6 +2141,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     Seq(gotCc, cohE, cohL).foreach(v => assert(v.abs <= 1000000L))
   }
 
+  test("sourceQualityPanel: rollup replays the q136 calibration per source") {
+    import spark.implicits._
+    val perDoc = Text.qualityRank(spark, sf)
+      .select($"doc_id", $"pr", $"decile")
+      .join(spark.read.parquet(s"$sf/documents.parquet")
+        .select($"doc_id", $"source"), "doc_id")
+      .as[(Long, Double, Long, String)].collect()
+    val expected = perDoc.groupBy(_._4).map { case (s, rs) =>
+      val prqs = rs.map(r => BigDecimal(r._2 * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      val top = rs.count(_._3 == 9L).toLong
+      (s, rs.size.toLong, math.round(prqs.sum.toDouble / rs.size),
+        top, math.round(top.toDouble / rs.size * 1e6))
+    }.toSet
+    val got = Text.sourceQualityPanel(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got == expected, "per-source quality panel replay")
+    // percentile means live in [0, 1e6]; the panel must discriminate
+    val means = got.map(_._3)
+    assert(means.forall(m => m >= 0 && m <= 1000000L))
+    assert(means.max > means.min, "sources differ in calibrated quality")
+  }
+
   test("piiBySource: rollup equals the per-doc q60 scan joined to sources") {
     import spark.implicits._
     val perDoc = Text.piiScan(spark, sf)
