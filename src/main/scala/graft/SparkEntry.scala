@@ -276,6 +276,9 @@ object SparkEntry {
     "q247_survivorship"   -> ((s, d) => Dedup.dedupSurvivorship(s, d)),
     "q248_arm_agreement"  -> ((s, d) => Retrieval.retrievalAgreement(s, d)),
     "q249_source_quality" -> ((s, d) => Text.sourceQualityPanel(s, d)),
+    "q250_neyman_alloc"   -> ((s, d) => Sampling.neymanAllocation(s, d)),
+    "q251_knapsack"       -> ((s, d) => Sampling.qualityKnapsack(s, d)),
+    "q252_davies_bouldin" -> ((s, d) => Similarity.daviesBouldin(s, d)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -2918,6 +2921,101 @@ object SparkEntry {
         |  round(sum(CASE WHEN skip THEN 1 ELSE 0 END)::DOUBLE
         |    / count(*)::DOUBLE * 1000000.0)::BIGINT AS skip_rate_q6
         |FROM chk GROUP BY 1, 2""".stripMargin,
+    // the full Lloyd (8,2) re-derivation → per-member √dist² quantized
+    // BEFORE the scatter mean; centroid gaps from exact integer coords;
+    // one quantized division per (i, j), ties to the lower-id neighbor
+    "q252_davies_bouldin" -> {
+      s"""WITH ex AS (SELECT vec_id,
+         |    round(unnest(embedding)::DOUBLE * 10000000)::BIGINT AS e,
+         |    unnest(range(len(embedding))) AS i FROM embeddings),
+         |${kmeansCentroidCtes(8, 2)},
+         |fd AS (SELECT x.vec_id, c.cid,
+         |    sum((x.e - c.cq) * (x.e - c.cq))::BIGINT AS dist
+         |  FROM ex x JOIN c2 c ON x.i = c.i GROUP BY 1, 2),
+         |fa AS (SELECT vec_id, cid, dist FROM (
+         |    SELECT vec_id, cid, dist,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY dist, cid) AS rn FROM fd) WHERE rn = 1),
+         |sct AS (SELECT cid, count(*)::BIGINT AS n_members,
+         |    round(sum(round(sqrt(dist::DOUBLE))::BIGINT)::DOUBLE
+         |      / count(*)::DOUBLE)::BIGINT AS scatter
+         |  FROM fa GROUP BY 1),
+         |gp AS (SELECT a.cid AS cluster, b.cid AS j,
+         |    round(sqrt(sum((a.cq - b.cq) * (a.cq - b.cq))::DOUBLE))::BIGINT
+         |      AS dij
+         |  FROM c2 a JOIN c2 b ON a.i = b.i AND a.cid <> b.cid
+         |  GROUP BY 1, 2),
+         |rt AS (SELECT s.cid AS cluster, s.n_members, s.scatter, g.j,
+         |    round((s.scatter + t.scatter)::DOUBLE / g.dij::DOUBLE
+         |      * 1000000.0)::BIGINT AS ratio
+         |  FROM sct s JOIN gp g ON s.cid = g.cluster AND g.dij > 0
+         |  JOIN sct t ON g.j = t.cid),
+         |wr AS (SELECT cluster, n_members, scatter, j, ratio,
+         |    row_number() OVER (PARTITION BY cluster
+         |      ORDER BY ratio DESC, j ASC) AS rk FROM rt)
+         |SELECT cluster::BIGINT AS cluster, n_members, scatter,
+         |  j::BIGINT AS worst_neighbor, ratio AS db_q6
+         |FROM wr WHERE rk = 1""".stripMargin
+    },
+    // q249's calibrated means × q57's BPE masses; greedy walk under the
+    // total (quality DESC, source) order, integer budget comparisons
+    "q251_knapsack" ->
+      s"""WITH qm AS (SELECT d.source,
+         |    round(sum(round(qr.pr * 1000000.0)::BIGINT)::DOUBLE
+         |      / count(*)::DOUBLE)::BIGINT AS mean_pr_q6
+         |  FROM ($qualityRankSql) qr JOIN documents d USING (doc_id)
+         |  GROUP BY 1),
+         |mm AS (SELECT source,
+         |    sum(list_sum(list_transform(
+         |      regexp_split_to_array(lower(text), '\\s+'),
+         |      w -> floor((strlen(w)+3)/4)::BIGINT)))::BIGINT AS m_toks
+         |  FROM documents GROUP BY 1),
+         |base AS (SELECT qm.source, qm.mean_pr_q6, mm.m_toks
+         |  FROM qm JOIN mm USING (source)),
+         |tot AS (SELECT sum(m_toks)::BIGINT AS tot FROM base),
+         |r AS (SELECT source, mean_pr_q6, m_toks,
+         |    row_number() OVER (ORDER BY mean_pr_q6 DESC, source)::BIGINT
+         |      AS rank,
+         |    ((sum(m_toks) OVER (ORDER BY mean_pr_q6 DESC, source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |      - m_toks)::BIGINT AS cum_before
+         |  FROM base)
+         |SELECT source, rank, mean_pr_q6, m_toks,
+         |  (tot // 2)::BIGINT AS budget,
+         |  CASE WHEN cum_before + m_toks <= tot // 2 THEN 1000000
+         |       WHEN cum_before >= tot // 2 THEN 0
+         |       ELSE round((tot // 2 - cum_before)::DOUBLE
+         |         / m_toks::DOUBLE * 1000000.0)::BIGINT
+         |  END AS take_q6
+         |FROM r, tot""".stripMargin,
+    // exact variance numerators; Neyman weights N·σ quantized BEFORE
+    // the normalizing sum so allocations are order-independent
+    "q250_neyman_alloc" ->
+      """WITH g AS (SELECT source, count(*)::BIGINT AS n_docs,
+        |    sum(n_chars::HUGEINT) AS sx,
+        |    sum(n_chars::HUGEINT * n_chars::HUGEINT) AS sxx
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT source, n_docs,
+        |    CASE WHEN n_docs > 1 THEN
+        |      sqrt((n_docs::HUGEINT * sxx - sx * sx)::DOUBLE
+        |        / (n_docs::DOUBLE * (n_docs - 1)::DOUBLE))
+        |    ELSE 0.0 END AS sd
+        |  FROM g),
+        |wq AS (SELECT source, n_docs, sd,
+        |    round(n_docs::DOUBLE * sd)::BIGINT AS wq FROM w),
+        |tot AS (SELECT sum(n_docs)::BIGINT AS nn, sum(wq)::BIGINT AS sw
+        |  FROM wq)
+        |SELECT source, n_docs,
+        |  round(sd * 1000.0)::BIGINT AS sd_q3,
+        |  round(1000.0 * n_docs::DOUBLE / nn::DOUBLE)::BIGINT AS alloc_prop,
+        |  CASE WHEN sw > 0
+        |    THEN round(1000.0 * wq::DOUBLE / sw::DOUBLE)::BIGINT
+        |    ELSE 0 END AS alloc_neyman,
+        |  (CASE WHEN sw > 0
+        |    THEN round(1000.0 * wq::DOUBLE / sw::DOUBLE)::BIGINT
+        |    ELSE 0 END
+        |   - round(1000.0 * n_docs::DOUBLE / nn::DOUBLE)::BIGINT) AS delta
+        |FROM wq, tot""".stripMargin,
     // HHI from exact Σm²/M²; coverage ranks compare exact integers
     // (cum·2 ≥ M, cum·10 ≥ 9M) under the total (mass desc, source) order
     "q241_source_hhi" ->

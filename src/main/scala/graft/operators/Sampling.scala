@@ -668,6 +668,101 @@ object Sampling {
           * lit(1000000.0)).cast("long").as("ks_q6"))
   }
 
+  /** q250: Neyman eval-budget allocation — split an annotation/eval
+    * budget of `budget` docs across sources ∝ N_s·σ_s (Neyman 1934
+    * optimal stratified allocation, here on the doc-length signal)
+    * beside the naive proportional split. The survey-sampling math an
+    * eval-set designer actually needs: a source with huge N but
+    * near-constant docs wastes proportional budget (its stratum mean is
+    * already tight), while a small high-variance source is under-
+    * sampled — the delta column is the correction, per source.
+    *
+    * Exactness: per-source variance numerators D = N·Σx² − (Σx)² are
+    * exact decimal(38,0); each σ needs one sqrt, and the Neyman weight
+    * N·σ quantizes to an integer BEFORE the normalizing sum (the q101
+    * discipline — the denominator is an exact integer, so allocations
+    * are identical doubles in any summation order).
+    *
+    * Shape: ONE |sources|-row aggregate off the corpus scan; everything
+    * after is arithmetic on those rows plus one 1-row broadcast.
+    */
+  def neymanAllocation(spark: SparkSession, d: String,
+      budget: Long = 1000L): DataFrame = {
+    import spark.implicits._
+    val dec38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val g = documents(spark, d).groupBy($"source").agg(
+      count(lit(1)).as("n_docs"),
+      sum($"n_chars".cast(dec38)).as("sx"),
+      sum(($"n_chars".cast(dec38) * $"n_chars".cast(dec38))).as("sxx"))
+    val w = g.select($"source", $"n_docs",
+      when($"n_docs" > 1L,
+        sqrt(($"n_docs".cast(dec38) * $"sxx" - $"sx" * $"sx").cast("double")
+          / ($"n_docs".cast("double") * ($"n_docs" - 1L).cast("double"))))
+        .otherwise(lit(0.0)).as("sd"))
+      .select($"source", $"n_docs", $"sd",
+        round($"n_docs".cast("double") * $"sd").cast("long").as("wq"))
+    val tot = w.agg(sum($"n_docs").as("nn"), sum($"wq").as("sw"))
+    w.crossJoin(broadcast(tot))
+      .select($"source", $"n_docs",
+        round($"sd" * lit(1000.0)).cast("long").as("sd_q3"),
+        round(lit(budget.toDouble) * $"n_docs".cast("double")
+          / $"nn".cast("double")).cast("long").as("alloc_prop"),
+        when($"sw" > 0L,
+          round(lit(budget.toDouble) * $"wq".cast("double")
+            / $"sw".cast("double")).cast("long"))
+          .otherwise(lit(0L)).as("alloc_neyman"))
+      .select($"source", $"n_docs", $"sd_q3", $"alloc_prop",
+        $"alloc_neyman",
+        ($"alloc_neyman" - $"alloc_prop").as("delta"))
+  }
+
+  /** q251: quality-greedy token knapsack — the mixture-under-constraint
+    * DECISION that composes the audit panels: rank sources by their
+    * mean calibrated quality percentile (q249's number, off the
+    * memo-shared q136 calibration), walk them greedily into a token
+    * budget of half the corpus (BPE masses from the memo-shared q57
+    * column convention), and emit per source its rank, quality, token
+    * mass, cumulative position, and the exact fraction taken (1e6:
+    * full, partial at the boundary source, zero beyond). This is the
+    * "best half of the corpus by calibrated quality, whole sources
+    * first" plan a data-constrained run executes — and reading it next
+    * to q250 (variance-optimal eval allocation) and q92 (per-doc budget
+    * admission) completes the budget family at all three granularities.
+    *
+    * Exactness: the greedy order is total ((mean_pr_q6 DESC, source));
+    * budget = tot div 2 and cumulative masses are exact integers, so
+    * in/partial/out classification is integer comparison; the boundary
+    * fraction is ONE division quantized.
+    *
+    * Shape: two memo-shared lineages collapse to |sources|-row tables;
+    * the walk is a running sum over that aggregate (the blessed shape)
+    * plus a 1-row broadcast.
+    */
+  def qualityKnapsack(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val quality = graft.operators.Text.sourceQualityPanel(spark, d)
+      .select($"source", $"mean_pr_q6")
+    val mass = packSequences(spark, d)
+      .groupBy($"source").agg(sum($"n_toks").as("m_toks"))
+    val base = quality.join(mass, "source")
+    val tot = base.agg(sum($"m_toks").as("tot"))
+    val ord = Window.orderBy($"mean_pr_q6".desc, $"source")
+    val cumW = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("rank", row_number().over(ord).cast("long"))
+      .withColumn("cum", sum($"m_toks").over(cumW))
+      .crossJoin(broadcast(tot))
+      .select($"source", $"rank", $"mean_pr_q6", $"m_toks",
+        ($"cum" - $"m_toks").as("cum_before"),
+        expr("tot div 2").as("budget"))
+      .select($"source", $"rank", $"mean_pr_q6", $"m_toks", $"budget",
+        when($"cum_before" + $"m_toks" <= $"budget", lit(1000000L))
+          .when($"cum_before" >= $"budget", lit(0L))
+          .otherwise(round(($"budget" - $"cum_before").cast("double")
+            / $"m_toks".cast("double") * lit(1000000.0)).cast("long"))
+          .as("take_q6"))
+  }
+
   /** q241: source-concentration report — the Herfindahl–Hirschman index
     * of char mass across sources plus the coverage counts k50/k90 (how
     * many sources, largest-first, cover 50%/90% of the corpus) and the

@@ -1331,6 +1331,64 @@ object Similarity {
           .cast("long").as("pr_q3"))
   }
 
+  /** q252: Davies–Bouldin clustering-quality panel over the memo-shared
+    * Lloyd (8, 2) quantizer — per cluster: population, within-cluster
+    * scatter s_i (mean member distance to its centroid), the WORST
+    * neighbor j maximizing (s_i + s_j)/d_ij, and that DB component
+    * (≫ 1e6 = the pair overlaps more than it separates). The quality
+    * gate for every consumer of this quantizer: q39/q67/q91's IVF lists
+    * and q185's balance audit all assume the clusters mean something —
+    * a high-DB pair is two lists splitting one real cluster (probes
+    * must straddle them, q192's recall curve pays), and the named worst
+    * neighbor says which pair to merge or retrain.
+    *
+    * Exactness: member distances round(√dist²) quantize per member
+    * BEFORE the scatter mean (exact integer fold, the q235 discipline);
+    * centroid gaps d_ij = round(√Σ(cᵃ−cᵇ)²) come from the exact integer
+    * centroid coordinates the trainer publishes; each DB ratio is ONE
+    * division quantized to 1e6, then an integer struct-max (ties → the
+    * lower-id neighbor). Zero-gap pairs (coincident centroids) drop
+    * identically in both engines.
+    *
+    * Shape: the assignment is the memo-shared scan (built once for
+    * q62/q67/q91/q185); scatters are ONE k-row aggregate; the k²
+    * pair table is driver-literal (k·dims centroid matrix — the
+    * MLlib-collect shape, Bounded-guarded upstream).
+    */
+  def daviesBouldin(spark: SparkSession, d: String,
+      k: Int = 8, iters: Int = 3): DataFrame = {
+    import spark.implicits._
+    val sc = kmeansAssign(spark, d, k, iters)
+      .select($"cluster", round(sqrt($"dist2".cast("double")))
+        .cast("long").as("md"))
+      .groupBy($"cluster").agg(count(lit(1)).as("n_members"),
+        sum($"md").as("smd"))
+      .select($"cluster", $"n_members",
+        round($"smd".cast("double") / $"n_members".cast("double"))
+          .cast("long").as("scatter"))
+    val cents = lloydCentroids(spark, d, k, iters - 1).sortBy(_._1)
+    val gaps = for {
+      (ci, qi) <- cents; (cj, qj) <- cents if ci != cj
+    } yield {
+      val d2 = qi.zip(qj).map { case (a, b) =>
+        BigInt(a - b) * BigInt(a - b) }.sum
+      (ci, cj, math.round(math.sqrt(d2.toDouble)))
+    }
+    val gapDf = gaps.toSeq.toDF("cluster", "j", "dij").filter($"dij" > 0L)
+    sc.join(broadcast(gapDf), "cluster")
+      .join(broadcast(sc.select($"cluster".as("j"),
+        $"scatter".as("sj"))), "j")
+      .select($"cluster", $"n_members", $"scatter",
+        struct(round(($"scatter" + $"sj").cast("double")
+            / $"dij".cast("double") * lit(1000000.0)).cast("long")
+            .as("ratio"),
+          (-$"j").as("nj")).as("p"))
+      .groupBy($"cluster", $"n_members", $"scatter")
+      .agg(max($"p").as("w"))
+      .select($"cluster", $"n_members", $"scatter",
+        (-$"w.nj").as("worst_neighbor"), $"w.ratio".as("db_q6"))
+  }
+
   /** q215: lexical-vs-semantic near-dup agreement — the pair sets of
     * the exact Jaccard detector (q16, τ=0.5) and the embedding-cosine
     * detector (q25, cos ≥ 0.4) compared as sets (vec_id ≡ doc_id):

@@ -275,6 +275,69 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(k50 >= 1 && k50 <= k90 && k90 <= n)
   }
 
+  test("neymanAllocation: exact stratum replay; budget conservation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val lens = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"source", $"n_chars").as[(String, Long)].collect()
+    val strata = lens.groupBy(_._1).map { case (s, rs) =>
+      val xs = rs.map(_._2)
+      val n = xs.length.toLong
+      val sx = xs.map(BigInt(_)).sum
+      val sxx = xs.map(x => BigInt(x) * BigInt(x)).sum
+      val sd = if (n > 1)
+        math.sqrt((BigInt(n) * sxx - sx * sx).toDouble / (n.toDouble * (n - 1)))
+      else 0.0
+      (s, n, sd, math.round(n.toDouble * sd))
+    }.toSeq
+    val nn = strata.map(_._2).sum
+    val sw = strata.map(_._4).sum
+    val expected = strata.map { case (s, n, sd, wq) =>
+      val prop = math.round(1000.0 * n / nn)
+      val ney = if (sw > 0) math.round(1000.0 * wq / sw) else 0L
+      (s, n, math.round(sd * 1000.0), prop, ney, ney - prop)
+    }.toSet
+    val got = Sampling.neymanAllocation(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == expected, "Neyman allocation replay")
+    // both allocations conserve the budget up to per-source rounding
+    val rows = got.toSeq
+    assert(math.abs(rows.map(_._4).sum - 1000L) <= rows.size.toLong)
+    assert(math.abs(rows.map(_._5).sum - 1000L) <= rows.size.toLong)
+    // deltas are a zero-sum reallocation up to the same rounding slack
+    assert(math.abs(rows.map(_._6).sum) <= 2L * rows.size)
+  }
+
+  test("qualityKnapsack: greedy walk replay; budget and monotonicity laws") {
+    import spark.implicits._
+    val rows = Sampling.qualityKnapsack(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect().sortBy(_._2)
+    val budget = rows.head._5
+    assert(rows.forall(_._5 == budget))
+    // the greedy order is (quality DESC, source); takes are monotone
+    // nonincreasing along it: 1e6..., one partial, then 0...
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 > b._3 || (a._3 == b._3 && a._1 < b._1), "total order")
+      assert(a._6 >= b._6, "take monotone along the greedy order")
+    }
+    assert(rows.count(t => t._6 > 0L && t._6 < 1000000L) <= 1,
+      "at most one boundary source")
+    // exact budget conservation: taken mass == budget (the partial
+    // fraction is the only rounding, bounded by its own mass)
+    val taken = rows.map(t => t._4.toDouble * t._6 / 1e6).sum
+    assert(math.abs(taken - budget.toDouble) <= rows.map(_._4).max / 1e6 + 1,
+      "taken mass ~= budget")
+    // replay the walk off the row's own integers
+    var cum = 0L
+    rows.foreach { case (_, _, _, m, b, take) =>
+      val exp = if (cum + m <= b) 1000000L
+        else if (cum >= b) 0L
+        else math.round((b - cum).toDouble / m * 1e6)
+      assert(take == exp, "greedy take replay")
+      cum += m
+    }
+  }
+
   test("temperatureMixture flattens toward uniform under the sqrt law") {
     import spark.implicits._
     val rows = Sampling.temperatureMixture(spark, sf)

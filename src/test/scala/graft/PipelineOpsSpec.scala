@@ -2199,6 +2199,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(hits(2)._3 == 1L && hits(2)._4 == 1L, "ssn+ip doc")
   }
 
+  test("daviesBouldin: scatter/gap/ratio replay off the shared quantizer") {
+    import spark.implicits._
+    val asn = Similarity.kmeansAssign(spark, sf)
+      .select($"cluster", $"dist2").as[(Long, Long)].collect()
+    val cents = Similarity.lloydCentroids(spark, sf, 8, 2)
+      .sortBy(_._1).toMap
+    val scat = asn.groupBy(_._1).map { case (c, rs) =>
+      val mds = rs.map(r => math.round(math.sqrt(r._2.toDouble)))
+      c -> ((rs.size.toLong, math.round(mds.sum.toDouble / rs.size)))
+    }
+    def gap(a: Long, b: Long): Long = {
+      val d2 = cents(a).zip(cents(b))
+        .map { case (x, y) => BigInt(x - y) * BigInt(x - y) }.sum
+      math.round(math.sqrt(d2.toDouble))
+    }
+    val expected = scat.keys.map { c =>
+      val (n, s) = scat(c)
+      val cands = scat.keys.filter(j => j != c && gap(c, j) > 0).map { j =>
+        (math.round((s + scat(j)._2).toDouble / gap(c, j) * 1e6), -j)
+      }
+      val (r, nj) = cands.max
+      (c, n, s, -nj, r)
+    }.toSet
+    val got = Similarity.daviesBouldin(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == expected, "Davies-Bouldin panel replay")
+    // components are positive and never name the cluster itself
+    assert(got.forall(r => r._5 > 0 && r._4 != r._1))
+  }
+
   test("axisIsotropy: exact variance-share and participation-ratio replay") {
     import spark.implicits._
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
