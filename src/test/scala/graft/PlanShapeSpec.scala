@@ -140,4 +140,46 @@ class PlanShapeSpec extends AnyFunSuite {
       .count(_.startsWith("BroadcastNestedLoopJoin"))
     assert(bnlj <= 1, s"only the scalar |V| broadcast may nest:\n$p")
   }
+
+  test("q229 two-NN rides the native bounded-heap aggregate, no window") {
+    val p = plan(graft.operators.Similarity.twoNNDim(spark, sf))
+    assert(p.contains("topk_rows") && p.contains("partial_topk_rows"),
+      s"q229 must fold map-side k=2 heaps:\n$p")
+    assert(!p.contains("Window"), s"q229: no window may appear:\n$p")
+  }
+
+  test("q232/q236 global-order windows consume AGGREGATES, never corpus rows") {
+    for ((name, df) <- Seq(
+        "q232" -> graft.operators.Sampling.ksSplitAudit(spark, sf),
+        "q236" -> graft.operators.Sampling.padSplitPlan(spark, sf))) {
+      val p = df.queryExecution.optimizedPlan.toString
+      // the Window must sit strictly ABOVE the histogram Aggregate in
+      // the operator tree (optimizedPlan prints parents first), so the
+      // single-partition sort touches |distinct lengths| rows only
+      val winIdx = p.indexOf("Window")
+      val aggIdx = p.indexOf("Aggregate", winIdx)
+      assert(winIdx >= 0 && aggIdx > winIdx,
+        s"$name: the ECDF window must consume the value-domain aggregate:\n$p")
+    }
+  }
+
+  test("q246 CUSUM window is per-type over the calendar grid, not events") {
+    val df = graft.operators.Windowed.cusumChangePoint(spark, sf)
+    val p = df.queryExecution.optimizedPlan.toString
+    val winIdx = p.indexOf("Window")
+    val aggIdx = p.indexOf("Aggregate", winIdx)
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"q246: the running sum must consume the (type, day) aggregate:\n$p")
+    assert(plan(df).contains("event_type"), "window partitions by type")
+  }
+
+  test("q251 greedy walk is windows-over-aggregates with no cartesian") {
+    val p = plan(graft.operators.Sampling.qualityKnapsack(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"no cartesian in the walk:\n$p")
+    // the |sources|-row walk and the 1-row budget broadcast are the
+    // only nested loops allowed
+    val bnlj = p.sliding("BroadcastNestedLoopJoin".length + 200)
+      .count(_.startsWith("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 2, s"only scalar/1-row broadcasts may nest:\n$p")
+  }
 }
