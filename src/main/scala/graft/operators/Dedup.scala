@@ -189,16 +189,20 @@ object Dedup {
   def jaccardPrefixJoin(spark: SparkSession, d: String,
       threshold: Double = 0.5): DataFrame = {
     import spark.implicits._
-    val sh = docShingles(spark, d)
+    val arr = docShingleArrays(spark, d)
     val cand = prefixCandidates(spark, d, threshold)
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
-    val inter = cand
-      .join(sh.as("sa"), $"x" === $"sa.doc_id")
-      .join(sh.as("sb"), $"y" === $"sb.doc_id" && $"sa.s" === $"sb.s")
-      .groupBy($"x", $"y").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "x").withColumnRenamed("sz", "szx"), "x")
-      .join(sizes.withColumnRenamed("doc_id", "y").withColumnRenamed("sz", "szy"), "y")
+    // exact verify off the cached (doc_id, shingle ARRAY) table: one
+    // array_intersect per candidate — the exploded two-sided shingle
+    // re-join this replaced shuffled the FULL inverted index twice and
+    // re-grouped it per pair (round-13 fix; shingles are distinct per
+    // doc, so |array_intersect| ≡ the exploded join's pair count)
+    cand
+      .join(arr.select($"doc_id".as("x"), $"shs".as("shx")), "x")
+      .join(arr.select($"doc_id".as("y"), $"shs".as("shy")), "y")
+      .select($"x", $"y",
+        size(array_intersect($"shx", $"shy")).cast("long").as("inter"),
+        size($"shx").cast("long").as("szx"),
+        size($"shy").cast("long").as("szy"))
       .select($"x", $"y",
         ($"inter".cast("double") / ($"szx" + $"szy" - $"inter")).as("jac"))
       .filter($"jac" >= threshold)
@@ -206,23 +210,42 @@ object Dedup {
 
   /** The prefix-filter candidate pairs (x < y): rows whose within-doc
     * rarity rank falls inside the |S| − ⌈t·|S|⌉ + 1 prefix, self-joined
-    * on the shared shingle. Exposed for the spec's candidate-volume
+    * on the shared shingle, pruned by the PPJoin POSITIONAL filter
+    * (Xiao et al. 2008): a match at ranks (rₐ, r_b) of docs sized
+    * (nₐ, n_b) bounds the overlap by min(rₐ, r_b) + min(nₐ−rₐ, n_b−r_b)
+    * — commons split cleanly around the match because both docs sort
+    * by the SAME global (df, s) order — and J ≥ t needs overlap ≥
+    * ⌈t/(1+t)·(nₐ+n_b)⌉. Any single failing match row already proves
+    * the pair can't reach t, so filtering before `distinct` is
+    * lossless (it only keeps pairs some match row still supports).
+    * The ε guard keeps FP rounding of the α threshold from ever
+    * rounding UP past the exact boundary (too-small α is safe — the
+    * verify stage is exact). Exposed for the spec's candidate-volume
     * comparison against the full inverted-index join.
     */
   private[graft] def prefixCandidates(spark: SparkSession, d: String,
       threshold: Double = 0.5): DataFrame = {
     import spark.implicits._
-    val sh = docShingles(spark, d)
+    // n = |S| read off the cached array column — the round-12 form
+    // computed it as a second (unordered-frame) window exec over the
+    // exploded index, an extra per-doc pass the rank sort then repeated
+    val sh = docShingleArrays(spark, d)
+      .select($"doc_id", size($"shs").cast("long").as("n"),
+        explode($"shs").as("s"))
     val dfT = sh.groupBy($"s").agg(count(lit(1)).as("df"))
     val byDoc = Window.partitionBy($"doc_id")
     // un-hinted: the shingle vocabulary is corpus-growing (see scaladoc)
     val prefix = sh.join(dfT, "s")
-      .withColumn("n", count(lit(1)).over(byDoc))
       .withColumn("r", row_number().over(byDoc.orderBy($"df", $"s")))
       .filter($"r" <= $"n" - ceil($"n" * threshold).cast("long") + 1L)
-      .select($"doc_id", $"s")
+      .select($"doc_id", $"s", $"n", $"r")
+    val alphaFrac = threshold / (1.0 + threshold)
     prefix.as("a").join(prefix.as("b"),
         $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+      .filter(least($"a.r", $"b.r")
+          + least($"a.n" - $"a.r", $"b.n" - $"b.r")
+        >= ceil(($"a.n" + $"b.n").cast("double") * lit(alphaFrac)
+          - lit(1e-9)))
       .select($"a.doc_id".as("x"), $"b.doc_id".as("y")).distinct()
   }
 
@@ -1256,8 +1279,11 @@ object Dedup {
       .crossJoin(cnt.select($"lang".as("lang_b"), $"c".as("cb")))
       .filter($"lang_a" <= $"lang_b")
       .select($"lang_a", $"lang_b",
-        when($"lang_a" === $"lang_b", $"ca" * ($"ca" - 1L) / lit(2.0))
-          .otherwise($"ca" * $"cb").cast("long").as("poss"))
+        // exact integer possible-pair counts (c·(c−1) is even, so the
+        // integer div is exact; the double chain stays confined to
+        // share/expected/lift as documented)
+        when($"lang_a" === $"lang_b", expr("ca * (ca - 1) div 2"))
+          .otherwise($"ca" * $"cb").as("poss"))
       .filter($"poss" >= 1L)
     val pairs = jaccardPairs(spark, d)
       .join(lg.select($"doc_id".as("x"), $"lang".as("lx")), "x")
@@ -1308,7 +1334,7 @@ object Dedup {
     sizes.join(edges, Seq("label"), "left")
       .select($"label", $"sz",
         coalesce($"n_edges", lit(0L)).as("n_edges"),
-        ($"sz" * ($"sz" - 1L) / lit(2.0)).cast("long").as("poss"))
+        expr("sz * (sz - 1) div 2").as("poss"))
       .select(
         when($"sz" === 2L, 1L).when($"sz" <= 4L, 2L)
           .when($"sz" <= 8L, 3L).otherwise(4L).as("size_bucket"),

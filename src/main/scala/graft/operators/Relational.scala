@@ -644,6 +644,12 @@ object Relational {
     // estimator is defined whenever at least two users exist (the
     // (k_eff+1)-th order statistic must exist); |users| is a scalar
     val kEff = math.min(k.toLong, cnts.count() - 1L)
+    // with 0 or 1 users the (k_eff+1)-th order statistic doesn't exist;
+    // return a defined empty frame instead of feeding k ≤ 0 into the
+    // heap aggregate's require (ADVICE round 12)
+    if (kEff < 1L)
+      return Seq.empty[(Long, Long, Long, Double)]
+        .toDF("k", "x_k1", "denom_q6", "alpha")
     val top = Ranks.groupTopK(cnts, (kEff + 1).toInt, "rnk", Seq(),
       struct((-$"x").as("__nx"), $"user_id", $"x"))
     val s = top.filter($"rnk" <= kEff)

@@ -354,7 +354,20 @@ object Retrieval {
     val dense = DenseBruteGen(spark, d, sharedTopK)
       .select($"query_id", $"doc_id", $"rank".as("drank"))
     val both = lex.join(dense, Seq("query_id", "doc_id"))
-    val base = lex.select($"query_id").distinct()
+    // base = every token-bearing eval doc (the oracle's
+    // `SELECT DISTINCT query_id FROM q`), NOT the BM25 rank table's
+    // query set: an eval query whose clean tokens never hit the train
+    // postings gets zero lexical candidates but must still count in
+    // n_queries/n_disjoint (ADVICE round 12 — the fixture vocab is
+    // saturated enough that the two sets coincide there, but sparser
+    // corpora diverge)
+    val isEval =
+      pmod(Hashing.md5Bits32(concat(lit("eval:"), $"doc_id".cast("string")), 1),
+        lit(100L)) < 5
+    val base = documents(spark, d)
+      .filter(isEval)
+      .filter(size(TextFunctions.cleanTokens($"text")) > 0)
+      .select($"doc_id".as("query_id"))
       .select($"query_id", explode(typedLit(ks.map(_.toLong))).as("k"))
     val perQ = both
       .select($"query_id", explode(typedLit(ks.map(_.toLong))).as("k"),

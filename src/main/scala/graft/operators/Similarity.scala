@@ -481,10 +481,12 @@ object Similarity {
   private[graft] def lloydCentroids(spark: SparkSession, d: String,
       k: Int, updates: Int): Array[(Long, Seq[Long])] = {
     import spark.implicits._
-    graft.core.Memo(spark, cache = false, "lloydCentroids", d,
+    val tbl = graft.core.Memo(spark, cache = false, "lloydCentroids", d,
         k.toString, updates.toString) {
       lloydCentroidsUncached(spark, d, k, updates).toSeq.toDF("cid", "cq")
-    }.collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    }
+    graft.core.Bounded.collect(tbl, k.toLong, "lloydCentroids memo (k rows)")
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
   }
 
   private def lloydCentroidsUncached(spark: SparkSession, d: String,
@@ -1230,14 +1232,23 @@ object Similarity {
     * decimal(38,0) (dot terms v·s reach ~1e19 at corpus scale — past
     * long, inside dec38).
     *
-    * Shape: one posexplode pass → (half, i) dim sums (≤ 2·dims rows
-    * broadcast), one broadcast join back for the member dots, two
-    * scalar aggregates. Nothing corpus-sized shuffles; the half
-    * boundary is a 1-row min/max broadcast, never a rank.
+    * Shape: ONE posexplode pass → (half, i) dim sums, collected to a
+    * 2-row (half, centroid ARRAY) table; member dots are then a
+    * per-row dec38 array fold against the broadcast centroid — the
+    * round-12 form re-exploded the corpus a second time and shuffled
+    * a corpus-sized (vec_id, half) aggregate for them (round-13 fold,
+    * VERDICT item 6). Nothing corpus-sized shuffles; the half boundary
+    * is a 1-row min/max broadcast, never a rank.
     */
   def centroidDriftAudit(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val dec38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    // exact dec38 dot of two long arrays (terms reach ~1e19 — past
+    // long); children are attributes, so the interpreted HOF evaluates
+    // each input once (Hashing.scala collapse-barrier rule)
+    def dotDec(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast(dec38) * y.cast(dec38)),
+        lit(0L).cast(dec38), (acc, t) => acc + t)
     val c = corpusWithNorm(spark, d)
     val mm = c.agg(min($"vec_id").as("mn"), max($"vec_id").as("mx"))
     val withHalf = c.crossJoin(broadcast(mm))
@@ -1247,31 +1258,27 @@ object Similarity {
       .select($"early", posexplode($"qemb").as(Seq("i", "v")))
       .groupBy($"early", $"i")
       .agg(sum($"v").as("s"), count(lit(1)).as("cnt"))
-    val n2h = sli.groupBy($"early")
-      .agg(sum($"s".cast(dec38) * $"s".cast(dec38)).as("n2s"),
+    // 2 rows: (half, dim-ordered centroid-sum array, Σs², n)
+    val centH = sli.groupBy($"early")
+      .agg(transform(array_sort(collect_list(struct($"i", $"s"))),
+          e => e.getField("s")).as("cent"),
+        sum($"s".cast(dec38) * $"s".cast(dec38)).as("n2s"),
         max($"cnt").as("n_vecs"))
-    // centroid-vs-centroid: ONE dot over dims
-    val cc = sli.filter($"early").select($"i", $"s".as("sa"))
-      .join(sli.filter(!$"early").select($"i", $"s".as("sb")), "i")
-      .agg(sum($"sa".cast(dec38) * $"sb".cast(dec38)).as("dot"))
-      .crossJoin(broadcast(n2h.filter($"early")
-        .select($"n2s".as("na"), $"n_vecs".as("n_early"))))
-      .crossJoin(broadcast(n2h.filter(!$"early")
-        .select($"n2s".as("nb"), $"n_vecs".as("n_late"))))
+    // centroid-vs-centroid: ONE dot over the two 2-row-table arrays
+    val cc = centH.filter($"early")
+      .select($"cent".as("ca"), $"n2s".as("na"), $"n_vecs".as("n_early"))
+      .crossJoin(broadcast(centH.filter(!$"early")
+        .select($"cent".as("cb"), $"n2s".as("nb"), $"n_vecs".as("n_late"))))
       .select($"n_early", $"n_late",
-        round($"dot".cast("double")
+        round(dotDec($"ca", $"cb").cast("double")
           / (sqrt($"na".cast("double")) * sqrt($"nb".cast("double")))
           * lit(1000000.0)).cast("long").as("centroid_cos_q6"))
-    // member-to-own-centroid coherence, quantized before the sum
-    val memberDots = withHalf
-      .select($"vec_id", $"early", $"n2", posexplode($"qemb").as(Seq("i", "v")))
-      .join(broadcast(sli.select($"early", $"i", $"s")), Seq("early", "i"))
-      .groupBy($"vec_id", $"early", $"n2")
-      .agg(sum($"v".cast(dec38) * $"s".cast(dec38)).as("dot"))
-    val disp = memberDots
-      .join(broadcast(n2h.select($"early", $"n2s")), "early")
+    // member-to-own-centroid coherence, quantized before the sum —
+    // a per-row array fold against the broadcast centroid, no explode
+    val disp = withHalf
+      .join(broadcast(centH.select($"early", $"cent", $"n2s")), "early")
       .select($"early",
-        round($"dot".cast("double")
+        round(dotDec($"qemb", $"cent").cast("double")
           / (sqrt($"n2".cast("double")) * sqrt($"n2s".cast("double")))
           * lit(1000000.0)).cast("long").as("eq"))
       .groupBy($"early").agg(sum($"eq").as("se"), count(lit(1)).as("n"))

@@ -42,6 +42,13 @@ case class TopKRowsAgg(
   require(k > 0, s"topk_rows needs k > 0, got $k")
 
   private lazy val structType = child.dataType.asInstanceOf[StructType]
+
+  // one projection per task, not per serialized buffer: serialize()
+  // runs once per GROUP on partial-aggregate flush, and
+  // UnsafeProjection.create is a codegen lookup (ADVICE round 12);
+  // @transient so the lazily-built projection never rides the
+  // aggregate expression's own serialization to executors
+  @transient private lazy val serProj = UnsafeProjection.create(structType)
   // ascending lexicographic ordering over the struct fields
   private lazy val asc: Ordering[InternalRow] =
     InterpretedOrdering.forSchema(structType.fields.map(_.dataType).toSeq)
@@ -90,7 +97,7 @@ case class TopKRowsAgg(
   override def serialize(
       buffer: scala.collection.mutable.PriorityQueue[InternalRow])
       : Array[Byte] = {
-    val proj = UnsafeProjection.create(structType)
+    val proj = serProj
     // proj reuses ONE target row; for fixed-width structs getBytes
     // returns its internal buffer without copying, so every element
     // would alias the bytes of the last projection — clone per element

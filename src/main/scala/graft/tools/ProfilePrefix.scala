@@ -1,0 +1,39 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Stage split of q109 (prefix-filtered exact Jaccard join): shingle
+  * cache fill, candidate generation, and the exact-verify stage, so
+  * regressions attribute to a stage instead of the query total.
+  */
+object ProfilePrefix {
+  def main(args: Array[String]): Unit = {
+    val d = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"${(System.nanoTime() - t0) / 1e9}%8.2fs  $label")
+      r
+    }
+    time("warmup scan")(graft.core.Tables.documents(spark, d).count())
+    time("docShingleArrays cache fill")(
+      graft.operators.Dedup.docShingleArrays(spark, d).count())
+    time("docShingles cache fill")(
+      graft.operators.Dedup.docShingles(spark, d).count())
+    val nc = time("prefixCandidates")(
+      graft.operators.Dedup.prefixCandidates(spark, d).count())
+    println(s"          candidates: $nc")
+    time("jaccardPrefixJoin (warm candidates)")(
+      graft.operators.Dedup.jaccardPrefixJoin(spark, d).count())
+    time("jaccardPrefixJoin again")(
+      graft.operators.Dedup.jaccardPrefixJoin(spark, d).count())
+    spark.stop()
+  }
+}
