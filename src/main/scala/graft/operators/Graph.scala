@@ -93,18 +93,72 @@ object Graph {
   def pageRank(spark: SparkSession, d: String, iterations: Int = 10,
       damping: Double = 0.85, teleport: Double = 0.15): DataFrame = {
     import spark.implicits._
-    val edges = tradeEdges(spark, d).cache()
-    // A8: per-source sum of outgoing weights (Java-canonical semantics)
-    val outSums = edges.groupBy($"src").agg(sum($"w").as("sumOut"))
+    pageRankEdges(spark, tradeEdges(spark, d), iterations, damping, teleport)
+      .select($"id".as("nationkey"), $"rank")
+  }
+
+  /** The pageRank superstep loop over an explicit (src, dst, w) edge
+    * table — split out (round 13) so GraphScaleSpec can rehearse the
+    * ranks⋈edges join on a power-law hub fixture without a parquet dir.
+    *
+    * Hub-skew handling (round 13, GraphScaleSpec finding): AQE's skew
+    * split can NEVER rescue this loop — the cached prob table's
+    * HashPartitioning(src) is reused by every superstep join without a
+    * fresh exchange, so there is no shuffle for OptimizeSkewedJoin to
+    * split and one task absorbs a power-law hub's whole adjacency
+    * (measured 86% of stage shuffle bytes on the rehearsal fixture).
+    * The fix is a degree-aware SALTED join: sources whose out-degree
+    * exceeds a task's fair share of edges — provably fewer than
+    * `parallelism` of them, since each holds > |E|/parallelism edges —
+    * get salt = hash(dst) % S on their adjacency rows, and the rank
+    * side explodes ×S replicas for exactly that broadcast-small hot
+    * set (cold rows keep salt 0 and a single replica). Every prob row
+    * still meets exactly one rank replica, and the contribution sum is
+    * quantized-exact, so ranks are BIT-IDENTICAL to the unsalted form
+    * (GraphScaleSpec pins the equality); the hub's adjacency now
+    * spreads across S tasks every iteration. The outSums build join is
+    * materialization-barriered (localCheckpoint — the bm25Weights
+    * move) so ITS one-off hub partition is AQE-splittable.
+    */
+  private[graft] def pageRankEdges(spark: SparkSession, edges0: DataFrame,
+      iterations: Int, damping: Double = 0.85,
+      teleport: Double = 0.15): DataFrame = {
+    import spark.implicits._
+    val edges = edges0.cache()
+    val totalEdges = edges.count()
+    // A8: per-source sum of outgoing weights (Java-canonical semantics);
+    // the checkpoint is an AQE materialization barrier for the build
+    // join below (an aggregate directly under a join hides map stats)
+    val outSums = edges.groupBy($"src")
+      .agg(sum($"w").as("sumOut"), count(lit(1)).as("odeg"))
+      .localCheckpoint()
+    val par = spark.sparkContext.defaultParallelism
+    val fairShare = math.max(1000L, totalEdges / math.max(1, par))
+    // hot sources: out-degree above one task's fair share ⇒ < par rows
+    val hotSrcs = graft.core.Bounded.collect(
+        outSums.filter($"odeg" > fairShare).select($"src"),
+        par.toLong, "pageRank hot sources (< parallelism rows)")
+      .map(_.getLong(0)).toSeq
+    val saltFan = par
+    val isHot =
+      if (hotSrcs.isEmpty) lit(false) else $"src".isin(hotSrcs: _*)
     // J4: transition probability = w / sumOut (exact-long inputs: one
-    // correctly-rounded division, deterministic everywhere)
+    // correctly-rounded division, deterministic everywhere); hot rows
+    // carry a dst-hash salt so the cache layout spreads the hub
     val prob = edges.join(outSums, "src")
-      .select($"src", $"dst", ($"w".cast("double") / $"sumOut".cast("double")).as("p"))
+      .select($"src", $"dst",
+        ($"w".cast("double") / $"sumOut".cast("double")).as("p"),
+        when(isHot, pmod(hash($"dst"), lit(saltFan)).cast("int"))
+          .otherwise(lit(0)).as("salt"))
+      .repartition($"src", $"salt")
       .cache()
     // G1: vertex set = distinct edge endpoints, seeded rank 1.0
     val vertices = edges.select($"src".as("id"))
       .union(edges.select($"dst".as("id"))).distinct().cache()
     val n = vertices.count().toDouble
+    val saltArr = array((0 until saltFan).map(s => lit(s)): _*)
+    val idHot =
+      if (hotSrcs.isEmpty) lit(false) else $"id".isin(hotSrcs: _*)
 
     // iteration-state partitioning: the rank table is orders of magnitude
     // smaller than the edge data, so shrink it between supersteps (a real
@@ -115,7 +169,12 @@ object Graph {
 
     var ranks = vertices.select($"id", lit(1.0).as("rank"))
     for (_ <- 1 to iterations) {
-      val contribs = ranks.join(prob, $"id" === $"src")
+      // replicate ONLY hot vertices' ranks across the salt fan; cold
+      // ranks keep one salt-0 replica — each prob row joins exactly one
+      val saltedRanks = ranks.select($"id", $"rank",
+        explode(when(idHot, saltArr).otherwise(array(lit(0)))).as("salt"))
+      val contribs = saltedRanks
+        .join(prob, $"id" === $"src" && saltedRanks("salt") === prob("salt"))
         .groupBy($"dst")
         // quantized-exact contribution sum: deterministic under any
         // aggregation order (see scaladoc)
@@ -134,7 +193,7 @@ object Graph {
     edges.unpersist()
     prob.unpersist()
     vertices.unpersist()
-    ranks.select($"id".as("nationkey"), $"rank")
+    ranks.select($"id", $"rank")
   }
 
   /** PageRank with an L1-convergence early exit: identical per-superstep
@@ -318,10 +377,21 @@ object Graph {
   def kCore(spark: SparkSession, d: String, k: Int = 3,
       maxRounds: Int = 40): DataFrame = {
     import spark.implicits._
+    kCoreEdges(spark, copurchaseEdges(spark, d).select($"p1", $"p2"), k,
+        maxRounds)
+      .select($"id".as("partkey"), $"deg".as("core_deg"))
+  }
+
+  /** The k-core peel loop over an explicit (p1, p2) edge table —
+    * split out (round 13) for GraphScaleSpec's hub-skew rehearsal.
+    */
+  private[graft] def kCoreEdges(spark: SparkSession, edges0: DataFrame,
+      k: Int, maxRounds: Int = 40): DataFrame = {
+    import spark.implicits._
     def degrees(e: DataFrame): DataFrame =
       e.select($"p1".as("id")).union(e.select($"p2".as("id")))
         .groupBy($"id").agg(count(lit(1)).as("deg"))
-    var edges = copurchaseEdges(spark, d).select($"p1", $"p2").localCheckpoint()
+    var edges = edges0.select($"p1", $"p2").localCheckpoint()
     var round = 0
     var stable = false
     while (!stable && round < maxRounds) {
@@ -336,7 +406,7 @@ object Graph {
       round += 1
     }
     require(stable, s"k-core peel did not converge in $maxRounds rounds")
-    degrees(edges).select($"id".as("partkey"), $"deg".as("core_deg"))
+    degrees(edges).select($"id", $"deg")
   }
 
   /** q118: common-neighbor link prediction on the co-purchase graph —
@@ -437,7 +507,17 @@ object Graph {
     */
   def bfsHops(spark: SparkSession, d: String, maxRounds: Int = 40): DataFrame = {
     import spark.implicits._
-    val edges = copurchaseEdges(spark, d).select($"p1", $"p2")
+    bfsEdges(spark, copurchaseEdges(spark, d).select($"p1", $"p2"), maxRounds)
+      .select($"id".as("partkey"), $"hops")
+  }
+
+  /** The BFS frontier loop over an explicit (p1, p2) edge table —
+    * split out (round 13) for GraphScaleSpec's hub-skew rehearsal.
+    */
+  private[graft] def bfsEdges(spark: SparkSession, edges0: DataFrame,
+      maxRounds: Int = 40): DataFrame = {
+    import spark.implicits._
+    val edges = edges0.select($"p1", $"p2")
     val nb = edges.select($"p1".as("z"), $"p2".as("x"))
       .union(edges.select($"p2".as("z"), $"p1".as("x")))
     val src = edges.agg(min($"p1")).head().getLong(0)
@@ -459,7 +539,7 @@ object Graph {
       round += 1
     }
     require(done, s"BFS did not exhaust its frontier in $maxRounds rounds")
-    dist.select($"id".as("partkey"), $"hops")
+    dist.select($"id", $"hops")
   }
 
   /** q134: association rules over the co-purchase pairs — for every
@@ -648,7 +728,17 @@ object Graph {
       rounds: Int = 4): DataFrame =
     graft.core.Memo(spark, cache = true, "lpTrajectory", d, rounds.toString) {
       import spark.implicits._
-      val edges = copurchaseEdges(spark, d).select($"p1", $"p2")
+      lpSweeps(spark, copurchaseEdges(spark, d).select($"p1", $"p2"), rounds)
+    }
+
+  /** The label-propagation sweep loop over an explicit (p1, p2) edge
+    * table, un-memoized — split out (round 13) for GraphScaleSpec's
+    * hub-skew rehearsal; `lpTrajectory` is the memo-cached fixture form.
+    */
+  private[graft] def lpSweeps(spark: SparkSession, edges: DataFrame,
+      rounds: Int): DataFrame = {
+    {
+      import spark.implicits._
       val nb = edges.select($"p1".as("v"), $"p2".as("u"))
         .union(edges.select($"p2".as("v"), $"p1".as("u")))
         .localCheckpoint()
@@ -656,18 +746,23 @@ object Graph {
         .localCheckpoint()
       var acc = labels.withColumn("round", lit(0L))
       for (t <- 1 to rounds) {
+        // winner per vertex via struct-extreme argmax (max c, ties →
+        // min lbl — identical to the row_number(c desc, lbl asc) form
+        // it replaced): a hub vertex's candidate labels stay inside a
+        // map-side-combinable aggregate instead of one row_number sort
+        // partition holding its whole distinct-label neighborhood
         labels = nb
           .join(labels.select($"v".as("u"), $"lbl"), "u")
           .groupBy($"v", $"lbl").agg(count(lit(1)).as("c"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy($"v").orderBy($"c".desc, $"lbl".asc)))
-          .filter($"rn" === 1)
-          .select($"v", $"lbl")
+          .groupBy($"v")
+          .agg(max(struct($"c", (-$"lbl").as("nl"))).as("t"))
+          .select($"v", (-$"t".getField("nl")).as("lbl"))
           .localCheckpoint()
         acc = acc.union(labels.withColumn("round", lit(t.toLong)))
       }
       acc.select($"round", $"v", $"lbl")
     }
+  }
 
   /** q220: label-propagation churn curve — per sweep t of the q126
     * trajectory: how many vertices changed label, and the 1e6-quantized
