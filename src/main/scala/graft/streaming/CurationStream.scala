@@ -730,4 +730,107 @@ object CurationStream {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append(),
         snapshot.groupByKey(_._1).mapValues(_._2))
   }
+
+  /** Stage-1 row of streaming q249: one calibration-relevant projection
+    * per document — the SAME stop_ratio expression chain as the batch
+    * `Text.qualityScore` (size/filter over the shared tokenizer, one
+    * long->double division), so class keys are bit-identical.
+    */
+  case class QualityDocIn(doc_id: Long, lang: String, source: String,
+    stop_ratio: Double)
+
+  /** Stage 1 of streaming q249: project (doc_id, lang, source,
+    * stop_ratio) off a raw document feed — pure scan-stage expressions,
+    * safe on a streaming DataFrame.
+    */
+  def qualityDocRows(docs: DataFrame): Dataset[QualityDocIn] = {
+    import docs.sparkSession.implicits._
+    val stop = typedLit(StopWords)
+    docs.select($"doc_id", $"lang", $"source", tokens($"text").as("ws"))
+      .select($"doc_id", $"lang", $"source",
+        (size(filter($"ws", t => array_contains(stop, t))).cast("long")
+          .cast("double") / size($"ws").cast("long")).as("stop_ratio"))
+      .as[QualityDocIn]
+  }
+
+  case class QualityPanelRow(lang: String, source: String, n_docs: Long,
+    sum_prq: Long, n_top_decile: Long, state_n: Long)
+
+  /** q249's STREAMING twin: the per-source quality panel live. State is
+    * per LANGUAGE (the calibration boundary — q136's percentile ranks
+    * never cross a language) a MapState (stop_ratio, source) -> count:
+    * the exact class histogram `Ranks.groupRank` builds distributed,
+    * value-domain-bounded (ratios of small integers), RocksDB-backed at
+    * scale. Every batch replays the batch contract from state — class
+    * ranks by exclusive prefix over the ratio-ascending classes
+    * (rank() ties share), pr = (rnk-1)/(n-1), prq HALF_UP-quantized,
+    * decile = min(floor(10pr), 9) — and emits per (lang, source)
+    * ADDITIVE partials (n_docs, sum_prq, n_top_decile): the cross-lang
+    * assembly is the stateless two-division step the batch panel ends
+    * with (CurationStreamSpec's law performs it and pins equality with
+    * q249). The live read a batch scan can't give: a source's
+    * mean-quality percentile DROPS the moment a better source starts
+    * shipping into the same language — ranks are relative, and the
+    * stream re-calibrates every batch.
+    */
+  class SourceQualityProcessor extends
+      org.apache.spark.sql.streaming.StatefulProcessor[
+        String, QualityDocIn, QualityPanelRow] {
+    import org.apache.spark.sql.{Encoders => Encs}
+    import org.apache.spark.sql.streaming.{MapState, TTLConfig, TimeMode, TimerValues}
+
+    @transient private var cells: MapState[(Double, String), Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cells = getHandle.getMapState[(Double, String), Long](
+        "qualityCells", Encs.product[(Double, String)], Encs.scalaLong,
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[QualityDocIn],
+        timerValues: TimerValues): Iterator[QualityPanelRow] = {
+      rows.foreach { d =>
+        val k = (d.stop_ratio, d.source)
+        val prev = if (cells.containsKey(k)) cells.getValue(k) else 0L
+        cells.updateValue(k, prev + 1L)
+      }
+      val cs = cells.iterator().map { p => (p._1._1, p._1._2, p._2) }.toArray
+      if (cs.isEmpty) Iterator.empty
+      else {
+        val n = cs.map(_._3).sum
+        // class ranks: exclusive prefix over ratio-ascending classes + 1
+        var pre = 0L
+        val classInfo = cs.groupBy(_._1).toSeq
+          .map { case (r, a) => (r, a.map(_._3).sum) }.sortBy(_._1)
+          .map { case (r, c) =>
+            val rnk = pre + 1L
+            pre += c
+            val pr = if (n == 1L) 0.0
+              else (rnk - 1L).toDouble / (n - 1L).toDouble
+            val prq = BigDecimal(pr * 1000000.0)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+            val dec = math.min(math.floor(pr * 10.0), 9.0).toLong
+            r -> ((prq, dec))
+          }.toMap
+        cs.groupBy(_._2).toSeq.sortBy(_._1).iterator.map { case (src, a) =>
+          val nd = a.map(_._3).sum
+          val sp = a.map { case (r, _, c) => c * classInfo(r)._1 }.sum
+          val nt = a.collect { case (r, _, c) if classInfo(r)._2 == 9L => c }.sum
+          QualityPanelRow(key, src, nd, sp, nt, n)
+        }
+      }
+    }
+  }
+
+  /** Streaming q249 entry point: quality rows key by language; each
+    * language's class histogram folds in MapState and re-emits its
+    * per-source partials.
+    */
+  def sourceQualityStream(rows: Dataset[QualityDocIn])
+      : Dataset[QualityPanelRow] = {
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(_.lang)
+      .transformWithState(new SourceQualityProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
 }

@@ -1420,4 +1420,97 @@ object EventStreams {
           updated
       }
   }
+
+  case class DayTypeCount(day_us: Long, event_type: String, cnt: Long)
+
+  /** Stage 1 of streaming q227: closed DAILY per-type counts (append
+    * mode — a day's row emits exactly once when the watermark passes
+    * its close, so stage 2's fold never sees a partial day twice).
+    */
+  def dailyTypeCounts(events: Dataset[Event],
+      delay: String = "1 day"): Dataset[DayTypeCount] = {
+    import events.sparkSession.implicits._
+    events.toDF()
+      .withWatermark("ts", delay)
+      .groupBy(window($"ts", "1 day"), $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_micros($"window.start").as("day_us"), $"event_type", $"cnt")
+      .as[DayTypeCount]
+  }
+
+  case class DecayRow(event_type: String, raw_cnt: Long, decayed_q3: Long,
+    rank_raw: Long, rank_decayed: Long, state_n: Long)
+
+  /** q227's STREAMING twin: the freshness-decayed leaderboard live —
+    * the (event_type, day) -> cnt grid lives in MapState (the q233
+    * surface: value-domain-bounded cells, |types|*|days| entries,
+    * RocksDB-backed at scale, REPLACED on arrival so replays are
+    * no-ops — the q196 convention), and every batch re-emits the whole
+    * leaderboard from state with the batch operator's exact integer
+    * math: dec_num = SUM cnt << (H - min(age, H)) against the CURRENT
+    * max day, one division by 2^H at the end, ranks by (-key, type).
+    * This is what the batch scan can't show: a type's decayed rank
+    * DECAYS between arrivals of its own events, because every other
+    * arrival can advance the newest day and re-age it — the live
+    * leaderboard re-ranks on each batch from the same grid. The single
+    * leaderboard key is fine at any corpus scale because stage 1
+    * pre-aggregates: only closed |types|-per-day count rows reach it,
+    * never events. `state_n` stamps emissions for the final-state law
+    * (EventStreamsSpec: final emissions == the q227 batch table).
+    */
+  class DecayProcessor(horizon: Int) extends
+      org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, DayTypeCount, DecayRow] {
+    import org.apache.spark.sql.{Encoders => Encs}
+    import org.apache.spark.sql.streaming.{MapState, TTLConfig, TimeMode, TimerValues}
+
+    @transient private var grid: MapState[(String, Long), Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      grid = getHandle.getMapState[(String, Long), Long](
+        "dayTypeGrid", Encs.product[(String, Long)], Encs.scalaLong,
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[DayTypeCount],
+        timerValues: TimerValues): Iterator[DecayRow] = {
+      rows.foreach { r =>
+        grid.updateValue((r.event_type, r.day_us / 86400000000L), r.cnt)
+      }
+      val cells = grid.iterator().map { p => (p._1._1, p._1._2, p._2) }.toArray
+      if (cells.isEmpty) Iterator.empty
+      else {
+        val maxDay = cells.map(_._2).max
+        val n = cells.map(_._3).sum
+        val per = cells.groupBy(_._1).toSeq.map { case (t, cs) =>
+          val raw = cs.map(_._3).sum
+          val dec = cs.map { case (_, dy, c) =>
+            val age = math.min(maxDay - dy, horizon.toLong)
+            c << (horizon - age.toInt)
+          }.sum
+          (t, raw, dec)
+        }
+        val rawRank = per.sortBy { case (t, raw, _) => (-raw, t) }
+          .zipWithIndex.map { case ((t, _, _), i) => t -> (i + 1L) }.toMap
+        val decRank = per.sortBy { case (t, _, dec) => (-dec, t) }
+          .zipWithIndex.map { case ((t, _, _), i) => t -> (i + 1L) }.toMap
+        per.sortBy(_._1).iterator.map { case (t, raw, dec) =>
+          val q3 = BigDecimal(dec.toDouble / math.pow(2.0, horizon) * 1000.0)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+          DecayRow(t, raw, q3, rawRank(t), decRank(t), n)
+        }
+      }
+    }
+  }
+
+  /** Streaming q227 entry point (stage 2): closed daily count rows fold
+    * into the one leaderboard key's grid; every batch re-ranks.
+    */
+  def decayedLeaderboardStream(rows: Dataset[DayTypeCount],
+      horizon: Int = 32): Dataset[DecayRow] = {
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(_ => 0L)
+      .transformWithState(new DecayProcessor(horizon),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
 }

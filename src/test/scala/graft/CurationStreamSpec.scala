@@ -482,4 +482,57 @@ class CurationStreamSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("sourceQualityStream: final per-lang partials assemble the q249 batch panel") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    // stage 1 applied batch-side: same expression chain either way
+    val docRows = CurationStream.qualityDocRows(
+        graft.core.Tables.documents(spark, sf))
+      .collect().sortBy(_.doc_id)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[CurationStream.QualityDocIn]
+    val query = CurationStream.sourceQualityStream(input.toDS())
+      .writeStream.format("memory").queryName("source_quality_stream")
+      .outputMode("update").start()
+    try {
+      docRows.grouped(docRows.length / 3 + 1).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq: _*)
+        query.processAllAvailable()
+      }
+      val rows = spark.table("source_quality_stream")
+        .as[CurationStream.QualityPanelRow].collect()
+      // final emission per language = the one with that lang's max n
+      val fin = rows.groupBy(_.lang).values.flatMap { rs =>
+        val lastN = rs.map(_.state_n).max
+        rs.filter(_.state_n == lastN)
+      }.toSeq
+      // the stateless cross-lang assembly the batch panel ends with
+      val got = fin.groupBy(_.source).map { case (src, a) =>
+        val nd = a.map(_.n_docs).sum
+        val sp = a.map(_.sum_prq).sum
+        val nt = a.map(_.n_top_decile).sum
+        val mean = BigDecimal(sp.toDouble / nd.toDouble)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        val share = BigDecimal(nt.toDouble / nd.toDouble * 1000000.0)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        (src, nd, mean, nt, share)
+      }.toSet
+      val batch = graft.operators.Text.sourceQualityPanel(spark, sf)
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      assert(got == batch,
+        "assembled final emissions must equal the q249 batch panel")
+      assert(batch.nonEmpty)
+    } finally {
+      query.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }

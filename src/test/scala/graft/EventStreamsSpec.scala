@@ -820,4 +820,52 @@ class EventStreamsSpec extends AnyFunSuite {
       } finally query.stop()
     }
   }
+
+  test("decayed leaderboard stream: final emissions equal the q227 batch table") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val all = graft.core.Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().sortBy(_.ts.getTime)
+    // sentinel 3 days past the newest event: its watermark closes every
+    // real DAY window; its own (still-open) day never reaches stage 2
+    val sentinel = Event(-1L,
+      new java.sql.Timestamp(all.last.ts.getTime + 3L * 86400 * 1000),
+      -1L, "zz_sentinel", 0.0)
+    withRuntime(tws = true) {
+      val input = MemoryStream[Event]
+      val q1 = EventStreams.dailyTypeCounts(input.toDS())
+        .writeStream.format("memory").queryName("daily_counts")
+        .outputMode("append").start()
+      val hopIn = MemoryStream[EventStreams.DayTypeCount]
+      val q2 = EventStreams.decayedLeaderboardStream(hopIn.toDS())
+        .writeStream.format("memory").queryName("decay_stream")
+        .outputMode("update").start()
+      try {
+        (all :+ sentinel).grouped(all.length / 3 + 1).foreach { chunk =>
+          input.addData(chunk.toIndexedSeq: _*)
+          q1.processAllAvailable()
+          // whole-table re-ship: append rows are exactly-once per
+          // (day, type) and stage 2 REPLACES cells, so replays are
+          // no-ops (the q196 convention)
+          val emitted = spark.table("daily_counts")
+            .as[EventStreams.DayTypeCount].collect()
+          hopIn.addData(emitted.toIndexedSeq: _*)
+          q2.processAllAvailable()
+        }
+        val rows = spark.table("decay_stream")
+          .as[EventStreams.DecayRow].collect()
+        val lastN = rows.map(_.state_n).max
+        val fin = rows.filter(_.state_n == lastN)
+          .map(r => (r.event_type, r.raw_cnt, r.decayed_q3,
+            r.rank_raw, r.rank_decayed)).toSet
+        val batch = graft.operators.Windowed.decayedLeaderboard(spark, sf)
+          .as[(String, Long, Long, Long, Long)].collect().toSet
+        assert(fin == batch,
+          "final leaderboard emissions must equal the q227 batch table")
+        assert(batch.nonEmpty)
+      } finally { q1.stop(); q2.stop() }
+    }
+  }
 }
