@@ -170,9 +170,14 @@ object Graph {
     var ranks = vertices.select($"id", lit(1.0).as("rank"))
     for (_ <- 1 to iterations) {
       // replicate ONLY hot vertices' ranks across the salt fan; cold
-      // ranks keep one salt-0 replica — each prob row joins exactly one
-      val saltedRanks = ranks.select($"id", $"rank",
-        explode(when(idHot, saltArr).otherwise(array(lit(0)))).as("salt"))
+      // ranks keep one salt-0 replica — each prob row joins exactly
+      // one. With NO hot sources the salt column is constant 0 and the
+      // replica array is [0], so the explode is skipped outright and
+      // the plan is the plain pre-salting join.
+      val saltedRanks =
+        if (hotSrcs.isEmpty) ranks.select($"id", $"rank", lit(0).as("salt"))
+        else ranks.select($"id", $"rank",
+          explode(when(idHot, saltArr).otherwise(array(lit(0)))).as("salt"))
       val contribs = saltedRanks
         .join(prob, $"id" === $"src" && saltedRanks("salt") === prob("salt"))
         .groupBy($"dst")
