@@ -124,6 +124,29 @@ object Graph {
       iterations: Int, damping: Double = 0.85,
       teleport: Double = 0.15): DataFrame = {
     import spark.implicits._
+    val ctx = prSetup(spark, edges0)
+    var ranks = ctx.vertices.select($"id", lit(1.0).as("rank"))
+    for (_ <- 1 to iterations)
+      ranks = prStep(spark, ctx, ranks, damping, teleport)
+    ctx.cleanup()
+    ranks.select($"id", $"rank")
+  }
+
+  /** Everything a PR superstep loop shares: the cached salted
+    * transition table, the vertex set, and the salt machinery (plan
+    * fragments only — no encoders touch this).
+    */
+  private case class PrCtx(prob: DataFrame, vertices: DataFrame,
+    n: Double, statePartitions: Int, hotEmpty: Boolean,
+    saltArr: org.apache.spark.sql.Column,
+    idHot: org.apache.spark.sql.Column, cleanup: () => Unit)
+
+  /** Build the shared PR state off an edge table: out-sums (checkpointed
+    * as the AQE materialization barrier for the build join), hot-source
+    * detection, the salted+cached transition table, the vertex set.
+    */
+  private def prSetup(spark: SparkSession, edges0: DataFrame): PrCtx = {
+    import spark.implicits._
     val edges = edges0.cache()
     val totalEdges = edges.count()
     // A8: per-source sum of outgoing weights (Java-canonical semantics);
@@ -159,46 +182,51 @@ object Graph {
     val saltArr = array((0 until saltFan).map(s => lit(s)): _*)
     val idHot =
       if (hotSrcs.isEmpty) lit(false) else $"id".isin(hotSrcs: _*)
-
     // iteration-state partitioning: the rank table is orders of magnitude
     // smaller than the edge data, so shrink it between supersteps (a real
     // deployment sizes this to |V| / target-partition-rows; 32 shuffle
     // partitions of a 25-row table is pure task overhead)
     val statePartitions = math.max(1, math.min(
       spark.sparkContext.defaultParallelism, n.toInt / 1000 + 1))
+    PrCtx(prob, vertices, n, statePartitions, hotSrcs.isEmpty, saltArr,
+      idHot,
+      // the per-superstep localCheckpoint cut ranks' lineage, so the
+      // cached inputs are no longer referenced — don't pin them
+      () => { edges.unpersist(); prob.unpersist(); vertices.unpersist() })
+  }
 
-    var ranks = vertices.select($"id", lit(1.0).as("rank"))
-    for (_ <- 1 to iterations) {
-      // replicate ONLY hot vertices' ranks across the salt fan; cold
-      // ranks keep one salt-0 replica — each prob row joins exactly
-      // one. With NO hot sources the salt column is constant 0 and the
-      // replica array is [0], so the explode is skipped outright and
-      // the plan is the plain pre-salting join.
-      val saltedRanks =
-        if (hotSrcs.isEmpty) ranks.select($"id", $"rank", lit(0).as("salt"))
-        else ranks.select($"id", $"rank",
-          explode(when(idHot, saltArr).otherwise(array(lit(0)))).as("salt"))
-      val contribs = saltedRanks
-        .join(prob, $"id" === $"src" && saltedRanks("salt") === prob("salt"))
-        .groupBy($"dst")
-        // quantized-exact contribution sum: deterministic under any
-        // aggregation order (see scaladoc)
-        .agg((sum(round(($"rank" * $"p") * 1e14).cast("long")).cast("double") / 1e14).as("s"))
-      ranks = vertices
-        .join(contribs, $"id" === $"dst", "left")
-        // teleport as the explicit 0.15 literal, NOT (1 - damping): the
-        // latter is 0.15000000000000002 in doubles and the oracle's
-        // 0.15::DOUBLE would differ by 1 ulp on in-edge-less vertices
-        .select($"id", (lit(damping) * coalesce($"s", lit(0.0)) + lit(teleport / n)).as("rank"))
-        .coalesce(statePartitions)
-        .localCheckpoint() // cut lineage each superstep
-    }
-    // the eager localCheckpoint above cut ranks' lineage, so the cached
-    // inputs are no longer referenced — don't pin them for the session
-    edges.unpersist()
-    prob.unpersist()
-    vertices.unpersist()
-    ranks.select($"id", $"rank")
+  /** ONE PR superstep over the shared context — the identical
+    * quantized-exact math of the fixed loop and the converged loop.
+    */
+  private def prStep(spark: SparkSession, ctx: PrCtx, ranks: DataFrame,
+      damping: Double, teleport: Double): DataFrame = {
+    import spark.implicits._
+    // replicate ONLY hot vertices' ranks across the salt fan; cold
+    // ranks keep one salt-0 replica — each prob row joins exactly
+    // one. With NO hot sources the salt column is constant 0 and the
+    // replica array is [0], so the explode is skipped outright and
+    // the plan is the plain pre-salting join.
+    val saltedRanks =
+      if (ctx.hotEmpty) ranks.select($"id", $"rank", lit(0).as("salt"))
+      else ranks.select($"id", $"rank",
+        explode(when(ctx.idHot, ctx.saltArr).otherwise(array(lit(0))))
+          .as("salt"))
+    val contribs = saltedRanks
+      .join(ctx.prob,
+        $"id" === $"src" && saltedRanks("salt") === ctx.prob("salt"))
+      .groupBy($"dst")
+      // quantized-exact contribution sum: deterministic under any
+      // aggregation order (see scaladoc)
+      .agg((sum(round(($"rank" * $"p") * 1e14).cast("long")).cast("double") / 1e14).as("s"))
+    ctx.vertices
+      .join(contribs, $"id" === $"dst", "left")
+      // teleport as the explicit 0.15 literal, NOT (1 - damping): the
+      // latter is 0.15000000000000002 in doubles and the oracle's
+      // 0.15::DOUBLE would differ by 1 ulp on in-edge-less vertices
+      .select($"id", (lit(damping) * coalesce($"s", lit(0.0))
+        + lit(teleport / ctx.n)).as("rank"))
+      .coalesce(ctx.statePartitions)
+      .localCheckpoint() // cut lineage each superstep
   }
 
   /** PageRank with an L1-convergence early exit: identical per-superstep
@@ -220,38 +248,23 @@ object Graph {
       maxIterations: Int = 50, tol: Double = 1e-12,
       damping: Double = 0.85, teleport: Double = 0.15): DataFrame = {
     import spark.implicits._
-    val edges = tradeEdges(spark, d).cache()
-    val outSums = edges.groupBy($"src").agg(sum($"w").as("sumOut"))
-    val prob = edges.join(outSums, "src")
-      .select($"src", $"dst", ($"w".cast("double") / $"sumOut".cast("double")).as("p"))
-      .cache()
-    val vertices = edges.select($"src".as("id"))
-      .union(edges.select($"dst".as("id"))).distinct().cache()
-    val n = vertices.count().toDouble
-    val statePartitions = math.max(1, math.min(
-      spark.sparkContext.defaultParallelism, n.toInt / 1000 + 1))
-
-    var ranks = vertices.select($"id", lit(1.0).as("rank"))
+    // same salted superstep machinery as the fixed loop (round 13):
+    // the convergence variant runs MORE supersteps, so the hub-skew
+    // trap (AQE can't split the cache-partitioned prob join) bites
+    // it harder, not less
+    val ctx = prSetup(spark, tradeEdges(spark, d))
+    var ranks = ctx.vertices.select($"id", lit(1.0).as("rank"))
     var it = 0
     var delta = Double.MaxValue
     while (it < maxIterations && delta > tol) {
-      val contribs = ranks.join(prob, $"id" === $"src")
-        .groupBy($"dst")
-        .agg((sum(round(($"rank" * $"p") * 1e14).cast("long")).cast("double") / 1e14).as("s"))
-      val next = vertices
-        .join(contribs, $"id" === $"dst", "left")
-        .select($"id", (lit(damping) * coalesce($"s", lit(0.0)) + lit(teleport / n)).as("rank"))
-        .coalesce(statePartitions)
-        .localCheckpoint()
+      val next = prStep(spark, ctx, ranks, damping, teleport)
       delta = next.select($"id", $"rank".as("next_rank"))
         .join(ranks.select($"id", $"rank".as("prev_rank")), "id")
         .agg(sum(abs($"next_rank" - $"prev_rank"))).head().getDouble(0)
       ranks = next
       it += 1
     }
-    edges.unpersist()
-    prob.unpersist()
-    vertices.unpersist()
+    ctx.cleanup()
     ranks.select($"id".as("nationkey"), $"rank")
   }
 
