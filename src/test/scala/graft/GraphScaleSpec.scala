@@ -211,6 +211,22 @@ class GraphScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("CC star rounds on a hub-and-ring graph are exact: two components") {
+    import spark.implicits._
+    val spokes = spark.range(1L, 2001L).select(lit(0L).as("x"), $"id".as("y"))
+    val ringN = 1000L
+    val ring = spark.range(ringN).map { i =>
+      val base = 10001L
+      (base + i, base + (i + 1) % ringN)
+    }.toDF("x", "y")
+    val labels = Graph.connectedComponentsStar(spokes.union(ring))
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size == 3001)
+    assert((0L to 2000L).forall(labels(_) == 0L), "hub component labels to 0")
+    assert((10001L until 10001L + ringN).forall(labels(_) == 10001L),
+      "ring component labels to its min id")
+  }
+
   test("k-core peel on a hub-and-ring graph is exact: spokes and hub peel") {
     import spark.implicits._
     // hub 0 → 2000 degree-1 spokes; ring 10001..11000 where i links
@@ -264,6 +280,13 @@ class GraphScaleSpec extends AnyFunSuite {
           undBal, undHub, 4.0),
         ("BFS frontier",
           (e: DataFrame) => Graph.bfsEdges(spark, e),
+          undBal, undHub, 4.0),
+        // star CC: each round localCheckpoints, so every groupBy-min /
+        // join-back sees a FRESH exchange — AQE's split applies; round
+        // counts differ with structure (hub graphs star out in ~2)
+        ("CC star rounds",
+          (e: DataFrame) => Graph.connectedComponentsStar(
+            e.select($"p1".as("x"), $"p2".as("y"))),
           undBal, undHub, 4.0))
       for ((name, make, bal, hub, factor) <- loops) {
         def time(e: DataFrame): Double = {
