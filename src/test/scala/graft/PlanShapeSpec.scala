@@ -182,4 +182,36 @@ class PlanShapeSpec extends AnyFunSuite {
       .count(_.startsWith("BroadcastNestedLoopJoin"))
     assert(bnlj <= 2, s"only scalar/1-row broadcasts may nest:\n$p")
   }
+
+  test("q109 verify stage is the array-intersect form: no re-exploded shingle join") {
+    val df = graft.operators.Dedup.jaccardPrefixJoin(spark, sf)
+    val p = df.queryExecution.optimizedPlan.toString
+    // round-13 shape: the exact verify is one array_intersect per
+    // candidate off the cached (doc_id, array) table — the pre-13 form
+    // re-joined the EXPLODED index twice and re-grouped per pair, which
+    // shows as an Aggregate whose grouping carries both pair sides
+    assert(p.contains("array_intersect"),
+      s"q109 verify must score candidates with array_intersect:\n$p")
+    // the positional PPJoin bound survives optimization as the alpha
+    // comparison on the candidate join
+    assert(p.toLowerCase.contains("least"),
+      s"q109 candidates must carry the positional overlap bound:\n$p")
+  }
+
+  test("q235 member dots ride the broadcast centroid fold, not a corpus-keyed aggregate") {
+    val df = graft.operators.Similarity.centroidDriftAudit(spark, sf)
+    val p = df.queryExecution.optimizedPlan.toString
+    // round-13 shape: the member cosines are a per-row zip_with/
+    // aggregate fold against the broadcast 2-row centroid table. The
+    // pre-13 form re-exploded the corpus and shuffled a corpus-sized
+    // (vec_id, half)-keyed aggregate for them — that grouping key is
+    // the signature this pins away. (The one posexplode lineage — the
+    // (half, dim) sums — re-lists per crossJoin branch logically but
+    // executes once via exchange reuse; PLANSTATS carries the count.)
+    assert(!p.contains("Aggregate [vec_id"),
+      s"q235 must not re-aggregate the corpus per vector:\n$p")
+    assert(p.contains("zip_with"),
+      s"member dots must be the array fold:\n$p")
+    assert(p.contains("posexplode"), s"the dim sums still explode once:\n$p")
+  }
 }
