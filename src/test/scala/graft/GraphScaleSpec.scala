@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
@@ -125,46 +125,55 @@ class GraphScaleSpec extends AnyFunSuite {
       s"lpSweeps fell back to a window:\n$p")
   }
 
-  test("salted supersteps are BIT-identical to the unsalted loop on a hub graph") {
+  test("salted supersteps are BIT-identical to the unsalted loop (no/one/two hubs)") {
     import spark.implicits._
-    // small hub fixture sized so the hot-source path actually engages:
-    // fairShare = max(1000, 20000/par) and the hub holds ~18000 edges
-    val edges = spark.range(20000).select(
-        when($"id" % 10 < 9, lit(0L))
-          .otherwise(pmod(hash($"id").cast("long"), lit(2000L))).as("src"),
-        pmod(hash($"id" * 31 + 7).cast("long"), lit(2000L)).as("dst"),
-        ($"id" % 5 + 1L).as("w"))
-      .filter($"src" =!= $"dst")
-      .localCheckpoint()
-    val iterations = 3
-    // reference: the pre-salting loop, computed in-spec
-    val outSums = edges.groupBy($"src").agg(sum($"w").as("sumOut"))
-    val prob = edges.join(outSums, "src")
-      .select($"src", $"dst",
-        ($"w".cast("double") / $"sumOut".cast("double")).as("p"))
-      .localCheckpoint()
-    val vertices = edges.select($"src".as("id"))
-      .union(edges.select($"dst".as("id"))).distinct().localCheckpoint()
-    val n = vertices.count().toDouble
-    var ranks = vertices.select($"id", lit(1.0).as("rank"))
-    for (_ <- 1 to iterations) {
-      val contribs = ranks.join(prob, $"id" === $"src")
-        .groupBy($"dst")
-        .agg((sum(round(($"rank" * $"p") * 1e14).cast("long"))
-          .cast("double") / 1e14).as("s"))
-      ranks = vertices.join(contribs, $"id" === $"dst", "left")
-        .select($"id", (lit(0.85) * coalesce($"s", lit(0.0))
-          + lit(0.15 / n)).as("rank"))
+    // three hot-set shapes: NONE (the constant-salt fast path), ONE hub
+    // (~90% of edges), TWO hubs (~50% + ~40%) — fairShare =
+    // max(1000, 20000/par), so both multi-hub sources engage the salt
+    val shapes: Seq[(String, Column)] = Seq(
+      "no hub" -> pmod(hash($"id").cast("long"), lit(2000L)),
+      "one hub" -> when($"id" % 10 < 9, lit(0L))
+        .otherwise(pmod(hash($"id").cast("long"), lit(2000L))),
+      "two hubs" -> when($"id" % 10 < 5, lit(0L))
+        .when($"id" % 10 < 9, lit(1L))
+        .otherwise(pmod(hash($"id").cast("long"), lit(2000L))))
+    for ((label, srcCol) <- shapes) {
+      val edges = spark.range(20000).select(srcCol.as("src"),
+          pmod(hash($"id" * 31 + 7).cast("long"), lit(2000L)).as("dst"),
+          ($"id" % 5 + 1L).as("w"))
+        .filter($"src" =!= $"dst")
         .localCheckpoint()
+      val iterations = 3
+      // reference: the pre-salting loop, computed in-spec
+      val outSums = edges.groupBy($"src").agg(sum($"w").as("sumOut"))
+      val prob = edges.join(outSums, "src")
+        .select($"src", $"dst",
+          ($"w".cast("double") / $"sumOut".cast("double")).as("p"))
+        .localCheckpoint()
+      val vertices = edges.select($"src".as("id"))
+        .union(edges.select($"dst".as("id"))).distinct().localCheckpoint()
+      val n = vertices.count().toDouble
+      var ranks = vertices.select($"id", lit(1.0).as("rank"))
+      for (_ <- 1 to iterations) {
+        val contribs = ranks.join(prob, $"id" === $"src")
+          .groupBy($"dst")
+          .agg((sum(round(($"rank" * $"p") * 1e14).cast("long"))
+            .cast("double") / 1e14).as("s"))
+        ranks = vertices.join(contribs, $"id" === $"dst", "left")
+          .select($"id", (lit(0.85) * coalesce($"s", lit(0.0))
+            + lit(0.15 / n)).as("rank"))
+          .localCheckpoint()
+      }
+      val want = ranks.select($"id", $"rank").as[(Long, Double)].collect().toMap
+      val got = Graph.pageRankEdges(spark, edges, iterations)
+        .select($"id", $"rank").as[(Long, Double)].collect().toMap
+      assert(got.keySet == want.keySet, label)
+      // bit-identical, not approximately equal: the salt must only move
+      // rows between tasks, never change what the quantized sums see
+      val diff = got.filter { case (id, r) => want(id) != r }
+      assert(diff.isEmpty,
+        s"$label: salted ranks diverged bitwise on ${diff.take(5)}")
     }
-    val want = ranks.select($"id", $"rank").as[(Long, Double)].collect().toMap
-    val got = Graph.pageRankEdges(spark, edges, iterations)
-      .select($"id", $"rank").as[(Long, Double)].collect().toMap
-    assert(got.keySet == want.keySet)
-    // bit-identical, not approximately equal: the salt must only move
-    // rows between tasks, never change what the quantized sums see
-    val diff = got.filter { case (id, r) => want(id) != r }
-    assert(diff.isEmpty, s"salted ranks diverged bitwise on ${diff.take(5)}")
   }
 
   test("pageRank on a hub graph: no task absorbs the hub; volume bounded") {
