@@ -258,9 +258,11 @@ object Graph {
     var delta = Double.MaxValue
     while (it < maxIterations && delta > tol) {
       val next = prStep(spark, ctx, ranks, damping, teleport)
-      delta = next.select($"id", $"rank".as("next_rank"))
-        .join(ranks.select($"id", $"rank".as("prev_rank")), "id")
-        .agg(sum(abs($"next_rank" - $"prev_rank"))).head().getDouble(0)
+      // empty graph → SUM over zero vertices is NULL ≡ converged
+      delta = graft.core.Scalars.doubleAt(
+        next.select($"id", $"rank".as("next_rank"))
+          .join(ranks.select($"id", $"rank".as("prev_rank")), "id")
+          .agg(sum(abs($"next_rank" - $"prev_rank"))).head(), 0, 0.0)
       ranks = next
       it += 1
     }
@@ -538,7 +540,12 @@ object Graph {
     val edges = edges0.select($"p1", $"p2")
     val nb = edges.select($"p1".as("z"), $"p2".as("x"))
       .union(edges.select($"p2".as("z"), $"p1".as("x")))
-    val src = edges.agg(min($"p1")).head().getLong(0)
+    // no edges → no BFS source; a defined empty frame, not a null read
+    // (the hillTail guard convention)
+    val srcRow = edges.agg(min($"p1")).head()
+    if (srcRow.isNullAt(0))
+      return Seq.empty[(Long, Long)].toDF("id", "hops")
+    val src = srcRow.getLong(0)
     var dist = Seq((src, 0L)).toDF("id", "hops").localCheckpoint()
     var frontier = dist
     var round = 0

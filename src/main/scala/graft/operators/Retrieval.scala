@@ -172,7 +172,8 @@ object Retrieval {
     graft.core.Memo(spark, cache = true, "bm25wtd", d) {
       val statsRow = dl.agg(count(lit(1)), sum($"dl")).head()
       val n = statsRow.getLong(0)
-      val sumdl = statsRow.getLong(1)
+      // empty corpus → SUM is NULL; 1 is inert (zero postings score)
+      val sumdl = graft.core.Scalars.longAt(statsRow, 1, 1L)
       tf.join(dfT, "t").join(dl, "doc_id")
         .repartition(col("doc_id"))
         .select($"t", $"doc_id",
@@ -238,15 +239,9 @@ object Retrieval {
     import spark.implicits._
     import graft.functions.VectorFunctions._
     val cents = Similarity.lloydCentroids(spark, d, nLists, updates)
-    val opts = cents.sortBy(_._1).map { case (cid, q) =>
-      val c2 = q.map(x => x * x).sum
-      struct(
-        ($"n2" - lit(2L) * dotPreQ($"qemb", typedLit(q)) + lit(c2)).as("dist2"),
-        lit(cid).as("cid"))
-    }
     val ranked = Similarity.corpusWithNorm(spark, d)
       .select($"vec_id", $"qemb", $"n2", evalFlag($"vec_id").as("ev"),
-        array_sort(array(opts: _*)).as("ds"))
+        array_sort(Similarity.centOptsArray(cents)).as("ds"))
     val corpusSide = ranked.filter(!$"ev")
       .select($"vec_id", $"qemb", $"n2",
         element_at($"ds", 1).getField("cid").as("list_id"))

@@ -168,7 +168,9 @@ object Sharding {
     import spark.implicits._
     val docs = documents(spark, d).select($"doc_id", $"n_chars")
     val idr = docs.agg(min($"doc_id"), max($"doc_id")).head()
-    val (lo, hi) = (idr.getLong(0), idr.getLong(1))
+    // empty corpus → NULL bounds; (0, 0) is inert (no row gets a shard)
+    val lo = graft.core.Scalars.longAt(idr, 0, 0L)
+    val hi = graft.core.Scalars.longAt(idr, 1, 0L)
     val width = (hi - lo) / nShards + 1
     def zones(tagged: DataFrame, layout: String): DataFrame =
       tagged.groupBy($"shard")
@@ -206,8 +208,10 @@ object Sharding {
       expr("unix_micros(o_orderdate) div 86400000000").as("dy"))
     val b = o.agg(min($"o_custkey"), max($"o_custkey"),
       min($"dy"), max($"dy")).head()
+    // empty orders → NULL bounds; zeros are inert (no row is normalized)
     val (cLo, cHi, dLo, dHi) =
-      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      (graft.core.Scalars.longAt(b, 0, 0L), graft.core.Scalars.longAt(b, 1, 0L),
+        graft.core.Scalars.longAt(b, 2, 0L), graft.core.Scalars.longAt(b, 3, 0L))
     // a constant column would make the span 0: Spark's `div 0` yields
     // NULL silently while DuckDB errors — pin the degenerate case to a
     // 1-wide span on BOTH engines (all rows land at coordinate 0)
@@ -291,8 +295,10 @@ object Sharding {
       expr("unix_micros(o_orderdate) div 86400000000").as("dy"))
     val b = o.agg(min($"o_custkey"), max($"o_custkey"),
       min($"dy"), max($"dy")).head()
+    // empty orders → NULL bounds; zeros are inert (no row is normalized)
     val (cLo, cHi, dLo, dHi) =
-      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      (graft.core.Scalars.longAt(b, 0, 0L), graft.core.Scalars.longAt(b, 1, 0L),
+        graft.core.Scalars.longAt(b, 2, 0L), graft.core.Scalars.longAt(b, 3, 0L))
     val (cW, dW) = (math.max(1L, cHi - cLo), math.max(1L, dHi - dLo))
     val norm = o
       .withColumn("c16", expr(s"(o_custkey - ${cLo}L) * 65535L div ${cW}L"))

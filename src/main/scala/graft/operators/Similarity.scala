@@ -202,14 +202,8 @@ object Similarity {
     import spark.implicits._
     val cents = lloydCentroids(spark, d, nLists, updates)
     val c = corpusWithNorm(spark, d)
-    val opts = cents.sortBy(_._1).map { case (cid, q) =>
-      val c2 = q.map(x => x * x).sum
-      struct(
-        ($"n2" - lit(2L) * dotPreQ($"qemb", typedLit(q)) + lit(c2)).as("dist2"),
-        lit(cid).as("cid"))
-    }
     val probes = c.select($"vec_id", $"qemb", $"n2",
-        array_sort(array(opts: _*)).as("ds"))
+        array_sort(centOptsArray(cents)).as("ds"))
       .select($"vec_id", $"qemb", $"n2",
         explode(transform(slice($"ds", 1, nProbe), p => p.getField("cid")))
           .as("list_id"))
@@ -340,15 +334,33 @@ object Similarity {
     * centroid array: per-row struct-min over k (dist², cid) options —
     * scan-stage, no join, deterministic ties by lowest cid.
     */
-  private def assignTo(c: DataFrame, cents: Array[(Long, Seq[Long])]): DataFrame = {
-    import c.sparkSession.implicits._
+  /** The per-row (dist², centroid-id) option array over a DRIVER-held
+    * centroid table, sorted by centroid id — the scan-stage argmin/probe
+    * primitive every IVF/k-means consumer shares. On an EMPTY corpus the
+    * trainer returns zero centroids and a bare `array()` would type as
+    * ARRAY<VOID> (`getField` then fails at ANALYSIS, before any row
+    * could flow) — so the zero-centroid case emits a typed empty array:
+    * the plan compiles, `array_min`/`element_at` yield typed NULLs, and
+    * since the corpus is empty whenever the trainer is, no row ever
+    * observes one (the DegenSweep contract).
+    */
+  private[graft] def centOptsArray(cents: Array[(Long, Seq[Long])],
+      cidName: String = "cid"): Column = {
     val opts = cents.sortBy(_._1).map { case (cid, q) =>
       val c2 = q.map(x => x * x).sum
       struct(
-        ($"n2" - lit(2L) * dotPreQ($"qemb", typedLit(q)) + lit(c2)).as("dist2"),
-        lit(cid).as("cluster"))
+        (col("n2") - lit(2L) * dotPreQ(col("qemb"), typedLit(q)) + lit(c2))
+          .as("dist2"),
+        lit(cid).as(cidName))
     }
-    c.select($"vec_id", $"qemb", $"n2", array_min(array(opts: _*)).as("best"))
+    if (opts.isEmpty) array().cast(s"array<struct<dist2:bigint,$cidName:bigint>>")
+    else array(opts.toIndexedSeq: _*)
+  }
+
+  private def assignTo(c: DataFrame, cents: Array[(Long, Seq[Long])]): DataFrame = {
+    import c.sparkSession.implicits._
+    c.select($"vec_id", $"qemb", $"n2",
+        array_min(centOptsArray(cents, "cluster")).as("best"))
       .select($"vec_id", $"qemb", $"n2",
         $"best".getField("cluster").as("cluster"),
         $"best".getField("dist2").as("dist2"))
@@ -381,14 +393,8 @@ object Similarity {
       updates: Int = 2): DataFrame = {
     import spark.implicits._
     val cents = lloydCentroids(spark, d, nLists, updates)
-    val opts = cents.sortBy(_._1).map { case (cid, q) =>
-      val c2 = q.map(x => x * x).sum
-      struct(
-        ($"n2" - lit(2L) * dotPreQ($"qemb", typedLit(q)) + lit(c2)).as("dist2"),
-        lit(cid).as("cid"))
-    }
     val pl = corpusWithNorm(spark, d)
-      .select(element_at(array_sort(array(opts: _*)), 1)
+      .select(element_at(array_sort(centOptsArray(cents)), 1)
         .getField("cid").as("list_id"))
       .groupBy($"list_id").agg(count(lit(1)).as("n_vecs"))
     val tot = pl.agg(sum($"n_vecs").as("n"), max($"n_vecs").as("mx"))
@@ -429,14 +435,8 @@ object Similarity {
     import spark.implicits._
     val cents = lloydCentroids(spark, d, nLists, updates)
     val c = corpusWithNorm(spark, d)
-    val opts = cents.sortBy(_._1).map { case (cid, q) =>
-      val c2 = q.map(x => x * x).sum
-      struct(
-        ($"n2" - lit(2L) * dotPreQ($"qemb", typedLit(q)) + lit(c2)).as("dist2"),
-        lit(cid).as("cid"))
-    }
     val ranked = c.select($"vec_id", $"qemb", $"n2",
-      array_sort(array(opts: _*)).as("ds"))
+      array_sort(centOptsArray(cents)).as("ds"))
     val assigned = ranked.select($"vec_id", $"qemb", $"n2",
       element_at($"ds", 1).getField("cid").as("list_id"))
     val maxProbe = probes.max
@@ -531,14 +531,8 @@ object Similarity {
     import spark.implicits._
     val cents = lloydCentroids(spark, d, nLists, updates)
     val c = corpusWithNorm(spark, d)
-    val opts = cents.sortBy(_._1).map { case (cid, q) =>
-      val c2 = q.map(x => x * x).sum
-      struct(
-        ($"n2" - lit(2L) * dotPreQ($"qemb", typedLit(q)) + lit(c2)).as("dist2"),
-        lit(cid).as("cid"))
-    }
     val ranked = c.select($"vec_id", $"qemb", $"n2",
-      array_sort(array(opts: _*)).as("ds"))
+      array_sort(centOptsArray(cents)).as("ds"))
     val assigned = ranked.select($"vec_id", $"qemb", $"n2",
       element_at($"ds", 1).getField("cid").as("list_id"))
     val qp = ranked.filter($"vec_id" < 10)
@@ -585,19 +579,16 @@ object Similarity {
       m: Int = 16, ks: Int = 16, pqUpdates: Int = 1): DataFrame = {
     import spark.implicits._
     val c = corpusWithNorm(spark, d)
-    val dims = c.select(size($"qemb")).head().getInt(0)
+    // empty corpus → no row to read dims from; m (⇒ subDim = 1) is an
+    // inert stand-in: every downstream stage computes over zero rows
+    val dims = graft.core.Scalars.headOption(c.select(size($"qemb")))
+      .map(_.getInt(0)).getOrElse(m)
     val subDim = dims / m
     require(subDim * m == dims, s"m=$m must divide dims=$dims")
     val cents = lloydCentroids(spark, d, nLists, updates)
     val centLit = typedLit(cents.map { case (cid, q) => (cid, q) }.toMap)
-    val opts = cents.sortBy(_._1).map { case (cid, q) =>
-      val c2 = q.map(x => x * x).sum
-      struct(
-        ($"n2" - lit(2L) * dotPreQ($"qemb", typedLit(q)) + lit(c2)).as("dist2"),
-        lit(cid).as("cid"))
-    }
     val ranked = c.select($"vec_id", $"qemb", $"n2",
-      array_sort(array(opts: _*)).as("ds"))
+      array_sort(centOptsArray(cents)).as("ds"))
     // memo-cached (released with the session): the training collects, the
     // encode and the candidate probe all fold over this one lineage
     val assigned = graft.core.Memo(spark, cache = true,
@@ -637,17 +628,22 @@ object Similarity {
         .groupBy($"vec_id", $"list_id", $"sub")
         .agg(min($"opt").getField("code").as("code"), first($"sv").as("sv"))
     for (_ <- 1 to pqUpdates) {
-      books = graft.core.Bounded.collect(
+      val bySub = graft.core.Bounded.collect(
         assignCodes(books)
           .select($"sub", $"code", posexplode($"sv").as(Seq("i", "q")))
           .groupBy($"sub", $"code", $"i")
           .agg(round(sum($"q").cast("double") / count(lit(1))).cast("long").as("cq")),
         m.toLong * ks * subDim, "annIvfPq codebook update (m·ks·subDim rows)")
-        .groupBy(_.getInt(0)).toArray.sortBy(_._1).map { case (_, subRows) =>
-          subRows.groupBy(_.getLong(1)).map { case (code, rs) =>
+        .groupBy(_.getInt(0))
+      // rebuild ALL m sub-spaces: on an empty corpus the update has no
+      // rows and an absent sub must keep an empty book, not shrink the
+      // array (books(s) below indexes 0 until m unconditionally)
+      books = Array.tabulate(m)(s =>
+        bySub.getOrElse(s, Array.empty[org.apache.spark.sql.Row])
+          .groupBy(_.getLong(1)).map {
+          case (code, rs) =>
             (code, rs.sortBy(_.getInt(2)).map(_.getLong(3)).toSeq)
-          }.toArray
-        }
+        }.toArray)
     }
     // ---- encode: m codes per vector under the trained books ----
     val codes = assignCodes(books).select($"vec_id", $"list_id", $"sub", $"code")
@@ -731,7 +727,8 @@ object Similarity {
         transform($"embedding", x => round(x.cast("double") * lit(1000.0)).cast("long")).as("x3"),
         when($"label" === targetLabel, 1L).otherwise(-1L).as("y"))
     }
-    val dims = ex.select(size($"x3")).head().getInt(0)
+    val dims = graft.core.Scalars.headOption(ex.select(size($"x3")))
+      .map(_.getInt(0)).getOrElse(0)
     var w: Seq[Long] = Seq.fill(dims)(0L)
     for (_ <- 1 to epochs) {
       // margin of w=0 is 0 ⇒ epoch 1 updates on every vector (batch
@@ -777,9 +774,13 @@ object Similarity {
     val ex = graft.core.Memo(spark, cache = true, "powerBase", d) {
       embeddings(spark, d).select($"vec_id", quantize($"embedding").as("eq"))
     }
-    val dims = ex.select(size($"eq")).head().getInt(0)
+    val dims = graft.core.Scalars.headOption(ex.select(size($"eq")))
+      .map(_.getInt(0)).getOrElse(0)
     var vq: Seq[Long] = Seq.fill(dims)(1000000L)
-    for (_ <- 1 to iters) {
+    // dims = 0 ⇔ empty corpus: the matvec would produce an empty u and
+    // reduceLeft/0-norm would throw — the output below is already the
+    // correct empty frame
+    for (_ <- 1 to iters if dims > 0) {
       val u = ex
         .withColumn("dv", dotPreQ($"eq", typedLit(vq)))
         .select($"dv", posexplode($"eq").as(Seq("i", "e")))
@@ -791,8 +792,11 @@ object Similarity {
       val ud = (0 until dims).map(i =>
         u2.getOrElse(i, java.math.BigDecimal.ZERO).doubleValue())
       val nrm = math.sqrt(ud.map(x => x * x).reduceLeft(_ + _))
-      vq = ud.map(x => new java.math.BigDecimal(x / nrm * 1000000.0)
-        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact())
+      // an all-zero matvec (all-zero embedding column) has no direction;
+      // keep the current iterate instead of dividing 0/0 into NaN
+      if (nrm != 0.0)
+        vq = ud.map(x => new java.math.BigDecimal(x / nrm * 1000000.0)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact())
     }
     spark.createDataset((0 until dims).map(i =>
         (i.toLong, vq(i), vq(i).toDouble / 1000000.0)))
@@ -956,16 +960,10 @@ object Similarity {
       nLists: Int = 8, nProbe: Int = 4, updates: Int = 2): DataFrame = {
     import spark.implicits._
     val cents = lloydCentroids(spark, d, nLists, updates)
-    val opts = cents.sortBy(_._1).map { case (cid, q) =>
-      val c2 = q.map(x => x * x).sum
-      struct(
-        ($"n2" - lit(2L) * dotPreQ($"qemb", typedLit(q)) + lit(c2)).as("dist2"),
-        lit(cid).as("cid"))
-    }
     val ranked = corpusWithNorm(spark, d)
       .join(embeddings(spark, d).select($"vec_id", $"label"), "vec_id")
       .select($"vec_id", $"label", $"qemb", $"n2", evalAnchor($"vec_id").as("ev"),
-        array_sort(array(opts.toIndexedSeq: _*)).as("ds"))
+        array_sort(centOptsArray(cents)).as("ds"))
     val corpusSide = ranked.filter(!$"ev")
       .select($"vec_id".as("neg_id"), $"label".as("neg_label"), $"qemb", $"n2",
         element_at($"ds", 1).getField("cid").as("list_id"))

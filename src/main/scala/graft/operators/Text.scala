@@ -493,7 +493,8 @@ object Text {
     import spark.implicits._
     val tk = documents(spark, d).select($"doc_id", explode(tokens($"text")).as("w"))
     val wc = vocabCounts(spark, d)
-    val total = wc.agg(sum($"c")).head().getLong(0)
+    // empty corpus → SUM is NULL; 1 is inert (the score table has 0 rows)
+    val total = graft.core.Scalars.longAt(wc.agg(sum($"c")).head(), 0, 1L)
     val scores = wc.select($"w",
       round((-log2($"c".cast("double") / lit(total.toDouble))) * lit(1000000.0))
         .cast("long").as("sq"))
@@ -989,7 +990,7 @@ object Text {
       lambda: Double = 0.7): DataFrame = {
     import spark.implicits._
     val wc = vocabCounts(spark, d)
-    val total = wc.agg(sum($"c")).head().getLong(0)
+    val total = graft.core.Scalars.longAt(wc.agg(sum($"c")).head(), 0, 1L)
     val scores = bigramLm(spark, d)
       .join(broadcast(wc.select($"w".as("w2"), $"c".as("cu"))), "w2")
       .select($"w1", $"w2",
@@ -1128,9 +1129,10 @@ object Text {
       train.select(explode($"ws").as("wd")).groupBy($"wd").agg(count(lit(1)).as("cu"))
     }
     // N + V: two train-LM scalars, the A3 closed-over-scalar shape
-    val Array(nTok, vSize) = uc.agg(sum($"cu"), count(lit(1))).head() match {
-      case r => Array(r.getLong(0), r.getLong(1))
-    }
+    // (SUM is NULL on an empty train split; 1 is inert — no rows score)
+    val nvRow = uc.agg(sum($"cu"), count(lit(1))).head()
+    val nTok = graft.core.Scalars.longAt(nvRow, 0, 1L)
+    val vSize = nvRow.getLong(1)
     val nv = lit((nTok + vSize).toDouble)
     def s1(cu: Column): Column =
       (coalesce(cu, lit(0L)).cast("double") + lit(1.0)) / nv
@@ -1203,11 +1205,12 @@ object Text {
     val wc = vocabCounts(spark, d)
     val tc = tk.filter($"lang" === targetLang)
       .groupBy($"w").agg(count(lit(1)).as("ct"))
-    val total = wc.agg(sum($"c")).head().getLong(0)
+    val total = graft.core.Scalars.longAt(wc.agg(sum($"c")).head(), 0, 1L)
     val vocabAndTarget = wc.join(tc, Seq("w"), "left")
       .select($"w", $"c", coalesce($"ct", lit(0L)).as("ct"))
-    val Row(vocabSize: Long, targetTotal: Long) = vocabAndTarget
-      .agg(count(lit(1)), sum($"ct")).head()
+    val vtRow = vocabAndTarget.agg(count(lit(1)), sum($"ct")).head()
+    val vocabSize = vtRow.getLong(0)
+    val targetTotal = graft.core.Scalars.longAt(vtRow, 1, 0L)
     val scores = vocabAndTarget.select($"w",
       round((log2(($"ct" + 1).cast("double") /
           lit((targetTotal + vocabSize).toDouble)) -
@@ -1276,8 +1279,9 @@ object Text {
     import spark.implicits._
     val feats = hashedFeats(spark, d, nBuckets)
     val buckets = dsirBuckets(spark, d, targetLang, nBuckets)
-    val Row(tr: Long, tt: Long) =
-      buckets.agg(sum($"cr"), sum($"ct")).head()
+    val trRow = buckets.agg(sum($"cr"), sum($"ct")).head()
+    val tr = graft.core.Scalars.longAt(trRow, 0, 0L)
+    val tt = graft.core.Scalars.longAt(trRow, 1, 0L)
     val scores = buckets.select($"b",
       round((log2(($"ct" + 1).cast("double") / lit((tt + nBuckets).toDouble)) -
         log2(($"cr" + 1).cast("double") / lit((tr + nBuckets).toDouble)))
@@ -1312,7 +1316,7 @@ object Text {
     // corpus bucket counts ride q90's memoized table (cr is targetLang-
     // independent) — one corpus pass serves both operators per session
     val corpus = dsirBuckets(spark, d, "en", nBuckets).select($"b", $"cr".as("cb"))
-    val nTotal = corpus.agg(sum($"cb")).head().getLong(0)
+    val nTotal = graft.core.Scalars.longAt(corpus.agg(sum($"cb")).head(), 0, 0L)
     val bySource = feats.groupBy($"source", $"b").agg(count(lit(1)).as("csb"))
     val totals = bySource.groupBy($"source").agg(sum($"csb").as("ns"))
     // every (source, bucket) pair over the FULL bucket space contributes
@@ -1544,7 +1548,7 @@ object Text {
     val bc = bigramCounts(spark, d)
     val c1 = bc.groupBy($"w1").agg(sum($"c12").as("c1"))
     val c2 = bc.groupBy($"w2").agg(sum($"c12").as("c2"))
-    val t = bc.agg(sum($"c12")).head().getLong(0)
+    val t = graft.core.Scalars.longAt(bc.agg(sum($"c12")).head(), 0, 1L)
     bc.filter($"c12" >= minCount)
       .join(c1, "w1").join(c2, "w2")
       .select($"w1", $"w2", $"c12",

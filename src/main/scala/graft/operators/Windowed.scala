@@ -544,7 +544,9 @@ object Windowed {
       expr("(unix_micros(ts) div 1000000L) div 604800L").as("week_id"),
       $"value")
     val b = e.agg(min($"value"), max($"value"), min($"week_id")).head()
-    val (lo, hi, w0) = (b.getDouble(0), b.getDouble(1), b.getLong(2))
+    // empty events → NULL bounds; zeros are inert (no row is binned)
+    val (lo, hi, w0) = (graft.core.Scalars.doubleAt(b, 0, 0.0),
+      graft.core.Scalars.doubleAt(b, 1, 0.0), graft.core.Scalars.longAt(b, 2, 0L))
     // a constant column would make the bin expression 0/0 = NaN (silent
     // null bins in Spark; the q129 batch special-cases mx == mn the same
     // way): pin the degenerate range to one bin on both engines

@@ -1,0 +1,70 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Degenerate-input sweep: evaluate EVERY SparkEntry query against an
+  * EMPTY fixture (the real schemas, zero rows) and a TINY fixture (the
+  * first `tinyN` rows of each sf0.001 table, so referential integrity
+  * is mostly broken and most joins/groups are empty or singleton).
+  *
+  * Motivation: at 100 TB a query runs per-partition, per-source, and
+  * per-day; an empty source, a single-document language, or a
+  * one-user shard is a NORMAL input, not an error. The round-12
+  * advisor found exactly this class of bug once (hillTail's
+  * |users| ≤ 1 feeding k ≤ 0 into the heap aggregate's require) —
+  * this sweep asserts the whole 252-query catalog is closed under it:
+  * every query must PLAN and EVALUATE (count()) on both fixtures,
+  * returning a defined (possibly empty) frame instead of throwing.
+  *
+  * Usage: runMain graft.tools.DegenSweep [srcSfDir] [outRoot]
+  * Exit code = number of failing (query, fixture) pairs; each failure
+  * is printed as `FAIL <fixture> <query>: <exception>`.
+  */
+object DegenSweep {
+  val tables = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Write `limit(n)` of each source table (n=0 → schema-only). */
+  def writeFixture(spark: SparkSession, src: String, out: String, n: Int): Unit = {
+    tables.foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet").limit(n)
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+  }
+
+  def sweep(spark: SparkSession, dir: String, label: String): Seq[(String, String, String)] = {
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try { fn(spark, dir).count(); Nil }
+      catch { case e: Throwable =>
+        val msg = (e.getMessage match {
+          case null => e.getClass.getName
+          case m    => e.getClass.getSimpleName + ": " + m
+        }).linesIterator.take(3).mkString(" | ")
+        println(s"FAIL $label $name: $msg")
+        Seq((label, name, msg))
+      }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val outRoot = args.lift(1).getOrElse("target/degen")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val t0 = System.nanoTime()
+    writeFixture(spark, src, s"$outRoot/empty", 0)
+    writeFixture(spark, src, s"$outRoot/tiny", 3)
+    val fails = sweep(spark, s"$outRoot/empty", "empty") ++
+      sweep(spark, s"$outRoot/tiny", "tiny")
+    println(f"degen sweep: ${graft.SparkEntry.queries.size * 2} runs, " +
+      f"${fails.size} failures, ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    spark.stop()
+    sys.exit(fails.size)
+  }
+}
