@@ -32,6 +32,34 @@ object DegenSweep {
     }
   }
 
+  /** One key column per table to re-sequence in the CONST fixture so
+    * primary keys stay unique while every other column is constant. */
+  val pkCol = Map("region" -> "r_regionkey", "nation" -> "n_nationkey",
+    "customer" -> "c_custkey", "supplier" -> "s_suppkey",
+    "part" -> "p_partkey", "orders" -> "o_orderkey",
+    "lineitem" -> "l_linenumber", "events" -> "event_id",
+    "documents" -> "doc_id", "embeddings" -> "vec_id")
+
+  /** CONST fixture: the first row of each table replicated `reps`
+    * times with a fresh 0..reps-1 primary key and every OTHER column
+    * identical — the zero-variance input class (std = 0, max = min,
+    * one distinct value per group with count > 1, a single-symbol
+    * vocabulary, a corpus that is 100 % duplicates, all embeddings at
+    * one point). At 100 TB this is a normal shard, not an error: a
+    * stuck sensor, a bot replaying one document, a constant-valued
+    * column in a day partition. */
+  def writeConstFixture(spark: SparkSession, src: String, out: String,
+      reps: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    tables.foreach { t =>
+      val one = spark.read.parquet(s"$src/$t.parquet").limit(1)
+      val keyType = one.schema(pkCol(t)).dataType
+      one.crossJoin(spark.range(reps.toLong).select(col("id").as("__rep")))
+        .withColumn(pkCol(t), col("__rep").cast(keyType)).drop("__rep")
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+  }
+
   def sweep(spark: SparkSession, dir: String, label: String): Seq[(String, String, String)] = {
     graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try { fn(spark, dir).count(); Nil }
@@ -60,9 +88,11 @@ object DegenSweep {
     val t0 = System.nanoTime()
     writeFixture(spark, src, s"$outRoot/empty", 0)
     writeFixture(spark, src, s"$outRoot/tiny", 3)
+    writeConstFixture(spark, src, s"$outRoot/const", 48)
     val fails = sweep(spark, s"$outRoot/empty", "empty") ++
-      sweep(spark, s"$outRoot/tiny", "tiny")
-    println(f"degen sweep: ${graft.SparkEntry.queries.size * 2} runs, " +
+      sweep(spark, s"$outRoot/tiny", "tiny") ++
+      sweep(spark, s"$outRoot/const", "const")
+    println(f"degen sweep: ${graft.SparkEntry.queries.size * 3} runs, " +
       f"${fails.size} failures, ${(System.nanoTime() - t0) / 1e9}%.1f s")
     spark.stop()
     sys.exit(fails.size)

@@ -47,6 +47,35 @@ class DegenerateInputSpec extends AnyFunSuite {
     dir
   }
 
+  // the zero-variance class: unique keys, every other column constant
+  // (std = 0, max = min with count > 1, a one-symbol vocabulary, a
+  // 100 %-duplicate corpus, all embeddings at one point). The full
+  // const sweep was clean on first run — these pins keep the
+  // mx==mn/div-0 special cases (zone map, z-order, drift, robust
+  // stats, Zipf, k-means) from regressing.
+  private val constSensitive = Seq(
+    "q157_zone_map", "q164_zorder", "q178_value_drift",
+    "q121_robust_stats", "q95_zipf_fit", "q69_surprisal",
+    "q62_kmeans", "q252_davies_bouldin", "q129_hist_quantiles",
+    "q16_jaccard_neardup", "q32_dedup_clusters", "q174_session_stats")
+
+  private lazy val constDir: String = {
+    val dir = "target/degen-spec/const"
+    tools.DegenSweep.writeConstFixture(spark, "/root/testdata/sf0.001", dir, 48)
+    dir
+  }
+
+  test("zero-variance-sensitive queries evaluate on a const fixture") {
+    val missing = constSensitive.filterNot(SparkEntry.queries.contains)
+    assert(missing.isEmpty, s"unknown query names: $missing")
+    val failures = constSensitive.flatMap { name =>
+      try { SparkEntry.queries(name)(spark, constDir).count(); Nil }
+      catch { case e: Throwable => Seq(s"$name: ${e.getClass.getSimpleName}: ${
+        Option(e.getMessage).getOrElse("").linesIterator.take(2).mkString(" | ")}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("formerly-failing queries evaluate on an empty fixture") {
     val missing = formerlyFailing.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"unknown query names: $missing")
