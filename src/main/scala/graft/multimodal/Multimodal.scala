@@ -49,7 +49,13 @@ object Multimodal {
     */
   def mediaTable(spark: SparkSession, d: String): Dataset[MediaRecord] = {
     import spark.implicits._
-    documents(spark, d).select($"doc_id", $"text", $"n_chars").as[(Long, String, Long)]
+    // a null payload has no media content: the typed Tuple3 encoder
+    // would throw NOT_NULL_ASSERT_VIOLATION on it (nulled-fixture
+    // DegenSweep) — a real binary table filters corrupt/absent blobs
+    // at scan the same way
+    documents(spark, d)
+      .filter($"text".isNotNull && $"n_chars".isNotNull)
+      .select($"doc_id", $"text", $"n_chars").as[(Long, String, Long)]
       .map { case (id, text, nChars) =>
         val bytes = text.getBytes("UTF-8")
         MediaRecord(id, bytes,

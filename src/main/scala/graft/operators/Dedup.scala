@@ -974,6 +974,9 @@ object Dedup {
     import spark.implicits._
     val nSeg = maxDist + 1
     val t = documents(spark, d)
+      // a null text has no title: admitting it would put a NULL in the
+      // length dictionary's Int encoder (nulled-fixture DegenSweep)
+      .filter($"text".isNotNull)
       .select($"doc_id",
         substring(regexp_replace(trim(lower($"text")), "\\s+", " "),
           1, titleLen).as("ti"))

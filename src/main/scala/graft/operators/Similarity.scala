@@ -32,7 +32,13 @@ object Similarity {
   private[graft] def corpusWithNorm(spark: SparkSession, d: String): DataFrame =
     graft.core.Memo(spark, cache = true, "corpusWithNorm", d) {
       import spark.implicits._
+      // a NULL embedding is not a vector: admitting it would seed
+      // lloydCentroids with null Seqs and NULL every derived qemb/n2
+      // (the nulled-fixture DegenSweep class) — every vector op
+      // correctly never sees the row; audits that count raw rows read
+      // the embeddings table directly, not this projection
       embeddings(spark, d)
+        .filter($"embedding".isNotNull)
         .select($"vec_id", $"embedding", quantize($"embedding").as("qemb"))
         .withColumn("n2", dotPreQ($"qemb", $"qemb"))
     }
@@ -723,7 +729,11 @@ object Similarity {
     // RETURNED plan executes and force an uncached final pass
     val ex = graft.core.Memo(spark, cache = true,
         "probeBase", d, targetLabel.toString) {
-      embeddings(spark, d).select($"vec_id", $"label",
+      // null embeddings are not trainable examples (corpusWithNorm's
+      // nulled-fixture contract); a null label can't be classed either
+      embeddings(spark, d)
+        .filter($"embedding".isNotNull && $"label".isNotNull)
+        .select($"vec_id", $"label",
         transform($"embedding", x => round(x.cast("double") * lit(1000.0)).cast("long")).as("x3"),
         when($"label" === targetLabel, 1L).otherwise(-1L).as("y"))
     }
@@ -772,7 +782,9 @@ object Similarity {
   def powerIteration(spark: SparkSession, d: String, iters: Int = 4): DataFrame = {
     import spark.implicits._
     val ex = graft.core.Memo(spark, cache = true, "powerBase", d) {
-      embeddings(spark, d).select($"vec_id", quantize($"embedding").as("eq"))
+      // null embeddings are not vectors (corpusWithNorm's contract)
+      embeddings(spark, d).filter($"embedding".isNotNull)
+        .select($"vec_id", quantize($"embedding").as("eq"))
     }
     val dims = graft.core.Scalars.headOption(ex.select(size($"eq")))
       .map(_.getInt(0)).getOrElse(0)

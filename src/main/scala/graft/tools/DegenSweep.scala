@@ -60,6 +60,31 @@ object DegenSweep {
     }
   }
 
+  /** NULLED fixture: `n` rows per table with valid (re-sequenced)
+    * primary keys and every OTHER column NULL — the null-payload
+    * class. At 100 TB a shard with intact keys but missing payloads
+    * (a failed enrichment join, a schema-evolved source, a tombstoned
+    * ingest) is a normal input; the engine contract is the DegenSweep
+    * one: plan, evaluate, return a defined frame — most rows drop
+    * through SQL NULL propagation, nothing throws. */
+  def writeNulledFixture(spark: SparkSession, src: String, out: String,
+      n: Int): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    tables.foreach { t =>
+      val base = spark.read.parquet(s"$src/$t.parquet").limit(n)
+      val keyType = base.schema(pkCol(t)).dataType
+      val nulled = base.schema.fields.foldLeft(
+          base.withColumn(pkCol(t),
+            org.apache.spark.sql.functions
+              .monotonically_increasing_id().cast(keyType))) {
+        case (df, f) if f.name == pkCol(t) => df
+        case (df, f) => df.withColumn(f.name, lit(null).cast(f.dataType))
+      }
+      nulled.select(base.columns.map(col).toIndexedSeq: _*)
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+  }
+
   def sweep(spark: SparkSession, dir: String, label: String): Seq[(String, String, String)] = {
     graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try { fn(spark, dir).count(); Nil }
@@ -89,10 +114,12 @@ object DegenSweep {
     writeFixture(spark, src, s"$outRoot/empty", 0)
     writeFixture(spark, src, s"$outRoot/tiny", 3)
     writeConstFixture(spark, src, s"$outRoot/const", 48)
+    writeNulledFixture(spark, src, s"$outRoot/nulled", 3)
     val fails = sweep(spark, s"$outRoot/empty", "empty") ++
       sweep(spark, s"$outRoot/tiny", "tiny") ++
-      sweep(spark, s"$outRoot/const", "const")
-    println(f"degen sweep: ${graft.SparkEntry.queries.size * 3} runs, " +
+      sweep(spark, s"$outRoot/const", "const") ++
+      sweep(spark, s"$outRoot/nulled", "nulled")
+    println(f"degen sweep: ${graft.SparkEntry.queries.size * 4} runs, " +
       f"${fails.size} failures, ${(System.nanoTime() - t0) / 1e9}%.1f s")
     spark.stop()
     sys.exit(fails.size)

@@ -76,6 +76,38 @@ class DegenerateInputSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  // the null-payload class: valid keys, every other column NULL (a
+  // failed enrichment join, a schema-evolved source, a tombstoned
+  // ingest). The nulled sweep found 15 crashes in four families: null
+  // embeddings seeding lloydCentroids with null Seqs (fixed at
+  // corpusWithNorm — a NULL embedding is not a vector), NULL size()
+  // cells in dims derivations (probeBase/powerBase filters), a NULL in
+  // q115's Int-encoded length dictionary (null text has no title), and
+  // the multimodal Tuple3 encoder on null payloads (mediaTable filter).
+  private val nulledFailing = Seq(
+    "q115_edit_distance", "q119_power_iteration", "q125_rrf_fusion",
+    "q155_hard_negatives", "q171_decode_audit", "q185_ivf_balance",
+    "q188_phash_neardup", "q192_ivf_probe_sweep", "q252_davies_bouldin",
+    "q31_multimodal", "q55_semantic_dedup", "q62_kmeans",
+    "q67_ann_ivf_kmeans", "q91_ann_ivf_pq", "q98_linear_probe")
+
+  private lazy val nulledDir: String = {
+    val dir = "target/degen-spec/nulled"
+    tools.DegenSweep.writeNulledFixture(spark, "/root/testdata/sf0.001", dir, 3)
+    dir
+  }
+
+  test("null-payload-sensitive queries evaluate on a nulled fixture") {
+    val missing = nulledFailing.filterNot(SparkEntry.queries.contains)
+    assert(missing.isEmpty, s"unknown query names: $missing")
+    val failures = nulledFailing.flatMap { name =>
+      try { SparkEntry.queries(name)(spark, nulledDir).count(); Nil }
+      catch { case e: Throwable => Seq(s"$name: ${e.getClass.getSimpleName}: ${
+        Option(e.getMessage).getOrElse("").linesIterator.take(2).mkString(" | ")}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("formerly-failing queries evaluate on an empty fixture") {
     val missing = formerlyFailing.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"unknown query names: $missing")
