@@ -833,4 +833,133 @@ object CurationStream {
       .transformWithState(new SourceQualityProcessor,
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
+
+  /** A per-document PII scan row for the q244 streaming twin — the same
+    * four `regexp_count` columns the batch panel projects (stage 1,
+    * stateless scan math).
+    */
+  case class PiiDocIn(doc_id: Long, source: String, n_email: Long,
+    n_phone: Long, n_ssn: Long, n_ip: Long)
+
+  /** Stage 1 of streaming q244: per-doc PII match counts off a raw
+    * document feed — the exact `TextFunctions.PiiPatterns` scan the
+    * batch panel starts from; safe on a streaming DataFrame.
+    */
+  def piiDocRows(docs: DataFrame): Dataset[PiiDocIn] = {
+    import docs.sparkSession.implicits._
+    val counts = PiiPatterns.map { case (kind, pat) =>
+      regexp_count(col("text"), lit(pat)).cast("long").as(s"n_$kind")
+    }
+    docs.select(col("doc_id") +: col("source") +: counts: _*).as[PiiDocIn]
+  }
+
+  case class PiiState(n_docs: Long, n_flagged: Long, s_email: Long,
+    s_phone: Long, s_ssn: Long, s_ip: Long)
+
+  case class PiiPanelRow(source: String, n_docs: Long, n_flagged: Long,
+    sum_email: Long, sum_phone: Long, sum_ssn: Long, sum_ip: Long,
+    exposure_q6: Long)
+
+  /** q244's STREAMING twin: the per-source PII exposure panel live — the
+    * compliance readout a data-protection review watches per ingest
+    * batch instead of per scan. State per source is six additive longs
+    * (docs, flagged docs, per-kind match totals); every batch re-emits
+    * the source's full panel row with the batch contract's exposure
+    * rate (HALF_UP 1e6 quantization of flagged/docs — the identical
+    * division `piiBySource` ends with), so the FINAL emission per
+    * source is the q244 batch row (CurationStreamSpec's law). The live
+    * read the batch scan can't give: one feed shipping unredacted logs
+    * shows as a per-kind spike the moment the batch lands, not at the
+    * next full-corpus scan.
+    */
+  class PiiPanelProcessor extends
+      org.apache.spark.sql.streaming.StatefulProcessor[
+        String, PiiDocIn, PiiPanelRow] {
+    import org.apache.spark.sql.{Encoders => Encs}
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+
+    @transient private var st: ValueState[PiiState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[PiiState](
+        "piiPanel", Encs.product[PiiState], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[PiiDocIn],
+        timerValues: TimerValues): Iterator[PiiPanelRow] = {
+      var s = if (st.exists()) st.get() else PiiState(0L, 0L, 0L, 0L, 0L, 0L)
+      rows.foreach { d =>
+        val flagged = d.n_email > 0L || d.n_phone > 0L || d.n_ssn > 0L ||
+          d.n_ip > 0L
+        s = PiiState(s.n_docs + 1L,
+          s.n_flagged + (if (flagged) 1L else 0L),
+          s.s_email + d.n_email, s.s_phone + d.n_phone,
+          s.s_ssn + d.n_ssn, s.s_ip + d.n_ip)
+      }
+      st.update(s)
+      val exposure = BigDecimal(s.n_flagged.toDouble / s.n_docs.toDouble
+          * 1000000.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      Iterator.single(PiiPanelRow(key, s.n_docs, s.n_flagged,
+        s.s_email, s.s_phone, s.s_ssn, s.s_ip, exposure))
+    }
+  }
+
+  /** Streaming q244 entry point: PII scan rows key by source; each
+    * source's additive counters fold in ValueState and re-emit the
+    * panel row.
+    */
+  def piiStream(rows: Dataset[PiiDocIn]): Dataset[PiiPanelRow] = {
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(_.source)
+      .transformWithState(new PiiPanelProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
+  /** A per-document mass row for the q241 streaming twin (stage 1:
+    * just (source, n_chars) off the feed).
+    */
+  case class MassIn(source: String, n_chars: Long)
+
+  case class MassPartialRow(source: String, mass: Long, n_docs: Long)
+
+  /** q241's STREAMING twin, the q249 partials convention: per-source
+    * char-mass accumulates in keyed ValueState and every batch re-emits
+    * the source's (mass, n_docs) partial; the cross-source
+    * concentration panel (HHI, k50/k90 coverage ranks, top share) is
+    * the stateless ≤|sources|-row assembly the batch query ends with —
+    * CurationStreamSpec's law performs it over the final emissions and
+    * pins equality with q241. Keying by SOURCE (not a global key) is
+    * what scales: no single task ever folds the whole feed, and state
+    * is two longs per source.
+    */
+  class SourceMassProcessor extends
+      org.apache.spark.sql.streaming.StatefulProcessor[
+        String, MassIn, MassPartialRow] {
+    import org.apache.spark.sql.{Encoders => Encs}
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+
+    @transient private var st: ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long)](
+        "sourceMass", Encs.product[(Long, Long)], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[MassIn],
+        timerValues: TimerValues): Iterator[MassPartialRow] = {
+      var (mass, n) = if (st.exists()) st.get() else (0L, 0L)
+      rows.foreach { r => mass += r.n_chars; n += 1L }
+      st.update((mass, n))
+      Iterator.single(MassPartialRow(key, mass, n))
+    }
+  }
+
+  /** Streaming q241 entry point. */
+  def sourceMassStream(rows: Dataset[MassIn]): Dataset[MassPartialRow] = {
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(_.source)
+      .transformWithState(new SourceMassProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
 }

@@ -535,4 +535,101 @@ class CurationStreamSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("piiStream: final per-source emissions equal the q244 batch panel") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    // stage 1 applied batch-side: same regexp_count chain either way
+    val docRows = CurationStream.piiDocRows(
+        graft.core.Tables.documents(spark, sf))
+      .collect().sortBy(_.doc_id)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[CurationStream.PiiDocIn]
+    val query = CurationStream.piiStream(input.toDS())
+      .writeStream.format("memory").queryName("pii_stream")
+      .outputMode("update").start()
+    try {
+      docRows.grouped(docRows.length / 3 + 1).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq: _*)
+        query.processAllAvailable()
+      }
+      val rows = spark.table("pii_stream")
+        .as[CurationStream.PiiPanelRow].collect()
+      // final emission per source = the one with that source's max n_docs
+      val got = rows.groupBy(_.source).values.map { rs =>
+        val f = rs.maxBy(_.n_docs)
+        (f.source, f.n_docs, f.n_flagged, f.sum_email, f.sum_phone,
+          f.sum_ssn, f.sum_ip, f.exposure_q6)
+      }.toSet
+      val batch = graft.operators.Text.piiBySource(spark, sf)
+        .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+        .collect().toSet
+      assert(got == batch,
+        "final piiStream emissions must equal the q244 batch panel")
+      assert(batch.nonEmpty)
+    } finally {
+      query.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
+  test("sourceMassStream: assembled final partials equal the q241 batch row") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val massRows = graft.core.Tables.documents(spark, sf)
+      .select($"source", $"n_chars").as[CurationStream.MassIn]
+      .collect().sortBy(_.source)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[CurationStream.MassIn]
+    val query = CurationStream.sourceMassStream(input.toDS())
+      .writeStream.format("memory").queryName("mass_stream")
+      .outputMode("update").start()
+    try {
+      massRows.grouped(massRows.length / 3 + 1).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq: _*)
+        query.processAllAvailable()
+      }
+      val fin = spark.table("mass_stream")
+        .as[CurationStream.MassPartialRow].collect()
+        .groupBy(_.source).values.map(_.maxBy(_.n_docs)).toSeq
+      // the stateless cross-source assembly the batch query ends with
+      val ord = fin.sortBy(p => (-p.mass, p.source))
+      val tot = ord.map(_.mass).sum
+      val sq = ord.map(p => BigInt(p.mass) * BigInt(p.mass)).sum
+      val cums = ord.scanLeft(0L)(_ + _.mass).tail
+      def minRank(pred: Long => Boolean): Long =
+        (cums.indexWhere(pred) + 1).toLong
+      val hhi = BigDecimal(sq.toDouble / (tot.toDouble * tot.toDouble)
+          * 1000000000.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      val topShare = BigDecimal(ord.head.mass.toDouble / tot.toDouble
+          * 1000000.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      val got = (ord.length.toLong, tot, hhi,
+        minRank(c => c * 2 >= tot), minRank(c => c * 10 >= 9 * tot),
+        ord.head.source, topShare)
+      val batch = graft.operators.Sampling.sourceConcentration(spark, sf)
+        .as[(Long, Long, Long, Long, Long, String, Long)]
+        .collect().head
+      assert(got == batch,
+        "assembled final sourceMassStream partials must equal the q241 row")
+    } finally {
+      query.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
