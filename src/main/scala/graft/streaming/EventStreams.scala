@@ -1513,4 +1513,61 @@ object EventStreams {
       .transformWithState(new DecayProcessor(horizon),
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
+
+  /** A (week, value) row for the q178 streaming twin — stage 1 projects
+    * `week_id = (unix_micros(ts) div 1e6) div 604800` off the feed.
+    */
+  case class WeekValue(week_id: Long, value: Double)
+
+  case class WeekHistRow(week_id: Long, bins: Array[Long], n: Long)
+
+  /** Per-week fixed-range histogram state for the q178 PSI drift
+    * monitor — the q249 partials convention: each WEEK's 16 bin counts
+    * accumulate in keyed ValueState (bin-count addition is the merge,
+    * the histogramStream identity) and every batch re-emits the week's
+    * full bin vector; the PSI-vs-base-week assembly (add-one smoothing,
+    * the identical (p−q)·ln(p/q) 1e6-quantized chain) is the stateless
+    * ≤ weeks·bins-row final step EventStreamsSpec performs and pins
+    * against the q178 batch rows. Range is fixed a priori (the q129
+    * streaming convention — no min/max pre-scan; out-of-range clamps to
+    * the edge bins, exactly the batch clamp). Keyed by week: state is
+    * nBins longs per week, and a week's history stops changing the
+    * moment its events stop arriving.
+    */
+  class WeekHistProcessor(lo: Double, hi: Double, nBins: Int) extends
+      org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, WeekValue, WeekHistRow] {
+    import org.apache.spark.sql.{Encoders => Encs}
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+
+    @transient private var st: ValueState[HistBins] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[HistBins](
+        "weekHist", Encs.product[HistBins], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[WeekValue],
+        timerValues: TimerValues): Iterator[WeekHistRow] = {
+      val bins = if (st.exists()) st.get().bins else Array.fill(nBins)(0L)
+      rows.foreach { r =>
+        // the exact batch bin chain: floor((v−lo)/span·nBins), clamped
+        val b = math.min(nBins - 1, math.max(0,
+          math.floor((r.value - lo) / (hi - lo) * nBins).toInt))
+        bins(b) += 1L
+      }
+      st.update(HistBins(bins))
+      Iterator.single(WeekHistRow(key, bins, bins.sum))
+    }
+  }
+
+  /** Streaming q178 entry point. */
+  def valueDriftStream(rows: Dataset[WeekValue], lo: Double, hi: Double,
+      nBins: Int = 16): Dataset[WeekHistRow] = {
+    require(hi > lo, s"valueDriftStream needs hi > lo (got lo=$lo, hi=$hi)")
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(_.week_id)
+      .transformWithState(new WeekHistProcessor(lo, hi, nBins),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
 }

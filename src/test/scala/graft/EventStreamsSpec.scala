@@ -868,4 +868,57 @@ class EventStreamsSpec extends AnyFunSuite {
       } finally { q1.stop(); q2.stop() }
     }
   }
+
+  test("valueDriftStream: assembled final week histograms equal the q178 batch PSI rows") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val nBins = 16
+    // stage 1 applied batch-side: same week/value projection either way
+    val wv = graft.core.Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions
+        .expr("(unix_micros(ts) div 1000000L) div 604800L")
+        .as("week_id"), $"value")
+      .as[EventStreams.WeekValue].collect().sortBy(_.week_id)
+    // range fixed a priori (the q129 convention) — here set to the
+    // fixture's true bounds so the law can compare against the batch,
+    // which derives the same bounds from its own pre-scan
+    val lo = wv.map(_.value).min
+    val hi = wv.map(_.value).max
+    withRuntime(tws = true) {
+      val input = MemoryStream[EventStreams.WeekValue]
+      val query = EventStreams.valueDriftStream(input.toDS(), lo, hi, nBins)
+        .writeStream.format("memory").queryName("drift_stream")
+        .outputMode("update").start()
+      try {
+        wv.grouped(math.max(1, wv.length / 3 + 1)).foreach { chunk =>
+          input.addData(chunk.toIndexedSeq: _*)
+          query.processAllAvailable()
+        }
+        val fin = spark.table("drift_stream")
+          .as[EventStreams.WeekHistRow].collect()
+          .groupBy(_.week_id).values.map(_.maxBy(_.n)).toSeq
+        // the stateless PSI-vs-base-week assembly the batch ends with:
+        // add-one smoothing, identical (p−q)·ln(p/q) 1e6-quantized chain
+        val w0 = fin.map(_.week_id).min
+        val base = fin.find(_.week_id == w0).get
+        val got = fin.map { w =>
+          val termq = (0 until nBins).map { b =>
+            val pw = (w.bins(b) + 1L).toDouble / (w.n + nBins.toLong).toDouble
+            val pb = (base.bins(b) + 1L).toDouble /
+              (base.n + nBins.toLong).toDouble
+            BigDecimal((pw - pb) * math.log(pw / pb) * 1e6)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+          }.sum
+          (w.week_id, w.n, termq, termq.toDouble / 1e6,
+            termq.toDouble / 1e6 > 0.2)
+        }.toSet
+        val batch = graft.operators.Windowed.valueDrift(spark, sf)
+          .as[(Long, Long, Long, Double, Boolean)].collect().toSet
+        assert(got == batch,
+          "assembled final week histograms must equal the q178 batch rows")
+        assert(batch.nonEmpty)
+      } finally query.stop()
+    }
+  }
 }
