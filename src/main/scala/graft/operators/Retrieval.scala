@@ -244,7 +244,7 @@ object Retrieval {
         array_sort(Similarity.centOptsArray(cents)).as("ds"))
     val corpusSide = ranked.filter(!$"ev")
       .select($"vec_id", $"qemb", $"n2",
-        element_at($"ds", 1).getField("cid").as("list_id"))
+        get($"ds", lit(0)).getField("cid").as("list_id"))
     val qp = ranked.filter($"ev")
       .select($"vec_id".as("query_id"), $"qemb".as("qq"), $"n2".as("qn2"),
         explode(transform(slice($"ds", 1, nProbe), p => p.getField("cid")))

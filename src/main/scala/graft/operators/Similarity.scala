@@ -346,9 +346,12 @@ object Similarity {
     * trainer returns zero centroids and a bare `array()` would type as
     * ARRAY<VOID> (`getField` then fails at ANALYSIS, before any row
     * could flow) — so the zero-centroid case emits a typed empty array:
-    * the plan compiles, `array_min`/`element_at` yield typed NULLs, and
-    * since the corpus is empty whenever the trainer is, no row ever
-    * observes one (the DegenSweep contract).
+    * the plan compiles and `array_min`/`get` yield typed NULLs. A row
+    * CAN observe the empty array (a corpus whose ids < k are all
+    * null-filtered trains zero centroids — the mixed-fixture DegenSweep
+    * class), which is why consumers read the first option with
+    * 0-based `get` (NULL out of bounds) rather than ANSI-throwing
+    * `element_at`, and NULL list_ids drop through the probe joins.
     */
   private[graft] def centOptsArray(cents: Array[(Long, Seq[Long])],
       cidName: String = "cid"): Column = {
@@ -400,7 +403,7 @@ object Similarity {
     import spark.implicits._
     val cents = lloydCentroids(spark, d, nLists, updates)
     val pl = corpusWithNorm(spark, d)
-      .select(element_at(array_sort(centOptsArray(cents)), 1)
+      .select(get(array_sort(centOptsArray(cents)), lit(0))
         .getField("cid").as("list_id"))
       .groupBy($"list_id").agg(count(lit(1)).as("n_vecs"))
     val tot = pl.agg(sum($"n_vecs").as("n"), max($"n_vecs").as("mx"))
@@ -444,7 +447,7 @@ object Similarity {
     val ranked = c.select($"vec_id", $"qemb", $"n2",
       array_sort(centOptsArray(cents)).as("ds"))
     val assigned = ranked.select($"vec_id", $"qemb", $"n2",
-      element_at($"ds", 1).getField("cid").as("list_id"))
+      get($"ds", lit(0)).getField("cid").as("list_id"))
     val maxProbe = probes.max
     val qp = ranked.filter($"vec_id" < 10)
       .select($"vec_id".as("q_id"), $"qemb".as("q_qemb"), $"n2".as("q_n2"),
@@ -503,7 +506,13 @@ object Similarity {
         c.filter($"vec_id" < k).select($"vec_id", $"qemb"),
         k, "lloydCentroids seeds (k rows)")
       .map(r => (r.getLong(0), r.getSeq[Long](1)))
-    val dims = if (cents.isEmpty) 1L else cents(0)._2.length.toLong
+    // no seed vectors (every id < k absent or null-filtered): nothing is
+    // trainable — zero centroids, the same contract as an empty corpus
+    // (consumers emit typed-empty option arrays). Without this, every
+    // corpus row would carry a NULL cluster into the update aggregate
+    // and blow its k·dims bound (the mixed-fixture DegenSweep find).
+    if (cents.isEmpty) return cents
+    val dims = cents(0)._2.length.toLong
     for (_ <- 1 to updates) {
       val rows = graft.core.Bounded.collect(
         assignTo(c, cents)
@@ -540,7 +549,7 @@ object Similarity {
     val ranked = c.select($"vec_id", $"qemb", $"n2",
       array_sort(centOptsArray(cents)).as("ds"))
     val assigned = ranked.select($"vec_id", $"qemb", $"n2",
-      element_at($"ds", 1).getField("cid").as("list_id"))
+      get($"ds", lit(0)).getField("cid").as("list_id"))
     val qp = ranked.filter($"vec_id" < 10)
       .select($"vec_id".as("q_id"), $"qemb".as("q_qemb"), $"n2".as("q_n2"),
         explode(slice($"ds", 1, nProbe)).as("p"))
@@ -600,7 +609,7 @@ object Similarity {
     val assigned = graft.core.Memo(spark, cache = true,
         "ivfPqAssigned", d, nLists.toString, updates.toString) {
       ranked.select($"vec_id", $"qemb", $"n2",
-          element_at($"ds", 1).getField("cid").as("list_id"))
+          get($"ds", lit(0)).getField("cid").as("list_id"))
         .withColumn("resid", zip_with($"qemb", element_at(centLit, $"list_id"),
           (a, b) => a - b))
     }
@@ -978,7 +987,7 @@ object Similarity {
         array_sort(centOptsArray(cents)).as("ds"))
     val corpusSide = ranked.filter(!$"ev")
       .select($"vec_id".as("neg_id"), $"label".as("neg_label"), $"qemb", $"n2",
-        element_at($"ds", 1).getField("cid").as("list_id"))
+        get($"ds", lit(0)).getField("cid").as("list_id"))
     val anchors = ranked.filter($"ev")
       .select($"vec_id".as("anchor_id"), $"label".as("anchor_label"),
         $"qemb".as("aq"), $"n2".as("an2"),

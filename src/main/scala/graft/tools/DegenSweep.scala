@@ -85,6 +85,29 @@ object DegenSweep {
     }
   }
 
+  /** MIXED fixture: the nulled rows UNIONed with real rows (disjoint
+    * keys) — null payloads interleaved with healthy ones. Distinct
+    * from the all-null fixture: a first-row `headOption` dims/seed
+    * read can now see a NULL cell while the frame is non-empty, and
+    * every aggregate mixes null and non-null inputs. */
+  def writeMixedFixture(spark: SparkSession, src: String, out: String,
+      n: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    val tmp = s"$out-nullpart"
+    writeNulledFixture(spark, src, tmp, n)
+    tables.foreach { t =>
+      val keyType = spark.read.parquet(s"$src/$t.parquet")
+        .schema(pkCol(t)).dataType
+      val real = spark.read.parquet(s"$src/$t.parquet").limit(n)
+        .withColumn(pkCol(t),
+          (org.apache.spark.sql.functions
+            .monotonically_increasing_id() + 1000000L).cast(keyType))
+      // null rows FIRST so a head()-style read meets the NULL cell
+      spark.read.parquet(s"$tmp/$t.parquet").unionByName(real)
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+  }
+
   def sweep(spark: SparkSession, dir: String, label: String): Seq[(String, String, String)] = {
     graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try { fn(spark, dir).count(); Nil }
@@ -115,11 +138,13 @@ object DegenSweep {
     writeFixture(spark, src, s"$outRoot/tiny", 3)
     writeConstFixture(spark, src, s"$outRoot/const", 48)
     writeNulledFixture(spark, src, s"$outRoot/nulled", 3)
+    writeMixedFixture(spark, src, s"$outRoot/mixed", 3)
     val fails = sweep(spark, s"$outRoot/empty", "empty") ++
       sweep(spark, s"$outRoot/tiny", "tiny") ++
       sweep(spark, s"$outRoot/const", "const") ++
-      sweep(spark, s"$outRoot/nulled", "nulled")
-    println(f"degen sweep: ${graft.SparkEntry.queries.size * 4} runs, " +
+      sweep(spark, s"$outRoot/nulled", "nulled") ++
+      sweep(spark, s"$outRoot/mixed", "mixed")
+    println(f"degen sweep: ${graft.SparkEntry.queries.size * 5} runs, " +
       f"${fails.size} failures, ${(System.nanoTime() - t0) / 1e9}%.1f s")
     spark.stop()
     sys.exit(fails.size)

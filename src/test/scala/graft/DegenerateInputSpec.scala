@@ -108,6 +108,35 @@ class DegenerateInputSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  // the interleaved class: null-payload rows UNIONed with healthy rows
+  // under disjoint keys. Distinct from all-null: a non-empty frame can
+  // now present a NULL first cell to a head()-style read, and (the
+  // actual find) the k-means `vec_id < k` seed rule can come up EMPTY
+  // on a non-empty corpus once null embeddings are filtered — zero
+  // seeds must mean zero centroids (the empty-corpus contract), not a
+  // NULL-cluster update aggregate blowing its k·dims collect bound.
+  private val mixedFailing = Seq(
+    "q125_rrf_fusion", "q155_hard_negatives", "q185_ivf_balance",
+    "q192_ivf_probe_sweep", "q252_davies_bouldin", "q55_semantic_dedup",
+    "q62_kmeans", "q67_ann_ivf_kmeans", "q91_ann_ivf_pq")
+
+  private lazy val mixedDir: String = {
+    val dir = "target/degen-spec/mixed"
+    tools.DegenSweep.writeMixedFixture(spark, "/root/testdata/sf0.001", dir, 3)
+    dir
+  }
+
+  test("seedless-kmeans queries evaluate on a mixed null/real fixture") {
+    val missing = mixedFailing.filterNot(SparkEntry.queries.contains)
+    assert(missing.isEmpty, s"unknown query names: $missing")
+    val failures = mixedFailing.flatMap { name =>
+      try { SparkEntry.queries(name)(spark, mixedDir).count(); Nil }
+      catch { case e: Throwable => Seq(s"$name: ${e.getClass.getSimpleName}: ${
+        Option(e.getMessage).getOrElse("").linesIterator.take(2).mkString(" | ")}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("formerly-failing queries evaluate on an empty fixture") {
     val missing = formerlyFailing.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"unknown query names: $missing")
