@@ -589,7 +589,8 @@ object SparkEntry {
     val base =
       s"""WITH ex AS (SELECT vec_id, round(unnest(embedding)::DOUBLE * 10000000)::BIGINT AS q,
          |                   unnest(range(len(embedding))) AS i FROM embeddings),
-         |c0 AS (SELECT vec_id AS cid, i, q AS cq FROM ex WHERE vec_id < $k)""".stripMargin
+         |c0 AS (SELECT vec_id AS cid, i, q AS cq FROM ex WHERE vec_id IN
+         |       (SELECT vec_id FROM (SELECT DISTINCT vec_id FROM ex ORDER BY vec_id LIMIT $k)))""".stripMargin
     val steps = (1 to iters).map { j =>
       val assign =
         s""",
@@ -616,7 +617,10 @@ object SparkEntry {
     * the training trajectory of Similarity.lloydCentroids, bit-exact.
     */
   private def kmeansCentroidCtes(k: Int, updates: Int): String = {
-    val c0 = s"c0 AS (SELECT vec_id AS cid, i, e AS cq FROM ex WHERE vec_id < $k)"
+    // rank-based seed (k lowest vec_ids), mirroring lloydCentroids'
+    // orderBy/limit — NOT the absolute `vec_id < k` predicate
+    val c0 = s"c0 AS (SELECT vec_id AS cid, i, e AS cq FROM ex WHERE vec_id IN " +
+      s"(SELECT vec_id FROM (SELECT DISTINCT vec_id FROM ex ORDER BY vec_id LIMIT $k)))"
     val steps = (1 to updates).map { j =>
       s""",
          |kd$j AS (SELECT x.vec_id, c.cid, sum((x.e - c.cq) * (x.e - c.cq))::BIGINT AS dist
@@ -1970,7 +1974,8 @@ object SparkEntry {
          |              x.e - c.cq AS r
          |       FROM ex x JOIN asg a ON x.vec_id = a.vec_id
          |                 JOIN c2 c ON c.cid = a.cid AND c.i = x.i),
-         |b0 AS (SELECT vec_id AS code, sub, si, r AS cq FROM rs WHERE vec_id < 16),
+         |b0 AS (SELECT vec_id AS code, sub, si, r AS cq FROM rs WHERE vec_id IN
+         |       (SELECT vec_id FROM (SELECT DISTINCT vec_id FROM rs ORDER BY vec_id LIMIT 16))),
          |pd1 AS (SELECT rs.vec_id, rs.sub, b.code,
          |               sum((rs.r - b.cq) * (rs.r - b.cq))::BIGINT AS dist
          |        FROM rs JOIN b0 b ON rs.sub = b.sub AND rs.si = b.si GROUP BY 1, 2, 3),

@@ -502,11 +502,16 @@ object Similarity {
       k: Int, updates: Int): Array[(Long, Seq[Long])] = {
     import spark.implicits._
     val c = corpusWithNorm(spark, d)
+    // seeds = the k LOWEST vec_ids by rank (TakeOrderedAndProject — no
+    // full sort), not the absolute predicate `vec_id < k`: rank-seeding
+    // trains on any non-empty corpus regardless of id scheme (snowflake
+    // ids, non-zero-based ranges), where the predicate form silently
+    // returned zero centroids. Identical on dense 0-based ids.
     var cents: Array[(Long, Seq[Long])] = graft.core.Bounded.collect(
-        c.filter($"vec_id" < k).select($"vec_id", $"qemb"),
-        k, "lloydCentroids seeds (k rows)")
+        c.select($"vec_id", $"qemb").orderBy($"vec_id").limit(k),
+        k, "lloydCentroids seeds (k lowest vec_ids)")
       .map(r => (r.getLong(0), r.getSeq[Long](1)))
-    // no seed vectors (every id < k absent or null-filtered): nothing is
+    // no seed vectors (corpus empty after the null filter): nothing is
     // trainable — zero centroids, the same contract as an empty corpus
     // (consumers emit typed-empty option arrays). Without this, every
     // corpus row would carry a NULL cluster into the update aggregate
@@ -623,8 +628,8 @@ object Similarity {
       posexplode(array((0 until m).map(s => subSlice($"resid", s)): _*))
         .as(Seq("sub", "sv")))
     val seedRows = graft.core.Bounded.collect(
-        assigned.filter($"vec_id" < ks).select($"vec_id", $"resid"),
-        ks, "annIvfPq codebook seeds (ks rows)")
+        assigned.select($"vec_id", $"resid").orderBy($"vec_id").limit(ks),
+        ks, "annIvfPq codebook seeds (ks lowest vec_ids)")
       .map(r => (r.getLong(0), r.getSeq[Long](1)))
     var books: Array[Array[(Long, Seq[Long])]] = Array.tabulate(m)(s =>
       seedRows.sortBy(_._1).map { case (id, res) =>

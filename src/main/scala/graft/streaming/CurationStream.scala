@@ -896,9 +896,12 @@ object CurationStream {
           s.s_ssn + d.n_ssn, s.s_ip + d.n_ip)
       }
       st.update(s)
-      val exposure = BigDecimal(s.n_flagged.toDouble / s.n_docs.toDouble
-          * 1000000.0)
-        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      // n_docs = 0 can only happen on an empty rows iterator for a fresh
+      // key (timer/initial-state invocations) — guard the division so it
+      // emits 0 instead of BigDecimal(NaN) throwing
+      val exposure = if (s.n_docs == 0L) 0L
+        else BigDecimal(s.n_flagged.toDouble / s.n_docs.toDouble * 1000000.0)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
       Iterator.single(PiiPanelRow(key, s.n_docs, s.n_flagged,
         s.s_email, s.s_phone, s.s_ssn, s.s_ip, exposure))
     }

@@ -1548,7 +1548,12 @@ object EventStreams {
 
     override def handleInputRows(key: Long, rows: Iterator[WeekValue],
         timerValues: TimerValues): Iterator[WeekHistRow] = {
-      val bins = if (st.exists()) st.get().bins else Array.fill(nBins)(0L)
+      // clone on read AND on emit: mutating the state-store-returned
+      // array in place (or emitting the instance the store still holds)
+      // is an aliasing hazard if a provider ever returns a cached
+      // deserialized object or defers emission encoding past the next
+      // state read
+      val bins = if (st.exists()) st.get().bins.clone() else Array.fill(nBins)(0L)
       rows.foreach { r =>
         // the exact batch bin chain: floor((v−lo)/span·nBins), clamped
         val b = math.min(nBins - 1, math.max(0,
@@ -1556,7 +1561,7 @@ object EventStreams {
         bins(b) += 1L
       }
       st.update(HistBins(bins))
-      Iterator.single(WeekHistRow(key, bins, bins.sum))
+      Iterator.single(WeekHistRow(key, bins.clone(), bins.sum))
     }
   }
 

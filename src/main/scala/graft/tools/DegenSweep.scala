@@ -106,12 +106,22 @@ object DegenSweep {
       spark.read.parquet(s"$tmp/$t.parquet").unionByName(real)
         .coalesce(1).write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
+    // the nullpart intermediate is consumed above — drop it so the sweep
+    // leaves only the five declared fixture dirs on disk
+    deleteRecursively(new java.io.File(tmp))
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
   }
 
   def sweep(spark: SparkSession, dir: String, label: String): Seq[(String, String, String)] = {
     graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try { fn(spark, dir).count(); Nil }
-      catch { case e: Throwable =>
+      // NonFatal only: a fatal JVM error (OOM, linkage) must abort the
+      // sweep, not be recorded as an ordinary FAIL line
+      catch { case scala.util.control.NonFatal(e) =>
         val msg = (e.getMessage match {
           case null => e.getClass.getName
           case m    => e.getClass.getSimpleName + ": " + m

@@ -726,4 +726,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val absorbed = clusters.map(_.size - 1).sum.toLong
     assert(got.toSeq.map(_._3).sum == absorbed, "absorption conservation")
   }
+
+  test("lloydCentroids seeds by rank: non-zero-based id schemes still train") {
+    import spark.implicits._
+    // every vec_id exceeds k — the old absolute `vec_id < k` seed rule
+    // silently trained ZERO centroids here (the r13 ADVICE hazard);
+    // rank-seeding must pick the 4 lowest ids and train normally
+    val rnd = new scala.util.Random(41)
+    val rows = Seq.tabulate(40) { i =>
+      (1000L + i, Array.fill(8)(rnd.nextFloat() * 2f - 1f))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-seedrank").toString
+    rows.toDF("vec_id", "embedding").write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val cents = Similarity.lloydCentroids(spark, dir, 4, 1)
+    assert(cents.length == 4, s"rank-seeded k-means must train k centroids, got ${cents.length}")
+    assert(cents.map(_._1).sorted.sameElements(Array(1000L, 1001L, 1002L, 1003L)),
+      "seed cids are the k LOWEST vec_ids")
+    assert(cents.forall(_._2.length == 8), "centroids keep the corpus dims")
+  }
 }
