@@ -18,6 +18,18 @@ object Bench {
     // warm the JVM/codegen/scan paths once so the first measured query
     // doesn't absorb session startup (~5s); errors are non-fatal
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // host-drift canary: one fixed cheap scan+agg timed immediately after
+    // warmup and again after the last query. A contended host inflates
+    // one or both canary legs (the r13 driver leg showed 4-12x drift on
+    // individual queries with rc=0) — the pair lets a bench artifact
+    // self-identify as untrustworthy without a second adjudication run.
+    def canary(): Double = {
+      val t0 = System.nanoTime()
+      try SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
+      catch { case _: Throwable => errors += "canary" }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val canaryFirst = canary()
     // declared warm phase: materialize the shared memo lineages FIRST and
     // time each as a build, so per-query times measure the query itself
     // instead of whichever family member happens to pay a shared build
@@ -37,13 +49,15 @@ object Bench {
     }
     def jmap(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val canaryLast = canary()
     val buildTotal = builds.map(_._2).sum
     val queryTotal = results.values.sum
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     // "value" stays the TOTAL wall time of all measured work (builds +
-    // queries) — the same work previous rounds charged to the queries
+    // queries) — the same work previous rounds charged to the queries;
+    // the canary legs are reported but NOT added to the total
     val json =
-      s"""{"metric":"total","value":${buildTotal + queryTotal},"unit":"sec","builds_total":$buildTotal,"queries_total":$queryTotal,"builds":${jmap(builds)},"errors":$errJson,"queries":${jmap(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${buildTotal + queryTotal},"unit":"sec","builds_total":$buildTotal,"queries_total":$queryTotal,"canary_first":$canaryFirst,"canary_last":$canaryLast,"builds":${jmap(builds)},"errors":$errJson,"queries":${jmap(results)},"sf":"$sfDir"}"""
     println(json)
     // stdout tail-capture truncates long lines (BENCH_r02 lost the totals);
     // the file is the whole artifact
