@@ -222,12 +222,14 @@ object Windowed {
     *
     * Scale: sessions are already the per-user aggregate; the two
     * percentile metrics UNPIVOT into one (metric, v) stream ranked by
-    * ONE `Ranks.groupRowNumber` machine (metric is a group key — no
-    * single-partition sort, one rank machine instead of two), the rest
-    * one scalar aggregate. The session table is `pinBase`-pinned ONCE
-    * and every consumer — the rank, the count, the final aggregate —
-    * reads the pinned partitions, so the sessionize lineage (events
-    * scan + user window) runs exactly once.
+    * ONE `Ranks.globalRank` machine (each metric contributes exactly n
+    * rows under a metric-first total order, so per-metric ranks are
+    * global ranks minus a KNOWN offset — no per-group offset join),
+    * then a single global aggregate computes counts, sums, bounce and
+    * the three percentile picks (`max(when(gr = target))`) in one
+    * map-side-combined exchange. The session table is `pinBase`-pinned
+    * ONCE, so the sessionize lineage (events scan + user window) runs
+    * exactly once.
     */
   /** q234: inter-arrival burstiness per event type — Goh & Barabási's
     * B = (σ−μ)/(σ+μ) over every user's consecutive same-type event
@@ -414,27 +416,40 @@ object Windowed {
   def sessionStats(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val s = Ranks.pinBase(sessionize(spark, d))
-    val n = broadcast(s.agg(count(lit(1)).as("n")))
+    // n as a driver scalar off the pinned partitions (the same A3
+    // closed-over-scalar shape the rank machine uses for its offsets):
+    // it prices the percentile TARGET ranks as plan literals, so no
+    // scalar subquery or 1-row crossJoin has to carry them
+    val n = s.count()
+    val t50 = (50L * n + 99L) / 100L
+    val t90 = (90L * n + 99L) / 100L
+    // both percentile metrics UNPIVOT into one (metric, v) stream ranked
+    // by ONE global rank machine. Each metric contributes EXACTLY n rows
+    // and 'duration' < 'events' under the total order, so the per-metric
+    // rank offsets are KNOWN A PRIORI — duration owns global ranks 1..n,
+    // events n+1..2n — and groupRowNumber's offset join disappears.
     val stacked = s.select($"user_id", $"session_seq", expr(
       "stack(2, 'events', n_events, 'duration', duration_us) AS (metric, v)"))
-    val ranked = Ranks.groupRowNumberPinned(stacked, "rn",
-        Seq($"metric"), Seq($"v", $"user_id", $"session_seq"))
-      .crossJoin(n)
-    val p50e = ranked.filter($"metric" === "events" &&
-        $"rn" === expr("(50 * n + 99) div 100"))
-      .select($"v".as("p50_events"))
-    val p90e = ranked.filter($"metric" === "events" &&
-        $"rn" === expr("(90 * n + 99) div 100"))
-      .select($"v".as("p90_events"))
-    val p50d = ranked.filter($"metric" === "duration" &&
-        $"rn" === expr("(50 * n + 99) div 100"))
-      .select($"v".as("p50_duration_us"))
-    s.agg(count(lit(1)).as("n_sessions"),
-        countDistinct($"user_id").as("n_users"),
-        sum(($"n_events" === 1L).cast("long")).as("bounce_n"),
-        sum($"n_events").as("sum_events"),
-        sum($"duration_us").as("sum_duration_us"))
-      .crossJoin(p50e).crossJoin(p90e).crossJoin(p50d)
+    val ranked = Ranks.globalRankPinned(stacked, "gr",
+      $"metric", $"v", $"user_id", $"session_seq")
+    // ONE aggregate computes the whole datasheet: counts/sums read the
+    // events rows (v IS n_events there; session_seq = 0 marks each user
+    // exactly once, so n_users needs no countDistinct expand), and the
+    // three percentile picks are max(when(gr = target)). After the rank's
+    // range shuffle the query is one map-side-combined exchange, 0 joins
+    // (was: a groupRowNumber offset join + 4 one-row crossJoins).
+    val out = ranked.agg(
+        sum(when($"metric" === "events", 1L).otherwise(0L)).as("n_sessions"),
+        sum(when($"metric" === "events" && $"session_seq" === 0L, 1L)
+          .otherwise(0L)).as("n_users"),
+        sum(when($"metric" === "events" && $"v" === 1L, 1L).otherwise(0L))
+          .as("bounce_n"),
+        sum(when($"metric" === "events", $"v").otherwise(0L)).as("sum_events"),
+        sum(when($"metric" === "duration", $"v").otherwise(0L))
+          .as("sum_duration_us"),
+        max(when($"gr" === lit(n + t50), $"v")).as("p50_events"),
+        max(when($"gr" === lit(n + t90), $"v")).as("p90_events"),
+        max(when($"gr" === lit(t50), $"v")).as("p50_duration_us"))
       .select($"n_sessions", $"n_users", $"bounce_n",
         expr("bounce_n * 1000000L div n_sessions").as("bounce_q6"),
         $"p50_events", $"p90_events", $"p50_duration_us",
@@ -442,6 +457,10 @@ object Windowed {
           .as("mean_events"),
         ($"sum_duration_us".cast("double") / $"n_sessions".cast("double"))
           .as("mean_duration_us"))
+    // empty corpus: the previous form returned ZERO rows (its percentile
+    // branches were empty) — keep that contract instead of emitting a
+    // 1-row NaN datasheet; the literal-false filter prunes the plan
+    if (n == 0L) out.filter(lit(false)) else out
   }
 
   /** q177: watermark advisor — the event-time disorder audit that picks
