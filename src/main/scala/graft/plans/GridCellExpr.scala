@@ -63,18 +63,23 @@ object GridCell {
 }
 
 /** SparkSessionExtensions hook — `spark.sql.extensions=graft.plans.
-  * GraftExtensions` makes the native function FAMILY available to
+  * GraftExtensions` makes the ENTIRE native surface available to
   * `spark.sql` in every session without touching application code:
-  * grid_cell, clean_tokens, md5_bits32, word_shingles, simhash,
-  * minhash_sigs, quantized_dot, hyperplane_sigs, cells_on_way_exact.
-  * Integer parameters (hex offset, shingle width, signature length,
-  * table/plane counts) must be LITERALS — they parameterize the
-  * generated code. SqlSurfaceSpec exercises each through SQL against
+  * the expression family (grid_cell, clean_tokens, md5_bits32,
+  * word_shingles, simhash, minhash_sigs, quantized_dot,
+  * hyperplane_sigs, cells_on_way_exact), the native aggregates
+  * (top_k_rows, slope_origin), and the as-of join planner strategy
+  * (plans.AsOfStrategy — the whole-operator hook). Integer parameters
+  * (hex offset, shingle width, signature length, table/plane counts,
+  * k) must be LITERALS — they parameterize the generated code.
+  * SqlSurfaceSpec exercises each registered symbol through SQL against
   * its Column-API twin.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
+    ext.injectPlannerStrategy(_ => AsOfStrategy)
+  }
 }
 
 /** The registration triples behind GraftExtensions, exposed so a live
@@ -118,11 +123,24 @@ object GraftFunctions {
         litInt(exprs(1), "hyperplane_sigs nTables"),
         litInt(exprs(2), "hyperplane_sigs nPlanes"))),
     one("cells_on_way_exact", classOf[SlopeWalkExpr],
-      exprs => SlopeWalkExpr(exprs(0), exprs(1), exprs(2), exprs(3))))
+      exprs => SlopeWalkExpr(exprs(0), exprs(1), exprs(2), exprs(3))),
+    // native aggregates ride the same registry: the analyzer wraps a
+    // returned AggregateFunction in its AggregateExpression itself
+    one("top_k_rows", classOf[TopKRowsAgg],
+      exprs => TopKRowsAgg(exprs(0), litInt(exprs(1), "top_k_rows k"))),
+    one("slope_origin", graft.functions.RegressionAggregator.getClass,
+      exprs => org.apache.spark.sql.graft.ColumnBridge.scalaAggregator(
+        org.apache.spark.sql.functions.udaf(
+          graft.functions.RegressionAggregator.slopeOrigin), exprs)))
 
-  /** Register the family into an already-running session. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Register the full native surface into an already-running session:
+    * the function family above plus the as-of join planner strategy —
+    * the live-session equivalent of the GraftExtensions builder hook.
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     all.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
+    AsOf.registerStrategy(spark)
+  }
 }

@@ -81,4 +81,79 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .collect()(0).getSeq[Int](0)
     assert(walk == walkApi && walk.nonEmpty)
   }
+
+  test("native aggregates are SQL-reachable: top_k_rows and slope_origin") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    Tables.registerViews(spark, "/root/testdata/sf0.001")
+    graft.plans.GraftFunctions.register(spark)
+    // slope_origin over a y = 2x relation: sxy accumulates as exactly
+    // 2·sxx (multiplication by 2 only shifts the exponent), so the SQL
+    // result is exactly 2.0 per group — and must equal the Column twin
+    val viaSql = spark.sql(
+      """SELECT event_type, slope_origin(value, value * 2.0) AS sl
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+      .collect()
+    assert(viaSql.nonEmpty)
+    viaSql.foreach(r => assert(r.getDouble(1) == 2.0, r.toString))
+    val slopeUdf = udaf(graft.functions.RegressionAggregator.slopeOrigin)
+    val viaApi = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy($"event_type")
+      .agg(slopeUdf($"value", $"value" * 2.0).as("sl"))
+      .orderBy($"event_type").collect()
+    viaSql.zip(viaApi).foreach { case (a, b) => assert(a == b) }
+    // top_k_rows through SQL == Ranks.groupTopK (the Column-API twin)
+    val tkSql = spark.sql(
+      """SELECT event_type, pos + 1 AS rnk, tk.nv AS nv, tk.event_id AS event_id
+        |FROM (SELECT event_type,
+        |        top_k_rows(struct(-value AS nv, event_id), 3) AS tks
+        |      FROM events GROUP BY event_type)
+        |LATERAL VIEW posexplode(tks) AS pos, tk
+        |ORDER BY event_type, rnk""".stripMargin).collect()
+    val tkApi = operators.Ranks.groupTopK(
+        graft.core.Tables.events(spark, "/root/testdata/sf0.001"), 3, "rnk",
+        Seq($"event_type"),
+        struct((-$"value").as("nv"), $"event_id"))
+      .select($"event_type", $"rnk".cast("int"), $"nv", $"event_id")
+      .orderBy($"event_type", $"rnk").collect()
+    assert(tkSql.length == tkApi.length && tkSql.nonEmpty)
+    tkSql.zip(tkApi).foreach { case (a, b) =>
+      assert(a.getString(0) == b.getString(0) && a.getInt(1) == b.getInt(1)
+        && a.getDouble(2) == b.getDouble(2) && a.getLong(3) == b.getLong(3),
+        s"$a vs $b")
+    }
+  }
+
+  test("GraftExtensions wires the FULL surface: every symbol + the as-of strategy") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.plans.GraftExtensions().apply(ext)
+    val reg = org.apache.spark.sql.graft.ColumnBridge.extensionFunctions(
+      ext, org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin.clone())
+    for (name <- Seq("grid_cell", "clean_tokens", "md5_bits32",
+        "word_shingles", "simhash", "minhash_sigs", "quantized_dot",
+        "hyperplane_sigs", "cells_on_way_exact", "top_k_rows",
+        "slope_origin"))
+      assert(reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name)),
+        s"$name missing from the extension-registered function family")
+    assert(org.apache.spark.sql.graft.ColumnBridge
+        .extensionStrategies(ext, spark).contains(graft.plans.AsOfStrategy),
+      "as-of strategy missing from the extension hook")
+  }
+
+  test("as-of join output composes with spark.sql through the registered strategy") {
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    assert(spark.experimental.extraStrategies.contains(graft.plans.AsOfStrategy))
+    val l = Seq((1L, 10L), (1L, 20L), (2L, 15L)).toDF("k", "t")
+    val r = Seq((1L, 5L, "a"), (1L, 12L, "b"), (2L, 99L, "c"))
+      .toDF("rk", "rt", "v")
+    graft.plans.AsOf.asofJoin(l, r, "k", "rk", "t", "rt")
+      .createOrReplaceTempView("asof_out")
+    // the view's plan carries the custom logical node; spark.sql queries
+    // over it plan through AsOfStrategy at execution
+    val got = spark.sql("SELECT v FROM asof_out ORDER BY k, t")
+      .collect().map(row => Option(row.getString(0)))
+    assert(got.toSeq == Seq(Some("a"), Some("b"), None), got.mkString(","))
+  }
 }
