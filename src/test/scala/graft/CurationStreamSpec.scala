@@ -632,4 +632,89 @@ class CurationStreamSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("pii twin RESTART: kill mid-stream, resume from checkpoint, resumed-final == batch") {
+    import spark.implicits._
+    import graft.streaming.CurationStream.PiiDocIn
+    // exactly-once for the ValueState twin family, rehearsed for real
+    // (the q129 sketch-twin restart's sibling): file source + RocksDB
+    // checkpoint, killed after half the feed, resumed over the same
+    // checkpointLocation — the resumed panel must carry pre-kill counts
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val base = java.nio.file.Files.createTempDirectory("graft_q244_restart_").toString
+    val (inDir, ckpt) = (s"$base/in", s"$base/ckpt")
+    new java.io.File(inDir).mkdirs()
+    val rnd = new scala.util.Random(23)
+    val all = Seq.tabulate(240) { i =>
+      PiiDocIn(i.toLong, s"s${i % 4}",
+        if (rnd.nextInt(5) == 0) rnd.nextInt(3).toLong + 1L else 0L,
+        if (rnd.nextInt(7) == 0) 1L else 0L,
+        if (rnd.nextInt(11) == 0) 1L else 0L,
+        if (rnd.nextInt(3) == 0) rnd.nextInt(2).toLong else 0L)
+    }
+    def addFile(n: Int, rows: Seq[PiiDocIn]): Unit = {
+      val stage = s"$base/stage$n"
+      rows.toDS().coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$inDir/batch$n.parquet"))
+    }
+    // foreachBatch: the recoverable sink (memory sink refuses checkpoint
+    // recovery); each leg collects its own emissions
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[
+      CurationStream.PiiPanelRow]()
+    def start() = CurationStream.piiStream(
+        spark.readStream
+          .schema(org.apache.spark.sql.Encoders.product[PiiDocIn].schema)
+          .parquet(inDir).as[PiiDocIn])
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("update")
+      .foreachBatch {
+        (ds: org.apache.spark.sql.Dataset[CurationStream.PiiPanelRow],
+            _: Long) => ds.collect().foreach(buf.add)
+      }
+      .start()
+    try {
+      addFile(1, all.take(150))
+      val q1 = start()
+      q1.processAllAvailable(); q1.stop() // the kill
+      buf.clear() // only resumed emissions count
+      addFile(2, all.drop(150)) // round-robin sources: every key re-emits
+      val q2 = start()
+      try {
+        q2.processAllAvailable()
+        import scala.jdk.CollectionConverters._
+        val fin = buf.asScala.toSeq
+          .groupBy(_.source).map { case (_, rs) => rs.maxBy(_.n_docs) }
+          .map(r => (r.source, r.n_docs, r.n_flagged, r.sum_email,
+            r.sum_phone, r.sum_ssn, r.sum_ip, r.exposure_q6)).toSet
+        val expected = all.groupBy(_.source).map { case (s, ds) =>
+          val flagged = ds.count(d =>
+            d.n_email > 0 || d.n_phone > 0 || d.n_ssn > 0 || d.n_ip > 0).toLong
+          val exposure = BigDecimal(
+              flagged.toDouble / ds.length.toDouble * 1000000.0)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+          (s, ds.length.toLong, flagged, ds.map(_.n_email).sum,
+            ds.map(_.n_phone).sum, ds.map(_.n_ssn).sum, ds.map(_.n_ip).sum,
+            exposure)
+        }.toSet
+        assert(fin == expected,
+          "resumed-final PII panel must equal the batch fold over the WHOLE feed")
+        fin.foreach { case (s, n, _, _, _, _, _, _) =>
+          assert(n > all.drop(150).count(_.source == s).toLong,
+            s"$s: resumed n_docs $n must include pre-kill rows")
+        }
+      } finally q2.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }

@@ -921,4 +921,86 @@ class EventStreamsSpec extends AnyFunSuite {
       } finally query.stop()
     }
   }
+
+  test("histogram twin RESTART: kill mid-stream, resume from checkpoint, resumed-final == batch") {
+    import spark.implicits._
+    // exactly-once for the transformWithState sketch family, rehearsed
+    // for real: a file source + RocksDB checkpoint, the query KILLED
+    // after half the feed, resumed as a new query over the same
+    // checkpointLocation — the resumed emissions must already carry the
+    // pre-kill state (a reset state would emit part-2-only counts)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val base = java.nio.file.Files.createTempDirectory("graft_q129_restart_").toString
+    val (inDir, ckpt) = (s"$base/in", s"$base/ckpt")
+    new java.io.File(inDir).mkdirs()
+    val (lo, hi) = (0.0, 100.0)
+    val rnd = new scala.util.Random(17)
+    val all = Seq.tabulate(300) { i =>
+      Event(i.toLong, new Timestamp(1700000000000L + i * 1000L),
+        (i % 7).toLong, s"t${i % 3}", rnd.nextDouble() * 120.0 - 10.0)
+    }
+    def addFile(n: Int, rows: Seq[Event]): Unit = {
+      val stage = s"$base/stage$n"
+      rows.toDS().coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$inDir/batch$n.parquet"))
+    }
+    // foreachBatch: the recoverable sink (memory sink refuses checkpoint
+    // recovery); each leg collects its own emissions
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[
+      (String, Long, Long, Long)]()
+    def start() = EventStreams.histogramStreamTws(
+        spark.readStream
+          .schema(org.apache.spark.sql.Encoders.product[Event].schema)
+          .parquet(inDir).as[Event], lo, hi)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("update")
+      .foreachBatch {
+        (ds: org.apache.spark.sql.Dataset[EventStreams.HistRow], _: Long) =>
+          ds.collect().foreach(r =>
+            buf.add((r.event_type, r.n, r.filled_bins, r.max_bin_cnt)))
+      }
+      .start()
+    try {
+      addFile(1, all.take(180))
+      val q1 = start()
+      q1.processAllAvailable(); q1.stop() // the kill
+      buf.clear() // only resumed emissions count
+      addFile(2, all.drop(180)) // round-robin types: every key re-emits
+      val q2 = start()
+      try {
+        q2.processAllAvailable()
+        import scala.jdk.CollectionConverters._
+        val fin = buf.asScala.toSeq
+          .groupBy(_._1).map { case (_, rs) => rs.maxBy(_._2) }.toSet
+        val expected = all.groupBy(_.event_type).map { case (t, es) =>
+          val bins = Array.fill(64)(0L)
+          es.foreach { e =>
+            val b = math.min(63, math.max(0,
+              math.floor((e.value - lo) / (hi - lo) * 64).toInt))
+            bins(b) += 1
+          }
+          (t, es.length.toLong, bins.count(_ > 0L).toLong, bins.max)
+        }.toSet
+        assert(fin == expected,
+          "resumed-final histograms must equal the batch fold over the WHOLE feed")
+        // and each resumed n covers part 1 — state recovered, not reset
+        fin.foreach { case (t, n, _, _) =>
+          assert(n > all.drop(180).count(_.event_type == t).toLong,
+            s"$t: resumed count $n must include pre-kill rows")
+        }
+      } finally q2.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
