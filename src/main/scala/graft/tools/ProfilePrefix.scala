@@ -9,9 +9,10 @@ import org.apache.spark.sql.SparkSession
 object ProfilePrefix {
   def main(args: Array[String]): Unit = {
     val d = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val shuf = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32").toInt
     val spark = SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.shuffle.partitions", shuf)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

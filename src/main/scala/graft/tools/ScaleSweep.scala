@@ -1,0 +1,191 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The measured-at-scale evidence the plan audits argue from (round-14
+  * verdict item 1): generate a throwaway ~`factor`× fixture from sf0.1,
+  * run the top-10 heavies at BOTH scales, and report per query
+  *
+  *   - wall-clock slope t(N×)/t(1×) — the 100 TB readiness law is
+  *     slope ≲ 1.3 × data slope,
+  *   - max-task shuffle-read bytes at both scales — with shuffle
+  *     partitions scaled ∝ data (the operational rule on a real
+  *     cluster), a scalable plan keeps PER-TASK pressure flat and
+  *     absorbs growth in MORE tasks, not bigger ones.
+  *
+  * Fixture construction (generate → measure → delete; never committed):
+  * every fact table is `factor` key-shifted copies of the sf0.1 base.
+  * Two distribution-preserving perturbations keep the scaled corpus
+  * honest instead of degenerate:
+  *
+  *   - documents: copy k > 0 prefixes every whitespace token with a
+  *     per-copy LETTER tag (cleanTokens keeps alphabetic tokens), so
+  *     copies share NO shingles — per-copy token statistics (df, Zipf
+  *     shape, doc lengths) are identical to the base, the corpus-level
+  *     near-dup RATE stays the base rate, and the dedup family scales
+  *     by corpus size rather than by an artificial cross-copy clique
+  *     blowup (10 identical copies of every doc would square the pair
+  *     tables — a fixture artifact, not an engine property).
+  *   - embeddings: copy k > 0 offsets every coordinate by k·10⁻³, so
+  *     vectors are distinct but the cloud's geometry (norms, cluster
+  *     structure) is preserved.
+  *
+  * nation/region stay UNREPLICATED: they are fixed-cardinality
+  * dimensions (q13's graph is the 25-nation trade graph whose EDGE
+  * WEIGHTS aggregate from the scaled lineitem — exactly the 100 TB
+  * shape: fact volume grows, dimension graph does not).
+  *
+  * Usage: `sbt "runMain graft.tools.ScaleSweep [src] [factor] [--keep]"`.
+  * Exit code = number of queries whose slope exceeds 1.3 × factor.
+  */
+object ScaleSweep {
+
+  private val keyCols = Map(
+    "customer"   -> Seq("c_custkey"),
+    "supplier"   -> Seq("s_suppkey"),
+    "part"       -> Seq("p_partkey"),
+    "orders"     -> Seq("o_orderkey", "o_custkey"),
+    "lineitem"   -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events"     -> Seq("event_id", "user_id"),
+    "documents"  -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  private val heavies = Seq(
+    "q109_prefix_jaccard", "q91_ann_ivf_pq", "q13_pagerank",
+    "q161_committee", "q174_session_stats", "q32_dedup_clusters",
+    "q86_cc_converged", "q116_bm25", "q53_stratified_sample",
+    "q57_seq_packing")
+
+  private val STRIDE = 100000000L // key offset per copy, beyond any base key
+
+  private def session(cpus: Int, shufflePartitions: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  def buildFixture(spark: SparkSession, src: String, out: String,
+      factor: Int): Unit = {
+    import graft.core.Tables
+    Seq("region", "nation").foreach { t =>
+      Tables.table(spark, src, t).write.mode("overwrite")
+        .parquet(s"$out/$t.parquet")
+    }
+    keyCols.foreach { case (t, keys) =>
+      val base = Tables.table(spark, src, t)
+      val copies = (0 until factor).map { k =>
+        var df = base
+        keys.foreach(c => df = df.withColumn(c, col(c) + lit(k * STRIDE)))
+        if (t == "documents" && k > 0) {
+          val p = "x" + ('a' + k).toChar // all-letter: survives cleanTokens
+          df = df.withColumn("text", concat_ws(" ",
+            transform(split(col("text"), " "), w => concat(lit(p), w))))
+        }
+        if (t == "embeddings" && k > 0)
+          df = df.withColumn("embedding",
+            transform(col("embedding"), x => x + lit((k * 1e-3).toFloat)))
+        df
+      }
+      copies.reduce(_ unionByName _).write.mode("overwrite")
+        .parquet(s"$out/$t.parquet")
+    }
+  }
+
+  /** One scale leg in its own session: warm the declared builds first
+    * (the bench convention — queries measure themselves, not a shared
+    * memo fill), then time each heavy and its max-task shuffle read.
+    */
+  private def runLeg(dir: String, cpus: Int, shufflePartitions: Int)
+      : (Double, Seq[(String, Double, Double, Long)]) = {
+    val spark = session(cpus, shufflePartitions)
+    val maxRead = new AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          val r = m.shuffleReadMetrics.totalBytesRead
+          var cur = maxRead.get()
+          while (r > cur && !maxRead.compareAndSet(cur, r)) cur = maxRead.get()
+        }
+      }
+    })
+    try graft.SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    val tb0 = System.nanoTime()
+    graft.Builds.all.foreach { case (_, fn) =>
+      try fn(spark, dir) catch { case e: Throwable =>
+        println(s"BUILD FAIL $dir: ${e.getMessage}") }
+    }
+    val buildSecs = (System.nanoTime() - tb0) / 1e9
+    // each heavy runs TWICE and BOTH times are reported: the first run
+    // carries one-off effects (codegen, cache spill-refill under the 21
+    // builds' storage pressure), the second can be a RESULT-memo hit for
+    // memoized queries (then it measures the memo, not the plan) — the
+    // honest slope reads the first-run column unless the second is in
+    // the same ballpark, in which case the min is the plan's cost
+    val rows = heavies.map { name =>
+      val legs = (1 to 2).map { _ =>
+        maxRead.set(0L)
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(name)(spark, dir).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300) // listener bus drain
+        (secs, maxRead.get())
+      }
+      (name, legs(0)._1, legs(1)._1, legs(0)._2)
+    }
+    spark.stop()
+    (buildSecs, rows)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val keep = args.contains("--keep")
+    val out = s"/tmp/graft_scale$factor"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    if (!new java.io.File(s"$out/documents.parquet").exists()) {
+      val s = session(cpus, cpus)
+      val t0 = System.nanoTime()
+      buildFixture(s, src, out, factor)
+      println(f"fixture build: ${(System.nanoTime() - t0) / 1e9}%.1fs → $out")
+      s.stop()
+    }
+    // --fixture-only: build (and keep) the fixture for ad-hoc profiling
+    if (args.contains("--fixture-only")) return
+    // shuffle partitions scale with the data (the cluster operating
+    // rule); parallelism (cores) is the machine's and stays fixed
+    val (b1, leg1) = runLeg(src, cpus, cpus)
+    val (bN, legN) = runLeg(out, cpus, cpus * factor)
+    println(f"builds_total: ${b1}%.1fs → ${bN}%.1fs  slope ${bN / b1}%.2fx " +
+      f"(data slope $factor×, law ≤ ${1.3 * factor}%.0fx)")
+    println("| query | t_1x run1/run2 | t_Nx run1/run2 | slope(run1) | law | maxTaskShufRead_1x | _Nx | ratio |")
+    println("|---|---|---|---|---|---|---|---|")
+    var violations = 0
+    leg1.zip(legN).foreach { case ((n, t1a, t1b, m1), (_, tNa, tNb, mN)) =>
+      val slope = tNa / t1a
+      val ok = slope <= 1.3 * factor
+      if (!ok) violations += 1
+      val mRatio = if (m1 > 0) f"${mN.toDouble / m1}%.2fx" else "-"
+      println(f"| $n | $t1a%.2f/$t1b%.2f | $tNa%.2f/$tNb%.2f | $slope%.2fx " +
+        f"| ${if (ok) "PASS" else "FAIL"} | ${m1 / 1024}%dKiB | ${mN / 1024}%dKiB | $mRatio |")
+    }
+    if (!keep) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(out))
+      println(s"fixture deleted: $out")
+    }
+    if (violations > 0) sys.exit(violations)
+  }
+}
