@@ -246,6 +246,34 @@ object Similarity {
       .join(losers, Seq("vec_id"), "left_anti")
   }
 
+  /** `semanticDedup` with the IVF blocking dial APPLIED instead of
+    * documented: nLists scales to hold the mean Voronoi cell at
+    * `targetCell` vectors, so candidate volume is
+    * ≈ N·targetCell·nProbe²/2 — LINEAR in the corpus, vs the fixed-list
+    * form's N²/nLists (the round-14 catalog sweep measured the q55
+    * bench form at 75× cost for 10× data — exactly the predicted
+    * N²/8). The q55 `queries` entry keeps nLists = 8 because the DuckDB
+    * oracle replays the training trajectory with a STATIC list count;
+    * this is the deployment entry point. On corpora small enough that
+    * N/targetCell ≤ 8 the two forms are IDENTICAL (same trajectory,
+    * same pairs — the spec's equality law).
+    *
+    * Scale contract: the Lloyd trainer and the literal-argsort
+    * assignment hold centroids on the driver (nLists·dims longs) —
+    * fine to nLists ~ 10⁵, i.e. corpora to ~25M vectors at the default
+    * cell; past that, shard the corpus (the cells are independent) or
+    * swap the centroid literal for a broadcast table. The N-count here
+    * is one driver scalar off the cached corpus (the A3 shape).
+    */
+  def semanticDedupScaled(spark: SparkSession, d: String,
+      threshold: Double = 0.4, targetCell: Int = 256, nProbe: Int = 4,
+      updates: Int = 2): DataFrame = {
+    val n = corpusWithNorm(spark, d).count()
+    val nLists = math.max(8L, n / targetCell).toInt
+    semanticDedup(spark, d, threshold,
+      (s, dir, t) => embeddingNearDupIvf(s, dir, t, nLists, nProbe, updates))
+  }
+
   /** Per-label centroid, flat (label, i, mean) rows: the exact mean of
     * each embedding dimension over the label's vectors — the
     * class-prototype computation behind semantic clustering diagnostics

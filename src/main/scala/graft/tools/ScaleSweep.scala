@@ -60,6 +60,16 @@ object ScaleSweep {
     "q86_cc_converged", "q116_bm25", "q53_stratified_sample",
     "q57_seq_packing")
 
+  /** Declared-quadratic oracle rungs (COVERAGE.md's "do not
+    * re-litigate" list) — exact-truth definitions whose cost is pair
+    * count by construction; the deployment paths they calibrate (IVF
+    * probes, banded LSH) are in the sweep. `--all` skips them so the
+    * law reads engine scaling, not a definition's.
+    */
+  private val declaredQuadratic = Set(
+    "q25_embed_neardup", "q210_knn_purity", "q215_dup_agreement",
+    "q229_twonn_dim")
+
   private val STRIDE = 100000000L // key offset per copy, beyond any base key
 
   private def session(cpus: Int, shufflePartitions: Int): SparkSession = {
@@ -91,8 +101,16 @@ object ScaleSweep {
             transform(split(col("text"), " "), w => concat(lit(p), w))))
         }
         if (t == "embeddings" && k > 0)
-          df = df.withColumn("embedding",
-            transform(col("embedding"), x => x + lit((k * 1e-3).toFloat)))
+          // rotate coordinates by k: preserves every within-copy norm and
+          // pairwise similarity EXACTLY (so cluster structure and ANN
+          // cost are honest), while cross-copy similarity decorrelates —
+          // a plain per-copy offset left copies mutually near-identical,
+          // which planted a 10-clique of near-dups on every base vector
+          // and turned the dedup family's 10x leg into a dup-density
+          // stress test rather than corpus growth (q55 adjudication)
+          df = df.withColumn("embedding", concat(
+            expr(s"slice(embedding, ${k + 1}, size(embedding) - $k)"),
+            expr(s"slice(embedding, 1, $k)")))
         df
       }
       copies.reduce(_ unionByName _).write.mode("overwrite")
@@ -102,9 +120,10 @@ object ScaleSweep {
 
   /** One scale leg in its own session: warm the declared builds first
     * (the bench convention — queries measure themselves, not a shared
-    * memo fill), then time each heavy and its max-task shuffle read.
+    * memo fill), then time each query and its max-task shuffle read.
     */
-  private def runLeg(dir: String, cpus: Int, shufflePartitions: Int)
+  private def runLeg(dir: String, cpus: Int, shufflePartitions: Int,
+      queries: Seq[String], twice: Boolean)
       : (Double, Seq[(String, Double, Double, Long)]) = {
     val spark = session(cpus, shufflePartitions)
     val maxRead = new AtomicLong(0L)
@@ -131,16 +150,17 @@ object ScaleSweep {
     // memoized queries (then it measures the memo, not the plan) — the
     // honest slope reads the first-run column unless the second is in
     // the same ballpark, in which case the min is the plan's cost
-    val rows = heavies.map { name =>
-      val legs = (1 to 2).map { _ =>
+    val rows = queries.map { name =>
+      val legs = (1 to (if (twice) 2 else 1)).map { _ =>
         maxRead.set(0L)
         val t0 = System.nanoTime()
-        graft.SparkEntry.queries(name)(spark, dir).count()
+        try graft.SparkEntry.queries(name)(spark, dir).count()
+        catch { case e: Throwable => println(s"QUERY FAIL $name: ${e.getMessage}") }
         val secs = (System.nanoTime() - t0) / 1e9
-        Thread.sleep(300) // listener bus drain
+        Thread.sleep(if (twice) 300 else 50) // listener bus drain
         (secs, maxRead.get())
       }
-      (name, legs(0)._1, legs(1)._1, legs(0)._2)
+      (name, legs(0)._1, legs.last._1, legs(0)._2)
     }
     spark.stop()
     (buildSecs, rows)
@@ -161,18 +181,29 @@ object ScaleSweep {
     }
     // --fixture-only: build (and keep) the fixture for ad-hoc profiling
     if (args.contains("--fixture-only")) return
+    // --all: sweep the ENTIRE query catalog (single run per query,
+    // declared-quadratic rungs skipped) — the long-tail safety net the
+    // top-10 table can't give; default sweeps the top-10 twice each
+    val allMode = args.contains("--all")
+    val queries =
+      if (allMode) graft.SparkEntry.queries.keys.toSeq.sorted
+        .filterNot(declaredQuadratic)
+      else heavies
     // shuffle partitions scale with the data (the cluster operating
     // rule); parallelism (cores) is the machine's and stays fixed
-    val (b1, leg1) = runLeg(src, cpus, cpus)
-    val (bN, legN) = runLeg(out, cpus, cpus * factor)
+    val (b1, leg1) = runLeg(src, cpus, cpus, queries, twice = !allMode)
+    val (bN, legN) = runLeg(out, cpus, cpus * factor, queries, twice = !allMode)
     println(f"builds_total: ${b1}%.1fs → ${bN}%.1fs  slope ${bN / b1}%.2fx " +
       f"(data slope $factor×, law ≤ ${1.3 * factor}%.0fx)")
     println("| query | t_1x run1/run2 | t_Nx run1/run2 | slope(run1) | law | maxTaskShufRead_1x | _Nx | ratio |")
     println("|---|---|---|---|---|---|---|---|")
     var violations = 0
+    // in --all mode sub-0.3s base queries are below the law's noise
+    // floor (a 0.1 → 1.4 s move is plan constants, not scaling)
+    val floor = if (allMode) 0.3 else 0.0
     leg1.zip(legN).foreach { case ((n, t1a, t1b, m1), (_, tNa, tNb, mN)) =>
       val slope = tNa / t1a
-      val ok = slope <= 1.3 * factor
+      val ok = slope <= 1.3 * factor || t1a < floor
       if (!ok) violations += 1
       val mRatio = if (m1 > 0) f"${mN.toDouble / m1}%.2fx" else "-"
       println(f"| $n | $t1a%.2f/$t1b%.2f | $tNa%.2f/$tNb%.2f | $slope%.2fx " +

@@ -193,6 +193,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"IVF recall ${ivf.size}/${exact.size} — missed ${exact.keySet -- ivf.keySet}")
   }
 
+  test("semanticDedupScaled: identical to the bench form below the dial knee; precision 1 above it") {
+    import spark.implicits._
+    // below the knee (N/targetCell <= 8) the scaled dial resolves to the
+    // SAME nLists=8 trajectory — outputs must be row-identical
+    val base = Similarity.semanticDedup(spark, sf)
+      .as[(Long, Int)].collect().toSet
+    val scaled = Similarity.semanticDedupScaled(spark, sf)
+      .as[(Long, Int)].collect().toSet
+    assert(scaled == base, "below the knee the dial must be a no-op")
+    // above the knee (tiny cells): kept set may grow (fewer candidate
+    // pairs found), but every DROPPED vector must still be the y-side of
+    // a TRUE near-dup pair — precision 1 by the exact re-check
+    val fine = Similarity.semanticDedupScaled(spark, sf, targetCell = 16)
+      .as[(Long, Int)].collect().toSet
+    val allIds = Similarity.corpusWithNorm(spark, sf)
+      .select($"vec_id").as[Long].collect().toSet
+    val exactLosers = Similarity.embeddingNearDup(spark, sf)
+      .select($"y").as[Long].collect().toSet
+    val dropped = allIds -- fine.map(_._1)
+    assert(dropped.subsetOf(exactLosers),
+      s"scaled dial dropped non-dups: ${dropped -- exactLosers}")
+    assert(fine.size >= base.size, "finer cells can only find fewer pairs")
+  }
+
   test("rolling fingerprint is deterministic and order-sensitive") {
     import spark.implicits._
     val fps = Text.rollingFp(spark, sf).as[(Long, Long)].collect().toMap
