@@ -234,6 +234,20 @@ object Retrieval {
   def DenseIvfGen(spark: SparkSession, d: String, kSys: Int): DataFrame =
     denseIvf(spark, d, kSys)
 
+  /** `DenseIvfGen` with the deployment blocking dial applied (the
+    * semanticDedupScaled / hardNegativesScaled contract): nLists =
+    * max(8, N/256) holds the mean list at ~256 vectors, so per-query
+    * candidates are constant and total dense-ranking work is linear in
+    * the corpus even as the eval-query split grows ∝ N. Drop-in for
+    * every `denseGen` parameter (rrfFusion, retrievalAgreement); below
+    * the knee it is row-identical to DenseIvfGen (spec law), so the
+    * oracle-checked q125/q237/q248 entries keep the static form.
+    */
+  def DenseIvfScaledGen(spark: SparkSession, d: String, kSys: Int): DataFrame = {
+    val n = Similarity.corpusWithNorm(spark, d).count()
+    denseIvf(spark, d, kSys, nLists = math.max(8L, n / 256L).toInt)
+  }
+
   private def denseIvf(spark: SparkSession, d: String, kSys: Int,
       nLists: Int = 8, nProbe: Int = 4, updates: Int = 2): DataFrame = {
     import spark.implicits._

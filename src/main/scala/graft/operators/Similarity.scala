@@ -1030,6 +1030,23 @@ object Similarity {
       corpusSide.join(anchors, $"list_id" === $"p_list"), k)
   }
 
+  /** `hardNegatives` with the deployment blocking dial applied
+    * (semanticDedupScaled's contract): nLists = max(8, N/targetCell)
+    * holds the mean Voronoi cell constant, so per-anchor candidates are
+    * ∝ targetCell·nProbe and TOTAL work is linear in the corpus even
+    * with the anchor set growing ∝ N (the 5 % hash split) — the
+    * fixed-list form's total is ∝ N²·nProbe/nLists (the round-14
+    * catalog sweep's 6.1× at 10× and growing). Below the knee
+    * (N/targetCell ≤ 8) it is row-identical to the oracle-checked q155
+    * form (spec law).
+    */
+  def hardNegativesScaled(spark: SparkSession, d: String, k: Int = 5,
+      targetCell: Int = 256, nProbe: Int = 4, updates: Int = 2): DataFrame = {
+    val n = corpusWithNorm(spark, d).count()
+    hardNegatives(spark, d, k, math.max(8L, n / targetCell).toInt,
+      nProbe, updates)
+  }
+
   /** The exact rung: every anchor against the whole corpus. */
   def hardNegativesBrute(spark: SparkSession, d: String, k: Int = 5): DataFrame = {
     import spark.implicits._

@@ -32,6 +32,17 @@ object ProfileSemDedup {
     val ks = time("semanticDedupScaled (nLists=N/256)")(
       graft.operators.Similarity.semanticDedupScaled(spark, d).count())
     println(s"          kept: bench=$kb scaled=$ks")
+    val hb = time("hardNegatives (bench form, nLists=8)")(
+      graft.operators.Similarity.hardNegatives(spark, d).count())
+    val hs = time("hardNegativesScaled (nLists=N/256)")(
+      graft.operators.Similarity.hardNegativesScaled(spark, d).count())
+    println(s"          negatives: bench=$hb scaled=$hs")
+    val rb = time("rrfFusion (DenseIvfGen, nLists=8)")(
+      graft.operators.Retrieval.rrfFusion(spark, d).count())
+    val rs = time("rrfFusion (DenseIvfScaledGen)")(
+      graft.operators.Retrieval.rrfFusion(spark, d,
+        denseGen = graft.operators.Retrieval.DenseIvfScaledGen).count())
+    println(s"          fused rows: bench=$rb scaled=$rs")
     spark.stop()
   }
 }

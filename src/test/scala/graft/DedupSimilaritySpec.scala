@@ -217,6 +217,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(fine.size >= base.size, "finer cells can only find fewer pairs")
   }
 
+  test("hardNegativesScaled: identical to the bench form below the dial knee") {
+    import spark.implicits._
+    val base = Similarity.hardNegatives(spark, sf)
+      .as[(Long, Int, Long, Int, Double, Long)].collect().toSet
+    val scaled = Similarity.hardNegativesScaled(spark, sf)
+      .as[(Long, Int, Long, Int, Double, Long)].collect().toSet
+    assert(base.nonEmpty && scaled == base,
+      "below the knee the hard-negative dial must be a no-op")
+  }
+
   test("rolling fingerprint is deterministic and order-sensitive") {
     import spark.implicits._
     val fps = Text.rollingFp(spark, sf).as[(Long, Long)].collect().toMap

@@ -275,4 +275,14 @@ class RetrievalSpec extends AnyFunSuite {
       assert(a._4 <= b._4 && a._5 <= b._5, "k-monotonicity")
     }
   }
+
+  test("DenseIvfScaledGen: identical to DenseIvfGen below the dial knee") {
+    import spark.implicits._
+    val base = Retrieval.DenseIvfGen(spark, sf, 20)
+      .as[(Long, Long, Long)].collect().toSet
+    val scaled = Retrieval.DenseIvfScaledGen(spark, sf, 20)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(base.nonEmpty && scaled == base,
+      "below the knee the dense-ranking dial must be a no-op")
+  }
 }
