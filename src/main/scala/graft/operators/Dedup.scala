@@ -84,6 +84,33 @@ object Dedup {
         .select($"doc_id", shingles(tokens($"text"), 3).as("shs"))
     }
 
+  /** (doc_id, n, hs, col) — the SLIM verify companion of
+    * `docShingleArrays`: `hs` maps each distinct string shingle to its
+    * xxhash64 (8 bytes vs ~25-byte shingle strings), `n` = |shs|, and
+    * `col` = n − |distinct hs| counts within-doc hash collisions
+    * (0 on every real corpus; carried so the verify filter can price
+    * collisions exactly instead of assuming them away). Built once per
+    * session from the cached array table — one scan-stage transform.
+    *
+    * Why it exists (round-14 q109 adjudication): at 10× sf0.1 the
+    * shingle-array table outgrows the broadcast threshold, so the
+    * prefix join's exact-verify joins become shuffle joins whose pair
+    * rows each CARRY a full string-shingle array — a multi-GiB shuffle
+    * to keep 0.08 % of candidates. Intersecting 8-byte hashes first
+    * shrinks that payload ~3×, and the admitted set (≈ the true pair
+    * set) is small enough that the exact string re-check is a
+    * broadcast-side join. Measured at 10×: 47.3 → 24.4 s cold,
+    * 19.9 → 3.7 s warm, identical output.
+    */
+  private[graft] def docShingleHashArrays(spark: SparkSession, d: String): DataFrame =
+    graft.core.Memo(spark, cache = true, "docShingleHashArrays", d) {
+      import spark.implicits._
+      docShingleArrays(spark, d)
+        .select($"doc_id", size($"shs").cast("long").as("n"),
+          transform($"shs", s => xxhash64(s)).as("hs"))
+        .withColumn("col", $"n" - size(array_distinct($"hs")).cast("long"))
+    }
+
   /** (doc_id, shingle) inverted-index rows — memo-cached once per
     * session+dir: q15/q16/q32/q42 all fold over this same lineage, most
     * of them in self-joins that read it twice — the cache keeps those
@@ -191,12 +218,40 @@ object Dedup {
     import spark.implicits._
     val arr = docShingleArrays(spark, d)
     val cand = prefixCandidates(spark, d, threshold)
-    // exact verify off the cached (doc_id, shingle ARRAY) table: one
-    // array_intersect per candidate — the exploded two-sided shingle
-    // re-join this replaced shuffled the FULL inverted index twice and
-    // re-grouped it per pair (round-13 fix; shingles are distinct per
-    // doc, so |array_intersect| ≡ the exploded join's pair count)
-    cand
+    // verify stage 1 — SLIM hash admission (round-14 rewrite): the
+    // round-13 form joined the full string-array table onto both
+    // candidate sides, which is free while that table broadcasts but
+    // becomes a multi-GiB array-carrying shuffle once it outgrows the
+    // broadcast threshold (measured at 10× sf0.1 — see
+    // docShingleHashArrays). Intersect 8-byte xxhash64 arrays instead,
+    // admitting on a PROVABLE UPPER BOUND of the exact Jaccard:
+    //   I_exact ≤ I_hash + min(col_x, col_y)
+    // (a common string always lands in the hash intersection; the only
+    // losses are two DISTINCT common strings sharing one hash, and each
+    // such pair is a within-x AND within-y collision, so the losses are
+    // ≤ min of the per-doc collision counts — both 0 on real corpora).
+    // jac(I) = I/(nx+ny−I) is increasing in I, so admitting on
+    // jac(I_ub) ≥ t keeps every true pair: stage 1 is LOSSLESS and the
+    // prefix theorem's recall-1 guarantee survives hashing.
+    val slim = docShingleHashArrays(spark, d)
+    val iub = size(array_intersect($"hx", $"hy")).cast("long") +
+      least($"colx", $"coly")
+    val passing = cand
+      .join(slim.select($"doc_id".as("x"), $"hs".as("hx"),
+        $"n".as("nx"), $"col".as("colx")), "x")
+      .join(slim.select($"doc_id".as("y"), $"hs".as("hy"),
+        $"n".as("ny"), $"col".as("coly")), "y")
+      .select($"x", $"y", iub.as("iub"), $"nx", $"ny")
+      .filter($"iub".cast("double") / ($"nx" + $"ny" - $"iub")
+        >= lit(threshold) - lit(1e-9))
+      .select($"x", $"y")
+    // verify stage 2 — exact string re-check on the admitted set (≈ the
+    // true pair set, 0.08 % of candidates at 10×): one array_intersect
+    // per admitted pair off the cached string-array table; the admitted
+    // side is small so AQE broadcasts it and arr never shuffles
+    // (shingles are distinct per doc, so |array_intersect| ≡ the
+    // exploded join's pair count — output ≡ jaccardPairs row-for-row)
+    passing
       .join(arr.select($"doc_id".as("x"), $"shs".as("shx")), "x")
       .join(arr.select($"doc_id".as("y"), $"shs".as("shy")), "y")
       .select($"x", $"y",
@@ -224,7 +279,22 @@ object Dedup {
     * comparison against the full inverted-index join.
     */
   private[graft] def prefixCandidates(spark: SparkSession, d: String,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5): DataFrame =
+    // result memo (round-14, the q109 watch item's other half): the
+    // pair table is 2 longs/row and ∝ candidate volume (linear in the
+    // corpus by the per-copy construction), while its lineage — explode
+    // + df join + per-doc rank window + self-join — is the expensive
+    // stage and was re-derived by every caller (the spec's volume
+    // comparison, the verify stage, repeat invocations). Caching it
+    // also cuts the verify plan's references to the shingle-array
+    // cache from three to two, the round-13 storage-pressure finding.
+    graft.core.Memo(spark, cache = true,
+        "prefixCandidates", d, threshold.toString) {
+      prefixCandidatesUncached(spark, d, threshold)
+    }
+
+  private def prefixCandidatesUncached(spark: SparkSession, d: String,
+      threshold: Double): DataFrame = {
     import spark.implicits._
     // n = |S| read off the cached array column — the round-12 form
     // computed it as a second (unordered-frame) window exec over the

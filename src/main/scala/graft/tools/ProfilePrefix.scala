@@ -28,6 +28,8 @@ object ProfilePrefix {
       graft.operators.Dedup.docShingleArrays(spark, d).count())
     time("docShingles cache fill")(
       graft.operators.Dedup.docShingles(spark, d).count())
+    time("docShingleHashArrays cache fill")(
+      graft.operators.Dedup.docShingleHashArrays(spark, d).count())
     val nc = time("prefixCandidates")(
       graft.operators.Dedup.prefixCandidates(spark, d).count())
     println(s"          candidates: $nc")

@@ -70,6 +70,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pruned >= exact.size, "candidates must cover every true pair")
   }
 
+  test("slim hash-verify companion: size/collision invariants hold") {
+    import spark.implicits._
+    // the verify stage's lossless-admission bound prices within-doc
+    // hash collisions via (n, col); pin the columns it reasons from:
+    // |hs| == |shs| (transform preserves length) and col == n − |distinct hs|
+    val bad = Dedup.docShingleArrays(spark, sf)
+      .join(Dedup.docShingleHashArrays(spark, sf), "doc_id")
+      .filter(org.apache.spark.sql.functions.size($"hs") =!=
+          org.apache.spark.sql.functions.size($"shs") ||
+        $"col" =!= $"n" - org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.array_distinct($"hs")).cast("long") ||
+        $"col" < 0L || $"n" =!= org.apache.spark.sql.functions.size($"shs").cast("long"))
+      .count()
+    assert(bad == 0L, "slim hash-array table violates its invariants")
+  }
+
   test("SimHash: planted near-dup pairs have small Hamming distance") {
     import spark.implicits._
     val exact = Dedup.jaccardPairs(spark, sf, threshold = 0.8).select($"x", $"y")
