@@ -21,20 +21,24 @@ import graft.streaming.TaxiStreams
 object StreamProjections {
 
   /** Ride-shaped rows for TaxiStreams: start/end coordinates from the
-    * q24 synthesis, eventTime = ts, alternating START/END.
+    * q24 synthesis, eventTime = ts, alternating START/END. Takes any
+    * events-shaped DataFrame — batch for the q47/q48 oracles, a
+    * streaming source for StreamBench's popular-places throughput leg
+    * (the projection is stateless, so it streams unchanged).
     */
-  private def syntheticRides(spark: SparkSession, d: String): DataFrame = {
-    import spark.implicits._
-    events(spark, d).select(
-      $"event_id",
-      $"ts".as("eventTime"),
-      ($"event_id" % 2 === 0).as("isStart"),
-      $"value",
-      (lit(-74.06) + ($"event_id" % 40).cast("double") * 0.01).as("startLon"),
+  private[graft] def ridesProjection(ev: DataFrame): DataFrame =
+    ev.select(
+      col("event_id"),
+      col("ts").as("eventTime"),
+      (col("event_id") % 2 === 0).as("isStart"),
+      col("value"),
+      (lit(-74.06) + (col("event_id") % 40).cast("double") * 0.01).as("startLon"),
       (lit(40.49) + (expr("event_id div 7") % 53).cast("double") * 0.01).as("startLat"),
       (lit(-74.05) + (expr("event_id div 11") % 35).cast("double") * 0.01).as("endLon"),
       (lit(40.5) + (expr("event_id div 13") % 50).cast("double") * 0.01).as("endLat"))
-  }
+
+  private def syntheticRides(spark: SparkSession, d: String): DataFrame =
+    ridesProjection(events(spark, d))
 
   /** PopularPlaces (W1+P2+P4+P5 composition,
     * datastream_java/windows/PopularPlaces.java:52-97) in batch mode:

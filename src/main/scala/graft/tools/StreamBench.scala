@@ -24,6 +24,9 @@ import org.apache.spark.sql.streaming.Trigger
   *   - transition_tws     — transformWithState Markov transitions
   *                          (q128 twin; keyed by user — the high-
   *                          cardinality state shape)
+  *   - popular_places     — the reference's flagship taxi pipeline
+  *                          (ride projection → cleanse → grid cell →
+  *                          sliding count → threshold, q47 twin)
   *
   * Replication key-shifts event_id/user_id per copy (the ScaleSweep
   * convention) so dedup state and per-user session/transition state see
@@ -103,6 +106,11 @@ object StreamBench {
       EventStreams.cmsStreamTws(df.as[Event]).toDF())
     run("transition_tws", "update")(df =>
       EventStreams.transitionStream(df.as[Event]).toDF())
+    // the reference's flagship pipeline: ride projection → cleanse →
+    // grid cell → sliding window count → threshold → cell centers
+    run("popular_places", "append")(df =>
+      graft.streaming.TaxiStreams.popularPlacesStream(
+        graft.operators.StreamProjections.ridesProjection(df), threshold = 3))
 
     def rmAll(x: java.io.File): Unit = {
       if (x.isDirectory) Option(x.listFiles()).foreach(_.foreach(rmAll))
