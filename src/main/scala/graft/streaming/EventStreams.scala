@@ -451,6 +451,150 @@ object EventStreams {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  // ---- salted-partial sketch twins ----------------------------------
+  // The unsalted sketch streams key by event_type alone, so a 5-type
+  // feed folds on 5 tasks no matter how many cores the cluster has —
+  // StreamBench measured the ceiling (hll 157k, cms 64k rows/s at 2M
+  // events). The remedy is the same one the batch sketches use via
+  // partial aggregation and q249 uses for source mass: key by
+  // (event_type, salt) so the fold parallelism is types×salts, and
+  // reassemble downstream with the sketch's own merge operation —
+  // register MAX for HLL, count ADDITION for CMS — which is exactly
+  // what makes these sketches mergeable in the first place. The merged
+  // registers are bit-identical to the unsalted stream's (and the batch
+  // query's) because the fold is a commutative monoid action and
+  // salting only re-partitions the rows (EventStreamsSpec law).
+
+  case class HllPartialRow(event_type: String, salt: Int, regs: Array[Long])
+
+  /** Per-(type, salt) HLL registers on transformWithState. Registers
+    * are cloned on state read and on emit (the WeekHistProcessor
+    * aliasing convention): the state-store-returned array is never
+    * mutated in place and no emitted row shares the stored instance.
+    */
+  class HllPartialProcessor extends
+      org.apache.spark.sql.streaming.StatefulProcessor[(String, Int), Event, HllPartialRow] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+
+    @transient private var st: ValueState[HllRegs] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[HllRegs](
+        "hllPartialRegisters", Encoders.product[HllRegs], TTLConfig.NONE)
+
+    override def handleInputRows(key: (String, Int), rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[HllPartialRow] = {
+      val regs = if (st.exists()) st.get().regs.clone() else Array.fill(256)(0L)
+      hllFold(regs, rows)
+      st.update(HllRegs(regs))
+      Iterator.single(HllPartialRow(key._1, key._2, regs.clone()))
+    }
+  }
+
+  /** q127's HLL with types×`salts` fold parallelism. The salt is
+    * `user_id % salts` for determinism, but ANY row partition is
+    * correct — register max merges partials regardless of which rows
+    * landed where.
+    */
+  def hllSketchStreamPartials(events: Dataset[Event],
+      salts: Int = 32): Dataset[HllPartialRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.event_type, (e.user_id % salts).toInt))
+      .transformWithState(new HllPartialProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Stateless downstream assembly: partial emissions → the unsalted
+    * per-type summary. Accepts ALL update-mode emissions, not just each
+    * partial's final row: a partial's registers are MONOTONE
+    * nondecreasing across batches, so the element-wise max over every
+    * emitted row per type equals the max over final rows — no
+    * final-row selection needed for HLL.
+    */
+  def mergeHllPartials(partials: Dataset[HllPartialRow]): Dataset[HllRow] = {
+    import partials.sparkSession.implicits._
+    partials
+      .groupByKey(_.event_type)
+      .reduceGroups { (a, b) =>
+        val m = a.regs.clone()
+        var i = 0
+        while (i < m.length) {
+          if (b.regs(i) > m(i)) m(i) = b.regs(i); i += 1
+        }
+        HllPartialRow(a.event_type, -1, m)
+      }
+      .map { case (t, p) => hllSummary(t, p.regs) }
+  }
+
+  /** CMS partial: `n` counts rows folded so far — count addition is NOT
+    * monotone-idempotent like register max, so the downstream merge
+    * must take each partial's FINAL emission; n is the selector.
+    */
+  case class CmsPartialRow(event_type: String, salt: Int, n: Long,
+      regs: Array[Long])
+
+  /** (row count, registers) state — top-level so the product encoder
+    * carries no outer reference into the state store.
+    */
+  case class CmsPartialState(n: Long, regs: Array[Long])
+
+  class CmsPartialProcessor(dRows: Int, w: Int) extends
+      org.apache.spark.sql.streaming.StatefulProcessor[(String, Int), Event, CmsPartialRow] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+
+    @transient private var st: ValueState[CmsPartialState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[CmsPartialState](
+        "cmsPartialRegisters", Encoders.product[CmsPartialState], TTLConfig.NONE)
+
+    override def handleInputRows(key: (String, Int), rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[CmsPartialRow] = {
+      val prev = if (st.exists()) st.get() else CmsPartialState(0L, Array.fill(dRows * w)(0L))
+      val regs = prev.regs.clone()
+      val n = prev.n + cmsFold(regs, dRows, w, rows)
+      st.update(CmsPartialState(n, regs))
+      Iterator.single(CmsPartialRow(key._1, key._2, n, regs.clone()))
+    }
+  }
+
+  /** q162's CMS with types×`salts` fold parallelism (see
+    * hllSketchStreamPartials).
+    */
+  def cmsStreamPartials(events: Dataset[Event], salts: Int = 32,
+      dRows: Int = 4, w: Int = 256): Dataset[CmsPartialRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.event_type, (e.user_id % salts).toInt))
+      .transformWithState(new CmsPartialProcessor(dRows, w),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Stateless downstream assembly for CMS: per (type, salt) keep the
+    * max-n (final) emission, then element-wise ADD across salts — the
+    * CMS merge — and summarize. Bit-identical to cmsStreamTws's final
+    * rows and the batch register table over the same rows.
+    */
+  def mergeCmsPartials(partials: Dataset[CmsPartialRow], dRows: Int = 4,
+      w: Int = 256): Dataset[CmsRow] = {
+    import partials.sparkSession.implicits._
+    partials
+      .groupByKey(p => (p.event_type, p.salt))
+      .reduceGroups((a, b) => if (a.n >= b.n) a else b)
+      .map(_._2)
+      .groupByKey(_.event_type)
+      .reduceGroups { (a, b) =>
+        val m = a.regs.clone()
+        var i = 0
+        while (i < m.length) { m(i) += b.regs(i); i += 1 }
+        CmsPartialRow(a.event_type, -1, a.n + b.n, m)
+      }
+      .map { case (t, p) => cmsSummary(t, p.regs, dRows, w) }
+  }
+
   case class MgRow(event_type: String, n: Long, cand_ids: Array[Long],
       cand_counts: Array[Long])
 

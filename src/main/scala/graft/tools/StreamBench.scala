@@ -102,8 +102,12 @@ object StreamBench {
     run("session_window", "append")(df => EventStreams.sessionStream(df))
     run("hll_tws", "update")(df =>
       EventStreams.hllSketchStreamTws(df.as[Event]).toDF())
+    run("hll_partials", "update")(df =>
+      EventStreams.hllSketchStreamPartials(df.as[Event]).toDF())
     run("cms_tws", "update")(df =>
       EventStreams.cmsStreamTws(df.as[Event]).toDF())
+    run("cms_partials", "update")(df =>
+      EventStreams.cmsStreamPartials(df.as[Event]).toDF())
     run("transition_tws", "update")(df =>
       EventStreams.transitionStream(df.as[Event]).toDF())
     // the reference's flagship pipeline: ride projection → cleanse →

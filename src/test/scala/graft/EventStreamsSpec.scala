@@ -199,6 +199,58 @@ class EventStreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("salted-partial sketches merge to the batch sketch across a batch split") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val all = graft.core.Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect()
+    withRuntime(tws = true) {
+      // HLL: merge takes ALL update-mode emissions (register max is
+      // monotone-idempotent, no final-row selection needed)
+      val hIn = MemoryStream[Event]
+      val hq = EventStreams.hllSketchStreamPartials(hIn.toDS(), salts = 8)
+        .writeStream.format("memory").queryName("hll_partials")
+        .outputMode("update").start()
+      // CMS: merge selects each partial's final emission by fold count
+      val cIn = MemoryStream[Event]
+      val cq = EventStreams.cmsStreamPartials(cIn.toDS(), salts = 8)
+        .writeStream.format("memory").queryName("cms_partials")
+        .outputMode("update").start()
+      try {
+        all.grouped(math.max(1, all.length / 3 + 1)).foreach { chunk =>
+          hIn.addData(chunk.toIndexedSeq: _*); hq.processAllAvailable()
+          cIn.addData(chunk.toIndexedSeq: _*); cq.processAllAvailable()
+        }
+        val hllMerged = EventStreams.mergeHllPartials(
+            spark.table("hll_partials").as[EventStreams.HllPartialRow])
+          .as[(String, Long, Long, Long)].collect().toSet
+        val hllBatch = graft.operators.Relational.hllDistinct(spark, sf)
+          .select($"event_type", $"v_zero", $"hll_raw", $"hll_est")
+          .as[(String, Long, Long, Long)].collect().toSet
+        assert(hllMerged == hllBatch,
+          "HLL partials must max-merge to the batch sketch bit-for-bit")
+        // the CMS summary's F2 fingerprint is collision-sensitive enough
+        // to pin the whole merged register table against the unsalted twin
+        val cmsMerged = EventStreams.mergeCmsPartials(
+            spark.table("cms_partials").as[EventStreams.CmsPartialRow])
+          .as[(String, Long, Long, Long, Long)].collect().toSet
+        val cmsIn2 = MemoryStream[Event]
+        val cq2 = EventStreams.cmsStreamTws(cmsIn2.toDS())
+          .writeStream.format("memory").queryName("cms_unsalted")
+          .outputMode("update").start()
+        try {
+          cmsIn2.addData(all.toIndexedSeq: _*); cq2.processAllAvailable()
+          val unsalted = spark.table("cms_unsalted")
+            .as[(String, Long, Long, Long, Long)].collect().toSet
+          assert(cmsMerged == unsalted,
+            "CMS partials must add-merge to the unsalted stream's rows")
+        } finally cq2.stop()
+      } finally { hq.stop(); cq.stop() }
+    }
+  }
+
   test("anomaly stream state equals the q153 batch monitor across an arbitrary batch split") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
