@@ -1228,34 +1228,43 @@ object Relational {
     * diagnostic you run BEFORE a 100 TB join, on the key aggregate
     * (corpus-sublinear), not the join.
     *
-    * Scale: per-key dfs are one hash aggregate each; the percentile
-    * picks rank each audited relation independently through
-    * `Ranks.globalRank` (two-phase range-partition rank), so a
-    * billion-key histogram is never one sort partition.
+    * Scale: per-key dfs are one hash aggregate each; the percentiles
+    * then run on each relation's DEGREE HISTOGRAM (df → how many keys
+    * have that df), never on the key table: m distinct degree values
+    * satisfy m(m+1)/2 ≤ Σ df = n_rows, so m ≤ √(2·n_rows) — the
+    * per-relation prefix-sum window over the histogram is provably
+    * sublinear at any scale, and a billion-key relation contributes
+    * at most ~√(2·rows) histogram rows to one sort partition. The
+    * middle-rank pick is the covering-class lookup (the class whose
+    * cumulative key-count span [lo, hi] contains the target rank);
+    * ties on df within a class all carry the same df, so the row-rank
+    * form's (df, k) tiebreak cannot change the picked value.
     */
   def joinSkewAdvisor(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    def dfs(df: DataFrame, rel: String, key: String): DataFrame =
+    def dfHist(df: DataFrame, rel: String, key: String): DataFrame =
       df.groupBy(col(key).cast("long").as("k"))
         .agg(count(lit(1)).as("df"))
-        .select(lit(rel).as("relation"), $"k", $"df")
-    def rankedRel(df: DataFrame, rel: String, key: String): DataFrame = {
-      val base = dfs(df, rel, key)
-      Ranks.globalRank(base, "rn", $"df", $"k")
-        .crossJoin(broadcast(base.agg(count(lit(1)).as("n_keys"))))
-    }
-    val keys = dfs(lineitem(spark, d), "lineitem.l_partkey", "l_partkey")
-      .unionByName(dfs(events(spark, d), "events.user_id", "user_id"))
-    val ranked = rankedRel(lineitem(spark, d), "lineitem.l_partkey", "l_partkey")
-      .unionByName(rankedRel(events(spark, d), "events.user_id", "user_id"))
-    val agg = keys.groupBy($"relation")
-      .agg(sum($"df").as("n_rows"), count(lit(1)).as("n_keys"),
+        .groupBy(lit(rel).as("relation"), $"df")
+        .agg(count(lit(1)).as("cnt"))
+    val hist = Ranks.pinBase(
+      dfHist(lineitem(spark, d), "lineitem.l_partkey", "l_partkey")
+        .unionByName(dfHist(events(spark, d), "events.user_id", "user_id")))
+    val scan = Window.partitionBy($"relation").orderBy($"df")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pf = hist
+      .withColumn("hi", sum($"cnt").over(scan))
+      .withColumn("lo", $"hi" - $"cnt" + 1L)
+      .withColumn("n_keys", sum($"cnt").over(Window.partitionBy($"relation")))
+    def pick(p: Int, out: String): DataFrame = pf
+      .filter($"lo" <= expr(s"($p * n_keys + 99) div 100") &&
+        expr(s"($p * n_keys + 99) div 100") <= $"hi")
+      .select($"relation", $"df".as(out))
+    val agg = hist.groupBy($"relation")
+      .agg(sum($"df" * $"cnt").as("n_rows"), sum($"cnt").as("n_keys"),
         max($"df").as("max_df"))
-    val p50 = ranked.filter($"rn" === expr("(50 * n_keys + 99) div 100"))
-      .select($"relation", $"df".as("p50_df"))
-    val p99 = ranked.filter($"rn" === expr("(99 * n_keys + 99) div 100"))
-      .select($"relation", $"df".as("p99_df"))
-    agg.join(p50, "relation").join(p99, "relation")
+    agg.join(pick(50, "p50_df"), "relation")
+      .join(pick(99, "p99_df"), "relation")
       .select($"relation", $"n_rows", $"n_keys", $"max_df", $"p50_df",
         $"p99_df",
         expr("max_df * n_keys * 1000000L div n_rows").as("skew_q6"),

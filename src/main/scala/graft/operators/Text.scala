@@ -1503,29 +1503,57 @@ object Text {
     */
   def robustSourceStats(spark: SparkSession, d: String, madK: Int = 3): DataFrame = {
     import spark.implicits._
-    val x = documents(spark, d).select($"source", $"doc_id", $"n_chars".as("x"))
-    // middle-rank picks via the two-phase group rank — a giant source's
-    // population is never one sort partition; (col, doc_id) is total, so
-    // the row_number fast path applies (rank == row_number)
-    def medianOf(df: DataFrame, col: String, out: String): DataFrame = {
-      val rk = graft.operators.Ranks.groupRowNumber(df, "rn",
-        Seq($"source"), Seq(df(col), $"doc_id"))
-      rk.join(broadcast(rk.groupBy($"source").agg(count(lit(1)).as("n"))),
-          "source")
-        .filter($"rn" === expr("(n + 1) div 2") || $"rn" === expr("(n + 2) div 2"))
+    // ONE full-data pass: the (source, n_chars) CLASS HISTOGRAM — value
+    // cardinality is corpus-sublinear (document lengths repeat), the
+    // aggregate map-side combines, and every later phase (both medians,
+    // the MAD deviation re-bucket, the outlier count) runs on |classes|
+    // rows. The row-level form this replaced ranked the full table twice
+    // (two range shuffles + a row join); here the raw rows are never
+    // shuffled again after the first combine.
+    val hist = graft.operators.Ranks.pinBase(
+      documents(spark, d).groupBy($"source", $"n_chars".as("x"))
+        .agg(count(lit(1)).as("cnt")))
+    // weighted median over a class histogram: inclusive prefix counts
+    // give each class its rank span [lo, hi]; the middle ranks
+    // (n+1)/2, (n+2)/2 select 1–2 covering classes, and the weighted
+    // average reproduces the row form's sum/count over the picked rows
+    // bit-for-bit (w ∈ {1, 2}; multiplication by w is exact). The
+    // per-source window is NOT the hot-group hazard the row form had:
+    // a source's class count is bounded by its distinct VALUE count
+    // (≤ max document length for n_chars, ≤ 2× that for |x − median|),
+    // a constant that does not grow with corpus rows — so one sort
+    // partition per source holds the whole histogram at any scale.
+    def medianOfHist(h: DataFrame, valCol: String, out: String): DataFrame = {
+      val scan = Window.partitionBy($"source").orderBy(col(valCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.partitionBy($"source")
+      h.withColumn("hi", sum($"cnt").over(scan))
+        .withColumn("n", sum($"cnt").over(all))
+        .withColumn("lo", $"hi" - $"cnt" + 1L)
+        .withColumn("m1", expr("(n + 1) div 2"))
+        .withColumn("m2", expr("(n + 2) div 2"))
+        .withColumn("w",
+          ($"lo" <= $"m1" && $"m1" <= $"hi").cast("long") +
+          ($"m1" =!= $"m2" && $"lo" <= $"m2" && $"m2" <= $"hi").cast("long"))
+        .filter($"w" > 0L)
         .groupBy($"source")
-        .agg((sum(col).cast("double") / count(lit(1))).as(out))
+        .agg((sum(col(valCol) * $"w").cast("double") / sum($"w")).as(out))
     }
-    val med = medianOf(x, "x", "median_chars")
-    val dev = x.join(med, "source")
-      .withColumn("dev", abs($"x".cast("double") - $"median_chars"))
-    val mad = medianOf(dev.select($"source", $"doc_id", $"dev"), "dev", "mad_chars")
-    dev.join(mad, "source")
+    val med = medianOfHist(hist, "x", "median_chars")
+    // deviation classes derive from the VALUE histogram, not the rows:
+    // |x − median| collapses at most two value classes per dev class
+    val devHist = graft.operators.Ranks.pinBase(
+      hist.join(broadcast(med), "source")
+        .withColumn("dev", abs($"x".cast("double") - $"median_chars"))
+        .groupBy($"source", $"dev").agg(sum($"cnt").as("cnt")))
+    val mad = medianOfHist(devHist, "dev", "mad_chars")
+    devHist.join(broadcast(med), "source").join(broadcast(mad), "source")
       .groupBy($"source")
-      .agg(count(lit(1)).as("n_docs"),
+      .agg(sum($"cnt").as("n_docs"),
         max($"median_chars").as("median_chars"),
         max($"mad_chars").as("mad_chars"),
-        sum(($"dev" > lit(madK) * $"mad_chars").cast("long")).as("n_outliers"))
+        sum(($"dev" > lit(madK) * $"mad_chars").cast("long") * $"cnt")
+          .as("n_outliers"))
   }
 
   /** q122: PMI collocations — the top-k bigram types by pointwise mutual
