@@ -575,25 +575,34 @@ object Sampling {
     * every eval number downstream is suspect. The same machinery audits
     * any other split column (q132's cluster-safe split, a time split).
     *
-    * Scale: percentile picks ride `Ranks.groupRowNumber` under the
-    * total (n_chars, doc_id) order — a split IS a giant group (80 % of
-    * the corpus in one key), exactly the hot-group shape the machinery
-    * exists for; never a per-split sort partition. Everything after is
-    * arithmetic on 3 rows.
+    * Scale: the percentile picks run on each split's (n_chars) CLASS
+    * HISTOGRAM (the q121/q167 covering-class convention) — one
+    * map-side-combined aggregate is the only full-data pass, and the
+    * per-split prefix window touches ≤ |distinct lengths| rows (a
+    * constant that does not grow with corpus rows), so the 80 %-of-
+    * corpus train split is never a hot sort group. The picked rank's
+    * covering class carries the picked value; the row form's doc_id
+    * tiebreak cannot change it (all rows in a class share n_chars).
+    * Everything after is arithmetic on 3 rows.
     */
   def splitDriftAudit(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val base = hashSplit(spark, d)
+    val hist = Ranks.pinBase(hashSplit(spark, d)
       .join(documents(spark, d).select($"doc_id", $"n_chars"), "doc_id")
-      .select($"split", $"doc_id", $"n_chars")
-    val counts = base.groupBy($"split")
-      .agg(count(lit(1)).as("n"), sum($"n_chars").as("tot"))
-    val rk = Ranks.groupRowNumber(base, "rn",
-      Seq($"split"), Seq($"n_chars", $"doc_id"))
-    val picks = rk.join(broadcast(counts), "split")
+      .groupBy($"split", $"n_chars").agg(count(lit(1)).as("cnt")))
+    val counts = hist.groupBy($"split")
+      .agg(sum($"cnt").as("n"), sum($"n_chars" * $"cnt").as("tot"))
+    val scan = Window.partitionBy($"split").orderBy($"n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val picks = hist
+      .withColumn("hi", sum($"cnt").over(scan))
+      .withColumn("lo", $"hi" - $"cnt" + 1L)
+      .withColumn("n", sum($"cnt").over(Window.partitionBy($"split")))
       .select($"split",
-        when($"rn" === expr("(50 * n + 99) div 100"), $"n_chars").as("c50"),
-        when($"rn" === expr("(90 * n + 99) div 100"), $"n_chars").as("c90"))
+        when($"lo" <= expr("(50 * n + 99) div 100") &&
+          expr("(50 * n + 99) div 100") <= $"hi", $"n_chars").as("c50"),
+        when($"lo" <= expr("(90 * n + 99) div 100") &&
+          expr("(90 * n + 99) div 100") <= $"hi", $"n_chars").as("c90"))
       .groupBy($"split")
       .agg(max($"c50").as("p50_chars"), max($"c90").as("p90_chars"))
     val stats = counts.join(picks, "split")

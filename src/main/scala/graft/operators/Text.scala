@@ -715,22 +715,33 @@ object Text {
     * into the result), both sums accumulate in DECIMAL(38,0)/HUGEINT,
     * and the single division happens once in both engines.
     *
-    * Scale: within-source ranks on `Ranks.groupRowNumber` (a hot
-    * source is never one sort partition), then one map-side-combined
-    * aggregate onto |sources| rows.
+    * Scale: the rank-weighted sum collapses onto the per-source LENGTH
+    * HISTOGRAM (the q121 covering-class convention): a value class with
+    * rank span [lo, hi] contributes x·Σ_{i=lo..hi} i = x·(lo+hi)·cnt/2
+    * exactly (ties exchange equal lengths, so per-row ranks are never
+    * needed), and 2·Σᵢ i·x = Σ x·(lo+hi)·cnt with every product exact
+    * in DECIMAL(38,0). One map-side-combined aggregate is the only
+    * full-data pass; the per-source prefix window touches ≤ |distinct
+    * lengths| rows — a constant under corpus growth.
     */
   def lengthGini(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val dec38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
-    val r = graft.operators.Ranks.groupRowNumber(
-      documents(spark, d).select($"source", $"doc_id", $"n_chars"),
-      "i", Seq($"source"), Seq($"n_chars".asc, $"doc_id".asc))
-    r.groupBy($"source").agg(
-        count(lit(1)).as("n"),
-        sum($"n_chars".cast(dec38)).as("s0"),
-        sum(($"i" * $"n_chars").cast(dec38)).as("s1"))
+    val hist = documents(spark, d)
+      .groupBy($"source", $"n_chars").agg(count(lit(1)).as("cnt"))
+    val scan = Window.partitionBy($"source").orderBy($"n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("hi", sum($"cnt").over(scan))
+      .withColumn("lo", $"hi" - $"cnt" + 1L)
+      .groupBy($"source").agg(
+        sum($"cnt").as("n"),
+        sum(($"n_chars" * $"cnt").cast(dec38)).as("s0"),
+        // Σ x·(lo+hi)·cnt = 2·Σᵢ i·x — the doubled rank-weighted sum
+        sum(($"lo" + $"hi").cast(dec38) * $"cnt".cast(dec38)
+          * $"n_chars".cast(dec38)).as("s2"))
       .select($"source", $"n", $"s0".cast("long").as("total_chars"),
-        round((lit(2L) * $"s1" - ($"n" + lit(1L)) * $"s0").cast("double")
+        round(($"s2" - ($"n" + lit(1L)) * $"s0").cast("double")
           / ($"n" * $"s0").cast("double") * lit(1000000.0))
           .cast("long").as("gini_q6"))
   }
