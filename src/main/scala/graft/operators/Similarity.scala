@@ -456,10 +456,11 @@ object Similarity {
     * dedup), then fans out to the budgets it satisfies via a scan-stage
     * literal-array filter. The brute reference enters the SAME pipeline
     * as sentinel budget 0 (its recall row is the 1.0 calibration
-    * check), so ALL (budget, query) top-k ranks come from ONE
-    * `Ranks.groupRowNumber` machine — cosines are near-unique doubles
-    * (the class-histogram degeneracy), and a per-query window would
-    * sort each query's whole candidate set through one partition.
+    * check), so ALL (budget, query) top-k sets come from ONE native
+    * bounded-heap aggregate (`Ranks.groupTopK` — map-side partial
+    * heaps, no full rank of the scored candidates) — cosines are near-unique doubles
+    * (a per-query window would instead sort each query's whole
+    * candidate set through one partition).
     *
     * Scale: queries broadcast; the IVF candidate join hash-partitions
     * on list id; the brute side is the declared exact reference (the
@@ -494,10 +495,16 @@ object Similarity {
     val brute = c.join(broadcast(queries), $"vec_id" =!= $"q_id")
       .select(lit(0L).as("n_probe"), $"q_id", $"vec_id".as("n_id"),
         cosineFromParts(dotPreQ($"q_qemb", $"qemb"), $"q_n2", $"n2").as("cos"))
-    val all = brute.unionByName(leveled)
-    val rankedAll = Ranks.groupRowNumber(all, "rnk",
-      Seq($"n_probe", $"q_id"), Seq($"cos".desc, $"n_id".asc))
-    val topk = rankedAll.filter($"rnk" <= k)
+    // pinned: the top-k heap aggregate AND the candidate-volume count
+    // both read the scored union without re-running the two joins
+    val all = Ranks.pinBase(brute.unionByName(leveled))
+    // per-(budget, query) top-k via the native bounded-heap aggregate
+    // (map-side partial heaps, shuffle carries ≤ partitions·k rows per
+    // group) — replaces a full rank of every scored candidate; the
+    // negated-cosine struct key reproduces (cos desc, n_id asc)
+    val topk = Ranks.groupTopK(
+        all.select($"n_probe", $"q_id", (-$"cos").as("nc"), $"n_id"),
+        k, "rnk", Seq($"n_probe", $"q_id"), struct($"nc", $"n_id"))
       .select($"n_probe", $"q_id", $"n_id")
     val truth = topk.filter($"n_probe" === 0L)
       .select($"q_id".as("t_q"), $"n_id".as("t_n"))

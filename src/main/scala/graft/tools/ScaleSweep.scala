@@ -183,10 +183,13 @@ object ScaleSweep {
     if (args.contains("--fixture-only")) return
     // --all: sweep the ENTIRE query catalog (single run per query,
     // declared-quadratic rungs skipped) — the long-tail safety net the
-    // top-10 table can't give; default sweeps the top-10 twice each
+    // top-10 table can't give; explicit query names (after <src>
+    // <factor>) sweep just those, twice each; default is the top-10
     val allMode = args.contains("--all")
+    val named = args.drop(2).filterNot(_.startsWith("--"))
     val queries =
-      if (allMode) graft.SparkEntry.queries.keys.toSeq.sorted
+      if (named.nonEmpty) named.toSeq
+      else if (allMode) graft.SparkEntry.queries.keys.toSeq.sorted
         .filterNot(declaredQuadratic)
       else heavies
     // shuffle partitions scale with the data (the cluster operating

@@ -125,10 +125,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"phash pair join must stay a hash equi-join on the band key:\n$p")
   }
 
-  test("q192 probe-sweep ranks ride ONE two-phase machine; candidates hash-join on list id") {
+  test("q192 probe-sweep top-k rides the native bounded-heap aggregate; candidates hash-join on list id") {
     val p = plan(graft.operators.Similarity.ivfProbeSweep(spark, sf))
-    assert(p.contains("ExistingRDD") && p.contains("__pid"),
-      s"all (budget, query) ranks must come from the checkpointed range machine:\n$p")
+    assert(p.contains("topk_rows") && p.contains("partial_topk_rows"),
+      s"all (budget, query) top-k sets must fold map-side k heaps:\n$p")
+    assert(!p.contains("Window"),
+      s"no per-query window may rank the scored candidates:\n$p")
     assert(!p.contains("CartesianProduct"),
       s"no cartesian anywhere in the sweep:\n$p")
   }
