@@ -118,12 +118,47 @@ object Ranks {
     * shuffle, per-partition running sum, driver-collected per-partition
     * weight totals as offsets.
     */
+  /** Inputs at or under this row count take the single-sorted-task
+    * window path in the rank/scan machinery instead of the
+    * range-partitioned construction: one sorted scan of ≤ 2^18 slim
+    * rows is cheaper than the sample job + range shuffle + offsets
+    * collect it replaces — on a 1000-executor cluster as much as on
+    * local[32] (the machinery exists for inputs that OUTGROW one
+    * task, and engaging it below that size only adds exchanges). The
+    * AQE move: pick the physical strategy from a runtime statistic;
+    * both paths produce identical values under the required total
+    * order, so the dial is invisible to callers and oracles
+    * (RanksSpec pins the equality, PlanShapeSpec pins both arms).
+    * Override via `spark.graft.rank.windowMaxRows` (0 forces the
+    * machinery; the count that prices the dial also materializes the
+    * persist the range sampler would have paid for anyway).
+    */
+  private def windowMaxRows(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.graft.rank.windowMaxRows")
+      .map(_.toLong).getOrElse(1L << 18)
+
   private def prefixSumImpl(df: DataFrame, outCol: String,
       order: Seq[Column]): DataFrame = {
     val spark = df.sparkSession
     val parts = spark.sparkContext.defaultParallelism
     val input = df.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one cheap job: materializes the persist (the range sampler would
+    // have paid it anyway) and prices the small-side dial
+    val n = input.count()
+    if (n <= windowMaxRows(spark)) {
+      // |classes| fits one sorted scan task — the exclusive prefix sum
+      // is a global-order window (one single-partition exchange over
+      // histogram rows, never corpus rows); checkpoint pins the result
+      // for its two consumers exactly like the machinery path
+      val w = Window.orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val out = input
+        .withColumn(outCol, sum(col("__cnt")).over(w) - col("__cnt"))
+        .localCheckpoint()
+      input.unpersist()
+      return out
+    }
     val parted = input
       .repartitionByRange(parts, order: _*)
       .withColumn("__pid", spark_partition_id())
@@ -220,12 +255,26 @@ object Ranks {
     val parts = spark.sparkContext.defaultParallelism
     val input = df.withColumn("__w", weight).persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def comb(c: Column) = if (isMax) max(c) else sum(c)
+    // the count prices the small-side dial AND materializes the persist
+    // (the range sampler would have paid that anyway)
+    if (input.count() <= windowMaxRows(spark)) {
+      // the whole input fits sorted tasks: this IS the window form the
+      // machinery decomposes (its scaladoc's "distributed replacement
+      // for"), legitimate again because no group can exceed the pinned
+      // row bound; checkpoint keeps multi-consumer callers re-reading
+      val pinned = input.localCheckpoint()
+      input.unpersist()
+      val w = Window.partitionBy(groups: _*).orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding,
+          if (exclusive) -1 else Window.currentRow)
+      return pinned.withColumn(outCol, comb(col("__w")).over(w)).drop("__w")
+    }
     val parted = input
       .repartitionByRange(parts, groups ++ order: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
     input.unpersist()
-    def comb(c: Column) = if (isMax) max(c) else sum(c)
     val cellNames = "__pid" +: groups.map(g =>
       parted.select(g).columns.head)
     val cells = parted.groupBy(col("__pid") +: groups: _*)
@@ -291,6 +340,21 @@ object Ranks {
     val input =
       if (prePinned) df
       else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the count prices the small-side dial AND materializes the persist
+    // (the range sampler would have paid that anyway)
+    val n = input.count()
+    if (n <= windowMaxRows(spark)) {
+      // the whole input fits one sorted task: pin it (its consumers —
+      // the offset aggregate and the final join in the group forms —
+      // re-read the checkpoint) and rank with one global-order window
+      // (one single-partition exchange of ≤ windowMaxRows slim rows);
+      // under the required total order this is the machinery's
+      // local-rank + offset, bit for bit
+      val pinned = if (prePinned) input else input.localCheckpoint()
+      if (!prePinned) input.unpersist()
+      return pinned.withColumn(rankCol,
+        row_number().over(Window.orderBy(order: _*)).cast("long"))
+    }
     val parted = input
       .repartitionByRange(parts, order: _*)
       .withColumn("__pid", spark_partition_id())

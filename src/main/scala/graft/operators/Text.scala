@@ -124,10 +124,31 @@ object Text {
 
   /** Per-document quality scores: token counts, stop-word ratio, mean
     * token length — the length/punct/stopword-ratio heuristics of large
-    * corpus filtering, all codegen'd column math (no shuffle at all:
-    * embarrassingly parallel over the scan).
+    * corpus filtering. The four counters come from ONE native byte scan
+    * per row (`plans.QualityCountersExpr` — no interpreted HOF passes,
+    * no shuffle: embarrassingly parallel over the scan); the HOF chain
+    * is kept as `qualityScoreHof`, the spec's equality reference.
     */
   def qualityScore(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, d)
+      .select($"doc_id",
+        graft.plans.QualityCountersOps.qualityCounters($"text").as("qc"))
+      .select(
+        $"doc_id",
+        $"qc.n_tokens".as("n_tokens"),
+        $"qc.n_stop".as("n_stop"),
+        $"qc.n_alpha".as("n_alpha"),
+        ($"qc.n_stop".cast("double") / $"qc.n_tokens").as("stop_ratio"),
+        ($"qc.sum_tok_len".cast("double") / $"qc.n_tokens").as("mean_tok_len"),
+        ($"qc.n_alpha".cast("double") / $"qc.n_tokens").as("alpha_ratio"))
+  }
+
+  /** The composed-builtin HOF form of `qualityScore` — the directly-
+    * oracle-shaped rung and QualityCountersExprSpec's equality
+    * reference.
+    */
+  private[graft] def qualityScoreHof(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val stop = typedLit(StopWords)
     documents(spark, d)

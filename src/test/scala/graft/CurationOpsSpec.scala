@@ -117,16 +117,22 @@ class CurationOpsSpec extends AnyFunSuite {
       .as[(Long, String, Long, Long, Long)].collect().toSet
     assert(cell == global,
       "distributed running-sum decomposition drifted from the per-source window")
-    // the default plan must not carry a running-sum window partitioned
-    // by source alone (the single-window signature — one sort partition
-    // per source at scale); the decomposition's in-cell window
-    // partitions by (__pid, source) and the offset scan runs per source
-    // over the tiny (partition, source) cell table ordered by __pid
-    val plan = Sampling.packSequences(spark, sf)
-      .queryExecution.optimizedPlan.toString
+    // at spec scale the rank dial's window arm legitimately runs the
+    // per-source running sum (the corpus sits under windowMaxRows, so
+    // no source can exceed one sorted task); forcing windowMaxRows=0
+    // must re-engage the range-cell decomposition — no running-sum
+    // window partitioned by source alone (the single-window signature,
+    // one sort partition per source at scale), in-cell windows on
+    // (__pid, source), offset scan over the tiny cell table
+    // budget 2047 ≠ the memoized default entry, so the machinery arm
+    // builds fresh under the forced conf instead of reading the memo
+    spark.conf.set("spark.graft.rank.windowMaxRows", "0")
+    val plan = try Sampling.packSequences(spark, sf, budget = 2047)
+        .queryExecution.optimizedPlan.toString
+      finally spark.conf.unset("spark.graft.rank.windowMaxRows")
     val sig = """windowspecdefinition\(source#\d+, doc_id#\d+L? ASC""".r
     assert(sig.findFirstIn(plan).isEmpty,
-      s"default plan still runs the per-source running-sum window:\n$plan")
+      s"machinery arm still runs the per-source running-sum window:\n$plan")
     assert(plan.contains("__pid") || plan.contains("LogicalRDD")
         || plan.contains("InMemoryRelation"),
       s"expected the range-cell decomposition markers in the plan:\n$plan")

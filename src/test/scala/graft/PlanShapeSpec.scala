@@ -44,19 +44,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
-  test("q165/q174 ranks ride the two-phase range partition, not one sort") {
+  test("q165/q174 ranks are pinned; the dial's machinery arm engages on demand") {
     for ((name, df) <- Seq(
         ("q165", graft.operators.Windowed.rfmSegments(spark, sf)),
         ("q174", graft.operators.Windowed.sessionStats(spark, sf)))) {
       val p = plan(df)
-      // the range shuffle ran eagerly behind the localCheckpoint — the
-      // final plan reads the pinned RDD and its rank windows partition
-      // on the range-bucket id, never an unpartitioned sort
+      // at spec scale the rank base sits under the 2^18 dial, so the
+      // plan reads the pinned (checkpointed) base and one sorted task
+      // ranks it; the machinery arm is pinned separately below
       assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
-        s"$name: expected the checkpointed range partitioning:\n$p")
-      assert(p.contains("__pid"),
-        s"$name: rank windows must partition on the range bucket:\n$p")
+        s"$name: expected the checkpointed rank base:\n$p")
     }
+  }
+
+  test("rank dial: forcing windowMaxRows=0 engages the range machinery") {
+    import spark.implicits._
+    val df = spark.range(100).select($"id".as("v"))
+    val small = plan(graft.operators.Ranks.globalRank(df, "r", $"v".asc))
+    assert(small.contains("ExistingRDD") && !small.contains("__pid"),
+      s"under the dial a small input must rank as one pinned sorted task:\n$small")
+    spark.conf.set("spark.graft.rank.windowMaxRows", "0")
+    try {
+      val big = plan(graft.operators.Ranks.globalRank(df, "r", $"v".asc))
+      assert(big.contains("__pid"),
+        s"windowMaxRows=0 must engage the range-partitioned machinery:\n$big")
+    } finally spark.conf.unset("spark.graft.rank.windowMaxRows")
   }
 
   test("q20 heap top-k equals the window AND salted rungs; plan has no window at all") {
@@ -111,12 +123,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"orphan probes must be broadcast anti-joins:\n$p")
   }
 
-  test("q191 equi-depth rank rides the two-phase range partition, not one type sort") {
+  test("q191 equi-depth rank reads a pinned base, never a bare type sort") {
     val p = plan(graft.operators.Relational.equiDepthHist(spark, sf))
+    // at spec scale the dial takes the pinned single-sorted-task arm;
+    // the machinery arm is pinned by the rank-dial test above
     assert(p.contains("ExistingRDD"),
-      s"expected the checkpointed range partitioning:\n$p")
-    assert(p.contains("__pid"),
-      s"rank windows must partition on the range bucket:\n$p")
+      s"expected the checkpointed rank base:\n$p")
   }
 
   test("q188 phash candidates come from the band equi-join, not an all-pairs loop") {

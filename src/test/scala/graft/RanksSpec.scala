@@ -220,4 +220,33 @@ class RanksSpec extends AnyFunSuite {
         s"$name: skewed corpus took ${ts}s vs balanced ${tb}s — not flat")
     }
   }
+
+  test("small-side dial: window arm equals the range machinery bit for bit") {
+    import spark.implicits._
+    // 5k rows with ties and a hot group — under the 2^18 dial, so the
+    // default path is the single-sorted-task window; forcing
+    // windowMaxRows=0 engages the range machinery on the SAME input.
+    // Every machine must produce identical values either way.
+    val df = spark.range(5000).select(
+      (pmod(hash($"id"), lit(10L)) < 9L).cast("int").as("g"),
+      pmod(hash($"id", lit(1)), lit(97L)).as("v"),
+      $"id".as("rid"))
+    val machines: Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)] = Seq(
+      "globalRank" -> (in => Ranks.globalRank(in, "r", $"v".asc, $"rid".asc)),
+      "groupRowNumber" -> (in => Ranks.groupRowNumber(in, "r",
+        Seq($"g"), Seq($"v", $"rid"))),
+      "groupRank" -> (in => Ranks.groupRank(in, "r", Seq($"g"), Seq($"v"))),
+      "groupRunningSum" -> (in => Ranks.groupRunningSum(in, "r",
+        Seq($"g"), Seq($"v", $"rid"), $"v")),
+      "groupRunningMaxExcl" -> (in => Ranks.groupRunningMaxExcl(in, "r",
+        Seq($"g"), Seq($"v", $"rid"), $"v")))
+    for ((name, make) <- machines) {
+      val small = make(df).orderBy($"rid").collect()
+      spark.conf.set("spark.graft.rank.windowMaxRows", "0")
+      val big = try make(df).orderBy($"rid").collect()
+        finally spark.conf.unset("spark.graft.rank.windowMaxRows")
+      assert(small.sameElements(big),
+        s"$name: dial arms diverge — ${small.take(3).mkString(";")} vs ${big.take(3).mkString(";")}")
+    }
+  }
 }

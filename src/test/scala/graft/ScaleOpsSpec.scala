@@ -246,10 +246,17 @@ class ScaleOpsSpec extends AnyFunSuite {
   }
 
   test("curriculumOrder: positions = the global (decile DESC, shuf, doc_id) rank, " +
-      "no single-partition exchange") {
+      "machinery arm never funnels") {
     import spark.implicits._
     val co = Sampling.curriculumOrder(spark, sf)
-    val plan = co.queryExecution.executedPlan.toString
+    // at spec scale the rank dial's single-sorted-task arm runs (one
+    // SinglePartition exchange of ≤ 2^18 slim rows is the point);
+    // forcing windowMaxRows=0 must re-engage the two-phase machinery
+    // with no funnel
+    spark.conf.set("spark.graft.rank.windowMaxRows", "0")
+    val plan = try Sampling.curriculumOrder(spark, sf)
+        .queryExecution.executedPlan.toString
+      finally spark.conf.unset("spark.graft.rank.windowMaxRows")
     assert(!plan.contains("Exchange SinglePartition"), "two-phase rank must not funnel")
     val rows = co.as[(Long, Long, Long, Long)].collect()
     val expect = rows.sortBy { case (id, dec, sh, _) => (-dec, sh, id) }
