@@ -42,6 +42,26 @@ object Ranks {
     */
   def pinBase(df: DataFrame): DataFrame = df.localCheckpoint()
 
+  /** Covering-class spans over a CLASS HISTOGRAM (`cnt` rows per
+    * (groups, value) class): appends the inclusive prefix count `hi`,
+    * the span start `lo` = hi − cnt + 1, and the per-group total `n` —
+    * the covering-class convention q121/q167/q197/q216 share. A class
+    * covers rank r iff lo ≤ r ≤ hi, so percentile picks and
+    * rank-weighted sums read off the histogram without ever ranking
+    * rows. The per-group window is legitimate ONLY when the class
+    * count per group is bounded by value cardinality rather than
+    * corpus rows — each caller's scaladoc carries its bound argument.
+    */
+  def classSpans(hist: DataFrame, groups: Seq[Column], value: Column,
+      cnt: Column): DataFrame = {
+    val scan = Window.partitionBy(groups: _*).orderBy(value)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("hi", sum(cnt).over(scan))
+      .withColumn("lo", col("hi") - cnt + lit(1L))
+      .withColumn("n", sum(cnt).over(Window.partitionBy(groups: _*)))
+  }
+
   /** Append `rankCol` = SQL `rank()` within each group (ties share a
     * rank) WITHOUT a group-partitioned window: one `globalRank` under
     * the total order (groups, values, tiebreaks) — each group is a
@@ -137,6 +157,16 @@ object Ranks {
     spark.conf.getOption("spark.graft.rank.windowMaxRows")
       .map(_.toLong).getOrElse(1L << 18)
 
+  /** The dial predicate: bound 0 forces the machinery even on an empty
+    * input (the documented contract — `n <= 0` would otherwise route a
+    * 0-row frame through the window arm under a forced-machinery conf).
+    */
+  private def takesWindowArm(spark: org.apache.spark.sql.SparkSession,
+      n: Long): Boolean = {
+    val bound = windowMaxRows(spark)
+    bound > 0 && n <= bound
+  }
+
   private def prefixSumImpl(df: DataFrame, outCol: String,
       order: Seq[Column]): DataFrame = {
     val spark = df.sparkSession
@@ -146,7 +176,7 @@ object Ranks {
     // one cheap job: materializes the persist (the range sampler would
     // have paid it anyway) and prices the small-side dial
     val n = input.count()
-    if (n <= windowMaxRows(spark)) {
+    if (takesWindowArm(spark, n)) {
       // |classes| fits one sorted scan task — the exclusive prefix sum
       // is a global-order window (one single-partition exchange over
       // histogram rows, never corpus rows); checkpoint pins the result
@@ -258,7 +288,7 @@ object Ranks {
     def comb(c: Column) = if (isMax) max(c) else sum(c)
     // the count prices the small-side dial AND materializes the persist
     // (the range sampler would have paid that anyway)
-    if (input.count() <= windowMaxRows(spark)) {
+    if (takesWindowArm(spark, input.count())) {
       // the whole input fits sorted tasks: this IS the window form the
       // machinery decomposes (its scaladoc's "distributed replacement
       // for"), legitimate again because no group can exceed the pinned
@@ -343,7 +373,7 @@ object Ranks {
     // the count prices the small-side dial AND materializes the persist
     // (the range sampler would have paid that anyway)
     val n = input.count()
-    if (n <= windowMaxRows(spark)) {
+    if (takesWindowArm(spark, n)) {
       // the whole input fits one sorted task: pin it (its consumers —
       // the offset aggregate and the final join in the group forms —
       // re-read the checkpoint) and rank with one global-order window

@@ -1250,21 +1250,19 @@ object Relational {
     val hist = Ranks.pinBase(
       dfHist(lineitem(spark, d), "lineitem.l_partkey", "l_partkey")
         .unionByName(dfHist(events(spark, d), "events.user_id", "user_id")))
-    val scan = Window.partitionBy($"relation").orderBy($"df")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val pf = hist
-      .withColumn("hi", sum($"cnt").over(scan))
-      .withColumn("lo", $"hi" - $"cnt" + 1L)
-      .withColumn("n_keys", sum($"cnt").over(Window.partitionBy($"relation")))
-    def pick(p: Int, out: String): DataFrame = pf
-      .filter($"lo" <= expr(s"($p * n_keys + 99) div 100") &&
-        expr(s"($p * n_keys + 99) div 100") <= $"hi")
-      .select($"relation", $"df".as(out))
+    // both percentiles from ONE pass over the spanned histogram
+    val picks = Ranks.classSpans(hist, Seq($"relation"), $"df", $"cnt")
+      .select($"relation",
+        when($"lo" <= expr("(50 * n + 99) div 100") &&
+          expr("(50 * n + 99) div 100") <= $"hi", $"df").as("c50"),
+        when($"lo" <= expr("(99 * n + 99) div 100") &&
+          expr("(99 * n + 99) div 100") <= $"hi", $"df").as("c99"))
+      .groupBy($"relation")
+      .agg(max($"c50").as("p50_df"), max($"c99").as("p99_df"))
     val agg = hist.groupBy($"relation")
       .agg(sum($"df" * $"cnt").as("n_rows"), sum($"cnt").as("n_keys"),
         max($"df").as("max_df"))
-    agg.join(pick(50, "p50_df"), "relation")
-      .join(pick(99, "p99_df"), "relation")
+    agg.join(picks, "relation")
       .select($"relation", $"n_rows", $"n_keys", $"max_df", $"p50_df",
         $"p99_df",
         expr("max_df * n_keys * 1000000L div n_rows").as("skew_q6"),

@@ -592,12 +592,7 @@ object Sampling {
       .groupBy($"split", $"n_chars").agg(count(lit(1)).as("cnt")))
     val counts = hist.groupBy($"split")
       .agg(sum($"cnt").as("n"), sum($"n_chars" * $"cnt").as("tot"))
-    val scan = Window.partitionBy($"split").orderBy($"n_chars")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val picks = hist
-      .withColumn("hi", sum($"cnt").over(scan))
-      .withColumn("lo", $"hi" - $"cnt" + 1L)
-      .withColumn("n", sum($"cnt").over(Window.partitionBy($"split")))
+    val picks = Ranks.classSpans(hist, Seq($"split"), $"n_chars", $"cnt")
       .select($"split",
         when($"lo" <= expr("(50 * n + 99) div 100") &&
           expr("(50 * n + 99) div 100") <= $"hi", $"n_chars").as("c50"),

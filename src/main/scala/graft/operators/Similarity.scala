@@ -500,11 +500,18 @@ object Similarity {
     val all = Ranks.pinBase(brute.unionByName(leveled))
     // per-(budget, query) top-k via the native bounded-heap aggregate
     // (map-side partial heaps, shuffle carries ≤ partitions·k rows per
-    // group) — replaces a full rank of every scored candidate; the
-    // negated-cosine struct key reproduces (cos desc, n_id asc)
+    // group) — replaces a full rank of every scored candidate. The
+    // struct key reproduces (cos desc, n_id asc) under Spark's double
+    // TOTAL order including non-finite cosines (a zero-norm embedding
+    // makes 0/0 = NaN): descending puts NaN first, then +Inf, then
+    // finite desc — the ascending heap key gets that from a NaN-first
+    // flag plus the negated cosine (negation alone would sort NaN last)
     val topk = Ranks.groupTopK(
-        all.select($"n_probe", $"q_id", (-$"cos").as("nc"), $"n_id"),
-        k, "rnk", Seq($"n_probe", $"q_id"), struct($"nc", $"n_id"))
+        all.select($"n_probe", $"q_id",
+          when(isnan($"cos"), lit(0)).otherwise(lit(1)).as("nanf"),
+          when(isnan($"cos"), lit(0.0)).otherwise(-$"cos").as("nc"),
+          $"n_id"),
+        k, "rnk", Seq($"n_probe", $"q_id"), struct($"nanf", $"nc", $"n_id"))
       .select($"n_probe", $"q_id", $"n_id")
     val truth = topk.filter($"n_probe" === 0L)
       .select($"q_id".as("t_q"), $"n_id".as("t_n"))

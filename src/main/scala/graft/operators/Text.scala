@@ -152,14 +152,13 @@ object Text {
     import spark.implicits._
     val stop = typedLit(StopWords)
     documents(spark, d)
-      .select($"doc_id", tokens($"text").as("ws"), $"n_chars")
+      .select($"doc_id", tokens($"text").as("ws"))
       .select(
         $"doc_id",
         size($"ws").cast("long").as("n_tokens"),
         size(filter($"ws", t => array_contains(stop, t))).cast("long").as("n_stop"),
         size(filter($"ws", t => t.rlike("^[a-z]+$"))).cast("long").as("n_alpha"),
-        tokenSum($"ws", length(_)).as("sum_tok_len"),
-        $"n_chars")
+        tokenSum($"ws", length(_)).as("sum_tok_len"))
       .select(
         $"doc_id", $"n_tokens", $"n_stop", $"n_alpha",
         ($"n_stop".cast("double") / $"n_tokens").as("stop_ratio"),
@@ -750,11 +749,7 @@ object Text {
     val dec38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
     val hist = documents(spark, d)
       .groupBy($"source", $"n_chars").agg(count(lit(1)).as("cnt"))
-    val scan = Window.partitionBy($"source").orderBy($"n_chars")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    hist
-      .withColumn("hi", sum($"cnt").over(scan))
-      .withColumn("lo", $"hi" - $"cnt" + 1L)
+    graft.operators.Ranks.classSpans(hist, Seq($"source"), $"n_chars", $"cnt")
       .groupBy($"source").agg(
         sum($"cnt").as("n"),
         sum(($"n_chars" * $"cnt").cast(dec38)).as("s0"),
@@ -1556,12 +1551,7 @@ object Text {
     // a constant that does not grow with corpus rows — so one sort
     // partition per source holds the whole histogram at any scale.
     def medianOfHist(h: DataFrame, valCol: String, out: String): DataFrame = {
-      val scan = Window.partitionBy($"source").orderBy(col(valCol))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val all = Window.partitionBy($"source")
-      h.withColumn("hi", sum($"cnt").over(scan))
-        .withColumn("n", sum($"cnt").over(all))
-        .withColumn("lo", $"hi" - $"cnt" + 1L)
+      graft.operators.Ranks.classSpans(h, Seq($"source"), col(valCol), $"cnt")
         .withColumn("m1", expr("(n + 1) div 2"))
         .withColumn("m2", expr("(n + 2) div 2"))
         .withColumn("w",

@@ -12,9 +12,11 @@ import org.apache.spark.sql.SparkSession
   */
 object ProfileJobs {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val warm = args.drop(1).contains("--warm")
-    val names = args.drop(1).filterNot(_ == "--warm")
+    // flags parse position-independently so `--warm` first still warms
+    val warm = args.contains("--warm")
+    val positional = args.filterNot(_.startsWith("--"))
+    val sfDir = positional.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = positional.drop(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

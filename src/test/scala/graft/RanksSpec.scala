@@ -249,4 +249,48 @@ class RanksSpec extends AnyFunSuite {
         s"$name: dial arms diverge — ${small.take(3).mkString(";")} vs ${big.take(3).mkString(";")}")
     }
   }
+
+  test("dial bound 0 forces the machinery even on an EMPTY input") {
+    import spark.implicits._
+    // the documented contract: windowMaxRows=0 means "never take the
+    // window arm" — an empty input (n=0 ≤ 0) must not sneak through it.
+    val empty = spark.range(0).select(
+      lit(0).as("g"), $"id".as("v"), $"id".as("rid"))
+    spark.conf.set("spark.graft.rank.windowMaxRows", "0")
+    try {
+      val outs = Seq(
+        Ranks.globalRank(empty, "r", $"v".asc, $"rid".asc),
+        Ranks.groupRowNumber(empty, "r", Seq($"g"), Seq($"v", $"rid")),
+        Ranks.groupRank(empty, "r", Seq($"g"), Seq($"v")),
+        Ranks.groupRunningSum(empty, "r", Seq($"g"), Seq($"v", $"rid"), $"v"),
+        Ranks.groupRunningMaxExcl(empty, "r", Seq($"g"), Seq($"v", $"rid"), $"v"))
+      // the guard routes n=0 through the machinery when forced — the
+      // pin is that the machinery itself (sampler, offsets collect,
+      // checkpoint) survives a zero-row input without throwing
+      for (out <- outs) assert(out.count() === 0L)
+    } finally spark.conf.unset("spark.graft.rank.windowMaxRows")
+  }
+
+  test("classSpans: lo/hi/n reproduce row-level rank spans on the histogram") {
+    import spark.implicits._
+    // law: for a class histogram of (g, v, cnt), lo == rank() of v's
+    // first row under (partition g order v), hi == lo + cnt − 1 ==
+    // the inclusive prefix count, n == the group's row count — the
+    // covering-class convention every percentile pick rides.
+    val rows = fixture // (g, v, id) with ties and a hot group
+    val hist = rows.groupBy($"g", $"v").agg(count(lit(1)).as("cnt"))
+    val spans = Ranks.classSpans(hist, Seq($"g"), $"v", $"cnt")
+    val want = rows
+      .withColumn("rk", rank().over(Window.partitionBy($"g").orderBy($"v"))
+        .cast("long"))
+      .withColumn("n_want",
+        count(lit(1)).over(Window.partitionBy($"g")).cast("long"))
+      .groupBy($"g", $"v")
+      .agg(min($"rk").as("lo_want"), (min($"rk") + count(lit(1)) - 1L).as("hi_want"),
+        max($"n_want").as("nw"))
+    val joined = spans.join(want, Seq("g", "v"))
+    assert(joined.count() === hist.count())
+    assert(joined.filter($"lo" =!= $"lo_want" || $"hi" =!= $"hi_want" ||
+      $"n" =!= $"nw").count() === 0L)
+  }
 }
