@@ -199,16 +199,18 @@ object Windowed {
         |  'view_to_purchase', d_vp) AS (metric, dur_us)""".stripMargin))
     val durs = Ranks.groupRowNumberPinned(stacked, "rn",
       Seq($"metric"), Seq($"dur_us", $"user_id"))
-    val ranked = durs
-      .crossJoin(broadcast(conv.agg(count(lit(1)).as("n"))))
-    val p50 = ranked.filter($"rn" === expr("(50 * n + 99) div 100"))
-      .select($"metric", $"dur_us".as("p50_us"))
-    val p90 = ranked.filter($"rn" === expr("(90 * n + 99) div 100"))
-      .select($"metric", $"dur_us".as("p90_us"))
-    durs.groupBy($"metric")
+    // ONE map-side-combined aggregate carries counts, extremes, sums
+    // AND both percentile picks (`max(when(rn = target))` — the q174
+    // trick); the old two-filter-two-join form re-read the ranked
+    // stream three times for the same numbers
+    durs.crossJoin(broadcast(conv.agg(count(lit(1)).as("n"))))
+      .groupBy($"metric")
       .agg(count(lit(1)).as("n_converted"), min($"dur_us").as("min_us"),
+        max(when($"rn" === expr("(50 * n + 99) div 100"), $"dur_us"))
+          .as("p50_us"),
+        max(when($"rn" === expr("(90 * n + 99) div 100"), $"dur_us"))
+          .as("p90_us"),
         max($"dur_us").as("max_us"), sum($"dur_us").as("sum_us"))
-      .join(p50, "metric").join(p90, "metric")
       .select($"metric", $"n_converted", $"min_us", $"p50_us", $"p90_us",
         $"max_us",
         ($"sum_us".cast("double") / $"n_converted".cast("double")).as("mean_us"))
@@ -492,20 +494,22 @@ object Windowed {
         .withColumn("late_us",
           greatest(lit(0L), coalesce($"__rmax", $"tsu") - $"tsu"))
         .drop("__rmax"))
-    val stats = late.groupBy($"event_type")
+    // per-type row counts only — broadcast so every ranked row knows its
+    // percentile targets; counts, the out-of-order sum, the max AND both
+    // picks then fold in ONE map-side-combined aggregate (the q174
+    // trick — the old form re-read the ranked stream three times)
+    val counts = late.groupBy($"event_type").agg(count(lit(1)).as("n"))
+    Ranks.groupRowNumberPinned(late, "rn",
+        Seq($"event_type"), Seq($"late_us", $"event_id"))
+      .join(broadcast(counts), "event_type")
+      .groupBy($"event_type")
       .agg(count(lit(1)).as("n_events"),
         sum(($"late_us" > 0L).cast("long")).as("n_out_of_order"),
+        max(when($"rn" === expr("(50 * n + 99) div 100"), $"late_us"))
+          .as("p50_late_us"),
+        max(when($"rn" === expr("(99 * n + 99) div 100"), $"late_us"))
+          .as("p99_late_us"),
         max($"late_us").as("max_late_us"))
-    val ranked = Ranks.groupRowNumberPinned(late, "rn",
-        Seq($"event_type"), Seq($"late_us", $"event_id"))
-      .join(broadcast(stats.select($"event_type", $"n_events".as("n"))),
-        "event_type")
-    val p50 = ranked.filter($"rn" === expr("(50 * n + 99) div 100"))
-      .select($"event_type", $"late_us".as("p50_late_us"))
-    val p99 = ranked.filter($"rn" === expr("(99 * n + 99) div 100"))
-      .select($"event_type", $"late_us".as("p99_late_us"))
-    stats
-      .join(p50, "event_type").join(p99, "event_type")
       .select($"event_type", $"n_events", $"n_out_of_order",
         expr("n_out_of_order * 1000000L div n_events").as("ooo_q6"),
         $"p50_late_us", $"p99_late_us", $"max_late_us")
