@@ -51,15 +51,35 @@ object Ranks {
     * rows. The per-group window is legitimate ONLY when the class
     * count per group is bounded by value cardinality rather than
     * corpus rows — each caller's scaladoc carries its bound argument.
+    * `hi`/`lo`/`n` are RESERVED output names: a histogram already
+    * carrying one would be silently overwritten, so that is an error.
     */
   def classSpans(hist: DataFrame, groups: Seq[Column], value: Column,
       cnt: Column): DataFrame = {
+    val clash = hist.columns.toSet.intersect(Set("hi", "lo", "n"))
+    require(clash.isEmpty,
+      s"classSpans appends hi/lo/n; input already has ${clash.mkString(",")}")
     val scan = Window.partitionBy(groups: _*).orderBy(value)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     hist
       .withColumn("hi", sum(cnt).over(scan))
       .withColumn("lo", col("hi") - cnt + lit(1L))
       .withColumn("n", sum(cnt).over(Window.partitionBy(groups: _*)))
+  }
+
+  /** Percentile picks off a `classSpans`-spanned histogram, one pass:
+    * for each (pct, outName) the covering class of rank
+    * ⌈pct·n/100⌉ = `(pct·n + 99) div 100` — exactly one class per
+    * group covers each target, so `max(when(...))` folds every pick
+    * into ONE |classes|-row aggregate (no filter+join per percentile).
+    */
+  def pickPercentiles(spanned: DataFrame, groups: Seq[Column], value: Column,
+      pcts: Seq[(Int, String)]): DataFrame = {
+    val aggs = pcts.map { case (p, out) =>
+      max(when(col("lo") <= expr(s"($p * n + 99) div 100") &&
+        expr(s"($p * n + 99) div 100") <= col("hi"), value)).as(out)
+    }
+    spanned.groupBy(groups: _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Append `rankCol` = SQL `rank()` within each group (ties share a

@@ -1251,14 +1251,9 @@ object Relational {
       dfHist(lineitem(spark, d), "lineitem.l_partkey", "l_partkey")
         .unionByName(dfHist(events(spark, d), "events.user_id", "user_id")))
     // both percentiles from ONE pass over the spanned histogram
-    val picks = Ranks.classSpans(hist, Seq($"relation"), $"df", $"cnt")
-      .select($"relation",
-        when($"lo" <= expr("(50 * n + 99) div 100") &&
-          expr("(50 * n + 99) div 100") <= $"hi", $"df").as("c50"),
-        when($"lo" <= expr("(99 * n + 99) div 100") &&
-          expr("(99 * n + 99) div 100") <= $"hi", $"df").as("c99"))
-      .groupBy($"relation")
-      .agg(max($"c50").as("p50_df"), max($"c99").as("p99_df"))
+    val picks = Ranks.pickPercentiles(
+      Ranks.classSpans(hist, Seq($"relation"), $"df", $"cnt"),
+      Seq($"relation"), $"df", Seq(50 -> "p50_df", 99 -> "p99_df"))
     val agg = hist.groupBy($"relation")
       .agg(sum($"df" * $"cnt").as("n_rows"), sum($"cnt").as("n_keys"),
         max($"df").as("max_df"))

@@ -592,14 +592,9 @@ object Sampling {
       .groupBy($"split", $"n_chars").agg(count(lit(1)).as("cnt")))
     val counts = hist.groupBy($"split")
       .agg(sum($"cnt").as("n"), sum($"n_chars" * $"cnt").as("tot"))
-    val picks = Ranks.classSpans(hist, Seq($"split"), $"n_chars", $"cnt")
-      .select($"split",
-        when($"lo" <= expr("(50 * n + 99) div 100") &&
-          expr("(50 * n + 99) div 100") <= $"hi", $"n_chars").as("c50"),
-        when($"lo" <= expr("(90 * n + 99) div 100") &&
-          expr("(90 * n + 99) div 100") <= $"hi", $"n_chars").as("c90"))
-      .groupBy($"split")
-      .agg(max($"c50").as("p50_chars"), max($"c90").as("p90_chars"))
+    val picks = Ranks.pickPercentiles(
+      Ranks.classSpans(hist, Seq($"split"), $"n_chars", $"cnt"),
+      Seq($"split"), $"n_chars", Seq(50 -> "p50_chars", 90 -> "p90_chars"))
     val stats = counts.join(picks, "split")
       .select($"split", $"n".as("n_docs"),
         ($"tot".cast("double") / $"n".cast("double")).as("mean_chars"),

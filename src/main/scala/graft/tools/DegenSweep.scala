@@ -157,6 +157,8 @@ object DegenSweep {
     println(f"degen sweep: ${graft.SparkEntry.queries.size * 5} runs, " +
       f"${fails.size} failures, ${(System.nanoTime() - t0) / 1e9}%.1f s")
     spark.stop()
-    sys.exit(fails.size)
+    // exit codes wrap mod 256 — a 256-failure catastrophe must not
+    // read as a clean pass at the round-close gate
+    sys.exit(math.min(fails.size, 255))
   }
 }

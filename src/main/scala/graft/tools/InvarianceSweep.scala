@@ -97,6 +97,8 @@ object InvarianceSweep {
     println(f"invariance sweep: ${names.size} queries x 2 configs, " +
       f"$bad divergent, ${(System.nanoTime() - t0) / 1e9}%.1f s")
     base.stop()
-    sys.exit(bad)
+    // exit codes wrap mod 256 — a 256-failure catastrophe must not
+    // read as a clean pass at the round-close gate
+    sys.exit(math.min(bad, 255))
   }
 }

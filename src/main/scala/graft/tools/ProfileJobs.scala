@@ -12,7 +12,10 @@ import org.apache.spark.sql.SparkSession
   */
 object ProfileJobs {
   def main(args: Array[String]): Unit = {
-    // flags parse position-independently so `--warm` first still warms
+    // flags parse position-independently so `--warm` first still warms;
+    // unknown flags fail loud (a typo'd --warm must not profile cold)
+    val unknown = args.filter(a => a.startsWith("--") && a != "--warm")
+    require(unknown.isEmpty, s"unknown flags: ${unknown.mkString(" ")}")
     val warm = args.contains("--warm")
     val positional = args.filterNot(_.startsWith("--"))
     val sfDir = positional.headOption.getOrElse("/root/testdata/sf0.1")
