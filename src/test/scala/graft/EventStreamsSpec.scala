@@ -1055,4 +1055,73 @@ class EventStreamsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("attribution join RESTART: pre-kill click joins a post-resume purchase") {
+    import spark.implicits._
+    // the sharpest join-state recovery law: the click arrives BEFORE
+    // the kill, the matching purchase arrives only AFTER the resume —
+    // the joined row can exist ONLY if the click-side join buffer was
+    // recovered from the checkpoint (a reset buffer emits nothing for
+    // purchase 10). Completes the restart rehearsal family: sketch
+    // state (q129), ValueState (q244), and now stream-stream join
+    // buffers — the three state classes the engine ships.
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val base = java.nio.file.Files.createTempDirectory("graft_q97_restart_").toString
+    val (cDir, pDir, ckpt) = (s"$base/clicks", s"$base/purch", s"$base/ckpt")
+    new java.io.File(cDir).mkdirs(); new java.io.File(pDir).mkdirs()
+    def addFile(dir: String, n: Int, rows: Seq[Event]): Unit = {
+      val stage = s"$base/stage_${new java.io.File(dir).getName}_$n"
+      rows.toDS().coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/batch$n.parquet"))
+    }
+    val schema = org.apache.spark.sql.Encoders.product[Event].schema
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double)]()
+    def start() = EventStreams.attributionJoin(
+        spark.readStream.schema(schema).parquet(cDir),
+        spark.readStream.schema(schema).parquet(pDir))
+      .select($"purchase_id", $"click_value")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .foreachBatch { (ds: org.apache.spark.sql.DataFrame, _: Long) =>
+        ds.as[(Long, Double)].collect().foreach(buf.add)
+      }
+      .start()
+    try {
+      // part 1: the user-7 click, an unrelated early purchase (gives the
+      // purchase side a file), and NO match yet
+      addFile(cDir, 1, Seq(Event(1, ts("2024-01-01 09:30:00"), 7, "click", 1.0)))
+      addFile(pDir, 1, Seq(Event(5, ts("2024-01-01 08:00:00"), 99, "purchase", 9.0)))
+      val q1 = start()
+      q1.processAllAvailable(); q1.stop() // the kill
+      buf.clear()
+      // part 2 (post-resume): the matching purchase inside the 1 h
+      // window, plus watermark pushers on both sides
+      addFile(pDir, 2, Seq(
+        Event(10, ts("2024-01-01 10:00:00"), 7, "purchase", 50.0),
+        Event(99, ts("2024-01-01 12:00:00"), 9, "purchase", 0.0)))
+      addFile(cDir, 2, Seq(Event(98, ts("2024-01-01 12:00:00"), 9, "click", 0.0)))
+      val q2 = start()
+      try {
+        q2.processAllAvailable()
+        import scala.jdk.CollectionConverters._
+        val rows = buf.asScala.toSet
+        assert(rows.contains((10L, 1.0)),
+          s"purchase 10 must join the PRE-KILL click — join buffer not recovered: $rows")
+        assert(!rows.exists(_._2 == 9.0),
+          "the out-of-window early purchase must not join anything")
+      } finally q2.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
