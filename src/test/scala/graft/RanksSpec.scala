@@ -271,6 +271,27 @@ class RanksSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.rank.windowMaxRows")
   }
 
+  test("pickPercentiles == the value at row-rank ceil(p*n/100) per group") {
+    import spark.implicits._
+    val rows = fixture
+    val hist = rows.groupBy($"g", $"v").agg(count(lit(1)).as("cnt"))
+    val got = Ranks.pickPercentiles(
+      Ranks.classSpans(hist, Seq($"g"), $"v", $"cnt"),
+      Seq($"g"), $"v", Seq(50 -> "p50", 90 -> "p90"))
+    // brute reference: rank every row, take the ceil-rank value
+    val ranked = rows.withColumn("rn",
+        row_number().over(Window.partitionBy($"g").orderBy($"v", $"id"))
+          .cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"g")))
+    def brute(p: Int, out: String) = ranked
+      .filter($"rn" === expr(s"($p * n + 99) div 100"))
+      .select($"g", $"v".as(out))
+    val want = brute(50, "w50").join(brute(90, "w90"), "g")
+    val j = got.join(want, "g")
+    assert(j.count() === 3L)
+    assert(j.filter($"p50" =!= $"w50" || $"p90" =!= $"w90").count() === 0L)
+  }
+
   test("classSpans: lo/hi/n reproduce row-level rank spans on the histogram") {
     import spark.implicits._
     // law: for a class histogram of (g, v, cnt), lo == rank() of v's
