@@ -63,6 +63,16 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Full-resolution event-time micros. `Timestamp.getTime` is MILLIS
+    * (already including the nanos' millisecond part), so the
+    * sub-millisecond remainder is appended — exactly the batch engine's
+    * `unix_micros`. Every processor that sorts or diffs event time MUST
+    * use this (a millisecond-resolution sort silently diverges from the
+    * batch (ts, event_id) order for same-millisecond events).
+    */
+  private[graft] def tsMicros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
   /** Stream-stream attribution join (beyond the reference's surface —
     * SURVEY §2.6 notes it has none): each purchase joins the same user's
     * clicks from the preceding hour. Both sides are watermarked and the
@@ -113,19 +123,30 @@ object EventStreams {
   /** Fold a batch of events into the 256-register HLL state — register
     * max IS the HLL merge, shared by both stateful runtimes.
     */
+  /** One HLL event: MD5 the id, bucket on the low byte, register-max
+    * the rank — the SINGLE definition of the sketch-defining constants
+    * ("hll:" prefix, first-8-hex parse, 256 buckets, 25 − bitlength
+    * rank). Every register-compatible fold (hllFold, the day-keyed
+    * reach and sliding-actives processors) must go through here: the
+    * state≡batch laws require the register layouts to stay
+    * bit-identical across operators.
+    */
+  private[graft] def hllFoldOne(md: java.security.MessageDigest,
+      regs: Array[Long], userId: Long): Unit = {
+    val hex = md.digest(s"hll:$userId".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val h = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    val b = (h & 255L).toInt
+    val w = h >> 8
+    val rank =
+      if (w == 0L) 25L
+      else 25L - (64 - java.lang.Long.numberOfLeadingZeros(w))
+    if (rank > regs(b)) regs(b) = rank
+  }
+
   private def hllFold(regs: Array[Long], evs: Iterator[Event]): Unit = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    evs.foreach { e =>
-      val hex = md.digest(s"hll:${e.user_id}".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
-      val h = java.lang.Long.parseLong(hex.substring(0, 8), 16)
-      val b = (h & 255L).toInt
-      val w = h >> 8
-      val rank =
-        if (w == 0L) 25L
-        else 25L - (64 - java.lang.Long.numberOfLeadingZeros(w))
-      if (rank > regs(b)) regs(b) = rank
-    }
+    evs.foreach(e => hllFoldOne(md, regs, e.user_id))
   }
 
   private def hllSummary(t: String, regs: Array[Long]): HllRow = {
@@ -179,7 +200,8 @@ object EventStreams {
 
     override def handleInputRows(key: String, rows: Iterator[Event],
         timerValues: TimerValues): Iterator[HllRow] = {
-      val regs = if (st.exists()) st.get().regs else Array.fill(256)(0L)
+      // clone on read: never mutate the state-store-returned instance
+      val regs = if (st.exists()) st.get().regs.clone() else Array.fill(256)(0L)
       hllFold(regs, rows)
       st.update(HllRegs(regs))
       Iterator.single(hllSummary(key, regs))
@@ -252,7 +274,8 @@ object EventStreams {
 
     override def handleInputRows(key: String, rows: Iterator[Event],
         timerValues: TimerValues): Iterator[HistRow] = {
-      val bins = if (st.exists()) st.get().bins else Array.fill(nBins)(0L)
+      // clone on read: never mutate the state-store-returned instance
+      val bins = if (st.exists()) st.get().bins.clone() else Array.fill(nBins)(0L)
       histFold(bins, lo, hi, nBins, rows)
       st.update(HistBins(bins))
       Iterator.single(HistRow(key, bins.sum, bins.count(_ > 0L).toLong, bins.max))
@@ -338,7 +361,7 @@ object EventStreams {
         dc.days.zip(dc.counts).foreach { case (d, c) => m(d) = c }
       }
       rows.foreach { e =>
-        val micros = e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+        val micros = tsMicros(e.ts)
         val dy = micros / 86400000000L
         m(dy) = m.getOrElse(dy, 0L) + 1L
       }
@@ -435,7 +458,8 @@ object EventStreams {
 
     override def handleInputRows(key: String, rows: Iterator[Event],
         timerValues: TimerValues): Iterator[CmsRow] = {
-      val regs = if (st.exists()) st.get().regs else Array.fill(dRows * w)(0L)
+      // clone on read: never mutate the state-store-returned instance
+      val regs = if (st.exists()) st.get().regs.clone() else Array.fill(dRows * w)(0L)
       cmsFold(regs, dRows, w, rows)
       st.update(CmsRegs(regs))
       Iterator.single(cmsSummary(key, regs, dRows, w))
@@ -611,7 +635,7 @@ object EventStreams {
   private[graft] def mgFold(m: scala.collection.mutable.LinkedHashMap[Long, Long],
       k: Int, evs: Seq[Event]): Long = {
     var n = 0L
-    evs.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+    evs.sortBy(e => (tsMicros(e.ts), e.event_id)).foreach { e =>
       val id = e.user_id
       if (m.contains(id)) m(id) += 1L
       else if (m.size < k) m(id) = 1L
@@ -717,18 +741,10 @@ object EventStreams {
       val md = java.security.MessageDigest.getInstance("MD5")
       var folded = 0L
       rows.foreach { e =>
-        val micros = e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+        val micros = tsMicros(e.ts)
         val dy = micros / 86400000000L
         val regs = m.getOrElseUpdate(dy, Array.fill(256)(0L))
-        val hex = md.digest(s"hll:${e.user_id}".getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString
-        val h = java.lang.Long.parseLong(hex.substring(0, 8), 16)
-        val b = (h & 255L).toInt
-        val w = h >> 8
-        val rank =
-          if (w == 0L) 25L
-          else 25L - (64 - java.lang.Long.numberOfLeadingZeros(w))
-        if (rank > regs(b)) regs(b) = rank
+        hllFoldOne(md, regs, e.user_id)
         folded += 1L
       }
       val days = m.keys.toArray.sorted
@@ -797,7 +813,7 @@ object EventStreams {
           m((ut.froms(i), ut.tos(i))) = ut.counts(i)
         }
       }
-      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+      rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id)).foreach { e =>
         if (last != null) {
           val k = (last, e.event_type)
           m(k) = m.getOrElse(k, 0L) + 1L
@@ -856,13 +872,14 @@ object EventStreams {
         timerValues: TimerValues): Iterator[LatenessRow] = {
       var s = if (st.exists()) st.get()
         else LatenessState(Long.MinValue, 0L, 0L, 0L, Array.fill(40)(0L))
-      val bins = s.bins
+      // clone on read: never mutate the state-store-returned instance
+      val bins = s.bins.clone()
       var (runMax, n, nLate, maxLate) = (s.run_max, s.n, s.n_late, s.max_late)
       rows.toSeq.sortBy(_.event_id).foreach { e =>
         // event_id is the ingestion sequence (the batch form's arrival
         // proxy) — sorting the batch by it makes the fold deterministic
         // and batch-replayable; real deployments fold raw arrival order
-        val micros = e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+        val micros = tsMicros(e.ts)
         val late = if (runMax == Long.MinValue) 0L
           else math.max(0L, runMax - micros)
         if (late > 0L) {
@@ -943,7 +960,7 @@ object EventStreams {
         else SnapState(has1 = false, 0.0,
           hasCur = false, Long.MinValue, Long.MinValue, 0.0)
       rows.foreach { e =>
-        val micros = e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+        val micros = tsMicros(e.ts)
         if (!s.hasCur || micros > s.ts_us ||
             (micros == s.ts_us && e.event_id > s.event_id))
           s = s.copy(hasCur = true, ts_us = micros,
@@ -1089,7 +1106,7 @@ object EventStreams {
       }
       var folded = 0L
       rows.foreach { e =>
-        val micros = e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+        val micros = tsMicros(e.ts)
         val dy = micros / 86400000000L
         m(dy) = m.getOrElse(dy, 0L) + 1L
         folded += 1L
@@ -1153,14 +1170,17 @@ object EventStreams {
 
     override def handleInputRows(key: String, rows: Iterator[Event],
         timerValues: TimerValues): Iterator[HllRegsRow] = {
-      val regs = if (st.exists()) st.get().regs else Array.fill(256)(0L)
+      // clone on read AND on emit: the state-store-returned instance is
+      // never mutated, and the emitted row never shares the instance the
+      // store holds (the WeekHistProcessor convention)
+      val regs = if (st.exists()) st.get().regs.clone() else Array.fill(256)(0L)
       var folded = 0L
       val counted = rows.map { e => folded += 1L; e }
       hllFold(regs, counted)
       st.update(HllRegs(regs))
       val n = (if (nSt.exists()) nSt.get() else 0L) + folded
       nSt.update(n)
-      Iterator.single(HllRegsRow(key, regs, n))
+      Iterator.single(HllRegsRow(key, regs.clone(), n))
     }
   }
 
@@ -1292,18 +1312,10 @@ object EventStreams {
       val md = java.security.MessageDigest.getInstance("MD5")
       var folded = 0L
       rows.foreach { e =>
-        val micros = e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+        val micros = tsMicros(e.ts)
         val dy = micros / 86400000000L
         val regs = m.getOrElseUpdate(dy, Array.fill(256)(0L))
-        val hex = md.digest(s"hll:${e.user_id}".getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString
-        val h = java.lang.Long.parseLong(hex.substring(0, 8), 16)
-        val b = (h & 255L).toInt
-        val w = h >> 8
-        val rank =
-          if (w == 0L) 25L
-          else 25L - (64 - java.lang.Long.numberOfLeadingZeros(w))
-        if (rank > regs(b)) regs(b) = rank
+        hllFoldOne(md, regs, e.user_id)
         folded += 1L
       }
       val days = m.keys.toArray.sorted
@@ -1446,7 +1458,7 @@ object EventStreams {
         dc.days.zip(dc.counts).foreach { case (d, c) => m(d) = c }
       }
       rows.foreach { e =>
-        val micros = e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+        val micros = tsMicros(e.ts)
         val dy = micros / 86400000000L
         m(dy) = m.getOrElse(dy, 0L) + 1L
       }
@@ -1520,8 +1532,7 @@ object EventStreams {
         timerValues: TimerValues): Iterator[GapRow] = {
       var s = if (st.exists()) st.get() else GapState(Long.MinValue, 0L, 0L, "0")
       var sgg = BigInt(s.sggStr)
-      def micros(e: Event): Long =
-        e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+      def micros(e: Event): Long = tsMicros(e.ts)
       rows.toArray.sortBy(e => (micros(e), e.event_id)).foreach { e =>
         val tUs = micros(e)
         require(s.last_us == Long.MinValue || tUs >= s.last_us,

@@ -1056,6 +1056,67 @@ class EventStreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("stateful folds order same-MILLISECOND events at microsecond resolution") {
+    // regression: the fold sorts used Timestamp.getTime (millis), so two
+    // events in one millisecond with micros order OPPOSITE to event_id
+    // order folded in the wrong sequence — divergent from the batch
+    // (full-resolution ts, event_id) order. MG distinguishes: k=1 over
+    // [u5, u7, u7] ends {7:1}; the wrong (millis, id) order [u7, u5, u7]
+    // ends {7:2}.
+    def mk(ms: Long, us: Int, id: Long, u: Long): Event = {
+      val t = new Timestamp(ms)
+      t.setNanos((((ms % 1000L) * 1000000L) + us * 1000L).toInt)
+      Event(id, t, u, "t", 0.0)
+    }
+    val evs = Seq(
+      mk(1700000000123L, 456, 9L, 5L),  // first by micros, later by id
+      mk(1700000000123L, 999, 3L, 7L),  // second by micros, first by id
+      mk(1700000001123L, 0, 10L, 7L))
+    val m = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+    EventStreams.mgFold(m, 1, evs)
+    assert(m.toMap == Map(7L -> 1L),
+      s"micros-order fold must end {7 -> 1}, got $m")
+    // and the micros helper itself: getTime millis + sub-ms remainder
+    assert(EventStreams.tsMicros(evs.head.ts) === 1700000000123456L)
+  }
+
+  test("transition twin orders same-millisecond events like the batch form") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def mk(ms: Long, us: Int, id: Long, tpe: String): Event = {
+      val t = new Timestamp(ms)
+      t.setNanos((((ms % 1000L) * 1000000L) + us * 1000L).toInt)
+      Event(id, t, 7L, tpe, 0.0)
+    }
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Event]
+    val query = EventStreams.transitionStream(input.toDS())
+      .writeStream.format("memory").queryName("ev_trans_us")
+      .outputMode("update").start()
+    try {
+      // A at micros .456 (event_id 9), B at micros .999 (event_id 3):
+      // full-resolution order is A -> B; a millis sort would emit B -> A
+      input.addData(
+        mk(1700000000123L, 456, 9L, "A"),
+        mk(1700000000123L, 999, 3L, "B"))
+      query.processAllAvailable()
+      val rows = spark.table("ev_trans_us")
+        .select($"from_type", $"to_type", $"cnt")
+        .as[(String, String, Long)].collect().toSet
+      assert(rows == Set(("A", "B", 1L)),
+        s"same-millisecond events must order by micros then id: $rows")
+    } finally {
+      query.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("attribution join RESTART: pre-kill click joins a post-resume purchase") {
     import spark.implicits._
     // the sharpest join-state recovery law: the click arrives BEFORE
