@@ -154,13 +154,24 @@ object AsOf {
     def resolve(p: LogicalPlan, name: String) =
       p.output.find(_.name == name).getOrElse(
         sys.error(s"column $name not found in ${p.output.map(_.name)}"))
-    ColumnBridge.ofRows(spark, AsOfJoinPlan(lPlan, rPlan,
-      resolve(lPlan, leftKey), resolve(rPlan, rightKey),
-      resolve(lPlan, leftTime), resolve(rPlan, rightTime)))
+    val (lk, rk) = (resolve(lPlan, leftKey), resolve(rPlan, rightKey))
+    val (lt, rt) = (resolve(lPlan, leftTime), resolve(rPlan, rightTime))
+    // the merge loop compares RIGHT values under orderings built from
+    // the LEFT types — a type mismatch must fail HERE, not as an
+    // executor-side ClassCastException after the shuffle already ran
+    require(lk.dataType == rk.dataType,
+      s"as-of join key types differ: ${lk.dataType} vs ${rk.dataType}")
+    require(lt.dataType == rt.dataType,
+      s"as-of join time types differ: ${lt.dataType} vs ${rt.dataType}")
+    ColumnBridge.ofRows(spark, AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt))
   }
 
   def registerStrategy(spark: SparkSession): Unit =
-    if (!spark.sessionState.planner.extraPlanningStrategies.contains(AsOfStrategy))
+    // guard the SAME collection the strategy is appended to —
+    // planner.extraPlanningStrategies never holds experimental
+    // strategies, so the old check re-appended one copy per call and a
+    // long-lived session planned every query through N duplicates
+    if (!spark.experimental.extraStrategies.contains(AsOfStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfStrategy
 

@@ -27,17 +27,29 @@ import org.apache.spark.unsafe.types.UTF8String
   * the char. CleanTokensExprSpec asserts equality over the corpus and
   * adversarial strings.
   */
-object CleanTokens {
-  private val Stop: java.util.HashSet[UTF8String] = {
+/** The byte-scan vocabulary CleanTokens and QualityCounters share —
+  * ONE definition of the stop set and the whitespace predicate, so the
+  * documented value-identity between `clean_tokens` and
+  * `quality_counters` cannot drift from a one-sided edit.
+  */
+private[plans] object TokenScan {
+  val Stop: java.util.HashSet[UTF8String] = {
     val s = new java.util.HashSet[UTF8String](64)
     graft.functions.TextFunctions.StopWords
       .foreach(w => s.add(UTF8String.fromString(w)))
     s
   }
 
-  private def isWs(c: Byte): Boolean =
+  // Java regex \s = the six ASCII whitespace chars; UTF-8 continuation
+  // bytes are >= 0x80 and can never match
+  def isWs(c: Byte): Boolean =
     c == ' '.toByte || c == '\t'.toByte || c == '\n'.toByte ||
       c == 0x0B.toByte || c == '\f'.toByte || c == '\r'.toByte
+}
+
+object CleanTokens {
+  private def Stop = TokenScan.Stop
+  private def isWs(c: Byte): Boolean = TokenScan.isWs(c)
 
   /** Hot path — called once per row from generated code. */
   def clean(text: UTF8String): ArrayData = {

@@ -25,7 +25,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * where h32 = first 8 hex nibbles of the md5 digest as an unsigned int
   * (DuckDB mirror: nibble arithmetic over md5(t||','||p||','||i)).
   * Signature bit p of table t = (Σ_i qemb_i · wq(t,p,i)) > 0 — an exact
-  * integer sign, immune to FP summation order (|Σ| ≤ 64·1e7·2^31 < 2^63).
+  * integer sign, immune to FP summation order. Overflow bound: |Σ| ≤
+  * dims·1e7·2^31 (unit-scale embeddings), < 2^63 for dims ≤ 429 — far
+  * above the 64-dim corpus; wider vectors would need a wider
+  * accumulator, not silent wraparound.
   */
 object Hyperplanes {
   /** First 4 md5 bytes of "t,p,i" as unsigned int, shifted to signed. */
@@ -73,11 +76,23 @@ object Hyperplanes {
 case class HyperplaneSigsExpr(child: Expression, nTables: Int, nPlanes: Int)
     extends UnaryExpression {
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"hyperplane_sigs requires array<long> (quantized), got $other")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (nPlanes < 1 || nPlanes > 64) TypeCheckResult.TypeCheckFailure(
+      // > 64 planes silently shift earlier bits out of the 64-bit
+      // signature — colliding signatures across DIFFERENT hyperplane
+      // sets, corrupting LSH banding with no error
+      s"hyperplane_sigs packs one 64-bit signature per table: nPlanes must be in [1, 64], got $nPlanes")
+    else if (nTables < 1 || nTables.toLong * nPlanes > 65536L)
+      TypeCheckResult.TypeCheckFailure(
+        // the weight matrix (nTables x nPlanes x dims longs) is cached
+        // per JVM for the process lifetime — bound it at analysis so one
+        // mistyped literal cannot OOM every executor
+        s"hyperplane_sigs weight matrix too large: nTables*nPlanes must be in [1, 65536], got ${nTables}x$nPlanes")
+    else child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"hyperplane_sigs requires array<long> (quantized), got $other")
+    }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "hyperplane_sigs"

@@ -15,7 +15,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * evaluates k interpreted hash expressions PER SHINGLE — ~64·|shingles|
   * lambda dispatches per row, the dominant cost of the whole dedup
   * family at sf0.1 (~5 s of sig build). Here each shingle is hashed once
-  * (xxHash64 over its UTF-8 bytes) and the k per-permutation values are
+  * (Murmur3-32 over its UTF-8 bytes — 32 bits of base entropy, so two
+  * distinct shingles collide in ALL k slots with prob ~2^-32; the
+  * resulting spurious band candidates are absorbed by the exact-Jaccard
+  * re-check every consumer runs) and the k per-permutation values are
   * derived by a splitmix64 finalizer of (h + i·φ) — the standard cheap
   * construction of k pairwise-independent-ish hash functions from one
   * base hash (Broder's simulated permutations; see PAPERS.md). Banding

@@ -30,18 +30,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * the corpus and adversarial strings.
   */
 object QualityCounters {
-  private val Stop: java.util.HashSet[UTF8String] = {
-    val s = new java.util.HashSet[UTF8String](64)
-    graft.functions.TextFunctions.StopWords
-      .foreach(w => s.add(UTF8String.fromString(w)))
-    s
-  }
-
-  // Java regex \s = the six ASCII whitespace chars; UTF-8 continuation
-  // bytes are >= 0x80 and can never match (the CleanTokens argument)
-  private def isWs(c: Byte): Boolean =
-    c == ' '.toByte || c == '\t'.toByte || c == '\n'.toByte ||
-      c == 0x0B.toByte || c == '\f'.toByte || c == '\r'.toByte
+  // shared with CleanTokens (plans.TokenScan): one stop set, one
+  // whitespace predicate — the two expressions' value-identity contract
+  private def Stop = TokenScan.Stop
+  private def isWs(c: Byte): Boolean = TokenScan.isWs(c)
 
   /** Hot path — called once per row from generated code. */
   def count(text: UTF8String): GenericInternalRow = {

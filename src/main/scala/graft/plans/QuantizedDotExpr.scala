@@ -34,13 +34,30 @@ case class QuantizedDotExpr(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "quantized_dot"
 
+  // the HOF reference (aggregate(zip_with(...))) propagates a NULL
+  // element to a NULL result; mirror it — but only pay the per-element
+  // branch when the schema admits null elements (quantize() emits
+  // containsNull=false arrays, so the hot path stays branch-free)
+  private lazy val mayHaveNullElems =
+    Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    })
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     var sum = 0L
     var i = 0
-    while (i < n) { sum += x.getLong(i) * y.getLong(i); i += 1 }
+    if (mayHaveNullElems) {
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        sum += x.getLong(i) * y.getLong(i); i += 1
+      }
+    } else {
+      while (i < n) { sum += x.getLong(i) * y.getLong(i); i += 1 }
+    }
     sum
   }
 
@@ -51,10 +68,14 @@ case class QuantizedDotExpr(left: Expression, right: Expression)
       val n = ctx.freshName("qdotN")
       val sum = ctx.freshName("qdotSum")
       val i = ctx.freshName("qdotI")
+      val nullCheck = if (mayHaveNullElems)
+        s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |long $sum = 0L;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  $sum += $a.getLong($i) * $b.getLong($i);
          |}
          |${ev.value} = $sum;

@@ -81,11 +81,16 @@ object WordShingles {
 case class WordShinglesExpr(child: Expression, n: Int, distinct: Boolean)
     extends UnaryExpression {
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"word_shingles requires array<string>, got $other")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (n < 1) TypeCheckResult.TypeCheckFailure(
+      // n <= 0 would NegativeArraySizeException per row (n < 0) or emit
+      // cnt+1 empty-string universal shingles (n == 0) — fail at analysis
+      s"word_shingles requires n >= 1, got $n")
+    else child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"word_shingles requires array<string>, got $other")
+    }
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"

@@ -41,6 +41,24 @@ case class TopKRowsAgg(
 
   require(k > 0, s"topk_rows needs k > 0, got $k")
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      // fail at analysis with the function named — a raw asInstanceOf
+      // ClassCastException (non-struct) or a per-row InterpretedOrdering
+      // error (unorderable field) names neither
+      case st: StructType if st.fields.forall(f =>
+          org.apache.spark.sql.catalyst.expressions.RowOrdering
+            .isOrderable(f.dataType)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case st: StructType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"topk_rows needs orderable struct fields, got ${st.catalogString}")
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"topk_rows needs a STRUCT sort key, got ${other.catalogString}")
+    }
+
   private lazy val structType = child.dataType.asInstanceOf[StructType]
 
   // one projection per task, not per serialized buffer: serialize()
