@@ -14,15 +14,9 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row}
   * returned prefix is complete whenever the require passes).
   */
 object Bounded {
-  def collect(df: DataFrame, bound: Long, what: String): Array[Row] = {
-    val lim = math.min(bound + 1, Int.MaxValue.toLong).toInt
-    val rows = df.limit(lim).collect()
-    require(rows.length <= bound,
-      s"$what: driver collect exceeded its design bound of $bound rows — " +
-        "this lineage is no longer driver-bounded at this scale; re-shard " +
-        "it or raise the bound deliberately")
-    rows
-  }
+  // a DataFrame IS Dataset[Row] — one definition of the bound semantics
+  def collect(df: DataFrame, bound: Long, what: String): Array[Row] =
+    collectDs(df, bound, what)
 
   def collectDs[T](ds: Dataset[T], bound: Long, what: String): Array[T] = {
     val lim = math.min(bound + 1, Int.MaxValue.toLong).toInt

@@ -87,14 +87,28 @@ object Tables {
   def events(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
     val raw = table(spark, d, "events")
     raw.schema("ts").dataType match {
       case LongType =>
+        // NANOS-typed file: the conf must STAY set — the scan re-reads
+        // it at each action's planning time, so restoring here would
+        // break execution. The session-wide effect is confined to the
+        // generation that needs it.
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType =>
-        raw.withColumn("ts", col("ts").cast(TimestampType))
-      case _ => raw
+      case _ =>
+        // micros-typed file (an NTZ ts was already cast to LTZ by
+        // table()'s normalizeNtz): the legacy conf was NOT needed —
+        // restore it so an unrelated NANOS parquet read elsewhere in
+        // the session keeps its loud PARQUET_TYPE_ILLEGAL error instead
+        // of silently turning into LongType at a distance
+        prev match {
+          case Some(p) => spark.conf.set(key, p)
+          case None => spark.conf.unset(key)
+        }
+        raw
     }
   }
   // memoized: the spread-probe (scan partition count) runs once per

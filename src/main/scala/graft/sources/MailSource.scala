@@ -77,7 +77,13 @@ object MailSource {
       } else if (line.startsWith(NewMailPrefix)) {
         if (line.length < 24) return None
         val dateStr = line.substring(line.length - 24).replaceAll("\\s+", " ")
-        time = LocalDateTime.parse(dateStr, inDF).atOffset(ZoneOffset.UTC).format(outDF)
+        // strict java.time cross-checks the weekday against the date and
+        // THROWS on forged Date headers (real archives contain them);
+        // the contract here is 0-or-1 Option — a malformed mail drops,
+        // it must never kill the whole read job
+        time = scala.util.Try(
+          LocalDateTime.parse(dateStr, inDF).atOffset(ZoneOffset.UTC)
+            .format(outDF)).getOrElse(return None)
       } else if (line.toLowerCase.startsWith("subject: ")) {
         subject = line.substring(9)
         if (containsDelim(subject)) return None

@@ -22,7 +22,10 @@ object Sinks {
     */
   def writeDelimited(df: DataFrame, path: String,
       fieldDelim: String, recordDelim: String): Unit = {
-    val joined = df.columns.map(c => col(c).cast("string"))
+    // coalesce each cell: concat is null if ANY argument is null, and
+    // the text writer then emits an empty record — a silently vanished
+    // row; null cells serialize as empty fields instead
+    val joined = df.columns.map(c => coalesce(col(c).cast("string"), lit("")))
       .reduceLeft((a, b) => concat(a, lit(fieldDelim), b))
     df.select(joined.as("value"))
       .write.option("lineSep", recordDelim).mode("overwrite").text(path)

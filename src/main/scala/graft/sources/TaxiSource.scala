@@ -54,13 +54,16 @@ object TaxiSource {
     parseLines(spark.read.text(path)).drop("eventTime").as[TaxiRide]
   }
 
-  /** Ride identity is by rideId only in the reference
-    * (TaxiRide.java:132-141 equals/hashCode) — "any dedup of rides is
-    * dedup by id" (SURVEY §1.2). The case class compares all fields, so
-    * id-identity dedup is an explicit operator.
+  /** Deduplicate to one START and one END row per rideId — the key is
+    * (rideId, isStart), NOT rideId alone: a ride's lifecycle is two
+    * events and collapsing them to one would drop every ride's END. The
+    * reference's TaxiRide.equals (TaxiRide.java:132-141) hashes by
+    * rideId only because its streams carry START and END as the same
+    * POJO distinguished by the isStart field; the relational shape
+    * makes that distinction part of the dedup key explicitly.
     */
   def dropDuplicateRides(rides: Dataset[TaxiRide]): Dataset[TaxiRide] =
-    rides.dropDuplicates("rideId", "isStart") // one START + one END per id
+    rides.dropDuplicates("rideId", "isStart")
 
   /** Inverse of Sinks.kafkaShaped (the TaxiRideSchema deserializer half,
     * datastream_java/utils/TaxiRideSchema.java:31-38): (key, value)
@@ -68,7 +71,11 @@ object TaxiSource {
     */
   def fromKafkaShaped(payloads: DataFrame): Dataset[TaxiRide] = {
     import payloads.sparkSession.implicits._
-    parseLines(payloads.select(col("value"))).drop("eventTime").as[TaxiRide]
+    // a real Kafka source delivers value as BINARY; split() needs a
+    // string and ANSI coercion won't cast binary implicitly — cast here
+    // (a no-op for the already-string file/memory shapes)
+    parseLines(payloads.select(col("value").cast("string").as("value")))
+      .drop("eventTime").as[TaxiRide]
   }
 
   /** convertTrips.sh (P12, src/main/scripts/convertTrips.sh:19): one raw
