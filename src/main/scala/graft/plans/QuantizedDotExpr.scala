@@ -44,6 +44,15 @@ case class QuantizedDotExpr(left: Expression, right: Expression)
       case _ => true
     })
 
+  // MUST be declared nullable whenever the body can null out: codegen's
+  // nullSafeCodeGen builds the result code (which assigns ev.isNull)
+  // BEFORE branching on nullability, and its non-nullable branch never
+  // declares that variable — the generated class then fails to compile
+  // (Janino "not an rvalue") and the whole stage silently falls back to
+  // interpreted execution. The GetArrayItem convention.
+  override def nullable: Boolean =
+    left.nullable || right.nullable || mayHaveNullElems
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
