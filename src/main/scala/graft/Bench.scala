@@ -59,13 +59,19 @@ object Bench {
     val json =
       s"""{"metric":"total","value":${buildTotal + queryTotal},"unit":"sec","builds_total":$buildTotal,"queries_total":$queryTotal,"canary_first":$canaryFirst,"canary_last":$canaryLast,"builds":${jmap(builds)},"errors":$errJson,"queries":${jmap(results)},"sf":"$sfDir"}"""
     println(json)
-    // stdout tail-capture truncates long lines (BENCH_r02 lost the totals);
-    // the file is the whole artifact
+    // stdout tail-capture truncates long lines (BENCH_r02 lost the totals;
+    // BENCH_r13/r14 parsed:null — the driver keeps the TAIL of stdout and
+    // the 252-query map splits mid-dict). The file is the whole artifact
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(out),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
+    // compact summary LAST — short enough to always survive tail capture
+    // whole, so the driver's parsed totals are never null; no per-query
+    // map (that detail lives in the full line above and in $out)
+    println(
+      s"""{"metric":"total","value":${buildTotal + queryTotal},"unit":"sec","builds_total":$buildTotal,"queries_total":$queryTotal,"canary_first":$canaryFirst,"canary_last":$canaryLast,"n_builds":${builds.size},"n_queries":${results.size},"errors":$errJson,"sf":"$sfDir","detail":"$out"}""")
     spark.stop()
     // a crashed query must not look like a fast one (round-11 verdict):
     // the JSON carries the names, the exit code carries the signal

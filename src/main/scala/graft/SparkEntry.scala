@@ -279,6 +279,17 @@ object SparkEntry {
     "q250_neyman_alloc"   -> ((s, d) => Sampling.neymanAllocation(s, d)),
     "q251_knapsack"       -> ((s, d) => Sampling.qualityKnapsack(s, d)),
     "q252_davies_bouldin" -> ((s, d) => Similarity.daviesBouldin(s, d)),
+    // the deployment-dial forms of the three fixed-8-list IVF queries
+    // (nLists = max(8, N/targetCell) holds the mean Voronoi cell
+    // constant → linear total work; the static forms are N²/nLists).
+    // Below the dial knee (N ≤ 8·targetCell — true at every fixture
+    // SF) they resolve to the identical trajectory, so the static
+    // oracles apply verbatim; above the knee the specs pin precision
+    // against the static form (DedupSimilaritySpec/RetrievalSpec).
+    "q253_semantic_dedup_scaled" -> ((s, d) => Similarity.semanticDedupScaled(s, d)),
+    "q254_hard_negatives_scaled" -> ((s, d) => Similarity.hardNegativesScaled(s, d)),
+    "q255_rrf_fusion_scaled"     -> ((s, d) =>
+      Retrieval.rrfFusion(s, d, denseGen = Retrieval.DenseIvfScaledGen)),
   )
 
   /** The exact 5-gram eval-overlap decontamination result — shared by
@@ -807,8 +818,20 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
+    *
+    * The q253–q255 deployment-dial entries reuse their static twins'
+    * SQL verbatim: below the dial knee (every fixture SF) the scaled
+    * forms replay the IDENTICAL nLists=8 trajectory, pair for pair.
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val base = oracleSqlBase
+    base ++ Map(
+      "q253_semantic_dedup_scaled" -> base("q55_semantic_dedup"),
+      "q254_hard_negatives_scaled" -> base("q155_hard_negatives"),
+      "q255_rrf_fusion_scaled"     -> base("q125_rrf_fusion"))
+  }
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,

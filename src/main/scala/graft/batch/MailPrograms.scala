@@ -46,7 +46,7 @@ object MailPrograms {
     val stop = typedLit(StopWords)
     val toks = mails.select($"messageId",
       filter(split(lower($"body"), "\\s+"), t =>
-        t.rlike("^[a-z]+$") && !array_contains(stop, t)).as("ws"))
+        t.rlike("\\A[a-z]+\\z") && !array_contains(stop, t)).as("ws"))
       .cache()
     val mailCnt = toks.count() // separate eager job, closed-over scalar (A3)
     val exploded = toks.select($"messageId", explode($"ws").as("word"))

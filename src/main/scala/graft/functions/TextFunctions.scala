@@ -40,7 +40,7 @@ object TextFunctions {
     */
   def cleanTokensHof(text: Column): Column =
     filter(tokens(text), t =>
-      t.rlike("^[a-z]+$") && !array_contains(typedLit(StopWords), t))
+      t.rlike("\\A[a-z]+\\z") && !array_contains(typedLit(StopWords), t))
 
   /** Language-marker word lists for the n-gram/stopword language-ID
     * heuristic (public high-frequency function words per language).

@@ -217,6 +217,67 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     import spark.implicits._
     val arr = docShingleArrays(spark, d)
+    val passing = prefixAdmitted(spark, d, threshold)
+    // verify stage 2 — exact string re-check on the admitted set (≈ the
+    // true pair set, 0.08 % of candidates at 10×): one array_intersect
+    // per admitted pair off the cached string-array table; the admitted
+    // side is small so AQE broadcasts it and arr never shuffles
+    // (shingles are distinct per doc, so |array_intersect| ≡ the
+    // exploded join's pair count — output ≡ jaccardPairs row-for-row).
+    // This two-join shape reads the arr cache TWICE (x and y sides);
+    // the single-scan alternative (jaccardPrefixJoinSingleScan) reads
+    // it once but shuffles array payloads per admitted pair — the
+    // ProfilePrefix 10× pair adjudicates which ships as default.
+    passing
+      .join(arr.select($"doc_id".as("x"), $"shs".as("shx")), "x")
+      .join(arr.select($"doc_id".as("y"), $"shs".as("shy")), "y")
+      .select($"x", $"y",
+        size(array_intersect($"shx", $"shy")).cast("long").as("inter"),
+        size($"shx").cast("long").as("szx"),
+        size($"shy").cast("long").as("szy"))
+      .select($"x", $"y",
+        ($"inter".cast("double") / ($"szx" + $"szy" - $"inter")).as("jac"))
+      .filter($"jac" >= threshold)
+  }
+
+  /** The q109 verify stage with ONE reference to the shingle-array
+    * cache (the round-14 watch item): explode each admitted pair into
+    * its two doc legs, join the cache ONCE, and reassemble the pair's
+    * two arrays with a first-non-null aggregate. Trades the second
+    * cache scan for one shuffle of 2·|admitted| array-carrying rows —
+    * |admitted| ≈ the true pair set, so the shuffle is small; whether
+    * that beats a second in-memory columnar scan is an empirical
+    * question the ProfilePrefix 10× pair answers. Output ≡
+    * `jaccardPrefixJoin` ≡ `jaccardPairs` row-for-row (same exact
+    * re-check, same q16 oracle; equality pinned in
+    * DedupSimilaritySpec).
+    */
+  private[graft] def jaccardPrefixJoinSingleScan(spark: SparkSession,
+      d: String, threshold: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val arr = docShingleArrays(spark, d)
+    val legs = prefixAdmitted(spark, d, threshold)
+      .select($"x", $"y", explode(array($"x", $"y")).as("doc_id"))
+    legs.join(arr.select($"doc_id", $"shs"), "doc_id")
+      .groupBy($"x", $"y")
+      .agg(
+        first(when($"doc_id" === $"x", $"shs"), ignoreNulls = true).as("shx"),
+        first(when($"doc_id" === $"y", $"shs"), ignoreNulls = true).as("shy"))
+      .select($"x", $"y",
+        size(array_intersect($"shx", $"shy")).cast("long").as("inter"),
+        size($"shx").cast("long").as("szx"),
+        size($"shy").cast("long").as("szy"))
+      .select($"x", $"y",
+        ($"inter".cast("double") / ($"szx" + $"szy" - $"inter")).as("jac"))
+      .filter($"jac" >= threshold)
+  }
+
+  /** Stage-1 admission shared by both verify shapes: prefix-filter
+    * candidates cut by the lossless slim-hash Jaccard upper bound.
+    */
+  private def prefixAdmitted(spark: SparkSession, d: String,
+      threshold: Double): DataFrame = {
+    import spark.implicits._
     val cand = prefixCandidates(spark, d, threshold)
     // verify stage 1 — SLIM hash admission (round-14 rewrite): the
     // round-13 form joined the full string-array table onto both
@@ -245,22 +306,7 @@ object Dedup {
       .filter($"iub".cast("double") / ($"nx" + $"ny" - $"iub")
         >= lit(threshold) - lit(1e-9))
       .select($"x", $"y")
-    // verify stage 2 — exact string re-check on the admitted set (≈ the
-    // true pair set, 0.08 % of candidates at 10×): one array_intersect
-    // per admitted pair off the cached string-array table; the admitted
-    // side is small so AQE broadcasts it and arr never shuffles
-    // (shingles are distinct per doc, so |array_intersect| ≡ the
-    // exploded join's pair count — output ≡ jaccardPairs row-for-row)
     passing
-      .join(arr.select($"doc_id".as("x"), $"shs".as("shx")), "x")
-      .join(arr.select($"doc_id".as("y"), $"shs".as("shy")), "y")
-      .select($"x", $"y",
-        size(array_intersect($"shx", $"shy")).cast("long").as("inter"),
-        size($"shx").cast("long").as("szx"),
-        size($"shy").cast("long").as("szy"))
-      .select($"x", $"y",
-        ($"inter".cast("double") / ($"szx" + $"szy" - $"inter")).as("jac"))
-      .filter($"jac" >= threshold)
   }
 
   /** The prefix-filter candidate pairs (x < y): rows whose within-doc

@@ -505,11 +505,18 @@ object Similarity {
     // TOTAL order including non-finite cosines (a zero-norm embedding
     // makes 0/0 = NaN): descending puts NaN first, then +Inf, then
     // finite desc — the ascending heap key gets that from a NaN-first
-    // flag plus the negated cosine (negation alone would sort NaN last)
+    // flag plus the negated cosine (negation alone would sort NaN last).
+    // A NULL cosine (reachable if an embedding array ever carries null
+    // elements — quantized_dot propagates them) gets nanf=2/nc=0 so it
+    // sorts LAST, matching cos.desc's nulls-last; without the explicit
+    // arm it would land in nanf=1 with nc=NULL, and ascending struct
+    // order puts NULL first — i.e. a null score would rank BEST
     val topk = Ranks.groupTopK(
         all.select($"n_probe", $"q_id",
-          when(isnan($"cos"), lit(0)).otherwise(lit(1)).as("nanf"),
-          when(isnan($"cos"), lit(0.0)).otherwise(-$"cos").as("nc"),
+          when($"cos".isNull, lit(2))
+            .when(isnan($"cos"), lit(0)).otherwise(lit(1)).as("nanf"),
+          when($"cos".isNull || isnan($"cos"), lit(0.0))
+            .otherwise(-$"cos").as("nc"),
           $"n_id"),
         k, "rnk", Seq($"n_probe", $"q_id"), struct($"nanf", $"nc", $"n_id"))
       .select($"n_probe", $"q_id", $"n_id")

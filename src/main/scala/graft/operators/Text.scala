@@ -157,7 +157,7 @@ object Text {
         $"doc_id",
         size($"ws").cast("long").as("n_tokens"),
         size(filter($"ws", t => array_contains(stop, t))).cast("long").as("n_stop"),
-        size(filter($"ws", t => t.rlike("^[a-z]+$"))).cast("long").as("n_alpha"),
+        size(filter($"ws", t => t.rlike("\\A[a-z]+\\z"))).cast("long").as("n_alpha"),
         tokenSum($"ws", length(_)).as("sum_tok_len"))
       .select(
         $"doc_id", $"n_tokens", $"n_stop", $"n_alpha",
@@ -336,7 +336,7 @@ object Text {
       nMerges.toLong, "bpeEncode merge table (nMerges rows)")
     val words = documents(spark, d)
       .select($"doc_id", explode(tokens($"text")).as("w"))
-      .filter($"w".rlike("^[a-z]+$") && length($"w") >= 2)
+      .filter($"w".rlike("\\A[a-z]+\\z") && length($"w") >= 2)
     var enc: Column = regexp_replace($"w", "(.)", "|$1|")
     merges.foreach { r =>
       val (l, rr) = (r.getString(1), r.getString(2))
@@ -383,7 +383,7 @@ object Text {
       nMerges.toLong, "tokenizerFertility merge table (nMerges rows)")
     val words = documents(spark, d)
       .select($"doc_id", $"lang", explode(tokens($"text")).as("w"))
-      .filter($"w".rlike("^[a-z]+$") && length($"w") >= 2)
+      .filter($"w".rlike("\\A[a-z]+\\z") && length($"w") >= 2)
     var enc: Column = regexp_replace($"w", "(.)", "|$1|")
     merges.foreach { r =>
       val (l, rr) = (r.getString(1), r.getString(2))
@@ -407,7 +407,7 @@ object Text {
     import spark.implicits._
     var words = documents(spark, d)
       .select(explode(tokens($"text")).as("w"))
-      .filter($"w".rlike("^[a-z]+$") && length($"w") >= 2)
+      .filter($"w".rlike("\\A[a-z]+\\z") && length($"w") >= 2)
       .groupBy($"w").agg(count(lit(1)).as("n"))
       .select(regexp_replace($"w", "(.)", "|$1|").as("s"), $"n")
       .cache()

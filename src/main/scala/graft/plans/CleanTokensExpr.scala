@@ -24,8 +24,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * Value-identical to the HOF form by construction: empty tokens from
   * leading/trailing/repeated whitespace fail `[a-z]+` in both forms;
   * any non-ASCII byte fails the a–z check exactly as the regex rejects
-  * the char. CleanTokensExprSpec asserts equality over the corpus and
-  * adversarial strings.
+  * the char. The declared HOF reference is ANCHOR-EXACT
+  * (`\A[a-z]+\z`, matching the DuckDB oracles' regexp_full_match) —
+  * `^…$` would silently accept one trailing Unicode line terminator
+  * (\u0085/\u2028/\u2029, which Java `\s` does not split on).
+  * CleanTokensExprSpec asserts equality over the corpus and
+  * adversarial strings including those terminators.
   */
 /** The byte-scan vocabulary CleanTokens and QualityCounters share —
   * ONE definition of the stop set and the whitespace predicate, so the

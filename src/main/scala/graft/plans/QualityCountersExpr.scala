@@ -25,9 +25,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * with limit −1), and the empty string yields ONE empty segment —
   * all counted by `n_tokens`, none of which are stop words or
   * alphabetic, and all adding 0 length. Token lengths count
-  * CHARACTERS (`UTF8String.numChars`), matching `length()`.
-  * QualityCountersExprSpec asserts equality against the HOF form over
-  * the corpus and adversarial strings.
+  * CHARACTERS (`UTF8String.numChars`), matching `length()`. The
+  * alpha check is ANCHOR-EXACT, like the HOF reference `\A[a-z]+\z`
+  * and the DuckDB oracles' regexp_full_match — a token carrying a
+  * trailing Unicode line terminator (\u0085/\u2028/\u2029, not Java
+  * `\s` whitespace) is NOT alphabetic, where `^…$` would have
+  * silently accepted it. QualityCountersExprSpec asserts equality
+  * against the HOF form over the corpus and adversarial strings
+  * including those terminators.
   */
 object QualityCounters {
   // shared with CleanTokens (plans.TokenScan): one stop set, one

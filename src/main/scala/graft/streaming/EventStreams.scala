@@ -488,6 +488,30 @@ object EventStreams {
   // registers are bit-identical to the unsalted stream's (and the batch
   // query's) because the fold is a commutative monoid action and
   // salting only re-partitions the rows (EventStreamsSpec law).
+  //
+  // Since round 15 the salted partial form IS the family's deployment
+  // default: the no-arg twins read the `spark.graft.sketch.salts` dial
+  // (below) instead of hard-coding the single-key fold. The unsalted
+  // streams above remain the equality reference (and the salts=1 plan).
+
+  /** The sketch family's fold-parallelism dial — the rank machinery's
+    * `spark.graft.rank.windowMaxRows` convention applied to streams:
+    * ONE documented conf, `spark.graft.sketch.salts` (default 32,
+    * floor 1), read by the no-arg partial twins. The salted plan is
+    * the DEPLOYMENT DEFAULT because a sketch stream's key is the
+    * sketch's GROUP (event_type here, ~5 values), not its population:
+    * the unsalted fold serializes on |groups| tasks no matter the
+    * cluster (StreamBench: HLL 174k→380k, CMS 62k→249k rows/s at 2M
+    * events when salted). Set salts=1 to route onto a single fold per
+    * group (same registers — the spec's salted≡unsalted≡batch law —
+    * just no partial/merge stage); raise it toward the executor count
+    * on wide clusters. Correctness never depends on the value: merge
+    * is the sketch's own algebra (register MAX / count ADD), row
+    * placement is irrelevant.
+    */
+  private[graft] def sketchSalts(spark: org.apache.spark.sql.SparkSession): Int =
+    math.max(1, spark.conf.getOption("spark.graft.sketch.salts")
+      .map(_.toInt).getOrElse(32))
 
   case class HllPartialRow(event_type: String, salt: Int, regs: Array[Long])
 
@@ -516,13 +540,19 @@ object EventStreams {
     }
   }
 
+  /** q127's streaming twin, deployment default: types×salts fold
+    * parallelism with `salts` from the `spark.graft.sketch.salts` dial.
+    */
+  def hllSketchStreamPartials(events: Dataset[Event]): Dataset[HllPartialRow] =
+    hllSketchStreamPartials(events, sketchSalts(events.sparkSession))
+
   /** q127's HLL with types×`salts` fold parallelism. The salt is
     * `user_id % salts` for determinism, but ANY row partition is
     * correct — register max merges partials regardless of which rows
     * landed where.
     */
   def hllSketchStreamPartials(events: Dataset[Event],
-      salts: Int = 32): Dataset[HllPartialRow] = {
+      salts: Int): Dataset[HllPartialRow] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(e => (e.event_type, (e.user_id % salts).toInt))
@@ -585,10 +615,16 @@ object EventStreams {
     }
   }
 
+  /** q162's streaming twin, deployment default: types×salts fold
+    * parallelism with `salts` from the `spark.graft.sketch.salts` dial.
+    */
+  def cmsStreamPartials(events: Dataset[Event]): Dataset[CmsPartialRow] =
+    cmsStreamPartials(events, sketchSalts(events.sparkSession))
+
   /** q162's CMS with types×`salts` fold parallelism (see
     * hllSketchStreamPartials).
     */
-  def cmsStreamPartials(events: Dataset[Event], salts: Int = 32,
+  def cmsStreamPartials(events: Dataset[Event], salts: Int,
       dRows: Int = 4, w: Int = 256): Dataset[CmsPartialRow] = {
     import events.sparkSession.implicits._
     events

@@ -8,7 +8,10 @@ import org.apache.spark.sql.SparkSession
   */
 object ProfilePrefix {
   def main(args: Array[String]): Unit = {
-    val d = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    // optional 2nd arg: replication factor — builds a throwaway
+    // key-shifted fixture (ScaleSweep's construction) and profiles there
+    val factor = if (args.length > 1) args(1).toInt else 1
     val shuf = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32").toInt
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -17,6 +20,12 @@ object ProfilePrefix {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val d = if (factor <= 1) src else {
+      val out = s"/tmp/prefix_profile_${factor}x"
+      println(s"building ${factor}x fixture at $out ...")
+      ScaleSweep.buildFixture(spark, src, out, factor)
+      out
+    }
     def time[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime()
       val r = f
@@ -37,6 +46,22 @@ object ProfilePrefix {
       graft.operators.Dedup.jaccardPrefixJoin(spark, d).count())
     time("jaccardPrefixJoin again")(
       graft.operators.Dedup.jaccardPrefixJoin(spark, d).count())
+    // the single-reference verify shape (one scan of the shingle-array
+    // cache, one small array shuffle) vs the two-join default — the
+    // round-14 watch item's A/B; both ride the same warm candidates
+    time("jaccardPrefixJoinSingleScan (warm candidates)")(
+      graft.operators.Dedup.jaccardPrefixJoinSingleScan(spark, d).count())
+    time("jaccardPrefixJoinSingleScan again")(
+      graft.operators.Dedup.jaccardPrefixJoinSingleScan(spark, d).count())
+    time("jaccardPrefixJoin (two-join) final")(
+      graft.operators.Dedup.jaccardPrefixJoin(spark, d).count())
+    if (factor > 1) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(d))
+    }
     spark.stop()
   }
 }

@@ -42,7 +42,15 @@ class CleanTokensExprSpec extends AnyFunSuite {
       "a an at are am for and or is there it this that on was by of to in not be with you have as can",
       "singleword", "x", "Z",
       "mixed CASE Words WITH Tabs\tbetween\nlines",
-      "日本語 テスト mixed ascii")
+      "日本語 テスト mixed ascii",
+      // Unicode line terminators (NOT Java \s whitespace, so they stay
+      // inside tokens): the HOF reference is anchor-exact \A[a-z]+\z —
+      // matching the DuckDB oracles' regexp_full_match and the native
+      // byte scan — so a trailing one of these rejects the token
+      // (rlike("^[a-z]+$") would have silently accepted it)
+      "abc\u0085 abc\u2028 abc\u2029",
+      "\u0085abc a\u2028b \u2029",
+      "abc\u0085\u0085 abc\u0085def end")
     assertEqualOn(rows.toDF("text"))
     // null text: both forms are null
     val n = Seq[Option[String]](None).toDF("text")

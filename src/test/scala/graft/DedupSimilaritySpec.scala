@@ -55,6 +55,13 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .select($"x", $"y", $"jac").as[(Long, Long, Double)].collect().toSet
     assert(prefix == exact,
       "prefix filtering is lossless — the theorem guarantees recall 1")
+    // the single-reference verify shape (one scan of the shingle-array
+    // cache) is the same exact re-check reassembled after an exploded
+    // one-pass join — row-identical by law
+    val singleScan = Dedup.jaccardPrefixJoinSingleScan(spark, sf)
+      .select($"x", $"y", $"jac").as[(Long, Long, Double)].collect().toSet
+    assert(singleScan == exact,
+      "single-scan verify must equal the two-join verify row-for-row")
     // the point of the prune: candidate volume well below the full
     // inverted-index pair volume (every pair sharing >= 1 shingle)
     val sh = spark.read.parquet(s"$sf/documents.parquet")

@@ -251,6 +251,50 @@ class EventStreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("sketch salt dial: no-arg twins read spark.graft.sketch.salts; salts=1 equals the unsalted fold") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val all = graft.core.Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect()
+    def runPartials(name: String): Set[(String, Int)] = {
+      val in = MemoryStream[Event]
+      val q = EventStreams.hllSketchStreamPartials(in.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        in.addData(all.toIndexedSeq: _*); q.processAllAvailable()
+        spark.table(name).select($"event_type", $"salt")
+          .as[(String, Int)].collect().toSet
+      } finally q.stop()
+    }
+    withRuntime(tws = true) {
+      // dial respected: keys fan out over salts in [0, 4)
+      spark.conf.set("spark.graft.sketch.salts", "4")
+      try {
+        val keys = runPartials("hll_dial4")
+        assert(keys.map(_._2).forall(s => s >= 0 && s < 4))
+        assert(keys.groupBy(_._1).values.exists(_.size > 1),
+          "expected at least one type folded on >1 salt")
+      } finally spark.conf.unset("spark.graft.sketch.salts")
+      // salts=1: one fold per type, and the merged summary still equals
+      // the batch sketch (the dial is invisible to results by law)
+      spark.conf.set("spark.graft.sketch.salts", "1")
+      try {
+        val keys1 = runPartials("hll_dial1")
+        assert(keys1.forall(_._2 == 0))
+        val merged = EventStreams.mergeHllPartials(
+            spark.table("hll_dial1").as[EventStreams.HllPartialRow])
+          .as[(String, Long, Long, Long)].collect().toSet
+        val batch = graft.operators.Relational.hllDistinct(spark, sf)
+          .select($"event_type", $"v_zero", $"hll_raw", $"hll_est")
+          .as[(String, Long, Long, Long)].collect().toSet
+        assert(merged == batch)
+      } finally spark.conf.unset("spark.graft.sketch.salts")
+    }
+  }
+
   test("anomaly stream state equals the q153 batch monitor across an arbitrary batch split") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

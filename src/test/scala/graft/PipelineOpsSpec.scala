@@ -512,7 +512,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     val totalPieces = got.map(_._3).sum
     val totalSymbols = spark.read.parquet(s"$sf/documents.parquet")
       .select(explode(split(lower($"text"), "\\s+")).as("w"))
-      .filter($"w".rlike("^[a-z]+$") && length($"w") >= 2)
+      .filter($"w".rlike("\\A[a-z]+\\z") && length($"w") >= 2)
       .agg(sum(length($"w"))).as[Long].head()
     assert(totalPieces < totalSymbols, s"$totalPieces vs $totalSymbols")
   }

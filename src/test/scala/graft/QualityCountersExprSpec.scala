@@ -22,7 +22,7 @@ class QualityCountersExprSpec extends AnyFunSuite {
         size($"ws").cast("long").as("h_tokens"),
         size(filter($"ws", t => array_contains(stop, t)))
           .cast("long").as("h_stop"),
-        size(filter($"ws", t => t.rlike("^[a-z]+$")))
+        size(filter($"ws", t => t.rlike("\\A[a-z]+\\z")))
           .cast("long").as("h_alpha"),
         graft.functions.TextFunctions.tokenSum($"ws", length(_))
           .as("h_len"))
@@ -54,7 +54,17 @@ class QualityCountersExprSpec extends AnyFunSuite {
       "a an at are am for and or is there it this that on was by of to in not be with you have as can",
       "singleword", "x", "Z",
       "mixed CASE Words WITH Tabs\tbetween\nlines",
-      "日本語 テスト mixed ascii")
+      "日本語 テスト mixed ascii",
+      // Unicode line terminators that Java \s does NOT treat as
+      // whitespace, so they stay INSIDE tokens: under the old
+      // rlike("^[a-z]+$") reference, $ matched before a single
+      // trailing one of these, silently counting "abc\u0085" as
+      // alphabetic; the anchor-exact \A[a-z]+\z reference (matching
+      // the DuckDB oracles' regexp_full_match) and the native byte
+      // scan both reject them
+      "abc\u0085 abc\u2028 abc\u2029",
+      "\u0085abc a\u2028b \u2029",
+      "abc\u0085\u0085 abc\u0085def end")
     assertEqualOn(rows.toDF("text"))
     // null text: the native struct is null, so every field is null —
     // matching the HOF columns on a null ws
