@@ -1,0 +1,158 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Constrained-memory rehearsal: the top-10 heavies on the 10× fixture
+  * under a deliberately SMALL heap must degrade by SPILLING — never by
+  * OOM, and never by a changed answer. Memory-pressure behavior is the
+  * #1 operational difference between the sf0.1 gate and a 100 TB
+  * cluster: executors there run with a FIXED memory slice per task
+  * slot, and an operator that needs the whole working set resident
+  * (instead of spill-merging through UnsafeExternalSorter /
+  * MEMORY_AND_DISK cache eviction) dies precisely when the data
+  * outgrows the slice. The round-14 ScaleSweep adjudicated q109's
+  * in-sweep variance as cache re-fill under heap pressure; this tool
+  * turns that one-off adjudication into a rehearsed, assertable law.
+  *
+  * The JVM heap is fixed at fork time (build.sbt reads
+  * SPARK_DRIVER_MEM into -Xmx), so the two legs are two invocations:
+  *
+  * {{{
+  * SPARK_DRIVER_MEM=8g sbt "runMain graft.tools.MemSweep /root/testdata/sf0.1 10 --write /tmp/memsweep_ref.json"
+  * SPARK_DRIVER_MEM=3g sbt "runMain graft.tools.MemSweep /root/testdata/sf0.1 10 --check /tmp/memsweep_ref.json"
+  * }}}
+  *
+  * `--write` records each heavy's canonical digest (InvarianceSweep's
+  * column-sorted/row-sorted multiset, sha-256'd), row count, wall time
+  * and spill bytes; `--check` re-runs under the constrained heap and
+  * exits non-zero if any query throws (OOM included) or its digest
+  * drifts. Spill columns are the per-query sums of task
+  * memoryBytesSpilled/diskBytesSpilled — nonzero spill on the small
+  * heap with green digests is exactly the evidence the law wants:
+  * pressure ENGAGED and the answers did not move.
+  *
+  * The fixture is ScaleSweep's key-shifted replication, shared at
+  * /tmp/graft_scale<factor> and left in place (ScaleSweep --keep
+  * convention) so both legs read identical bytes.
+  */
+object MemSweep {
+
+  private def digest(rows: Vector[String]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    rows.foreach(r => md.update(r.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val mode = args.find(a => a == "--write" || a == "--check")
+      .getOrElse(sys.error("pass --write <json> or --check <json>"))
+    val jsonPath = args(args.indexOf(mode) + 1)
+    val named = args.drop(2).filterNot(_.startsWith("--"))
+      .filterNot(_ == jsonPath)
+    val queries = if (named.nonEmpty) named.toSeq else ScaleSweep.heavies
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val heap = Runtime.getRuntime.maxMemory() / (1024 * 1024)
+    val fixture = s"/tmp/graft_scale$factor"
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus * factor)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    if (!new java.io.File(s"$fixture/documents.parquet").exists()) {
+      val t0 = System.nanoTime()
+      ScaleSweep.buildFixture(spark, src, fixture, factor)
+      println(f"fixture build: ${(System.nanoTime() - t0) / 1e9}%.1fs → $fixture")
+    }
+
+    val spillMem = new AtomicLong(0L)
+    val spillDisk = new AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          spillMem.addAndGet(m.memoryBytesSpilled): Unit
+          spillDisk.addAndGet(m.diskBytesSpilled): Unit
+        }
+      }
+    })
+
+    // warm the declared builds like the bench/scale legs — under the
+    // constrained heap the builds themselves are part of the rehearsal
+    graft.Builds.all.foreach { case (name, fn) =>
+      try fn(spark, fixture)
+      catch { case e: Throwable => println(s"BUILD FAIL $name: ${e.getMessage}") }
+    }
+
+    println(s"| query | secs | rows | spillMemMiB | spillDiskMiB | digest |")
+    println(s"|---|---|---|---|---|---|")
+    val results = queries.map { name =>
+      spillMem.set(0L); spillDisk.set(0L)
+      val t0 = System.nanoTime()
+      val r = try {
+        val rows = InvarianceSweep.canon(
+          graft.SparkEntry.queries(name)(spark, fixture))
+        Right((rows.size, digest(rows)))
+      } catch { case scala.util.control.NonFatal(e) =>
+        Left(e.getClass.getSimpleName + ": " +
+          String.valueOf(e.getMessage).linesIterator.take(2).mkString(" | "))
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300) // listener bus drain
+      val (sm, sd) = (spillMem.get() / (1024 * 1024), spillDisk.get() / (1024 * 1024))
+      r match {
+        case Right((n, dg)) =>
+          println(f"| $name | $secs%.2f | $n%d | $sm%d | $sd%d | ${dg.take(12)} |")
+        case Left(err) =>
+          println(f"| $name | $secs%.2f | ERR | $sm%d | $sd%d | $err |")
+      }
+      (name, r, secs, sm, sd)
+    }
+    spark.stop()
+
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    mode match {
+      case "--write" =>
+        val body = results.map {
+          case (n, Right((rows, dg)), secs, sm, sd) =>
+            s"${jstr(n)}:{" + s""""digest":${jstr(dg)},"rows":$rows,"secs":$secs,"spill_mem_mib":$sm,"spill_disk_mib":$sd}"""
+          case (n, Left(err), secs, _, _) =>
+            s"${jstr(n)}:{" + s""""err":${jstr(err)},"secs":$secs}"""
+        }.mkString(",")
+        java.nio.file.Files.write(java.nio.file.Paths.get(jsonPath),
+          (s"""{"heap_mib":$heap,"factor":$factor,"queries":{$body}}""" + "\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        println(s"reference written: $jsonPath (heap ${heap}MiB)")
+        val errs = results.count(_._2.isLeft)
+        if (errs > 0) sys.exit(math.min(errs, 255))
+      case "--check" =>
+        val ref = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(jsonPath)), java.nio.charset.StandardCharsets.UTF_8)
+        var bad = 0
+        val totalSpill = results.map(r => r._4 + r._5).sum
+        results.foreach {
+          case (n, Right((_, dg)), _, _, _) =>
+            // digest match by containment — the ref file is our own
+            // fixed-format JSON, so the quoted digest string is unique
+            if (!ref.contains("\"" + dg + "\"")) {
+              bad += 1
+              println(s"DIGEST DRIFT $n: $dg not in reference")
+            }
+          case (n, Left(err), _, _, _) =>
+            bad += 1
+            println(s"FAILED under constrained heap $n: $err")
+        }
+        println(f"memsweep check: heap ${heap}MiB, ${results.size} queries, " +
+          f"$bad bad, total spill ${totalSpill}MiB " +
+          f"(nonzero spill + 0 bad = degraded gracefully)")
+        sys.exit(math.min(bad, 255))
+    }
+  }
+}

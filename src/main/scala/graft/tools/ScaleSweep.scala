@@ -54,7 +54,7 @@ object ScaleSweep {
     "documents"  -> Seq("doc_id"),
     "embeddings" -> Seq("vec_id"))
 
-  private val heavies = Seq(
+  private[tools] val heavies = Seq(
     "q109_prefix_jaccard", "q91_ann_ivf_pq", "q13_pagerank",
     "q161_committee", "q174_session_stats", "q32_dedup_clusters",
     "q86_cc_converged", "q116_bm25", "q53_stratified_sample",

@@ -1018,7 +1018,13 @@ class EventStreamsSpec extends AnyFunSuite {
     }
   }
 
-  test("histogram twin RESTART: kill mid-stream, resume from checkpoint, resumed-final == batch") {
+  // both RocksDB checkpoint modes: full snapshots (default) and Spark
+  // 4's changelog checkpointing — the mode a production stream runs,
+  // where each commit uploads a delta and recovery REPLAYS changelogs
+  // onto the last snapshot; a state bug that full snapshots mask
+  // (e.g. non-idempotent replay) surfaces only here
+  for ((ckptLabel, changelog) <- Seq(("full-snapshot", false), ("changelog", true)))
+  test(s"histogram twin RESTART [$ckptLabel]: kill mid-stream, resume from checkpoint, resumed-final == batch") {
     import spark.implicits._
     // exactly-once for the transformWithState sketch family, rehearsed
     // for real: a file source + RocksDB checkpoint, the query KILLED
@@ -1026,9 +1032,12 @@ class EventStreamsSpec extends AnyFunSuite {
     // checkpointLocation — the resumed emissions must already carry the
     // pre-kill state (a reset state would emit part-2-only counts)
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val changelogKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
     val prevProvider = spark.conf.getOption(providerKey)
     spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(changelogKey, changelog.toString)
     val base = java.nio.file.Files.createTempDirectory("graft_q129_restart_").toString
     val (inDir, ckpt) = (s"$base/in", s"$base/ckpt")
     new java.io.File(inDir).mkdirs()
@@ -1093,6 +1102,7 @@ class EventStreamsSpec extends AnyFunSuite {
         }
       } finally q2.stop()
     } finally {
+      spark.conf.unset(changelogKey)
       prevProvider match {
         case Some(p) => spark.conf.set(providerKey, p)
         case None => spark.conf.unset(providerKey)
@@ -1161,7 +1171,8 @@ class EventStreamsSpec extends AnyFunSuite {
     }
   }
 
-  test("attribution join RESTART: pre-kill click joins a post-resume purchase") {
+  for ((ckptLabel, changelog) <- Seq(("full-snapshot", false), ("changelog", true)))
+  test(s"attribution join RESTART [$ckptLabel]: pre-kill click joins a post-resume purchase") {
     import spark.implicits._
     // the sharpest join-state recovery law: the click arrives BEFORE
     // the kill, the matching purchase arrives only AFTER the resume —
@@ -1169,11 +1180,15 @@ class EventStreamsSpec extends AnyFunSuite {
     // recovered from the checkpoint (a reset buffer emits nothing for
     // purchase 10). Completes the restart rehearsal family: sketch
     // state (q129), ValueState (q244), and now stream-stream join
-    // buffers — the three state classes the engine ships.
+    // buffers — the three state classes the engine ships. Run under
+    // both RocksDB checkpoint modes (see the q129 rehearsal's note).
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val changelogKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
     val prevProvider = spark.conf.getOption(providerKey)
     spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(changelogKey, changelog.toString)
     val base = java.nio.file.Files.createTempDirectory("graft_q97_restart_").toString
     val (cDir, pDir, ckpt) = (s"$base/clicks", s"$base/purch", s"$base/ckpt")
     new java.io.File(cDir).mkdirs(); new java.io.File(pDir).mkdirs()
@@ -1223,6 +1238,7 @@ class EventStreamsSpec extends AnyFunSuite {
           "the out-of-window early purchase must not join anything")
       } finally q2.stop()
     } finally {
+      spark.conf.unset(changelogKey)
       prevProvider match {
         case Some(p) => spark.conf.set(providerKey, p)
         case None => spark.conf.unset(providerKey)
