@@ -69,9 +69,12 @@ object Bench {
     catch { case _: Throwable => () }
     // compact summary LAST — short enough to always survive tail capture
     // whole, so the driver's parsed totals are never null; no per-query
-    // map (that detail lives in the full line above and in $out)
+    // map, and errors BOUNDED to a count + 5-name sample (a systemic
+    // regression failing most queries would otherwise re-inflate this
+    // line past the capture limit in exactly the run that needs it)
+    val errSample = errors.take(5).map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":${buildTotal + queryTotal},"unit":"sec","builds_total":$buildTotal,"queries_total":$queryTotal,"canary_first":$canaryFirst,"canary_last":$canaryLast,"n_builds":${builds.size},"n_queries":${results.size},"errors":$errJson,"sf":"$sfDir","detail":"$out"}""")
+      s"""{"metric":"total","value":${buildTotal + queryTotal},"unit":"sec","builds_total":$buildTotal,"queries_total":$queryTotal,"canary_first":$canaryFirst,"canary_last":$canaryLast,"n_builds":${builds.size},"n_queries":${results.size},"n_errors":${errors.size},"errors_sample":$errSample,"sf":"$sfDir","detail":"$out"}""")
     spark.stop()
     // a crashed query must not look like a fast one (round-11 verdict):
     // the JSON carries the names, the exit code carries the signal

@@ -228,9 +228,20 @@ object Dedup {
     // the single-scan alternative (jaccardPrefixJoinSingleScan) reads
     // it once but shuffles array payloads per admitted pair — the
     // ProfilePrefix 10× pair adjudicates which ships as default.
-    passing
-      .join(arr.select($"doc_id".as("x"), $"shs".as("shx")), "x")
-      .join(arr.select($"doc_id".as("y"), $"shs".as("shy")), "y")
+    exactJaccardScore(
+      passing
+        .join(arr.select($"doc_id".as("x"), $"shs".as("shx")), "x")
+        .join(arr.select($"doc_id".as("y"), $"shs".as("shy")), "y"),
+      threshold)
+  }
+
+  /** The exact-Jaccard re-check both q109 verify shapes share: one
+    * scoring definition so the spec's two-shape equality law cannot be
+    * broken by a one-sided edit. Input: (x, y, shx, shy) pair rows.
+    */
+  private def exactJaccardScore(pairs: DataFrame, threshold: Double): DataFrame = {
+    import pairs.sparkSession.implicits._
+    pairs
       .select($"x", $"y",
         size(array_intersect($"shx", $"shy")).cast("long").as("inter"),
         size($"shx").cast("long").as("szx"),
@@ -258,18 +269,13 @@ object Dedup {
     val arr = docShingleArrays(spark, d)
     val legs = prefixAdmitted(spark, d, threshold)
       .select($"x", $"y", explode(array($"x", $"y")).as("doc_id"))
-    legs.join(arr.select($"doc_id", $"shs"), "doc_id")
-      .groupBy($"x", $"y")
-      .agg(
-        first(when($"doc_id" === $"x", $"shs"), ignoreNulls = true).as("shx"),
-        first(when($"doc_id" === $"y", $"shs"), ignoreNulls = true).as("shy"))
-      .select($"x", $"y",
-        size(array_intersect($"shx", $"shy")).cast("long").as("inter"),
-        size($"shx").cast("long").as("szx"),
-        size($"shy").cast("long").as("szy"))
-      .select($"x", $"y",
-        ($"inter".cast("double") / ($"szx" + $"szy" - $"inter")).as("jac"))
-      .filter($"jac" >= threshold)
+    exactJaccardScore(
+      legs.join(arr.select($"doc_id", $"shs"), "doc_id")
+        .groupBy($"x", $"y")
+        .agg(
+          first(when($"doc_id" === $"x", $"shs"), ignoreNulls = true).as("shx"),
+          first(when($"doc_id" === $"y", $"shs"), ignoreNulls = true).as("shy")),
+      threshold)
   }
 
   /** Stage-1 admission shared by both verify shapes: prefix-filter

@@ -46,14 +46,20 @@ object MemSweep {
     md.digest().map("%02x".format(_)).mkString
   }
 
+  private val usage =
+    "usage: MemSweep <srcDir> <factor> (--write|--check) <json> [query...]"
+
   def main(args: Array[String]): Unit = {
-    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val factor = args.lift(1).map(_.toInt).getOrElse(10)
     val mode = args.find(a => a == "--write" || a == "--check")
-      .getOrElse(sys.error("pass --write <json> or --check <json>"))
+      .getOrElse(sys.error(usage))
+    if (args.indexOf(mode) + 1 >= args.length) sys.error(usage)
     val jsonPath = args(args.indexOf(mode) + 1)
-    val named = args.drop(2).filterNot(_.startsWith("--"))
-      .filterNot(_ == jsonPath)
+    val positional = args.filterNot(_.startsWith("--")).filterNot(_ == jsonPath)
+    val src = positional.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = positional.lift(1).map { f =>
+      try f.toInt catch { case _: NumberFormatException => sys.error(usage) }
+    }.getOrElse(10)
+    val named = positional.drop(2)
     val queries = if (named.nonEmpty) named.toSeq else ScaleSweep.heavies
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val heap = Runtime.getRuntime.maxMemory() / (1024 * 1024)
@@ -135,15 +141,28 @@ object MemSweep {
       case "--check" =>
         val ref = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(jsonPath)), java.nio.charset.StandardCharsets.UTF_8)
+        // per-query extraction from our own fixed-format JSON — a bare
+        // containment check would let two queries with the SAME digest
+        // (e.g. both empty) mask each other's drift
+        def refDigest(name: String): Option[String] = {
+          val m = java.util.regex.Pattern
+            .compile("\"" + java.util.regex.Pattern.quote(name) +
+              "\":\\{\"digest\":\"([0-9a-f]+)\"")
+            .matcher(ref)
+          if (m.find()) Some(m.group(1)) else None
+        }
         var bad = 0
         val totalSpill = results.map(r => r._4 + r._5).sum
         results.foreach {
           case (n, Right((_, dg)), _, _, _) =>
-            // digest match by containment — the ref file is our own
-            // fixed-format JSON, so the quoted digest string is unique
-            if (!ref.contains("\"" + dg + "\"")) {
-              bad += 1
-              println(s"DIGEST DRIFT $n: $dg not in reference")
+            refDigest(n) match {
+              case Some(exp) if exp == dg => ()
+              case Some(exp) =>
+                bad += 1
+                println(s"DIGEST DRIFT $n: got $dg, reference $exp")
+              case None =>
+                bad += 1
+                println(s"NO REFERENCE for $n in $jsonPath (err in ref leg?)")
             }
           case (n, Left(err), _, _, _) =>
             bad += 1

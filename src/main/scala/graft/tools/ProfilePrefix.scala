@@ -9,8 +9,8 @@ import org.apache.spark.sql.SparkSession
 object ProfilePrefix {
   def main(args: Array[String]): Unit = {
     val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
-    // optional 2nd arg: replication factor — builds a throwaway
-    // key-shifted fixture (ScaleSweep's construction) and profiles there
+    // optional 2nd arg: replication factor — profiles on the shared
+    // key-shifted fixture (ScaleSweep's construction, kept in /tmp)
     val factor = if (args.length > 1) args(1).toInt else 1
     val shuf = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32").toInt
     val spark = SparkSession.builder()
@@ -20,10 +20,15 @@ object ProfilePrefix {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // reuse the shared kept fixture (the ScaleSweep/MemSweep path) so
+    // repeat A/B profiling never re-pays the multi-minute build and the
+    // legs read identical bytes; build it there only if absent
     val d = if (factor <= 1) src else {
-      val out = s"/tmp/prefix_profile_${factor}x"
-      println(s"building ${factor}x fixture at $out ...")
-      ScaleSweep.buildFixture(spark, src, out, factor)
+      val out = s"/tmp/graft_scale$factor"
+      if (!new java.io.File(s"$out/documents.parquet").exists()) {
+        println(s"building ${factor}x fixture at $out ...")
+        ScaleSweep.buildFixture(spark, src, out, factor)
+      }
       out
     }
     def time[A](label: String)(f: => A): A = {
@@ -55,13 +60,8 @@ object ProfilePrefix {
       graft.operators.Dedup.jaccardPrefixJoinSingleScan(spark, d).count())
     time("jaccardPrefixJoin (two-join) final")(
       graft.operators.Dedup.jaccardPrefixJoin(spark, d).count())
-    if (factor > 1) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(): Unit
-      }
-      rm(new java.io.File(d))
-    }
+    // the shared fixture is deliberately KEPT (ScaleSweep --keep /
+    // MemSweep convention) for the next profiling or sweep leg
     spark.stop()
   }
 }
