@@ -52,6 +52,11 @@ object MemSweep {
   def main(args: Array[String]): Unit = {
     val mode = args.find(a => a == "--write" || a == "--check")
       .getOrElse(sys.error(usage))
+    // any other --flag is a typo or a wrong analogy (ScaleSweep's
+    // --keep, say) — reject it loudly rather than silently running a
+    // sweep the operator did not intend
+    args.filter(_.startsWith("--")).filterNot(_ == mode)
+      .foreach(f => sys.error(s"unknown flag $f\n$usage"))
     if (args.indexOf(mode) + 1 >= args.length) sys.error(usage)
     val jsonPath = args(args.indexOf(mode) + 1)
     val positional = args.filterNot(_.startsWith("--")).filterNot(_ == jsonPath)
@@ -65,6 +70,31 @@ object MemSweep {
     val heap = Runtime.getRuntime.maxMemory() / (1024 * 1024)
     val fixture = s"/tmp/graft_scale$factor"
 
+    // --check preconditions, asserted BEFORE the expensive run: the law
+    // is only rehearsed if this leg actually has LESS memory than the
+    // reference and reads the same-factor fixture. A forgotten
+    // SPARK_DRIVER_MEM would otherwise exit 0 as a vacuous green (same
+    // heap ⇒ digests trivially match, no pressure engaged); the write
+    // leg records heap_mib and factor for exactly this assertion.
+    val refContent: Option[String] =
+      if (mode != "--check") None
+      else Some(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(jsonPath)), java.nio.charset.StandardCharsets.UTF_8))
+    refContent.foreach { ref =>
+      def refLong(field: String): Option[Long] = {
+        val m = java.util.regex.Pattern
+          .compile("\"" + field + "\":(\\d+)").matcher(ref)
+        if (m.find()) Some(m.group(1).toLong) else None
+      }
+      refLong("heap_mib").filter(heap >= _).foreach(rh =>
+        sys.error(s"--check heap ${heap}MiB is not below the reference's " +
+          s"${rh}MiB — set SPARK_DRIVER_MEM lower than the --write leg; " +
+          "a same-or-larger heap rehearses no memory pressure"))
+      refLong("factor").filter(_ != factor.toLong).foreach(rf =>
+        sys.error(s"--check factor $factor does not match the reference's " +
+          s"$rf — the digests would compare different fixtures"))
+    }
+
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus * factor)
@@ -72,11 +102,7 @@ object MemSweep {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    if (!new java.io.File(s"$fixture/documents.parquet").exists()) {
-      val t0 = System.nanoTime()
-      ScaleSweep.buildFixture(spark, src, fixture, factor)
-      println(f"fixture build: ${(System.nanoTime() - t0) / 1e9}%.1fs → $fixture")
-    }
+    ScaleSweep.ensureFixture(spark, src, fixture, factor)
 
     val spillMem = new AtomicLong(0L)
     val spillDisk = new AtomicLong(0L)
@@ -139,8 +165,7 @@ object MemSweep {
         val errs = results.count(_._2.isLeft)
         if (errs > 0) sys.exit(math.min(errs, 255))
       case "--check" =>
-        val ref = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(jsonPath)), java.nio.charset.StandardCharsets.UTF_8)
+        val ref = refContent.get
         // per-query extraction from our own fixed-format JSON — a bare
         // containment check would let two queries with the SAME digest
         // (e.g. both empty) mask each other's drift

@@ -22,13 +22,12 @@ object ProfilePrefix {
     spark.sparkContext.setLogLevel("ERROR")
     // reuse the shared kept fixture (the ScaleSweep/MemSweep path) so
     // repeat A/B profiling never re-pays the multi-minute build and the
-    // legs read identical bytes; build it there only if absent
+    // legs read identical bytes; the marker check rebuilds on a src or
+    // factor mismatch (and on a partial build) instead of silently
+    // profiling stale data
     val d = if (factor <= 1) src else {
       val out = s"/tmp/graft_scale$factor"
-      if (!new java.io.File(s"$out/documents.parquet").exists()) {
-        println(s"building ${factor}x fixture at $out ...")
-        ScaleSweep.buildFixture(spark, src, out, factor)
-      }
+      ScaleSweep.ensureFixture(spark, src, out, factor)
       out
     }
     def time[A](label: String)(f: => A): A = {

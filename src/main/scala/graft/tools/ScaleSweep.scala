@@ -30,9 +30,11 @@ import org.apache.spark.sql.functions._
   *     by corpus size rather than by an artificial cross-copy clique
   *     blowup (10 identical copies of every doc would square the pair
   *     tables — a fixture artifact, not an engine property).
-  *   - embeddings: copy k > 0 offsets every coordinate by k·10⁻³, so
-  *     vectors are distinct but the cloud's geometry (norms, cluster
-  *     structure) is preserved.
+  *   - embeddings: copy k > 0 ROTATES the coordinates by k positions,
+  *     so every within-copy norm and pairwise similarity is preserved
+  *     exactly while cross-copy similarity decorrelates (the earlier
+  *     per-copy offset left copies mutually near-identical — see the
+  *     build comment below).
   *
   * nation/region stay UNREPLICATED: they are fixed-cardinality
   * dimensions (q13's graph is the 25-nation trade graph whose EDGE
@@ -40,7 +42,9 @@ import org.apache.spark.sql.functions._
   * shape: fact volume grows, dimension graph does not).
   *
   * Usage: `sbt "runMain graft.tools.ScaleSweep [src] [factor] [--keep]"`.
-  * Exit code = number of queries whose slope exceeds 1.3 × factor.
+  * Exit code = number of queries whose slope exceeds its law —
+  * 1.3 × factor generally, 2.0 × factor for the declaredLinear
+  * entries whose work is ∝ N by design (see that set's doc).
   */
 object ScaleSweep {
 
@@ -102,6 +106,31 @@ object ScaleSweep {
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
+  }
+
+  /** Reuse the shared kept fixture at /tmp/graft_scale<factor> if and
+    * only if its marker records the SAME (src, factor); otherwise
+    * (re)build. The marker closes two silent-staleness holes: a
+    * fixture left by a run against a DIFFERENT source sf dir, and a
+    * partially-built fixture (killed mid-build — the marker is written
+    * LAST, so its presence certifies completeness).
+    */
+  def ensureFixture(spark: SparkSession, src: String, out: String,
+      factor: Int): Unit = {
+    val marker = new java.io.File(s"$out/_fixture_marker.txt")
+    val want = s"src=$src factor=$factor"
+    val have =
+      if (!marker.exists()) None
+      else Some(new String(java.nio.file.Files.readAllBytes(marker.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
+    if (!have.contains(want)) {
+      have.foreach(h => println(s"fixture at $out is [$h], want [$want] — rebuilding"))
+      val t0 = System.nanoTime()
+      buildFixture(spark, src, out, factor)
+      java.nio.file.Files.write(marker.toPath,
+        (want + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      println(f"fixture build: ${(System.nanoTime() - t0) / 1e9}%.1fs → $out")
+    }
   }
 
   def buildFixture(spark: SparkSession, src: String, out: String,
@@ -193,11 +222,9 @@ object ScaleSweep {
     val keep = args.contains("--keep")
     val out = s"/tmp/graft_scale$factor"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    if (!new java.io.File(s"$out/documents.parquet").exists()) {
+    locally {
       val s = session(cpus, cpus)
-      val t0 = System.nanoTime()
-      buildFixture(s, src, out, factor)
-      println(f"fixture build: ${(System.nanoTime() - t0) / 1e9}%.1fs → $out")
+      ensureFixture(s, src, out, factor)
       s.stop()
     }
     // --fixture-only: build (and keep) the fixture for ad-hoc profiling
