@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Keep the forked main's LAST stdout line last: sbt otherwise appends
+// "[success] Total time: ..." after Bench's compact summary, which is
+// exactly the line the driver's tail-parse reads (BENCH parsed:null
+// through r15). Success is still signalled by the exit code; failures
+// still print [error].
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess // consumed by sbt itself, not a task
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -23,6 +30,11 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// local-cluster[…] masters (RetryDrill's speculation/retry legs) launch
+// real executor JVMs through the dist launcher, which resolves the jars
+// dir via SPARK_SCALA_VERSION (normally exported by load-spark-env.sh;
+// we fork from sbt, so export it here).
+run / envVars += ("SPARK_SCALA_VERSION" -> "2.13")
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

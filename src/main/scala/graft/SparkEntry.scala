@@ -822,6 +822,11 @@ object SparkEntry {
     * The q253–q255 deployment-dial entries reuse their static twins'
     * SQL verbatim: below the dial knee (every fixture SF) the scaled
     * forms replay the IDENTICAL nLists=8 trajectory, pair for pair.
+    * The knee is N ≤ 8·targetCell = 2048 and the margin is thin at
+    * sf0.1 (2000 embeddings, 2.4%) — DedupSimilaritySpec's "dial knee
+    * holds" test asserts it per fixture SF with a readable message, so
+    * fixture growth surfaces as a knee violation, not a digest
+    * mismatch.
     */
   def oracleSql: Map[String, String] = {
     val base = oracleSqlBase

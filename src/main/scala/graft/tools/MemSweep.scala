@@ -40,31 +40,32 @@ import org.apache.spark.sql.SparkSession
   */
 object MemSweep {
 
-  private def digest(rows: Vector[String]): String = {
-    val md = java.security.MessageDigest.getInstance("SHA-256")
-    rows.foreach(r => md.update(r.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-    md.digest().map("%02x".format(_)).mkString
-  }
+  private def digest(rows: Vector[String]): String = CanonDigest.of(rows)
 
   private val usage =
     "usage: MemSweep <srcDir> <factor> (--write|--check) <json> [query...]"
 
   def main(args: Array[String]): Unit = {
-    val mode = args.find(a => a == "--write" || a == "--check")
-      .getOrElse(sys.error(usage))
-    // any other --flag is a typo or a wrong analogy (ScaleSweep's
-    // --keep, say) — reject it loudly rather than silently running a
-    // sweep the operator did not intend
-    args.filter(_.startsWith("--")).filterNot(_ == mode)
+    // STRICT fixed positions, exactly as the usage string reads. The
+    // earlier scan-for-positionals form silently bound a trailing query
+    // name as srcDir when the dir/factor were omitted, and dropped any
+    // positional that happened to equal the json path — both are the
+    // "silently running a sweep the operator did not intend" failure
+    // this parser exists to reject (round-15 ADVICE).
+    if (args.length < 4) sys.error(usage)
+    val src = args(0)
+    if (src.startsWith("--")) sys.error(usage)
+    val factor =
+      try args(1).toInt
+      catch { case _: NumberFormatException => sys.error(usage) }
+    val mode = args(2)
+    if (mode != "--write" && mode != "--check") sys.error(usage)
+    val jsonPath = args(3)
+    val named = args.drop(4)
+    // any --flag past the mode slot is a typo or a wrong analogy
+    // (ScaleSweep's --keep, say) — reject it loudly
+    named.find(_.startsWith("--"))
       .foreach(f => sys.error(s"unknown flag $f\n$usage"))
-    if (args.indexOf(mode) + 1 >= args.length) sys.error(usage)
-    val jsonPath = args(args.indexOf(mode) + 1)
-    val positional = args.filterNot(_.startsWith("--")).filterNot(_ == jsonPath)
-    val src = positional.headOption.getOrElse("/root/testdata/sf0.1")
-    val factor = positional.lift(1).map { f =>
-      try f.toInt catch { case _: NumberFormatException => sys.error(usage) }
-    }.getOrElse(10)
-    val named = positional.drop(2)
     val queries = if (named.nonEmpty) named.toSeq else ScaleSweep.heavies
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val heap = Runtime.getRuntime.maxMemory() / (1024 * 1024)
@@ -137,7 +138,7 @@ object MemSweep {
           String.valueOf(e.getMessage).linesIterator.take(2).mkString(" | "))
       }
       val secs = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(300) // listener bus drain
+      ScaleSweep.drainBus(spark) // deterministic: all task-end events landed
       val (sm, sd) = (spillMem.get() / (1024 * 1024), spillDisk.get() / (1024 * 1024))
       r match {
         case Right((n, dg)) =>

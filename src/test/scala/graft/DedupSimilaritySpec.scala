@@ -240,6 +240,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(fine.size >= base.size, "finer cells can only find fewer pairs")
   }
 
+  test("dial knee holds at every gate/bench fixture SF (q253–q255 oracle premise)") {
+    // q253/q254/q255 reuse the static forms' DuckDB oracles on the
+    // premise that every fixture sits BELOW the dial knee
+    // (N ≤ 8·targetCell ⇒ nLists stays 8 ⇒ identical trajectory). The
+    // margin is thin at sf0.1 (2000 vs 2048 — 2.4%), so assert it HERE
+    // with a message naming the knee: if a fixture regeneration ever
+    // grows the corpus past the knee, this fails readably instead of
+    // the gate failing with an opaque digest mismatch.
+    val targetCell = 256 // the q253–q255 default (Similarity/Retrieval)
+    val knee = 8L * targetCell
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1").foreach { dir =>
+      val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+      assert(n <= knee,
+        s"$dir holds $n embeddings > dial knee $knee (= 8 × targetCell " +
+          s"$targetCell): nLists flips past 8 and the q253–q255 static " +
+          "oracles (q55/q155/q125 SQL) no longer replay the same " +
+          "trajectory — regenerate the oracle or raise targetCell")
+    }
+  }
+
   test("hardNegativesScaled: identical to the bench form below the dial knee") {
     import spark.implicits._
     val base = Similarity.hardNegatives(spark, sf)
