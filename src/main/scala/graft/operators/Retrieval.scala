@@ -253,9 +253,10 @@ object Retrieval {
     import spark.implicits._
     import graft.functions.VectorFunctions._
     val cents = Similarity.lloydCentroids(spark, d, nLists, updates)
-    val ranked = Similarity.corpusWithNorm(spark, d)
-      .select($"vec_id", $"qemb", $"n2", evalFlag($"vec_id").as("ev"),
-        array_sort(Similarity.centOptsArray(cents)).as("ds"))
+    val ranked = Similarity.centRanked(
+      Similarity.corpusWithNorm(spark, d)
+        .select($"vec_id", $"qemb", $"n2", evalFlag($"vec_id").as("ev")),
+      cents, nProbe)
     val corpusSide = ranked.filter(!$"ev")
       .select($"vec_id", $"qemb", $"n2",
         get($"ds", lit(0)).getField("cid").as("list_id"))

@@ -208,8 +208,7 @@ object Similarity {
     import spark.implicits._
     val cents = lloydCentroids(spark, d, nLists, updates)
     val c = corpusWithNorm(spark, d)
-    val probes = c.select($"vec_id", $"qemb", $"n2",
-        array_sort(centOptsArray(cents)).as("ds"))
+    val probes = centRanked(c.select($"vec_id", $"qemb", $"n2"), cents, nProbe)
       .select($"vec_id", $"qemb", $"n2",
         explode(transform(slice($"ds", 1, nProbe), p => p.getField("cid")))
           .as("list_id"))
@@ -258,12 +257,15 @@ object Similarity {
     * N/targetCell ≤ 8 the two forms are IDENTICAL (same trajectory,
     * same pairs — the spec's equality law).
     *
-    * Scale contract: the Lloyd trainer and the literal-argsort
-    * assignment hold centroids on the driver (nLists·dims longs) —
-    * fine to nLists ~ 10⁵, i.e. corpora to ~25M vectors at the default
-    * cell; past that, shard the corpus (the cells are independent) or
-    * swap the centroid literal for a broadcast table. The N-count here
-    * is one driver scalar off the cached corpus (the A3 shape).
+    * Scale contract: the Lloyd trainer holds centroids on the driver
+    * (nLists·dims longs — the bounded per-round collect MLlib's KMeans
+    * also does). Assignment/probing rides `centRanked`, which keeps
+    * the scan-stage literal-argsort plan below the broadcast dial and
+    * swaps to the broadcast-centroid-table + k-bounded-TopK arm above
+    * it (row-identical by AnnAssignSpec's law) — so nLists is no
+    * longer plan-size-bounded; past driver-collect comfort (~10⁵
+    * lists) shard the corpus (the cells are independent). The N-count
+    * here is one driver scalar off the cached corpus (the A3 shape).
     */
   def semanticDedupScaled(spark: SparkSession, d: String,
       threshold: Double = 0.4, targetCell: Int = 256, nProbe: Int = 4,
@@ -392,6 +394,82 @@ object Similarity {
     }
     if (opts.isEmpty) array().cast(s"array<struct<dist2:bigint,$cidName:bigint>>")
     else array(opts.toIndexedSeq: _*)
+  }
+
+  /** The conf dial for the centroid-ASSIGNMENT arm: at or above this
+    * list count, `centRanked` swaps the plan-literal argsort for an
+    * argmin/top-k JOIN against a broadcast centroid table. The literal
+    * arm is strictly better at catalog scale (scan-stage expression,
+    * zero extra operators), but its plan size grows ∝ nLists·dims
+    * literals — the one remaining driver-side bound the round-15
+    * verdict named (comfortable to ~10⁵ lists, i.e. ~25M vectors at the
+    * default cell). The broadcast arm's cost is a broadcast of
+    * nLists·dims longs plus an N·nLists row fan-out collapsed map-side
+    * by the k-bounded TopKRowsAgg partial — unbounded in nLists, the
+    * 100 TB-corpus path.
+    *
+    * Default 256 from the DialBench `assign` crossover sweep (20k×64
+    * corpus, round 16): literal/broadcast secs 1.28/1.73 at 8 lists,
+    * 0.75/0.62 at 64, 1.32/0.76 at 256, 4.20/0.74 at 1024, 19.3/3.1 at
+    * 4096, 109.6/11.2 at 16384 — the literal arm's blowup is Spark's
+    * silent codegen→interpreted fallback once the argsort expression
+    * outgrows the compiler, which lands far below the driver-memory
+    * bound the round-15 doc estimated. 256 is the last rung where the
+    * literal arm is within ~2× (and keeps every catalog/10×/30×-sweep
+    * plan byte-stable: the dial formula first reaches 256 lists only
+    * past N = 65536 vectors, i.e. the 100× third decade).
+    */
+  private[graft] def broadcastAssignMinLists(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.ann.assign.broadcastMinLists")
+      .map(_.toInt).getOrElse(256)
+
+  /** Attach `ds` — each row's ascending (dist², cid) centroid ranking,
+    * the shared probe/assignment primitive (`get(ds, 0)` = argmin
+    * assignment, `slice(ds, 1, nProbe)` = probe set) — choosing the arm
+    * by the dial above:
+    *
+    *   - literal arm (nLists below the dial): today's scan-stage
+    *     `array_sort(centOptsArray)` expression, byte-identical plans
+    *     for every catalog entry (full-length `ds`; callers slice).
+    *   - broadcast arm: centroids become a BROADCAST TABLE (cid, qc,
+    *     c2); each vector meets them in a broadcast nested-loop whose
+    *     streamed side is the corpus scan, and the per-vector top-
+    *     `nProbe` collapses MAP-SIDE via the k-bounded TopKRowsAgg
+    *     partial (the grouped TakeOrderedAndProject) — the vec_id
+    *     shuffle carries ≤ nProbe rows per vector, never nLists. One
+    *     hash join re-attaches the payload columns. `ds` is exactly the
+    *     first `nProbe` entries of the literal arm's ranking: same
+    *     exact integer dist², same ascending (dist², cid) order, so
+    *     every consumer's probe set — and therefore its output — is
+    *     row-identical across arms (AnnAssignSpec pins this per call
+    *     site).
+    *
+    * `df` must carry (vec_id, qemb, n2); extra columns ride through.
+    * Callers may slice `ds` only up to `nProbe`.
+    */
+  private[graft] def centRanked(df: DataFrame,
+      cents: Array[(Long, Seq[Long])], nProbe: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    if (cents.length < broadcastAssignMinLists(spark))
+      df.withColumn("ds", array_sort(centOptsArray(cents)))
+    else {
+      val ct = broadcast(
+        spark.createDataFrame(cents.toIndexedSeq.map { case (cid, q) =>
+          (cid, q, q.map(x => x * x).sum)
+        }).toDF("cid", "qc", "c2"))
+      val tops = df.select($"vec_id", $"qemb", $"n2")
+        .crossJoin(ct)
+        .select($"vec_id", struct(
+          ($"n2" - lit(2L) * dotPreQ($"qemb", $"qc") + $"c2").as("dist2"),
+          $"cid").as("opt"))
+        .groupBy($"vec_id")
+        .agg(graft.plans.TopKRowsAgg.topKRows($"opt", nProbe).as("ds"))
+      // inner join is row-preserving here: the broadcast arm only runs
+      // with ≥ dial-many centroids, so every df row emits nLists
+      // candidates and every vec_id survives the aggregate
+      df.join(tops, Seq("vec_id"))
+    }
   }
 
   private def assignTo(c: DataFrame, cents: Array[(Long, Seq[Long])]): DataFrame = {
@@ -1035,10 +1113,12 @@ object Similarity {
       nLists: Int = 8, nProbe: Int = 4, updates: Int = 2): DataFrame = {
     import spark.implicits._
     val cents = lloydCentroids(spark, d, nLists, updates)
-    val ranked = corpusWithNorm(spark, d)
-      .join(embeddings(spark, d).select($"vec_id", $"label"), "vec_id")
-      .select($"vec_id", $"label", $"qemb", $"n2", evalAnchor($"vec_id").as("ev"),
-        array_sort(centOptsArray(cents)).as("ds"))
+    val ranked = centRanked(
+      corpusWithNorm(spark, d)
+        .join(embeddings(spark, d).select($"vec_id", $"label"), "vec_id")
+        .select($"vec_id", $"label", $"qemb", $"n2",
+          evalAnchor($"vec_id").as("ev")),
+      cents, nProbe)
     val corpusSide = ranked.filter(!$"ev")
       .select($"vec_id".as("neg_id"), $"label".as("neg_label"), $"qemb", $"n2",
         get($"ds", lit(0)).getField("cid").as("list_id"))

@@ -42,19 +42,36 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
-    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val factor = args.lift(1).map(_.toInt).getOrElse(20)
-    val nFiles = args.lift(2).map(_.toInt).getOrElse(32)
+    val pos = args.filterNot(_.startsWith("--"))
+    val src = pos.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = pos.lift(1).map(_.toInt).getOrElse(20)
+    val nFiles = pos.lift(2).map(_.toInt).getOrElse(32)
+    // --bounded[=MB]: the streaming-memory rehearsal leg — cap RocksDB's
+    // block cache + memtables at a fixed budget (default 100 MB across
+    // all state-store instances), the cluster deployment's bounded-
+    // memory mode; combine with SPARK_DRIVER_MEM=3g for the constrained
+    // heap. The law: throughput degrades gracefully (RocksDB spills to
+    // its SST files by design) and no family OOMs.
+    val boundedMb = args.find(_.startsWith("--bounded"))
+      .map(f => if (f.contains("=")) f.split("=")(1) else "100")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val root = "/tmp/graft_streambench"
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    boundedMb.foreach { mb =>
+      builder.config(
+        "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage", "true")
+      builder.config(
+        "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB", mb)
+      println(s"rocksdb bounded memory: ${mb} MB across all state stores, " +
+        s"heap ${Runtime.getRuntime.maxMemory() / (1024 * 1024)} MiB")
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
     import graft.streaming.EventStreams
