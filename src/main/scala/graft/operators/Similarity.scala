@@ -474,11 +474,26 @@ object Similarity {
 
   private def assignTo(c: DataFrame, cents: Array[(Long, Seq[Long])]): DataFrame = {
     import c.sparkSession.implicits._
-    c.select($"vec_id", $"qemb", $"n2",
-        array_min(centOptsArray(cents, "cluster")).as("best"))
-      .select($"vec_id", $"qemb", $"n2",
-        $"best".getField("cluster").as("cluster"),
-        $"best".getField("dist2").as("dist2"))
+    // argmin assignment rides the same dial as the probe primitive:
+    // below it, the literal array_min (scan-stage, the catalog plan);
+    // above it, centRanked's broadcast top-1 — array_min over ascending
+    // (dist², cid) structs IS the sort's head, so the arms are
+    // row-identical. This matters for the TRAINER, not just consumers:
+    // lloydCentroids assigns every round, and the first 100× sweep leg
+    // showed its literal argsort at 781 lists blowing past Janino's
+    // method limit ("Failed to compile" → interpreted evaluation →
+    // a 297 s training round).
+    if (cents.length < broadcastAssignMinLists(c.sparkSession))
+      c.select($"vec_id", $"qemb", $"n2",
+          array_min(centOptsArray(cents, "cluster")).as("best"))
+        .select($"vec_id", $"qemb", $"n2",
+          $"best".getField("cluster").as("cluster"),
+          $"best".getField("dist2").as("dist2"))
+    else
+      centRanked(c.select($"vec_id", $"qemb", $"n2"), cents, 1)
+        .select($"vec_id", $"qemb", $"n2",
+          get($"ds", lit(0)).getField("cid").as("cluster"),
+          get($"ds", lit(0)).getField("dist2").as("dist2"))
   }
 
   /** Lloyd's trainer: seed with the k lowest vec_ids, run `updates`

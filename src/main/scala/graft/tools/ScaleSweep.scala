@@ -167,27 +167,58 @@ object ScaleSweep {
       Tables.table(spark, src, t).write.mode("overwrite")
         .parquet(s"$out/$t.parquet")
     }
+    val dims: Int = Tables.table(spark, src, "embeddings")
+      .select(size(col("embedding"))).head.getInt(0)
+    // one full rotation cycle + one negated cycle = 2·dims distinct
+    // decorrelated copies; past that a pair of copies would repeat a
+    // transform and plant cross-copy dup cliques (fixture artifact)
+    require(factor <= 2 * dims,
+      s"factor $factor exceeds the embedding decorrelation budget " +
+        s"(2×dims = ${2 * dims}) — extend the scheme before sweeping this far")
     keyCols.foreach { case (t, keys) =>
       val base = Tables.table(spark, src, t)
       val copies = (0 until factor).map { k =>
         var df = base
         keys.foreach(c => df = df.withColumn(c, col(c) + lit(k * STRIDE)))
         if (t == "documents" && k > 0) {
-          val p = "x" + ('a' + k).toChar // all-letter: survives cleanTokens
+          // all-letter per-copy tag (cleanTokens keeps alphabetic
+          // tokens): k ≤ 25 keeps the original single-letter form so
+          // committed 10×/30× digests stay valid; larger k base-26
+          // encodes — copies 26+ previously tagged with NON-letters
+          // ('{', '|', …) that cleanTokens dropped wholesale, which
+          // would have voided the text family's 100× leg
+          val p =
+            if (k <= 25) "x" + ('a' + k).toChar
+            else {
+              var n = k; val sb = new StringBuilder
+              while (n > 0) { sb.append(('a' + n % 26).toChar); n /= 26 }
+              "x" + sb.reverse.toString
+            }
           df = df.withColumn("text", concat_ws(" ",
             transform(split(col("text"), " "), w => concat(lit(p), w))))
         }
-        if (t == "embeddings" && k > 0)
-          // rotate coordinates by k: preserves every within-copy norm and
-          // pairwise similarity EXACTLY (so cluster structure and ANN
-          // cost are honest), while cross-copy similarity decorrelates —
-          // a plain per-copy offset left copies mutually near-identical,
-          // which planted a 10-clique of near-dups on every base vector
-          // and turned the dedup family's 10x leg into a dup-density
-          // stress test rather than corpus growth (q55 adjudication)
-          df = df.withColumn("embedding", concat(
-            expr(s"slice(embedding, ${k + 1}, size(embedding) - $k)"),
-            expr(s"slice(embedding, 1, $k)")))
+        if (t == "embeddings" && k > 0) {
+          // rotate coordinates by k (mod dims): preserves every
+          // within-copy norm and pairwise similarity EXACTLY (so
+          // cluster structure and ANN cost are honest), while
+          // cross-copy similarity decorrelates — a plain per-copy
+          // offset left copies mutually near-identical, which planted
+          // a 10-clique of near-dups on every base vector and turned
+          // the dedup family's 10× leg into a dup-density stress test
+          // rather than corpus growth (q55 adjudication). The second
+          // rotation cycle (k ≥ dims) NEGATES every component: norms
+          // and within-copy similarities still exact, and cos(a, −a)
+          // = −1 anti-correlates the copy against its same-rotation
+          // partner from the first cycle.
+          val rk = k % dims
+          if (rk > 0)
+            df = df.withColumn("embedding", concat(
+              expr(s"slice(embedding, ${rk + 1}, size(embedding) - $rk)"),
+              expr(s"slice(embedding, 1, $rk)")))
+          if (k / dims == 1)
+            df = df.withColumn("embedding",
+              transform(col("embedding"), x => -x))
+        }
         df
       }
       copies.reduce(_ unionByName _).write.mode("overwrite")
