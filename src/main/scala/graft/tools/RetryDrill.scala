@@ -50,6 +50,15 @@ import org.apache.spark.sql.functions._
   *                speculate against). Asserts ≥1 speculative task
   *                LAUNCH and digest ≡ plain — duplicate attempts of a
   *                deterministic plan commit one result.
+  *   - exec-loss: a watchdog kills one executor JVM after 100 task
+  *                completions — shuffle files, cached blocks and
+  *                localCheckpoint blocks on it vanish mid-job,
+  *                exercising FetchFailed → stage resubmission.
+  *                Asserts ≥1 executor removed and digest ≡ plain,
+  *                EXCEPT for iterative queries that hold
+  *                localCheckpoint state, where Spark's own contract is
+  *                that the job fails (lineage deliberately truncated) —
+  *                a Left there is recorded as the documented trade-off.
   *
   * Digests are InvarianceSweep.canon (column-sorted, row-sorted
   * multiset) — partitioning- and commit-order-independent by
@@ -155,26 +164,75 @@ object RetryDrill {
     s
   }
 
-  /** Run `mk` in a fresh session, returning (digest, secs, failed-task
-    * count, speculative-task count).
+  /** Run `mk` in a fresh session, returning (digest-or-error, secs,
+    * failed-task count, speculative-task count, removed-executor
+    * count). With `killOne`, a watchdog thread waits for 100 task
+    * completions — enough for shuffle outputs to exist and be worth
+    * losing — then kills one executor JVM via
+    * `sc.killExecutors` (the standalone backend kills the process):
+    * its shuffle files, cached blocks and localCheckpoint blocks all
+    * vanish mid-job, the FetchFailed → stage-resubmission machinery
+    * this leg exists to exercise.
     */
-  private def leg(master: String, extra: Map[String, String])(
-      mk: SparkSession => DataFrame): (String, Double, Int, Int) = {
+  private def leg(master: String, extra: Map[String, String],
+      killOne: Boolean = false)(
+      mk: SparkSession => DataFrame): (Either[String, String], Double, Int, Int, Int) = {
     val spark = session(master, extra)
     val failed = new AtomicInteger(0)
     val speculative = new AtomicInteger(0)
+    val removed = new AtomicInteger(0)
+    val tasksEnded = new AtomicInteger(0)
+    val execIds = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onTaskStart(ts: SparkListenerTaskStart): Unit =
+      override def onTaskStart(ts: SparkListenerTaskStart): Unit = {
+        execIds.put(ts.taskInfo.executorId, true): Unit
         if (ts.taskInfo.speculative) speculative.incrementAndGet(): Unit
-      override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+      }
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        tasksEnded.incrementAndGet(): Unit
         if (te.reason.isInstanceOf[org.apache.spark.ExceptionFailure])
           failed.incrementAndGet(): Unit
+      }
+      override def onExecutorRemoved(
+          er: org.apache.spark.scheduler.SparkListenerExecutorRemoved): Unit =
+        removed.incrementAndGet(): Unit
     })
+    val watchdog = if (!killOne) None else Some(new Thread(() => {
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      // kill EARLY (30 completions — the first shuffle outputs exist)
+      // rather than late: a kill issued near job end can race the
+      // final collect and remove the executor only after the answer
+      // landed, which the ≥1-removed assertion rightly calls vacuous
+      while (tasksEnded.get() < 30 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      // SIGKILL the executor JVM directly rather than
+      // sc.killExecutors: the RPC route is asynchronous enough that a
+      // kill issued mid-job could take effect only after the final
+      // collect (observed: removed=0 races on the shorter queries).
+      // Process death drops the Netty connection immediately, so the
+      // driver registers the loss while the job is still running.
+      import scala.jdk.CollectionConverters._
+      val victim = ProcessHandle.allProcesses().iterator().asScala.find(p =>
+        p.info().commandLine()
+          .map[java.lang.Boolean](_.contains("CoarseGrainedExecutorBackend"))
+          .orElse(java.lang.Boolean.FALSE))
+      victim.foreach { p =>
+        println(s"(watchdog: SIGKILL executor pid ${p.pid()} after " +
+          s"${tasksEnded.get()} task completions)")
+        p.destroyForcibly(): Unit
+      }
+    }, "retrydrill-executor-killer"))
+    watchdog.foreach { t => t.setDaemon(true); t.start() }
     val t0 = System.nanoTime()
-    val rows = InvarianceSweep.canon(mk(spark))
+    val r = try Right(CanonDigest.of(InvarianceSweep.canon(mk(spark))))
+      catch { case scala.util.control.NonFatal(e) =>
+        Left(e.getClass.getSimpleName + ": " +
+          String.valueOf(e.getMessage).linesIterator.take(2).mkString(" | "))
+      }
     val secs = (System.nanoTime() - t0) / 1e9
+    watchdog.foreach(_.join(5000))
     ScaleSweep.drainBus(spark)
-    val out = (CanonDigest.of(rows), secs, failed.get(), speculative.get())
+    val out = (r, secs, failed.get(), speculative.get(), removed.get())
     spark.stop()
     out
   }
@@ -194,31 +252,32 @@ object RetryDrill {
       println("|---|---|---|---|---|---|---|")
       queries.foreach { name =>
         def q(spark: SparkSession) = graft.SparkEntry.queries(name)(spark, src)
+        def dg(r: Either[String, String]) = r.fold("ERR " + _, _.take(12))
 
-        val (dLocal, _, _, _) =
+        val (rLocal, _, _, _, _) =
           leg(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]", Map())(q)
 
-        val (dPlain, tPlain, _, _) = leg(masterUrl, Map())(q)
-        check(dPlain == dLocal,
-          s"$name: cluster digest $dPlain != local digest $dLocal")
-        println(f"| $name | plain | $tPlain%.1f | - | - | ${dPlain.take(12)} " +
-          f"| ${if (dPlain == dLocal) "=local" else "DRIFT"} |")
+        val (rPlain, tPlain, _, _, _) = leg(masterUrl, Map())(q)
+        check(rPlain.isRight && rPlain == rLocal,
+          s"$name: cluster digest $rPlain != local digest $rLocal")
+        println(f"| $name | plain | $tPlain%.1f | - | - | ${dg(rPlain)} " +
+          f"| ${if (rPlain == rLocal) "=local" else "DRIFT"} |")
 
         // retry leg: throw once per executor JVM inside an identity
         // filter; asNondeterministic pins it above the scan (no
         // pushdown), so the failure lands where retries re-run real work
-        val (dRetry, tRetry, nFail, _) = leg(masterUrl, Map())(s =>
+        val (rRetry, tRetry, nFail, _, _) = leg(masterUrl, Map())(s =>
           q(s).filter(udf(() => Faults.throwOnce()).asNondeterministic()()))
         check(nFail >= 1, s"$name: retry leg observed no task failure -- " +
           "injection did not engage (vacuous)")
-        check(dRetry == dPlain,
-          s"$name: digest after retried task $dRetry != plain $dPlain")
+        check(rRetry == rPlain,
+          s"$name: digest after retried task $rRetry != plain $rPlain")
         println(f"| $name | retry | $tRetry%.1f | $nFail%d | - | " +
-          f"${dRetry.take(12)} | ${if (dRetry == dPlain && nFail >= 1) "PASS" else "FAIL"} |")
+          f"${dg(rRetry)} | ${if (rRetry == rPlain && nFail >= 1) "PASS" else "FAIL"} |")
 
         // speculation leg: one 4 s straggler per executor JVM; the
         // 100 ms speculation interval re-launches it on the OTHER host
-        val (dSpec, tSpec, _, nSpec) = leg(masterUrl, Map(
+        val (rSpec, tSpec, _, nSpec, _) = leg(masterUrl, Map(
           "spark.speculation" -> "true",
           "spark.speculation.interval" -> "100ms",
           "spark.speculation.multiplier" -> "1.5",
@@ -231,10 +290,40 @@ object RetryDrill {
           q(s).filter(udf(() => Faults.sleepOnce()).asNondeterministic()()))
         check(nSpec >= 1, s"$name: speculation leg launched no speculative " +
           "task -- straggler not speculated (vacuous)")
-        check(dSpec == dPlain,
-          s"$name: digest under speculation $dSpec != plain $dPlain")
+        check(rSpec == rPlain,
+          s"$name: digest under speculation $rSpec != plain $rPlain")
         println(f"| $name | speculate | $tSpec%.1f | - | $nSpec%d | " +
-          f"${dSpec.take(12)} | ${if (dSpec == dPlain && nSpec >= 1) "PASS" else "FAIL"} |")
+          f"${dg(rSpec)} | ${if (rSpec == rPlain && nSpec >= 1) "PASS" else "FAIL"} |")
+
+        // executor-loss leg: kill one executor JVM mid-job — shuffle
+        // files, cached blocks and localCheckpoint blocks on it are
+        // LOST; the scheduler's FetchFailed → stage-resubmission path
+        // must recompute and land the identical digest. Queries whose
+        // plans hold localCheckpoint state (the iterative graph family)
+        // are EXPECTED to fail here by Spark's own contract —
+        // localCheckpoint trades executor-loss recoverability for
+        // lineage truncation — so a Left on such a query is recorded as
+        // the documented trade-off rather than a drill failure; the
+        // digest law is enforced whenever the query completes.
+        val usesLocalCk = Set("q13_pagerank", "q86_cc_converged",
+          "q112_kcore", "q119_power_iteration")
+        val (rKill, tKill, _, _, nRemoved) =
+          leg(masterUrl, Map(), killOne = true)(q)
+        check(nRemoved >= 1, s"$name: executor-loss leg removed no " +
+          "executor -- kill did not engage (vacuous)")
+        rKill match {
+          case Right(_) =>
+            check(rKill == rPlain,
+              s"$name: digest after executor loss $rKill != plain $rPlain")
+            println(f"| $name | exec-loss | $tKill%.1f | - | -$nRemoved%d exec | " +
+              f"${dg(rKill)} | ${if (rKill == rPlain) "PASS" else "FAIL"} |")
+          case Left(err) if usesLocalCk(name) =>
+            println(f"| $name | exec-loss | $tKill%.1f | - | -$nRemoved%d exec | " +
+              f"DOCUMENTED: localCheckpoint lineage lost ($err) |")
+          case Left(err) =>
+            check(false, s"$name: failed under executor loss: $err")
+            println(f"| $name | exec-loss | $tKill%.1f | - | -$nRemoved%d exec | ERR | FAIL |")
+        }
       }
     } finally {
       procs.reverse.foreach(_.destroyForcibly(): Unit)
