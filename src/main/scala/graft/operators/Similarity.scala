@@ -444,8 +444,12 @@ object Similarity {
     *     row-identical across arms (AnnAssignSpec pins this per call
     *     site).
     *
-    * `df` must carry (vec_id, qemb, n2); extra columns ride through.
-    * Callers may slice `ds` only up to `nProbe`.
+    * `df` must carry (vec_id, qemb, n2) with NON-NULL vec_id (every
+    * call site feeds key-columned corpus rows; a null id would ride
+    * through the literal arm but drop at the broadcast arm's vec_id
+    * equi-join — ids are the join key, so the contract is on the
+    * caller); extra columns ride through. Callers may slice `ds` only
+    * up to `nProbe`.
     */
   private[graft] def centRanked(df: DataFrame,
       cents: Array[(Long, Seq[Long])], nProbe: Int): DataFrame = {

@@ -166,13 +166,15 @@ object RetryDrill {
 
   /** Run `mk` in a fresh session, returning (digest-or-error, secs,
     * failed-task count, speculative-task count, removed-executor
-    * count). With `killOne`, a watchdog thread waits for 100 task
-    * completions — enough for shuffle outputs to exist and be worth
-    * losing — then kills one executor JVM via
-    * `sc.killExecutors` (the standalone backend kills the process):
-    * its shuffle files, cached blocks and localCheckpoint blocks all
-    * vanish mid-job, the FetchFailed → stage-resubmission machinery
-    * this leg exists to exercise.
+    * count). With `killOne`, a watchdog thread waits for 30 task
+    * completions — early enough to land mid-job, late enough for the
+    * first shuffle outputs to exist and be worth losing — then
+    * SIGKILLs one executor JVM directly (see the inline comment for
+    * why not `sc.killExecutors`): its shuffle files, cached blocks
+    * and localCheckpoint blocks all vanish mid-job, the FetchFailed →
+    * stage-resubmission machinery this leg exists to exercise. The
+    * watchdog stands down without killing if the leg finishes first —
+    * a stale kill would land on the NEXT leg's executors.
     */
   private def leg(master: String, extra: Map[String, String],
       killOne: Boolean = false)(
@@ -197,29 +199,37 @@ object RetryDrill {
           er: org.apache.spark.scheduler.SparkListenerExecutorRemoved): Unit =
         removed.incrementAndGet(): Unit
     })
+    val legDone = new AtomicBoolean(false)
     val watchdog = if (!killOne) None else Some(new Thread(() => {
       val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
       // kill EARLY (30 completions — the first shuffle outputs exist)
       // rather than late: a kill issued near job end can race the
       // final collect and remove the executor only after the answer
       // landed, which the ≥1-removed assertion rightly calls vacuous
-      while (tasksEnded.get() < 30 && System.nanoTime() < deadline)
+      while (tasksEnded.get() < 30 && !legDone.get() &&
+          System.nanoTime() < deadline)
         Thread.sleep(50)
-      // SIGKILL the executor JVM directly rather than
-      // sc.killExecutors: the RPC route is asynchronous enough that a
-      // kill issued mid-job could take effect only after the final
-      // collect (observed: removed=0 races on the shorter queries).
-      // Process death drops the Netty connection immediately, so the
-      // driver registers the loss while the job is still running.
-      import scala.jdk.CollectionConverters._
-      val victim = ProcessHandle.allProcesses().iterator().asScala.find(p =>
-        p.info().commandLine()
-          .map[java.lang.Boolean](_.contains("CoarseGrainedExecutorBackend"))
-          .orElse(java.lang.Boolean.FALSE))
-      victim.foreach { p =>
-        println(s"(watchdog: SIGKILL executor pid ${p.pid()} after " +
-          s"${tasksEnded.get()} task completions)")
-        p.destroyForcibly(): Unit
+      // stand down unless the threshold was genuinely reached while
+      // the leg still runs — a kill fired on deadline or after leg
+      // completion would SIGKILL an executor of the NEXT leg (the
+      // process scan below sees every executor on the box)
+      if (tasksEnded.get() >= 30 && !legDone.get()) {
+        // SIGKILL the executor JVM directly rather than
+        // sc.killExecutors: the RPC route is asynchronous enough that
+        // a kill issued mid-job could take effect only after the final
+        // collect (observed: removed=0 races on the shorter queries).
+        // Process death drops the Netty connection immediately, so the
+        // driver registers the loss while the job is still running.
+        import scala.jdk.CollectionConverters._
+        val victim = ProcessHandle.allProcesses().iterator().asScala.find(p =>
+          p.info().commandLine()
+            .map[java.lang.Boolean](_.contains("CoarseGrainedExecutorBackend"))
+            .orElse(java.lang.Boolean.FALSE))
+        victim.foreach { p =>
+          println(s"(watchdog: SIGKILL executor pid ${p.pid()} after " +
+            s"${tasksEnded.get()} task completions)")
+          p.destroyForcibly(): Unit
+        }
       }
     }, "retrydrill-executor-killer"))
     watchdog.foreach { t => t.setDaemon(true); t.start() }
@@ -230,6 +240,7 @@ object RetryDrill {
           String.valueOf(e.getMessage).linesIterator.take(2).mkString(" | "))
       }
     val secs = (System.nanoTime() - t0) / 1e9
+    legDone.set(true)
     watchdog.foreach(_.join(5000))
     ScaleSweep.drainBus(spark)
     val out = (r, secs, failed.get(), speculative.get(), removed.get())
@@ -319,7 +330,7 @@ object RetryDrill {
               f"${dg(rKill)} | ${if (rKill == rPlain) "PASS" else "FAIL"} |")
           case Left(err) if usesLocalCk(name) =>
             println(f"| $name | exec-loss | $tKill%.1f | - | -$nRemoved%d exec | " +
-              f"DOCUMENTED: localCheckpoint lineage lost ($err) |")
+              f"localCheckpoint lineage lost ($err) | DOCUMENTED |")
           case Left(err) =>
             check(false, s"$name: failed under executor loss: $err")
             println(f"| $name | exec-loss | $tKill%.1f | - | -$nRemoved%d exec | ERR | FAIL |")

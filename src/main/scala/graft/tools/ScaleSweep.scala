@@ -145,7 +145,11 @@ object ScaleSweep {
   def ensureFixture(spark: SparkSession, src: String, out: String,
       factor: Int): Unit = {
     val marker = new java.io.File(s"$out/_fixture_marker.txt")
-    val want = s"src=$src factor=$factor"
+    // enc bumps whenever the perturbation scheme changes byte-visibly
+    // (enc=2: prefix-free multi-letter tags + mod-dims rotation), so a
+    // kept fixture built under an older scheme rebuilds instead of
+    // silently feeding stale bytes to a digest law
+    val want = s"src=$src factor=$factor enc=2"
     val have =
       if (!marker.exists()) None
       else Some(new String(java.nio.file.Files.readAllBytes(marker.toPath),
@@ -167,8 +171,15 @@ object ScaleSweep {
       Tables.table(spark, src, t).write.mode("overwrite")
         .parquet(s"$out/$t.parquet")
     }
+    // dims read BEFORE any table is written (a failed require must not
+    // leave a partial fixture behind), from the first non-null
+    // embedding (a null-first shard would NPE a bare head read)
     val dims: Int = Tables.table(spark, src, "embeddings")
-      .select(size(col("embedding"))).head.getInt(0)
+      .select(size(col("embedding")).as("d")).filter(col("d").isNotNull)
+      .take(1).headOption.map(_.getInt(0))
+      .getOrElse(sys.error(
+        s"$src/embeddings.parquet has no non-null embedding — cannot " +
+          "size the rotation scheme for the scaled fixture"))
     // one full rotation cycle + one negated cycle = 2·dims distinct
     // decorrelated copies; past that a pair of copies would repeat a
     // transform and plant cross-copy dup cliques (fixture artifact)
@@ -183,16 +194,20 @@ object ScaleSweep {
         if (t == "documents" && k > 0) {
           // all-letter per-copy tag (cleanTokens keeps alphabetic
           // tokens): k ≤ 25 keeps the original single-letter form so
-          // committed 10×/30× digests stay valid; larger k base-26
-          // encodes — copies 26+ previously tagged with NON-letters
-          // ('{', '|', …) that cleanTokens dropped wholesale, which
-          // would have voided the text family's 100× leg
+          // committed 10×/30× digests stay valid; larger k gets
+          // "xa" + 2-digit base-26 — copies 26+ previously tagged with
+          // NON-letters ('{', '|', …) that cleanTokens dropped
+          // wholesale, which would have voided the text family's 100×
+          // leg. The tag set must be PREFIX-FREE across families or
+          // copies share tokens (tag1+word1 == tag2+word2 — e.g. a
+          // bare base-26 "xba" colliding with "xb"+"a…"): single-letter
+          // tags occupy "xb".."xz" (k ≥ 1), multi-letter tags all start
+          // "xa" and share one length, so no tag extends another.
           val p =
             if (k <= 25) "x" + ('a' + k).toChar
             else {
-              var n = k; val sb = new StringBuilder
-              while (n > 0) { sb.append(('a' + n % 26).toChar); n /= 26 }
-              "x" + sb.reverse.toString
+              require(k < 26 * 26, s"copy tag space exhausted at k=$k")
+              "xa" + ('a' + k / 26).toChar + ('a' + k % 26).toChar
             }
           df = df.withColumn("text", concat_ws(" ",
             transform(split(col("text"), " "), w => concat(lit(p), w))))

@@ -52,8 +52,18 @@ object StreamBench {
     // memory mode; combine with SPARK_DRIVER_MEM=3g for the constrained
     // heap. The law: throughput degrades gracefully (RocksDB spills to
     // its SST files by design) and no family OOMs.
-    val boundedMb = args.find(_.startsWith("--bounded"))
-      .map(f => if (f.contains("=")) f.split("=")(1) else "100")
+    // reject unknown --flags loudly (the MemSweep rule): a typo'd
+    // --bounded would otherwise run the UNBOUNDED leg while the round
+    // log records a bounded-memory rehearsal
+    args.filter(_.startsWith("--"))
+      .filterNot(f => f == "--bounded" || f.startsWith("--bounded="))
+      .foreach(f => sys.error(
+        s"unknown flag $f\nusage: StreamBench [src] [factor] [files] [--bounded[=MB]]"))
+    val boundedMb = args.find(_.startsWith("--bounded")).map { f =>
+      if (!f.contains("=")) "100"
+      else f.split("=").lift(1).filter(_.nonEmpty).getOrElse(
+        sys.error(s"empty value in $f — use --bounded=<MB> or bare --bounded"))
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val root = "/tmp/graft_streambench"
     val builder = SparkSession.builder()

@@ -61,16 +61,45 @@ class AnnAssignSpec extends AnyFunSuite {
     assert(bc == lit)
   }
 
-  test("arms agree on the mixed degenerate fixture (null embeddings present)") {
-    // null-payload rows rank every centroid at NULL dist² — both arms
-    // must break those ties identically (nulls-first, then cid), or a
-    // null-bearing 100 TB shard would give the two deployments
-    // different answers; the mixed fixture is DegenSweep's class for
-    // exactly this shape
+  test("arms agree on the mixed degenerate fixture (few-vector trainer)") {
+    // the mixed fixture's null-embedding rows are dropped upstream by
+    // corpusWithNorm's isNotNull filter, so what THIS leg pins is the
+    // few-real-vector end of the pipeline (trainer seeded from 3 rows,
+    // tiny cells) behaving identically across arms; the null-dist²
+    // ordering law gets its own direct test below
     val dir = "/tmp/annassign_mixed"
     graft.tools.DegenSweep.writeMixedFixture(spark, sf, dir, 3)
     val lit = canon(Similarity.embeddingNearDupIvf(spark, dir))
     val bc = withBroadcastArm(canon(Similarity.embeddingNearDupIvf(spark, dir)))
     assert(bc == lit)
+  }
+
+  test("arms break NULL-dist² ties identically (direct centRanked law)") {
+    // a null qemb makes every centroid option's dist² NULL, so the
+    // ranking degenerates to the tie rule — the literal arm's
+    // array_sort struct comparator and the broadcast arm's
+    // TopKRowsAgg InterpretedOrdering must agree on it (nulls first,
+    // then cid) or a null-bearing shard gives the two deployments
+    // different probe sets. Exercised directly because every catalog
+    // call site filters null embeddings upstream.
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(Seq(3L, 4L)), Some(25L)),
+      (2L, None: Option[Seq[Long]], None: Option[Long]),
+      (3L, Some(Seq(-5L, 12L)), Some(169L)))
+      .toDF("vec_id", "qemb", "n2")
+    val cents = Array(
+      (0L, Seq(0L, 0L)), (1L, Seq(10L, 0L)), (2L, Seq(0L, 10L)))
+    def run() = canon(
+      Similarity.centRanked(df, cents, 2)
+        .selectExpr("vec_id", "ds[0].cid AS c0", "ds[0].dist2 AS d0",
+          "ds[1].cid AS c1", "ds[1].dist2 AS d1"))
+    spark.conf.set("spark.graft.ann.assign.broadcastMinLists",
+      Int.MaxValue.toString)
+    val lit = try run()
+      finally spark.conf.unset("spark.graft.ann.assign.broadcastMinLists")
+    val bc = withBroadcastArm(run())
+    assert(lit.size == 3, s"literal arm lost rows: $lit")
+    assert(bc == lit, s"null-dist2 tie order diverged:\n lit=$lit\n bc=$bc")
   }
 }

@@ -25,8 +25,13 @@ import sys
 
 def load_pair(path):
     """Return (dict name->pair-mean secs, canary pair-mean, n_runs)."""
+    sibling = path.replace("_full.json", "_full_b.json")
+    # a non-matching filename (e.g. the _b file itself) must degrade to
+    # a single run with the caveat, not silently load the SAME file
+    # twice and report one run as an agreeing pair
+    paths = [path] if sibling == path else [path, sibling]
     runs = []
-    for p in (path, path.replace("_full.json", "_full_b.json")):
+    for p in paths:
         try:
             with open(p) as f:
                 runs.append(json.load(f))
