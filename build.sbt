@@ -18,6 +18,11 @@ run / fork := true
 // still print [error].
 Global / showSuccess := false
 Global / excludeLintKeys += showSuccess // consumed by sbt itself, not a task
+// ... and strip sbt's "[info] " prefix from the forked main's stdout
+// entirely: StdoutOutput routes run output straight to the terminal,
+// bypassing the sbt logger, so the driver's tail-parse sees BARE JSON
+// on the last line instead of "[info] {...}" (the r16 parse residual).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -421,7 +421,14 @@ object Similarity {
     */
   private[graft] def broadcastAssignMinLists(spark: SparkSession): Int =
     spark.conf.getOption("spark.graft.ann.assign.broadcastMinLists")
-      .map(_.toInt).getOrElse(256)
+      .map { v =>
+        try v.toInt
+        catch {
+          case _: NumberFormatException => sys.error(
+            s"spark.graft.ann.assign.broadcastMinLists=[$v] is not an " +
+              "integer — set the dial to a list-count threshold (default 256)")
+        }
+      }.getOrElse(256)
 
   /** Attach `ds` — each row's ascending (dist², cid) centroid ranking,
     * the shared probe/assignment primitive (`get(ds, 0)` = argmin
@@ -444,12 +451,18 @@ object Similarity {
     *     row-identical across arms (AnnAssignSpec pins this per call
     *     site).
     *
-    * `df` must carry (vec_id, qemb, n2) with NON-NULL vec_id (every
-    * call site feeds key-columned corpus rows; a null id would ride
-    * through the literal arm but drop at the broadcast arm's vec_id
-    * equi-join — ids are the join key, so the contract is on the
-    * caller); extra columns ride through. Callers may slice `ds` only
-    * up to `nProbe`.
+    * `df` must carry (vec_id, qemb, n2) with NON-NULL, UNIQUE vec_id
+    * (every call site feeds key-columned corpus rows; a null id would
+    * ride through the literal arm but drop at the broadcast arm's
+    * vec_id equi-join, and a DUPLICATE id would merge both rows'
+    * candidate sets into one wrong ranking at the groupBy — ids are
+    * the join key AND the grouping key, so both halves of the contract
+    * are on the caller); extra columns ride through. Callers may slice
+    * `ds` only up to `nProbe`. Note the broadcast arm evaluates `df`'s
+    * lineage TWICE (once feeding `tops`, once as the re-attach join's
+    * left side) — callers on the large-nLists path whose input is an
+    * expensive lineage should cache upstream (the catalog call sites
+    * all feed either a cached corpus or a plain scan).
     */
   private[graft] def centRanked(df: DataFrame,
       cents: Array[(Long, Seq[Long])], nProbe: Int): DataFrame = {

@@ -50,8 +50,9 @@ import org.apache.spark.sql.functions._
   *                speculate against). Asserts ≥1 speculative task
   *                LAUNCH and digest ≡ plain — duplicate attempts of a
   *                deterministic plan commit one result.
-  *   - exec-loss: a watchdog kills one executor JVM after 100 task
-  *                completions — shuffle files, cached blocks and
+  *   - exec-loss: a watchdog kills one executor JVM after
+  *                `KillAfterTasks` task completions — shuffle files,
+  *                cached blocks and
   *                localCheckpoint blocks on it vanish mid-job,
   *                exercising FetchFailed → stage resubmission.
   *                Asserts ≥1 executor removed and digest ≡ plain,
@@ -69,6 +70,13 @@ import org.apache.spark.sql.functions._
   * failed assertions.
   */
 object RetryDrill {
+
+  /** Task completions before the exec-loss watchdog fires — early
+    * enough to land mid-job, late enough for the first shuffle outputs
+    * to exist and be worth losing. Single source of truth for the
+    * object doc, the leg doc and the watchdog loop.
+    */
+  private val KillAfterTasks = 30
 
   /** One-shot fault injectors, class-loaded independently in each
     * executor JVM (statics are per-JVM, which is exactly the shape a
@@ -166,9 +174,10 @@ object RetryDrill {
 
   /** Run `mk` in a fresh session, returning (digest-or-error, secs,
     * failed-task count, speculative-task count, removed-executor
-    * count). With `killOne`, a watchdog thread waits for 30 task
-    * completions — early enough to land mid-job, late enough for the
-    * first shuffle outputs to exist and be worth losing — then
+    * count). With `killOne`, a watchdog thread waits for
+    * `KillAfterTasks` task completions — early enough to land mid-job,
+    * late enough for the first shuffle outputs to exist and be worth
+    * losing — then
     * SIGKILLs one executor JVM directly (see the inline comment for
     * why not `sc.killExecutors`): its shuffle files, cached blocks
     * and localCheckpoint blocks all vanish mid-job, the FetchFailed →
@@ -202,18 +211,19 @@ object RetryDrill {
     val legDone = new AtomicBoolean(false)
     val watchdog = if (!killOne) None else Some(new Thread(() => {
       val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
-      // kill EARLY (30 completions — the first shuffle outputs exist)
-      // rather than late: a kill issued near job end can race the
-      // final collect and remove the executor only after the answer
-      // landed, which the ≥1-removed assertion rightly calls vacuous
-      while (tasksEnded.get() < 30 && !legDone.get() &&
+      // kill EARLY (KillAfterTasks completions — the first shuffle
+      // outputs exist) rather than late: a kill issued near job end can
+      // race the final collect and remove the executor only after the
+      // answer landed, which the ≥1-removed assertion rightly calls
+      // vacuous
+      while (tasksEnded.get() < KillAfterTasks && !legDone.get() &&
           System.nanoTime() < deadline)
         Thread.sleep(50)
       // stand down unless the threshold was genuinely reached while
       // the leg still runs — a kill fired on deadline or after leg
       // completion would SIGKILL an executor of the NEXT leg (the
       // process scan below sees every executor on the box)
-      if (tasksEnded.get() >= 30 && !legDone.get()) {
+      if (tasksEnded.get() >= KillAfterTasks && !legDone.get()) {
         // SIGKILL the executor JVM directly rather than
         // sc.killExecutors: the RPC route is asynchronous enough that
         // a kill issued mid-job could take effect only after the final

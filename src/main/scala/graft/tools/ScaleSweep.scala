@@ -167,10 +167,6 @@ object ScaleSweep {
   def buildFixture(spark: SparkSession, src: String, out: String,
       factor: Int): Unit = {
     import graft.core.Tables
-    Seq("region", "nation").foreach { t =>
-      Tables.table(spark, src, t).write.mode("overwrite")
-        .parquet(s"$out/$t.parquet")
-    }
     // dims read BEFORE any table is written (a failed require must not
     // leave a partial fixture behind), from the first non-null
     // embedding (a null-first shard would NPE a bare head read)
@@ -186,6 +182,10 @@ object ScaleSweep {
     require(factor <= 2 * dims,
       s"factor $factor exceeds the embedding decorrelation budget " +
         s"(2×dims = ${2 * dims}) — extend the scheme before sweeping this far")
+    Seq("region", "nation").foreach { t =>
+      Tables.table(spark, src, t).write.mode("overwrite")
+        .parquet(s"$out/$t.parquet")
+    }
     keyCols.foreach { case (t, keys) =>
       val base = Tables.table(spark, src, t)
       val copies = (0 until factor).map { k =>

@@ -84,10 +84,15 @@ def main():
     for norm, raw, q in movers[:10]:
         print(f"| {q} | {base_qs[q]:.2f} | {new_qs[q]:.2f} "
               f"| {raw:.2f}x | {norm:.2f}x |")
-    print("| ... fastest movers ... | | | | |")
-    for norm, raw, q in movers[-5:]:
-        print(f"| {q} | {base_qs[q]:.2f} | {new_qs[q]:.2f} "
-              f"| {raw:.2f}x | {norm:.2f}x |")
+    # the tail only shows rows NOT already in the top-10 head (with 15
+    # or fewer over-floor queries an unconditional movers[-5:] would
+    # duplicate head rows)
+    tail = movers[10:][-5:]
+    if tail:
+        print("| ... fastest movers ... | | | | |")
+        for norm, raw, q in tail:
+            print(f"| {q} | {base_qs[q]:.2f} | {new_qs[q]:.2f} "
+                  f"| {raw:.2f}x | {norm:.2f}x |")
     sys.exit(1 if over else 0)
 
 
