@@ -3,6 +3,7 @@ package graft.apps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.core.Lineage.CutOps
 import graft.batch.MailPrograms
 import graft.sources.{MailSource, Sinks, TaxiSource}
 import graft.streaming.TaxiStreams
@@ -179,7 +180,7 @@ object PageRankWithEdgeWeights {
         .groupBy($"dst").agg(sum($"rank" * $"p").as("s"))
       ranks = vertices.join(contribs, $"id" === $"dst", "left")
         .select($"id", (lit(0.85) * coalesce($"s", lit(0.0)) + lit(0.15 / n)).as("rank"))
-        .localCheckpoint()
+        .cutLineage()
     }
     ranks
   }

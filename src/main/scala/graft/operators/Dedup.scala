@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.Lineage.CutOps
 import graft.core.Tables._
 import graft.functions.Hashing._
 import graft.functions.TextFunctions._
@@ -522,7 +523,7 @@ object Dedup {
         .select($"doc_id",
           least($"label", coalesce($"nlabel", $"label")).as("label"))
         .coalesce(statePartitions)
-        .localCheckpoint()
+        .cutLineage()
     }
     edges.unpersist() // labels are localCheckpointed — lineage is cut
     // singletons: docs untouched by any pair — one anti-join, no iteration
@@ -600,7 +601,7 @@ object Dedup {
         .select($"doc_id",
           least($"label", coalesce($"nlabel", $"label")).as("label"))
         .coalesce(statePartitions)
-        .localCheckpoint()
+        .cutLineage()
       changed = next.select($"doc_id", $"label".as("next_label"))
         .join(labels.select($"doc_id", $"label".as("prev_label")), "doc_id")
         .filter($"next_label" =!= $"prev_label").count()

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.Lineage.CutOps
 import graft.core.Tables._
 
 /** Weighted PageRank as an iterative DataFrame loop — the Gelly exercise
@@ -22,8 +23,11 @@ import graft.core.Tables._
   *     (1−d)/N, seeded 1.0 (Gelly's simplified PR; SURVEY §2.9 G2).
   *
   * Scale notes: each iteration is ranks⋈edges (shuffle on src) + agg on
-  * dst; `localCheckpoint` every iteration truncates the growing lineage —
-  * the one place Catalyst gives no help (SURVEY §4). Contribution sums are
+  * dst; a `Lineage.cut` every iteration truncates the growing lineage —
+  * the one place Catalyst gives no help (SURVEY §4). The cut is
+  * localCheckpoint by default and a RELIABLE checkpoint under the
+  * `spark.graft.reliableCheckpointDir` dial — the arm that survives
+  * executor loss AFTER a cut (see graft.core.Lineage). Contribution sums are
   * quantized to 1e-14-scaled longs so ranks stay bit-identical across
   * engines/partitionings (they feed a hash-compare; Σ ≤ N·1e14 ≪ 2^53).
   */
@@ -154,7 +158,7 @@ object Graph {
     // join below (an aggregate directly under a join hides map stats)
     val outSums = edges.groupBy($"src")
       .agg(sum($"w").as("sumOut"), count(lit(1)).as("odeg"))
-      .localCheckpoint()
+      .cutLineage()
     val par = spark.sparkContext.defaultParallelism
     val fairShare = math.max(1000L, totalEdges / math.max(1, par))
     // hot sources: out-degree above one task's fair share ⇒ < par rows
@@ -226,7 +230,7 @@ object Graph {
       .select($"id", (lit(damping) * coalesce($"s", lit(0.0))
         + lit(teleport / ctx.n)).as("rank"))
       .coalesce(ctx.statePartitions)
-      .localCheckpoint() // cut lineage each superstep
+      .cutLineage() // cut lineage each superstep
   }
 
   /** PageRank with an L1-convergence early exit: identical per-superstep
@@ -321,12 +325,12 @@ object Graph {
       .filter($"x" =!= $"y")
       .select(greatest($"x", $"y").as("x"), least($"x", $"y").as("y"))
       .distinct()
-      .localCheckpoint()
+      .cutLineage()
     var round = 0
     var stable = false
     var edgeCount = edges.count()
     while (!stable && round < maxRounds) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = smallStar(largeStar(edges)).cutLineage()
       // fixpoint = the directed-canonical edge SETS are equal; both are
       // distinct by construction, so equality ⟺ same cardinality AND an
       // empty one-sided difference — one count (cheap on the checkpoint)
@@ -411,7 +415,7 @@ object Graph {
     def degrees(e: DataFrame): DataFrame =
       e.select($"p1".as("id")).union(e.select($"p2".as("id")))
         .groupBy($"id").agg(count(lit(1)).as("deg"))
-    var edges = edges0.select($"p1", $"p2").localCheckpoint()
+    var edges = edges0.select($"p1", $"p2").cutLineage()
     var round = 0
     var stable = false
     while (!stable && round < maxRounds) {
@@ -420,7 +424,7 @@ object Graph {
         .join(keep.select($"id".as("p1")), Seq("p1"), "left_semi")
         .join(keep.select($"id".as("p2")), Seq("p2"), "left_semi")
         .select($"p1", $"p2")
-        .localCheckpoint()
+        .cutLineage()
       stable = next.count() == edges.count()
       edges = next
       round += 1
@@ -546,7 +550,7 @@ object Graph {
     if (srcRow.isNullAt(0))
       return Seq.empty[(Long, Long)].toDF("id", "hops")
     val src = srcRow.getLong(0)
-    var dist = Seq((src, 0L)).toDF("id", "hops").localCheckpoint()
+    var dist = Seq((src, 0L)).toDF("id", "hops").cutLineage()
     var frontier = dist
     var round = 0
     var done = false
@@ -555,10 +559,10 @@ object Graph {
         .select($"x".as("id"), ($"hops" + 1L).as("hops"))
       val fresh = cand.join(dist, Seq("id"), "left_anti")
         .groupBy($"id").agg(min($"hops").as("hops"))
-        .localCheckpoint()
+        .cutLineage()
       if (fresh.isEmpty) done = true
       else {
-        dist = dist.union(fresh).localCheckpoint()
+        dist = dist.union(fresh).cutLineage()
         frontier = fresh
       }
       round += 1
@@ -652,10 +656,10 @@ object Graph {
       .withColumn("idx", row_number().over(
         Window.partitionBy($"v").orderBy($"u")).cast("long") - 1L)
       .withColumn("deg", count(lit(1)).over(Window.partitionBy($"v")))
-      .localCheckpoint()
+      .cutLineage()
     var walk = ranked.select($"v".as("start")).distinct()
       .withColumn("cur", $"start")
-      .localCheckpoint()
+      .cutLineage()
     for (t <- 1 to steps) {
       val pick = pmod(md5Bits32(concat(lit("walk:"), $"start".cast("string"),
         lit(s":$t:"), $"cur".cast("string")), 1), $"deg")
@@ -666,7 +670,7 @@ object Graph {
         .filter(ranked("idx") === pick)
         .select(keep: _*)
         .withColumn("cur", col(s"v$t"))
-        .localCheckpoint()
+        .cutLineage()
     }
     walk.select($"start".as("start_id") +: (1 to steps).map(i => col(s"v$i")): _*)
   }
@@ -766,9 +770,9 @@ object Graph {
       import spark.implicits._
       val nb = edges.select($"p1".as("v"), $"p2".as("u"))
         .union(edges.select($"p2".as("v"), $"p1".as("u")))
-        .localCheckpoint()
+        .cutLineage()
       var labels = nb.select($"v").distinct().withColumn("lbl", $"v")
-        .localCheckpoint()
+        .cutLineage()
       var acc = labels.withColumn("round", lit(0L))
       for (t <- 1 to rounds) {
         // winner per vertex via struct-extreme argmax (max c, ties →
@@ -782,7 +786,7 @@ object Graph {
           .groupBy($"v")
           .agg(max(struct($"c", (-$"lbl").as("nl"))).as("t"))
           .select($"v", (-$"t".getField("nl")).as("lbl"))
-          .localCheckpoint()
+          .cutLineage()
         acc = acc.union(labels.withColumn("round", lit(t.toLong)))
       }
       acc.select($"round", $"v", $"lbl")

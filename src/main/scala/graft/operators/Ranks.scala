@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.Lineage.CutOps
+
 /** The two-phase distributed global rank — rankedVocab's machinery
   * (Text.scala) extracted so every operator that needs a total-order
   * rank (RFM quartiles, session percentile picks, curriculum order)
@@ -40,7 +42,7 @@ object Ranks {
     * count — re-reads cached partitions instead of re-running the
     * upstream plan.
     */
-  def pinBase(df: DataFrame): DataFrame = df.localCheckpoint()
+  def pinBase(df: DataFrame): DataFrame = df.cutLineage()
 
   /** Covering-class spans over a CLASS HISTOGRAM (`cnt` rows per
     * (groups, value) class): appends the inclusive prefix count `hi`,
@@ -205,14 +207,14 @@ object Ranks {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val out = input
         .withColumn(outCol, sum(col("__cnt")).over(w) - col("__cnt"))
-        .localCheckpoint()
+        .cutLineage()
       input.unpersist()
       return out
     }
     val parted = input
       .repartitionByRange(parts, order: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+      .cutLineage()
     input.unpersist()
     val sizes = graft.core.Bounded.collect(
         parted.groupBy(col("__pid")).agg(sum(col("__cnt")).as("n")),
@@ -313,7 +315,7 @@ object Ranks {
       // machinery decomposes (its scaladoc's "distributed replacement
       // for"), legitimate again because no group can exceed the pinned
       // row bound; checkpoint keeps multi-consumer callers re-reading
-      val pinned = input.localCheckpoint()
+      val pinned = input.cutLineage()
       input.unpersist()
       val w = Window.partitionBy(groups: _*).orderBy(order: _*)
         .rowsBetween(Window.unboundedPreceding,
@@ -323,7 +325,7 @@ object Ranks {
     val parted = input
       .repartitionByRange(parts, groups ++ order: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+      .cutLineage()
     input.unpersist()
     val cellNames = "__pid" +: groups.map(g =>
       parted.select(g).columns.head)
@@ -400,7 +402,7 @@ object Ranks {
       // (one single-partition exchange of ≤ windowMaxRows slim rows);
       // under the required total order this is the machinery's
       // local-rank + offset, bit for bit
-      val pinned = if (prePinned) input else input.localCheckpoint()
+      val pinned = if (prePinned) input else input.cutLineage()
       if (!prePinned) input.unpersist()
       return pinned.withColumn(rankCol,
         row_number().over(Window.orderBy(order: _*)).cast("long"))
@@ -408,7 +410,7 @@ object Ranks {
     val parted = input
       .repartitionByRange(parts, order: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+      .cutLineage()
     if (!prePinned) input.unpersist()
     val sizes = graft.core.Bounded.collect(
         parted.groupBy(col("__pid")).agg(count(lit(1)).as("n")),

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.Lineage.CutOps
 import graft.core.Tables._
 import graft.functions.TextFunctions._
 
@@ -551,7 +552,7 @@ object Text {
       vocabCounts(spark, d)
         .repartitionByRange(spark.sparkContext.defaultParallelism, $"c".desc, $"w".asc)
         .withColumn("pid", spark_partition_id())
-        .localCheckpoint()
+        .cutLineage()
     }
     val sizes = graft.core.Bounded.collect(
         parted.groupBy($"pid").agg(count(lit(1)).as("n")),

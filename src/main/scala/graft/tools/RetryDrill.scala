@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
   *     rule that makes speculation useful against sick NODES). Distinct
   *     worker hosts are what makes the rehearsal real.
   *
-  * Three legs per heavy, all on the spawned cluster:
+  * Five legs per heavy, all on the spawned cluster:
   *
   *   - plain:     the uninjected reference digest, same topology; also
   *                asserted ≡ a `local[cpus]` session's digest, so the
@@ -60,6 +60,16 @@ import org.apache.spark.sql.functions._
   *                localCheckpoint state, where Spark's own contract is
   *                that the job fails (lineage deliberately truncated) —
   *                a Left there is recorded as the documented trade-off.
+  *   - late-kill: the deployable answer to that trade-off. The same
+  *                SIGKILL, fired LATE (half the plain leg's task
+  *                count — past several superstep lineage cuts), with
+  *                `spark.graft.reliableCheckpointDir` set so every
+  *                `Lineage.cut` is a RELIABLE checkpoint into shared
+  *                storage instead of a localCheckpoint. Blocks lost
+  *                with the executor are re-read from the checkpoint
+  *                files, so this leg must PASS (≥1 executor removed,
+  *                digest ≡ plain) for EVERY query, iterative family
+  *                included — the law the dial exists to buy.
   *
   * Digests are InvarianceSweep.canon (column-sorted, row-sorted
   * multiset) — partitioning- and commit-order-independent by
@@ -174,10 +184,12 @@ object RetryDrill {
 
   /** Run `mk` in a fresh session, returning (digest-or-error, secs,
     * failed-task count, speculative-task count, removed-executor
-    * count). With `killOne`, a watchdog thread waits for
-    * `KillAfterTasks` task completions — early enough to land mid-job,
-    * late enough for the first shuffle outputs to exist and be worth
-    * losing — then
+    * count, completed-task count). With `killAfter = Some(n)`, a
+    * watchdog thread waits for `n` task completions — the exec-loss
+    * leg passes `KillAfterTasks` (early enough to land mid-job, late
+    * enough for the first shuffle outputs to exist and be worth
+    * losing); the late-kill leg passes half the plain leg's task count
+    * (past several lineage cuts) — then
     * SIGKILLs one executor JVM directly (see the inline comment for
     * why not `sc.killExecutors`): its shuffle files, cached blocks
     * and localCheckpoint blocks all vanish mid-job, the FetchFailed →
@@ -186,8 +198,8 @@ object RetryDrill {
     * a stale kill would land on the NEXT leg's executors.
     */
   private def leg(master: String, extra: Map[String, String],
-      killOne: Boolean = false)(
-      mk: SparkSession => DataFrame): (Either[String, String], Double, Int, Int, Int) = {
+      killAfter: Option[Int] = None)(
+      mk: SparkSession => DataFrame): (Either[String, String], Double, Int, Int, Int, Int) = {
     val spark = session(master, extra)
     val failed = new AtomicInteger(0)
     val speculative = new AtomicInteger(0)
@@ -209,21 +221,22 @@ object RetryDrill {
         removed.incrementAndGet(): Unit
     })
     val legDone = new AtomicBoolean(false)
-    val watchdog = if (!killOne) None else Some(new Thread(() => {
+    val watchdog = killAfter.map(threshold => new Thread(() => {
       val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
-      // kill EARLY (KillAfterTasks completions — the first shuffle
-      // outputs exist) rather than late: a kill issued near job end can
-      // race the final collect and remove the executor only after the
-      // answer landed, which the ≥1-removed assertion rightly calls
-      // vacuous
-      while (tasksEnded.get() < KillAfterTasks && !legDone.get() &&
+      // the exec-loss leg kills EARLY (KillAfterTasks completions — the
+      // first shuffle outputs exist) rather than late: a kill issued
+      // near job end can race the final collect and remove the executor
+      // only after the answer landed, which the ≥1-removed assertion
+      // rightly calls vacuous. The late-kill leg's mid-job threshold
+      // (half the plain task count) keeps the same stand-down logic.
+      while (tasksEnded.get() < threshold && !legDone.get() &&
           System.nanoTime() < deadline)
         Thread.sleep(50)
       // stand down unless the threshold was genuinely reached while
       // the leg still runs — a kill fired on deadline or after leg
       // completion would SIGKILL an executor of the NEXT leg (the
       // process scan below sees every executor on the box)
-      if (tasksEnded.get() >= KillAfterTasks && !legDone.get()) {
+      if (tasksEnded.get() >= threshold && !legDone.get()) {
         // SIGKILL the executor JVM directly rather than
         // sc.killExecutors: the RPC route is asynchronous enough that
         // a kill issued mid-job could take effect only after the final
@@ -253,7 +266,8 @@ object RetryDrill {
     legDone.set(true)
     watchdog.foreach(_.join(5000))
     ScaleSweep.drainBus(spark)
-    val out = (r, secs, failed.get(), speculative.get(), removed.get())
+    val out = (r, secs, failed.get(), speculative.get(), removed.get(),
+      tasksEnded.get())
     spark.stop()
     out
   }
@@ -275,10 +289,10 @@ object RetryDrill {
         def q(spark: SparkSession) = graft.SparkEntry.queries(name)(spark, src)
         def dg(r: Either[String, String]) = r.fold("ERR " + _, _.take(12))
 
-        val (rLocal, _, _, _, _) =
+        val (rLocal, _, _, _, _, _) =
           leg(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]", Map())(q)
 
-        val (rPlain, tPlain, _, _, _) = leg(masterUrl, Map())(q)
+        val (rPlain, tPlain, _, _, _, plainTasks) = leg(masterUrl, Map())(q)
         check(rPlain.isRight && rPlain == rLocal,
           s"$name: cluster digest $rPlain != local digest $rLocal")
         println(f"| $name | plain | $tPlain%.1f | - | - | ${dg(rPlain)} " +
@@ -287,7 +301,7 @@ object RetryDrill {
         // retry leg: throw once per executor JVM inside an identity
         // filter; asNondeterministic pins it above the scan (no
         // pushdown), so the failure lands where retries re-run real work
-        val (rRetry, tRetry, nFail, _, _) = leg(masterUrl, Map())(s =>
+        val (rRetry, tRetry, nFail, _, _, _) = leg(masterUrl, Map())(s =>
           q(s).filter(udf(() => Faults.throwOnce()).asNondeterministic()()))
         check(nFail >= 1, s"$name: retry leg observed no task failure -- " +
           "injection did not engage (vacuous)")
@@ -298,7 +312,7 @@ object RetryDrill {
 
         // speculation leg: one 4 s straggler per executor JVM; the
         // 100 ms speculation interval re-launches it on the OTHER host
-        val (rSpec, tSpec, _, nSpec, _) = leg(masterUrl, Map(
+        val (rSpec, tSpec, _, nSpec, _, _) = leg(masterUrl, Map(
           "spark.speculation" -> "true",
           "spark.speculation.interval" -> "100ms",
           "spark.speculation.multiplier" -> "1.5",
@@ -328,8 +342,8 @@ object RetryDrill {
         // digest law is enforced whenever the query completes.
         val usesLocalCk = Set("q13_pagerank", "q86_cc_converged",
           "q112_kcore", "q119_power_iteration")
-        val (rKill, tKill, _, _, nRemoved) =
-          leg(masterUrl, Map(), killOne = true)(q)
+        val (rKill, tKill, _, _, nRemoved, _) =
+          leg(masterUrl, Map(), killAfter = Some(KillAfterTasks))(q)
         check(nRemoved >= 1, s"$name: executor-loss leg removed no " +
           "executor -- kill did not engage (vacuous)")
         rKill match {
@@ -345,6 +359,50 @@ object RetryDrill {
             check(false, s"$name: failed under executor loss: $err")
             println(f"| $name | exec-loss | $tKill%.1f | - | -$nRemoved%d exec | ERR | FAIL |")
         }
+
+        // late-kill leg: the reliable-checkpoint arm's deployable law.
+        // Same SIGKILL, fired past HALF the plain leg's task count —
+        // after several lineage cuts for the iterative family — with
+        // the dial routing every Lineage.cut to reliable checkpoint
+        // files both workers can re-read. MUST pass for every query
+        // (no usesLocalCk carve-out): loss-after-checkpoint is routine
+        // at 1000 executors, and this arm is what makes the iterative
+        // family deployable there.
+        val ckDir = s"/tmp/retrydrill_ckpt_$name"
+        val lateAt = math.max(KillAfterTasks, plainTasks / 2)
+        // documentation row (no assertion): the SAME late kill on the
+        // LOCAL arm. For the iterative family the expected outcome is
+        // the CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND contract failure —
+        // lineage deliberately truncated is lineage unrecoverable —
+        // which is exactly the gap the dialed leg below closes. The
+        // early-threshold exec-loss leg above can land before the
+        // first cut and recover; THIS row is the one that reliably
+        // exhibits the trade-off.
+        if (usesLocalCk(name)) {
+          val (rLateLocal, tLateLocal, _, _, nRemLL, _) =
+            leg(masterUrl, Map(), killAfter = Some(lateAt))(q)
+          val note = rLateLocal match {
+            case Right(_) if rLateLocal == rPlain =>
+              "survived (kill raced past the last cut)"
+            case Right(_) => "DRIFT"
+            case Left(err) => s"localCheckpoint lineage lost ($err)"
+          }
+          println(f"| $name | late-kill-local@$lateAt%d | $tLateLocal%.1f " +
+            f"| - | -$nRemLL%d exec | ${dg(rLateLocal)} | DOCUMENTED: $note |")
+        }
+        val (rLate, tLate, _, _, nRemovedLate, _) =
+          leg(masterUrl, Map(graft.core.Lineage.ConfKey -> ckDir),
+            killAfter = Some(lateAt))(q)
+        check(nRemovedLate >= 1, s"$name: late-kill leg removed no " +
+          "executor -- kill did not engage (vacuous)")
+        check(rLate.isRight && rLate == rPlain,
+          s"$name: reliable-arm digest after late executor loss $rLate " +
+            s"!= plain $rPlain")
+        println(f"| $name | late-kill@$lateAt%d | $tLate%.1f | - | " +
+          f"-$nRemovedLate%d exec | ${dg(rLate)} | " +
+          f"${if (rLate == rPlain && nRemovedLate >= 1) "PASS" else "FAIL"} |")
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(ckDir)): Unit
       }
     } finally {
       procs.reverse.foreach(_.destroyForcibly(): Unit)
