@@ -245,31 +245,48 @@ object Retrieval {
     */
   def DenseIvfScaledGen(spark: SparkSession, d: String, kSys: Int): DataFrame = {
     val n = Similarity.corpusWithNorm(spark, d).count()
-    denseIvf(spark, d, kSys, nLists = math.max(8L, n / 256L).toInt)
+    val nLists = math.max(8L, n / 256L).toInt
+    denseIvf(spark, d, kSys, nLists,
+      tables = Similarity.annTables(spark, nLists))
   }
 
   private def denseIvf(spark: SparkSession, d: String, kSys: Int,
-      nLists: Int = 8, nProbe: Int = 4, updates: Int = 2): DataFrame = {
+      nLists: Int = 8, nProbe: Int = 4, updates: Int = 2,
+      tables: Int = 1): DataFrame = {
     import spark.implicits._
     import graft.functions.VectorFunctions._
-    val cents = Similarity.lloydCentroids(spark, d, nLists, updates)
-    val ranked = Similarity.centRanked(
-      Similarity.corpusWithNorm(spark, d)
-        .select($"vec_id", $"qemb", $"n2", evalFlag($"vec_id").as("ev")),
-      cents, nProbe)
-    val corpusSide = ranked.filter(!$"ev")
-      .select($"vec_id", $"qemb", $"n2",
-        get($"ds", lit(0)).getField("cid").as("list_id"))
-    val qp = ranked.filter($"ev")
-      .select($"vec_id".as("query_id"), $"qemb".as("qq"), $"n2".as("qn2"),
-        explode(transform(slice($"ds", 1, nProbe), p => p.getField("cid")))
-          .as("p_list"))
-    // equi-join on the list id — hash-partitioned, NEVER a nested loop;
-    // each (query, doc) pair meets at most once (docs live in ONE list)
-    corpusSide.join(qp, $"list_id" === $"p_list")
-      .select($"query_id", $"vec_id".as("doc_id"),
-        cosineFromParts(dotPreQ($"qq", $"qemb"), $"qn2", $"n2").as("cos"))
-      .withColumn("rank", row_number().over(
+    // one scored candidate stream per coarse quantizer; `tables` > 1
+    // unions independently-seeded quantizers (the same recall
+    // amplification as embeddingNearDupIvf — see Similarity.annTables:
+    // a single fine quantizer's recall@k falls with nLists, and the
+    // union compounds it back at tables × linear cost). tables = 1 is
+    // byte-identical to the pre-amplification plan (no Union, no
+    // dedup node).
+    val scored = (0 until math.max(1, tables)).map { t =>
+      val cents = Similarity.lloydCentroids(spark, d, nLists, updates, t)
+      val ranked = Similarity.centRanked(
+        Similarity.corpusWithNorm(spark, d)
+          .select($"vec_id", $"qemb", $"n2", evalFlag($"vec_id").as("ev")),
+        cents, nProbe)
+      val corpusSide = ranked.filter(!$"ev")
+        .select($"vec_id", $"qemb", $"n2",
+          get($"ds", lit(0)).getField("cid").as("list_id"))
+      val qp = ranked.filter($"ev")
+        .select($"vec_id".as("query_id"), $"qemb".as("qq"), $"n2".as("qn2"),
+          explode(transform(slice($"ds", 1, nProbe), p => p.getField("cid")))
+            .as("p_list"))
+      // equi-join on the list id — hash-partitioned, NEVER a nested
+      // loop; within one table each (query, doc) pair meets at most
+      // once (docs live in ONE list per quantizer)
+      corpusSide.join(qp, $"list_id" === $"p_list")
+        .select($"query_id", $"vec_id".as("doc_id"),
+          cosineFromParts(dotPreQ($"qq", $"qemb"), $"qn2", $"n2").as("cos"))
+    }.reduce(_ unionByName _)
+    // cross-table duplicates carry the SAME exact cos (a pure function
+    // of the two vectors), so the dedup is value-stable
+    val uniq =
+      if (tables <= 1) scored else scored.dropDuplicates("query_id", "doc_id")
+    uniq.withColumn("rank", row_number().over(
         Window.partitionBy($"query_id").orderBy($"cos".desc, $"doc_id".asc))
         .cast("long"))
       .filter($"rank" <= kSys)

@@ -204,18 +204,29 @@ object Similarity {
     */
   def embeddingNearDupIvf(spark: SparkSession, d: String,
       threshold: Double = 0.4, nLists: Int = 8, nProbe: Int = 4,
-      updates: Int = 2): DataFrame = {
+      updates: Int = 2, tables: Int = 1, firstTable: Int = 0): DataFrame = {
     import spark.implicits._
-    val cents = lloydCentroids(spark, d, nLists, updates)
     val c = corpusWithNorm(spark, d)
-    val probes = centRanked(c.select($"vec_id", $"qemb", $"n2"), cents, nProbe)
-      .select($"vec_id", $"qemb", $"n2",
-        explode(transform(slice($"ds", 1, nProbe), p => p.getField("cid")))
-          .as("list_id"))
-    probes.as("p").join(probes.as("b"),
-        $"p.list_id" === $"b.list_id" && $"p.vec_id" < $"b.vec_id")
-      .select($"p.vec_id".as("x"), $"b.vec_id".as("y"),
-        cosineFromParts(dotPreQ($"p.qemb", $"b.qemb"), $"p.n2", $"b.n2").as("cos"))
+    // one candidate stream per coarse quantizer; `tables` > 1 unions
+    // independently-seeded quantizers (the LSH-style recall
+    // amplification — see the QualitySweep adjudication in SCALING.md:
+    // a single fine quantizer's pair recall FALLS with nLists at this
+    // corpus's low threshold, and unioning R independent partitions
+    // compounds it back as 1-(1-r)^R at R× linear cost). tables = 1 is
+    // byte-identical to the pre-amplification plan (no Union node).
+    // `firstTable` offsets the seed index — QualitySweep's curve mode
+    // measures each quantizer's marginal recall separately with it.
+    (firstTable until firstTable + math.max(1, tables)).map { t =>
+      val cents = lloydCentroids(spark, d, nLists, updates, t)
+      val probes = centRanked(c.select($"vec_id", $"qemb", $"n2"), cents, nProbe)
+        .select($"vec_id", $"qemb", $"n2",
+          explode(transform(slice($"ds", 1, nProbe), p => p.getField("cid")))
+            .as("list_id"))
+      probes.as("p").join(probes.as("b"),
+          $"p.list_id" === $"b.list_id" && $"p.vec_id" < $"b.vec_id")
+        .select($"p.vec_id".as("x"), $"b.vec_id".as("y"),
+          cosineFromParts(dotPreQ($"p.qemb", $"b.qemb"), $"p.n2", $"b.n2").as("cos"))
+    }.reduce(_ unionByName _)
       .dropDuplicates("x", "y")
       .filter($"cos" >= threshold)
   }
@@ -273,8 +284,44 @@ object Similarity {
     val n = corpusWithNorm(spark, d).count()
     val nLists = math.max(8L, n / targetCell).toInt
     semanticDedup(spark, d, threshold,
-      (s, dir, t) => embeddingNearDupIvf(s, dir, t, nLists, nProbe, updates))
+      (s, dir, t) => embeddingNearDupIvf(s, dir, t, nLists, nProbe, updates,
+        annTables(s, nLists)))
   }
+
+  /** The RECALL half of the IVF blocking dial: how many independently-
+    * seeded coarse quantizers (`tables`) the above-knee paths union.
+    *
+    * Why it exists (QualitySweep, round 17 — measured, not modeled): a
+    * SINGLE quantizer at the nLists = N/256 cost dial holds candidate
+    * volume linear, but its pair recall at this corpus's low dedup
+    * threshold (cos 0.4 — planted near-dups are NOT L2-tight) falls
+    * with list count: 0.999 at 8 lists, 0.637 at 78 (10×). The probed
+    * volume fraction nProbe/nLists shrinks a decade per decade, and
+    * pairs at cos 0.4 don't concentrate in one Voronoi cell. Unioning
+    * R independent partitions compounds recall as 1-(1-r)^R while
+    * keeping TOTAL cost R × linear — the LSH multi-table amplification
+    * applied to IVF blocking. R therefore grows with the DECADE
+    * (log10(nLists/8)), not with N: the measured per-table recall
+    * decays roughly per-decade, so a fixed R per decade holds the
+    * floor. Formula: 1 below/at the knee (8 lists — byte-stable
+    * catalog plans), +2 tables per decade above it, capped at 6;
+    * override via spark.graft.ann.tables. QualitySweep's law (recall
+    * ≥ 0.9 × the 1× floor at 10× and 100×) is the regression gate.
+    */
+  private[graft] def annTables(spark: SparkSession, nLists: Int): Int =
+    spark.conf.getOption("spark.graft.ann.tables")
+      .map { v =>
+        try v.toInt
+        catch {
+          case _: NumberFormatException => sys.error(
+            s"spark.graft.ann.tables=[$v] is not an integer — set the " +
+              "dial to a quantizer count (default: auto from nLists)")
+        }
+      }.getOrElse {
+        if (nLists <= 8) 1
+        else math.min(6,
+          1 + 2 * math.ceil(math.log10(nLists / 8.0)).toInt)
+      }
 
   /** Per-label centroid, flat (label, i, mean) rows: the exact mean of
     * each embedding dimension over the label's vectors — the
@@ -646,19 +693,32 @@ object Similarity {
         expr("n_candidates * 1000000L div (nq * (nv - 1))").as("cand_q6"))
   }
 
+  /** `table` selects one of several deterministic seedings: table 0 is
+    * the historical k-lowest-vec_ids pick (every committed plan and
+    * oracle trajectory — byte-stable), table t > 0 seeds from the k
+    * lowest by a salted md5 of the id — k pseudorandom, pairwise-
+    * disjoint-in-expectation picks spread through the corpus, which is
+    * what makes the multi-table union's Voronoi partitions INDEPENDENT
+    * (the amplification math needs tables that fail on different
+    * pairs, and 2-update Lloyd keeps most of its init's diversity).
+    */
   private[graft] def lloydCentroids(spark: SparkSession, d: String,
-      k: Int, updates: Int): Array[(Long, Seq[Long])] = {
+      k: Int, updates: Int, table: Int = 0): Array[(Long, Seq[Long])] = {
     import spark.implicits._
-    val tbl = graft.core.Memo(spark, cache = false, "lloydCentroids", d,
-        k.toString, updates.toString) {
-      lloydCentroidsUncached(spark, d, k, updates).toSeq.toDF("cid", "cq")
+    // table 0 keeps the historical memo key so committed sweeps and
+    // warmed sessions keep hitting it
+    val keyParts = Seq(d, k.toString, updates.toString) ++
+      (if (table > 0) Seq(s"t$table") else Nil)
+    val tbl = graft.core.Memo(spark, cache = false,
+        ("lloydCentroids" +: keyParts): _*) {
+      lloydCentroidsUncached(spark, d, k, updates, table).toSeq.toDF("cid", "cq")
     }
     graft.core.Bounded.collect(tbl, k.toLong, "lloydCentroids memo (k rows)")
       .map(r => (r.getLong(0), r.getSeq[Long](1)))
   }
 
   private def lloydCentroidsUncached(spark: SparkSession, d: String,
-      k: Int, updates: Int): Array[(Long, Seq[Long])] = {
+      k: Int, updates: Int, table: Int): Array[(Long, Seq[Long])] = {
     import spark.implicits._
     val c = corpusWithNorm(spark, d)
     // seeds = the k LOWEST vec_ids by rank (TakeOrderedAndProject — no
@@ -666,8 +726,13 @@ object Similarity {
     // trains on any non-empty corpus regardless of id scheme (snowflake
     // ids, non-zero-based ranges), where the predicate form silently
     // returned zero centroids. Identical on dense 0-based ids.
+    // Tables > 0 order by the salted hash instead (see lloydCentroids).
+    val seedOrder =
+      if (table == 0) Seq($"vec_id")
+      else Seq(graft.functions.Hashing.md5Bits32(
+        concat(lit(s"seed:$table:"), $"vec_id".cast("string")), 1), $"vec_id")
     var cents: Array[(Long, Seq[Long])] = graft.core.Bounded.collect(
-        c.select($"vec_id", $"qemb").orderBy($"vec_id").limit(k),
+        c.select($"vec_id", $"qemb").orderBy(seedOrder: _*).limit(k),
         k, "lloydCentroids seeds (k lowest vec_ids)")
       .map(r => (r.getLong(0), r.getSeq[Long](1)))
     // no seed vectors (corpus empty after the null filter): nothing is
@@ -1142,25 +1207,39 @@ object Similarity {
     * included) is mirrored by the q155 DuckDB oracle.
     */
   def hardNegatives(spark: SparkSession, d: String, k: Int = 5,
-      nLists: Int = 8, nProbe: Int = 4, updates: Int = 2): DataFrame = {
+      nLists: Int = 8, nProbe: Int = 4, updates: Int = 2,
+      tables: Int = 1): DataFrame = {
     import spark.implicits._
-    val cents = lloydCentroids(spark, d, nLists, updates)
-    val ranked = centRanked(
-      corpusWithNorm(spark, d)
-        .join(embeddings(spark, d).select($"vec_id", $"label"), "vec_id")
-        .select($"vec_id", $"label", $"qemb", $"n2",
-          evalAnchor($"vec_id").as("ev")),
-      cents, nProbe)
-    val corpusSide = ranked.filter(!$"ev")
-      .select($"vec_id".as("neg_id"), $"label".as("neg_label"), $"qemb", $"n2",
-        get($"ds", lit(0)).getField("cid").as("list_id"))
-    val anchors = ranked.filter($"ev")
-      .select($"vec_id".as("anchor_id"), $"label".as("anchor_label"),
-        $"qemb".as("aq"), $"n2".as("an2"),
-        explode(transform(slice($"ds", 1, nProbe), p => p.getField("cid")))
-          .as("p_list"))
+    // one candidate stream per coarse quantizer (`tables` > 1 = the
+    // annTables recall amplification; tables = 1 is byte-identical to
+    // the pre-amplification plan — no Union, no dedup node)
+    val cands = (0 until math.max(1, tables)).map { t =>
+      val cents = lloydCentroids(spark, d, nLists, updates, t)
+      val ranked = centRanked(
+        corpusWithNorm(spark, d)
+          .join(embeddings(spark, d).select($"vec_id", $"label"), "vec_id")
+          .select($"vec_id", $"label", $"qemb", $"n2",
+            evalAnchor($"vec_id").as("ev")),
+        cents, nProbe)
+      val corpusSide = ranked.filter(!$"ev")
+        .select($"vec_id".as("neg_id"), $"label".as("neg_label"), $"qemb", $"n2",
+          get($"ds", lit(0)).getField("cid").as("list_id"))
+      val anchors = ranked.filter($"ev")
+        .select($"vec_id".as("anchor_id"), $"label".as("anchor_label"),
+          $"qemb".as("aq"), $"n2".as("an2"),
+          explode(transform(slice($"ds", 1, nProbe), p => p.getField("cid")))
+            .as("p_list"))
+      corpusSide.join(anchors, $"list_id" === $"p_list")
+    }.reduce { (a, b) =>
+      // project off the per-table list columns before the union so the
+      // cross-table dedup rows are value-identical end to end
+      def core(df: DataFrame) = df.select($"anchor_id", $"anchor_label",
+        $"aq", $"an2", $"neg_id", $"neg_label", $"qemb", $"n2")
+      core(a) unionByName core(b)
+    }
     topKNegatives(
-      corpusSide.join(anchors, $"list_id" === $"p_list"), k)
+      if (tables <= 1) cands
+      else cands.dropDuplicates("anchor_id", "neg_id"), k)
   }
 
   /** `hardNegatives` with the deployment blocking dial applied
@@ -1176,8 +1255,9 @@ object Similarity {
   def hardNegativesScaled(spark: SparkSession, d: String, k: Int = 5,
       targetCell: Int = 256, nProbe: Int = 4, updates: Int = 2): DataFrame = {
     val n = corpusWithNorm(spark, d).count()
-    hardNegatives(spark, d, k, math.max(8L, n / targetCell).toInt,
-      nProbe, updates)
+    val nLists = math.max(8L, n / targetCell).toInt
+    hardNegatives(spark, d, k, nLists, nProbe, updates,
+      annTables(spark, nLists))
   }
 
   /** The exact rung: every anchor against the whole corpus. */

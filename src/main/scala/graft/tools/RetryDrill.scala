@@ -106,7 +106,7 @@ object RetryDrill {
     }
   }
 
-  private val addOpens = Seq(
+  private[tools] val addOpens = Seq(
     "java.base/java.lang", "java.base/java.lang.invoke",
     "java.base/java.lang.reflect", "java.base/java.io",
     "java.base/java.net", "java.base/java.nio",
@@ -116,15 +116,15 @@ object RetryDrill {
     "java.base/sun.security.action", "java.base/sun.util.calendar",
   ).map(p => s"--add-opens=$p=ALL-UNNAMED")
 
-  private val masterPort = 17077
-  private val masterUrl = s"spark://127.0.0.1:$masterPort"
+  private[tools] val masterPort = 17077
+  private[tools] val masterUrl = s"spark://127.0.0.1:$masterPort"
 
   /** Spawn the standalone Master + two Workers on distinct loopback
     * hosts; returns the processes for teardown. The worker env needs
     * SPARK_SCALA_VERSION (normally exported by load-spark-env.sh) so
     * its ExecutorRunner can build the executor command from the dist.
     */
-  private def startCluster(): Seq[Process] = {
+  private[tools] def startCluster(): Seq[Process] = {
     def spawn(cls: String, logName: String, clsArgs: String*): Process = {
       val cmd = (Seq("java") ++ addOpens ++
         Seq("-Xmx1g", "-cp", "/opt/spark/jars/*", cls) ++ clsArgs)
@@ -162,7 +162,7 @@ object RetryDrill {
     master +: workers
   }
 
-  private def session(master: String, extra: Map[String, String]): SparkSession = {
+  private[tools] def session(master: String, extra: Map[String, String]): SparkSession = {
     val b = SparkSession.builder()
       .master(master)
       .config("spark.driver.host", "127.0.0.1")
@@ -197,7 +197,7 @@ object RetryDrill {
     * watchdog stands down without killing if the leg finishes first —
     * a stale kill would land on the NEXT leg's executors.
     */
-  private def leg(master: String, extra: Map[String, String],
+  private[tools] def leg(master: String, extra: Map[String, String],
       killAfter: Option[Int] = None)(
       mk: SparkSession => DataFrame): (Either[String, String], Double, Int, Int, Int, Int) = {
     val spark = session(master, extra)

@@ -104,7 +104,7 @@ object ScaleSweep {
     // the warm-base artifact, not any real super-linearity.
     "q254_hard_negatives_scaled", "q255_rrf_fusion_scaled")
 
-  private val STRIDE = 100000000L // key offset per copy, beyond any base key
+  private[tools] val STRIDE = 100000000L // key offset per copy, beyond any base key
 
   /** Deterministic listener-bus drain: LiveListenerBus.waitUntilEmpty
     * instead of a fixed sleep, so every task-end event has landed
