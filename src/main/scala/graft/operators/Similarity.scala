@@ -300,13 +300,29 @@ object Similarity {
     * pairs at cos 0.4 don't concentrate in one Voronoi cell. Unioning
     * R independent partitions compounds recall as 1-(1-r)^R while
     * keeping TOTAL cost R × linear — the LSH multi-table amplification
-    * applied to IVF blocking. R therefore grows with the DECADE
-    * (log10(nLists/8)), not with N: the measured per-table recall
-    * decays roughly per-decade, so a fixed R per decade holds the
-    * floor. Formula: 1 below/at the knee (8 lists — byte-stable
-    * catalog plans), +2 tables per decade above it, capped at 6;
-    * override via spark.graft.ann.tables. QualitySweep's law (recall
-    * ≥ 0.9 × the 1× floor at 10× and 100×) is the regression gate.
+    * applied to IVF blocking. R grows with the DECADE
+    * d = ⌈log10(nLists/8)⌉, not with N, as R = (d+1)² — calibrated
+    * from the MEASURED QualitySweep --curve runs (tables are
+    * near-independent: cumulative recall tracks 1-(1-r)^R to within
+    * 0.01 at both decades):
+    *
+    *   10×  (78 lists,  r = .637/.260 pair/dense): R=4 → .980/.697,
+    *        both above the 0.9×-of-1× floors (.899/.618)
+    *   100× (781 lists, r = .238/.112):            R=9 → .907/.661,
+    *        both above the floors; R=8 fails dense (.615 < .618)
+    *
+    * The square is the honest cost of CONSTANT recall at a
+    * locality-free threshold: per-table recall decays ≈ one decade of
+    * probed-volume per data decade, so holding the floor costs
+    * quadratically-in-d many tables — total work N·(d+1)², i.e.
+    * N·polylog(N), vs the single-table form's linear cost with
+    * decaying recall. Cap 16 (the 1000× extrapolation; beyond it raise
+    * targetCell instead — a bigger cell buys per-table recall at
+    * linear cost where another table's marginal gain has gone
+    * geometric-diminishing). 1 below/at the knee (8 lists —
+    * byte-stable catalog plans); override via spark.graft.ann.tables.
+    * QualitySweep's law (recall ≥ 0.9 × the 1× floor at 10× and 100×)
+    * is the regression gate.
     */
   private[graft] def annTables(spark: SparkSession, nLists: Int): Int =
     spark.conf.getOption("spark.graft.ann.tables")
@@ -319,8 +335,10 @@ object Similarity {
         }
       }.getOrElse {
         if (nLists <= 8) 1
-        else math.min(6,
-          1 + 2 * math.ceil(math.log10(nLists / 8.0)).toInt)
+        else {
+          val d = math.ceil(math.log10(nLists / 8.0)).toInt
+          math.min(16, (d + 1) * (d + 1))
+        }
       }
 
   /** Per-label centroid, flat (label, i, mean) rows: the exact mean of

@@ -101,7 +101,10 @@ object ScaleSweep {
     // amortization that moved q253 from 7.61× (cold named-mode base) to
     // 13.11× (warm). Their measured in-catalog slopes (1.45×/1.46× at
     // 10×) leave the 2× law far from binding; listing them here guards
-    // the warm-base artifact, not any real super-linearity.
+    // the warm-base artifact, not any real super-linearity. Round 17:
+    // their law is additionally scaled by the annTables amplification
+    // ratio between the legs (the deliberate (d+1)²-tables spend that
+    // holds the QualitySweep recall floor — see main()).
     "q254_hard_negatives_scaled", "q255_rrf_fusion_scaled")
 
   private[tools] val STRIDE = 100000000L // key offset per copy, beyond any base key
@@ -295,9 +298,23 @@ object ScaleSweep {
     val keep = args.contains("--keep")
     val out = s"/tmp/graft_scale$factor"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // the recall-amplification ratio between the legs: the ANN family
+    // (q253/q254/q255) deliberately spends annTables(Nx)/annTables(1x)
+    // MORE work at the larger scale to hold its QualitySweep recall
+    // floor (N·(d+1)² — see Similarity.annTables), so its slope law is
+    // scaled by this ratio. Computed from the actual corpus counts.
+    var ampRatio = 1.0
     locally {
       val s = session(cpus, cpus)
       ensureFixture(s, src, out, factor)
+      val n1 = graft.core.Tables.embeddings(s, src).count()
+      def tabs(n: Long) = graft.operators.Similarity.annTables(
+        s, math.max(8L, n / 256L).toInt)
+      ampRatio = tabs(n1 * factor).toDouble / tabs(n1)
+      if (ampRatio != 1.0)
+        println(f"ann amplification ratio between legs: $ampRatio%.1fx " +
+          "(the q253/q254/q255 law is scaled by it — recall-floor spend, " +
+          "not engine drift)")
       s.stop()
     }
     // --fixture-only: build (and keep) the fixture for ad-hoc profiling
@@ -327,7 +344,11 @@ object ScaleSweep {
     val floor = if (allMode) 0.3 else 0.0
     leg1.zip(legN).foreach { case ((n, t1a, t1b, m1), (_, tNa, tNb, mN)) =>
       val slope = tNa / t1a
-      val law = if (declaredLinear(n)) 2.0 else 1.3
+      // the ANN family's law carries the amplification ratio: its
+      // measured slope includes the DELIBERATE (d+1)²-tables spend
+      // that holds the recall floor (QualitySweep's law), so the
+      // engine-scaling law is 2 × data slope × that ratio
+      val law = if (declaredLinear(n)) 2.0 * ampRatio else 1.3
       val ok = slope <= law * factor || t1a < floor
       if (!ok) violations += 1
       val mRatio = if (m1 > 0) f"${mN.toDouble / m1}%.2fx" else "-"

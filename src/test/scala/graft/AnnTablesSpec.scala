@@ -69,9 +69,9 @@ class AnnTablesSpec extends AnyFunSuite {
   test("annTables dial: 1 at the knee, grows per decade, override wins, " +
       "malformed conf loudly rejected") {
     assert(Similarity.annTables(spark, 8) == 1)
-    assert(Similarity.annTables(spark, 78) == 3)
-    assert(Similarity.annTables(spark, 781) == 5)
-    assert(Similarity.annTables(spark, 1000000) == 6, "cap at 6")
+    assert(Similarity.annTables(spark, 78) == 4)
+    assert(Similarity.annTables(spark, 781) == 9)
+    assert(Similarity.annTables(spark, 1000000) == 16, "cap at 16")
     spark.conf.set("spark.graft.ann.tables", "2")
     try assert(Similarity.annTables(spark, 781) == 2)
     finally spark.conf.unset("spark.graft.ann.tables")
