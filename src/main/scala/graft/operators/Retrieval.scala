@@ -281,16 +281,26 @@ object Retrieval {
       corpusSide.join(qp, $"list_id" === $"p_list")
         .select($"query_id", $"vec_id".as("doc_id"),
           cosineFromParts(dotPreQ($"qq", $"qemb"), $"qn2", $"n2").as("cos"))
-    }.reduce(_ unionByName _)
-    // cross-table duplicates carry the SAME exact cos (a pure function
-    // of the two vectors), so the dedup is value-stable
-    val uniq =
-      if (tables <= 1) scored else scored.dropDuplicates("query_id", "doc_id")
-    uniq.withColumn("rank", row_number().over(
+    }
+    // per-table top-kSys BEFORE the union: the pool's top-k equals the
+    // top-k of the union of per-table top-ks (scores are table-
+    // independent, so a pool-top-k doc is outranked by < kSys docs in
+    // EVERY table containing it — an exact lemma, not a heuristic),
+    // and the cross-table exchange then carries |queries|·kSys·R rows
+    // instead of every candidate. Cross-table duplicates carry the
+    // SAME exact cos (a pure function of the two vectors), so the
+    // dedup is value-stable.
+    def topk(df: DataFrame): DataFrame = df
+      .withColumn("rank", row_number().over(
         Window.partitionBy($"query_id").orderBy($"cos".desc, $"doc_id".asc))
         .cast("long"))
       .filter($"rank" <= kSys)
-      .select($"query_id", $"doc_id", $"rank")
+    val pooled =
+      if (tables <= 1) topk(scored.head)
+      else topk(scored.map(df => topk(df).drop("rank"))
+        .reduce(_ unionByName _)
+        .dropDuplicates("query_id", "doc_id"))
+    pooled.select($"query_id", $"doc_id", $"rank")
   }
 
   /** Brute-force dense ranking — the exact/oracle-gold rung kept beside

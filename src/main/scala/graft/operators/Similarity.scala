@@ -216,6 +216,15 @@ object Similarity {
     // byte-identical to the pre-amplification plan (no Union node).
     // `firstTable` offsets the seed index — QualitySweep's curve mode
     // measures each quantizer's marginal recall separately with it.
+    //
+    // The exact-cosine filter runs BEFORE the dedup exchange: cos is
+    // pair-intrinsic (identical on every duplicate (x, y) row), so
+    // filter∘dedup ≡ dedup∘filter — but filtering in the join stage
+    // means the dedup shuffle carries only FOUND pairs (dup-density-
+    // bounded) instead of the full N·targetCell·nProbe²/2 candidate
+    // fan-out, which at 100× × 9 tables is the difference between a
+    // ~20M-row exchange and a ~4B-row one (the round-17 QualitySweep
+    // gate OOM).
     (firstTable until firstTable + math.max(1, tables)).map { t =>
       val cents = lloydCentroids(spark, d, nLists, updates, t)
       val probes = centRanked(c.select($"vec_id", $"qemb", $"n2"), cents, nProbe)
@@ -226,9 +235,9 @@ object Similarity {
           $"p.list_id" === $"b.list_id" && $"p.vec_id" < $"b.vec_id")
         .select($"p.vec_id".as("x"), $"b.vec_id".as("y"),
           cosineFromParts(dotPreQ($"p.qemb", $"b.qemb"), $"p.n2", $"b.n2").as("cos"))
+        .filter($"cos" >= threshold)
     }.reduce(_ unionByName _)
       .dropDuplicates("x", "y")
-      .filter($"cos" >= threshold)
   }
 
   /** Semantic (embedding-space) dedup: drop every vector that is the
@@ -1248,16 +1257,22 @@ object Similarity {
           explode(transform(slice($"ds", 1, nProbe), p => p.getField("cid")))
             .as("p_list"))
       corpusSide.join(anchors, $"list_id" === $"p_list")
-    }.reduce { (a, b) =>
-      // project off the per-table list columns before the union so the
-      // cross-table dedup rows are value-identical end to end
-      def core(df: DataFrame) = df.select($"anchor_id", $"anchor_label",
-        $"aq", $"an2", $"neg_id", $"neg_label", $"qemb", $"n2")
-      core(a) unionByName core(b)
     }
-    topKNegatives(
-      if (tables <= 1) cands
-      else cands.dropDuplicates("anchor_id", "neg_id"), k)
+    // per-table top-k BEFORE the union (the denseIvf lemma: the pooled
+    // top-k equals the top-k of the union of per-table top-ks, scores
+    // being table-independent) — the cross-table exchange carries
+    // |anchors|·k·R ranked rows, not every candidate; duplicates are
+    // value-identical so the dedup is stable
+    if (tables <= 1) topKNegatives(cands.head, k)
+    else {
+      val pooled = cands.map(j => topKNegatives(j, k).drop("rank"))
+        .reduce(_ unionByName _)
+        .dropDuplicates("anchor_id", "neg_id")
+      pooled.withColumn("rank", row_number().over(
+          Window.partitionBy($"anchor_id").orderBy($"cos".desc, $"neg_id".asc))
+          .cast("long"))
+        .filter($"rank" <= k)
+    }
   }
 
   /** `hardNegatives` with the deployment blocking dial applied
