@@ -214,8 +214,12 @@ class RanksSpec extends AnyFunSuite {
         val t0 = System.nanoTime(); make(df).count(); (System.nanoTime() - t0) / 1e9
       }
       time(bal); // warm codegen for this machine's plan shape
-      val tb = math.min(time(bal), time(bal))
-      val ts = math.min(time(skew), time(skew))
+      // min-of-three: under full-suite contention a single slow leg
+      // pushed groupRunningSum to 3.99× (r17 inherited-state flake, green
+      // in isolation); the degenerate single-sort-partition shape still
+      // measures >5× so the 3×+0.5 law keeps catching it
+      val tb = Seq(time(bal), time(bal), time(bal)).min
+      val ts = Seq(time(skew), time(skew), time(skew)).min
       assert(ts <= tb * 3.0 + 0.5,
         s"$name: skewed corpus took ${ts}s vs balanced ${tb}s — not flat")
     }
