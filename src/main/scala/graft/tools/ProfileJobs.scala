@@ -14,9 +14,14 @@ object ProfileJobs {
   def main(args: Array[String]): Unit = {
     // flags parse position-independently so `--warm` first still warms;
     // unknown flags fail loud (a typo'd --warm must not profile cold)
-    val unknown = args.filter(a => a.startsWith("--") && a != "--warm")
+    val unknown = args.filter(a =>
+      a.startsWith("--") && a != "--warm" && a != "--jobs")
     require(unknown.isEmpty, s"unknown flags: ${unknown.mkString(" ")}")
     val warm = args.contains("--warm")
+    // --jobs: per-job attribution (callSite + wall + tasks) — answers
+    // WHERE a 40-job query spends its job count (guide §1.5 labeling,
+    // without touching query code)
+    val perJob = args.contains("--jobs")
     val positional = args.filterNot(_.startsWith("--"))
     val sfDir = positional.headOption.getOrElse("/root/testdata/sf0.1")
     val names = positional.drop(1)
@@ -29,6 +34,7 @@ object ProfileJobs {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val jobLog = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long, AtomicInteger, AtomicLong)]()
     val jobs = new AtomicInteger(0)
     val stages = new AtomicInteger(0)
     val tasks = new AtomicInteger(0)
@@ -36,8 +42,23 @@ object ProfileJobs {
     val shuffleReadB = new AtomicLong(0L)
     val shuffleWriteB = new AtomicLong(0L)
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit =
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
+        if (perJob) {
+          val site = Option(j.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short")))
+            .getOrElse(j.stageInfos.headOption.map(_.name).getOrElse("?"))
+          val nTasks = j.stageInfos.map(_.numTasks).sum
+          jobLog.put(j.jobId,
+            (site, System.nanoTime(), new AtomicInteger(nTasks),
+              new AtomicLong(0L))): Unit
+        }
+      }
+      override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        if (perJob) {
+          val v = jobLog.get(e.jobId)
+          if (v != null) v._4.set(System.nanoTime() - v._2)
+        }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
         val m = s.stageInfo.taskMetrics
@@ -53,7 +74,7 @@ object ProfileJobs {
     })
     def reset(): Unit = {
       jobs.set(0); stages.set(0); tasks.set(0); taskTimeMs.set(0)
-      shuffleReadB.set(0); shuffleWriteB.set(0)
+      shuffleReadB.set(0); shuffleWriteB.set(0); jobLog.clear()
     }
 
     try graft.SparkEntry.entry(spark).count() catch { case _: Throwable => () }
@@ -73,6 +94,12 @@ object ProfileJobs {
       val dt = (System.nanoTime() - t0) / 1e9
       Thread.sleep(200) // let listener events drain
       println(f"$name%-28s $dt%7.2f ${jobs.get}%5d ${stages.get}%7d ${tasks.get}%6d ${taskTimeMs.get / 1e3}%8.1f ${(shuffleReadB.get + shuffleWriteB.get) / 1e6}%7.1f")
+      if (perJob) {
+        import scala.jdk.CollectionConverters._
+        jobLog.asScala.toSeq.sortBy(_._1).foreach { case (id, (site, _, nt, wall)) =>
+          println(f"    job $id%4d ${wall.get / 1e9}%7.3f s ${nt.get}%5d tasks  $site")
+        }
+      }
     }
     spark.stop()
   }
