@@ -1304,33 +1304,50 @@ object Relational {
     */
   def refIntegrityAudit(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    def edge(rel: String, fact: DataFrame, fk: String, dim: DataFrame,
-        pk: String): DataFrame = {
-      val total = fact.agg(count(lit(1)).as("n_total"))
-      val orphans = fact
-        .join(broadcast(dim.select(col(pk))), col(fk) === col(pk), "left_anti")
-        .agg(count(lit(1)).as("n_orphans"))
-      total.crossJoin(orphans)
-        .select(lit(rel).as("fk_edge"), $"n_total", $"n_orphans")
+    // One scan per FACT answers every FK edge of that fact (r17, guide
+    // §2.4): the old shape ran TWO full aggregates per edge (a count
+    // and a broadcast anti-join count) and cross-joined the scalars —
+    // 14 fact-side passes, 6 of them over lineitem, and 7 one-row
+    // nested-loop joins. Instead, left-join the fact against each
+    // dim's DISTINCT pk set (row-preserving by construction even on a
+    // corrupt dim with duplicated pks — the anti-join semantics) and
+    // fold total + per-edge orphan counts in ONE aggregate; the edge
+    // rows come back via one explode of a literal-shaped array. Orphan
+    // counts coalesce to 0 on an empty fact, matching count()'s 0.
+    // the dim pk sets are deliberately UN-HINTED (the round-5 tripScores
+    // lesson): orders/part/supplier/customer grow with the corpus, so a
+    // forced broadcast (the old shape) is a driver OOM at scale — AQE
+    // broadcasts them while they fit and falls back to a shuffle join
+    def probe(fact: DataFrame,
+        edges: Seq[(String, String, DataFrame, String)]): DataFrame = {
+      val joined = edges.foldLeft(fact) { case (f, (_, fk, dim, pk)) =>
+        f.join(dim.select(col(pk)).distinct(), col(fk) === col(pk), "left")
+      }
+      val orphanAggs = edges.zipWithIndex.map { case ((_, _, _, pk), i) =>
+        coalesce(sum(when(col(pk).isNull, 1L).otherwise(0L)), lit(0L))
+          .as(s"__orph_$i")
+      }
+      val rows = edges.zipWithIndex.map { case ((rel, _, _, _), i) =>
+        struct(lit(rel).as("fk_edge"), $"n_total",
+          col(s"__orph_$i").as("n_orphans"))
+      }
+      joined
+        .agg(count(lit(1)).as("n_total"), orphanAggs: _*)
+        .select(explode(array(rows: _*)).as("e"))
+        .select($"e.fk_edge", $"e.n_total", $"e.n_orphans")
     }
     val li = lineitem(spark, d)
-    edge("lineitem->orders", li.select($"l_orderkey"), "l_orderkey",
-        orders(spark, d), "o_orderkey")
-      .unionByName(edge("lineitem->part", li.select($"l_partkey"),
-        "l_partkey", part(spark, d), "p_partkey"))
-      .unionByName(edge("lineitem->supplier", li.select($"l_suppkey"),
-        "l_suppkey", supplier(spark, d), "s_suppkey"))
-      .unionByName(edge("orders->customer",
-        orders(spark, d).select($"o_custkey"), "o_custkey",
-        customer(spark, d), "c_custkey"))
-      .unionByName(edge("customer->nation",
-        customer(spark, d).select($"c_nationkey"), "c_nationkey",
-        nation(spark, d), "n_nationkey"))
-      .unionByName(edge("supplier->nation",
-        supplier(spark, d).select($"s_nationkey"), "s_nationkey",
-        nation(spark, d), "n_nationkey"))
-      .unionByName(edge("nation->region",
-        nation(spark, d).select($"n_regionkey"), "n_regionkey",
-        region(spark, d), "r_regionkey"))
+    probe(li.select($"l_orderkey", $"l_partkey", $"l_suppkey"), Seq(
+        ("lineitem->orders", "l_orderkey", orders(spark, d), "o_orderkey"),
+        ("lineitem->part", "l_partkey", part(spark, d), "p_partkey"),
+        ("lineitem->supplier", "l_suppkey", supplier(spark, d), "s_suppkey")))
+      .unionByName(probe(orders(spark, d).select($"o_custkey"),
+        Seq(("orders->customer", "o_custkey", customer(spark, d), "c_custkey"))))
+      .unionByName(probe(customer(spark, d).select($"c_nationkey"),
+        Seq(("customer->nation", "c_nationkey", nation(spark, d), "n_nationkey"))))
+      .unionByName(probe(supplier(spark, d).select($"s_nationkey"),
+        Seq(("supplier->nation", "s_nationkey", nation(spark, d), "n_nationkey"))))
+      .unionByName(probe(nation(spark, d).select($"n_regionkey"),
+        Seq(("nation->region", "n_regionkey", region(spark, d), "r_regionkey"))))
   }
 }
