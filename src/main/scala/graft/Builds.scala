@@ -29,6 +29,7 @@ object Builds {
     "vocab_counts"   -> ((s, d) => operators.Text.vocabCounts(s, d).count()),
     "bigram_lm"      -> ((s, d) => operators.Text.bigramCounts(s, d).count()),
     "quality_rank"   -> ((s, d) => operators.Text.qualityRank(s, d).count()),
+    "lang_id"        -> ((s, d) => operators.Text.langId(s, d).count()),
     "shingle_arrays" -> ((s, d) => operators.Dedup.docShingleArrays(s, d).count()),
     "shingle_index"  -> ((s, d) => operators.Dedup.docShingles(s, d).count()),
     "minhash_sig"    -> ((s, d) => operators.Dedup.minhashSignatures(s, d).count()),

@@ -1102,12 +1102,29 @@ object Relational {
         when($"w" === 0L, lit(25L))
           .otherwise(lit(25L) - length(bin($"w")).cast("long")).as("rank"))
       .groupBy($"event_type", $"dy", $"b").agg(max($"rank").as("m_j"))
-    val grid = base.select($"event_type", $"dy").distinct()
+    // grid from the register table, not a third pass over the events
+    // (regs preserves the (type, day) set by construction)
+    val grid = regs.select($"event_type", $"dy").distinct()
       .select($"event_type".as("g_type"), $"dy".as("g_dy"))
-    // registers through day D: merge (bucket max) of every day ≤ D
-    val cum = grid.join(regs,
-        $"g_type" === $"event_type" && $"dy" <= $"g_dy")
-      .groupBy($"g_type", $"g_dy", $"b").agg(max($"m_j").as("m_j"))
+    // registers through day D (r17 rewrite): the old form range-joined
+    // grid × regs on dy ≤ g_dy — O(days²·256) fan-out per type. The
+    // cumulative bucket max is a RUNNING max instead: a (type, day,
+    // bucket) skeleton left-joins each day's registers and a window per
+    // (type, bucket) — ≤ |days| rows per group, calendar-bounded —
+    // carries the max forward: O(days·256) rows per type. A bucket is
+    // "present through D" iff its running max is non-null, exactly the
+    // rows the range join produced; the HLL terms 2^-m are exact powers
+    // of two (sums of ≤256 of them are exact in double), so the merge
+    // order change cannot move a bit.
+    val cumW = Window.partitionBy($"g_type", $"gb").orderBy($"g_dy")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid
+      .select($"g_type", $"g_dy",
+        explode(sequence(lit(0L), lit(255L))).as("gb"))
+      .join(regs, $"g_type" === $"event_type" && $"g_dy" === $"dy"
+        && $"gb" === $"b", "left")
+      .select($"g_type", $"g_dy", $"gb", max($"m_j").over(cumW).as("m_j"))
+      .filter($"m_j".isNotNull)
     val sketch = cum.groupBy($"g_type", $"g_dy")
       .agg(count(lit(1)).as("nz"), sum(pow(lit(2.0), -$"m_j")).as("snz"))
       .select($"g_type", $"g_dy", (lit(256L) - $"nz").as("v_zero"),
@@ -1116,9 +1133,15 @@ object Relational {
       * lit(65536.0) / $"s").cast("long")
     val fo = base.groupBy($"event_type", $"user_id").agg(min($"dy").as("fod"))
       .groupBy($"event_type", $"fod").agg(count(lit(1)).as("nf"))
-    val exact = grid.join(fo,
-        $"g_type" === $"event_type" && $"fod" <= $"g_dy")
-      .groupBy($"g_type", $"g_dy").agg(sum($"nf").as("n_exact_cum"))
+    // same running-scan shape for the exact curve: every grid day has at
+    // least one first-occurrence ≤ it (its own users), so the running
+    // sum matches the old inner range join row-for-row
+    val exactW = Window.partitionBy($"g_type").orderBy($"g_dy")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val exact = grid
+      .join(fo, $"g_type" === $"event_type" && $"g_dy" === $"fod", "left")
+      .select($"g_type", $"g_dy",
+        sum(coalesce($"nf", lit(0L))).over(exactW).as("n_exact_cum"))
     exact.join(sketch, Seq("g_type", "g_dy"))
       .select($"g_type".as("event_type"), $"g_dy".as("dy"), $"n_exact_cum",
         $"v_zero", raw.as("hll_raw"),

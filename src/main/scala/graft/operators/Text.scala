@@ -76,27 +76,31 @@ object Text {
     * 'und' when nothing matches. The marker table is a literal inline
     * relation — broadcast, never shuffled.
     */
-  def langId(spark: SparkSession, d: String): DataFrame = {
-    import spark.implicits._
-    val markers = LangMarkers
-      .flatMap { case (lang, ws) => ws.map(w => (lang, w)) }
-      .toDF("mlang", "w")
-    val toks = documents(spark, d)
-      .select($"doc_id", explode(tokens($"text")).as("w"))
-    val scores = toks.join(broadcast(markers), "w")
-      .groupBy($"doc_id", $"mlang").agg(count(lit(1)).as("c"))
-    val best = scores
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy($"doc_id").orderBy($"c".desc, $"mlang".asc)))
-      .filter($"rn" === 1)
-      .select($"doc_id", $"mlang", $"c")
-    documents(spark, d).select($"doc_id")
-      .join(best, Seq("doc_id"), "left")
-      .select($"doc_id",
-        coalesce($"mlang", lit("und")).as("lang_pred"),
-        coalesce($"c", lit(0L)).as("n_markers"))
-  }
+  def langId(spark: SparkSession, d: String): DataFrame =
+    // memo-cached (r17): q17 emits it and q186's confusion audit re-reads
+    // it — without the cache the token explode + marker join + argmax
+    // ran once per consumer
+    graft.core.Memo(spark, cache = true, "langId", d) {
+      import spark.implicits._
+      val markers = LangMarkers
+        .flatMap { case (lang, ws) => ws.map(w => (lang, w)) }
+        .toDF("mlang", "w")
+      val toks = documents(spark, d)
+        .select($"doc_id", explode(tokens($"text")).as("w"))
+      val scores = toks.join(broadcast(markers), "w")
+        .groupBy($"doc_id", $"mlang").agg(count(lit(1)).as("c"))
+      val best = scores
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"doc_id").orderBy($"c".desc, $"mlang".asc)))
+        .filter($"rn" === 1)
+        .select($"doc_id", $"mlang", $"c")
+      documents(spark, d).select($"doc_id")
+        .join(best, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"mlang", lit("und")).as("lang_pred"),
+          coalesce($"c", lit(0L)).as("n_markers"))
+    }
 
   /** q186: language-ID confusion audit — q17's marker heuristic judged
     * against the corpus's labeled `lang`: per (label, predicted) doc
