@@ -895,18 +895,25 @@ object Dedup {
           * lit(1000000.0)).cast("long").as("bias_q6"))
   }
 
-  def simhashPairs(spark: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
-    import spark.implicits._
-    val sk = simhashSketch(spark, d)
-    val bands = sk.select($"doc_id", $"sk", explode(hammingBands($"sk")).as("hb"))
-      .select($"doc_id", $"sk", $"hb.band".as("band"), $"hb.key".as("key"))
-    bands.as("a").join(bands.as("b"),
-        $"a.band" === $"b.band" && $"a.key" === $"b.key" && $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("x"), $"b.doc_id".as("y"),
-        hamming($"a.sk", $"b.sk").as("dist"))
-      .distinct()
-      .filter($"dist" <= maxHamming)
-  }
+  def simhashPairs(spark: SparkSession, d: String, maxHamming: Int = 3): DataFrame =
+    // memo-cached (r17): q23 emits it and q175's eval re-reads it as the
+    // prediction side — the banded self-join + distinct ran per consumer
+    graft.core.Memo(spark, cache = true, "simhashPairs", d, maxHamming.toString) {
+      import spark.implicits._
+      val sk = simhashSketch(spark, d)
+      val bands = sk.select($"doc_id", $"sk", explode(hammingBands($"sk")).as("hb"))
+        .select($"doc_id", $"sk", $"hb.band".as("band"), $"hb.key".as("key"))
+      bands.as("a").join(bands.as("b"),
+          $"a.band" === $"b.band" && $"a.key" === $"b.key" && $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("x"), $"b.doc_id".as("y"),
+          hamming($"a.sk", $"b.sk").as("dist"))
+        // filter BEFORE distinct (r17, guide §2.3): dist is a pure
+        // function of the pair, so the two commute — but most banded
+        // collisions fail the Hamming cut, and dropping them map-side
+        // shrinks the distinct's exchange to the admitted pairs
+        .filter($"dist" <= maxHamming)
+        .distinct()
+    }
 
   /** Exact-substring duplication coverage (the token-span form of
     * suffix-array dedup — Lee et al. 2022, "Deduplicating Training Data
