@@ -30,6 +30,7 @@ object Builds {
     "bigram_lm"      -> ((s, d) => operators.Text.bigramCounts(s, d).count()),
     "quality_rank"   -> ((s, d) => operators.Text.qualityRank(s, d).count()),
     "lang_id"        -> ((s, d) => operators.Text.langId(s, d).count()),
+    "token_entropy"  -> ((s, d) => operators.Text.tokenEntropy(s, d).count()),
     "shingle_arrays" -> ((s, d) => operators.Dedup.docShingleArrays(s, d).count()),
     "shingle_index"  -> ((s, d) => operators.Dedup.docShingles(s, d).count()),
     "minhash_sig"    -> ((s, d) => operators.Dedup.minhashSignatures(s, d).count()),
@@ -37,6 +38,7 @@ object Builds {
     "jaccard_pairs"  -> ((s, d) => operators.Dedup.jaccardPairs(s, d).count()),
     "labels_star"    -> ((s, d) => operators.Dedup.dedupLabelsStar(s, d).count()),
     "simhash_sketch" -> ((s, d) => operators.Dedup.simhashSketch(s, d).count()),
+    "simhash_pairs"  -> ((s, d) => operators.Dedup.simhashPairs(s, d).count()),
     "phash_fp"       -> ((s, d) => multimodal.Multimodal.phashFpCached(s, d).count()),
     "corpus_norm"    -> ((s, d) => operators.Similarity.corpusWithNorm(s, d).count()),
     "centroids_8x2"  -> ((s, d) => operators.Similarity.lloydCentroids(s, d, 8, 2).length.toLong),

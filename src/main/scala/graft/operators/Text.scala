@@ -1916,22 +1916,26 @@ object Text {
     * per-doc re-aggregate — both keyed by doc_id; no dictionaries, no
     * broadcast, no window.
     */
-  def tokenEntropy(spark: SparkSession, d: String): DataFrame = {
-    import spark.implicits._
-    val tc = documents(spark, d)
-      .select($"doc_id", explode(tokens($"text")).as("w"))
-      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
-    val n = tc.groupBy($"doc_id")
-      .agg(sum($"c").as("n"), count(lit(1)).as("n_types"))
-    tc.join(n, "doc_id")
-      .select($"doc_id", $"n", $"n_types",
-        round(($"c".cast("double") / $"n".cast("double"))
-          * log2($"n".cast("double") / $"c".cast("double"))
-          * lit(1000000.0)).cast("long").as("eq"))
-      .groupBy($"doc_id")
-      .agg(max($"n").as("n_tokens"), max($"n_types").as("n_types"),
-        sum($"eq").as("entropy_q"))
-  }
+  def tokenEntropy(spark: SparkSession, d: String): DataFrame =
+    // memo-cached (r17): q140 emits it and q161's committee re-reads the
+    // entropy signal — each consumer re-ran the (doc, token) shuffle
+    // aggregate; the cached table is one slim row per document
+    graft.core.Memo(spark, cache = true, "tokenEntropy", d) {
+      import spark.implicits._
+      val tc = documents(spark, d)
+        .select($"doc_id", explode(tokens($"text")).as("w"))
+        .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+      val n = tc.groupBy($"doc_id")
+        .agg(sum($"c").as("n"), count(lit(1)).as("n_types"))
+      tc.join(n, "doc_id")
+        .select($"doc_id", $"n", $"n_types",
+          round(($"c".cast("double") / $"n".cast("double"))
+            * log2($"n".cast("double") / $"c".cast("double"))
+            * lit(1000000.0)).cast("long").as("eq"))
+        .groupBy($"doc_id")
+        .agg(max($"n").as("n_tokens"), max($"n_types").as("n_types"),
+          sum($"eq").as("entropy_q"))
+    }
 
   /** q233: positional token entropy — for each of the first `maxPos`
     * token positions: the Shannon entropy (log2, q140's exact

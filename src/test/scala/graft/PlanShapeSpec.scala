@@ -117,10 +117,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"query terms must broadcast into the posting scan:\n$p")
   }
 
-  test("q169 FK probes broadcast the dimension side") {
+  test("q169 FK probes: one pass per fact, no scalar nested loops") {
+    // r17 shape: each fact is scanned ONCE and left-joins every dim's
+    // distinct pk set (orphan == null pk) in one aggregate — the old
+    // two-aggregates-per-edge form cross-joined one-row scalars (bnlj)
+    // and scanned lineitem six times
     val p = plan(graft.operators.Relational.refIntegrityAudit(spark, sf))
-    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
-      s"orphan probes must be broadcast anti-joins:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"no scalar cross-joins in the audit:\n$p")
+    assert(p.contains("LeftOuter"),
+      s"facts must probe their dims via row-preserving left joins:\n$p")
+    val liScans = p.sliding("lineitem.parquet".length).count(_ == "lineitem.parquet")
+    assert(liScans <= 1,
+      s"the three lineitem FK edges must share ONE fact scan, saw $liScans:\n$p")
   }
 
   test("q191 equi-depth rank reads a pinned base, never a bare type sort") {
