@@ -505,8 +505,14 @@ object Dedup {
       pairGen: (SparkSession, String, Double) => DataFrame): DataFrame = {
     import spark.implicits._
     val pairs = pairGen(spark, d, threshold).select($"x", $"y")
-    // undirected edges, both directions
-    val edges = pairs.union(pairs.select($"y".as("x"), $"x".as("y"))).cache()
+    // undirected edges, both directions — partitioned ONCE on the
+    // superstep join key (the pageRank `prob` discipline, guide §2.4):
+    // the cached HashPartitioning(y) is reused by every round's
+    // edges⋈labels join, so the static side never re-shuffles; without
+    // it each superstep exchanges the whole edge table again
+    // (iterations × |edges| shuffle bytes at corpus scale)
+    val edges = pairs.union(pairs.select($"y".as("x"), $"x".as("y")))
+      .repartition($"y").cache()
     // the subgraph's nodes: every doc that appears in some near-dup pair
     var labels = edges.select($"x".as("doc_id")).distinct()
       .select($"doc_id", $"doc_id".as("label"))
@@ -586,7 +592,9 @@ object Dedup {
       pairGen: (SparkSession, String, Double) => DataFrame): DataFrame = {
     import spark.implicits._
     val pairs = pairGen(spark, d, threshold).select($"x", $"y")
-    val edges = pairs.union(pairs.select($"y".as("x"), $"x".as("y"))).cache()
+    // same static-side partitioning pin as dedupLabelsUncached above
+    val edges = pairs.union(pairs.select($"y".as("x"), $"x".as("y")))
+      .repartition($"y").cache()
     var labels = edges.select($"x".as("doc_id")).distinct()
       .select($"doc_id", $"doc_id".as("label"))
     val nNodes = labels.count()

@@ -416,16 +416,26 @@ object Graph {
       e.select($"p1".as("id")).union(e.select($"p2".as("id")))
         .groupBy($"id").agg(count(lit(1)).as("deg"))
     var edges = edges0.select($"p1", $"p2").cutLineage()
+    // carry the surviving-edge count across rounds: the stability test
+    // needs |next| vs |edges|, and |edges| is last round's |next| — one
+    // count job per round instead of two
+    var edgeCount = edges.count()
     var round = 0
     var stable = false
     while (!stable && round < maxRounds) {
       val keep = degrees(edges).filter($"deg" >= k).select($"id")
+      // NOT partition-pinned (r17 measured): the edge table shrinks
+      // every round, so there is no static side to pin, and the cut
+      // reports UnknownPartitioning under AQE (LineageSpec's cache-arm
+      // canary documents which form the CC pins ride instead).
       val next = edges
         .join(keep.select($"id".as("p1")), Seq("p1"), "left_semi")
         .join(keep.select($"id".as("p2")), Seq("p2"), "left_semi")
         .select($"p1", $"p2")
         .cutLineage()
-      stable = next.count() == edges.count()
+      val nextCount = next.count()
+      stable = nextCount == edgeCount
+      edgeCount = nextCount
       edges = next
       round += 1
     }
@@ -542,6 +552,12 @@ object Graph {
       maxRounds: Int = 40): DataFrame = {
     import spark.implicits._
     val edges = edges0.select($"p1", $"p2")
+    // NOT partition-pinned like the CC loops (r17 measured negative):
+    // the frontier side is the small one here, so every round's join
+    // broadcasts the frontier and nb is never exchanged anyway — a
+    // repartition($"z").cache() pin measured 0.80 → 1.27 s (its one-off
+    // materialization is pure loss), and an unsalted hub pin would
+    // recreate the pageRank skew lesson at scale.
     val nb = edges.select($"p1".as("z"), $"p2".as("x"))
       .union(edges.select($"p2".as("z"), $"p1".as("x")))
     // no edges → no BFS source; a defined empty frame, not a null read

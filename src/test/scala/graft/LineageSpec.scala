@@ -76,6 +76,60 @@ class LineageSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile): Unit
   }
 
+  test("static-side pin: cache preserves a repartition's hash " +
+      "partitioning, so the superstep join exchanges only the " +
+      "changing side (the r17 CC discipline)") {
+    import spark.implicits._
+    // dedupLabels pins its static adjacency as repartition(key).cache()
+    // so every round's edges⋈labels join reuses the partitioning
+    // (measured: q32's 10x slope 2.06x -> 1.31x, q86 2.11x -> 1.58x).
+    // The pin MUST ride cache, not cutLineage: the cut's checkpointed
+    // scan reports UnknownPartitioning under AQE (measured this round —
+    // which is why lpSweeps/kCore carry no pin: their loops only have
+    // cut tables). The pin silently dies if Spark stops carrying the
+    // partitioning through InMemoryRelation — this is that canary.
+    val edges = spark.range(2000)
+      .select(pmod($"id", lit(97L)).as("y"), pmod($"id", lit(89L)).as("x"))
+    def joinExchanges(staticSide: DataFrame): Int = {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, ShuffleQueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      val labels = spark.range(97).select($"id".as("doc_id"), $"id".as("lbl"))
+      val j = staticSide.join(labels, staticSide("y") === labels("doc_id"))
+      j.collect(): Unit
+      // traverse the executed ADAPTIVE plan: under AQE, shuffles are
+      // ShuffleQueryStageExec stages and every QueryStageExec is a LEAF
+      // wrapper (its subtree lives in .plan, invisible to .collect); a
+      // naive toString grep double-counts (initial+final plan) and sees
+      // InMemoryRelation's INTERNAL exchange (the one-off pin
+      // materialization, not a per-join cost)
+      import org.apache.spark.sql.execution.adaptive.QueryStageExec
+      import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+      def shuffles(p: SparkPlan): Int = p match {
+        case _: ShuffleQueryStageExec => 1
+        case s: ShuffleExchangeLike => 1 + s.children.map(shuffles).sum
+        case q: QueryStageExec => shuffles(q.plan)
+        case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+        case _: InMemoryTableScanExec => 0
+        case other => other.children.map(shuffles).sum
+      }
+      shuffles(j.queryExecution.executedPlan)
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val cached = edges.repartition($"y").cache()
+      cached.count(): Unit
+      try {
+        val exCache = joinExchanges(cached)
+        assert(exCache == 1, s"cache arm: expected 1 exchange (changing side only), got $exCache")
+      } finally cached.unpersist(): Unit
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("cut: unparseable dial values are ignored only when empty/blank") {
     spark.conf.set(Lineage.ConfKey, "   ")
     try {
