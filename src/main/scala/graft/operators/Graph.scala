@@ -373,10 +373,27 @@ object Graph {
       minCount: Int = 2): DataFrame =
     graft.core.Memo(spark, cache = true, "copurchaseEdges", d, minCount.toString) {
       import spark.implicits._
-      val pp = lineitem(spark, d).select($"l_orderkey", $"l_partkey").distinct()
-      pp.as("a").join(pp.as("b"),
-          $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
-        .groupBy($"a.l_partkey".as("p1"), $"b.l_partkey".as("p2"))
+      // one ORDER-grouped basket pass instead of the distinct+self-join
+      // (r17, guide §3.4/§2.3): collect_set folds the distinct into the
+      // same exchange, and the i<j pair fan-out happens IN the scan
+      // stage off the sorted basket array — so the plan is scan →
+      // basket agg → pair agg (2 exchanges, no join) at ANY scale,
+      // where the join form kept a second scan and degrades to a
+      // corpus-sized SMJ once the distinct side outgrows the local
+      // broadcast. Fan-out per task is still bounded by the square of
+      // a single order's basket (the market-basket bound); sorted
+      // distinct baskets make (i < j) ≡ (p1 < p2), so the pair
+      // multiset — and hence every count — is identical to the join
+      // form's. The null filters mirror the join's null-rejecting
+      // keys (null order/part rows produced no pairs there either).
+      lineitem(spark, d)
+        .filter($"l_orderkey".isNotNull && $"l_partkey".isNotNull)
+        .groupBy($"l_orderkey")
+        .agg(sort_array(collect_set($"l_partkey")).as("ps"))
+        .select($"ps", posexplode($"ps").as(Seq("i", "p1")))
+        .select($"p1", $"i", posexplode($"ps").as(Seq("j", "p2")))
+        .filter($"j" > $"i")
+        .groupBy($"p1", $"p2")
         .agg(count(lit(1)).as("cnt"))
         .filter($"cnt" >= minCount)
     }

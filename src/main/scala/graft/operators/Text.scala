@@ -2055,9 +2055,22 @@ object Text {
         .distinct()
     }
     val sizes = v.groupBy($"source").agg(count(lit(1)).as("vsz"))
-    val inter = v.as("a").join(v.as("b"),
-        $"a.w" === $"b.w" && $"a.source" < $"b.source")
-      .groupBy($"a.source".as("src_a"), $"b.source".as("src_b"))
+    // one WORD-grouped pass instead of the self-join on w (r17, the
+    // q111 basket reshape, guide §3.4/§2.3): collect_set folds each
+    // word's source set into one exchange and the (src_a < src_b) pair
+    // fan-out happens in the scan stage off the sorted set — plan is
+    // group → pair agg (2 exchanges, no join) at any scale; per-word
+    // fan-out stays bounded by |sources|² exactly as before. Sorted
+    // distinct sets make (i < j) ≡ (src_a < src_b); the null filters
+    // mirror the join's null-rejecting keys.
+    val inter = v
+      .filter($"w".isNotNull && $"source".isNotNull)
+      .groupBy($"w")
+      .agg(sort_array(collect_set($"source")).as("ss"))
+      .select($"ss", posexplode($"ss").as(Seq("i", "src_a")))
+      .select($"src_a", $"i", posexplode($"ss").as(Seq("j", "src_b")))
+      .filter($"j" > $"i")
+      .groupBy($"src_a", $"src_b")
       .agg(count(lit(1)).as("common"))
     inter
       .join(broadcast(sizes.as("sa")), $"src_a" === $"sa.source")
