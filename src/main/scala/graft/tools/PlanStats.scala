@@ -35,9 +35,13 @@ object PlanStats {
     out.println("those or a declared-quadratic exact rung (q25; q210's 1-NN purity and")
     out.println("q215's agreement audit, which score the same quadratic embedding join;")
     out.println("their 100 TB path is the IVF probe candidate generator) — never between")
-    out.println("two data-bearing sides. Scan counts are UNCACHED logical lineages: a")
-    out.println("memo-shared table (e.g. the q205/q211/q215 pair table) re-lists its")
-    out.println("scans per reference here but materializes once at execution.")
+    out.println("two data-bearing sides. Scan AND shuffle counts are UNCACHED logical")
+    out.println("lineages: a memo-shared table (e.g. the q205/q211/q215 pair table, or")
+    out.println("the q111 copurchase basket) re-lists its scans and exchanges per")
+    out.println("reference here but materializes once at execution — so a build whose")
+    out.println("reshape trades a broadcast join for one extra group exchange (q111,")
+    out.println("r17) raises every consumer's listed shuffle count while lowering the")
+    out.println("executed cost; read consumer rows as build-lineage × references.")
     out.println()
     out.println("| query | shuffles | scans | bhj | smj | bnlj |")
     out.println("|---|---|---|---|---|---|")
