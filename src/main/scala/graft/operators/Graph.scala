@@ -737,9 +737,15 @@ object Graph {
     import spark.implicits._
     import graft.functions.Hashing.md5Bits32
     val edges = copurchaseEdges(spark, d).select($"p1", $"p2")
-    val verts = edges.select($"p1".as("v"))
-      .union(edges.select($"p2".as("v"))).distinct()
-    val ranked = Ranks.globalRank(verts, "r", $"v".asc)
+    // pinned ONCE (r17): the vertex set feeds THREE consumers — the
+    // rank, the modulus count, and the candidate fan-out. The unpinned
+    // form leaned on globalRank's internal persist, which rankImpl
+    // releases as soon as its own checkpoint materializes, so nDf and
+    // cands each re-ran the union+distinct lineage (measured: three
+    // identical 64-task stages ≈ 42 of the query's 49 task-s)
+    val verts = Ranks.pinBase(edges.select($"p1".as("v"))
+      .union(edges.select($"p2".as("v"))).distinct())
+    val ranked = Ranks.globalRankPinned(verts, "r", $"v".asc)
     val nDf = verts.agg(count(lit(1)).as("n"))
     val cands = verts
       .select($"v", explode(sequence(lit(0L), lit((m - 1).toLong))).as("draw"))

@@ -15,13 +15,18 @@ object ProfileJobs {
     // flags parse position-independently so `--warm` first still warms;
     // unknown flags fail loud (a typo'd --warm must not profile cold)
     val unknown = args.filter(a =>
-      a.startsWith("--") && a != "--warm" && a != "--jobs")
+      a.startsWith("--") && a != "--warm" && a != "--jobs" && a != "--stages")
     require(unknown.isEmpty, s"unknown flags: ${unknown.mkString(" ")}")
     val warm = args.contains("--warm")
     // --jobs: per-job attribution (callSite + wall + tasks) — answers
     // WHERE a 40-job query spends its job count (guide §1.5 labeling,
     // without touching query code)
     val perJob = args.contains("--jobs")
+    // --stages: per-STAGE task-time attribution — job callsites under
+    // AQE all read as the stage-materialization future, but STAGE names
+    // carry the top RDD's callsite, so this is the view that answers
+    // "which operator burns the task-seconds" (r17, the q194 drill)
+    val perStage = args.contains("--stages")
     val positional = args.filterNot(_.startsWith("--"))
     val sfDir = positional.headOption.getOrElse("/root/testdata/sf0.1")
     val names = positional.drop(1)
@@ -35,6 +40,8 @@ object ProfileJobs {
     spark.sparkContext.setLogLevel("WARN")
 
     val jobLog = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long, AtomicInteger, AtomicLong)]()
+    val stageLog = new java.util.concurrent.ConcurrentHashMap[Int, (String, Int, Long)]()
+    val stageTaskMs = new java.util.concurrent.ConcurrentHashMap[Int, AtomicLong]()
     val jobs = new AtomicInteger(0)
     val stages = new AtomicInteger(0)
     val tasks = new AtomicInteger(0)
@@ -66,15 +73,24 @@ object ProfileJobs {
           shuffleReadB.addAndGet(m.shuffleReadMetrics.totalBytesRead)
           shuffleWriteB.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         }
+        if (perStage) stageLog.put(s.stageInfo.stageId,
+          (s.stageInfo.name, s.stageInfo.numTasks,
+            stageTaskMs.getOrDefault(s.stageInfo.stageId, new AtomicLong(0L)).get)): Unit
       }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         tasks.incrementAndGet()
-        if (t.taskInfo != null) taskTimeMs.addAndGet(t.taskInfo.duration)
+        if (t.taskInfo != null) {
+          taskTimeMs.addAndGet(t.taskInfo.duration)
+          if (perStage) stageTaskMs
+            .computeIfAbsent(t.stageId, _ => new AtomicLong(0L))
+            .addAndGet(t.taskInfo.duration): Unit
+        }
       }
     })
     def reset(): Unit = {
       jobs.set(0); stages.set(0); tasks.set(0); taskTimeMs.set(0)
       shuffleReadB.set(0); shuffleWriteB.set(0); jobLog.clear()
+      stageLog.clear(); stageTaskMs.clear()
     }
 
     try graft.SparkEntry.entry(spark).count() catch { case _: Throwable => () }
@@ -99,6 +115,13 @@ object ProfileJobs {
         jobLog.asScala.toSeq.sortBy(_._1).foreach { case (id, (site, _, nt, wall)) =>
           println(f"    job $id%4d ${wall.get / 1e9}%7.3f s ${nt.get}%5d tasks  $site")
         }
+      }
+      if (perStage) {
+        import scala.jdk.CollectionConverters._
+        stageLog.asScala.toSeq.sortBy(-_._2._3).take(12)
+          .foreach { case (id, (sname, nt, ms)) =>
+            println(f"    stage $id%4d ${ms / 1e3}%7.1f task-s $nt%5d tasks  $sname")
+          }
       }
     }
     spark.stop()
