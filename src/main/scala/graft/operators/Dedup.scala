@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Lineage.CutOps
+import graft.plans.LexExtreme.{lexMax, lexMin}
 import graft.core.Tables._
 import graft.functions.Hashing._
 import graft.functions.TextFunctions._
@@ -558,7 +559,7 @@ object Dedup {
       .join(documents(spark, d).select($"doc_id", $"n_chars"), "doc_id")
       .groupBy($"label".as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"),
-        min(struct((-$"n_chars").as("neg_chars"), $"doc_id".as("id"))).as("best"))
+        lexMin(struct((-$"n_chars").as("neg_chars"), $"doc_id".as("id"))).as("best"))
       .select($"cluster_id", $"best.id".as("canonical_doc"), $"cluster_size")
   }
 
@@ -1320,8 +1321,8 @@ object Dedup {
     labels.join(sr, "doc_id")
       .groupBy($"label").agg(
         count(lit(1)).as("size"),
-        min(struct($"doc_id", $"stop_ratio")).as("ks"),
-        max(struct($"stop_ratio", (-$"doc_id").as("nd"))).as("bs"))
+        lexMin(struct($"doc_id", $"stop_ratio")).as("ks"),
+        lexMax(struct($"stop_ratio", (-$"doc_id").as("nd"))).as("bs"))
       .filter($"size" >= 2L)
       .select($"label", $"size",
         $"ks.doc_id".as("keep_doc"),

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Lineage.CutOps
+import graft.plans.LexExtreme.lexMax
 import graft.core.Tables._
 
 /** Weighted PageRank as an iterative DataFrame loop — the Gelly exercise
@@ -823,7 +824,7 @@ object Graph {
           .join(labels.select($"v".as("u"), $"lbl"), "u")
           .groupBy($"v", $"lbl").agg(count(lit(1)).as("c"))
           .groupBy($"v")
-          .agg(max(struct($"c", (-$"lbl").as("nl"))).as("t"))
+          .agg(lexMax(struct($"c", (-$"lbl").as("nl"))).as("t"))
           .select($"v", (-$"t".getField("nl")).as("lbl"))
           .cutLineage()
         acc = acc.union(labels.withColumn("round", lit(t.toLong)))

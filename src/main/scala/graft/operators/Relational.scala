@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.core.Tables._
+import graft.plans.LexExtreme.lexMax
 import graft.functions.StableNum._
 
 /** Batch relational operators — the reference's DataSet/Table-API surface
@@ -705,8 +706,8 @@ object Relational {
     val states = ev.crossJoin(broadcast(cuts))
       .groupBy($"user_id", $"event_type")
       .agg(
-        max(struct($"ts_us", $"event_id", $"value")).as("s2"),
-        max(when($"ts_us" <= $"t1",
+        lexMax(struct($"ts_us", $"event_id", $"value")).as("s2"),
+        lexMax(when($"ts_us" <= $"t1",
           struct($"ts_us", $"event_id", $"value"))).as("s1"))
     val classified = states.select($"event_type",
       $"s1".isNull.as("added"),

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables._
+import graft.plans.LexExtreme.{lexMax, lexMin}
 import graft.functions.Hashing
 
 /** Deterministic sampling / splitting / mixture planning over the
@@ -649,10 +650,10 @@ object Sampling {
       sum($"c_s").as("n_s"))
     val m = cum.crossJoin(broadcast(tot)).agg(
       max($"n_t").as("n_t"), max($"n_v").as("n_v"), max($"n_s").as("n_s"),
-      max(struct(abs($"a_t".cast(dec38) * $"n_v".cast(dec38)
+      lexMax(struct(abs($"a_t".cast(dec38) * $"n_v".cast(dec38)
           - $"a_v".cast(dec38) * $"n_t".cast(dec38)).as("num"),
         (-$"n_chars").as("nl"))).as("mv"),
-      max(struct(abs($"a_t".cast(dec38) * $"n_s".cast(dec38)
+      lexMax(struct(abs($"a_t".cast(dec38) * $"n_s".cast(dec38)
           - $"a_s".cast(dec38) * $"n_t".cast(dec38)).as("num"),
         (-$"n_chars").as("nl"))).as("ms"))
     m.select($"n_t", explode(array(
@@ -849,7 +850,7 @@ object Sampling {
             - ($"s_chars" - $"cs"))).as("waste2"))
       .agg(max($"n_docs").as("n_docs"), max($"max_len").as("max_len"),
         max($"s_chars").as("s_chars"),
-        min(struct($"waste2", $"len")).as("best"))
+        lexMin(struct($"waste2", $"len")).as("best"))
     m.select($"n_docs", $"max_len",
         $"best.len".as("boundary_chars"),
         ($"max_len".cast(dec38) * $"n_docs".cast(dec38) - $"s_chars")

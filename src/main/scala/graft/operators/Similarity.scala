@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables._
 import graft.functions.VectorFunctions._
+import graft.plans.LexExtreme.{lexMax, lexMin}
 
 /** Similarity search over the `embeddings` table (64-dim float vectors).
   *
@@ -891,16 +892,28 @@ object Similarity {
         .toSeq.toDF("sub", "code", "cw", "q2")
     // reduced distance: −2⟨r,u⟩ + ‖u‖² — ‖r‖² is a per-row constant that
     // cannot change the argmin or its (dist, code) ties
+    // winner code per (vec_id, sub) as a flat-buffer lexMin argmin —
+    // a real HashAggregate. The sub-vector does NOT ride the aggregate:
+    // `first(sv)` is an array buffer, not UnsafeRow-mutable, and its
+    // presence demoted the whole argmin to Sort + SortAggregate over
+    // the N·m·ks candidate fan-out (ks× the rows the winner table has).
+    // The one consumer that needs the winner's sub-vector — the trainer
+    // update — re-attaches it with an (vec_id, sub)-keyed join against
+    // the N·m-row subs projection instead (broadcast at toy scale,
+    // id-keyed hash join at corpus scale); the encode pass never needed
+    // sv at all. Winner rows and codebook sums are value-identical: the
+    // (vec_id, sub) key is unique on both join sides.
     def assignCodes(bks: Array[Array[(Long, Seq[Long])]]): DataFrame =
       subs.join(broadcast(bookDFof(bks)), "sub")
-        .select($"vec_id", $"list_id", $"sub", $"sv",
+        .select($"vec_id", $"list_id", $"sub",
           struct(($"q2" - lit(2L) * dotPreQ($"sv", $"cw")).as("rd"),
             $"code".as("code")).as("opt"))
         .groupBy($"vec_id", $"list_id", $"sub")
-        .agg(min($"opt").getField("code").as("code"), first($"sv").as("sv"))
+        .agg(lexMin($"opt").getField("code").as("code"))
     for (_ <- 1 to pqUpdates) {
       val bySub = graft.core.Bounded.collect(
         assignCodes(books)
+          .join(subs.select($"vec_id", $"sub", $"sv"), Seq("vec_id", "sub"))
           .select($"sub", $"code", posexplode($"sv").as(Seq("i", "q")))
           .groupBy($"sub", $"code", $"i")
           .agg(round(sum($"q").cast("double") / count(lit(1))).cast("long").as("cq")),
@@ -1163,12 +1176,21 @@ object Similarity {
     val queries = buckets.filter($"vec_id" < 10)
       .select($"vec_id".as("q_id"), $"qemb".as("q_qemb"), $"n2".as("q_n2"),
         $"tbl".as("q_tbl"), $"sig".as("q_sig"))
-    val candidates = buckets.join(broadcast(queries),
+    // score IN the bucket-join stage, BEFORE the pair dedup: cos is a
+    // pure function of the pair, so every collision copy carries the
+    // same value and the dedup result is row-identical — but the
+    // (q_id, n_id) exchange now moves one double instead of two 64-long
+    // arrays (guide §2.3), and the dedup aggregates first(double) — a
+    // mutable buffer — instead of first(array), which demoted the whole
+    // dedup to Sort + SortAggregate over the candidate stream. A pair
+    // colliding in t ≤ nTables tables re-computes the dot t times
+    // in-stage; 64 multiply-adds per copy is far cheaper than sorting
+    // and shuffling the payload arrays.
+    val scored = buckets.join(broadcast(queries),
         $"tbl" === $"q_tbl" && $"sig" === $"q_sig" && $"vec_id" =!= $"q_id")
-      .select($"q_id", $"vec_id".as("n_id"), $"q_qemb", $"qemb", $"q_n2", $"n2")
+      .select($"q_id", $"vec_id".as("n_id"),
+        cosineFromParts(dotPreQ($"q_qemb", $"qemb"), $"q_n2", $"n2").as("cos"))
       .dropDuplicates("q_id", "n_id") // a pair may collide in several tables
-    val scored = candidates.select($"q_id", $"n_id",
-      cosineFromParts(dotPreQ($"q_qemb", $"qemb"), $"q_n2", $"n2").as("cos"))
     scored
       .withColumn("rnk", row_number().over(
         Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id".asc)))
@@ -1456,7 +1478,7 @@ object Similarity {
       .select($"x",
         struct(cosineFromParts(dotPreQ($"qa", $"qb"), $"na", $"nb").as("cos"),
           (-$"y").as("ny")).as("s"))
-      .groupBy($"x").agg(max($"s").as("m"))
+      .groupBy($"x").agg(lexMax($"s").as("m"))
       .select($"x", (-$"m.ny").as("nn_id"))
     // both label joins are id-keyed shuffle joins: the label table is
     // corpus-sized, never broadcast
@@ -1644,7 +1666,7 @@ object Similarity {
         round($"vnum".cast("double") / $"sv".cast("double")
           * lit(1000000000.0)).cast("long").as("sq"))
     sh.agg(max($"n").as("n_vecs"), max($"dims").as("dims"),
-        max(struct($"vnum", (-$"i").as("ni"), $"sq")).as("top"),
+        lexMax(struct($"vnum", (-$"i").as("ni"), $"sq")).as("top"),
         sum($"sq".cast(dec38) * $"sq".cast(dec38)).as("ssq"))
       .select($"n_vecs", $"dims",
         (-$"top.ni").cast("long").as("top_dim"),
@@ -1706,7 +1728,7 @@ object Similarity {
             .as("ratio"),
           (-$"j").as("nj")).as("p"))
       .groupBy($"cluster", $"n_members", $"scatter")
-      .agg(max($"p").as("w"))
+      .agg(lexMax($"p").as("w"))
       .select($"cluster", $"n_members", $"scatter",
         (-$"w.nj").as("worst_neighbor"), $"w.ratio".as("db_q6"))
   }

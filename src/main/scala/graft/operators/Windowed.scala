@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.plans.LexExtreme.lexMax
 
 import graft.core.Tables._
 import graft.functions.StableNum._
@@ -319,7 +320,7 @@ object Windowed {
         abs($"sk".cast(dec38) * $"n_days".cast(dec38)
           - $"k".cast(dec38) * $"sn".cast(dec38)).as("dev"))
     val best = scored.groupBy($"event_type").agg(
-      max(struct($"dev", expr("unix_date(day) * -1").as("nd"),
+      lexMax(struct($"dev", expr("unix_date(day) * -1").as("nd"),
         $"sk", $"k")).as("b"))
     best
       .join(broadcast(tot), "event_type")
