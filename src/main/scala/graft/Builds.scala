@@ -28,6 +28,7 @@ object Builds {
     "tokenized"      -> ((s, d) => operators.Text.tokenized(s, d).count()),
     "vocab_counts"   -> ((s, d) => operators.Text.vocabCounts(s, d).count()),
     "bigram_lm"      -> ((s, d) => operators.Text.bigramCounts(s, d).count()),
+    "bigram_surprisal" -> ((s, d) => operators.Text.bigramSurprisal(s, d).count()),
     "quality_rank"   -> ((s, d) => operators.Text.qualityRank(s, d).count()),
     "lang_id"        -> ((s, d) => operators.Text.langId(s, d).count()),
     "token_entropy"  -> ((s, d) => operators.Text.tokenEntropy(s, d).count()),

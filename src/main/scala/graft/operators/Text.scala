@@ -946,7 +946,18 @@ object Text {
     * broadcast onto the pair stream; one (doc_id) aggregate; docs with
     * fewer than two tokens re-enter with zero mass via the left join.
     */
-  def bigramSurprisal(spark: SparkSession, d: String): DataFrame = {
+  def bigramSurprisal(spark: SparkSession, d: String): DataFrame =
+    // memo-cached (r18, the r17 langId pattern): q77 emits it, q100's
+    // bucketing and q184's mixture tilt re-read it — without the cache
+    // the per-doc bigram explode + broadcast LM join + (doc_id)
+    // aggregate ran once per consumer. The cached table is one row per
+    // doc (id + two longs + one double), far smaller than the pair
+    // stream it replaces.
+    graft.core.Memo(spark, cache = true, "bigramSurprisal", d) {
+      bigramSurprisalUncached(spark, d)
+    }
+
+  private def bigramSurprisalUncached(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val docBg = documents(spark, d)
       .select($"doc_id", tokens($"text").as("ws"))
