@@ -1187,7 +1187,18 @@ object Dedup {
     * token side is one scan-stage size() projection; the report is one
     * |sources|-row aggregate.
     */
-  def effectiveTokens(spark: SparkSession, d: String): DataFrame = {
+  def effectiveTokens(spark: SparkSession, d: String): DataFrame =
+    // memo-cached (r18): the output is one row per SOURCE (~20 rows),
+    // but each uncached evaluation re-tokenizes the corpus for the
+    // ntok sum and re-runs the canonical pick — and q195's epoch plan
+    // inlines this lineage 3–4× in one query tree (eff → tot / w → sw
+    // → final each re-derive it). The memo makes that one corpus pass
+    // per session instead of four per q195 run plus one for q176.
+    graft.core.Memo(spark, cache = true, "effectiveTokens", d) {
+      effectiveTokensUncached(spark, d)
+    }
+
+  private def effectiveTokensUncached(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val canon = canonicalDocs(spark, d)
       .select($"canonical_doc".as("doc_id"), lit(1L).as("is_canon"))
