@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.Lineage.CutOps
 import graft.core.Tables._
 import graft.plans.LexExtreme.{lexMax, lexMin}
 import graft.functions.Hashing
@@ -640,6 +641,12 @@ object Sampling {
       sum(when($"split" === "train", 1L).otherwise(0L)).as("c_t"),
       sum(when($"split" === "validation", 1L).otherwise(0L)).as("c_v"),
       sum(when($"split" === "test", 1L).otherwise(0L)).as("c_s"))
+      // pinned: the class histogram feeds BOTH the running-sum window
+      // (cum) and the global-total aggregate (tot); uncut, each side
+      // re-ran the corpus hash-split + join + aggregate — two corpus
+      // scans for one histogram (guide §2.4). The checkpoint is
+      // |distinct lengths| rows.
+      .cutLineage()
     val w = Window.orderBy($"n_chars")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = g.select($"n_chars",
@@ -690,10 +697,14 @@ object Sampling {
       budget: Long = 1000L): DataFrame = {
     import spark.implicits._
     val dec38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    // pinned: w (derived from g) feeds both the total aggregate and
+    // the final projection — uncut, each re-scanned the corpus.
+    // |sources| rows.
     val g = documents(spark, d).groupBy($"source").agg(
       count(lit(1)).as("n_docs"),
       sum($"n_chars".cast(dec38)).as("sx"),
       sum(($"n_chars".cast(dec38) * $"n_chars".cast(dec38))).as("sxx"))
+      .cutLineage()
     val w = g.select($"source", $"n_docs",
       when($"n_docs" > 1L,
         sqrt(($"n_docs".cast(dec38) * $"sxx" - $"sx" * $"sx").cast("double")
@@ -787,8 +798,12 @@ object Sampling {
   def sourceConcentration(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val dec38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    // pinned: m feeds both the rank/cum window and the total
+    // aggregate; uncut each side re-scanned the corpus (guide §2.4).
+    // |sources| rows.
     val m = documents(spark, d).groupBy($"source")
       .agg(sum($"n_chars").as("m"))
+      .cutLineage()
     val tot = m.agg(count(lit(1)).as("n_sources"), sum($"m").as("mm"),
       sum($"m".cast(dec38) * $"m".cast(dec38)).as("sq"))
     val ord = Window.orderBy($"m".desc, $"source")
@@ -833,8 +848,11 @@ object Sampling {
   def padSplitPlan(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val dec38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    // pinned like q232's histogram: hist feeds the prefix-sum window
+    // AND the total aggregate — one corpus scan, |distinct lengths| rows
     val hist = documents(spark, d).groupBy($"n_chars".as("len"))
       .agg(count(lit(1)).as("cnt"))
+      .cutLineage()
     val w = Window.orderBy($"len")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = hist.select($"len", $"cnt",

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.core.Lineage.CutOps
 import graft.plans.LexExtreme.lexMax
 
 import graft.core.Tables._
@@ -305,9 +306,13 @@ object Windowed {
   def cusumChangePoint(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val dec38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    // pinned: grid feeds the running-sum window, the per-type totals
+    // AND the break-day join-back — uncut, each reference re-scanned
+    // the event log (guide §2.4). |types × days| rows.
     val grid = events(spark, d)
       .select($"event_type", to_date($"ts").as("day"))
       .groupBy($"event_type", $"day").agg(count(lit(1)).as("cnt"))
+      .cutLineage()
     val w = Window.partitionBy($"event_type").orderBy($"day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = grid.select($"event_type", $"day", $"cnt",
