@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.core.Lineage.CutOps
 import graft.core.Tables._
 import graft.plans.LexExtreme.lexMax
 import graft.functions.StableNum._
@@ -418,6 +419,11 @@ object Relational {
         when($"w" === 0L, lit(25L))
           .otherwise(lit(25L) - length(bin($"w")).cast("long")).as("rank"))
       .groupBy($"event_type", $"b").agg(max($"rank").as("m_j"))
+      // pinned: the register table is referenced four times (both
+      // union fan-out sides, the per-type estimate, the type grid) —
+      // uncut, each re-scanned the event log (guide §2.4).
+      // |types|·256 rows.
+      .cutLineage()
     def estimate(sk: DataFrame, keys: Seq[String]): DataFrame = {
       val kc = keys.map(col)
       val grouped = sk.groupBy(kc: _*)
@@ -1185,7 +1191,13 @@ object Relational {
         when($"w" === 0L, lit(25L))
           .otherwise(lit(25L) - length(bin($"w")).cast("long")).as("rank"))
       .groupBy($"dy", $"b").agg(max($"rank").as("m_j"))
-    val days = base.select($"dy").distinct()
+      // pinned (q196's register discipline): the fan-out, the day grid
+      // and the merge all read this |days|·256-row table
+      .cutLineage()
+    // a day with any event has at least one register row, so the
+    // observed-day grid derives from the PINNED registers — the second
+    // event-log scan the base-side distinct paid is gone
+    val days = regs.select($"dy").distinct()
     // each day's registers fan out to the window days they belong to;
     // only OBSERVED target days emit (semi join against the day grid)
     val win = regs
