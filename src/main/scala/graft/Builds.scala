@@ -38,6 +38,7 @@ object Builds {
     "lsh_pairs"      -> ((s, d) => operators.Dedup.minhashLsh(s, d).count()),
     "jaccard_pairs"  -> ((s, d) => operators.Dedup.jaccardPairs(s, d).count()),
     "labels_star"    -> ((s, d) => operators.Dedup.dedupLabelsStar(s, d).count()),
+    "effective_tokens" -> ((s, d) => operators.Dedup.effectiveTokens(s, d).count()),
     "simhash_sketch" -> ((s, d) => operators.Dedup.simhashSketch(s, d).count()),
     "simhash_pairs"  -> ((s, d) => operators.Dedup.simhashPairs(s, d).count()),
     "phash_fp"       -> ((s, d) => multimodal.Multimodal.phashFpCached(s, d).count()),
